@@ -1,0 +1,411 @@
+"""Content transform + split/merge operators (SURVEY §2.5-2.6).
+
+Split operators are the reference's fan-out ops (one FlowFile -> many);
+they become ``posexplode`` pipelines emitting the same ``fragment.*``
+provenance attributes. Merge-defragment is the inverse: a grouped
+ordered reassembly (one shuffle, no per-group sort — order is restored
+with sort_array over (index, payload) structs).
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# ReplaceText — evaluation modes × replacement strategies
+# (ReplaceText.h:37-60, ReplaceText.cpp:49)
+# ---------------------------------------------------------------------------
+
+_LINE_MODES = {"line_by_line", "first_line", "last_line", "except_first_line", "except_last_line"}
+
+
+def _apply_strategy(text: Column, strategy: str, search: str | None, replacement: str) -> Column:
+    if strategy == "prepend":
+        return F.concat(F.lit(replacement), text)
+    if strategy == "append":
+        return F.concat(text, F.lit(replacement))
+    if strategy == "regex_replace":
+        return F.regexp_replace(text, search, replacement)
+    if strategy == "literal_replace":
+        return F.replace(text, F.lit(search), F.lit(replacement))
+    if strategy == "always_replace":
+        return F.lit(replacement)
+    raise ValueError(f"unknown replacement strategy {strategy}")
+
+
+def replace_text(
+    df: DataFrame,
+    strategy: str = "regex_replace",
+    search: str | None = None,
+    replacement: str = "",
+    mode: str = "entire_text",
+) -> DataFrame:
+    """ReplaceText: Evaluation mode {entire_text, line_by_line,
+    first_line, last_line, except_first_line, except_last_line} ×
+    strategy {prepend, append, regex_replace, literal_replace,
+    always_replace}. Line modes run the strategy per line via a
+    higher-order transform (no explode/shuffle).
+    """
+    content = F.col("content")
+    if mode == "entire_text":
+        return df.withColumn("content", _apply_strategy(content, strategy, search, replacement))
+    if mode not in _LINE_MODES:
+        raise ValueError(f"unknown evaluation mode {mode}")
+
+    lines = F.split(content, "\n")
+    n = F.size(lines)
+
+    def per_line(line: Column, i: Column) -> Column:
+        replaced = _apply_strategy(line, strategy, search, replacement)
+        if mode == "line_by_line":
+            return replaced
+        if mode == "first_line":
+            return F.when(i == 0, replaced).otherwise(line)
+        if mode == "last_line":
+            return F.when(i == n - 1, replaced).otherwise(line)
+        if mode == "except_first_line":
+            return F.when(i == 0, line).otherwise(replaced)
+        return F.when(i == n - 1, line).otherwise(replaced)  # except_last_line
+
+    return df.withColumn("content", F.array_join(F.transform(lines, per_line), "\n"))
+
+
+# ---------------------------------------------------------------------------
+# Split family — fragment.* attribute parity (SplitText.h:92-156)
+# ---------------------------------------------------------------------------
+
+
+def _with_fragment_attrs(
+    exploded: DataFrame, count_col: Column, extra: dict[str, Column] | None = None
+) -> DataFrame:
+    """Attach fragment.identifier/index/count (+extras) to attributes."""
+    pairs: list[Column] = [
+        F.lit("fragment.identifier"),
+        F.col("uuid"),
+        F.lit("fragment.index"),
+        (F.col("_idx") + 1).cast("string"),
+        F.lit("fragment.count"),
+        count_col.cast("string"),
+    ]
+    for k, v in (extra or {}).items():
+        pairs.extend([F.lit(k), v.cast("string")])
+    out = exploded.withColumn("attributes", F.map_concat(F.col("attributes"), F.create_map(*pairs)))
+    return out
+
+
+def split_text(
+    df: DataFrame,
+    line_split_count: int,
+    header_line_count: int = 0,
+    remove_trailing_newlines: bool = True,
+) -> DataFrame:
+    """SplitText (SplitText.cpp:431): split content on line boundaries
+    into chunks of ``line_split_count`` lines, propagating the first
+    ``header_line_count`` lines into every fragment. Emits
+    fragment.identifier/index/count and text.line.count attributes.
+
+    Plan shape: split -> slice via sequence/transform -> posexplode.
+    All JVM higher-order functions; scales linearly, no shuffle.
+    """
+    lines = F.split(F.col("content"), "\n")
+    header = F.slice(lines, 1, header_line_count) if header_line_count else F.array()
+    body = F.slice(lines, header_line_count + 1, F.greatest(F.size(lines) - header_line_count, F.lit(0)))
+    n_chunks = F.ceil(F.size(body) / F.lit(line_split_count)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.slice(body, i * line_split_count + 1, line_split_count),
+    )
+    chunks = F.filter(chunks, lambda c: F.size(c) > 0)
+    base = (
+        df.withColumn("_header", header)
+        .withColumn("_chunks", chunks)
+        .withColumn("_nchunks", F.size(F.col("_chunks")))
+    )
+    exploded = base.select(
+        *[c for c in df.columns if c != "content"],
+        F.col("_header"),
+        F.col("_nchunks"),
+        F.posexplode(F.col("_chunks")).alias("_idx", "_chunk"),
+    )
+    chunk_lines = F.concat(F.col("_header"), F.col("_chunk")) if header_line_count else F.col("_chunk")
+    content = F.array_join(chunk_lines, "\n")
+    if remove_trailing_newlines:
+        content = F.regexp_replace(content, "\n+$", "")
+    out = exploded.withColumn("content", content)
+    out = _with_fragment_attrs(
+        out, F.col("_nchunks"), {"text.line.count": F.size(F.col("_chunk"))}
+    )
+    return out.drop("_header", "_chunks", "_nchunks", "_idx", "_chunk")
+
+
+def split_content(df: DataFrame, delimiter: str, keep_delimiter: str = "none") -> DataFrame:
+    """SplitContent (SplitContent.cpp:204): split on a byte/str
+    delimiter. keep_delimiter: none|trailing|leading.
+    """
+    parts = F.split(F.col("content"), _re.escape(delimiter))
+    if keep_delimiter == "trailing":
+        n = F.size(parts)
+        parts = F.transform(parts, lambda p, i: F.when(i < n - 1, F.concat(p, F.lit(delimiter))).otherwise(p))
+        parts = F.filter(parts, lambda p: p != "")
+    elif keep_delimiter == "leading":
+        parts = F.transform(parts, lambda p, i: F.when(i > 0, F.concat(F.lit(delimiter), p)).otherwise(p))
+        parts = F.filter(parts, lambda p: p != "")
+    base = df.withColumn("_parts", parts).withColumn("_n", F.size(F.col("_parts")))
+    exploded = base.select(
+        *[c for c in df.columns if c != "content"],
+        F.col("_n"),
+        F.posexplode(F.col("_parts")).alias("_idx", "content"),
+    )
+    out = _with_fragment_attrs(exploded, F.col("_n"))
+    return out.drop("_parts", "_n", "_idx")
+
+
+def segment_content(df: DataFrame, segment_size: int) -> DataFrame:
+    """SegmentContent (SegmentContent.cpp:54): fixed-size segmentation
+    with segment.* attribute parity (segment attrs mirror fragment's).
+    """
+    content = F.col("content")
+    n_seg = F.ceil(F.length(content) / F.lit(segment_size)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_seg - 1, F.lit(0))),
+        lambda i: F.substring(content, i * segment_size + 1, segment_size),
+    )
+    segs = F.filter(segs, lambda s: F.length(s) > 0)
+    base = df.withColumn("_segs", segs).withColumn("_n", F.size(F.col("_segs")))
+    exploded = base.select(
+        *[c for c in df.columns if c != "content"],
+        F.col("_n"),
+        F.posexplode(F.col("_segs")).alias("_idx", "content"),
+    )
+    out = _with_fragment_attrs(
+        exploded,
+        F.col("_n"),
+        {
+            "segment.original.filename": F.col("attributes").getItem("filename"),
+            "segment.index": (F.col("_idx") + 1),
+            "segment.count": F.col("_n"),
+        },
+    )
+    return out.drop("_segs", "_n", "_idx")
+
+
+def split_json(df: DataFrame, element_schema: str = "string") -> DataFrame:
+    """SplitJson (SplitJson.cpp:79): content holding a JSON array ->
+    one row per element. ``element_schema`` is the Spark DDL type of
+    one element ('string' for scalars; a struct DDL for objects —
+    objects are re-serialized with to_json).
+    """
+    arr = F.from_json(F.col("content"), f"array<{element_schema}>")
+    base = df.withColumn("_arr", arr).withColumn("_n", F.size(F.col("_arr")))
+    exploded = base.select(
+        *[c for c in df.columns if c != "content"],
+        F.col("_n"),
+        F.posexplode(F.col("_arr")).alias("_idx", "_elem"),
+    )
+    elem = F.col("_elem") if element_schema == "string" else F.to_json(F.col("_elem"))
+    out = exploded.withColumn("content", elem)
+    out = _with_fragment_attrs(out, F.col("_n"))
+    return out.drop("_arr", "_n", "_idx", "_elem")
+
+
+def split_record(df: DataFrame, records_per_split: int) -> DataFrame:
+    """SplitRecord (SplitRecord.cpp:43): content = JSON-lines records,
+    re-chunked into <= records_per_split records per row.
+    """
+    return split_text(df, line_split_count=records_per_split)
+
+
+# ---------------------------------------------------------------------------
+# Merge / defragment (MergeContent.cpp:193, BinFiles.cpp:284)
+# ---------------------------------------------------------------------------
+
+
+def merge_content_defragment(
+    df: DataFrame,
+    demarcator: str = "\n",
+    header: str = "",
+    footer: str = "",
+    require_complete: bool = True,
+) -> DataFrame:
+    """MergeContent, Defragment strategy (MergeContent.h:44):
+    reassemble fragments by ``fragment.identifier`` ordered by
+    ``fragment.index``; a bundle is complete when the fragment count
+    matches ``fragment.count``.
+
+    One shuffle on the identifier; ordering restored via
+    sort_array(collect_list(struct(index, payload))). At 100 TB the
+    identifier is high-cardinality (one group per original file) so
+    the aggregation parallelizes cleanly; no skew expected.
+    """
+    frag_id = F.col("attributes").getItem("fragment.identifier")
+    frag_idx = F.col("attributes").getItem("fragment.index").cast("int")
+    frag_cnt = F.col("attributes").getItem("fragment.count").cast("int")
+    grouped = (
+        df.select(
+            frag_id.alias("_fid"),
+            frag_idx.alias("_fidx"),
+            frag_cnt.alias("_fcnt"),
+            "content",
+            "attributes",
+        )
+        .groupBy("_fid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col("_fidx"), F.col("content").alias("_c")))),
+                    lambda s: s.getField("_c"),
+                ),
+                demarcator,
+            ).alias("_joined"),
+            F.count(F.lit(1)).alias("_have"),
+            F.first("_fcnt").alias("_want"),
+            F.first("attributes").alias("attributes"),
+        )
+    )
+    if require_complete:
+        grouped = grouped.filter(F.col("_have") == F.col("_want"))
+    content = F.concat(F.lit(header), F.col("_joined"), F.lit(footer))
+    return grouped.select(
+        F.col("_fid").alias("uuid"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        content.alias("content"),
+        F.map_filter(
+            F.col("attributes"),
+            lambda k, v: ~k.isin("fragment.identifier", "fragment.index", "fragment.count", "text.line.count"),
+        ).alias("attributes"),
+        F.array(F.col("_fid")).alias("lineage"),
+    )
+
+
+def merge_content_bin_packing(
+    df: DataFrame,
+    min_entries: int = 1,
+    max_entries: int = 1000,
+    correlation_attribute: str | None = None,
+    demarcator: str = "\n",
+    id_col: str = "uuid",
+) -> DataFrame:
+    """MergeContent, Bin-Packing strategy (MergeContent.h:315-319) —
+    batch flavor: pack rows into bins of <= max_entries per
+    correlation key. Bin assignment = row_number() div max_entries
+    within the correlation partition; the streaming flavor with
+    age/size flush lives in streaming.stateful.
+    """
+    from pyspark.sql import Window
+
+    corr = (
+        F.col("attributes").getItem(correlation_attribute)
+        if correlation_attribute
+        else F.lit("")
+    )
+    w = Window.partitionBy(corr).orderBy(F.col(id_col))
+    binned = df.withColumn("_corr", corr).withColumn(
+        "_bin", F.floor((F.row_number().over(w) - 1) / max_entries)
+    )
+    merged = (
+        binned.groupBy("_corr", "_bin")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("_id"), F.col("content").alias("_c")))),
+                    lambda s: s.getField("_c"),
+                ),
+                demarcator,
+            ).alias("content"),
+            F.count(F.lit(1)).alias("_mcount"),
+            F.min(id_col).alias("uuid"),
+            F.first("attributes").alias("attributes"),
+        )
+        .filter(F.col("_mcount") >= min_entries)
+    )
+    return merged.select(
+        "uuid",
+        F.lit(None).cast("timestamp").alias("ts"),
+        "content",
+        F.map_concat(
+            F.col("attributes"),
+            F.create_map(F.lit("merge.count"), F.col("_mcount").cast("string")),
+        ).alias("attributes"),
+        F.array(F.col("uuid")).alias("lineage"),
+    )
+
+
+def defragment_text(
+    df: DataFrame,
+    message_start_pattern: str | None = None,
+    message_end_pattern: str | None = None,
+    id_col: str = "uuid",
+) -> DataFrame:
+    """DefragmentText (DefragmentText.cpp:59) — batch flavor: lines
+    across an ordered sequence are glued into messages delimited by a
+    start (or end) regex. Sessionization via a running sum over the
+    start-marker indicator (classic gap/marker cumsum pattern).
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        "attributes",
+        F.posexplode(F.split(F.col("content"), "\n")).alias("_idx", "_line"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_idx")
+    if message_start_pattern:
+        marker = F.col("_line").rlike(message_start_pattern).cast("int")
+        msg_id = F.sum(marker).over(w)
+    elif message_end_pattern:
+        marker = F.col("_line").rlike(message_end_pattern).cast("int")
+        msg_id = F.sum(marker).over(w) - marker
+    else:
+        raise ValueError("need a start or end pattern")
+    seg = lines.withColumn("_msg", msg_id)
+    return (
+        seg.groupBy(id_col, "_msg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col("_idx"), F.col("_line").alias("_l")))),
+                    lambda s: s.getField("_l"),
+                ),
+                "\n",
+            ).alias("content"),
+            F.first("attributes").alias("attributes"),
+        )
+        .withColumnRenamed(id_col, "parent_uuid")
+        .withColumn("uuid", F.concat(F.col("parent_uuid"), F.lit("-m"), F.col("_msg").cast("string")))
+        .drop("_msg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CompressContent / ConvertRecord-lite
+# ---------------------------------------------------------------------------
+
+
+def compress_content(df: DataFrame, mode: str = "compress", fmt: str = "gzip") -> DataFrame:
+    """CompressContent (CompressContent.cpp:68): gzip only (the other
+    libarchive formats aren't in the container). Binary-safe via
+    Pandas UDF over Arrow batches.
+    """
+    import gzip
+
+    from pyspark.sql.types import BinaryType
+
+    def _gz(s):
+        if mode == "compress":
+            return s.map(lambda x: gzip.compress(x if isinstance(x, bytes) else str(x).encode()))
+        return s.map(lambda x: gzip.decompress(bytes(x)))
+
+    # lambda-style registration: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf can't resolve
+    gz = F.pandas_udf(_gz, BinaryType())
+
+    if fmt != "gzip":
+        raise NotImplementedError(f"only gzip is available in this environment, not {fmt}")
+    col = F.col("content").cast("binary") if mode == "compress" else F.col("content")
+    out = df.withColumn("content", gz(col))
+    if mode == "decompress":
+        out = out.withColumn("content", F.col("content").cast("string"))
+    return out

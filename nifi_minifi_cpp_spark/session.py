@@ -44,6 +44,7 @@ def get_spark(app_name: str = "nifi-minifi-cpp-spark", cpus: int | None = None) 
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -62,6 +63,7 @@ def configure(spark: SparkSession) -> SparkSession:
     timestamps must still be UTC for oracle parity.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     try:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,342 @@
+"""Per-operator unit tests, mirroring the reference's layer-1 strategy
+(SingleProcessorTestController: content+attributes in, relationship
+frames out — /root/reference/libminifi/test/libtest/unit/SingleProcessorTestController.h:32-59).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_minifi_cpp_spark import operators as ops
+
+
+def make_ff(spark, rows):
+    """rows: list of (uuid, content, attributes-dict)."""
+    return spark.createDataFrame(
+        [(u, None, c, a, [u]) for (u, c, a) in rows],
+        "uuid string, ts timestamp, content string, attributes map<string,string>, lineage array<string>",
+    )
+
+
+def attrs_of(df, uuid):
+    row = [r for r in df.collect() if r["uuid"] == uuid][0]
+    return dict(row["attributes"])
+
+
+# -- UpdateAttribute ----------------------------------------------------------
+
+
+def test_update_attribute(spark):
+    ff = make_ff(spark, [("1", "x", {"filename": "a.txt", "size": "10"})])
+    out = ops.update_attribute(ff, {"upper": "${filename:toUpper()}", "next": "${size:plus(1)}"})
+    a = attrs_of(out, "1")
+    assert a["upper"] == "A.TXT"
+    assert a["next"] == "11"
+
+
+def test_update_attribute_overwrites(spark):
+    ff = make_ff(spark, [("1", "x", {"k": "old"})])
+    out = ops.update_attribute(ff, {"k": "new"})
+    assert attrs_of(out, "1")["k"] == "new"
+
+
+# -- ExtractText --------------------------------------------------------------
+
+
+def test_extract_text(spark):
+    ff = make_ff(spark, [("1", "error code=42 msg=boom", {})])
+    out = ops.extract_text(ff, "err", r"code=(\d+) msg=(\w+)")
+    a = attrs_of(out, "1")
+    assert a["err"] == "code=42 msg=boom"
+    assert a["err.1"] == "42"
+    assert a["err.2"] == "boom"
+
+
+def test_extract_text_no_match_keeps_attrs(spark):
+    ff = make_ff(spark, [("1", "nothing here", {"keep": "me"})])
+    out = ops.extract_text(ff, "err", r"code=(\d+)")
+    a = attrs_of(out, "1")
+    assert a == {"keep": "me"}
+
+
+# -- EvaluateJsonPath ---------------------------------------------------------
+
+
+def test_evaluate_json_path(spark):
+    ff = make_ff(spark, [("1", '{"a": {"b": 7}, "tags": ["x", "y"]}', {})])
+    out = ops.evaluate_json_path(ff, {"ab": "$.a.b", "t0": "$.tags[0]"})
+    a = attrs_of(out, "1")
+    assert a["ab"] == "7"
+    assert a["t0"] == "x"
+
+
+def test_evaluate_json_path_to_content(spark):
+    ff = make_ff(spark, [("1", '{"a": "inner"}', {})])
+    out = ops.evaluate_json_path(ff, {"c": "$.a"}, destination="content")
+    assert out.collect()[0]["content"] == "inner"
+
+
+# -- HashContent --------------------------------------------------------------
+
+
+def test_hash_content_sha256(spark):
+    ff = make_ff(spark, [("1", "hello", {})])
+    out = ops.hash_content(ff, "hash.value", "SHA256")
+    expected = hashlib.sha256(b"hello").hexdigest().upper()
+    assert attrs_of(out, "1")["hash.value"] == expected
+
+
+def test_hash_content_md5(spark):
+    ff = make_ff(spark, [("1", "hello", {})])
+    out = ops.hash_content(ff, "h", "MD5")
+    assert attrs_of(out, "1")["h"] == hashlib.md5(b"hello").hexdigest().upper()
+
+
+# -- AttributesToJSON ---------------------------------------------------------
+
+
+def test_attributes_to_json_list(spark):
+    ff = make_ff(spark, [("1", "", {"a": "1", "b": "2", "c": "3"})])
+    out = ops.attributes_to_json(ff, attributes_list=["a", "c"])
+    assert out.collect()[0]["content"] == '{"a":"1","c":"3"}'
+
+
+def test_attributes_to_json_regex(spark):
+    ff = make_ff(spark, [("1", "", {"x.a": "1", "x.b": "2", "y.c": "3"})])
+    out = ops.attributes_to_json(ff, attributes_regex=r"x\..*")
+    import json
+
+    assert json.loads(out.collect()[0]["content"]) == {"x.a": "1", "x.b": "2"}
+
+
+# -- RouteOnAttribute ---------------------------------------------------------
+
+
+def test_route_on_attribute(spark):
+    ff = make_ff(
+        spark,
+        [
+            ("1", "", {"event_type": "error"}),
+            ("2", "", {"event_type": "click"}),
+            ("3", "", {"event_type": "error", "sev": "9"}),
+            ("4", "", {}),
+        ],
+    )
+    routed = ops.route_on_attribute(
+        ff,
+        {
+            "errors": "${event_type:equals('error')}",
+            "severe": "${sev:gt(5)}",
+        },
+    )
+    assert {r["uuid"] for r in routed["errors"].collect()} == {"1", "3"}
+    assert {r["uuid"] for r in routed["severe"].collect()} == {"3"}
+    assert {r["uuid"] for r in routed["unmatched"].collect()} == {"2", "4"}
+
+
+# -- RouteText ----------------------------------------------------------------
+
+
+def test_route_text_contains(spark):
+    ff = make_ff(spark, [("1", "apple pie\nbanana split\napple tart", {})])
+    routed = ops.route_text(ff, {"apples": "apple"}, matching="contains")
+    rows = routed["apples"].collect()
+    assert len(rows) == 1
+    assert rows[0]["content"] == "apple pie\napple tart"
+    un = routed["unmatched"].collect()
+    assert un[0]["content"] == "banana split"
+
+
+def test_route_text_regex_grouping(spark):
+    ff = make_ff(spark, [("1", "a:1\nb:2\na:3", {})])
+    routed = ops.route_text(
+        ff, {"all": ".*:.*"}, matching="matches_regex", grouping_regex=r"^(\w):"
+    )
+    rows = {r["_group"]: r["content"] for r in routed["all"].collect()}
+    assert rows == {"a": "a:1\na:3", "b": "b:2"}
+
+
+# -- RetryFlowFile ------------------------------------------------------------
+
+
+def test_retry_flow_file(spark):
+    ff = make_ff(spark, [("1", "", {}), ("2", "", {"flowfile.retries": "3"})])
+    routed = ops.retry_flow_file(ff, max_retries=3)
+    retry = {r["uuid"]: dict(r["attributes"]) for r in routed["retry"].collect()}
+    exceeded = [r["uuid"] for r in routed["retries_exceeded"].collect()]
+    assert list(retry) == ["1"] and retry["1"]["flowfile.retries"] == "1"
+    assert exceeded == ["2"]
+
+
+# -- Funnel -------------------------------------------------------------------
+
+
+def test_funnel(spark):
+    a = make_ff(spark, [("1", "", {})])
+    b = make_ff(spark, [("2", "", {})])
+    assert ops.funnel(a, b).count() == 2
+
+
+# -- ReplaceText --------------------------------------------------------------
+
+
+def test_replace_text_truth_table(spark):
+    # reference behave truth table: replace_text.feature:34-41
+    ff = make_ff(spark, [("1", "one apple, two apples", {})])
+    out = ops.replace_text(ff, "regex_replace", r"a([a-z]+)e", r"ri$1et")
+    assert out.collect()[0]["content"] == "one ripplet, two ripplets"
+
+
+@pytest.mark.parametrize(
+    "mode,strategy,search,repl,expected",
+    [
+        ("entire_text", "prepend", None, ">> ", ">> l1\nl2"),
+        ("entire_text", "append", None, " <<", "l1\nl2 <<"),
+        ("entire_text", "always_replace", None, "gone", "gone"),
+        ("entire_text", "literal_replace", "l1", "L1", "L1\nl2"),
+        ("line_by_line", "prepend", None, "# ", "# l1\n# l2"),
+        ("first_line", "prepend", None, "# ", "# l1\nl2"),
+        ("last_line", "append", None, ";", "l1\nl2;"),
+        ("except_first_line", "prepend", None, "  ", "l1\n  l2"),
+        ("except_last_line", "append", None, ",", "l1,\nl2"),
+    ],
+)
+def test_replace_text_modes(spark, mode, strategy, search, repl, expected):
+    ff = make_ff(spark, [("1", "l1\nl2", {})])
+    out = ops.replace_text(ff, strategy, search, repl, mode=mode)
+    assert out.collect()[0]["content"] == expected
+
+
+# -- Split family -------------------------------------------------------------
+
+
+def test_split_text(spark):
+    ff = make_ff(spark, [("1", "h\na\nb\nc\nd\ne", {})])
+    out = ops.split_text(ff, line_split_count=2, header_line_count=1)
+    rows = sorted(out.collect(), key=lambda r: int(dict(r["attributes"])["fragment.index"]))
+    contents = [r["content"] for r in rows]
+    assert contents == ["h\na\nb", "h\nc\nd", "h\ne"]
+    a0 = dict(rows[0]["attributes"])
+    assert a0["fragment.identifier"] == "1"
+    assert a0["fragment.count"] == "3"
+    assert a0["text.line.count"] == "2"
+
+
+def test_split_content_roundtrip(spark):
+    ff = make_ff(spark, [("1", "a|b|c", {})])
+    out = ops.split_content(ff, "|")
+    assert [r["content"] for r in out.orderBy("attributes.`fragment.index`").collect()] == ["a", "b", "c"]
+
+
+def test_segment_content(spark):
+    ff = make_ff(spark, [("1", "abcdefgh", {})])
+    out = ops.segment_content(ff, 3)
+    rows = sorted(out.collect(), key=lambda r: int(dict(r["attributes"])["fragment.index"]))
+    assert [r["content"] for r in rows] == ["abc", "def", "gh"]
+    assert dict(rows[0]["attributes"])["segment.count"] == "3"
+
+
+def test_split_json_scalars(spark):
+    ff = make_ff(spark, [("1", '["x", "y", "z"]', {})])
+    out = ops.split_json(ff)
+    assert {r["content"] for r in out.collect()} == {"x", "y", "z"}
+
+
+def test_split_json_objects(spark):
+    ff = make_ff(spark, [("1", '[{"a": 1}, {"a": 2}]', {})])
+    out = ops.split_json(ff, element_schema="struct<a:int>")
+    assert {r["content"] for r in out.collect()} == {'{"a":1}', '{"a":2}'}
+
+
+# -- Merge / defragment -------------------------------------------------------
+
+
+def test_split_then_merge_roundtrip(spark, tables):
+    """FIXTURES.md round-trip: split documents then reassemble; the
+    merged content must hash-match the original."""
+    from nifi_minifi_cpp_spark.model import documents_to_flowfiles
+
+    docs = documents_to_flowfiles(tables["documents"]).limit(50)
+    frags = ops.split_text(docs, line_split_count=2)
+    merged = ops.merge_content_defragment(frags)
+    orig = {r["uuid"]: r["content"] for r in docs.collect()}
+    back = {r["uuid"]: r["content"] for r in merged.collect()}
+    assert len(back) == len(orig)
+    mismatches = {
+        k for k in orig
+        if hashlib.sha256(orig[k].encode()).hexdigest() != hashlib.sha256(back[k].encode()).hexdigest()
+    }
+    assert mismatches == set()
+
+
+def test_merge_defragment_incomplete_dropped(spark):
+    ff = make_ff(
+        spark,
+        [
+            ("f1-0", "a", {"fragment.identifier": "f1", "fragment.index": "1", "fragment.count": "2"}),
+            ("f1-1", "b", {"fragment.identifier": "f1", "fragment.index": "2", "fragment.count": "2"}),
+            ("f2-0", "x", {"fragment.identifier": "f2", "fragment.index": "1", "fragment.count": "2"}),
+        ],
+    )
+    out = ops.merge_content_defragment(ff)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["content"] == "a\nb"
+    assert "fragment.identifier" not in dict(rows[0]["attributes"])
+
+
+def test_merge_bin_packing(spark):
+    ff = make_ff(spark, [(f"{i:02d}", f"c{i}", {"corr": "k" + str(i % 2)}) for i in range(10)])
+    out = ops.merge_content_bin_packing(ff, max_entries=3, correlation_attribute="corr")
+    rows = out.collect()
+    # 5 per key, bins of 3 -> 2 bins per key -> 4 bundles
+    assert len(rows) == 4
+    assert sum(int(dict(r["attributes"])["merge.count"]) for r in rows) == 10
+
+
+def test_defragment_text_start_pattern(spark):
+    ff = make_ff(spark, [("1", "<1> a\ncont\n<2> b\ncont2", {})])
+    out = ops.defragment_text(ff, message_start_pattern=r"^<\d+>")
+    contents = sorted(r["content"] for r in out.collect())
+    assert contents == ["<1> a\ncont", "<2> b\ncont2"]
+
+
+# -- CompressContent ----------------------------------------------------------
+
+
+def test_compress_roundtrip(spark):
+    ff = make_ff(spark, [("1", "squeeze me", {})])
+    comp = ops.compress_content(ff, "compress")
+    out = ops.compress_content(comp, "decompress")
+    assert out.collect()[0]["content"] == "squeeze me"
+
+
+# -- Rolling window -----------------------------------------------------------
+
+
+def test_rolling_window_count_based(spark):
+    rows = [("u", i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5])]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = ops.attribute_rolling_window_count(df, "v", order_col="ts", window_length=3, partition_by="k")
+    got = {r["ts"]: r for r in out.collect()}
+    assert got[0]["rolling.window.value"] == 1.0
+    assert got[2]["rolling.window.value"] == 6.0
+    assert got[4]["rolling.window.value"] == 12.0
+    assert got[4]["rolling.window.mean"] == 4.0
+    assert got[4]["rolling.window.median"] == 4.0
+    assert got[3]["rolling.window.variance"] == pytest.approx(2 / 3)
+
+
+def test_rolling_window_time_based(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("u", base + dt.timedelta(seconds=s), float(v)) for s, v in [(0, 1), (10, 2), (100, 3)]]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = ops.attribute_rolling_window_time(df, "v", window_seconds=60, partition_by="k")
+    got = sorted(out.collect(), key=lambda r: r["ts"])
+    assert got[1]["rolling.window.value"] == 3.0  # 0s and 10s in window
+    assert got[2]["rolling.window.value"] == 3.0  # only 100s itself
