@@ -1,0 +1,404 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — all expressed with JVM-side higher-order functions (no
+per-row Python). The reference has no dedup operators; these extend
+the engine per the project north star (BASELINE.json).
+
+Scale design: every variant is one scan + one (bucket) shuffle.
+Candidate generation is always through LSH-style bucketing so the
+pairwise work is per-bucket, never a global cross join. The "drop"
+decision is the standard one-pass heuristic: a document is removed
+when any bucket contains a smaller-id near-duplicate (no iterative
+connected components — at 100 TB that heuristic is what production
+dedup pipelines (e.g. the C4/RefinedWeb recipes) use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shingling helpers (JVM higher-order functions)
+# ---------------------------------------------------------------------------
+
+
+def words(col: Column) -> Column:
+    return F.split(F.lower(col), r"\s+")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """n-word shingles as an array<string> (distinct)."""
+    w = words(col)
+    k = F.size(w) - (n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+    return F.array_distinct(F.when(k > 0, shingles).otherwise(F.array(F.array_join(w, " "))))
+
+
+def char_shingles(col: Column, n: int = 5) -> Column:
+    k = F.length(col) - (n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.substring(col, i + 1, n),
+    )
+    return F.array_distinct(F.when(k > 0, sh).otherwise(F.array(col)))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per identical content.
+
+    Hash-groupBy on a 64-bit content hash, not the content itself, so
+    the shuffle carries 8 bytes + id per row (the full text only rides
+    along inside the min struct). Collision risk at 100 TB: use
+    sha2-256 string when paranoia beats speed.
+    """
+    h = F.xxhash64(F.col(content_col))
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(F.struct(F.col(id_col), *[F.col(c) for c in df.columns if c != id_col])).alias("_keep"))
+        .select("_keep.*")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """array<bigint> MinHash signature: per seed, min over shingle
+    hashes. xxhash64(shingle, seed) is the hash family.
+
+    NOTE: higher-order functions are interpreted (no codegen) at
+    ~10us/lambda-eval — this pure-Catalyst form costs ~40ms/document.
+    The default pipeline path uses ``minhash_signature_pandas``
+    (Arrow-batched numpy, ~100x faster); this expression form remains
+    for plans that must stay UDF-free.
+    """
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    return F.transform(
+        seeds,
+        lambda seed: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, seed))),
+    )
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def minhash_signature_pandas(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_words: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, _sig array<bigint>) via Arrow-batched numpy MinHash.
+
+    Per batch: blake2b-8 each shingle once, then one (num_hashes x
+    n_shingles) universal-hash matrix min-reduce — the standard
+    vectorized MinHash (same construction as datasketch/text-dedup).
+    Deterministic across processes (no PYTHONHASHSEED dependence).
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    A = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
+    B = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        n = shingle_words
+        for pdf in batches:
+            sigs = []
+            for text in pdf[content_col]:
+                ws = str(text).lower().split()
+                if len(ws) >= n:
+                    shingles = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+                else:
+                    shingles = {" ".join(ws)}
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+                        for s in shingles
+                    ),
+                    dtype=np.uint64,
+                    count=len(shingles),
+                )
+                # universal hashing mod Mersenne prime, min per row
+                sig = ((A[:, None] * hs[None, :] + B[:, None]) % _MERSENNE).min(axis=1)
+                sigs.append(sig.astype(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col], "_sig": sigs})
+
+    out_schema = f"{id_col} long, _sig array<long>"
+    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(band, band_hash) bucket table: docs sharing a bucket are
+    near-dup candidates. rows = num_hashes/bands per band.
+    """
+    rows_per_band = num_hashes // bands
+    # Signature via Arrow-batched numpy (mapInPandas is also a hard
+    # materialization barrier, so `_sig` is computed exactly once per
+    # row); band hashes are computed JVM-side from the materialized
+    # array after exploding the band index through a Generate node,
+    # which blocks projection collapse.
+    sig_df = minhash_signature_pandas(df, content_col, id_col, num_hashes, shingle_words)
+    exploded = sig_df.select(
+        F.col(id_col), F.col("_sig"), F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("band"),
+        F.xxhash64(
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("_sig"), F.col("band") * rows_per_band + 1, F.lit(rows_per_band)),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("band_hash"),
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup removal: drop any doc that shares an LSH
+    bucket with a smaller-id doc. One shuffle to buckets, one
+    aggregation back to docs, one semi-join.
+    """
+    buckets = minhash_lsh_candidates(df, content_col, id_col, num_hashes, bands, shingle_words)
+    min_per_bucket = buckets.groupBy("band", "band_hash").agg(F.min(id_col).alias("_bucket_min"))
+    doc_min = (
+        buckets.join(min_per_bucket, ["band", "band_hash"])
+        .groupBy(id_col)
+        .agg(F.min("_bucket_min").alias("_rep"))
+    )
+    keep = doc_min.filter(F.col("_rep") == F.col(id_col)).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of whitespace tokens, fully JVM-side.
+
+    bit_i(sig) = sign of sum over tokens of ±1 depending on bit_i of
+    xxhash64(token). Folds a 64-wide counter array with aggregate +
+    zip_with; no Python, no shuffle.
+    """
+    toks = words(col)
+    bits = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(
+                    F.call_function("shiftright", F.xxhash64(t), i.cast("int")).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda cnt, i: F.when(
+                cnt > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i.cast("int"))
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_threshold: int = 3,
+) -> DataFrame:
+    """SimHash near-dup removal. Bucket by 4 16-bit chunks: two
+    signatures within Hamming distance 3 share at least one chunk
+    (pigeonhole), so chunk-equality buckets are a complete candidate
+    filter; exact Hamming check prunes false positives.
+    """
+    # sig once per row, then explode chunk indices (Generate blocks
+    # projection collapse — see minhash_lsh_candidates)
+    sig_df = df.select(F.col(id_col), simhash64(F.col(content_col)).alias("_sig"))
+    exploded = sig_df.select(
+        F.col(id_col), F.col("_sig"), F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_idx")
+    )
+    chunks = exploded.select(
+        F.col(id_col),
+        F.col("_sig"),
+        F.col("chunk_idx"),
+        F.call_function("shiftright", F.col("_sig"), (F.col("chunk_idx") * 16).cast("int"))
+        .bitwiseAND(F.lit(0xFFFF))
+        .alias("chunk_val"),
+    )
+    left = chunks.alias("l")
+    right = chunks.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col(f"l.{id_col}") > F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("_id"),
+            F.col(f"r.{id_col}").alias("_other"),
+            F.bit_count(F.col("l._sig").bitwiseXOR(F.col("r._sig"))).alias("_ham"),
+        )
+        .filter(F.col("_ham") <= hamming_threshold)
+    )
+    dropped = pairs.select(F.col("_id").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (verified near-dup)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidates -> exact Jaccard verification -> drop.
+
+    The LSH pass bounds the pairwise work; Jaccard is computed with
+    array_intersect/array_union on distinct shingle sets.
+    """
+    sh = df.select(
+        F.col(id_col), F.col(content_col), word_shingles(F.col(content_col), shingle_words).alias("_sh")
+    )
+    buckets = minhash_lsh_candidates(df, content_col, id_col, num_hashes, bands, shingle_words)
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "band_hash"])
+        .filter(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("_ida"), F.col(f"b.{id_col}").alias("_idb"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.select(F.col(id_col).alias("_ida"), F.col("_sh").alias("_sha")), "_ida")
+        .join(sh.select(F.col(id_col).alias("_idb"), F.col("_sh").alias("_shb")), "_idb")
+        .withColumn(
+            "_jaccard",
+            F.try_divide(
+                F.size(F.array_intersect("_sha", "_shb")),
+                F.size(F.array_union("_sha", "_shb")),
+            ),
+        )
+        .filter(F.col("_jaccard") >= threshold)
+    )
+    dropped = verified.select(F.col("_ida").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns (JVM).
+
+    try_divide: a zero-magnitude vector yields NULL, not a job-killing
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode.
+    """
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return F.try_divide(dot, na * nb)
+
+
+def embedding_dedup(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup removal: random-hyperplane LSH bucket ->
+    exact cosine within bucket -> drop larger id.
+
+    Hyperplanes are deterministic (seeded) literals broadcast in the
+    plan; the bucket key is the 8-bit sign pattern, so the candidate
+    join shuffles only per-bucket. Note: single-probe SRP-LSH is
+    approximate — pairs can land in different buckets; raise
+    num_planes/multi-probe for recall at scale.
+    """
+    import random
+
+    rng = random.Random(seed)
+    dim_row = df.select(F.size(F.col(embedding_col)).alias("d")).first()
+    dim = dim_row["d"]
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    emb = F.transform(F.col(embedding_col), lambda x: x.cast("double"))
+    bucket = F.aggregate(
+        F.zip_with(
+            planes_lit,
+            F.sequence(F.lit(0), F.lit(num_planes - 1)),
+            lambda p, i: F.when(
+                F.aggregate(F.zip_with(p, emb, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x) > 0,
+                F.call_function("shiftleft", F.lit(1), i.cast("int")),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    keyed = df.withColumn("_bucket", bucket)
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(b, (F.col("a._bucket") == F.col("b._bucket")) & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")))
+        .withColumn("_cos", cosine(F.col(f"a.{embedding_col}"), F.col(f"b.{embedding_col}")))
+        .filter(F.col("_cos") >= threshold)
+    )
+    dropped = pairs.select(F.col(f"a.{id_col}").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")

@@ -1,0 +1,152 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side machinery — schema, partition sizing, mapInPandas batch
+shape, Arrow transfer — is real and tested. The actual codec work
+(image decode, audio resample, frame extraction) is STUBBED: the
+decode libraries (Pillow/ffmpeg/librosa) are not in this container.
+Each stub either raises NotImplementedError (strict mode) or produces
+a deterministic fake (test mode) so pipelines are end-to-end runnable.
+
+Design for 100 TB: binary payloads stay in columns only while a stage
+needs the bytes; upstream/downstream they travel as object-store
+pointers (`ref` column) — the ResourceClaim pattern
+(/root/reference/minifi-api/include/minifi-cpp/ResourceClaim.h) of
+content-by-reference, which keeps shuffles metadata-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("ref", T.StringType(), True),  # object-store pointer
+        T.StructField("payload", T.BinaryType(), True),  # inline bytes (small media only)
+        T.StructField("mime_type", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id string, width int, height int, channels int, mean_luma double, phash long"
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id string, sample_rate int, n_samples long, duration_s double, rms double"
+)
+
+FRAME_SAMPLE_SCHEMA = "media_id string, frame_idx int, frame_ts_s double, frame binary"
+
+
+def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Adapter: treat document text bytes as fake media payloads so the
+    multimodal plumbing is exercisable on the driver's tables."""
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.concat(F.lit("mem://doc/"), F.col(id_col).cast("string")).alias("ref"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.create_map(F.lit("origin"), F.lit("documents")).alias("meta"),
+    )
+
+
+def _require_real_decoder(what: str):
+    raise NotImplementedError(
+        f"{what} decoding requires codec libraries (Pillow/ffmpeg/librosa) "
+        "not present in this container; run with fake=True for the "
+        "deterministic stub, or install codecs on the real cluster."
+    )
+
+
+def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Image decode + feature extraction over mapInPandas.
+
+    Real path: decode payload -> (width, height, channels, mean luma,
+    perceptual hash). Stubbed: deterministic pseudo-features derived
+    from the payload hash so downstream joins/aggregations are testable.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if not fake:
+                _require_real_decoder("image")
+            h = pdf["payload"].map(lambda b: hash(bytes(b)) & 0x7FFFFFFFFFFFFFFF)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": (h % 1920 + 1).astype("int32"),
+                    "height": (h % 1080 + 1).astype("int32"),
+                    "channels": 3,
+                    "mean_luma": (h % 256) / 255.0,
+                    "phash": h.astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio decode + feature extraction (stub: deterministic fake)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if not fake:
+                _require_real_decoder("audio")
+            h = pdf["payload"].map(lambda b: hash(bytes(b)) & 0x7FFFFFFFFFFFFFFF)
+            n = (h % 480000 + 16000).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": 16000,
+                    "n_samples": n,
+                    "duration_s": n / 16000.0,
+                    "rms": (h % 1000) / 1000.0,
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, every_s: float = 1.0, max_frames: int = 8, fake: bool = False) -> DataFrame:
+    """Frame sampling (UDTF shape: one media row -> many frame rows).
+
+    Real path would demux with ffmpeg; the stub emits max_frames
+    deterministic pseudo-frames so partitioning and fan-out are real.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if not fake:
+                _require_real_decoder("video")
+            out = {"media_id": [], "frame_idx": [], "frame_ts_s": [], "frame": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i in range(max_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_s"].append(i * every_s)
+                    out["frame"].append(bytes(payload)[:16] + i.to_bytes(4, "big"))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Image resize (stub: passthrough payload, metadata updated)."""
+    if not fake:
+        _require_real_decoder("image")
+    return df.withColumn(
+        "meta",
+        F.map_concat(
+            F.col("meta"),
+            F.create_map(
+                F.lit("resized"), F.lit(f"{width}x{height}"),
+            ),
+        ),
+    )

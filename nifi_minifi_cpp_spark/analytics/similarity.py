@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a single scan with JVM-side
+zip_with/aggregate arithmetic, broadcast query vector, no shuffle
+until the final top-k. Scale path: SRP-LSH bucketed k-NN join that
+turns the O(N·M) cross join into per-bucket joins, plus an
+Arrow-batched pandas matmul variant for wide batches of queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import cosine
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k against one query vector.
+
+    The query is a literal array folded into the plan (broadcast to
+    every task); orderBy+limit compiles to TakeOrderedAndProject —
+    each partition keeps only k rows, no global sort at 100 TB.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine(_as_double(F.col(embedding_col)), q).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def cosine_topk_pandas(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow-batched variant: per-partition numpy matmul, then the
+    same TakeOrderedAndProject top-k. Faster for high dims / many
+    rows because the dot product is one BLAS call per batch.
+    """
+    import numpy as np
+
+    schema = f"{id_col} long, score double"
+    q = None
+
+    def score(batches):
+        nonlocal q
+        for pdf in batches:
+            if q is None:
+                q_arr = np.asarray(query_vec, dtype=np.float64)
+                q = q_arr / np.linalg.norm(q_arr)
+            mat = np.stack(pdf[embedding_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ q) / np.where(norms == 0, 1.0, norms)
+            yield __import__("pandas").DataFrame({id_col: pdf[id_col], "score": sims})
+
+    scored = df.select(id_col, embedding_col).mapInPandas(score, schema)
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def srp_bucket(embedding_col: Column, dim: int, num_planes: int = 8, seed: int = 42) -> Column:
+    """Signed-random-projection bucket id (int) for an embedding."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    emb = _as_double(embedding_col)
+    return F.aggregate(
+        F.zip_with(
+            planes_lit,
+            F.sequence(F.lit(0), F.lit(num_planes - 1)),
+            lambda p, i: F.when(
+                F.aggregate(F.zip_with(p, emb, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x) > 0,
+                F.call_function("shiftleft", F.lit(1), i.cast("int")),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def knn_join_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 6,
+    seed: int = 42,
+    probes: int = 1,
+) -> DataFrame:
+    """Approximate k-NN join: SRP-bucket both sides, equi-join on the
+    bucket, exact cosine within, row_number top-k per query.
+
+    The bucket equi-join replaces the cross join; with p planes the
+    expected candidate set shrinks ~2^p-fold. ``probes``: multi-probe
+    radius on the query side — probes=1 additionally explodes each
+    query into its num_planes Hamming-1 neighbor buckets, trading a
+    (p+1)x larger candidate set for much higher recall (neighbors that
+    straddle one hyperplane still meet).
+    """
+    from pyspark.sql import Window
+
+    dim = corpus.select(F.size(F.col(embedding_col)).alias("d")).first()["d"]
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(embedding_col).alias("_qv"),
+        srp_bucket(F.col(embedding_col), dim, num_planes, seed).alias("_b0"),
+    )
+    if probes >= 1:
+        neighbor_buckets = F.array_union(
+            F.array(F.col("_b0")),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_planes - 1)),
+                lambda i: F.col("_b0").bitwiseXOR(F.call_function("shiftleft", F.lit(1), i.cast("int"))),
+            ),
+        )
+        qb = qb.select(
+            "query_id", "_qv", F.explode(neighbor_buckets).alias("_bucket")
+        )
+    else:
+        qb = qb.withColumnRenamed("_b0", "_bucket")
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(embedding_col).alias("_cv"),
+        srp_bucket(F.col(embedding_col), dim, num_planes, seed).alias("_bucket"),
+    )
+    scored = (
+        qb.join(cb, "_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # multi-probe can meet the same pair through several buckets
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("score", cosine(_as_double(F.col("_qv")), _as_double(F.col("_cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("_rank").alias("rank"))
+    )
+
+
+def knn_join_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact k-NN join (broadcast the query side): ground truth for
+    recall measurement; only for small query sets.
+    """
+    from pyspark.sql import Window
+
+    qb = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(embedding_col).alias("_qv"))
+    )
+    cb = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(embedding_col).alias("_cv"))
+    scored = (
+        qb.crossJoin(cb)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", cosine(_as_double(F.col("_qv")), _as_double(F.col("_cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("_rank").alias("rank"))
+    )

@@ -1,0 +1,196 @@
+"""Dedup / similarity / text-analysis / multimodal tests on the
+driver's documents and embeddings tables."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_minifi_cpp_spark import analytics as an
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, tables):
+    """documents plus planted exact and near duplicates."""
+    docs = tables["documents"].select("doc_id", "text")
+    exact = docs.limit(5).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    near = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup(spark, docs_with_dups, tables):
+    n_orig = tables["documents"].count()
+    out = an.exact_dedup(docs_with_dups)
+    # planted exact dups removed; near dups (different text) kept
+    assert out.count() == n_orig + 5
+    assert out.filter(F.col("doc_id") >= 100000).filter(F.col("doc_id") < 200000).count() == 0
+
+
+def test_minhash_dedup_removes_planted(spark, docs_with_dups):
+    out = an.minhash_dedup(docs_with_dups, num_hashes=64, bands=16)
+    # exact copies always collide in every band -> removed
+    assert out.filter((F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)).count() == 0
+    # near-dups (one appended word on ~120-word docs) should mostly collide
+    assert out.filter(F.col("doc_id") >= 200000).count() <= 2
+
+
+def test_minhash_keeps_originals(spark, docs_with_dups, tables):
+    out = an.minhash_dedup(docs_with_dups)
+    kept = out.filter(F.col("doc_id") < 100000).count()
+    # the corpus is word soup from a small vocabulary; some organic
+    # near-dup collisions are expected, but the bulk must survive
+    assert kept > tables["documents"].count() * 0.7
+
+
+def test_simhash_planted_dups(spark, docs_with_dups):
+    out = an.simhash_dedup(docs_with_dups, hamming_threshold=3)
+    assert out.filter((F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)).count() == 0
+
+
+def test_simhash64_deterministic(spark):
+    df = spark.createDataFrame([("a b c",), ("a b c",), ("x y z",)], "text string")
+    sigs = [r["s"] for r in df.select(an.simhash64(F.col("text")).alias("s")).collect()]
+    assert sigs[0] == sigs[1] != sigs[2]
+
+
+def test_ngram_jaccard_dedup(spark, docs_with_dups):
+    out = an.ngram_jaccard_dedup(docs_with_dups, threshold=0.8)
+    assert out.filter((F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)).count() == 0
+
+
+def test_embedding_dedup(spark, tables):
+    emb = tables["embeddings"]
+    planted = emb.limit(3).select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    both = emb.unionByName(planted)
+    out = an.embedding_dedup(both, threshold=0.999)
+    assert out.filter(F.col("vec_id") >= 10000).count() == 0
+    assert out.count() == emb.count()
+
+
+def test_cosine_topk_matches_numpy(spark, tables):
+    import numpy as np
+
+    emb = tables["embeddings"]
+    rows = emb.orderBy("vec_id").collect()
+    q = list(rows[0]["embedding"])
+    got = an.cosine_topk(emb, q, k=5).collect()
+    # numpy ground truth
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qv = np.array(q)
+    sims = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = np.argsort(-sims)[:5]
+    expected_ids = [rows[i]["vec_id"] for i in order]
+    assert [r["vec_id"] for r in got] == expected_ids
+    assert got[0]["vec_id"] == rows[0]["vec_id"]  # self is top hit
+    assert got[0]["score"] == pytest.approx(1.0)
+
+
+def test_cosine_topk_pandas_agrees(spark, tables):
+    emb = tables["embeddings"]
+    q = list(emb.orderBy("vec_id").first()["embedding"])
+    a = [(r["vec_id"], round(r["score"], 9)) for r in an.cosine_topk(emb, q, k=5).collect()]
+    b = [(r["vec_id"], round(r["score"], 9)) for r in an.cosine_topk_pandas(emb, q, k=5).collect()]
+    assert a == b
+
+
+def test_knn_lsh_recall(spark, tables):
+    emb = tables["embeddings"]
+    queries = emb.limit(10)
+    exact = an.knn_join_exact(queries, emb, k=5)
+    approx = an.knn_join_lsh(queries, emb, k=5, num_planes=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4 planes / 64-dim gaussian data: recall is moderate by design;
+    # the point is the bucketing machinery, verified against exact
+    assert recall > 0.2
+
+
+# -- text analysis ------------------------------------------------------------
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("one two  three",), ("",)], "text string")
+    got = [r["n"] for r in df.select(an.token_count(F.col("text")).alias("n")).collect()]
+    assert got == [3, 0]
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick brown fox jumps over the lazy dog and runs to the forest",),
+            ("der hund und die katze sind nicht mit dem ball",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    out = df.select(
+        an.language_id(F.col("text")).alias("lang"),
+        an.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert out[0]["lang"] == "en"
+    assert out[1]["lang"] == "de"
+    assert out[2]["lang"] == "und"
+    assert out[0]["q"] > out[2]["q"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world",), ("different",)], "text string")
+    fps = [r["f"] for r in df.select(an.fingerprint64(F.col("text")).alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_winnowing_subset_detection(spark):
+    base = "the quick brown fox jumps over the lazy dog many times today"
+    df = spark.createDataFrame([(base,), (base + " with a small suffix",)], "text string")
+    rows = df.select(an.winnowing_fingerprints(F.col("text")).alias("fp")).collect()
+    a, b = set(rows[0]["fp"]), set(rows[1]["fp"])
+    assert len(a & b) / len(a) > 0.8  # shared prefix -> shared fingerprints
+
+
+def test_analyze_documents_runs(spark, tables):
+    out = an.analyze_documents(tables["documents"])
+    row = out.first()
+    assert row["n_tokens"] > 0
+    assert 0.0 <= row["quality"] <= 1.0
+    assert row["n_chars"] == row["n_chars"]
+
+
+# -- multimodal ---------------------------------------------------------------
+
+
+def test_multimodal_image_features(spark, tables):
+    from nifi_minifi_cpp_spark.analytics import multimodal as mm
+
+    media = mm.documents_as_media(tables["documents"].limit(20))
+    feats = mm.extract_image_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(r["width"] > 0 and r["channels"] == 3 for r in rows)
+
+
+def test_multimodal_strict_raises(spark, tables):
+    from nifi_minifi_cpp_spark.analytics import multimodal as mm
+
+    media = mm.documents_as_media(tables["documents"].limit(1))
+    feats = mm.extract_image_features(media, fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        feats.collect()
+
+
+def test_multimodal_frame_fanout(spark, tables):
+    from nifi_minifi_cpp_spark.analytics import multimodal as mm
+
+    media = mm.documents_as_media(tables["documents"].limit(5))
+    frames = mm.sample_video_frames(media, every_s=0.5, max_frames=4, fake=True)
+    assert frames.count() == 20
+    one = frames.filter(F.col("frame_idx") == 2).first()
+    assert one["frame_ts_s"] == 1.0
