@@ -1,0 +1,735 @@
+"""Driver-contract query registry: every SURVEY §2 capability as a
+(spark_impl, oracle_sql) pair.
+
+Each Spark impl is a ``(spark, sf_dir) -> DataFrame`` callable built
+from the engine's operators/EL/analytics; each oracle is ANSI SQL that
+DuckDB runs over the same parquet views. Column names and rounding are
+aligned on both sides — the driver hash-compares values order-insensitively.
+
+Conventions:
+- computed doubles rounded to fixed decimals on BOTH sides;
+- every aggregate/computed column aliased identically;
+- ``configure(spark)`` at the top of each impl (driver session may
+  not have UTC/mapKeyDedupPolicy set);
+- non-SQL-expressible ops (hash-seeded dedup, SimHash) have
+  ``oracle=None`` -> the driver records the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .analytics import (
+    bpe_ish_token_count,
+    cosine_topk,
+    embedding_dedup,
+    exact_dedup,
+    knn_join_exact,
+    language_id,
+    minhash_dedup,
+    quality_features,
+    simhash64,
+)
+from .el import el_bool, el_string
+from .model import events_to_flowfiles
+from .operators import (
+    attribute_rolling_window_count,
+    evaluate_json_path,
+    extract_text,
+    funnel,
+    hash_content,
+    merge_content_defragment,
+    replace_text,
+    route_on_attribute,
+    split_text,
+    tumbling_window_agg,
+)
+from .session import configure, load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return load_table(spark, name, sf_dir)
+
+
+# ===========================================================================
+# Relational surface (SURVEY §2.7 — Catalyst-native)
+# ===========================================================================
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate, fully pushed down."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q3_top_revenue_orders",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+    customer is broadcast (small side); top-k is TakeOrdered."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "region_rollup",
+    """
+    SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way star join; both dims broadcast — no shuffle for the join."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@_register(
+    "top10_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    ).limit(10)
+
+
+@_register(
+    "top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@_register(
+    "cube_lineitem_status",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@_register(
+    "distinct_parts_per_order",
+    """
+    SELECT l_orderkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def distinct_parts_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+@_register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (the FetchFile 'not found' routing shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_register(
+    "customers_with_big_orders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@_register(
+    "segment_set_ops",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 450000).select(F.col("o_custkey").alias("c_custkey"))
+    return building.union(machinery).distinct().exceptAll(big.distinct())
+
+
+# ===========================================================================
+# Routing / EL / attribute operators over events
+# ===========================================================================
+
+
+@_register(
+    "route_error_events",
+    "SELECT event_id, user_id, round(value, 2) AS value FROM events WHERE event_type = 'error'",
+)
+def route_error_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RouteOnAttribute with a compiled-EL predicate over the
+    canonical FlowFile frame."""
+    ev = _t(spark, sf_dir, "events")
+    ff = events_to_flowfiles(ev)
+    routed = route_on_attribute(ff, {"errors": "${event_type:equals('error')}"})
+    out = routed["errors"]
+    return out.select(
+        F.col("uuid").cast("long").alias("event_id"),
+        F.col("attributes").getItem("user_id").cast("long").alias("user_id"),
+        F.round(F.col("attributes").getItem("value").cast("double"), 2).alias("value"),
+    )
+
+
+@_register(
+    "route_relationship_counts",
+    """
+    SELECT 'errors' AS route, count(*) AS n FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'hot' AS route, count(*) AS n FROM events WHERE value > 150 AND event_type <> 'error'
+    UNION ALL
+    SELECT 'unmatched' AS route, count(*) AS n FROM events
+      WHERE NOT (event_type = 'error') AND NOT (value > 150 AND event_type <> 'error')
+    """,
+)
+def route_relationship_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-relationship routing + funnel: per-route row counts."""
+    ev = _t(spark, sf_dir, "events")
+    ff = events_to_flowfiles(ev)
+    routed = route_on_attribute(
+        ff,
+        {
+            "errors": "${event_type:equals('error')}",
+            "hot": "${value:gt(150):and(${event_type:equals('error'):not()})}",
+        },
+    )
+    frames = [
+        routed[name].groupBy().agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("route"), "n")
+        for name in ("errors", "hot", "unmatched")
+    ]
+    return funnel(*frames)
+
+
+@_register(
+    "el_scalar_pack",
+    """
+    SELECT event_id,
+           upper(event_type)                                   AS etype_u,
+           substr(event_type, 1, 3)                            AS etype_3,
+           concat('u', CAST(user_id AS VARCHAR))               AS user_tag,
+           round(value + 100, 2)                               AS value_plus,
+           CASE WHEN value > 100 THEN 'high' ELSE 'low' END    AS band,
+           length(event_type)                                  AS etype_len
+    FROM events
+    """,
+)
+def el_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-language scalar surface compiled to Catalyst."""
+    ev = _t(spark, sf_dir, "events")
+    ff = events_to_flowfiles(ev)
+    return ff.select(
+        F.col("uuid").cast("long").alias("event_id"),
+        el_string("${event_type:toUpper()}").alias("etype_u"),
+        el_string("${event_type:substring(0, 3)}").alias("etype_3"),
+        el_string("u${user_id}").alias("user_tag"),
+        F.round(el_string("${value:plus(100)}").cast("double"), 2).alias("value_plus"),
+        el_string("${value:gt(100):ifElse('high', 'low')}").alias("band"),
+        el_string("${event_type:length()}").cast("long").alias("etype_len"),
+    )
+
+
+@_register(
+    "json_path_extract",
+    """
+    SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events
+    """,
+)
+def json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EvaluateJsonPath: props JSON -> attribute."""
+    ev = _t(spark, sf_dir, "events")
+    ff = events_to_flowfiles(ev)
+    out = evaluate_json_path(ff, {"k_val": "$.k"})
+    return out.select(
+        F.col("uuid").cast("long").alias("event_id"),
+        F.col("attributes").getItem("k_val").alias("k_val"),
+    )
+
+
+@_register(
+    "rolling_window_count10",
+    """
+    SELECT event_id,
+           cnt                                                        AS w_count,
+           s                                                          AS w_sum_cents,
+           round(CAST(s AS DOUBLE) / cnt / 100, 6)                    AS w_mean,
+           round(CAST(med AS DOUBLE) / 100, 6)                        AS w_median,
+           round((sq - CAST(s AS DOUBLE) * s / cnt) / cnt / 10000, 6) AS w_variance,
+           mn                                                         AS w_min_cents,
+           mx                                                         AS w_max_cents
+    FROM (
+      SELECT event_id,
+             count(*)                                   OVER w AS cnt,
+             sum(cents)                                 OVER w AS s,
+             sum(cents * cents)                         OVER w AS sq,
+             CAST(quantile_cont(cents, 0.5) OVER w AS DOUBLE)  AS med,
+             min(cents)                                 OVER w AS mn,
+             max(cents)                                 OVER w AS mx
+      FROM (SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def rolling_window_count10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AttributeRollingWindow, count flavor (SURVEY §2.7): the
+    reference's rolling aggregates per record.
+
+    Values are quantized to integer cents BEFORE aggregating: the
+    driver hash-compares against DuckDB, whose sliding-window segment
+    trees accumulate doubles in a different order than Spark — with
+    cents-quantized inputs every sum is exact, so both engines produce
+    bit-identical results (no rounding knife-edges). Variance is
+    computed explicitly from (sum, sumsq) rather than var_pop so both
+    sides share one formula (Spark's Welford path differs in ulps).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = attribute_rolling_window_count(
+        ev, "cents", order_col="event_id", window_length=10, partition_by="user_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-9, 0)
+    sumsq = F.sum(F.col("cents") * F.col("cents")).over(w)
+    cnt = F.col("`rolling.window.count`")
+    s = F.col("`rolling.window.value`").cast("long")
+    return out.withColumn("_sq", sumsq).select(
+        "event_id",
+        cnt.cast("long").alias("w_count"),
+        s.alias("w_sum_cents"),
+        F.round(s.cast("double") / cnt / 100, 6).alias("w_mean"),
+        F.round(F.col("`rolling.window.median`").cast("double") / 100, 6).alias("w_median"),
+        F.round((F.col("_sq") - s.cast("double") * s / cnt) / cnt / 10000, 6).alias("w_variance"),
+        F.col("`rolling.window.min`").cast("long").alias("w_min_cents"),
+        F.col("`rolling.window.max`").cast("long").alias("w_max_cents"),
+    )
+
+
+@_register(
+    "tumbling_hourly_by_type",
+    """
+    SELECT date_trunc('hour', ts) AS wstart, event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (streaming-identical shape)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = tumbling_window_agg(
+        ev,
+        ts_col="ts",
+        duration="1 hour",
+        group_by=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")],
+    )
+    return agg.select(F.col("window.start").alias("wstart"), "event_type", "n", "total")
+
+
+# ===========================================================================
+# Text / content operators over documents
+# ===========================================================================
+
+
+@_register(
+    "extract_first_word",
+    r"SELECT doc_id, regexp_extract(text, '^(\w+)', 1) AS first_word FROM documents",
+)
+def extract_first_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractText: regex capture group -> attribute."""
+    docs = _t(spark, sf_dir, "documents")
+    ff = docs.select(
+        F.col("doc_id").cast("string").alias("uuid"),
+        F.col("text").alias("content"),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+    )
+    out = extract_text(ff, "fw", r"^(\w+)", include_capture_group_zero=False)
+    return out.select(
+        F.col("uuid").cast("long").alias("doc_id"),
+        F.coalesce(F.col("attributes").getItem("fw.1"), F.lit("")).alias("first_word"),
+    )
+
+
+@_register(
+    "replace_text_hashed",
+    """
+    SELECT doc_id, md5(regexp_replace(text, 'merge', 'MERGE', 'g')) AS h FROM documents
+    """,
+)
+def replace_text_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplaceText regex mode, md5-compressed for the oracle compare."""
+    docs = _t(spark, sf_dir, "documents")
+    ff = docs.select(F.col("doc_id"), F.col("text").alias("content"))
+    out = replace_text(ff, "regex_replace", "merge", "MERGE")
+    return out.select("doc_id", F.md5(F.col("content")).alias("h"))
+
+
+@_register(
+    "split_fragment_counts",
+    """
+    SELECT doc_id,
+           CAST(ceil(len(string_split(text, ' ')) / 20.0) AS BIGINT) AS n_fragments
+    FROM documents
+    """,
+)
+def split_fragment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitText fan-out: fragments per document at 20 words/line
+    (word-per-line rewrite, then 20-line fragments)."""
+    docs = _t(spark, sf_dir, "documents")
+    ff = docs.select(F.col("doc_id"), F.col("text").alias("content"), F.col("doc_id").cast("string").alias("uuid"), F.create_map().cast("map<string,string>").alias("attributes"))
+    word_lines = replace_text(ff, "regex_replace", " ", "\n")
+    frags = split_text(word_lines, line_split_count=20)
+    return frags.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fragments"))
+
+
+@_register(
+    "split_merge_roundtrip",
+    "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+)
+def split_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split -> defragment roundtrip; the oracle hashes the ORIGINAL
+    text, so any reassembly corruption fails the gate."""
+    docs = _t(spark, sf_dir, "documents")
+    ff = docs.select(
+        F.col("doc_id").cast("string").alias("uuid"),
+        F.col("text").alias("content"),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+    )
+    word_lines = replace_text(ff, "regex_replace", " ", "\n")
+    frags = split_text(word_lines, line_split_count=7)
+    merged = merge_content_defragment(frags)
+    restored = replace_text(merged, "regex_replace", "\n", " ")
+    return restored.select(
+        F.col("uuid").cast("long").alias("doc_id"), F.md5(F.col("content")).alias("content_md5")
+    )
+
+
+@_register(
+    "hash_content_sha256",
+    "SELECT doc_id, upper(sha256(text)) AS content_hash FROM documents",
+)
+def hash_content_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ff = docs.select(F.col("doc_id"), F.col("text").alias("content"), F.create_map().cast("map<string,string>").alias("attributes"))
+    out = hash_content(ff, "hash.value", "SHA256")
+    return out.select("doc_id", F.col("attributes").getItem("hash.value").alias("content_hash"))
+
+
+@_register(
+    "route_text_merge_lines",
+    """
+    SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x LIKE '%merge%')) AS n_merge
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), x -> x LIKE '%merge%')) > 0
+    """,
+)
+def route_text_merge_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RouteText: word-per-line routing, 'contains merge' relationship;
+    output = matched-line count per source document."""
+    from .operators import route_text
+
+    docs = _t(spark, sf_dir, "documents")
+    ff = docs.select(
+        F.col("doc_id").cast("string").alias("uuid"),
+        F.regexp_replace(F.col("text"), " ", "\n").alias("content"),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+    )
+    routed = route_text(ff, {"merge": "merge"}, matching="contains", trim_whitespace=False)
+    return routed["merge"].select(
+        F.col("uuid").cast("long").alias("doc_id"),
+        F.size(F.split(F.col("content"), "\n")).cast("long").alias("n_merge"),
+    )
+
+
+# ===========================================================================
+# Text analysis / dedup / similarity (LLM-pipeline extensions)
+# ===========================================================================
+
+
+@_register(
+    "text_quality_features",
+    r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tokens,
+           round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["punct_ratio"], 4).alias("punct_ratio"),
+    )
+
+
+@_register(
+    "bpe_token_counts",
+    r"""
+    SELECT source, sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))) AS total_bpe_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"))).alias(
+            "total_bpe_tokens"
+        )
+    )
+
+
+@_register(
+    "exact_dedup_representatives",
+    """
+    SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def exact_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@_register(
+    "normalized_fingerprint_dedup",
+    r"""
+    SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+           min(doc_id) AS doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def normalized_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup with an oracle-checkable hash (md5 of the
+    same normalization the xxhash fingerprint uses)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    return docs.groupBy(fp.alias("fp")).agg(F.min("doc_id").alias("doc_id"))
+
+
+@_register(
+    "cosine_topk_vec0",
+    """
+    SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS score
+    FROM embeddings, (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def cosine_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    top = cosine_topk(emb, q, k=10)
+    return top.select("vec_id", F.round(F.col("score"), 6).alias("score"))
+
+
+@_register(
+    "knn_exact_10x3",
+    """
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                        b.vec_id
+             ) AS rank
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+    """,
+)
+def knn_exact_10x3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = knn_join_exact(queries, emb, k=3)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+@_register(
+    "embedding_norms_by_label",
+    """
+    SELECT label, round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
+           count(*) AS n
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return emb.groupBy("label").agg(
+        F.round(F.avg(norm), 4).alias("avg_norm"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ===========================================================================
+# Weaker (rows-only) checks: hash-seeded / non-SQL-expressible ops
+# ===========================================================================
+
+
+@_register("minhash_dedup_kept", None)
+def minhash_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup (seeded hashing — not SQL-expressible)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_dedup(docs).select("doc_id")
+
+
+@_register("simhash_signatures", None)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit signatures (xxhash64-seeded)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64(F.col("text")).alias("sig"))
+
+
+@_register("embedding_dedup_kept", None)
+def embedding_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "embeddings")
+    return embedding_dedup(docs, threshold=0.99).select("vec_id")
+
+
+@_register("language_id_distribution", None)
+def language_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(language_id(F.col("text")).alias("lang_detected")).count()
+
+
+# ===========================================================================
+# public accessors
+# ===========================================================================
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
