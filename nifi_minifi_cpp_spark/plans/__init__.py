@@ -1,0 +1,5 @@
+"""Flow-config compiler (SURVEY §3.1 query lifecycle, Spark-first)."""
+
+from .pipeline import CompiledFlow, FlowCompileError, compile_flow, processor, registered_processors
+
+__all__ = ["compile_flow", "CompiledFlow", "FlowCompileError", "processor", "registered_processors"]

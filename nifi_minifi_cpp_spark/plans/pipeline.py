@@ -1,0 +1,317 @@
+"""Flow compiler: MiNiFi-style flow config -> composed DataFrame plan.
+
+The reference deploys a YAML/JSON processor graph
+(/root/reference/libminifi/src/core/flow/StructuredConfiguration.cpp:62-140:
+parse processors, then connections; FlowController::start schedules
+each processor). Spark-first, the flow config compiles to lazy
+DataFrame transformations: processors are operator applications,
+connections are data dependencies, and Catalyst sees the WHOLE flow as
+one plan — filters from a downstream RouteOnAttribute push into the
+upstream scan, something the reference's queue-per-connection executor
+can never do.
+
+Config shape (YAML or dict):
+
+    processors:
+      - id: src
+        type: TableSource            # reference type names accepted
+        properties: {table: events, sf_dir: /root/testdata/sf0.001}
+      - id: route
+        type: RouteOnAttribute
+        properties: {errors: "${event_type:equals('error')}"}
+    connections:
+      - {source: src, destination: route}
+      - {source: route, relationship: errors, destination: out}
+
+Multiple connections into one processor funnel (unionByName) —
+Funnel parity (libminifi/include/Funnel.h:27).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import operators as ops
+from ..model import documents_to_flowfiles, events_to_flowfiles
+from ..session import load_table
+
+SUCCESS = "success"
+
+# handler: (spark, input_df|None, properties) -> dict[relationship, DataFrame]
+Handler = Callable[[SparkSession, DataFrame | None, dict[str, Any]], dict[str, DataFrame]]
+
+_PROCESSORS: dict[str, Handler] = {}
+
+
+def processor(name: str):
+    def deco(fn: Handler):
+        _PROCESSORS[name] = fn
+        return fn
+
+    return deco
+
+
+def _one(df: DataFrame) -> dict[str, DataFrame]:
+    return {SUCCESS: df}
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+
+@processor("TableSource")
+def _table_source(spark, df, props):
+    """Engine-native source: one of the driver's parquet tables,
+    optionally lifted to the canonical FlowFile frame."""
+    table = props["table"]
+    raw = load_table(spark, table, props.get("sf_dir", "/root/testdata/sf0.001"))
+    if props.get("as_flowfiles", True):
+        if table == "events":
+            return _one(events_to_flowfiles(raw))
+        if table == "documents":
+            return _one(documents_to_flowfiles(raw))
+    return _one(raw)
+
+
+@processor("GetFile")
+def _get_file(spark, df, props):
+    """GetFile (GetFile.cpp:71): batch read of a directory; Input
+    Directory / File Filter properties."""
+    reader = spark.read.format(props.get("format", "text"))
+    if props.get("file_filter"):
+        reader = reader.option("pathGlobFilter", props["file_filter"])
+    raw = reader.load(props["input_directory"])
+    content = F.col("value") if "value" in raw.columns else F.col(raw.columns[0]).cast("string")
+    return _one(
+        raw.select(
+            F.expr("uuid()").alias("uuid"),
+            F.current_timestamp().alias("ts"),
+            content.alias("content"),
+            F.create_map(F.lit("source.dir"), F.lit(props["input_directory"])).alias("attributes"),
+            F.array().cast("array<string>").alias("lineage"),
+        )
+    )
+
+
+@processor("GenerateFlowFile")
+def _generate(spark, df, props):
+    """GenerateFlowFile (GenerateFlowFile.cpp:113), batch flavor."""
+    n = int(props.get("batch_size", 10))
+    text = props.get("custom_text", "generated")
+    base = spark.range(n)
+    return _one(
+        base.select(
+            F.expr("uuid()").alias("uuid"),
+            F.current_timestamp().alias("ts"),
+            F.lit(text).alias("content"),
+            F.create_map().cast("map<string,string>").alias("attributes"),
+            F.array(F.col("id").cast("string")).alias("lineage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# transforms / routing (delegating to the operator pack)
+# ---------------------------------------------------------------------------
+
+
+@processor("UpdateAttribute")
+def _update_attribute(spark, df, props):
+    return _one(ops.update_attribute(df, props))
+
+
+@processor("RouteOnAttribute")
+def _route_on_attribute(spark, df, props):
+    return ops.route_on_attribute(df, props)
+
+
+@processor("RouteText")
+def _route_text(spark, df, props):
+    routes = {k: v for k, v in props.items() if not k.startswith("_")}
+    return ops.route_text(
+        df,
+        routes,
+        matching=props.get("_matching", "contains"),
+        grouping_regex=props.get("_grouping_regex"),
+    )
+
+
+@processor("ExtractText")
+def _extract_text(spark, df, props):
+    return _one(ops.extract_text(df, props["attribute"], props["regex"]))
+
+
+@processor("EvaluateJsonPath")
+def _evaluate_json_path(spark, df, props):
+    dest = props.pop("destination", "attribute")
+    return _one(ops.evaluate_json_path(df, props, destination=dest))
+
+
+@processor("HashContent")
+def _hash_content(spark, df, props):
+    return _one(
+        ops.hash_content(df, props.get("attribute", "hash.value"), props.get("algorithm", "SHA256"))
+    )
+
+
+@processor("AttributesToJSON")
+def _attributes_to_json(spark, df, props):
+    return _one(
+        ops.attributes_to_json(
+            df,
+            attributes_list=props.get("attributes_list"),
+            attributes_regex=props.get("attributes_regex"),
+            destination=props.get("destination", "content"),
+        )
+    )
+
+
+@processor("ReplaceText")
+def _replace_text(spark, df, props):
+    return _one(
+        ops.replace_text(
+            df,
+            strategy=props.get("replacement_strategy", "regex_replace"),
+            search=props.get("search_value"),
+            replacement=props.get("replacement_value", ""),
+            mode=props.get("evaluation_mode", "entire_text"),
+        )
+    )
+
+
+@processor("SplitText")
+def _split_text(spark, df, props):
+    return _one(
+        ops.split_text(
+            df,
+            line_split_count=int(props["line_split_count"]),
+            header_line_count=int(props.get("header_line_count", 0)),
+        )
+    )
+
+
+@processor("MergeContent")
+def _merge_content(spark, df, props):
+    if props.get("merge_strategy", "defragment") == "defragment":
+        return _one(ops.merge_content_defragment(df, demarcator=props.get("demarcator", "\n")))
+    return _one(
+        ops.merge_content_bin_packing(
+            df,
+            max_entries=int(props.get("max_entries", 1000)),
+            correlation_attribute=props.get("correlation_attribute"),
+            demarcator=props.get("demarcator", "\n"),
+        )
+    )
+
+
+@processor("RetryFlowFile")
+def _retry(spark, df, props):
+    return ops.retry_flow_file(df, max_retries=int(props.get("max_retries", 3)))
+
+
+@processor("LogAttribute")
+def _log_attribute(spark, df, props):
+    return _one(ops.log_attribute(df))
+
+
+@processor("PutFile")
+def _put_file(spark, df, props):
+    """PutFile (PutFile.cpp:75): terminal sink; written eagerly at
+    run() time. Conflict resolution maps to save modes."""
+    mode = {"fail": "errorifexists", "replace": "overwrite", "ignore": "ignore"}.get(
+        props.get("conflict_resolution", "replace"), "overwrite"
+    )
+    fmt = props.get("format", "parquet")
+    df.write.format(fmt).mode(mode).save(props["directory"])
+    return _one(df)
+
+
+# ---------------------------------------------------------------------------
+# the compiler
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CompiledFlow:
+    """Outputs of every (processor, relationship) edge + sink results."""
+
+    outputs: dict[str, dict[str, DataFrame]]
+    terminals: dict[str, DataFrame] = field(default_factory=dict)
+
+    def df(self, processor_id: str, relationship: str = SUCCESS) -> DataFrame:
+        return self.outputs[processor_id][relationship]
+
+
+class FlowCompileError(ValueError):
+    pass
+
+
+def compile_flow(spark: SparkSession, config: dict | str) -> CompiledFlow:
+    """Compile a flow config (dict, YAML string, or path) into lazy
+    DataFrames per processor output. No jobs run until an action.
+    """
+    if isinstance(config, str):
+        import os
+
+        import yaml
+
+        if os.path.exists(config):
+            with open(config) as f:
+                config = yaml.safe_load(f)
+        else:
+            config = yaml.safe_load(config)
+
+    procs = {p["id"]: p for p in config.get("processors", [])}
+    conns = config.get("connections", [])
+
+    incoming: dict[str, list[tuple[str, str]]] = defaultdict(list)
+    for c in conns:
+        src, dst = c["source"], c["destination"]
+        if src not in procs or dst not in procs:
+            raise FlowCompileError(f"connection references unknown processor: {c}")
+        incoming[dst].append((src, c.get("relationship", SUCCESS)))
+
+    # topological order (Kahn) — parseProcessGroup does processors
+    # first then connections (StructuredConfiguration.cpp:106-121);
+    # we need dependency order instead.
+    order: list[str] = []
+    pending = dict(incoming)
+    ready = [pid for pid in procs if not pending.get(pid)]
+    resolved: set[str] = set()
+    while ready:
+        pid = ready.pop()
+        order.append(pid)
+        resolved.add(pid)
+        for other, deps in list(pending.items()):
+            if other not in resolved and all(s in resolved for s, _ in deps):
+                if other not in order and other not in ready:
+                    ready.append(other)
+    if len(order) != len(procs):
+        raise FlowCompileError(f"flow has a cycle or unreachable processors: {set(procs) - set(order)}")
+
+    outputs: dict[str, dict[str, DataFrame]] = {}
+    for pid in order:
+        spec = procs[pid]
+        ptype = spec["type"]
+        handler = _PROCESSORS.get(ptype)
+        if handler is None:
+            raise FlowCompileError(f"unknown processor type {ptype!r} (processor {pid!r})")
+        inputs = incoming.get(pid, [])
+        in_df: DataFrame | None = None
+        if inputs:
+            frames = [outputs[src][rel] for src, rel in inputs]
+            in_df = frames[0]
+            for other in frames[1:]:  # implicit funnel
+                in_df = in_df.unionByName(other, allowMissingColumns=True)
+        outputs[pid] = handler(spark, in_df, dict(spec.get("properties", {})))
+    return CompiledFlow(outputs=outputs)
+
+
+def registered_processors() -> list[str]:
+    return sorted(_PROCESSORS)

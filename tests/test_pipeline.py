@@ -1,0 +1,150 @@
+"""Flow-compiler tests: YAML config -> composed plan -> results
+(mirrors the reference's flow-tests layer, libminifi/test/flow-tests/)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_minifi_cpp_spark.plans import FlowCompileError, compile_flow, registered_processors
+
+FLOW_YAML = """
+processors:
+  - id: src
+    type: TableSource
+    properties: {table: events, sf_dir: "%(sf)s"}
+  - id: route
+    type: RouteOnAttribute
+    properties:
+      errors: "${event_type:equals('error')}"
+  - id: tag
+    type: UpdateAttribute
+    properties:
+      severity: "${value:gt(150):ifElse('critical', 'normal')}"
+  - id: jsonify
+    type: AttributesToJSON
+    properties:
+      attributes_list: [event_type, severity]
+  - id: log
+    type: LogAttribute
+connections:
+  - {source: src, destination: route}
+  - {source: route, relationship: errors, destination: tag}
+  - {source: tag, destination: jsonify}
+  - {source: jsonify, destination: log}
+"""
+
+
+def test_flow_end_to_end(spark, sf_dir, tables):
+    flow = compile_flow(spark, FLOW_YAML % {"sf": sf_dir})
+    out = flow.df("log")
+    rows = out.collect()
+    n_errors = tables["events"].filter(F.col("event_type") == "error").count()
+    assert len(rows) == n_errors
+    assert all(r["content"].startswith('{"event_type":"error"') for r in rows)
+    assert {'"severity":"critical"' in r["content"] or '"severity":"normal"' in r["content"] for r in rows} == {True}
+
+
+def test_flow_funnel_merges_inputs(spark, sf_dir):
+    yaml_cfg = """
+processors:
+  - id: gen1
+    type: GenerateFlowFile
+    properties: {batch_size: 3, custom_text: a}
+  - id: gen2
+    type: GenerateFlowFile
+    properties: {batch_size: 4, custom_text: b}
+  - id: log
+    type: LogAttribute
+connections:
+  - {source: gen1, destination: log}
+  - {source: gen2, destination: log}
+"""
+    flow = compile_flow(spark, yaml_cfg)
+    assert flow.df("log").count() == 7
+
+
+def test_flow_split_merge_roundtrip(spark, sf_dir):
+    yaml_cfg = f"""
+processors:
+  - id: src
+    type: TableSource
+    properties: {{table: documents, sf_dir: {sf_dir}}}
+  - id: to_lines
+    type: ReplaceText
+    properties: {{replacement_strategy: regex_replace, search_value: " ", replacement_value: "\\n"}}
+  - id: split
+    type: SplitText
+    properties: {{line_split_count: 5}}
+  - id: merge
+    type: MergeContent
+    properties: {{merge_strategy: defragment}}
+connections:
+  - {{source: src, destination: to_lines}}
+  - {{source: to_lines, destination: split}}
+  - {{source: split, destination: merge}}
+"""
+    flow = compile_flow(spark, yaml_cfg)
+    orig = {r["uuid"]: r["content"] for r in flow.df("to_lines").collect()}
+    merged = {r["uuid"]: r["content"] for r in flow.df("merge").collect()}
+    assert merged == orig
+
+
+def test_flow_unknown_processor_type(spark):
+    with pytest.raises(FlowCompileError, match="unknown processor type"):
+        compile_flow(spark, "processors:\n  - {id: x, type: NoSuchProcessor}\nconnections: []")
+
+
+def test_flow_cycle_detection(spark):
+    cfg = """
+processors:
+  - {id: a, type: LogAttribute}
+  - {id: b, type: LogAttribute}
+connections:
+  - {source: a, destination: b}
+  - {source: b, destination: a}
+"""
+    with pytest.raises(FlowCompileError, match="cycle"):
+        compile_flow(spark, cfg)
+
+
+def test_flow_whole_plan_pushdown(spark, sf_dir):
+    """The compiled flow is ONE Catalyst plan: a downstream route
+    filter reaches the upstream parquet scan as a pushed filter when
+    operating on promoted columns."""
+    cfg = f"""
+processors:
+  - id: src
+    type: TableSource
+    properties: {{table: events, sf_dir: {sf_dir}, as_flowfiles: false}}
+  - id: log
+    type: LogAttribute
+connections:
+  - {{source: src, destination: log}}
+"""
+    flow = compile_flow(spark, cfg)
+    filtered = flow.df("log").filter(F.col("event_type") == "error").select("event_id")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)" in plan
+
+
+def test_registered_processor_inventory():
+    have = set(registered_processors())
+    assert {
+        "TableSource",
+        "GetFile",
+        "GenerateFlowFile",
+        "UpdateAttribute",
+        "RouteOnAttribute",
+        "RouteText",
+        "ExtractText",
+        "EvaluateJsonPath",
+        "HashContent",
+        "AttributesToJSON",
+        "ReplaceText",
+        "SplitText",
+        "MergeContent",
+        "RetryFlowFile",
+        "LogAttribute",
+        "PutFile",
+    } <= have
