@@ -691,6 +691,138 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "apply_template_events",
+    """
+    SELECT event_id,
+           concat('event=', event_type, ' user=', CAST(user_id AS VARCHAR), ' k=',
+                  json_extract_string(props, '$.k')) AS rendered
+    FROM events
+    """,
+)
+def apply_template_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApplyTemplate: Mustache-lite render of attributes into content."""
+    from .functions import apply_template
+    from .operators import evaluate_json_path
+
+    ev = _t(spark, sf_dir, "events")
+    ff = evaluate_json_path(events_to_flowfiles(ev), {"k": "$.k"})
+    out = apply_template(ff, "event={{event_type}} user={{user_id}} k={{k}}")
+    return out.select(F.col("uuid").cast("long").alias("event_id"), F.col("content").alias("rendered"))
+
+
+@_register(
+    "jolt_shift_events",
+    """
+    SELECT event_id,
+           CAST(json_object('meta', json_object('k', json_extract_string(props, '$.k')),
+                            'etype', event_type) AS VARCHAR) AS content
+    FROM events
+    """,
+)
+def jolt_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoltTransformJSON-lite: shift props.k into a nested output doc."""
+    from .functions import jolt_transform
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_id"),
+        F.to_json(F.struct(F.get_json_object("props", "$.k").alias("k"), F.col("event_type"))).alias(
+            "content"
+        ),
+    )
+    out = jolt_transform(base, shift={"k": "meta.k", "event_type": "etype"})
+    return out.select("event_id", "content")
+
+
+@_register(
+    "incremental_scan_tail",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey > (SELECT max(o_orderkey) - 50 FROM orders)
+    """,
+)
+def incremental_scan_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryDatabaseTable: high-watermark incremental scan (watermark
+    preset to max-50; the predicate pushes into the parquet scan)."""
+    import tempfile
+
+    from .sources import IncrementalTableScan, parquet_table_reader
+
+    configure(spark)
+    max_key = load_table(spark, "orders", sf_dir).agg(F.max("o_orderkey")).first()[0]
+    state = tempfile.mktemp(suffix=".json")
+    scan = IncrementalTableScan(
+        parquet_table_reader(f"{sf_dir}/orders.parquet"),
+        ["o_orderkey"],
+        state_path=state,
+        initial_max_values={"o_orderkey": int(max_key) - 50},
+    )
+    out = scan.poll(spark)
+    return out.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@_register(
+    "record_transform_upper",
+    "SELECT upper(event_type) AS etype, count(*) AS n FROM events GROUP BY upper(event_type)",
+)
+def record_transform_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecutePythonProcessor surface: Arrow-batched RecordTransform."""
+    from .functions import apply_record_transform
+
+    ev = _t(spark, sf_dir, "events").select("event_type")
+
+    def xform(rec):
+        return {"etype": rec["event_type"].upper()}
+
+    transformed = apply_record_transform(ev, xform, "etype string")
+    return transformed.groupBy("etype").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "syslog_parse",
+    r"""
+    SELECT event_id,
+           regexp_extract(line, '^<(\d{1,3})>', 1)  AS pri,
+           regexp_extract(line, '^<\d{1,3}>([A-Z][a-z]{2}\s+\d{1,2}\s\d{2}:\d{2}:\d{2})\s+(\S+)\s+(.*)$', 1) AS sl_ts,
+           regexp_extract(line, '^<\d{1,3}>([A-Z][a-z]{2}\s+\d{1,2}\s\d{2}:\d{2}:\d{2})\s+(\S+)\s+(.*)$', 2) AS sl_host
+    FROM (
+      SELECT event_id,
+             concat('<', CAST(13 + (event_id % 8) AS VARCHAR), '>Jan  1 00:00:0', CAST(event_id % 10 AS VARCHAR),
+                    ' host', CAST(user_id AS VARCHAR), ' app: ', event_type) AS line
+      FROM events
+    )
+    """,
+)
+def syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListenSyslog parse: RFC3164 lines synthesized from events
+    (FIXTURES.md 'syslog lines' fixture), parsed via the streaming
+    records adapter."""
+    from .streaming import parse_syslog
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("<"),
+            (13 + F.col("event_id") % 8).cast("string"),
+            F.lit(">Jan  1 00:00:0"),
+            (F.col("event_id") % 10).cast("string"),
+            F.lit(" host"),
+            F.col("user_id").cast("string"),
+            F.lit(" app: "),
+            F.col("event_type"),
+        ).alias("content"),
+    )
+    parsed = parse_syslog(lines)
+    return parsed.select(
+        "event_id",
+        F.col("attributes").getItem("syslog.priority").alias("pri"),
+        F.col("attributes").getItem("syslog.timestamp").alias("sl_ts"),
+        F.col("attributes").getItem("syslog.hostname").alias("sl_host"),
+    )
+
+
 # ===========================================================================
 # Weaker (rows-only) checks: hash-seeded / non-SQL-expressible ops
 # ===========================================================================

@@ -1,0 +1,17 @@
+"""Scalar function pack + templating + user-transform surface.
+
+The EL compiler (el/) exposes the full scalar surface through EL
+strings; this package adds the standalone pieces: templates (Mustache,
+Jolt-lite) and the Python RecordTransform API (SURVEY §2.9).
+"""
+
+from .record_transform import FlowFileTransform, apply_record_transform
+from .templates import apply_template, compile_template, jolt_transform
+
+__all__ = [
+    "apply_template",
+    "compile_template",
+    "jolt_transform",
+    "FlowFileTransform",
+    "apply_record_transform",
+]

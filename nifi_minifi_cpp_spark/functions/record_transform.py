@@ -1,0 +1,63 @@
+"""RecordTransform / FlowFileTransform: the user-scripting surface.
+
+ExecutePythonProcessor parity (/root/reference/extensions/python/
+PYTHON.md, ExecutePythonProcessor.cpp): NiFi-style Python processors
+subclass FlowFileTransform/RecordTransform with a transform() method
+returning (relationship, contents, attributes). Spark-first, the same
+contract rides mapInPandas — Arrow batches in, Arrow batches out, one
+Python roundtrip per batch instead of per record.
+
+ExecuteScript's full-session surface (create/route/clone FlowFiles)
+maps to returning zero..N records per input (flat-map semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame
+
+
+class FlowFileTransform:
+    """Subclass and override transform(). Return a dict to replace the
+    record, a list of dicts to fan out, or None to drop (the
+    reference's REL_FAILURE/drop path)."""
+
+    def transform(self, record: dict) -> dict | list[dict] | None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+def apply_record_transform(
+    df: DataFrame,
+    transform: FlowFileTransform | Callable[[dict], dict | list[dict] | None],
+    output_schema: str,
+) -> DataFrame:
+    """Run a record transform over the frame via mapInPandas.
+
+    ``output_schema`` is a Spark DDL string; returned dicts must carry
+    those keys. Records pass through Arrow in vectorized batches; the
+    python fn runs once per record but with zero serde framing cost
+    beyond Arrow's.
+    """
+    fn = transform.transform if isinstance(transform, FlowFileTransform) else transform
+
+    def run(batches: Iterable):
+        import pandas as pd
+
+        for pdf in batches:
+            out_rows: list[dict] = []
+            for record in pdf.to_dict(orient="records"):
+                result = fn(record)
+                if result is None:
+                    continue
+                if isinstance(result, dict):
+                    out_rows.append(result)
+                else:
+                    out_rows.extend(result)
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+            else:
+                names = [f.strip().split(" ")[0] for f in output_schema.split(",")]
+                yield pd.DataFrame({n: [] for n in names})
+
+    return df.mapInPandas(run, output_schema)

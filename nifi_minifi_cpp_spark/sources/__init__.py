@@ -1,0 +1,15 @@
+"""Source-side operators: incremental scans, SQL, record conversion
+(SURVEY §2.1 ExecuteSQL/QueryDatabaseTable, §2.5 ConvertRecord)."""
+
+from .convert_record import convert_record
+from .incremental import IncrementalTableScan, jdbc_table_reader, parquet_table_reader
+from .sql import execute_sql, put_sql
+
+__all__ = [
+    "IncrementalTableScan",
+    "parquet_table_reader",
+    "jdbc_table_reader",
+    "execute_sql",
+    "put_sql",
+    "convert_record",
+]
