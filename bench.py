@@ -28,6 +28,10 @@ def main():
     spark = get_spark("bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warmup so the first query isn't charged session
+    # startup (touches no benchmark data)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     qs = entry.queries()
     timings: dict[str, float] = {}
     total = 0.0

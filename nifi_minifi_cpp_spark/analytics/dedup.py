@@ -195,10 +195,15 @@ def minhash_dedup(
     bucket with a smaller-id doc. One shuffle to buckets, one
     aggregation back to docs, one semi-join.
     """
+    from pyspark.sql import Window
+
     buckets = minhash_lsh_candidates(df, content_col, id_col, num_hashes, bands, shingle_words)
-    min_per_bucket = buckets.groupBy("band", "band_hash").agg(F.min(id_col).alias("_bucket_min"))
+    # min-per-bucket as a window function: one shuffle, ONE evaluation
+    # of the (mapInPandas) signature lineage. The groupBy+self-join
+    # formulation evaluated the whole bucket pipeline twice.
+    w = Window.partitionBy("band", "band_hash")
     doc_min = (
-        buckets.join(min_per_bucket, ["band", "band_hash"])
+        buckets.withColumn("_bucket_min", F.min(id_col).over(w))
         .groupBy(id_col)
         .agg(F.min("_bucket_min").alias("_rep"))
     )

@@ -4,7 +4,14 @@ Reference grammar: /root/reference/libminifi/include/expression-language/Parser.
 evaluator: /root/reference/libminifi/src/expression-language/Expression.cpp.
 """
 
-from .compiler import ELCompileError, compile_el, compile_el_typed, el_bool, el_string
+from .compiler import (
+    ELCompileError,
+    compile_el,
+    compile_el_typed,
+    el_bool,
+    el_string,
+    promoted_columns,
+)
 from .parser import ELParseError, parse
 
 __all__ = [
@@ -12,6 +19,7 @@ __all__ = [
     "compile_el_typed",
     "el_bool",
     "el_string",
+    "promoted_columns",
     "parse",
     "ELParseError",
     "ELCompileError",

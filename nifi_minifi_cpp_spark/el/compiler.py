@@ -47,7 +47,10 @@ class ELCompileError(ValueError):
 
 def as_str(t: Typed) -> Column:
     if t.kind == STR:
-        return t.col
+        # promoted columns resolve typed (int/double) but carry STR
+        # kind; normalize. For true string columns SimplifyCasts
+        # removes the no-op, so pushdown is unaffected.
+        return t.col.cast("string")
     if t.kind == BOOL:
         return F.when(t.col, F.lit("true")).otherwise(F.lit("false"))
     if t.kind == NUM:
@@ -574,9 +577,18 @@ Resolver = Callable[[str], Column]
 
 
 def default_resolver(attr_col: str = "attributes", columns: set[str] | None = None) -> Resolver:
+    """Resolve attribute references; promoted top-level columns win.
+
+    Resolving to the typed column (not a string cast of it) keeps
+    predicates pushdown-eligible: ``${event_type:equals('error')}``
+    over a promoted column reaches the parquet scan as
+    ``EqualTo(event_type, 'error')``; the attributes-map path never
+    pushes down.
+    """
+
     def resolve(name: str) -> Column:
         if columns and name in columns:
-            return F.col(name).cast("string")
+            return F.col(f"`{name}`") if "." in name else F.col(name)
         return F.col(attr_col).getItem(name)
 
     return resolve
@@ -747,3 +759,12 @@ def el_bool(text: str, **kw) -> Column:
     """Compile and coerce to boolean (routing predicate convention)."""
     t = compile_el_typed(text, **kw)
     return as_bool(t)
+
+
+_CANONICAL = {"uuid", "ts", "content", "attributes", "lineage"}
+
+
+def promoted_columns(df) -> set[str]:
+    """Non-canonical columns of a FlowFile frame — the promoted
+    attributes an EL expression should resolve as typed columns."""
+    return {c for c in df.columns if c not in _CANONICAL}

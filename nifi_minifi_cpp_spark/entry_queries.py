@@ -340,16 +340,19 @@ def route_relationship_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def el_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expression-language scalar surface compiled to Catalyst."""
+    from .el import promoted_columns
+
     ev = _t(spark, sf_dir, "events")
     ff = events_to_flowfiles(ev)
+    cols = promoted_columns(ff)
     return ff.select(
         F.col("uuid").cast("long").alias("event_id"),
-        el_string("${event_type:toUpper()}").alias("etype_u"),
-        el_string("${event_type:substring(0, 3)}").alias("etype_3"),
-        el_string("u${user_id}").alias("user_tag"),
-        F.round(el_string("${value:plus(100)}").cast("double"), 2).alias("value_plus"),
-        el_string("${value:gt(100):ifElse('high', 'low')}").alias("band"),
-        el_string("${event_type:length()}").cast("long").alias("etype_len"),
+        el_string("${event_type:toUpper()}", columns=cols).alias("etype_u"),
+        el_string("${event_type:substring(0, 3)}", columns=cols).alias("etype_3"),
+        el_string("u${user_id}", columns=cols).alias("user_tag"),
+        F.round(el_string("${value:plus(100)}", columns=cols).cast("double"), 2).alias("value_plus"),
+        el_string("${value:gt(100):ifElse('high', 'low')}", columns=cols).alias("band"),
+        el_string("${event_type:length()}", columns=cols).cast("long").alias("etype_len"),
     )
 
 

@@ -65,6 +65,11 @@ def events_to_flowfiles(events: DataFrame) -> DataFrame:
         F.col("props").alias("content"),
         attrs.alias("attributes"),
         F.array(F.col("event_id").cast("string")).alias("lineage"),
+        # promoted hot attributes (SURVEY §1.5): typed top-level copies
+        # so EL predicates on them push down to the scan
+        F.col("event_type"),
+        F.col("user_id"),
+        F.col("value"),
     )
 
 

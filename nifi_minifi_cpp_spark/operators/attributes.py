@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..el import el_string
+from ..el import el_string, promoted_columns
 
 
 def _merge_attrs(df: DataFrame, new_pairs: list[Column]) -> Column:
@@ -27,10 +27,11 @@ def update_attribute(df: DataFrame, props: dict[str, str]) -> DataFrame:
     Requires ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set by
     ``session.get_spark``/``configure``) so re-set keys overwrite.
     """
+    cols = promoted_columns(df)
     pairs: list[Column] = []
     for name, el_text in props.items():
         pairs.append(F.lit(name))
-        pairs.append(el_string(el_text))
+        pairs.append(el_string(el_text, columns=cols))
     return df.withColumn("attributes", _merge_attrs(df, pairs))
 
 

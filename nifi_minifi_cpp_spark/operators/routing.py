@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..el import el_bool
+from ..el import el_bool, promoted_columns
 
 UNMATCHED = "unmatched"
 
@@ -21,8 +21,12 @@ def route_on_attribute(df: DataFrame, routes: dict[str, str]) -> dict[str, DataF
     """RouteOnAttribute (RouteOnAttribute.cpp:37-77): dynamic
     properties are (relationship -> EL boolean). A row goes to every
     matching relationship; rows matching none go to ``unmatched``.
+
+    EL references to promoted columns resolve typed -> the predicate
+    pushes down into the source scan.
     """
-    compiled: dict[str, Column] = {name: el_bool(expr) for name, expr in routes.items()}
+    cols = promoted_columns(df)
+    compiled: dict[str, Column] = {name: el_bool(expr, columns=cols) for name, expr in routes.items()}
     out: dict[str, DataFrame] = {name: df.filter(cond) for name, cond in compiled.items()}
     none_match = None
     for cond in compiled.values():
