@@ -273,6 +273,65 @@ def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return building.union(machinery).distinct().exceptAll(big.distinct())
 
 
+@_register(
+    "part_brand_revenue",
+    """
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems,
+           round(avg(p_retailprice), 4) AS avg_retail
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join with broadcast part; map-side combine on brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+        )
+    )
+
+
+@_register(
+    "supplier_nation_agg",
+    """
+    SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_nation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"), F.round(F.sum("s_acctbal"), 2).alias("total_bal"))
+    )
+
+
+@_register(
+    "rollup_orders_priority",
+    """
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
 # ===========================================================================
 # Routing / EL / attribute operators over events
 # ===========================================================================
@@ -691,6 +750,89 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.sqrt(F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     return emb.groupBy("label").agg(
         F.round(F.avg(norm), 4).alias("avg_norm"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
+    "sessionize_users",
+    """
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS session_id
+      FROM (
+        SELECT user_id, event_id, ts_ms,
+               CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+                         > 600000 OR lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events)
+      )
+    )
+    GROUP BY user_id
+    """,
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (DefragmentText's session shape on event time):
+    10-minute-gap sessions via lag + running sum — the batch analogue
+    of session_window(ts, '10 minutes')."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    is_new = F.when(
+        (F.col("ts_ms") - F.lag("ts_ms").over(w) > 600000) | F.lag("ts_ms").over(w).isNull(), 1
+    ).otherwise(0)
+    sess = ev.withColumn("_new", is_new).withColumn("session_id", F.sum("_new").over(w))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@_register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error", "signup"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
+    return out
+
+
+@_register(
+    "el_encode_pack",
+    """
+    SELECT event_id,
+           base64(encode(event_type))                          AS b64,
+           replace(event_type, 'e', '3')                        AS leet,
+           reverse(event_type)                                  AS rev,
+           lpad(CAST(user_id AS VARCHAR), 6, '0')               AS padded_user
+    FROM events
+    """,
+)
+def el_encode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EL encode/string functions vs SQL equivalents."""
+    from .el import promoted_columns
+
+    ev = _t(spark, sf_dir, "events")
+    ff = events_to_flowfiles(ev)
+    cols = promoted_columns(ff)
+    return ff.select(
+        F.col("uuid").cast("long").alias("event_id"),
+        el_string("${event_type:base64Encode()}", columns=cols).alias("b64"),
+        el_string("${event_type:replace('e', '3')}", columns=cols).alias("leet"),
+        F.reverse(el_string("${event_type}", columns=cols)).alias("rev"),
+        F.lpad(el_string("${user_id}", columns=cols), 6, "0").alias("padded_user"),
     )
 
 
