@@ -13,6 +13,7 @@ from .dedup import (
     simhash_dedup,
     word_shingles,
 )
+from .llm_inference import deterministic_fake_generate, run_llm_inference
 from .similarity import cosine_topk, cosine_topk_pandas, knn_join_exact, knn_join_lsh, srp_bucket
 from .text_analysis import (
     analyze_documents,
@@ -42,6 +43,8 @@ __all__ = [
     "knn_join_lsh",
     "srp_bucket",
     "analyze_documents",
+    "run_llm_inference",
+    "deterministic_fake_generate",
     "token_count",
     "bpe_ish_token_count",
     "quality_features",

@@ -973,6 +973,61 @@ def syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+@_register(
+    "tailfile_ingest",
+    "SELECT md5(text) AS line_md5 FROM documents",
+)
+def tailfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TailFile: write the documents as a log file, tail it with
+    offset state, verify every line arrives intact."""
+    import tempfile
+
+    from .sources import TailFile
+
+    configure(spark)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").orderBy("doc_id")
+    tmp = tempfile.mkdtemp(prefix="tailq-")
+    log_path = f"{tmp}/docs.log"
+    with open(log_path, "w") as f:
+        for row in docs.toLocalIterator():
+            f.write(row["text"].replace("\n", " ") + "\n")
+    tail = TailFile(log_path, f"{tmp}/state.json")
+    out = tail.poll(spark)
+    return out.select(F.md5(F.col("content")).alias("line_md5"))
+
+
+@_register(
+    "archive_roundtrip",
+    "SELECT CAST(doc_id AS VARCHAR) AS entry_name, md5(text) AS content_md5 FROM documents",
+)
+def archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeContent ZIP format -> unpack: entries must hash-match the
+    original documents."""
+    from .operators import merge_content_archive, unpack_archive
+
+    docs = _t(spark, sf_dir, "documents")
+    ff = docs.select(
+        F.col("doc_id").cast("string").alias("uuid"),
+        F.col("text").alias("content"),
+        F.create_map(F.lit("filename"), F.col("doc_id").cast("string")).alias("attributes"),
+    )
+    packed = merge_content_archive(ff, fmt="zip")
+    unpacked = unpack_archive(packed, fmt="zip")
+    return unpacked.select(
+        F.col("entry_name"), F.md5(F.col("content")).alias("content_md5")
+    )
+
+
+@_register("llm_inference_fake", None)
+def llm_inference_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RunLlamaCppInference shape with the deterministic fake backend."""
+    from .analytics import run_llm_inference
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = run_llm_inference(docs, "Summarize: {{text}}", batch_size=64)
+    return out.select("doc_id", "completion")
+
+
 @_register("minhash_dedup_kept", None)
 def minhash_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup (seeded hashing — not SQL-expressible)."""

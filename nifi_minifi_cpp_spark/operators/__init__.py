@@ -3,6 +3,7 @@
 SURVEY.md §2 is the inventory; citations sit on each function.
 """
 
+from .archive import merge_content_archive, unpack_archive
 from .attributes import (
     append_host_info,
     attributes_to_json,
@@ -53,6 +54,8 @@ __all__ = [
     "merge_content_defragment",
     "merge_content_bin_packing",
     "compress_content",
+    "merge_content_archive",
+    "unpack_archive",
     "attribute_rolling_window_time",
     "attribute_rolling_window_count",
     "tumbling_window_agg",

@@ -2,6 +2,8 @@
 (SURVEY §2.1 ExecuteSQL/QueryDatabaseTable, §2.5 ConvertRecord)."""
 
 from .convert_record import convert_record
+from .fetch_file import ListFileState, fetch_file, list_file
+from .tail_file import TailFile
 from .incremental import IncrementalTableScan, jdbc_table_reader, parquet_table_reader
 from .sql import execute_sql, put_sql
 
@@ -12,4 +14,8 @@ __all__ = [
     "execute_sql",
     "put_sql",
     "convert_record",
+    "TailFile",
+    "list_file",
+    "fetch_file",
+    "ListFileState",
 ]

@@ -1,0 +1,91 @@
+"""ListFile / FetchFile / object-store list+fetch.
+
+- ListFile (/root/reference/extensions/standard-processors/processors/
+  ListFile.cpp:92-118): incremental directory listing on a persisted
+  latest-modified-time watermark.
+- FetchFile (FetchFile.cpp:118): resolve a path-valued attribute to
+  file content.
+
+Spark-first the fetch is a ``binaryFile`` read joined on path — the
+read itself is distributed and the join is broadcast when the path
+list is small. The same code works for s3a://, abfss://, gs:// paths
+through Hadoop FS (the cloud List*/Fetch* processors of SURVEY §2.1
+collapse into these two functions).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ListFileState:
+    """Persisted latest-timestamp watermark (ListingStateManager)."""
+
+    def __init__(self, state_path: str):
+        self.state_path = state_path
+
+    def load(self) -> float:
+        if os.path.exists(self.state_path):
+            with open(self.state_path) as f:
+                return json.load(f)["latest_mtime"]
+        return 0.0
+
+    def save(self, mtime: float) -> None:
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"latest_mtime": mtime}, f)
+        os.replace(tmp, self.state_path)
+
+
+def list_file(
+    spark: SparkSession,
+    pattern: str,
+    state: ListFileState | None = None,
+    min_size: int = 0,
+) -> DataFrame | None:
+    """Incremental listing: only files newer than the watermark.
+    Emits (path, filename, size, mtime) — FlowFile-per-file like the
+    reference, content deliberately NOT read (that's FetchFile)."""
+    watermark = state.load() if state else 0.0
+    rows = []
+    latest = watermark
+    for path in sorted(_glob.glob(pattern)):
+        st = os.stat(path)
+        if st.st_mtime > watermark and st.st_size >= min_size:
+            rows.append((path, os.path.basename(path), st.st_size, st.st_mtime))
+            latest = max(latest, st.st_mtime)
+    if not rows:
+        return None
+    if state:
+        state.save(latest)
+    return spark.createDataFrame(rows, "path string, filename string, size long, mtime double")
+
+
+def fetch_file(
+    spark: SparkSession,
+    listing: DataFrame,
+    path_col: str = "path",
+    as_text: bool = True,
+) -> DataFrame:
+    """FetchFile: join the listing against a distributed binaryFile
+    read of the same paths. Content loads executor-side; the listing
+    (small) broadcasts."""
+    paths = [r[path_col] for r in listing.select(path_col).distinct().collect()]
+    if not paths:
+        return listing.withColumn("content", F.lit(None).cast("string" if as_text else "binary"))
+    files = spark.read.format("binaryFile").load(paths)
+    content = F.col("content")
+    if as_text:
+        content = F.decode(content, "utf-8")
+    fetched = files.select(F.col("path").alias("_fetch_path"), content.alias("content"))
+    # binaryFile paths are URIs (file:///...); normalize for the join
+    norm = F.regexp_replace(F.col("_fetch_path"), "^file:", "")
+    fetched = fetched.withColumn("_fetch_path", norm)
+    return listing.join(
+        fetched, listing[path_col] == fetched["_fetch_path"], "left"
+    ).drop("_fetch_path")

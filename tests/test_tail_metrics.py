@@ -1,0 +1,141 @@
+"""TailFile rotation semantics, ListFile/FetchFile, archives, LLM
+inference operator, Observation metrics."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_minifi_cpp_spark import analytics as an
+from nifi_minifi_cpp_spark import operators as ops
+from nifi_minifi_cpp_spark import sources as src
+from nifi_minifi_cpp_spark.metrics import with_transfer_metrics
+
+
+# -- TailFile -----------------------------------------------------------------
+
+
+def test_tailfile_appends_and_partial_lines(spark, tmp_path):
+    log = tmp_path / "app.log"
+    state = str(tmp_path / "tail.json")
+    tail = src.TailFile(str(log), state)
+
+    log.write_text("line1\nline2\npartial")
+    out = tail.poll(spark)
+    assert [r["content"] for r in out.orderBy("position").collect()] == ["line1", "line2"]
+
+    # completing the partial line + appending emits both
+    with open(log, "a") as f:
+        f.write("-done\nline4\n")
+    out2 = tail.poll(spark)
+    assert [r["content"] for r in out2.orderBy("position").collect()] == ["partial-done", "line4"]
+
+    # nothing new -> None
+    assert tail.poll(spark) is None
+
+
+def test_tailfile_rotation_detected(spark, tmp_path):
+    log = tmp_path / "rot.log"
+    state = str(tmp_path / "tail2.json")
+    tail = src.TailFile(str(log), state)
+    log.write_text("old1\nold2\n")
+    assert tail.poll(spark).count() == 2
+    # rotate: replace file with new content (different head)
+    log.write_text("new-a\nnew-b\nnew-c\n")
+    out = tail.poll(spark)
+    assert [r["content"] for r in out.orderBy("position").collect()] == ["new-a", "new-b", "new-c"]
+
+
+def test_tailfile_rolling_glob(spark, tmp_path):
+    state = str(tmp_path / "tail3.json")
+    (tmp_path / "x.log.1").write_text("rotated\n")
+    (tmp_path / "x.log").write_text("current\n")
+    tail = src.TailFile(str(tmp_path / "x.log*"), state)
+    out = tail.poll(spark)
+    got = {(os.path.basename(r["file"]), r["content"]) for r in out.collect()}
+    assert got == {("x.log", "current"), ("x.log.1", "rotated")}
+
+
+# -- ListFile / FetchFile -----------------------------------------------------
+
+
+def test_list_fetch_incremental(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha")
+    (d / "b.txt").write_text("beta")
+    state = src.ListFileState(str(tmp_path / "ls.json"))
+
+    listing = src.list_file(spark, str(d / "*.txt"), state)
+    assert listing.count() == 2
+    fetched = src.fetch_file(spark, listing)
+    got = {r["filename"]: r["content"] for r in fetched.collect()}
+    assert got == {"a.txt": "alpha", "b.txt": "beta"}
+
+    # no new files -> None
+    assert src.list_file(spark, str(d / "*.txt"), state) is None
+    # new file arrives -> only it is listed
+    time.sleep(0.05)
+    (d / "c.txt").write_text("gamma")
+    os.utime(d / "c.txt", (time.time() + 2, time.time() + 2))
+    listing2 = src.list_file(spark, str(d / "*.txt"), state)
+    assert [r["filename"] for r in listing2.collect()] == ["c.txt"]
+
+
+# -- archives -----------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fmt", ["zip", "tar"])
+def test_archive_roundtrip(spark, fmt):
+    from tests.test_operators import make_ff
+
+    ff = make_ff(
+        spark,
+        [
+            ("1", "content-one", {"filename": "one.txt"}),
+            ("2", "content-two", {"filename": "two.txt"}),
+        ],
+    )
+    packed = ops.merge_content_archive(ff, fmt=fmt)
+    rows = packed.collect()
+    assert len(rows) == 1 and rows[0]["n_entries"] == 2
+    unpacked = ops.unpack_archive(packed, fmt=fmt)
+    got = {r["entry_name"]: r["content"] for r in unpacked.collect()}
+    assert got == {"one.txt": "content-one", "two.txt": "content-two"}
+
+
+# -- LLM inference ------------------------------------------------------------
+
+
+def test_llm_inference_fake_backend(spark, tables):
+    docs = tables["documents"].limit(10)
+    out = an.run_llm_inference(docs, "Summarize: {{text}}", batch_size=4)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r["completion"].startswith("FAKE:") for r in rows)
+    # deterministic: same input -> same completion
+    again = {r["doc_id"]: r["completion"] for r in an.run_llm_inference(docs, "Summarize: {{text}}").collect()}
+    assert all(again[r["doc_id"]] == r["completion"] for r in rows)
+
+
+def test_llm_inference_real_backend_gated(spark, tables):
+    with pytest.raises(NotImplementedError, match="llama-cpp-python"):
+        an.llm_inference.llama_cpp_generate("/nonexistent/model.gguf")
+
+
+# -- metrics ------------------------------------------------------------------
+
+
+def test_transfer_metrics_observation(spark, tables):
+    from nifi_minifi_cpp_spark.model import documents_to_flowfiles
+
+    docs = documents_to_flowfiles(tables["documents"])
+    observed, handle = with_transfer_metrics(docs, "route-out")
+    n = observed.count()
+    vals = handle.values
+    assert vals["transferred_flowfiles"] == n
+    total_chars = tables["documents"].agg(F.sum(F.length("text"))).first()[0]
+    assert vals["transferred_bytes"] == total_chars
