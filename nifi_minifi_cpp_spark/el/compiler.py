@@ -569,6 +569,33 @@ def _next_int(s, a):
     return Typed(F.monotonically_increasing_id(), INT)
 
 
+@_fn("reverseDnsLookup")
+def _reverse_dns(s, a):
+    # the one EL function that genuinely needs Python (Expression.cpp:191)
+    # — a per-value network call; batched through Arrow, cached per worker
+    from pyspark.sql.types import StringType
+
+    def lookup(series):
+        import socket
+
+        cache: dict[str, str] = {}
+
+        def one(ip):
+            if ip is None:
+                return None
+            if ip not in cache:
+                try:
+                    cache[ip] = socket.gethostbyaddr(ip)[0]
+                except OSError:
+                    cache[ip] = ip
+            return cache[ip]
+
+        return series.map(one)
+
+    udf = F.pandas_udf(lookup, StringType())
+    return Typed(udf(as_str(s)), STR)
+
+
 # ---------------------------------------------------------------------------
 # compiler core
 # ---------------------------------------------------------------------------

@@ -1,5 +1,19 @@
 """Flow-config compiler (SURVEY §3.1 query lifecycle, Spark-first)."""
 
-from .pipeline import CompiledFlow, FlowCompileError, compile_flow, processor, registered_processors
+from .pipeline import (
+    CompiledFlow,
+    FlowCompileError,
+    FlowController,
+    compile_flow,
+    processor,
+    registered_processors,
+)
 
-__all__ = ["compile_flow", "CompiledFlow", "FlowCompileError", "processor", "registered_processors"]
+__all__ = [
+    "compile_flow",
+    "CompiledFlow",
+    "FlowController",
+    "FlowCompileError",
+    "processor",
+    "registered_processors",
+]

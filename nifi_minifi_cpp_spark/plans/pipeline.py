@@ -220,6 +220,30 @@ def _log_attribute(spark, df, props):
     return _one(ops.log_attribute(df))
 
 
+@processor("FileStreamSource")
+def _file_stream_source(spark, df, props):
+    """Streaming GetFile/ListFile: readStream over a directory. The
+    rest of the flow composes identically on the stream."""
+    from ..streaming.sources import file_stream
+
+    return _one(
+        file_stream(
+            spark,
+            props["path"],
+            props["schema"],
+            props.get("format", "parquet"),
+            max_files_per_trigger=props.get("max_files_per_trigger"),
+        )
+    )
+
+
+@processor("MemorySink")
+def _memory_sink(spark, df, props):
+    """Test/debug sink for streaming flows (results land in a temp
+    view named by ``name``); no-op on batch frames."""
+    return _one(df)
+
+
 @processor("PutFile")
 def _put_file(spark, df, props):
     """PutFile (PutFile.cpp:75): terminal sink; written eagerly at
@@ -237,15 +261,77 @@ def _put_file(spark, df, props):
 # ---------------------------------------------------------------------------
 
 
+# sink processor types that must defer when their input is a stream
+# (writeStream.start happens in FlowController, not at compile time)
+_STREAMING_SINK_TYPES = {"PutFile", "MemorySink"}
+
+
 @dataclass
 class CompiledFlow:
     """Outputs of every (processor, relationship) edge + sink results."""
 
     outputs: dict[str, dict[str, DataFrame]]
     terminals: dict[str, DataFrame] = field(default_factory=dict)
+    streaming_sinks: dict[str, tuple[DataFrame, str, dict]] = field(default_factory=dict)
 
     def df(self, processor_id: str, relationship: str = SUCCESS) -> DataFrame:
         return self.outputs[processor_id][relationship]
+
+
+class FlowController:
+    """Deploy/stop/hot-swap flows (FlowController::load/start +
+    C2 applyConfiguration parity, SURVEY §3.1/§3.4:
+    /root/reference/libminifi/src/FlowController.cpp:110-171).
+
+    Batch parts of a flow execute at compile (eager sinks); streaming
+    parts become StreamingQuery handles managed here.
+    """
+
+    def __init__(self, spark: SparkSession, config: dict | str):
+        self.spark = spark
+        self.config = config
+        self.flow: CompiledFlow | None = None
+        self.queries: list = []
+
+    def start(self) -> "FlowController":
+        self.flow = compile_flow(self.spark, self.config)
+        for pid, (df, ptype, props) in self.flow.streaming_sinks.items():
+            if ptype == "MemorySink":
+                writer = (
+                    df.writeStream.format("memory")
+                    .queryName(props.get("name", pid))
+                    .outputMode(props.get("output_mode", "append"))
+                )
+            else:  # PutFile
+                writer = (
+                    df.writeStream.format(props.get("format", "parquet"))
+                    .option("path", props["directory"])
+                    .option("checkpointLocation", props["checkpoint"])
+                )
+            self.queries.append(writer.start())
+        return self
+
+    def await_quiesce(self) -> None:
+        for q in self.queries:
+            q.processAllAvailable()
+
+    def stop(self) -> None:
+        for q in self.queries:
+            q.stop()
+        self.queries = []
+
+    def apply_configuration(self, new_config: dict | str) -> "FlowController":
+        """C2 hot-swap: stop the running flow, recompile the new
+        payload, restart — rollback to the old config on failure."""
+        old = self.config
+        self.stop()
+        try:
+            self.config = new_config
+            return self.start()
+        except Exception:
+            self.config = old
+            self.start()
+            raise
 
 
 class FlowCompileError(ValueError):
@@ -296,6 +382,7 @@ def compile_flow(spark: SparkSession, config: dict | str) -> CompiledFlow:
         raise FlowCompileError(f"flow has a cycle or unreachable processors: {set(procs) - set(order)}")
 
     outputs: dict[str, dict[str, DataFrame]] = {}
+    streaming_sinks: dict[str, tuple[DataFrame, str, dict]] = {}
     for pid in order:
         spec = procs[pid]
         ptype = spec["type"]
@@ -309,8 +396,14 @@ def compile_flow(spark: SparkSession, config: dict | str) -> CompiledFlow:
             in_df = frames[0]
             for other in frames[1:]:  # implicit funnel
                 in_df = in_df.unionByName(other, allowMissingColumns=True)
-        outputs[pid] = handler(spark, in_df, dict(spec.get("properties", {})))
-    return CompiledFlow(outputs=outputs)
+        props = dict(spec.get("properties", {}))
+        if ptype in _STREAMING_SINK_TYPES and in_df is not None and in_df.isStreaming:
+            # defer: writeStream.start happens in FlowController
+            streaming_sinks[pid] = (in_df, ptype, props)
+            outputs[pid] = {SUCCESS: in_df}
+            continue
+        outputs[pid] = handler(spark, in_df, props)
+    return CompiledFlow(outputs=outputs, streaming_sinks=streaming_sinks)
 
 
 def registered_processors() -> list[str]:

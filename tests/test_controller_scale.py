@@ -1,0 +1,110 @@
+"""FlowController streaming deployment + hot-swap; scale utilities."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_minifi_cpp_spark.plans import FlowController, compile_flow
+from nifi_minifi_cpp_spark.scale import partitions_for_bytes, salted_groupby_agg
+
+
+def _stream_flow_cfg(src_dir: str, sink_name: str, route_value: str) -> str:
+    return f"""
+processors:
+  - id: src
+    type: FileStreamSource
+    properties:
+      path: {src_dir}
+      schema: "event_id long, event_type string, value double"
+      format: parquet
+  - id: route
+    type: RouteOnAttribute
+    properties:
+      wanted: "${{event_type:equals('{route_value}')}}"
+  - id: sink
+    type: MemorySink
+    properties: {{name: {sink_name}}}
+connections:
+  - {{source: src, destination: route}}
+  - {{source: route, relationship: wanted, destination: sink}}
+"""
+
+
+@pytest.fixture()
+def events_dir(spark, tables, tmp_path):
+    d = str(tmp_path / "ev")
+    tables["events"].select("event_id", "event_type", "value").limit(300).write.parquet(d)
+    return d
+
+
+def test_flow_controller_streaming(spark, events_dir):
+    """A YAML flow whose source is a STREAM: controller starts the
+    writeStream, data flows, stop() ends it."""
+    ctl = FlowController(spark, _stream_flow_cfg(events_dir, "ctl_out", "error"))
+    ctl.start()
+    try:
+        ctl.await_quiesce()
+        got = spark.sql("SELECT count(*) c FROM ctl_out").first()["c"]
+        expected = spark.read.parquet(events_dir).filter(F.col("event_type") == "error").count()
+        assert got == expected
+    finally:
+        ctl.stop()
+    assert ctl.queries == []
+
+
+def test_flow_controller_hot_swap(spark, events_dir):
+    """C2 applyConfiguration: swap the route predicate live."""
+    ctl = FlowController(spark, _stream_flow_cfg(events_dir, "swap_a", "error")).start()
+    ctl.await_quiesce()
+    n_err = spark.sql("SELECT count(*) c FROM swap_a").first()["c"]
+    ctl.apply_configuration(_stream_flow_cfg(events_dir, "swap_b", "click"))
+    try:
+        ctl.await_quiesce()
+        n_click = spark.sql("SELECT count(*) c FROM swap_b").first()["c"]
+        df = spark.read.parquet(events_dir)
+        assert n_err == df.filter(F.col("event_type") == "error").count()
+        assert n_click == df.filter(F.col("event_type") == "click").count()
+    finally:
+        ctl.stop()
+
+
+def test_flow_controller_bad_swap_rolls_back(spark, events_dir):
+    ctl = FlowController(spark, _stream_flow_cfg(events_dir, "rb_a", "error")).start()
+    with pytest.raises(Exception):
+        ctl.apply_configuration("processors:\n  - {id: x, type: Nope}\nconnections: []")
+    # old flow restarted
+    try:
+        assert len(ctl.queries) == 1
+        ctl.await_quiesce()
+    finally:
+        ctl.stop()
+
+
+def test_salted_groupby_matches_plain(spark, tables):
+    li = tables["lineitem"]
+    plain = {
+        (r["l_returnflag"],): (r["n"], round(r["qty"], 6))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"],): (r["n"], round(r["qty"], 6))
+        for r in salted_groupby_agg(
+            li, ["l_returnflag"], {"n": ("count", "*"), "qty": ("sum", "l_quantity")}
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_rejects_non_algebraic(spark, tables):
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_groupby_agg(tables["lineitem"], ["l_returnflag"], {"m": ("median", "l_quantity")})
+
+
+def test_partitions_for_bytes():
+    assert partitions_for_bytes(10 * 1024**3) == 80
+    assert partitions_for_bytes(1) == 8

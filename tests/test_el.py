@@ -179,3 +179,9 @@ def test_missing_attr_in_text_is_empty(spark):
 def test_replace_first(spark):
     assert _eval(spark, "${literal('one two two'):replaceFirst('two', 'X')}") == "one X two"
     assert _eval(spark, "${literal('aaa'):replaceFirst('b', 'X')}") == "aaa"
+
+
+def test_reverse_dns_lookup(spark):
+    # env-dependent result; assert it resolves to SOMETHING stable
+    v = _eval(spark, "${literal('127.0.0.1'):reverseDnsLookup()}")
+    assert isinstance(v, str) and len(v) > 0
