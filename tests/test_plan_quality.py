@@ -1,0 +1,70 @@
+"""Plan-quality regression tests: the physical plans we rely on for
+100 TB behavior, asserted so refactors can't silently regress them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown(spark, sf_dir):
+    df = entry.queries()["q1_pricing_summary"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Map-side combine: HashAggregate appears twice (partial+final)."""
+    df = entry.queries()["q1_pricing_summary"](spark, sf_dir)
+    assert plan_of(df).count("HashAggregate") >= 2
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    df = entry.queries()["q3_top_revenue_orders"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_top10_take_ordered(spark, sf_dir):
+    df = entry.queries()["top10_orders"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_route_pushdown_on_promoted_column(spark, sf_dir):
+    df = entry.queries()["route_error_events"](spark, sf_dir)
+    assert "EqualTo(event_type,error)" in plan_of(df)
+
+
+def test_no_python_in_relational_plans(spark, sf_dir):
+    """The declared-JVM queries must stay UDF-free."""
+    jvm_only = [
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "region_rollup",
+        "el_scalar_pack",
+        "rolling_window_count10",
+        "split_merge_roundtrip",
+        "simhash_signatures",
+        "cosine_topk_vec0",
+    ]
+    qs = entry.queries()
+    for name in jvm_only:
+        plan = plan_of(qs[name](spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} fell back to Python"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 2-column projection must read 2 columns, not the table."""
+    from nifi_minifi_cpp_spark.session import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    plan = plan_of(li)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan

@@ -264,3 +264,37 @@ def test_streaming_operators_compose(spark, sf_dir, tmpdir):
     rows = spark.sql("SELECT * FROM composed").collect()
     assert len(rows) == 200
     assert all(r["content"].startswith('{"event_type"') for r in rows)
+
+
+def test_watermark_drops_late_data(spark, tmpdir):
+    """Late-data semantics (FIXTURES.md rate-limited replay): rows
+    older than the watermark are dropped from closed windows."""
+    import datetime as dt
+
+    src_dir = os.path.join(tmpdir, "late1")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # batch 1: on-time data through 02:00
+    rows1 = [(base + dt.timedelta(hours=h), 1.0) for h in (0, 0, 1, 2)]
+    spark.createDataFrame(rows1, "ts timestamp, v double").write.parquet(src_dir)
+
+    stream = st.file_stream(spark, src_dir, "ts timestamp, v double", "parquet")
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("late_out").outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ck_late")).start()
+    )
+    q.processAllAvailable()
+    # batch 2: a LATE row for hour 0 (watermark is now 01:30) + fresh hour 3
+    rows2 = [(base + dt.timedelta(minutes=5), 99.0), (base + dt.timedelta(hours=3), 1.0)]
+    spark.createDataFrame(rows2, "ts timestamp, v double").write.mode("append").parquet(src_dir)
+    q.processAllAvailable()
+    q.stop()
+    got = {r["ws"].hour: r["n"] for r in spark.sql("SELECT * FROM late_out").collect()}
+    # hour-0 window emitted with the ON-TIME count only; late row dropped
+    assert got.get(0) == 2
+    assert 99 not in got.values()
