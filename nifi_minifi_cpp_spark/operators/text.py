@@ -81,7 +81,11 @@ def replace_text(
 def _with_fragment_attrs(
     exploded: DataFrame, count_col: Column, extra: dict[str, Column] | None = None
 ) -> DataFrame:
-    """Attach fragment.identifier/index/count (+extras) to attributes."""
+    """Attach fragment.identifier/index/count (+extras), mint child
+    uuids, and record the FORK in lineage (Provenance FORK event —
+    the parent becomes an ancestor of every fragment)."""
+    from ..provenance import child_uuid, fork_lineage
+
     pairs: list[Column] = [
         F.lit("fragment.identifier"),
         F.col("uuid"),
@@ -93,6 +97,9 @@ def _with_fragment_attrs(
     for k, v in (extra or {}).items():
         pairs.extend([F.lit(k), v.cast("string")])
     out = exploded.withColumn("attributes", F.map_concat(F.col("attributes"), F.create_map(*pairs)))
+    if "lineage" in out.columns:
+        out = out.withColumn("lineage", fork_lineage(F.col("uuid"), F.col("lineage")))
+    out = out.withColumn("uuid", child_uuid(F.col("uuid"), F.col("_idx") + 1))
     return out
 
 
@@ -243,28 +250,31 @@ def merge_content_defragment(
     frag_id = F.col("attributes").getItem("fragment.identifier")
     frag_idx = F.col("attributes").getItem("fragment.index").cast("int")
     frag_cnt = F.col("attributes").getItem("fragment.count").cast("int")
-    grouped = (
-        df.select(
-            frag_id.alias("_fid"),
-            frag_idx.alias("_fidx"),
-            frag_cnt.alias("_fcnt"),
-            "content",
-            "attributes",
-        )
-        .groupBy("_fid")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct(F.col("_fidx"), F.col("content").alias("_c")))),
-                    lambda s: s.getField("_c"),
-                ),
-                demarcator,
-            ).alias("_joined"),
-            F.count(F.lit(1)).alias("_have"),
-            F.first("_fcnt").alias("_want"),
-            F.first("attributes").alias("attributes"),
-        )
-    )
+    has_lineage = "lineage" in df.columns
+    cols = [
+        frag_id.alias("_fid"),
+        frag_idx.alias("_fidx"),
+        frag_cnt.alias("_fcnt"),
+        "content",
+        "attributes",
+    ]
+    aggs = [
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("_fidx"), F.col("content").alias("_c")))),
+                lambda s: s.getField("_c"),
+            ),
+            demarcator,
+        ).alias("_joined"),
+        F.count(F.lit(1)).alias("_have"),
+        F.first("_fcnt").alias("_want"),
+        F.first("attributes").alias("attributes"),
+    ]
+    if has_lineage:
+        # JOIN provenance: the bundle's ancestors = union of children's
+        cols.append(F.col("lineage"))
+        aggs.append(F.array_distinct(F.flatten(F.collect_list("lineage"))).alias("_lineage"))
+    grouped = df.select(*cols).groupBy("_fid").agg(*aggs)
     if require_complete:
         grouped = grouped.filter(F.col("_have") == F.col("_want"))
     content = F.concat(F.lit(header), F.col("_joined"), F.lit(footer))
@@ -276,7 +286,7 @@ def merge_content_defragment(
             F.col("attributes"),
             lambda k, v: ~k.isin("fragment.identifier", "fragment.index", "fragment.count", "text.line.count"),
         ).alias("attributes"),
-        F.array(F.col("_fid")).alias("lineage"),
+        (F.col("_lineage") if has_lineage else F.array(F.col("_fid"))).alias("lineage"),
     )
 
 
