@@ -1028,6 +1028,36 @@ def llm_inference_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "completion")
 
 
+@_register(
+    "streaming_route_counts",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def streaming_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming in the correctness gate: the events table
+    replayed through a file STREAM -> groupBy aggregation in complete
+    mode -> memory sink; the final state must equal the batch answer
+    (same code path the streaming operators use, SURVEY §2.10)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    configure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source wants a directory; stage the table file
+    stage = tempfile.mkdtemp(prefix="stream-ev-")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet")
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    stream = spark.readStream.schema(schema).parquet(stage)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    view = f"stream_counts_{_uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.format("memory").queryName(view).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT event_type, n FROM {view}")
+
+
 @_register("minhash_dedup_kept", None)
 def minhash_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup (seeded hashing — not SQL-expressible)."""
