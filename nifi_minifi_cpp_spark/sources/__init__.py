@@ -3,6 +3,7 @@
 
 from .convert_record import convert_record
 from .fetch_file import ListFileState, fetch_file, list_file
+from .datasource import TailFileDataSource, register_tailfile
 from .tail_file import TailFile
 from .incremental import IncrementalTableScan, jdbc_table_reader, parquet_table_reader
 from .sql import execute_sql, put_sql
@@ -18,4 +19,6 @@ __all__ = [
     "list_file",
     "fetch_file",
     "ListFileState",
+    "TailFileDataSource",
+    "register_tailfile",
 ]

@@ -139,3 +139,43 @@ def test_transfer_metrics_observation(spark, tables):
     assert vals["transferred_flowfiles"] == n
     total_chars = tables["documents"].agg(F.sum(F.length("text"))).first()[0]
     assert vals["transferred_bytes"] == total_chars
+
+
+# -- TailFile as a native Python Data Source ----------------------------------
+
+
+def test_tailfile_datasource_live_and_recovery(spark, tmp_path):
+    """readStream.format('tailfile'): offsets live in the checkpoint;
+    restart from checkpoint is exactly-once with a durable sink."""
+    import time
+
+    from nifi_minifi_cpp_spark.sources.datasource import register_tailfile
+
+    register_tailfile(spark)
+    log = tmp_path / "svc.log"
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    log.write_text("l1\nl2\n")
+
+    def run_until(n_target, timeout=40):
+        df = spark.readStream.format("tailfile").option("pattern", str(log)).load()
+        q = (
+            df.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck).start()
+        )
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= n_target:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        q.stop()
+        return sorted(r["content"] for r in spark.read.parquet(out).collect())
+
+    assert run_until(2) == ["l1", "l2"]
+    # append while the query is DOWN; restart from the same checkpoint
+    with open(log, "a") as f:
+        f.write("l3\nl4\n")
+    assert run_until(4) == ["l1", "l2", "l3", "l4"]  # no dupes, no loss
