@@ -394,28 +394,99 @@ def defragment_text(
 # ---------------------------------------------------------------------------
 
 
-def compress_content(df: DataFrame, mode: str = "compress", fmt: str = "gzip") -> DataFrame:
-    """CompressContent (CompressContent.cpp:68): gzip only (the other
-    libarchive formats aren't in the container). Binary-safe via
-    Pandas UDF over Arrow batches.
-    """
-    import gzip
+#: CompressContent format registry. The reference supports gzip, lzma,
+#: xz-lzma2 and bzip2 via libarchive (CompressContent.h:48-98); here each
+#: maps to a stdlib codec.  "lzma" is the legacy raw/alone container
+#: (FORMAT_ALONE), "xz-lzma2" the modern .xz container.
+_COMPRESS_MIME = {
+    "gzip": "application/gzip",
+    "bzip2": "application/x-bzip2",
+    "lzma": "application/x-lzma",
+    "xz-lzma2": "application/x-xz",
+}
+_COMPRESS_MAGIC = [
+    (b"\x1f\x8b", "gzip"),
+    (b"BZh", "bzip2"),
+    (b"\xfd7zXZ\x00", "xz-lzma2"),
+    (b"\x5d\x00\x00", "lzma"),
+]
 
+
+def _codec(fmt: str):
+    import bz2
+    import gzip
+    import lzma
+
+    if fmt == "gzip":
+        return gzip.compress, gzip.decompress
+    if fmt == "bzip2":
+        return bz2.compress, bz2.decompress
+    if fmt == "lzma":
+        return (
+            lambda b: lzma.compress(b, format=lzma.FORMAT_ALONE),
+            lambda b: lzma.decompress(b, format=lzma.FORMAT_ALONE),
+        )
+    if fmt == "xz-lzma2":
+        return (
+            lambda b: lzma.compress(b, format=lzma.FORMAT_XZ),
+            lambda b: lzma.decompress(b, format=lzma.FORMAT_XZ),
+        )
+    raise NotImplementedError(f"unknown CompressContent format {fmt!r}")
+
+
+def compress_content(
+    df: DataFrame,
+    mode: str = "compress",
+    fmt: str = "gzip",
+    update_mime: bool = False,
+) -> DataFrame:
+    """CompressContent (CompressContent.cpp:68; formats CompressContent.h:48-98):
+    gzip / bzip2 / lzma / xz-lzma2, compress or decompress. Binary-safe via
+    Pandas UDF over Arrow batches. ``fmt='auto'`` on decompress sniffs the
+    codec per record from magic bytes (the reference's mime-detect mode);
+    ``update_mime`` maintains the ``mime.type`` attribute like the reference.
+    """
     from pyspark.sql.types import BinaryType
 
-    def _gz(s):
-        if mode == "compress":
-            return s.map(lambda x: gzip.compress(x if isinstance(x, bytes) else str(x).encode()))
-        return s.map(lambda x: gzip.decompress(bytes(x)))
+    if mode == "compress":
+        comp, _ = _codec(fmt)
+
+        def _run(s):
+            return s.map(lambda x: comp(x if isinstance(x, bytes) else str(x).encode()))
+
+    elif fmt == "auto":
+
+        def _sniff(b):
+            b = bytes(b)
+            for magic, name in _COMPRESS_MAGIC:
+                if b.startswith(magic):
+                    return _codec(name)[1](b)
+            return b  # pass through unrecognized payloads (reference routes to failure)
+
+        def _run(s):
+            return s.map(_sniff)
+
+    else:
+        _, decomp = _codec(fmt)
+
+        def _run(s):
+            return s.map(lambda x: decomp(bytes(x)))
 
     # lambda-style registration: `from __future__ import annotations`
     # stringifies hints, which pandas_udf can't resolve
-    gz = F.pandas_udf(_gz, BinaryType())
+    run = F.pandas_udf(_run, BinaryType())
 
-    if fmt != "gzip":
-        raise NotImplementedError(f"only gzip is available in this environment, not {fmt}")
     col = F.col("content").cast("binary") if mode == "compress" else F.col("content")
-    out = df.withColumn("content", gz(col))
+    out = df.withColumn("content", run(col))
     if mode == "decompress":
         out = out.withColumn("content", F.col("content").cast("string"))
+    if update_mime and "attributes" in df.columns:
+        mime = _COMPRESS_MIME.get(fmt, "application/octet-stream")
+        out = out.withColumn(
+            "attributes",
+            F.map_concat(
+                F.map_filter(F.col("attributes"), lambda k, _: k != F.lit("mime.type")),
+                F.create_map(F.lit("mime.type"), F.lit(mime)),
+            ),
+        )
     return out

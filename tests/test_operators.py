@@ -309,9 +309,20 @@ def test_defragment_text_start_pattern(spark):
 
 def test_compress_roundtrip(spark):
     ff = make_ff(spark, [("1", "squeeze me", {})])
-    comp = ops.compress_content(ff, "compress")
-    out = ops.compress_content(comp, "decompress")
-    assert out.collect()[0]["content"] == "squeeze me"
+    for fmt in ("gzip", "bzip2", "lzma", "xz-lzma2"):
+        comp = ops.compress_content(ff, "compress", fmt=fmt)
+        out = ops.compress_content(comp, "decompress", fmt=fmt)
+        assert out.collect()[0]["content"] == "squeeze me", fmt
+
+
+def test_compress_auto_detect_and_mime(spark):
+    ff = make_ff(spark, [("1", "sniff me", {"mime.type": "text/plain"})])
+    for fmt in ("gzip", "bzip2", "xz-lzma2", "lzma"):
+        comp = ops.compress_content(ff, "compress", fmt=fmt, update_mime=True)
+        row = comp.collect()[0]
+        assert dict(row["attributes"])["mime.type"] == ops.text._COMPRESS_MIME[fmt]
+        out = ops.compress_content(comp, "decompress", fmt="auto")
+        assert out.collect()[0]["content"] == "sniff me", fmt
 
 
 # -- Rolling window -----------------------------------------------------------
