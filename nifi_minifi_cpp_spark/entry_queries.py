@@ -332,6 +332,319 @@ def rollup_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cents(col) -> "F.Column":
+    """Quantize a 2-decimal monetary expression to exact integer cents so
+    SUMs are order-independent (Spark segment-tree vs DuckDB sequential
+    float accumulation differ in ulps on boundary values)."""
+    return F.round(col * 100).cast("long")
+
+
+@_register(
+    "q5_regional_supplier_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a local-supplier equi-constraint.
+    Scale plan: lineitem⋈orders⋈customer shuffle on their keys;
+    supplier/nation/region are broadcast (supplier is the largest at
+    ~10 MB/SF — still broadcastable at SF100); the region filter prunes
+    the broadcast side before the join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(sn),
+            (li.l_suppkey == sn.s_suppkey) & (c.c_nationkey == sn.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@_register(
+    "q6_revenue_forecast",
+    """
+    SELECT round(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0, 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate. All three predicates
+    push to the parquet scan (min/max row-group pruning); the global sum
+    is a two-stage partial+final agg with no shuffle of data rows. Sum is
+    quantized to exact cents — a single global float sum over 100 TB is
+    the worst case for accumulation-order divergence."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))) / 100.0, 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_register(
+    "q11_valuable_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT) AS val_cents
+      FROM lineitem
+    )
+    SELECT l_partkey, round(sum(val_cents) / 100.0, 2) AS part_value
+    FROM pv
+    GROUP BY l_partkey
+    HAVING sum(val_cents) >
+           (SELECT 1.5 * sum(val_cents) / count(DISTINCT l_partkey) FROM pv)
+    """,
+)
+def q11_valuable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group-by with a HAVING against a global-total
+    scalar subquery. The per-key aggregate is one shuffle; the scalar
+    total is a broadcast of one row (crossJoin of a 1-row DF), not a
+    driver collect — the same plan works at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.select(
+        "l_partkey",
+        (_cents(F.col("l_extendedprice")) * F.col("l_quantity").cast("long")).alias("val_cents"),
+    )
+    per_part = pv.groupBy("l_partkey").agg(F.sum("val_cents").alias("sum_cents"))
+    total = pv.agg(
+        (1.5 * F.sum("val_cents") / F.count_distinct(F.col("l_partkey"))).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("sum_cents") > F.col("threshold"))
+        .select("l_partkey", F.round(F.col("sum_cents") / 100.0, 2).alias("part_value"))
+    )
+
+
+@_register(
+    "q12_priority_by_linestatus",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional counts. The shipdate
+    filter lands on the lineitem scan before the shuffle join on orderkey."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q14_promo_revenue_pct",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                              ELSE 0 END)
+                   / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)),
+             4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim join + conditional-ratio aggregate.
+    Both sums are exact integer cents, so the final double division is
+    bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.try_divide(
+                    100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev_cents).otherwise(F.lit(0))),
+                    F.sum(rev_cents),
+                ),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@_register(
+    "q18_large_quantity_orders",
+    """
+    SELECT c_name, o.o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_total,
+           big.total_qty AS total_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250) big
+      JOIN orders o ON big.l_orderkey = o.o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered grouped fact, joined back to its
+    dimensions. The heavy step is the lineitem groupBy (one shuffle);
+    the surviving ~1% of orders is broadcast into the orders/customer
+    joins so no second full shuffle of the fact tables happens."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(big), big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("o_total"),
+            "total_qty",
+        )
+    )
+
+
+@_register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0, 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    clauses across the join. Catalyst extracts the common
+    brand-IN/size/quantity envelope to both scans; the residual OR is
+    evaluated post-join in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    clause = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(clause).agg(
+        F.round(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0, 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_custs,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) >
+          (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average filter (scalar subquery) + anti
+    join against the fact table (customers who never placed an URGENT
+    order). The average is computed over exact integer cents so the
+    threshold double is bit-identical across engines; the anti join
+    shuffles on custkey, and the priority filter lands on the orders
+    scan before the shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_cents = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(_cents(F.col("c_acctbal"))).alias("avg_cents"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_cents))
+        .filter(_cents(F.col("c_acctbal")) > F.col("avg_cents"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
 # ===========================================================================
 # Routing / EL / attribute operators over events
 # ===========================================================================
