@@ -1194,6 +1194,56 @@ def jolt_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "jolt_chain_events",
+    """
+    SELECT event_id,
+           event_type                           AS etype,
+           json_extract_string(props, '$.k')    AS k0,
+           'events'                             AS src,
+           CAST(user_id AS VARCHAR)             AS who_id
+    FROM events
+    """,
+)
+def jolt_chain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Jolt DSL (functions.jolt — parity with the reference's
+    JoltUtils.cpp interpreter): wildcard shift with & back-reference,
+    default, cardinality, sort, chained. The oracle checks the scalars
+    extracted from the transformed document, not the JSON text, so key
+    order / whitespace conventions don't matter. Arrow-batched UDF: the
+    only Python hot path in the registry that can't compile to columns."""
+    from .functions import jolt_transform_json
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.from_json("props", "k string").alias("props"),
+                F.col("event_type"),
+                F.col("user_id"),
+            )
+        ).alias("content"),
+    )
+    chain = [
+        {
+            "operation": "shift",
+            "spec": {"props": {"*": "meta.&"}, "event_type": "etype", "user_id": "who.id"},
+        },
+        {"operation": "default", "spec": {"meta": {"src": "events"}}},
+        {"operation": "cardinality", "spec": {"meta": {"k": "MANY"}}},
+        {"operation": "sort"},
+    ]
+    out = jolt_transform_json(base, chain)
+    return out.select(
+        "event_id",
+        F.get_json_object("content", "$.etype").alias("etype"),
+        F.get_json_object("content", "$.meta.k[0]").alias("k0"),
+        F.get_json_object("content", "$.meta.src").alias("src"),
+        F.get_json_object("content", "$.who.id").alias("who_id"),
+    )
+
+
+@_register(
     "incremental_scan_tail",
     """
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders

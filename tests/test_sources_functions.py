@@ -154,3 +154,65 @@ def test_record_transform_class(spark):
     df = spark.createDataFrame([(1, "x")], "id int, v string")
     out = fx.apply_record_transform(df, Upper(), "id int, v string")
     assert out.first()["v"] == "X"
+
+
+# -- Full Jolt DSL (functions.jolt) ------------------------------------------
+
+
+def test_jolt_engine_classic_shift():
+    # the canonical bazaarvoice shift example: wildcard + & + $
+    data = {"rating": {"primary": {"value": 3}, "quality": {"value": 3, "max": 5}}}
+    spec = {
+        "rating": {
+            "primary": {"value": "Rating"},
+            "*": {
+                "value": "SecondaryRatings.&1.Value",
+                "max": "SecondaryRatings.&1.MaxLabel",
+                "$": "SecondaryRatings.&.Id",
+            },
+        }
+    }
+    assert fx.jolt_shift(data, spec) == {
+        "Rating": 3,
+        "SecondaryRatings": {"quality": {"Value": 3, "MaxLabel": 5, "Id": "quality"}},
+    }
+
+
+def test_jolt_engine_wildcard_groups_arrays():
+    assert fx.jolt_shift(
+        {"entities": {"user-123": "alice", "user-456": "bob"}},
+        {"entities": {"user-*": "users.&(0,1)"}},
+    ) == {"users": {"123": "alice", "456": "bob"}}
+    assert fx.jolt_shift({"a": 1, "b": 2, "c": 3}, {"*": "all[]"}) == {"all": [1, 2, 3]}
+    assert fx.jolt_shift(
+        {"items": [{"id": 1}, {"id": 2}]}, {"items": {"*": {"id": "ids[&1]"}}}
+    ) == {"ids": [1, 2]}
+
+
+def test_jolt_engine_chainr():
+    chain = [
+        {"operation": "shift", "spec": {"z": "out.z", "k": "out.k", "junk": "trash"}},
+        {"operation": "default", "spec": {"out": {"filled": "yes"}}},
+        {"operation": "remove", "spec": {"trash": ""}},
+        {"operation": "cardinality", "spec": {"out": {"k": "MANY"}}},
+        {"operation": "sort"},
+    ]
+    assert fx.jolt_chainr({"z": 9, "k": "v", "junk": True}, chain) == {
+        "out": {"filled": "yes", "k": ["v"], "z": 9}
+    }
+
+
+def test_jolt_transform_json_dataframe(spark):
+    import json
+
+    df = spark.createDataFrame(
+        [(json.dumps({"rating": {"quality": {"value": 4, "max": 5}}}),), ("not json",)],
+        "content string",
+    )
+    out = fx.jolt_transform_json(
+        df,
+        {"rating": {"*": {"value": "ratings.&1"}}},
+    )
+    rows = [r["content"] for r in out.collect()]
+    assert json.loads(rows[0]) == {"ratings": {"quality": 4}}
+    assert rows[1] is None  # unparseable -> failure route (null content)
