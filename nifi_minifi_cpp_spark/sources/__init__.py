@@ -3,7 +3,13 @@
 
 from .convert_record import convert_record
 from .fetch_file import ListFileState, fetch_file, list_file
-from .datasource import TailFileDataSource, register_tailfile
+from .datasource import (
+    ListenTCPDataSource,
+    ListenUDPDataSource,
+    TailFileDataSource,
+    register_listeners,
+    register_tailfile,
+)
 from .tail_file import TailFile
 from .incremental import IncrementalTableScan, jdbc_table_reader, parquet_table_reader
 from .sql import execute_sql, put_sql
@@ -21,4 +27,7 @@ __all__ = [
     "ListFileState",
     "TailFileDataSource",
     "register_tailfile",
+    "register_listeners",
+    "ListenUDPDataSource",
+    "ListenTCPDataSource",
 ]

@@ -122,3 +122,167 @@ class TailFileDataSource(DataSource):
 
 def register_tailfile(spark) -> None:
     spark.dataSource.register(TailFileDataSource)
+
+
+# ===========================================================================
+# ListenUDP / ListenTCP — network listener streaming sources
+# ===========================================================================
+#
+# Parity: ListenUDP.cpp:57 / ListenTCP.cpp:65 over the shared
+# NetworkListenerProcessor.cpp:29 (one FlowFile per message, bounded
+# `max.queue.size`, drop-on-overflow). The asio server loop becomes a
+# daemon receiver thread feeding a bounded deque; each micro-batch
+# drains the queue. Offsets count consumed messages; a bounded replay
+# cache backs readBetweenOffsets (network data is not re-fetchable —
+# same no-replay caveat as Spark's built-in socket source). Like the
+# reference edge agent, one listener instance owns one port; scale-out
+# is many ports/agents or fronting with Kafka (SURVEY §2.1).
+
+LISTEN_SCHEMA = StructType(
+    [
+        StructField("sender", StringType()),
+        StructField("message", StringType()),
+        StructField("offset", LongType()),
+    ]
+)
+
+
+class _ListenStreamReader(SimpleDataSourceStreamReader):
+    """Shared machinery for the UDP and TCP listener sources."""
+
+    proto = "udp"
+
+    def __init__(self, options):
+        self.port = int(options.get("port", "0") or "0")
+        if not self.port:
+            raise ValueError(f"{self.proto}listen source requires option 'port'")
+        self.host = options.get("host", "127.0.0.1")
+        self.max_queue = int(options.get("max.queue.size", "10000"))
+        self.delimiter = options.get("delimiter", "\n")
+        self._queue = None
+        self._count = 0
+        self._replay: dict[tuple[int, int], list] = {}
+        self._replay_order: list[tuple[int, int]] = []
+
+    # -- receiver -----------------------------------------------------------
+
+    def _ensure_listener(self):
+        if self._queue is not None:
+            return
+        import collections
+        import threading
+
+        self._queue = collections.deque()
+        self._lock = threading.Lock()
+        t = threading.Thread(target=self._serve, daemon=True, name=f"{self.proto}listen-{self.port}")
+        t.start()
+
+    def _push(self, sender: str, message: str):
+        with self._lock:
+            if len(self._queue) >= self.max_queue:
+                self._queue.popleft()  # drop-oldest, bounded like max.queue.size
+            self._queue.append((sender, message))
+
+    def _serve(self):  # pragma: no cover - exercised via the stream tests
+        import socket
+
+        if self.proto == "udp":
+            sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            sock.bind((self.host, self.port))
+            while True:
+                data, addr = sock.recvfrom(65535)
+                self._push(addr[0], data.decode("utf-8", errors="replace"))
+        else:
+            import threading
+
+            srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            srv.bind((self.host, self.port))
+            srv.listen()
+            delim = self.delimiter.encode()
+
+            def handle(conn, addr):
+                buf = b""
+                with conn:
+                    while True:
+                        chunk = conn.recv(65536)
+                        if not chunk:
+                            break
+                        buf += chunk
+                        while delim in buf:
+                            line, buf = buf.split(delim, 1)
+                            self._push(addr[0], line.decode("utf-8", errors="replace"))
+
+            while True:
+                conn, addr = srv.accept()
+                threading.Thread(target=handle, args=(conn, addr), daemon=True).start()
+
+    # -- streaming-source contract -----------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"count": 0}
+
+    def read(self, start: dict):
+        self._ensure_listener()
+        with self._lock:
+            batch = list(self._queue)
+            self._queue.clear()
+        base = int(start.get("count", 0))
+        rows = [(sender, msg, base + i) for i, (sender, msg) in enumerate(batch)]
+        end = base + len(rows)
+        if rows:
+            key = (base, end)
+            self._replay[key] = rows
+            self._replay_order.append(key)
+            if len(self._replay_order) > 64:  # bound driver memory
+                self._replay.pop(self._replay_order.pop(0), None)
+        return iter(rows), {"count": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        s, e = int(start.get("count", 0)), int(end.get("count", 0))
+        rows = self._replay.get((s, e))
+        if rows is None:  # best effort: stitch from retained sub-ranges
+            rows = [
+                r
+                for (ks, ke), cached in sorted(self._replay.items())
+                if ks >= s and ke <= e
+                for r in cached
+            ]
+        return iter(rows)
+
+
+class _UdpListenReader(_ListenStreamReader):
+    proto = "udp"
+
+
+class _TcpListenReader(_ListenStreamReader):
+    proto = "tcp"
+
+
+class ListenUDPDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "udplisten"
+
+    def schema(self):
+        return LISTEN_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return _UdpListenReader(self.options)
+
+
+class ListenTCPDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tcplisten"
+
+    def schema(self):
+        return LISTEN_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return _TcpListenReader(self.options)
+
+
+def register_listeners(spark) -> None:
+    spark.dataSource.register(ListenUDPDataSource)
+    spark.dataSource.register(ListenTCPDataSource)

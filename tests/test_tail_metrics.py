@@ -179,3 +179,78 @@ def test_tailfile_datasource_live_and_recovery(spark, tmp_path):
     with open(log, "a") as f:
         f.write("l3\nl4\n")
     assert run_until(4) == ["l1", "l2", "l3", "l4"]  # no dupes, no loss
+
+
+def test_listen_udp_tcp_sources(spark, tmp_path):
+    """readStream.format('udplisten'/'tcplisten'): one row per
+    datagram/delimited message, sender attribution, monotonic offsets
+    (ListenUDP.cpp:57 / ListenTCP.cpp:65 parity)."""
+    import socket
+    import time
+
+    from nifi_minifi_cpp_spark.sources.datasource import register_listeners
+
+    register_listeners(spark)
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    # --- UDP ---------------------------------------------------------------
+    uport = free_port()
+    udf = spark.readStream.format("udplisten").option("port", str(uport)).load()
+    q = udf.writeStream.format("memory").queryName("udp_rows").start()
+    try:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        deadline = time.time() + 60
+        sent = set()
+        i = 0
+        # listener thread starts with the first micro-batch; keep sending
+        # until rows land (UDP pre-bind datagrams are droppable by design)
+        while time.time() < deadline:
+            msg = f"dgram-{i}"
+            tx.sendto(msg.encode(), ("127.0.0.1", uport))
+            sent.add(msg)
+            i += 1
+            rows = spark.sql("SELECT * FROM udp_rows").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM udp_rows").collect()
+        assert len(rows) >= 3
+        assert all(r["sender"] == "127.0.0.1" for r in rows)
+        assert {r["message"] for r in rows} <= sent
+        assert sorted(r["offset"] for r in rows) == list(range(len(rows)))
+    finally:
+        q.stop()
+
+    # --- TCP ---------------------------------------------------------------
+    tport = free_port()
+    tdf = spark.readStream.format("tcplisten").option("port", str(tport)).load()
+    q2 = tdf.writeStream.format("memory").queryName("tcp_rows").start()
+    try:
+        deadline = time.time() + 60
+        connected = False
+        while time.time() < deadline and not connected:
+            try:
+                c = socket.create_connection(("127.0.0.1", tport), timeout=1)
+                connected = True
+            except OSError:
+                time.sleep(0.5)
+        assert connected, "tcp listener never came up"
+        c.sendall(b"alpha\nbeta\ngam")
+        c.sendall(b"ma\n")
+        c.close()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM tcp_rows").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+        msgs = sorted(r["message"] for r in spark.sql("SELECT * FROM tcp_rows").collect())
+        assert msgs == ["alpha", "beta", "gamma"]
+    finally:
+        q2.stop()
