@@ -154,6 +154,110 @@ def knn_join_lsh(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 64,
+    embedding_col: str = "embedding",
+    sample_rows: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Spherical k-means coarse quantizer for an IVF index.
+
+    Training runs on a BOUNDED driver-side sample (``sample_rows``
+    rows regardless of table size — at 100 TB the sample is still
+    ~100k × dim floats), then the centroid matrix is broadcast for
+    distributed assignment. Returns a unit-normalized ndarray of
+    shape (n_cells, dim).
+    """
+    import numpy as np
+
+    total = df.count()
+    fraction = min(1.0, (sample_rows * 1.1) / max(total, 1))
+    sample = (
+        df.select(embedding_col).sample(fraction=fraction, seed=seed).limit(sample_rows).collect()
+    )
+    mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1.0, norms)
+
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    embedding_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Assign every row to its nearest centroid (max cosine). One
+    Arrow-batched matmul per batch; the centroid matrix rides the
+    closure broadcast. Persisting the result partitioned/bucketed by
+    ``cell_col`` turns probe-time cell filters into partition pruning.
+    """
+    import numpy as np
+    from pyspark.sql.types import IntegerType
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def assign(s):
+        def one(vec):
+            v = np.asarray(vec, dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0:
+                v = v / n
+            return int(np.argmax(cent @ v))
+
+        return s.map(one)
+
+    udf = F.pandas_udf(assign, IntegerType())
+    return df.withColumn(cell_col, udf(F.col(embedding_col)))
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 8,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVF probe search: rank cells by centroid·query on the driver
+    (n_cells floats — trivial), scan only the ``nprobe`` best cells,
+    exact cosine within. With nprobe = n_cells this degrades to exact
+    brute force; with nprobe « n_cells it scans ~nprobe/n_cells of the
+    data — the 100 TB scale path alongside the SRP-LSH join.
+    """
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    probe_cells = [int(c) for c in np.argsort(-(cent @ q))[:nprobe]]
+    return cosine_topk(
+        indexed.filter(F.col(cell_col).isin(probe_cells)),
+        query_vec,
+        k=k,
+        embedding_col=embedding_col,
+        id_col=id_col,
+    )
+
+
 def knn_join_exact(
     queries: DataFrame,
     corpus: DataFrame,

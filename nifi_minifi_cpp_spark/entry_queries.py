@@ -1028,6 +1028,32 @@ def cosine_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ivf_topk_vec0",
+    """
+    SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS score
+    FROM embeddings, (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ivf_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path (analytics.similarity): spherical-k-means
+    coarse quantizer trained on a bounded sample, distributed cell
+    assignment, probe search. Run here with nprobe = n_cells, which
+    must DEGRADE EXACTLY to brute force — so the whole index/assign/
+    probe machinery sits behind the same DuckDB oracle as the exact
+    query. (Pruned-nprobe recall is covered in test_analytics.)"""
+    from .analytics import ivf_assign, ivf_topk, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    cent = train_ivf_centroids(emb, n_cells=16, sample_rows=2000, seed=7)
+    indexed = ivf_assign(emb, cent)
+    top = ivf_topk(indexed, cent, q, k=10, nprobe=16)
+    return top.select("vec_id", F.round(F.col("score"), 6).alias("score"))
+
+
+@_register(
     "knn_exact_10x3",
     """
     SELECT query_id, neighbor_id, rank FROM (

@@ -114,6 +114,31 @@ def test_knn_lsh_recall(spark, tables):
     assert recall > 0.2
 
 
+def test_ivf_index_and_search(spark, tables):
+    emb = tables["embeddings"]
+    q = list(emb.orderBy("vec_id").first()["embedding"])
+    cent = an.train_ivf_centroids(emb, n_cells=16, sample_rows=1000, seed=7)
+    indexed = emb.transform(lambda d: an.ivf_assign(d, cent)).cache()
+    try:
+        # every row lands in a valid cell
+        cells = indexed.select("ivf_cell").distinct().collect()
+        assert all(0 <= r["ivf_cell"] < 16 for r in cells)
+        # nprobe = n_cells degrades to exact brute force
+        exact = [(r["vec_id"], round(r["score"], 9)) for r in an.cosine_topk(emb, q, k=5).collect()]
+        full = [
+            (r["vec_id"], round(r["score"], 9))
+            for r in an.ivf_topk(indexed, cent, q, k=5, nprobe=16).collect()
+        ]
+        assert full == exact
+        # pruned probe keeps good recall (self cell always probed first)
+        pruned = an.ivf_topk(indexed, cent, q, k=5, nprobe=4).collect()
+        recall = len({r["vec_id"] for r in pruned} & {v for v, _ in exact}) / 5
+        assert pruned[0]["vec_id"] == exact[0][0]  # self hit survives
+        assert recall >= 0.6
+    finally:
+        indexed.unpersist()
+
+
 # -- text analysis ------------------------------------------------------------
 
 
