@@ -12,6 +12,7 @@ from .datasource import (
 )
 from .tail_file import TailFile
 from .incremental import IncrementalTableScan, jdbc_table_reader, parquet_table_reader
+from .process import execute_process
 from .sql import execute_sql, put_sql
 
 __all__ = [
@@ -19,6 +20,7 @@ __all__ = [
     "parquet_table_reader",
     "jdbc_table_reader",
     "execute_sql",
+    "execute_process",
     "put_sql",
     "convert_record",
     "TailFile",

@@ -216,3 +216,23 @@ def test_jolt_transform_json_dataframe(spark):
     rows = [r["content"] for r in out.collect()]
     assert json.loads(rows[0]) == {"ratings": {"quality": 4}}
     assert rows[1] is None  # unparseable -> failure route (null content)
+
+
+# -- ExecuteProcess ----------------------------------------------------------
+
+
+def test_execute_process_whole_and_batched(spark):
+    from nifi_minifi_cpp_spark.sources import execute_process
+
+    whole = execute_process(spark, "printf", ["l1\\nl2\\nl3\\n"])
+    row = whole.collect()[0]
+    assert row["content"] == "l1\nl2\nl3\n"
+    assert dict(row["attributes"])["execution.status"] == "0"
+    assert dict(row["attributes"])["command"] == "printf"
+
+    batched = execute_process(spark, "printf", ["a\\nb\\nc\\n"], batch_lines=2)
+    rows = sorted(batched.collect(), key=lambda r: dict(r["attributes"])["batch.index"])
+    assert [r["content"] for r in rows] == ["a\nb", "c"]
+
+    failing = execute_process(spark, "false")
+    assert dict(failing.collect()[0]["attributes"])["execution.status"] == "1"
