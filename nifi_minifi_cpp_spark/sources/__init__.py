@@ -4,6 +4,7 @@
 from .convert_record import convert_record
 from .fetch_file import ListFileState, fetch_file, list_file
 from .datasource import (
+    ListenHTTPDataSource,
     ListenTCPDataSource,
     ListenUDPDataSource,
     TailFileDataSource,
@@ -32,4 +33,5 @@ __all__ = [
     "register_listeners",
     "ListenUDPDataSource",
     "ListenTCPDataSource",
+    "ListenHTTPDataSource",
 ]

@@ -259,6 +259,41 @@ class _TcpListenReader(_ListenStreamReader):
     proto = "tcp"
 
 
+class _HttpListenReader(_ListenStreamReader):
+    """ListenHTTP (extensions/civetweb/processors/ListenHTTP.cpp:138):
+    the CivetWeb server becomes a stdlib HTTP server on a daemon
+    thread; request body -> message, headers -> a JSON object rider
+    (shredded downstream with from_json, matching the reference's
+    headers->attributes regex option)."""
+
+    proto = "http"
+
+    def _serve(self):  # pragma: no cover - exercised via the stream tests
+        import http.server
+        import json as _json
+
+        reader = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length).decode("utf-8", errors="replace")
+                headers = {k.lower(): v for k, v in self.headers.items()}
+                reader._push(
+                    self.client_address[0],
+                    _json.dumps({"body": body, "headers": headers, "path": self.path}),
+                )
+                self.send_response(200)
+                self.end_headers()
+
+            do_PUT = do_POST
+
+            def log_message(self, *a):
+                pass
+
+        http.server.ThreadingHTTPServer((self.host, self.port), Handler).serve_forever()
+
+
 class ListenUDPDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -283,6 +318,19 @@ class ListenTCPDataSource(DataSource):
         return _TcpListenReader(self.options)
 
 
+class ListenHTTPDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "httplisten"
+
+    def schema(self):
+        return LISTEN_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return _HttpListenReader(self.options)
+
+
 def register_listeners(spark) -> None:
     spark.dataSource.register(ListenUDPDataSource)
     spark.dataSource.register(ListenTCPDataSource)
+    spark.dataSource.register(ListenHTTPDataSource)

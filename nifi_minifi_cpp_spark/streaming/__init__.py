@@ -13,6 +13,8 @@ from .sinks import (
     kafka_sink,
     memory_sink,
     put_file_sink,
+    put_tcp_handler,
+    put_udp_handler,
 )
 from .sources import file_stream, generate_flowfiles, kafka_source, socket_source
 from .stateful import (
@@ -35,6 +37,8 @@ __all__ = [
     "make_bin_packer",
     "make_defragmenter",
     "put_file_sink",
+    "put_udp_handler",
+    "put_tcp_handler",
     "kafka_sink",
     "console_sink",
     "memory_sink",

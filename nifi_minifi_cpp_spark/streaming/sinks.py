@@ -89,3 +89,54 @@ def http_post_handler(
             session.post(url, data=row[content_col], headers={"X-Epoch": str(epoch_id)})
 
     return handler
+
+
+def put_udp_handler(host: str, port: int, content_col: str = "content"):
+    """PutUDP (PutUDP.cpp:54): one datagram per row. Runs
+    per-partition on the EXECUTORS (foreachPartition inside
+    foreachBatch) — no driver collect, each task opens one socket."""
+
+    def handler(batch_df: DataFrame, epoch_id: int) -> None:
+        def send(rows) -> None:
+            import socket
+
+            sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            try:
+                for row in rows:
+                    payload = row[content_col]
+                    if payload is None:
+                        continue
+                    data = payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode()
+                    sock.sendto(data, (host, port))
+            finally:
+                sock.close()
+
+        batch_df.select(content_col).foreachPartition(send)
+
+    return handler
+
+
+def put_tcp_handler(
+    host: str, port: int, content_col: str = "content", delimiter: str = "\n"
+):
+    """PutTCP (PutTCP.cpp:83): delimited messages over one connection
+    per partition per batch, executor-side."""
+
+    def handler(batch_df: DataFrame, epoch_id: int) -> None:
+        def send(rows) -> None:
+            import socket
+
+            sock = socket.create_connection((host, port), timeout=30)
+            try:
+                for row in rows:
+                    payload = row[content_col]
+                    if payload is None:
+                        continue
+                    data = payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode()
+                    sock.sendall(data + delimiter.encode())
+            finally:
+                sock.close()
+
+        batch_df.select(content_col).foreachPartition(send)
+
+    return handler

@@ -298,3 +298,70 @@ def test_watermark_drops_late_data(spark, tmpdir):
     # hour-0 window emitted with the ON-TIME count only; late row dropped
     assert got.get(0) == 2
     assert 99 not in got.values()
+
+
+def test_put_udp_tcp_handlers(spark, tmp_path):
+    """PutUDP/PutTCP foreachBatch handlers: executor-side socket
+    writes, verified against loopback receivers."""
+    import socket
+    import threading
+    import time
+
+    from nifi_minifi_cpp_spark.streaming import put_tcp_handler, put_udp_handler
+
+    # --- receivers ---------------------------------------------------------
+    urx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    urx.bind(("127.0.0.1", 0))
+    urx.settimeout(30)
+    uport = urx.getsockname()[1]
+    udp_got = []
+
+    def drain_udp():
+        while len(udp_got) < 3:
+            try:
+                data, _ = urx.recvfrom(65535)
+                udp_got.append(data.decode())
+            except OSError:
+                return
+
+    trx = socket.socket()
+    trx.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    trx.bind(("127.0.0.1", 0))
+    trx.listen()
+    trx.settimeout(30)
+    tport = trx.getsockname()[1]
+    tcp_got = []
+
+    def drain_tcp():
+        buf = b""
+        while len(tcp_got) < 3:
+            try:
+                conn, _ = trx.accept()
+            except OSError:
+                return
+            with conn:
+                while True:
+                    chunk = conn.recv(65536)
+                    if not chunk:
+                        break
+                    buf += chunk
+                    while b"\n" in buf:
+                        line, buf = buf.split(b"\n", 1)
+                        tcp_got.append(line.decode())
+
+    t1 = threading.Thread(target=drain_udp, daemon=True)
+    t2 = threading.Thread(target=drain_tcp, daemon=True)
+    t1.start()
+    t2.start()
+
+    batch = spark.createDataFrame([("m1",), ("m2",), ("m3",)], "content string")
+    put_udp_handler("127.0.0.1", uport)(batch, 0)
+    put_tcp_handler("127.0.0.1", tport)(batch, 0)
+
+    deadline = time.time() + 30
+    while time.time() < deadline and (len(udp_got) < 3 or len(tcp_got) < 3):
+        time.sleep(0.2)
+    urx.close()
+    trx.close()
+    assert sorted(udp_got) == ["m1", "m2", "m3"]
+    assert sorted(tcp_got) == ["m1", "m2", "m3"]

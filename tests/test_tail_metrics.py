@@ -254,3 +254,49 @@ def test_listen_udp_tcp_sources(spark, tmp_path):
         assert msgs == ["alpha", "beta", "gamma"]
     finally:
         q2.stop()
+
+
+def test_listen_http_source(spark):
+    """readStream.format('httplisten'): POST body + headers -> one row
+    per request (ListenHTTP.cpp:138 parity)."""
+    import json
+    import socket
+    import time
+    import urllib.request
+
+    from nifi_minifi_cpp_spark.sources.datasource import register_listeners
+
+    register_listeners(spark)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    df = spark.readStream.format("httplisten").option("port", str(port)).load()
+    q = df.writeStream.format("memory").queryName("http_rows").start()
+    try:
+        deadline = time.time() + 60
+        posted = 0
+        while time.time() < deadline:
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/ingest",
+                    data=f"payload-{posted}".encode(),
+                    headers={"X-Flow-Id": "f1"},
+                )
+                urllib.request.urlopen(req, timeout=2)
+                posted += 1
+            except OSError:
+                time.sleep(0.5)
+                continue
+            if posted >= 2 and len(spark.sql("SELECT * FROM http_rows").collect()) >= 2:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM http_rows").collect()
+        assert len(rows) >= 2
+        doc = json.loads(rows[0]["message"])
+        assert doc["path"] == "/ingest"
+        assert doc["headers"]["x-flow-id"] == "f1"
+        assert doc["body"].startswith("payload-")
+    finally:
+        q.stop()
