@@ -1454,6 +1454,17 @@ def minhash_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs).select("doc_id")
 
 
+@_register("ngram_jaccard_dedup_kept", None)
+def ngram_jaccard_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dedup: MinHash-LSH candidate pruning, then
+    EXACT Jaccard (array_intersect/array_union on distinct 3-word
+    shingles) verification before dropping. Seeded LSH -> rows-only."""
+    from .analytics import ngram_jaccard_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_dedup(docs, threshold=0.5).select("doc_id")
+
+
 @_register("simhash_signatures", None)
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit signatures (xxhash64-seeded)."""
