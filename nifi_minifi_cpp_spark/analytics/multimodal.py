@@ -54,6 +54,14 @@ def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _stable_hash(b: bytes) -> int:
+    """Process-independent payload hash for the deterministic stubs
+    (builtin hash() is PYTHONHASHSEED-randomized across executors)."""
+    import zlib
+
+    return (zlib.crc32(b) << 31) | zlib.crc32(b[::-1])
+
+
 def _require_real_decoder(what: str):
     raise NotImplementedError(
         f"{what} decoding requires codec libraries (Pillow/ffmpeg/librosa) "
@@ -75,7 +83,7 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
         for pdf in batches:
             if not fake:
                 _require_real_decoder("image")
-            h = pdf["payload"].map(lambda b: hash(bytes(b)) & 0x7FFFFFFFFFFFFFFF)
+            h = pdf["payload"].map(lambda b: _stable_hash(bytes(b)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -98,7 +106,7 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
         for pdf in batches:
             if not fake:
                 _require_real_decoder("audio")
-            h = pdf["payload"].map(lambda b: hash(bytes(b)) & 0x7FFFFFFFFFFFFFFF)
+            h = pdf["payload"].map(lambda b: _stable_hash(bytes(b)))
             n = (h % 480000 + 16000).astype("int64")
             yield pd.DataFrame(
                 {

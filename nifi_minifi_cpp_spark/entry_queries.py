@@ -1465,6 +1465,31 @@ def ngram_jaccard_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_dedup(docs, threshold=0.5).select("doc_id")
 
 
+@_register("multimodal_features_frames", None)
+def multimodal_features_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (analytics.multimodal): opaque
+    binary payload + typed metadata -> Arrow-batched feature extraction
+    (deterministic stub codec) -> frame-sample fan-out (UDTF shape) ->
+    per-media join + aggregate. Rows-only: the stub features are
+    crc32-derived, not SQL-semantic; the real cluster swaps the codec."""
+    from .analytics.multimodal import (
+        documents_as_media,
+        extract_image_features,
+        sample_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = documents_as_media(docs)
+    feats = extract_image_features(media, fake=True)
+    frames = sample_video_frames(media, every_s=0.5, max_frames=4, fake=True)
+    frame_counts = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"), F.max("frame_ts_s").alias("max_ts")
+    )
+    return feats.join(frame_counts, "media_id").select(
+        "media_id", "width", "height", "mean_luma", "n_frames", "max_ts"
+    )
+
+
 @_register("simhash_signatures", None)
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit signatures (xxhash64-seeded)."""
