@@ -9,13 +9,13 @@ operations ``shift`` / ``default`` / ``remove`` / ``cardinality`` /
 
 Supported spec surface:
 - shift: literal keys, ``a|b`` alternation, ``*`` wildcard,
-  ``&`` / ``&n`` / ``&(n,k)`` back-references (LHS and RHS), ``$`` to
-  emit the matched key as a value, RHS array writes ``path[]`` /
-  ``path[&n]`` / ``path[3]``, multiple destinations via list RHS.
+  ``&`` / ``&n`` / ``&(n,k)`` back-references (LHS and RHS),
+  ``$`` / ``$n`` / ``$(n,k)`` matched-key emission, ``@`` / ``@path`` /
+  ``@(n,path)`` value back-references, ``#literal`` synthetic values,
+  RHS array writes ``path[]`` / ``path[&n]`` / ``path[3]``, multiple
+  destinations via list RHS.
 - default / remove / cardinality: nested specs with ``*``.
 - sort: recursive key sort.
-Not implemented (documented gap, rare in practice): ``@(n,path)``
-value back-references and ``#`` synthetic keys.
 
 Execution model: Jolt is an arbitrary tree-to-tree rewrite, beyond
 what Catalyst expressions can express for wildcard specs — so the
@@ -150,19 +150,71 @@ def _rhs_tokens(rhs: str, stack: list[_Match]) -> list[tuple[str, int | str | No
 # ---------------------------------------------------------------------------
 
 
-def _shift_walk(spec: dict, data: Any, stack: list[_Match], out: dict) -> None:
+def _resolve_dollar(token: str, stack: list[_Match]) -> str:
+    """``$`` / ``$n`` / ``$(n,k)`` — the key (or wildcard group k)
+    matched n levels up the stack."""
+    if token == "":
+        n, k = 0, 0
+    elif token.startswith("("):
+        inner = token[1:-1]
+        n_s, _, k_s = inner.partition(",")
+        n, k = int(n_s), int(k_s or "0")
+    else:
+        n, k = int(token), 0
+    frame = stack[-1 - n]
+    return frame.groups[k] if k < len(frame.groups) else frame.key
+
+
+def _resolve_at(token: str, data_stack: list[Any]) -> Any:
+    """``@`` / ``@path`` / ``@(n,path)`` — the input VALUE at this
+    level (optionally n levels up, optionally descending a dot path)."""
+    if token == "":
+        return data_stack[-1]
+    if token.startswith("("):
+        inner = token[1:-1]
+        n_s, _, path = inner.partition(",")
+        node = data_stack[-1 - int(n_s)]
+    else:
+        node, path = data_stack[-1], token
+    for seg in path.split(".") if path else []:
+        if isinstance(node, dict) and seg in node:
+            node = node[seg]
+        elif isinstance(node, list) and seg.isdigit() and int(seg) < len(node):
+            node = node[int(seg)]
+        else:
+            return None
+    return node
+
+
+def _shift_walk(
+    spec: dict, data: Any, stack: list[_Match], data_stack: list[Any], out: dict
+) -> None:
+    # sigil keys operate on the CURRENT node before key matching
+    for spec_key, sub in spec.items():
+        if spec_key.startswith("$"):
+            val = _resolve_dollar(spec_key[1:], stack)
+        elif spec_key.startswith("@"):
+            val = _resolve_at(spec_key[1:], data_stack)
+        elif spec_key.startswith("#"):
+            val = spec_key[1:]  # synthetic literal value
+        else:
+            continue
+        for rhs in sub if isinstance(sub, list) else [sub]:
+            if isinstance(rhs, str):
+                _write_output(out, _rhs_tokens(rhs, stack), val)
+
     if not isinstance(data, dict):
         # arrays are addressed with numeric string keys, per Jolt
         if isinstance(data, list):
             data = {str(i): v for i, v in enumerate(data)}
         else:
             return
+    # most-specific match wins: literal > alternation > wildcard
+    candidates = sorted(
+        (k for k in spec if not k.startswith(("$", "@", "#"))),
+        key=lambda k: (0 if ("*" not in k and "|" not in k and "&" not in k) else (1 if "*" not in k else 2)),
+    )
     for data_key, value in data.items():
-        # most-specific match wins: literal > alternation > wildcard
-        candidates = sorted(
-            spec.keys(),
-            key=lambda k: (0 if ("*" not in k and "|" not in k and "&" not in k) else (1 if "*" not in k else 2)),
-        )
         for spec_key in candidates:
             lhs = _resolve_amp(spec_key, stack) if "&" in spec_key else spec_key
             groups = _match_key(lhs, data_key)
@@ -170,13 +222,10 @@ def _shift_walk(spec: dict, data: Any, stack: list[_Match], out: dict) -> None:
                 continue
             sub = spec[spec_key]
             stack.append(_Match(data_key, groups))
+            data_stack.append(value)
             try:
                 if isinstance(sub, dict):
-                    dollar = sub.get("$")
-                    if dollar is not None:
-                        for rhs in dollar if isinstance(dollar, list) else [dollar]:
-                            _write_output(out, _rhs_tokens(rhs, stack), data_key)
-                    _shift_walk(sub, value, stack, out)
+                    _shift_walk(sub, value, stack, data_stack, out)
                 elif sub is None:
                     pass  # explicit null RHS: drop the value
                 else:
@@ -184,12 +233,13 @@ def _shift_walk(spec: dict, data: Any, stack: list[_Match], out: dict) -> None:
                         _write_output(out, _rhs_tokens(rhs, stack), value)
             finally:
                 stack.pop()
+                data_stack.pop()
             break  # first (most specific) matching spec key consumes the data key
 
 
 def jolt_shift(data: Any, spec: dict) -> Any:
     out: dict = {}
-    _shift_walk(spec, data, [_Match("root", ["root"])], out)
+    _shift_walk(spec, data, [_Match("root", ["root"])], [data], out)
     return out
 
 

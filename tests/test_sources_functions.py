@@ -236,3 +236,28 @@ def test_execute_process_whole_and_batched(spark):
 
     failing = execute_process(spark, "false")
     assert dict(failing.collect()[0]["attributes"])["execution.status"] == "1"
+
+
+def test_jolt_engine_sigils():
+    # @ copies the current value; @path descends; #literal writes text
+    data = {"order": {"id": 7, "items": {"a": 1}, "cust": {"name": "kim"}}}
+    spec = {
+        "order": {
+            "@": "raw_order",
+            "@cust.name": "who",
+            "#manual": "source",
+            "id": "order_id",
+        }
+    }
+    out = fx.jolt_shift(data, spec)
+    assert out == {
+        "raw_order": data["order"],
+        "who": "kim",
+        "source": "manual",
+        "order_id": 7,
+    }
+    # $(n,k): matched wildcard group from an outer level
+    data2 = {"svc-web": {"metrics": {"cpu": 10}}}
+    spec2 = {"svc-*": {"metrics": {"*": {"$0": "by_metric.&.service[]", "@": "by_metric.&.v"}}}}
+    out2 = fx.jolt_shift(data2, spec2)
+    assert out2 == {"by_metric": {"cpu": {"service": ["cpu"], "v": 10}}}
