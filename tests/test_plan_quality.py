@@ -68,3 +68,50 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
     plan = plan_of(li)
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_q6_scan_agg_no_join_shuffle(spark, sf_dir):
+    """Q6 is scan+filter+global agg: all predicates pushed, no
+    hash-partition exchange of data rows (only the 1-row final agg)."""
+    df = entry.queries()["q6_revenue_forecast"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    """supplier/nation/region ride broadcast joins; no SortMergeJoin."""
+    plan = plan_of(entry.queries()["q5_regional_supplier_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q18_broadcasts_having_result(spark, sf_dir):
+    """The HAVING-filtered order set is broadcast back into the join."""
+    plan = plan_of(entry.queries()["q18_large_quantity_orders"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_with_scalar_broadcast(spark, sf_dir):
+    plan = plan_of(entry.queries()["q22_idle_rich_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivf_probe_partition_prunes(spark, sf_dir, tmp_path):
+    """The 100 TB deployment shape: the IVF index is PERSISTED
+    partitioned by cell, so the nprobe filter becomes partition
+    pruning — probe queries scan nprobe/n_cells of the data."""
+    from nifi_minifi_cpp_spark.analytics import ivf_assign, ivf_topk, train_ivf_centroids
+    from nifi_minifi_cpp_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cent = train_ivf_centroids(emb, n_cells=8, sample_rows=500, seed=3)
+    idx_path = str(tmp_path / "ivf_index")
+    ivf_assign(emb, cent).write.partitionBy("ivf_cell").parquet(idx_path)
+    indexed = spark.read.parquet(idx_path)
+    q = list(emb.first()["embedding"])
+    plan = plan_of(ivf_topk(indexed, cent, q, k=5, nprobe=2))
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1][:120]
+    assert "TakeOrderedAndProject" in plan
