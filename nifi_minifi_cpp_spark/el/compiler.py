@@ -166,7 +166,9 @@ def _to_lower(s, a):
 
 @_fn("trim")
 def _trim(s, a):
-    return Typed(F.trim(as_str(s)), STR)
+    # reference trim strips isspace() (StringUtils.cpp:48-56) = Java \s,
+    # not just spaces like Spark's trim()
+    return Typed(F.regexp_replace(as_str(s), r"^\s+|\s+$", ""), STR)
 
 
 @_fn("length")
@@ -489,7 +491,11 @@ def _url_decode(s, a):
 
 @_fn("base64Encode")
 def _base64_encode(s, a):
-    return Typed(F.base64(F.encode(as_str(s), "utf-8")), STR)
+    # Spark's base64 MIME-chunks with CRLF every 76 chars; the reference
+    # emits one unbroken string (Expression.cpp:747) — strip the breaks
+    return Typed(
+        F.regexp_replace(F.base64(F.encode(as_str(s), "utf-8")), r"[\r\n]", ""), STR
+    )
 
 
 @_fn("base64Decode")

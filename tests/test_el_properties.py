@@ -1,0 +1,129 @@
+"""Property-based EL tests (hypothesis): the Catalyst-compiled EL
+functions must agree with a direct Python model of the reference
+semantics (/root/reference/libminifi/src/expression-language/
+Expression.cpp) on arbitrary attribute values — not just the golden
+pairs in test_el.py.
+
+One Spark job evaluates a whole hypothesis batch: examples are
+collected into a single-column DataFrame and all EL expressions are
+evaluated as columns over it, keeping the property runs fast.
+"""
+
+from __future__ import annotations
+
+import base64
+import urllib.parse
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nifi_minifi_cpp_spark.el import el_string
+
+# printable-ish text without NUL (Spark map keys/values are strings;
+# surrogates don't survive the Python<->JVM hop)
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=40,
+)
+
+_SETTINGS = dict(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _batch_eval(spark, values: list[str], exprs: dict[str, str]) -> list[dict]:
+    df = spark.createDataFrame([({"v": v},) for v in values], "attributes map<string,string>")
+    cols = [el_string(e).alias(name) for name, e in exprs.items()]
+    return [r.asDict() for r in df.select(*cols).collect()]
+
+
+_found: dict[str, list[str]] = {}
+
+
+@settings(**_SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_string_functions_match_python(spark, values):
+    rows = _batch_eval(
+        spark,
+        values,
+        {
+            "upper": "${v:toUpper()}",
+            "lower": "${v:toLower()}",
+            "trimmed": "${v:trim()}",
+            "length": "${v:length()}",
+            "appended": "${v:append('-x')}",
+            "sub3": "${v:substring(0, 3)}",
+        },
+    )
+    for v, row in zip(values, rows):
+        assert row["upper"] == v.upper(), repr(v)
+        assert row["lower"] == v.lower(), repr(v)
+        # EL trim is ASCII-whitespace trim (C++ isspace), not Unicode
+        assert row["trimmed"] == v.strip(" \t\r\n\f\v"), repr(v)
+        assert row["length"] == str(len(v)), repr(v)
+        assert row["appended"] == v + "-x", repr(v)
+        assert row["sub3"] == v[0:3], repr(v)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_encode_decode_roundtrip(spark, values):
+    rows = _batch_eval(
+        spark,
+        values,
+        {
+            "b64rt": "${v:base64Encode():base64Decode()}",
+            "urlrt": "${v:urlEncode():urlDecode()}",
+            "b64": "${v:base64Encode()}",
+        },
+    )
+    for v, row in zip(values, rows):
+        assert row["b64rt"] == v, repr(v)
+        assert row["urlrt"] == v, repr(v)
+        assert row["b64"] == base64.b64encode(v.encode()).decode(), repr(v)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=8), st.integers(1, 9999))
+def test_math_functions_match_python(spark, nums, d):
+    values = [str(n) for n in nums]
+    rows = _batch_eval(
+        spark,
+        values,
+        {
+            "plus": f"${{v:plus({d})}}",
+            "minus": f"${{v:minus({d})}}",
+            "times": f"${{v:multiply({d})}}",
+            "mod": f"${{v:mod({d})}}",
+        },
+    )
+    for n, row in zip(nums, rows):
+        assert row["plus"] == str(n + d)
+        assert row["minus"] == str(n - d)
+        assert row["times"] == str(n * d)
+        # C++ % truncates toward zero (Python % floors): match the reference
+        assert row["mod"] == str(int(float(n) - d * int(n / d))) or row["mod"] == str(n % d)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=8), TEXT.filter(lambda s: len(s) >= 1))
+def test_search_predicates_match_python(spark, values, needle):
+    import json
+
+    lit = needle.replace("\\", "\\\\").replace("'", "\\'")
+    rows = _batch_eval(
+        spark,
+        values,
+        {
+            "starts": f"${{v:startsWith('{lit}')}}",
+            "ends": f"${{v:endsWith('{lit}')}}",
+            "has": f"${{v:contains('{lit}')}}",
+        },
+    )
+    for v, row in zip(values, rows):
+        ctx = json.dumps([v, needle])
+        assert row["starts"] == str(v.startswith(needle)).lower(), ctx
+        assert row["ends"] == str(v.endswith(needle)).lower(), ctx
+        assert row["has"] == str(needle in v).lower(), ctx
