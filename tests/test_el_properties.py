@@ -127,3 +127,58 @@ def test_search_predicates_match_python(spark, values, needle):
         assert row["starts"] == str(v.startswith(needle)).lower(), ctx
         assert row["ends"] == str(v.endswith(needle)).lower(), ctx
         assert row["has"] == str(needle in v).lower(), ctx
+
+
+ASCII = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126, blacklist_characters="'\\"), max_size=15)
+
+
+@settings(**_SETTINGS)
+@given(ASCII, ASCII, ASCII, st.text(alphabet="|;#@", min_size=1, max_size=2))
+def test_substring_family_found_path(spark, pre, mid, post, d):
+    """substringBefore/After(+Last) against a Python model of the
+    reference (Expression.cpp:238-267), delimiter guaranteed present.
+    ASCII-only: the C++ operates on bytes, Catalyst on characters."""
+    v = pre + d + mid + d + post
+    rows = _batch_eval(
+        spark,
+        [v],
+        {
+            "before": f"${{v:substringBefore('{d}')}}",
+            "before_last": f"${{v:substringBeforeLast('{d}')}}",
+            "after": f"${{v:substringAfter('{d}')}}",
+            "after_last": f"${{v:substringAfterLast('{d}')}}",
+        },
+    )[0]
+    first, last = v.find(d), v.rfind(d)
+    assert rows["before"] == v[:first]
+    assert rows["before_last"] == v[:last]
+    assert rows["after"] == v[first + len(d):]
+    assert rows["after_last"] == v[last + len(d):]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(ASCII, min_size=1, max_size=6), st.integers(1, 8))
+def test_get_delimited_field_matches_python(spark, fields, idx):
+    v = ",".join(fields)
+    rows = _batch_eval(spark, [v], {"f": f"${{v:getDelimitedField({idx})}}"})[0]
+    parts = v.split(",")
+    expected = parts[idx - 1] if idx <= len(parts) else None
+    assert rows["f"] == expected, (v, idx)
+
+
+@settings(**_SETTINGS)
+@given(ASCII, st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126, blacklist_characters="'\\"), min_size=1, max_size=3), ASCII)
+def test_replace_matches_python(spark, v, find, repl):
+    rows = _batch_eval(
+        spark,
+        [v],
+        {
+            "rep": f"${{v:replace('{find}', '{repl}')}}",
+            "repnull": "${missing:replaceNull('fallback')}",
+            "repempty": f"${{v:replaceEmpty('EMPTY')}}",
+        },
+    )[0]
+    assert rows["rep"] == v.replace(find, repl), (v, find, repl)
+    assert rows["repnull"] == "fallback"
+    expected_empty = "EMPTY" if v.strip() == "" else v
+    assert rows["repempty"] == expected_empty, repr(v)
