@@ -182,3 +182,38 @@ def test_replace_matches_python(spark, v, find, repl):
     assert rows["repnull"] == "fallback"
     expected_empty = "EMPTY" if v.strip() == "" else v
     assert rows["repempty"] == expected_empty, repr(v)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_escape_unescape_roundtrips(spark, values):
+    """escape/unescape families must be self-inverse on arbitrary text
+    (Expression.cpp:446-727)."""
+    rows = _batch_eval(
+        spark,
+        values,
+        {
+            "json": "${v:escapeJson():unescapeJson()}",
+            "xml": "${v:escapeXml():unescapeXml()}",
+            "csv": "${v:escapeCsv():unescapeCsv()}",
+            "html": "${v:escapeHtml4():unescapeHtml4()}",
+        },
+    )
+    for v, row in zip(values, rows):
+        assert row["json"] == v, repr(v)
+        assert row["xml"] == v, repr(v)
+        assert row["csv"] == v, repr(v)
+        assert row["html"] == v, repr(v)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(0, 10**15), min_size=1, max_size=8), st.sampled_from([2, 8, 16, 36]))
+def test_radix_roundtrip(spark, nums, radix):
+    values = [str(n) for n in nums]
+    rows = _batch_eval(
+        spark,
+        values,
+        {"rt": f"${{v:toRadix({radix}):fromRadix({radix})}}"},
+    )
+    for n, row in zip(nums, rows):
+        assert row["rt"] == str(n), (n, radix)
