@@ -707,6 +707,90 @@ def q16_brand_size_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, min_price,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY min_price, l_suppkey) AS rn
+      FROM costs
+    )
+    SELECT r.l_partkey AS p_key, s_name, round(min_price, 2) AS best_price
+    FROM ranked r JOIN supplier ON r.l_suppkey = s_suppkey
+    WHERE rn = 1 AND r.l_partkey <= 200
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier — the correlated
+    min subquery becomes a window row_number over the grouped costs
+    (one shuffle, reused by the window since groupBy and the window
+    share the l_partkey partitioning). supplier is broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    costs = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("min_price"), F.asc("l_suppkey"))
+    best = costs.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") == 1) & (F.col("l_partkey") <= 200)
+    )
+    return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
+        F.col("l_partkey").alias("p_key"),
+        "s_name",
+        F.round(F.col("min_price"), 2).alias("best_price"),
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(rev_cents / 100.0, 2) AS total_revenue
+    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_cents = (SELECT max(rev_cents) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + max scalar subquery (ties kept).
+    The revenue aggregate is computed once and reused for both the max
+    and the final filter; exact cents make the max comparison stable.
+    The 1-row max is broadcast, never collected to the driver."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_cents"))
+    )
+    mx = revenue.agg(F.max("rev_cents").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_cents") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+@_register(
     "q22_idle_rich_customers",
     """
     SELECT c_mktsegment,
