@@ -727,9 +727,11 @@ def q16_brand_size_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: per-part minimum-cost supplier — the correlated
-    min subquery becomes a window row_number over the grouped costs
-    (one shuffle, reused by the window since groupBy and the window
-    share the l_partkey partitioning). supplier is broadcast."""
+    min subquery becomes a window row_number over the grouped costs.
+    Two shuffles by design: the first carries map-side-combined
+    (partkey, suppkey) minima (tiny at any scale), the second
+    repartitions those aggregates by partkey for the window — cheaper
+    than one full-width shuffle of raw lineitem. supplier is broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     costs = (
