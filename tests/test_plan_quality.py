@@ -115,3 +115,16 @@ def test_ivf_probe_partition_prunes(spark, sf_dir, tmp_path):
     plan = plan_of(ivf_topk(indexed, cent, q, k=5, nprobe=2))
     assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1][:120]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_semi_join_shape(spark, sf_dir):
+    """EXISTS compiles to a semi join: no lineitem payload columns
+    survive past the join."""
+    plan = plan_of(entry.queries()["q4_priority_order_exists"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q10_take_ordered_topk(spark, sf_dir):
+    plan = plan_of(entry.queries()["q10_returned_item_customers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan  # returnflag filter reaches the scan
