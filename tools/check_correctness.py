@@ -28,19 +28,34 @@ def duck_connection(sf_dir: str):
 
 
 def canon(df_pandas):
+    """Canonical (columns, rows) with TYPE-SENSITIVE values.
+
+    The driver's hash is string-level, so DuckDB HUGEINT -> pandas
+    float64 ("1636.0") mismatches Spark int64 ("1636") even when the
+    values are numerically equal. Python's ``1636 == 1636.0`` is True,
+    which is exactly how the three round-1 hash failures shipped green
+    locally — so every value is tagged with its type kind and floats
+    keep a float repr.
+    """
+    import numpy as np
+
     cols = sorted(df_pandas.columns)
     rows = []
     for _, row in df_pandas[cols].iterrows():
         vals = []
         for v in row:
             if v is None or (isinstance(v, float) and math.isnan(v)):
-                vals.append(None)
-            elif isinstance(v, float):
-                vals.append(round(v, 9))
+                vals.append(("null", None))
+            elif isinstance(v, (bool, np.bool_)):
+                vals.append(("bool", bool(v)))
+            elif isinstance(v, (int, np.integer)):
+                vals.append(("int", int(v)))
+            elif isinstance(v, (float, np.floating)):
+                vals.append(("float", round(float(v), 9)))
             elif hasattr(v, "isoformat"):
-                vals.append(v.isoformat())
+                vals.append(("ts", v.isoformat()))
             else:
-                vals.append(v)
+                vals.append((type(v).__name__, v))
         rows.append(tuple(vals))
     return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
