@@ -16,8 +16,48 @@ dedup pipelines (e.g. the C4/RefinedWeb recipes) use).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _spread_for_cpu(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition up to the cluster's parallelism before a CPU-bound
+    Arrow stage.
+
+    A small parquet file scans as ONE partition, so a mapInPandas
+    signature stage would run on one core no matter how many the
+    cluster has. Only widens (never shrinks): at 100 TB the scan
+    already yields thousands of partitions and this is a no-op — the
+    guard avoids paying a full-text shuffle when the data is already
+    spread.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, id_col)
+    return df
+
+
+def _bucket_probes(
+    buckets: DataFrame, keys: list[str], id_col: str, max_probes: int
+) -> DataFrame:
+    """The K smallest-id rows per bucket — the only rows the pairwise
+    join compares against.
+
+    Skew guard for every LSH self-join: a hot bucket (boilerplate,
+    near-empty docs, exact-dup floods) makes per-bucket all-pairs
+    quadratic; joining each row against only the K smallest ids bounds
+    the work to n*K per bucket (linear) while still catching the
+    dominant case — a duplicate matching its cluster representative
+    (the smallest id IS probe #1). The row_number shuffle partitions by
+    the bucket key, the same partitioning the join needs, so AQE reuses
+    it rather than shuffling twice.
+    """
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    return (
+        buckets.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_probes)
+        .drop("_rk")
+    )
 
 # ---------------------------------------------------------------------------
 # shingling helpers (JVM higher-order functions)
@@ -144,7 +184,7 @@ def minhash_signature_pandas(
             yield pd.DataFrame({id_col: pdf[id_col], "_sig": sigs})
 
     out_schema = f"{id_col} long, _sig array<long>"
-    return df.select(id_col, content_col).mapInPandas(run, out_schema)
+    return _spread_for_cpu(df.select(id_col, content_col), id_col).mapInPandas(run, out_schema)
 
 
 def minhash_lsh_candidates(
@@ -252,20 +292,76 @@ def simhash64(col: Column) -> Column:
     )
 
 
+def simhash_signature_pandas(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, _sig long) SimHash-64 via Arrow-batched numpy.
+
+    The default hot path: the pure-Catalyst ``simhash64`` runs 64
+    interpreted lambda evals per token (~10µs each, no codegen) — the
+    one per-row scale-killer in the dedup pack at 100×. Here each token
+    is hashed once (blake2b-8, deterministic across processes) and the
+    64 bit-counters are a single numpy popcount-style matrix reduce.
+    NOTE: different hash family than ``simhash64`` (blake2b vs
+    xxhash64), so signatures differ between the two forms; pick one per
+    pipeline. Dedup semantics (Hamming locality) are identical.
+    """
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            sigs = np.zeros(len(pdf), dtype=np.uint64)
+            for j, text in enumerate(pdf[content_col]):
+                toks = str(text).lower().split()
+                if not toks:
+                    continue
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+                        for t in toks
+                    ),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                # bit_i(sig) = sign of sum over tokens of ±1 per bit_i
+                ones = ((hs[:, None] >> shifts) & 1).sum(axis=0, dtype=np.int64)
+                pos = (2 * ones - len(hs)) > 0
+                sigs[j] = np.bitwise_or.reduce(pos.astype(np.uint64) << shifts)
+            yield pd.DataFrame({id_col: pdf[id_col], "_sig": sigs.astype(np.int64)})
+
+    return _spread_for_cpu(df.select(id_col, content_col), id_col).mapInPandas(
+        run, f"{id_col} long, _sig long"
+    )
+
+
 def simhash_dedup(
     df: DataFrame,
     content_col: str = "text",
     id_col: str = "doc_id",
     hamming_threshold: int = 3,
+    arrow: bool = True,
+    max_probes: int = 64,
 ) -> DataFrame:
     """SimHash near-dup removal. Bucket by 4 16-bit chunks: two
     signatures within Hamming distance 3 share at least one chunk
     (pigeonhole), so chunk-equality buckets are a complete candidate
-    filter; exact Hamming check prunes false positives.
+    filter; exact Hamming check prunes false positives. The pairwise
+    step compares each doc against only the ``max_probes`` smallest ids
+    per bucket (see ``_bucket_probes``) so hot chunks stay linear.
     """
-    # sig once per row, then explode chunk indices (Generate blocks
-    # projection collapse — see minhash_lsh_candidates)
-    sig_df = df.select(F.col(id_col), simhash64(F.col(content_col)).alias("_sig"))
+    # sig once per row (Arrow numpy path by default), then explode
+    # chunk indices (Generate blocks projection collapse — see
+    # minhash_lsh_candidates)
+    if arrow:
+        sig_df = simhash_signature_pandas(df, content_col, id_col)
+    else:
+        sig_df = df.select(F.col(id_col), simhash64(F.col(content_col)).alias("_sig"))
     exploded = sig_df.select(
         F.col(id_col), F.col("_sig"), F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_idx")
     )
@@ -276,9 +372,9 @@ def simhash_dedup(
         F.call_function("shiftright", F.col("_sig"), (F.col("chunk_idx") * 16).cast("int"))
         .bitwiseAND(F.lit(0xFFFF))
         .alias("chunk_val"),
-    )
+    ).persist()  # both join sides read this; avoids re-running the signature stage
     left = chunks.alias("l")
-    right = chunks.alias("r")
+    right = _bucket_probes(chunks, ["chunk_idx", "chunk_val"], id_col, max_probes).alias("r")
     pairs = (
         left.join(
             right,
@@ -310,26 +406,45 @@ def ngram_jaccard_dedup(
     shingle_words: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    max_probes: int = 64,
 ) -> DataFrame:
     """LSH candidates -> exact Jaccard verification -> drop.
 
     The LSH pass bounds the pairwise work; Jaccard is computed with
-    array_intersect/array_union on distinct shingle sets.
+    array_intersect/array_union on distinct shingle sets. Hot buckets
+    (boilerplate / near-empty docs) are skew-guarded: each doc is only
+    paired with the ``max_probes`` smallest ids in its bucket, keeping
+    per-bucket work linear (see ``_bucket_probes``).
     """
-    sh = df.select(
-        F.col(id_col), F.col(content_col), word_shingles(F.col(content_col), shingle_words).alias("_sh")
-    )
-    buckets = minhash_lsh_candidates(df, content_col, id_col, num_hashes, bands, shingle_words)
+    # persist the bucket table: it appears on BOTH sides of the
+    # candidate join (full side + probes side) and Catalyst does not
+    # reuse the exchange across the probes window, so without this the
+    # whole mapInPandas signature lineage runs twice. The table is
+    # (id, band, band_hash) ≈ 24 bytes/row x bands — a few percent of
+    # the input text size, spill-safe at 100 TB.
+    buckets = minhash_lsh_candidates(df, content_col, id_col, num_hashes, bands, shingle_words).persist()
     cand = (
         buckets.alias("a")
-        .join(buckets.alias("b"), ["band", "band_hash"])
+        .join(_bucket_probes(buckets, ["band", "band_hash"], id_col, max_probes).alias("b"), ["band", "band_hash"])
         .filter(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("_ida"), F.col(f"b.{id_col}").alias("_idb"))
         .distinct()
     )
+    # Shingle sets are computed INLINE on the joined pair rows, not
+    # over the full corpus: the interpreted shingling HOF is the most
+    # expensive expression here and Catalyst can't defer a projection
+    # past a join on its own, so the obvious "shingle everything then
+    # join" formulation does ~n/candidates times too much work. A doc
+    # appearing in several pairs re-shingles once per pair, but pairs
+    # are probe-capped (≤ max_probes per bucket) so the repeat factor
+    # is bounded and the common case (pairs << n) is far cheaper.
+    da = df.select(F.col(id_col).alias("_ida"), F.col(content_col).alias("_ta"))
+    db = df.select(F.col(id_col).alias("_idb"), F.col(content_col).alias("_tb"))
     verified = (
-        cand.join(sh.select(F.col(id_col).alias("_ida"), F.col("_sh").alias("_sha")), "_ida")
-        .join(sh.select(F.col(id_col).alias("_idb"), F.col("_sh").alias("_shb")), "_idb")
+        cand.join(da, "_ida")
+        .join(db, "_idb")
+        .withColumn("_sha", word_shingles(F.col("_ta"), shingle_words))
+        .withColumn("_shb", word_shingles(F.col("_tb"), shingle_words))
         .withColumn(
             "_jaccard",
             F.try_divide(
@@ -367,6 +482,7 @@ def embedding_dedup(
     threshold: float = 0.95,
     num_planes: int = 8,
     seed: int = 42,
+    max_probes: int = 64,
 ) -> DataFrame:
     """Embedding near-dup removal: random-hyperplane LSH bucket ->
     exact cosine within bucket -> drop larger id.
@@ -375,7 +491,9 @@ def embedding_dedup(
     plan; the bucket key is the 8-bit sign pattern, so the candidate
     join shuffles only per-bucket. Note: single-probe SRP-LSH is
     approximate — pairs can land in different buckets; raise
-    num_planes/multi-probe for recall at scale.
+    num_planes/multi-probe for recall at scale. A hot bucket (a flood
+    of identical vectors) is skew-guarded by comparing each vector
+    against only the ``max_probes`` smallest ids in its bucket.
     """
     import random
 
@@ -399,7 +517,7 @@ def embedding_dedup(
     )
     keyed = df.withColumn("_bucket", bucket)
     a = keyed.alias("a")
-    b = keyed.alias("b")
+    b = _bucket_probes(keyed, ["_bucket"], id_col, max_probes).alias("b")
     pairs = (
         a.join(b, (F.col("a._bucket") == F.col("b._bucket")) & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")))
         .withColumn("_cos", cosine(F.col(f"a.{embedding_col}"), F.col(f"b.{embedding_col}")))

@@ -1678,9 +1678,13 @@ def multimodal_features_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("simhash_signatures", None)
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit signatures (xxhash64-seeded)."""
+    """SimHash 64-bit signatures via the Arrow-batched numpy path (the
+    pure-Catalyst ``simhash64`` form costs 64 interpreted lambda evals
+    per token — ~2.5s at sf0.1 vs <1s here, and the gap widens 100×)."""
+    from .analytics import simhash_signature_pandas
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64(F.col("text")).alias("sig"))
+    return simhash_signature_pandas(docs, "text", "doc_id").withColumnRenamed("_sig", "sig")
 
 
 @_register("embedding_dedup_kept", None)

@@ -219,3 +219,71 @@ def test_multimodal_frame_fanout(spark, tables):
     assert frames.count() == 20
     one = frames.filter(F.col("frame_idx") == 2).first()
     assert one["frame_ts_s"] == 1.0
+
+
+# -- LSH skew guards ----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_flood(spark):
+    """1000 identical docs + 100 distinct ones: every LSH variant puts
+    the flood in ONE bucket, the worst-case quadratic hot spot."""
+    flood = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("the same boilerplate text repeated in every doc").alias("text")
+    )
+    uniq = spark.range(2000, 2100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique document number "), F.col("id").cast("string"),
+                 F.lit(" with its own words entirely")).alias("text"),
+    )
+    return flood.unionByName(uniq)
+
+
+def test_bucket_probes_bounds_pairs(spark, adversarial_flood):
+    """With probes capped at K, the flood bucket yields <= n*K candidate
+    pairs instead of n^2/2 (499,500 for n=1000)."""
+    from nifi_minifi_cpp_spark.analytics.dedup import _bucket_probes, minhash_lsh_candidates
+
+    buckets = minhash_lsh_candidates(adversarial_flood, "text", "doc_id", num_hashes=16, bands=4)
+    probes = _bucket_probes(buckets, ["band", "band_hash"], "doc_id", 8)
+    n_pairs = (
+        buckets.alias("a")
+        .join(probes.alias("b"), ["band", "band_hash"])
+        .filter(F.col("a.doc_id") > F.col("b.doc_id"))
+        .count()
+    )
+    # 4 bands x 1000 docs x <=8 probes is the ceiling for the flood
+    assert n_pairs <= 4 * (1000 + 100) * 8
+
+
+def test_ngram_jaccard_flood_still_dedups(spark, adversarial_flood):
+    out = an.ngram_jaccard_dedup(adversarial_flood, threshold=0.8, max_probes=8)
+    # every flood copy matches probe #1 (the smallest id) -> one survivor
+    assert out.filter(F.col("doc_id") < 1000).count() == 1
+    assert out.filter(F.col("doc_id") >= 2000).count() == 100
+
+
+def test_embedding_dedup_flood_bounded(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    rows = [(i, base) for i in range(500)] + [
+        (1000 + i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = an.embedding_dedup(df, threshold=0.999, max_probes=8)
+    assert out.filter(F.col("vec_id") < 1000).count() == 1
+    assert out.filter(F.col("vec_id") >= 1000).count() == 50
+
+
+def test_simhash_pandas_matches_locality(spark, docs_with_dups):
+    """Arrow SimHash: exact copies share a signature; distinct docs don't
+    all collapse to one value."""
+    sig = an.simhash_signature_pandas(docs_with_dups, "text", "doc_id")
+    base = {r["doc_id"]: r["_sig"] for r in sig.filter(F.col("doc_id") < 5).collect()}
+    copies = {r["doc_id"] - 100000: r["_sig"] for r in sig.filter(
+        (F.col("doc_id") >= 100000) & (F.col("doc_id") < 100005)).collect()}
+    assert base == copies
+    n_distinct = sig.select("_sig").distinct().count()
+    assert n_distinct > 100
