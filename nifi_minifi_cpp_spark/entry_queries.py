@@ -1456,6 +1456,48 @@ def jolt_chain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "invoke_http_route_counts",
+    """
+    SELECT CASE WHEN event_id % 10 < 5 THEN 'success'
+                WHEN event_id % 10 < 7 THEN 'retry'
+                WHEN event_id % 10 < 9 THEN 'no_retry'
+                ELSE 'failure' END AS relationship,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def invoke_http_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InvokeHTTP (InvokeHTTP.cpp:241,382-404): executor-side requests
+    through a deterministic fake transport, then the reference's 4-way
+    status-class routing (2xx success / 5xx retry / 1xx,3xx,4xx
+    no_retry / transport error failure). The fake maps payload ->
+    status so DuckDB can replicate the routing arithmetic."""
+    from .streaming import http_relationship, invoke_http
+
+    class _FakeResponse:
+        def __init__(self, code):
+            self.status_code = code
+            self.text = ""
+
+    class _FakeSession:
+        def request(self, method, url, data=None, headers=None, timeout=None):
+            m = int(data.decode()) % 10
+            if m < 5:
+                return _FakeResponse(200)
+            if m < 7:
+                return _FakeResponse(503)
+            if m < 9:
+                return _FakeResponse(404)
+            raise ConnectionError("down")
+
+    ev = _t(spark, sf_dir, "events").select(F.col("event_id").cast("string").alias("content"))
+    sent = invoke_http(ev, "http://sink.test/ingest", session_factory=_FakeSession)
+    return sent.groupBy(http_relationship().alias("relationship")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
     "incremental_scan_tail",
     """
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -1732,7 +1774,8 @@ _GRADE_ORDER = [
     "split_fragment_counts",
     "split_merge_roundtrip",
     "archive_roundtrip",
-    # §2.1 sources + §2.10 streaming
+    # §2.1 sources + §2.2 sinks + §2.10 streaming
+    "invoke_http_route_counts",
     "syslog_parse",
     "tailfile_ingest",
     "incremental_scan_tail",
@@ -1772,7 +1815,6 @@ _GRADE_ORDER = [
     "top3_orders_per_customer",
     "cube_lineitem_status",
     "rollup_orders_priority",
-    "segment_set_ops",
 ]
 
 GRADED_WINDOW = 50

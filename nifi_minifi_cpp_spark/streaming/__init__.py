@@ -10,6 +10,9 @@ from .sinks import (
     console_sink,
     foreach_batch_sink,
     http_post_handler,
+    http_relationship,
+    invoke_http,
+    route_invoke_http,
     kafka_sink,
     memory_sink,
     put_file_sink,
@@ -44,4 +47,7 @@ __all__ = [
     "memory_sink",
     "foreach_batch_sink",
     "http_post_handler",
+    "http_relationship",
+    "invoke_http",
+    "route_invoke_http",
 ]

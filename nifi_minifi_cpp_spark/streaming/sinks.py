@@ -65,28 +65,117 @@ def foreach_batch_sink(
     return writer.start()
 
 
-def http_post_handler(
+def invoke_http(
+    df: DataFrame,
     url: str,
+    method: str = "POST",
     content_col: str = "content",
-    max_batch_rows: int = 10_000,
+    headers: dict[str, str] | None = None,
     session_factory=None,
-):
-    """InvokeHTTP-style foreachBatch handler (InvokeHTTP.cpp:241):
-    POSTs each row's content; retry/no-retry routing is the caller's
-    status-code handling. requests import is deferred (not in all
-    environments); ``session_factory`` injects a fake for tests.
-    """
+    timeout: float = 30.0,
+) -> DataFrame:
+    """InvokeHTTP (InvokeHTTP.cpp:241,270): issue one request per row
+    on the EXECUTORS and append per-row result columns.
 
-    def handler(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.select(content_col).limit(max_batch_rows).collect()
+    Arrow-batched ``mapInPandas``: each partition opens one session and
+    streams its rows through it — no driver collect, no row cap,
+    parallel across the cluster. Output adds
+    ``invokehttp_status_code`` (0 = transport error, the reference's
+    ``failure`` relationship) and ``invokehttp_response_body``; feed it
+    to :func:`route_invoke_http` for the reference's 4-way relationship
+    split. ``session_factory`` injects a fake transport for tests (it
+    is pickled to executors, so it must be importable or closure-only).
+    """
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    hdrs = dict(headers or {})
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("invokehttp_status_code", IntegerType()),
+            StructField("invokehttp_response_body", StringType()),
+        ]
+    )
+
+    def run(batches):
         if session_factory is not None:
             session = session_factory()
         else:  # pragma: no cover - requires network
             import requests
 
             session = requests.Session()
-        for row in rows:
-            session.post(url, data=row[content_col], headers={"X-Epoch": str(epoch_id)})
+        for pdf in batches:
+            codes: list[int] = []
+            bodies: list[str | None] = []
+            for content in pdf[content_col]:
+                data = content if isinstance(content, (bytes, bytearray)) else str(content).encode()
+                try:
+                    resp = session.request(method, url, data=data, headers=hdrs, timeout=timeout)
+                    codes.append(int(resp.status_code))
+                    bodies.append(resp.text if hasattr(resp, "text") else None)
+                except Exception:
+                    # transport-level error -> status 0 -> failure
+                    codes.append(0)
+                    bodies.append(None)
+            out = pdf.copy()
+            out["invokehttp_status_code"] = codes
+            out["invokehttp_response_body"] = bodies
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def http_relationship(status_col: str = "invokehttp_status_code"):
+    """Status class -> relationship name (InvokeHTTP.cpp:382-404):
+    2xx -> success, 5xx -> retry, 1xx/3xx/4xx -> no_retry, transport
+    error (status <= 0) -> failure."""
+    from pyspark.sql import functions as F
+
+    s = F.col(status_col)
+    return (
+        F.when((s >= 200) & (s < 300), "success")
+        .when((s >= 500) & (s < 600), "retry")
+        .when(s <= 0, "failure")
+        .otherwise("no_retry")
+    )
+
+
+def route_invoke_http(df: DataFrame, status_col: str = "invokehttp_status_code") -> dict[str, DataFrame]:
+    """Relationship split by status class (InvokeHTTP.cpp:382-404).
+    Same dict-of-frames contract as RouteOnAttribute; Catalyst shares
+    the scan across the filters."""
+    rel = http_relationship(status_col)
+    return {name: df.filter(rel == name) for name in ("success", "retry", "no_retry", "failure")}
+
+
+def http_post_handler(
+    url: str,
+    content_col: str = "content",
+    session_factory=None,
+    on_routed=None,
+):
+    """InvokeHTTP foreachBatch handler: executor-side POSTs via
+    :func:`invoke_http` (no driver collect, no row cap), then the
+    reference's 4-way status routing. ``on_routed(routed, epoch_id)``
+    receives the relationship->DataFrame dict (dead-letter the
+    ``retry``/``failure`` frames, log counts, ...); by default the
+    batch is forced with a noop write so the requests actually fire.
+    """
+
+    def handler(batch_df: DataFrame, epoch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        sent = invoke_http(
+            batch_df,
+            url,
+            content_col=content_col,
+            headers={"X-Epoch": str(epoch_id)},
+            session_factory=session_factory,
+        )
+        if on_routed is not None:
+            on_routed(route_invoke_http(sent), epoch_id)
+        else:
+            sent.select(F.col("invokehttp_status_code")).write.format("noop").mode("overwrite").save()
 
     return handler
 

@@ -230,19 +230,61 @@ def test_parse_syslog_rfc5424_and_3164(spark):
     assert out["3"]["syslog.valid"] == "false"
 
 
-def test_foreach_batch_http_handler(spark, tmpdir):
-    """InvokeHTTP adapter with an injected fake HTTP session."""
-    calls = []
+def _fake_http_session():
+    """Deterministic fake transport: status derived from the payload.
+    Defined INSIDE a function so cloudpickle serializes it by value —
+    executors cannot import the test module. Assertions go through the
+    returned status columns, not driver-side side effects."""
 
-    class FakeSession:
-        def post(self, url, data=None, headers=None):
-            calls.append((url, data, headers["X-Epoch"]))
+    class FakeResponse:
+        def __init__(self, code):
+            self.status_code = code
+            self.text = f"resp-{code}"
 
-    handler = st.http_post_handler("http://sink.test/ingest", session_factory=FakeSession)
-    batch = spark.createDataFrame([("c1",), ("c2",)], "content string")
+    class FakeHttpSession:
+        def request(self, method, url, data=None, headers=None, timeout=None):
+            m = int(data.decode().lstrip("c")) % 10
+            if m < 5:
+                return FakeResponse(200)
+            if m < 7:
+                return FakeResponse(503)
+            if m < 9:
+                return FakeResponse(404)
+            raise ConnectionError("transport down")
+
+    return FakeHttpSession
+
+
+def test_invoke_http_executor_side_routing(spark):
+    """InvokeHTTP: per-row status comes back as columns (executor-side
+    mapInPandas, no driver collect) and routes 4 ways by status class
+    (InvokeHTTP.cpp:382-404)."""
+    batch = spark.createDataFrame([(f"c{i}",) for i in range(100)], "content string")
+    sent = st.invoke_http(batch, "http://sink.test/ingest", session_factory=_fake_http_session())
+    plan = sent._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # executor-side, not a driver loop
+    routed = st.route_invoke_http(sent)
+    counts = {k: v.count() for k, v in routed.items()}
+    assert counts == {"success": 50, "retry": 20, "no_retry": 20, "failure": 10}
+    # response body survives for the success relationship
+    ok = routed["success"].select("invokehttp_response_body").first()
+    assert ok[0] == "resp-200"
+
+
+def test_foreach_batch_http_handler_routes(spark):
+    """The foreachBatch adapter hands the routed frames to on_routed."""
+    seen = {}
+
+    def on_routed(routed, epoch_id):
+        seen["epoch"] = epoch_id
+        seen.update({k: v.count() for k, v in routed.items()})
+
+    handler = st.http_post_handler(
+        "http://sink.test/ingest", session_factory=_fake_http_session(), on_routed=on_routed
+    )
+    batch = spark.createDataFrame([(f"c{i}",) for i in range(20)], "content string")
     handler(batch, epoch_id=7)
-    assert sorted(c[1] for c in calls) == ["c1", "c2"]
-    assert all(c[0] == "http://sink.test/ingest" and c[2] == "7" for c in calls)
+    assert seen == {"epoch": 7, "success": 10, "retry": 4, "no_retry": 4, "failure": 2}
 
 
 def test_streaming_operators_compose(spark, sf_dir, tmpdir):
