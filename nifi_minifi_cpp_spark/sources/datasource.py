@@ -294,6 +294,78 @@ class _HttpListenReader(_ListenStreamReader):
         http.server.ThreadingHTTPServer((self.host, self.port), Handler).serve_forever()
 
 
+class _MqttListenReader(_ListenStreamReader):
+    """ConsumeMQTT (extensions/mqtt/processors/ConsumeMQTT.cpp:149 over
+    AbstractMQTTProcessor.cpp:257): subscribe to a topic filter with a
+    QoS level and a bounded message queue; each message becomes one row
+    (topic -> ``sender`` column, payload -> ``message``), mirroring the
+    reference's one-FlowFile-per-message with mqtt.topic attribute.
+
+    Transports: ``paho`` (real broker; import-gated — the client lib is
+    not in every container) or ``fake`` (deterministic in-process feed
+    from the ``fake.messages`` JSON option, for tests and plumbing
+    validation). The reader runs driver-side (SimpleDataSourceStream-
+    Reader), so the offset/replay bookkeeping is shared with the
+    TCP/UDP/HTTP listeners above.
+    """
+
+    proto = "mqtt"
+
+    def __init__(self, options):
+        self.topic = options.get("topic")
+        if not self.topic:
+            raise ValueError("mqttlisten source requires option 'topic'")
+        self.broker = options.get("broker", "tcp://127.0.0.1:1883")
+        self.qos = int(options.get("qos", "0"))
+        self.client_id = options.get("client.id", "nifi-minifi-cpp-spark")
+        self.clean_session = options.get("clean.session", "true").lower() == "true"
+        self.transport = options.get("transport", "paho")
+        self.fake_messages = options.get("fake.messages", "[]")
+        self.max_queue = int(options.get("max.queue.size", "10000"))
+        self.port = 0  # no listening socket; the broker connects outward
+        self._queue = None
+        self._count = 0
+        self._replay = {}
+        self._replay_order = []
+
+    def _serve(self):  # pragma: no cover - thread loop; logic tested directly
+        if self.transport == "fake":
+            for topic, payload in json.loads(self.fake_messages):
+                self._push(topic, payload)
+            import threading
+
+            threading.Event().wait()  # keep the thread parked
+            return
+        client = connect_paho_client(
+            self.broker, self.client_id, clean_session=self.clean_session
+        )
+        client.on_message = lambda _c, _u, msg: self._push(
+            msg.topic, msg.payload.decode("utf-8", errors="replace")
+        )
+        client.subscribe(self.topic, qos=self.qos)
+        client.loop_forever()
+
+
+def connect_paho_client(broker: str, client_id: str, clean_session: bool = True):
+    """Import-gated paho-mqtt connection (AbstractMQTTProcessor.cpp:257
+    connect-with-session semantics). Raises ImportError with a clear
+    message when the client library is absent from the container."""
+    try:
+        import paho.mqtt.client as mqtt  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise ImportError(
+            "ConsumeMQTT's real transport needs paho-mqtt, which is not "
+            "installed in this environment; use transport='fake' for tests "
+            "or front the broker with Kafka (SURVEY §2.1)"
+        ) from e
+    from urllib.parse import urlparse
+
+    u = urlparse(broker if "//" in broker else f"tcp://{broker}")
+    client = mqtt.Client(client_id=client_id, clean_session=clean_session)
+    client.connect(u.hostname or "127.0.0.1", u.port or 1883)
+    return client
+
+
 class ListenUDPDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -330,7 +402,20 @@ class ListenHTTPDataSource(DataSource):
         return _HttpListenReader(self.options)
 
 
+class ConsumeMQTTDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "mqttlisten"
+
+    def schema(self):
+        return LISTEN_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return _MqttListenReader(self.options)
+
+
 def register_listeners(spark) -> None:
     spark.dataSource.register(ListenUDPDataSource)
     spark.dataSource.register(ListenTCPDataSource)
     spark.dataSource.register(ListenHTTPDataSource)
+    spark.dataSource.register(ConsumeMQTTDataSource)

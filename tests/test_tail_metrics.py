@@ -300,3 +300,49 @@ def test_listen_http_source(spark):
         assert doc["body"].startswith("payload-")
     finally:
         q.stop()
+
+
+def test_consume_mqtt_fake_transport(spark):
+    """readStream.format('mqttlisten') with the fake transport: each
+    MQTT message becomes one row (topic->sender, payload->message),
+    monotonic offsets (ConsumeMQTT.cpp:149 parity; paho import-gated)."""
+    import json as _json
+    import time
+
+    from nifi_minifi_cpp_spark.sources.datasource import register_listeners
+
+    register_listeners(spark)
+    messages = [["sensors/a", "21.5"], ["sensors/b", "22.0"], ["sensors/a", "21.7"]]
+    df = (
+        spark.readStream.format("mqttlisten")
+        .option("topic", "sensors/#")
+        .option("transport", "fake")
+        .option("fake.messages", _json.dumps(messages))
+        .load()
+    )
+    q = df.writeStream.format("memory").queryName("mqtt_rows").start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM mqtt_rows").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM mqtt_rows ORDER BY offset").collect()
+        assert [[r["sender"], r["message"]] for r in rows] == messages
+        assert [r["offset"] for r in rows] == [0, 1, 2]
+    finally:
+        q.stop()
+
+
+def test_consume_mqtt_requires_topic_and_gates_paho(spark):
+    import pytest as _pytest
+
+    from nifi_minifi_cpp_spark.sources.datasource import _MqttListenReader, connect_paho_client
+
+    with _pytest.raises(ValueError, match="topic"):
+        _MqttListenReader({})
+    # paho is absent in this container: the gate must raise a clear
+    # ImportError, not an opaque ModuleNotFoundError mid-thread
+    with _pytest.raises(ImportError, match="paho-mqtt"):
+        connect_paho_client("tcp://127.0.0.1:1883", "cid")
