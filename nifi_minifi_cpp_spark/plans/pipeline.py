@@ -29,6 +29,7 @@ Funnel parity (libminifi/include/Funnel.h:27).
 
 from __future__ import annotations
 
+import re
 from collections import defaultdict
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -338,6 +339,138 @@ class FlowCompileError(ValueError):
     pass
 
 
+# ---------------------------------------------------------------------------
+# parameter contexts (#{param} substitution) and nested process groups
+# ---------------------------------------------------------------------------
+
+_PARAM_TOKEN = re.compile(r"(#+)\{([^{}]*)\}")
+_PARAM_NAME_OK = re.compile(r"^[A-Za-z0-9\-_. ]+$")
+
+
+def parse_parameter_contexts(config: dict) -> dict[str, dict[str, str]]:
+    """Named parameter contexts with inheritance
+    (StructuredConfiguration.cpp:129-133; ParameterContext.cpp:34;
+    cycle detection mirrors hasInheritanceCycle at
+    StructuredConfiguration.cpp:148-158).
+
+    Config shape::
+
+        parameter_contexts:
+          - name: common
+            parameters: {dir: /data}          # or [{name:, value:}, ...]
+          - name: prod
+            inherited_parameter_contexts: [common]
+            parameters: {env: prod}
+    """
+    raw = {}
+    for ctx in config.get("parameter_contexts", []) or []:
+        params = ctx.get("parameters") or {}
+        if isinstance(params, list):
+            params = {p["name"]: p["value"] for p in params}
+        raw[ctx["name"]] = {
+            "params": {str(k): str(v) for k, v in params.items()},
+            "inherits": list(ctx.get("inherited_parameter_contexts", []) or []),
+        }
+
+    resolved: dict[str, dict[str, str]] = {}
+
+    def resolve(name: str, stack: tuple[str, ...]) -> dict[str, str]:
+        if name in stack:
+            raise FlowCompileError(f"parameter context inheritance cycle at {name!r}")
+        if name in resolved:
+            return resolved[name]
+        if name not in raw:
+            raise FlowCompileError(f"unknown inherited parameter context {name!r}")
+        merged: dict[str, str] = {}
+        for parent in raw[name]["inherits"]:
+            merged.update(resolve(parent, stack + (name,)))
+        merged.update(raw[name]["params"])  # own params win, like the reference
+        resolved[name] = merged
+        return merged
+
+    for name in raw:
+        resolve(name, ())
+    return resolved
+
+
+def substitute_parameters(value: str, params: dict[str, str]) -> str:
+    """``#{name}`` -> parameter value; ``##{...}`` escapes — each hash
+    pair collapses to one literal hash, an odd trailing hash makes a
+    token (ParameterTokenParserTest.cpp:31-103: ``##{t}`` is the
+    literal ``#{t}``, ``###{t}`` is ``#`` + the value of ``t``).
+    Unknown parameters and invalid names (charset [A-Za-z0-9-_. ])
+    raise, matching the reference's parse errors."""
+
+    def repl(m):
+        hashes, name = m.group(1), m.group(2)
+        lit = "#" * (len(hashes) // 2)
+        if len(hashes) % 2 == 0:
+            return lit + "{" + name + "}"
+        if not name or not _PARAM_NAME_OK.match(name):
+            raise FlowCompileError(f"invalid parameter name {name!r}")
+        if name not in params:
+            raise FlowCompileError(f"parameter {name!r} is not defined in the bound context")
+        return lit + params[name]
+
+    return _PARAM_TOKEN.sub(repl, value)
+
+
+def _flatten_groups(
+    config: dict,
+    contexts: dict[str, dict[str, str]],
+) -> tuple[dict[str, dict], list[dict]]:
+    """Merge nested process groups into one processor/connection graph
+    (parseProcessGroup recursion, StructuredConfiguration.cpp:94-123).
+
+    Child-group processor ids are namespaced ``group/…``; a
+    connection may reference a sibling unqualified or any processor by
+    its full path. Each group binds its own ``parameter_context_name``
+    — like the reference, there is no implicit inheritance from the
+    parent group (contexts themselves can inherit, see
+    parse_parameter_contexts)."""
+    procs: dict[str, dict] = {}
+    conns: list[dict] = []
+
+    def walk(group: dict, prefix: str) -> None:
+        ctx_name = group.get("parameter_context_name")
+        if ctx_name is not None and ctx_name not in contexts:
+            raise FlowCompileError(f"unknown parameter context {ctx_name!r}")
+        params = contexts.get(ctx_name, {})
+
+        def subst(v):
+            return substitute_parameters(v, params) if isinstance(v, str) else v
+
+        for p in group.get("processors", []) or []:
+            pid = prefix + p["id"]
+            if pid in procs:
+                raise FlowCompileError(f"duplicate processor id {pid!r}")
+            spec = dict(p)
+            spec["id"] = pid
+            spec["properties"] = {k: subst(v) for k, v in (p.get("properties") or {}).items()}
+            procs[pid] = spec
+        for child in group.get("process_groups", []) or []:
+            walk(child, prefix + str(child.get("name", child.get("id", "group"))) + "/")
+        for c in group.get("connections", []) or []:
+            conns.append({**c, "_prefix": prefix})
+
+    walk(config, "")
+
+    def qualify(ref: str, prefix: str) -> str:
+        if prefix + ref in procs:
+            return prefix + ref
+        if ref in procs:  # fully-qualified cross-group reference
+            return ref
+        raise FlowCompileError(f"connection references unknown processor: {ref!r}")
+
+    out_conns = []
+    for c in conns:
+        prefix = c.pop("_prefix")
+        out_conns.append(
+            {**c, "source": qualify(c["source"], prefix), "destination": qualify(c["destination"], prefix)}
+        )
+    return procs, out_conns
+
+
 def compile_flow(spark: SparkSession, config: dict | str) -> CompiledFlow:
     """Compile a flow config (dict, YAML string, or path) into lazy
     DataFrames per processor output. No jobs run until an action.
@@ -353,14 +486,12 @@ def compile_flow(spark: SparkSession, config: dict | str) -> CompiledFlow:
         else:
             config = yaml.safe_load(config)
 
-    procs = {p["id"]: p for p in config.get("processors", [])}
-    conns = config.get("connections", [])
+    contexts = parse_parameter_contexts(config)
+    procs, conns = _flatten_groups(config, contexts)
 
     incoming: dict[str, list[tuple[str, str]]] = defaultdict(list)
     for c in conns:
         src, dst = c["source"], c["destination"]
-        if src not in procs or dst not in procs:
-            raise FlowCompileError(f"connection references unknown processor: {c}")
         incoming[dst].append((src, c.get("relationship", SUCCESS)))
 
     # topological order (Kahn) — parseProcessGroup does processors

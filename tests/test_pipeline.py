@@ -148,3 +148,120 @@ def test_registered_processor_inventory():
         "LogAttribute",
         "PutFile",
     } <= have
+
+
+# -- parameter contexts + nested process groups -------------------------------
+
+
+def test_parameter_token_substitution():
+    from nifi_minifi_cpp_spark.plans.pipeline import substitute_parameters
+
+    params = {"what": "love", "who": "me", "token1": "T1", "token-2": "T2", "token_3": "T3"}
+    assert substitute_parameters("#{what}", params) == "love"
+    # ParameterTokenParserTest.cpp:67 — hash-escape truth table
+    assert substitute_parameters("##{token1}", params) == "#{token1}"
+    assert substitute_parameters("###{token_3}", params) == "#T3"
+    assert (
+        substitute_parameters("## What is #{what}, don't hurt #{who}, no more ##", params)
+        == "## What is love, don't hurt me, no more ##"
+    )
+
+
+def test_parameter_token_errors():
+    from nifi_minifi_cpp_spark.plans.pipeline import substitute_parameters
+
+    with pytest.raises(FlowCompileError, match="invalid parameter name"):
+        substitute_parameters("#{$$}", {})
+    with pytest.raises(FlowCompileError, match="invalid parameter name"):
+        substitute_parameters("#{}", {})
+    with pytest.raises(FlowCompileError, match="not defined"):
+        substitute_parameters("#{missing}", {})
+
+
+def test_parameter_context_inheritance_and_cycle():
+    from nifi_minifi_cpp_spark.plans.pipeline import parse_parameter_contexts
+
+    got = parse_parameter_contexts(
+        {
+            "parameter_contexts": [
+                {"name": "base", "parameters": {"a": "1", "b": "2"}},
+                {
+                    "name": "child",
+                    "inherited_parameter_contexts": ["base"],
+                    "parameters": [{"name": "b", "value": "override"}],
+                },
+            ]
+        }
+    )
+    assert got["child"] == {"a": "1", "b": "override"}
+    with pytest.raises(FlowCompileError, match="cycle"):
+        parse_parameter_contexts(
+            {
+                "parameter_contexts": [
+                    {"name": "x", "inherited_parameter_contexts": ["y"]},
+                    {"name": "y", "inherited_parameter_contexts": ["x"]},
+                ]
+            }
+        )
+
+
+def test_compile_flow_with_params_and_nested_group(spark, sf_dir):
+    """A flow whose child group routes with a parameterized predicate;
+    the cross-group connection reaches the child by its full path
+    (StructuredConfiguration.cpp:62-123 parse order parity)."""
+    cfg = {
+        "parameter_contexts": [
+            {"name": "common", "parameters": {"etype": "error", "table": "events"}},
+        ],
+        "parameter_context_name": "common",
+        "processors": [
+            {"id": "src", "type": "TableSource", "properties": {"table": "#{table}", "sf_dir": sf_dir}},
+        ],
+        "process_groups": [
+            {
+                "name": "routing",
+                "parameter_context_name": "common",
+                "processors": [
+                    {
+                        "id": "route",
+                        "type": "RouteOnAttribute",
+                        "properties": {"errors": "${event_type:equals('#{etype}')}"},
+                    }
+                ],
+                "connections": [],
+            }
+        ],
+        "connections": [
+            {"source": "src", "destination": "routing/route"},
+        ],
+    }
+    flow = compile_flow(spark, cfg)
+    errors = flow.outputs["routing/route"]["errors"]
+    expected = flow.outputs["src"]["success"].filter(
+        F.col("attributes")["event_type"] == "error"
+    ).count()
+    assert errors.count() == expected > 0
+
+
+def test_compile_flow_unknown_context_and_param(spark):
+    with pytest.raises(FlowCompileError, match="unknown parameter context"):
+        compile_flow(
+            spark,
+            {
+                "parameter_context_name": "nope",
+                "processors": [{"id": "g", "type": "GenerateFlowFile"}],
+                "connections": [],
+            },
+        )
+    with pytest.raises(FlowCompileError, match="not defined"):
+        compile_flow(
+            spark,
+            {
+                "parameter_contexts": [{"name": "c", "parameters": {}}],
+                "parameter_context_name": "c",
+                "processors": [
+                    {"id": "g", "type": "GenerateFlowFile", "properties": {"custom_text": "#{nope}"}}
+                ],
+                "connections": [],
+            },
+        )
