@@ -3,7 +3,16 @@
 SURVEY.md §2 is the inventory; citations sit on each function.
 """
 
-from .archive import merge_content_archive, unpack_archive
+from .archive import (
+    ArchiveOpError,
+    edit_archive_entries,
+    focus_archive_entry,
+    manipulate_archive,
+    merge_content_archive,
+    unfocus_archive_entry,
+    unpack_archive,
+    validate_archive_op,
+)
 from .attributes import (
     append_host_info,
     attributes_to_json,
@@ -54,8 +63,14 @@ __all__ = [
     "merge_content_defragment",
     "merge_content_bin_packing",
     "compress_content",
+    "ArchiveOpError",
+    "edit_archive_entries",
+    "focus_archive_entry",
+    "manipulate_archive",
     "merge_content_archive",
+    "unfocus_archive_entry",
     "unpack_archive",
+    "validate_archive_op",
     "attribute_rolling_window_time",
     "attribute_rolling_window_count",
     "tumbling_window_agg",

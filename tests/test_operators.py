@@ -351,3 +351,99 @@ def test_rolling_window_time_based(spark):
     got = sorted(out.collect(), key=lambda r: r["ts"])
     assert got[1]["rolling.window.value"] == 3.0  # 0s and 10s in window
     assert got[2]["rolling.window.value"] == 3.0  # only 100s itself
+
+
+# -- ManipulateArchive / Focus / Unfocus --------------------------------------
+
+
+def _entries():
+    return [("a.txt", b"alpha"), ("b.txt", b"bravo"), ("c.txt", b"charlie")]
+
+
+def test_edit_archive_entries_all_ops():
+    from nifi_minifi_cpp_spark.operators import edit_archive_entries
+
+    # remove: target gone, others byte-identical
+    out = edit_archive_entries(_entries(), "remove", target="b.txt")
+    assert out == [("a.txt", b"alpha"), ("c.txt", b"charlie")]
+    # copy with before: duplicate bytes at position
+    out = edit_archive_entries(_entries(), "copy", target="c.txt", destination="c2.txt", before="b.txt")
+    assert out == [("a.txt", b"alpha"), ("c2.txt", b"charlie"), ("b.txt", b"bravo"), ("c.txt", b"charlie")]
+    # move with after
+    out = edit_archive_entries(_entries(), "move", target="a.txt", destination="z.txt", after="b.txt")
+    assert out == [("b.txt", b"bravo"), ("z.txt", b"alpha"), ("c.txt", b"charlie")]
+    # touch: new empty entry appended when no position given
+    out = edit_archive_entries(_entries(), "touch", destination="new.txt")
+    assert out[-1] == ("new.txt", b"")
+    # missing position entry -> append at end (reference warning path)
+    out = edit_archive_entries(_entries(), "copy", target="a.txt", destination="d.txt", before="zzz")
+    assert out[-1] == ("d.txt", b"alpha")
+    # runtime failures -> None
+    assert edit_archive_entries(_entries(), "remove", target="nope.txt") is None
+    assert edit_archive_entries(_entries(), "copy", target="a.txt", destination="b.txt") is None
+
+
+def test_validate_archive_op_matrix():
+    from nifi_minifi_cpp_spark.operators import ArchiveOpError, validate_archive_op
+
+    validate_archive_op("remove", "t", None, None, None)
+    validate_archive_op("touch", None, "d", "b", None)
+    for bad in [
+        ("nuke", "t", "d", None, None),      # unknown op
+        ("copy", "t", None, None, None),     # create op needs destination
+        ("remove", "t", "d", None, None),    # remove forbids destination
+        ("touch", "t", "d", None, None),     # touch forbids target
+        ("move", None, "d", None, None),     # move needs target
+        ("copy", "t", "d", "b", "a"),        # before XOR after
+    ]:
+        with pytest.raises(ArchiveOpError):
+            validate_archive_op(*bad)
+
+
+def test_manipulate_archive_roundtrip(spark):
+    """Edit one entry inside a packed archive; the rest stays
+    byte-identical after unpack (ManipulateArchive.cpp:95 parity)."""
+    from nifi_minifi_cpp_spark.operators import (
+        manipulate_archive,
+        merge_content_archive,
+        unpack_archive,
+    )
+
+    ff = spark.createDataFrame(
+        [(n, c, {"filename": n}) for n, c in [("a.txt", "alpha"), ("b.txt", "bravo"), ("c.txt", "charlie")]],
+        "uuid string, content string, attributes map<string,string>",
+    )
+    packed = merge_content_archive(ff, fmt="zip")
+    routed = manipulate_archive(packed, "move", target="a.txt", destination="a2.txt", after="b.txt")
+    assert routed["failure"].count() == 0
+    entries = {
+        r["entry_name"]: r["content"]
+        for r in unpack_archive(routed["success"], fmt="zip").collect()
+    }
+    assert entries == {"b.txt": "bravo", "a2.txt": "alpha", "c.txt": "charlie"}
+    # per-row failure: missing target routes to failure with archive intact
+    routed2 = manipulate_archive(packed, "remove", target="nope.txt")
+    assert routed2["success"].count() == 0
+    assert unpack_archive(routed2["failure"], fmt="zip").count() == 3
+
+
+def test_focus_unfocus_archive_entry(spark):
+    from nifi_minifi_cpp_spark.operators import (
+        focus_archive_entry,
+        merge_content_archive,
+        unfocus_archive_entry,
+        unpack_archive,
+    )
+    from pyspark.sql import functions as F
+
+    ff = spark.createDataFrame(
+        [(n, c, {"filename": n}) for n, c in [("x.txt", "hello"), ("y.txt", "world")]],
+        "uuid string, content string, attributes map<string,string>",
+    )
+    packed = merge_content_archive(ff, fmt="tar")
+    focused = focus_archive_entry(packed, "x.txt", fmt="tar")
+    assert focused.first()["content"] == "hello"
+    transformed = focused.withColumn("content", F.upper(F.col("content")))
+    unfocused = unfocus_archive_entry(transformed, "x.txt", fmt="tar")
+    entries = {r["entry_name"]: r["content"] for r in unpack_archive(unfocused, fmt="tar").collect()}
+    assert entries == {"x.txt": "HELLO", "y.txt": "world"}
