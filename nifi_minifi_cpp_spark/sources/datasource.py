@@ -402,6 +402,127 @@ class ListenHTTPDataSource(DataSource):
         return _HttpListenReader(self.options)
 
 
+JOURNALD_SCHEMA = StructType(
+    [
+        StructField("cursor", LongType()),
+        StructField("message", StringType()),
+        StructField("fields", StringType()),  # JSON object of journal fields
+        StructField("ts_usec", LongType()),
+    ]
+)
+
+
+def parse_journal_export(text: str) -> list[dict[str, str]]:
+    """Parse systemd journal export format (`journalctl -o export`):
+    NAME=value lines per entry, entries separated by a blank line
+    (ConsumeJournald.cpp:136-146 field enumeration — every field string
+    contains an equals sign; binary-valued fields are out of scope)."""
+    entries: list[dict[str, str]] = []
+    cur: dict[str, str] = {}
+    for line in text.split("\n"):
+        if not line.strip():
+            if cur:
+                entries.append(cur)
+                cur = {}
+            continue
+        if "=" in line:
+            name, value = line.split("=", 1)
+            cur[name] = value
+    if cur:
+        entries.append(cur)
+    return entries
+
+
+def format_journal_syslog(fields: dict[str, str]) -> str:
+    """ConsumeJournald's Syslog payload format
+    (ConsumeJournald.cpp:109, formatSyslogMessage): hostname,
+    identifier[pid]: message."""
+    host = fields.get("_HOSTNAME", "")
+    ident = fields.get("SYSLOG_IDENTIFIER", fields.get("_COMM", ""))
+    pid = fields.get("_PID", "")
+    msg = fields.get("MESSAGE", "")
+    prefix = f"{ident}[{pid}]" if pid else ident
+    return " ".join(x for x in (host, f"{prefix}:" if prefix else "", msg) if x)
+
+
+class _JournaldReader(SimpleDataSourceStreamReader):
+    """ConsumeJournald (extensions/systemd/ConsumeJournald.cpp:96): the
+    persisted journal cursor (CURSOR_KEY state,
+    ConsumeJournald.cpp:81-89) becomes the streaming offset. The
+    journal itself is read either live via the import-gated
+    python-systemd bindings (``journal=system``) or from a
+    `journalctl -o export` file (``file=…``) — the real wire format,
+    which doubles as the test path in containers without journald.
+
+    Options: ``file`` or ``journal``; ``payload.format`` raw|syslog
+    (ConsumeJournald.cpp:110-113: MESSAGE is the payload in Raw,
+    a formatted syslog line otherwise; every field rides in ``fields``);
+    ``process.old.messages`` seeks head instead of tail on first start
+    (ConsumeJournald.cpp:77-79).
+    """
+
+    def __init__(self, options):
+        self.file = options.get("file")
+        self.journal = options.get("journal")
+        if not self.file and not self.journal:
+            raise ValueError("journald source requires option 'file' (export format) or 'journal'")
+        if self.journal:  # pragma: no cover - needs systemd bindings
+            raise ImportError(
+                "live journald consumption needs the python-systemd bindings, "
+                "which are not installed in this environment; point option "
+                "'file' at a `journalctl -o export` stream instead"
+            )
+        self.payload_format = options.get("payload.format", "raw")
+        self.process_old = options.get("process.old.messages", "true").lower() == "true"
+
+    def _entries(self) -> list[dict[str, str]]:
+        try:
+            with open(self.file) as f:
+                return parse_journal_export(f.read())
+        except OSError:
+            return []
+
+    def initialOffset(self) -> dict:
+        # no cursor yet: head when processing old messages, else tail
+        return {"cursor": 0 if self.process_old else len(self._entries())}
+
+    def _rows(self, entries, start_idx):
+        rows = []
+        for i, fields in enumerate(entries):
+            payload = (
+                format_journal_syslog(fields)
+                if self.payload_format == "syslog"
+                else fields.get("MESSAGE", "")
+            )
+            ts = fields.get("__REALTIME_TIMESTAMP") or fields.get("_SOURCE_REALTIME_TIMESTAMP")
+            rows.append(
+                (start_idx + i, payload, json.dumps(fields, sort_keys=True), int(ts) if ts else None)
+            )
+        return rows
+
+    def read(self, start: dict):
+        cursor = int(start.get("cursor", 0))
+        entries = self._entries()
+        rows = self._rows(entries[cursor:], cursor)
+        return iter(rows), {"cursor": cursor + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        s, e = int(start.get("cursor", 0)), int(end.get("cursor", 0))
+        return iter(self._rows(self._entries()[s:e], s))
+
+
+class ConsumeJournaldDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "journald"
+
+    def schema(self):
+        return JOURNALD_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return _JournaldReader(self.options)
+
+
 class ConsumeMQTTDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -419,3 +540,4 @@ def register_listeners(spark) -> None:
     spark.dataSource.register(ListenTCPDataSource)
     spark.dataSource.register(ListenHTTPDataSource)
     spark.dataSource.register(ConsumeMQTTDataSource)
+    spark.dataSource.register(ConsumeJournaldDataSource)

@@ -346,3 +346,72 @@ def test_consume_mqtt_requires_topic_and_gates_paho(spark):
     # ImportError, not an opaque ModuleNotFoundError mid-thread
     with _pytest.raises(ImportError, match="paho-mqtt"):
         connect_paho_client("tcp://127.0.0.1:1883", "cid")
+
+
+def test_journald_export_parsing_and_syslog_format():
+    from nifi_minifi_cpp_spark.sources.datasource import (
+        format_journal_syslog,
+        parse_journal_export,
+    )
+
+    export = (
+        "MESSAGE=service started\n_HOSTNAME=edge01\nSYSLOG_IDENTIFIER=myapp\n"
+        "_PID=1234\n__REALTIME_TIMESTAMP=1700000000000000\n"
+        "\n"
+        "MESSAGE=second entry\n_HOSTNAME=edge01\n_COMM=worker\n"
+    )
+    entries = parse_journal_export(export)
+    assert len(entries) == 2
+    assert entries[0]["MESSAGE"] == "service started"
+    assert format_journal_syslog(entries[0]) == "edge01 myapp[1234]: service started"
+    assert format_journal_syslog(entries[1]) == "edge01 worker: second entry"
+
+
+def test_consume_journald_cursor_stream(spark, tmp_path):
+    """readStream.format('journald') over an export file: the cursor
+    offset survives between micro-batches — appended entries arrive
+    exactly once (ConsumeJournald.cpp:81-89 cursor-seek parity)."""
+    import time
+
+    from nifi_minifi_cpp_spark.sources.datasource import register_listeners
+
+    register_listeners(spark)
+    jf = tmp_path / "journal.export"
+    jf.write_text("MESSAGE=m1\n_HOSTNAME=h\n\nMESSAGE=m2\n_HOSTNAME=h\n")
+    df = (
+        spark.readStream.format("journald")
+        .option("file", str(jf))
+        .option("process.old.messages", "true")
+        .load()
+    )
+    q = df.writeStream.format("memory").queryName("jd_rows").start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.sql("SELECT * FROM jd_rows").count() < 2:
+            time.sleep(0.5)
+        # append two more entries; only they should arrive next
+        with open(jf, "a") as f:
+            f.write("\nMESSAGE=m3\n_HOSTNAME=h\n\nMESSAGE=m4\n_HOSTNAME=h\n")
+        while time.time() < deadline and spark.sql("SELECT * FROM jd_rows").count() < 4:
+            time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM jd_rows ORDER BY cursor").collect()
+        assert [r["message"] for r in rows] == ["m1", "m2", "m3", "m4"]
+        assert [r["cursor"] for r in rows] == [0, 1, 2, 3]  # exactly once
+    finally:
+        q.stop()
+
+
+def test_consume_journald_tail_start_and_gating(spark, tmp_path):
+    import pytest as _pytest
+
+    from nifi_minifi_cpp_spark.sources.datasource import _JournaldReader
+
+    jf = tmp_path / "j.export"
+    jf.write_text("MESSAGE=old\n")
+    # default (process.old.messages false) starts at the tail
+    r = _JournaldReader({"file": str(jf), "process.old.messages": "false"})
+    assert r.initialOffset() == {"cursor": 1}
+    with _pytest.raises(ValueError, match="file"):
+        _JournaldReader({})
+    with _pytest.raises(ImportError, match="python-systemd"):
+        _JournaldReader({"journal": "system"})
