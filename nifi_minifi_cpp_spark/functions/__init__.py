@@ -7,7 +7,7 @@ Python RecordTransform API (SURVEY §2.9).
 """
 
 from .jolt import jolt_chainr, jolt_shift, jolt_transform_json
-from .record_transform import FlowFileTransform, apply_record_transform
+from .record_transform import FlowFileTransform, apply_record_transform, lua_record_transform
 from .templates import apply_template, compile_template, jolt_transform
 
 __all__ = [
@@ -19,4 +19,5 @@ __all__ = [
     "jolt_transform_json",
     "FlowFileTransform",
     "apply_record_transform",
+    "lua_record_transform",
 ]

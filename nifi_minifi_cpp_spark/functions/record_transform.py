@@ -61,3 +61,38 @@ def apply_record_transform(
                 yield pd.DataFrame({n: [] for n in names})
 
     return df.mapInPandas(run, output_schema)
+
+
+def lua_record_transform(
+    df: DataFrame, script: str, output_schema: str
+) -> DataFrame:
+    """ExecuteScript with Script Engine=lua
+    (/root/reference/extensions/script/ExecuteScript.cpp:41
+    LuaScriptExecutor): the Lua script defines
+    ``transform(record) -> table|nil`` over a record table, the Lua
+    analogue of FlowFileTransform.
+
+    Import-gated on ``lupa`` (LuaJIT bindings), which is not installed
+    in every environment — the gate raises a clear ImportError at plan
+    time, not mid-task on an executor. When available, the runtime is
+    created per Arrow batch inside mapInPandas, so scripts run
+    executor-side like every other record transform.
+    """
+    try:
+        import lupa  # noqa: F401  type: ignore[import-not-found]
+    except ImportError as e:
+        raise ImportError(
+            "ExecuteScript(lua) needs the 'lupa' LuaJIT bindings, which are "
+            "not installed in this environment; use the Python "
+            "FlowFileTransform surface (apply_record_transform) instead"
+        ) from e
+
+    def fn(record: dict):
+        from lupa import LuaRuntime  # type: ignore[import-not-found]
+
+        lua = LuaRuntime(unpack_returned_tuples=True)
+        lua.execute(script)
+        result = lua.globals().transform(lua.table_from(record))
+        return dict(result) if result is not None else None
+
+    return apply_record_transform(df, fn, output_schema)

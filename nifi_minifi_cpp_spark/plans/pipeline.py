@@ -415,6 +415,38 @@ def substitute_parameters(value: str, params: dict[str, str]) -> str:
     return _PARAM_TOKEN.sub(repl, value)
 
 
+_VAR_TOKEN = re.compile(r"\$\{([A-Za-z0-9_.\-]+)\}")
+
+
+def variable_registry(config: dict) -> dict[str, str]:
+    """Custom config properties accessible as ``${name}`` in property
+    values (EXPRESSIONS.md:149-159 'Variable Registry'): an optional
+    whitelist restricts access, a blacklist removes entries, and any
+    property with ``password`` in its name is never accessible."""
+    props = {str(k): str(v) for k, v in (config.get("variables") or {}).items()}
+    wl = config.get("variable_whitelist")
+    bl = set(config.get("variable_blacklist") or [])
+    out = {}
+    for name, value in props.items():
+        if "password" in name.lower():
+            continue
+        if wl is not None and name not in wl:
+            continue
+        if name in bl:
+            continue
+        out[name] = value
+    return out
+
+
+def substitute_variables(value: str, registry: dict[str, str]) -> str:
+    """Config-time ``${var}`` replacement, like the reference's
+    variable substitution into property values at parse time. Only
+    names present in the registry substitute — every other ``${...}``
+    (attribute refs, EL function chains) passes through untouched for
+    the per-row EL compiler."""
+    return _VAR_TOKEN.sub(lambda m: registry.get(m.group(1), m.group(0)), value)
+
+
 def _flatten_groups(
     config: dict,
     contexts: dict[str, dict[str, str]],
@@ -430,6 +462,7 @@ def _flatten_groups(
     parse_parameter_contexts)."""
     procs: dict[str, dict] = {}
     conns: list[dict] = []
+    registry = variable_registry(config)
 
     def walk(group: dict, prefix: str) -> None:
         ctx_name = group.get("parameter_context_name")
@@ -438,7 +471,9 @@ def _flatten_groups(
         params = contexts.get(ctx_name, {})
 
         def subst(v):
-            return substitute_parameters(v, params) if isinstance(v, str) else v
+            if not isinstance(v, str):
+                return v
+            return substitute_variables(substitute_parameters(v, params), registry)
 
         for p in group.get("processors", []) or []:
             pid = prefix + p["id"]

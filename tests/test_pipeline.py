@@ -265,3 +265,45 @@ def test_compile_flow_unknown_context_and_param(spark):
                 "connections": [],
             },
         )
+
+
+def test_variable_registry_rules():
+    from nifi_minifi_cpp_spark.plans.pipeline import substitute_variables, variable_registry
+
+    reg = variable_registry(
+        {
+            "variables": {
+                "data.dir": "/data",
+                "db.password": "secret",
+                "allowed": "yes",
+                "blocked": "no",
+            },
+            "variable_blacklist": ["blocked"],
+        }
+    )
+    # password-named properties are never accessible (EXPRESSIONS.md:149-159)
+    assert reg == {"data.dir": "/data", "allowed": "yes"}
+    # whitelist restricts to the listed names
+    reg2 = variable_registry(
+        {"variables": {"a": "1", "b": "2"}, "variable_whitelist": ["a"]}
+    )
+    assert reg2 == {"a": "1"}
+    # only registry names substitute; EL expressions pass through
+    out = substitute_variables("${data.dir}/in ${event_type:equals('x')} ${unknown}", reg)
+    assert out == "/data/in ${event_type:equals('x')} ${unknown}"
+
+
+def test_compile_flow_with_variables(spark, sf_dir):
+    cfg = {
+        "variables": {"the.table": "events"},
+        "processors": [
+            {
+                "id": "src",
+                "type": "TableSource",
+                "properties": {"table": "${the.table}", "sf_dir": sf_dir},
+            }
+        ],
+        "connections": [],
+    }
+    flow = compile_flow(spark, cfg)
+    assert flow.outputs["src"]["success"].count() > 0

@@ -261,3 +261,15 @@ def test_jolt_engine_sigils():
     spec2 = {"svc-*": {"metrics": {"*": {"$0": "by_metric.&.service[]", "@": "by_metric.&.v"}}}}
     out2 = fx.jolt_shift(data2, spec2)
     assert out2 == {"by_metric": {"cpu": {"service": ["cpu"], "v": 10}}}
+
+
+def test_lua_record_transform_is_import_gated(spark):
+    """ExecuteScript(lua) parity surface: gated on lupa with a clear
+    error (the bindings are absent from this container)."""
+    import pytest as _pytest
+
+    from nifi_minifi_cpp_spark.functions import lua_record_transform
+
+    df = spark.createDataFrame([("a",)], "x string")
+    with _pytest.raises(ImportError, match="lupa"):
+        lua_record_transform(df, "function transform(r) return r end", "x string")
