@@ -430,7 +430,18 @@ def _escape_json(s, a):
 
 @_fn("unescapeJson")
 def _unescape_json(s, a):
-    return Typed(_chain_replace(as_str(s), [(n, o) for o, n in reversed(_JSON_ESC)]), STR)
+    # JSON unescaping must tokenize left-to-right: in "\\r" (escaped
+    # backslash, then a literal r) the backslash pair consumes BOTH
+    # characters before the \r rule may look at the tail. Sequential
+    # replaces can't express that, so the escaped backslash is parked
+    # in a NUL sentinel first and restored last (reference parses with
+    # a real JSON reader, Expression.cpp:455-466; raw NUL cannot occur
+    # in escaped-JSON input — the escape side writes it as the \\u0000 escape).
+    col = F.replace(as_str(s), F.lit("\\\\"), F.lit("\x00"))
+    for orig, esc in _JSON_ESC:
+        if orig != "\\":
+            col = F.replace(col, F.lit(esc), F.lit(orig))
+    return Typed(F.replace(col, F.lit("\x00"), F.lit("\\")), STR)
 
 
 @_fn("escapeXml")

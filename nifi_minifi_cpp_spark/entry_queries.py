@@ -1596,7 +1596,13 @@ def syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tailfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TailFile: write the documents as a log file, tail it with
-    offset state, verify every line arrives intact."""
+    offset state, verify every line arrives intact.
+
+    CORRECTNESS FIXTURE ONLY: the driver-side fixture write +
+    single-file tail here exists to give the polling TailFile an
+    oracle row. The scale path is the native streaming source
+    (``sources/datasource.py`` ``TailFileDataSource``, offsets =
+    (file, position, checksum) state) — see test_tail_metrics."""
     import tempfile
 
     from .sources import TailFile
