@@ -31,6 +31,10 @@ def main():
     # JVM/codegen warmup so the first query isn't charged session
     # startup (touches no benchmark data)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Arrow/Python-worker pool warmup: without this the first
+    # mapInPandas query is charged ~2-4s of worker spawn across all
+    # cores — a per-session cost, not that query's cost
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(lambda it: it, "id long").count()
 
     qs = entry.queries()
     timings: dict[str, float] = {}

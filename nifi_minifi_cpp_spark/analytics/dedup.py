@@ -497,31 +497,50 @@ def embedding_dedup(
     """
     import random
 
+    import numpy as np
+
     rng = random.Random(seed)
     dim_row = df.select(F.size(F.col(embedding_col)).alias("d")).first()
     dim = dim_row["d"]
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
-    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
-    emb = F.transform(F.col(embedding_col), lambda x: x.cast("double"))
-    bucket = F.aggregate(
-        F.zip_with(
-            planes_lit,
-            F.sequence(F.lit(0), F.lit(num_planes - 1)),
-            lambda p, i: F.when(
-                F.aggregate(F.zip_with(p, emb, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x) > 0,
-                F.call_function("shiftleft", F.lit(1), i.cast("int")),
-            ).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc.bitwiseOR(x),
+    planes = np.array([[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)])
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: [], "_bucket": []})
+                continue
+            E = np.array([np.asarray(e, dtype=np.float64) for e in pdf[embedding_col]])
+            signs = (E @ planes.T) > 0
+            yield pd.DataFrame({id_col: pdf[id_col], "_bucket": (signs * weights).sum(axis=1)})
+
+    # bucket signs via one numpy matmul on a SLIM (id, bucket) table —
+    # the former per-row hyperplane HOF ran num_planes x dim interpreted
+    # lambda evals per row, twice (both join sides), and the probes
+    # window shuffled+sorted the full embedding payload. Slim persist:
+    # 16 bytes/row, referenced by both candidate-join sides.
+    buckets = _spread_for_cpu(df.select(id_col, embedding_col), id_col).mapInPandas(
+        run, f"{id_col} long, _bucket long"
+    ).persist()
+    cand = (
+        buckets.alias("a")
+        .join(_bucket_probes(buckets, ["_bucket"], id_col, max_probes).alias("b"), "_bucket")
+        .filter(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("_ida"), F.col(f"b.{id_col}").alias("_idb"))
+        # no distinct: single-probe SRP gives each vector exactly ONE
+        # bucket, so a pair can appear at most once
     )
-    keyed = df.withColumn("_bucket", bucket)
-    a = keyed.alias("a")
-    b = _bucket_probes(keyed, ["_bucket"], id_col, max_probes).alias("b")
+    # embeddings join back ONLY for candidate pairs; exact cosine runs
+    # on the (few) survivors of the bucket filter
+    ea = df.select(F.col(id_col).alias("_ida"), F.col(embedding_col).alias("_ea"))
+    eb = df.select(F.col(id_col).alias("_idb"), F.col(embedding_col).alias("_eb"))
     pairs = (
-        a.join(b, (F.col("a._bucket") == F.col("b._bucket")) & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")))
-        .withColumn("_cos", cosine(F.col(f"a.{embedding_col}"), F.col(f"b.{embedding_col}")))
+        cand.join(ea, "_ida")
+        .join(eb, "_idb")
+        .withColumn("_cos", cosine(F.col("_ea"), F.col("_eb")))
         .filter(F.col("_cos") >= threshold)
     )
-    dropped = pairs.select(F.col(f"a.{id_col}").alias(id_col)).distinct()
+    dropped = pairs.select(F.col("_ida").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")

@@ -14,6 +14,15 @@ from .datasource import (
 from .tail_file import TailFile
 from .incremental import IncrementalTableScan, jdbc_table_reader, parquet_table_reader
 from .process import execute_process
+from .remote_fs import (
+    RemoteEntry,
+    fetch_remote,
+    list_remote,
+    put_remote,
+    route_fetch_remote,
+    sftp_client_factory,
+    smb_client_factory,
+)
 from .sql import execute_sql, put_sql
 
 __all__ = [
@@ -34,4 +43,11 @@ __all__ = [
     "ListenUDPDataSource",
     "ListenTCPDataSource",
     "ListenHTTPDataSource",
+    "RemoteEntry",
+    "list_remote",
+    "fetch_remote",
+    "route_fetch_remote",
+    "put_remote",
+    "sftp_client_factory",
+    "smb_client_factory",
 ]

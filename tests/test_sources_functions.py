@@ -273,3 +273,81 @@ def test_lua_record_transform_is_import_gated(spark):
     df = spark.createDataFrame([("a",)], "x string")
     with _pytest.raises(ImportError, match="lupa"):
         lua_record_transform(df, "function transform(r) return r end", "x string")
+
+
+# -- remote FS (SFTP/SMB) list + fetch ----------------------------------------
+
+
+def _fake_remote_fs():
+    """In-memory remote filesystem. Defined inside a function so
+    cloudpickle ships it to executors by value."""
+    from nifi_minifi_cpp_spark.sources import RemoteEntry
+
+    class FakeClient:
+        files = {
+            "/in/a.txt": (b"alpha", 100.0),
+            "/in/b.log": (b"bravo", 200.0),
+            "/in/sub/c.txt": (b"charlie", 300.0),
+            "/in/secret.txt": (b"x", 150.0),
+        }
+
+        def listdir(self, path):
+            seen_dirs = set()
+            for p, (data, mtime) in sorted(self.files.items()):
+                parent = p.rsplit("/", 1)[0]
+                if parent == path:
+                    yield RemoteEntry(path=p, size=len(data), mtime=mtime)
+                elif parent.startswith(path.rstrip("/") + "/"):
+                    d = path.rstrip("/") + "/" + parent[len(path.rstrip("/")) + 1 :].split("/")[0]
+                    if d not in seen_dirs:
+                        seen_dirs.add(d)
+                        yield RemoteEntry(path=d, size=0, mtime=0, is_dir=True)
+
+        def read(self, path):
+            if path == "/in/secret.txt":
+                raise PermissionError(path)
+            if path not in self.files:
+                raise FileNotFoundError(path)
+            return self.files[path][0]
+
+    return FakeClient
+
+
+def test_list_remote_watermark_and_filter(spark, tmp_path):
+    from nifi_minifi_cpp_spark.sources import ListFileState, list_remote
+
+    client = _fake_remote_fs()()
+    state = ListFileState(str(tmp_path / "sftp.state"))
+    first = list_remote(spark, client, "/in", state=state, name_filter=r"\.txt$")
+    assert {r["filename"] for r in first.collect()} == {"a.txt", "c.txt", "secret.txt"}
+    # watermark: nothing new on the second poll
+    assert list_remote(spark, client, "/in", state=state, name_filter=r"\.txt$") is None
+    # a newer file appears -> only it lists
+    client.files["/in/d.txt"] = (b"delta", 400.0)
+    third = list_remote(spark, client, "/in", state=state, name_filter=r"\.txt$")
+    assert [r["filename"] for r in third.collect()] == ["d.txt"]
+
+
+def test_fetch_remote_routes_failures(spark):
+    from nifi_minifi_cpp_spark.sources import fetch_remote, route_fetch_remote
+
+    listing = spark.createDataFrame(
+        [("/in/a.txt",), ("/in/missing.txt",), ("/in/secret.txt",)], "path string"
+    )
+    fetched = fetch_remote(listing, _fake_remote_fs())
+    routed = route_fetch_remote(fetched)
+    got = {k: v.count() for k, v in routed.items()}
+    assert got == {"success": 1, "not.found": 1, "permission.denied": 1, "comms.failure": 0}
+    ok = routed["success"].first()
+    assert ok["content"] == "alpha"
+
+
+def test_remote_client_factories_are_import_gated():
+    import pytest as _pytest
+
+    from nifi_minifi_cpp_spark.sources import sftp_client_factory, smb_client_factory
+
+    with _pytest.raises(ImportError, match="paramiko"):
+        sftp_client_factory("host")
+    with _pytest.raises(ImportError, match="smbprotocol"):
+        smb_client_factory("server", "share")
