@@ -283,6 +283,50 @@ def push_grafana_loki_handler(
 
 
 # ---------------------------------------------------------------------------
+# MQTT publisher (PublishMQTT)
+# ---------------------------------------------------------------------------
+
+
+def publish_mqtt_handler(
+    broker: str,
+    topic: str,
+    content_col: str = "content",
+    topic_col: str | None = None,
+    qos: int = 0,
+    retain: bool = False,
+    client_factory=None,
+):
+    """PublishMQTT (extensions/mqtt/processors/PublishMQTT.cpp:58):
+    per partition, one client publishes each row's content with the
+    configured QoS/retain; a ``topic_col`` overrides the static topic
+    per row (the reference evaluates the Topic property per FlowFile).
+    ``client_factory`` must build a paho-shaped client
+    (``publish(topic, payload, qos, retain)``); the real client is
+    import-gated via ``sources.datasource.connect_paho_client``."""
+
+    def handler(batch_df: DataFrame, epoch_id: int) -> None:
+        cols = [content_col] + ([topic_col] if topic_col else [])
+
+        def send(rows) -> None:
+            if client_factory is not None:
+                client = client_factory()
+            else:  # pragma: no cover - requires broker + paho
+                from ..sources.datasource import connect_paho_client
+
+                client = connect_paho_client(broker, "nifi-minifi-cpp-spark-pub")
+            for row in rows:
+                payload = row[content_col]
+                if payload is None:
+                    continue
+                data = payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode()
+                client.publish(row[topic_col] if topic_col else topic, data, qos=qos, retain=retain)
+
+        batch_df.select(*cols).foreachPartition(send)
+
+    return handler
+
+
+# ---------------------------------------------------------------------------
 # Kinesis (PutKinesisStream)
 # ---------------------------------------------------------------------------
 

@@ -191,3 +191,30 @@ def test_es_bulk_payload_validation():
     assert "identifier is required for delete" in errors[2][1]
     lines = [json.loads(ln) for ln in payload.strip().split("\n")]
     assert lines == [{"index": {"_index": "logs"}}, {"ok": 1}]
+
+
+# -- PublishMQTT --------------------------------------------------------------
+
+
+def test_publish_mqtt_handler_per_row_topic(spark, tmp_path):
+    """Executor-side publish: the fake client writes to a shared file
+    (local[n] executors share the FS) so publishes are observable."""
+    out = tmp_path / "published.txt"
+
+    def factory(path=str(out)):
+        class Client:
+            def publish(self, topic, payload, qos=0, retain=False):
+                with open(path, "a") as f:
+                    f.write(f"{topic}|{payload.decode()}|{qos}|{retain}\n")
+
+        return Client()
+
+    handler = st.publish_mqtt_handler(
+        "tcp://broker:1883", "default/topic", topic_col="t", qos=1, client_factory=factory
+    )
+    batch = spark.createDataFrame(
+        [("m1", "sensors/a"), ("m2", "sensors/b")], "content string, t string"
+    )
+    handler(batch, epoch_id=1)
+    lines = sorted(out.read_text().strip().split("\n"))
+    assert lines == ["sensors/a|m1|1|False", "sensors/b|m2|1|False"]
