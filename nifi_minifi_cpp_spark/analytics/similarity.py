@@ -195,6 +195,57 @@ def train_ivf_centroids(
     return centroids
 
 
+class IvfIndex:
+    """Train-once / persist IVF index: centroids to a small .npy file,
+    assignments to a parquet table partitioned by cell.
+
+    The per-query registry entry retrains on every call (fine for a
+    correctness fixture); the production path is::
+
+        idx = IvfIndex.train(df, n_cells=256)
+        idx.save("/models/ivf", df)        # centroids + partitioned table
+        ...
+        idx = IvfIndex.load(spark, "/models/ivf")
+        idx.topk(query_vec, k=10, nprobe=8)
+
+    Probe-time cell filters hit the parquet PARTITION level
+    (``ivf_cell=N/`` directories), so a 100 TB table scans only
+    ~nprobe/n_cells of its files — see test_plan_quality's
+    partition-pruning assertion.
+    """
+
+    def __init__(self, centroids, indexed: DataFrame | None = None):
+        self.centroids = centroids
+        self.indexed = indexed
+
+    @classmethod
+    def train(cls, df: DataFrame, n_cells: int = 64, **kw) -> "IvfIndex":
+        centroids = train_ivf_centroids(df, n_cells=n_cells, **kw)
+        return cls(centroids, ivf_assign(df, centroids))
+
+    def save(self, path: str) -> None:
+        import numpy as np
+
+        if self.indexed is None:
+            raise ValueError("nothing to save: train() first")
+        self.indexed.write.mode("overwrite").partitionBy("ivf_cell").parquet(f"{path}/table")
+        # centroid matrix is tiny (n_cells x dim); keep it beside the table
+        np.save("/tmp/_ivf_centroids.npy", np.asarray(self.centroids))
+        import shutil
+
+        shutil.move("/tmp/_ivf_centroids.npy", f"{path}/centroids.npy")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        import numpy as np
+
+        centroids = np.load(f"{path}/centroids.npy")
+        return cls(centroids, spark.read.parquet(f"{path}/table"))
+
+    def topk(self, query_vec, k: int = 10, nprobe: int = 8, **kw) -> DataFrame:
+        return ivf_topk(self.indexed, self.centroids, query_vec, k=k, nprobe=nprobe, **kw)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids,

@@ -287,3 +287,27 @@ def test_simhash_pandas_matches_locality(spark, docs_with_dups):
     assert base == copies
     n_distinct = sig.select("_sig").distinct().count()
     assert n_distinct > 100
+
+
+def test_ivf_index_save_load_roundtrip(spark, tables, tmp_path):
+    """Train-once/persist IVF: saved index reloads with identical
+    centroids, the table is partitioned by cell (probe filters hit
+    partition pruning), and reloaded top-k matches the fresh index."""
+    import numpy as np
+
+    from nifi_minifi_cpp_spark.analytics import IvfIndex
+
+    emb = tables["embeddings"]
+    idx = IvfIndex.train(emb, n_cells=8, sample_rows=500)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)
+    assert np.allclose(idx.centroids, loaded.centroids)
+    # cell partition directories exist on disk
+    import os
+
+    assert any(d.startswith("ivf_cell=") for d in os.listdir(f"{path}/table"))
+    q = list(emb.first()["embedding"])
+    fresh = [(r["vec_id"], round(r["score"], 6)) for r in idx.topk(q, k=5, nprobe=8).collect()]
+    again = [(r["vec_id"], round(r["score"], 6)) for r in loaded.topk(q, k=5, nprobe=8).collect()]
+    assert fresh == again
