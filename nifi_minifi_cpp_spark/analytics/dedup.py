@@ -483,17 +483,21 @@ def embedding_dedup(
     num_planes: int = 8,
     seed: int = 42,
     max_probes: int = 64,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Embedding near-dup removal: random-hyperplane LSH bucket ->
     exact cosine within bucket -> drop larger id.
 
-    Hyperplanes are deterministic (seeded) literals broadcast in the
-    plan; the bucket key is the 8-bit sign pattern, so the candidate
-    join shuffles only per-bucket. Note: single-probe SRP-LSH is
-    approximate — pairs can land in different buckets; raise
-    num_planes/multi-probe for recall at scale. A hot bucket (a flood
-    of identical vectors) is skew-guarded by comparing each vector
-    against only the ``max_probes`` smallest ids in its bucket.
+    Hyperplanes are deterministic (seeded); the bucket key is the
+    sign pattern, so the candidate join shuffles only per-bucket.
+    Single-probe SRP is approximate — a near-dup pair straddling one
+    hyperplane lands in different buckets. ``multi_probe=True`` also
+    probes every Hamming-1 neighbor bucket (flip each sign bit on the
+    probe side only: one side of the join fans out ×(num_planes+1),
+    catching every pair within one hyperplane of each other at
+    proportional cost). A hot bucket (a flood of identical vectors) is
+    skew-guarded by comparing each vector against only the
+    ``max_probes`` smallest ids in its bucket.
     """
     import random
 
@@ -524,14 +528,28 @@ def embedding_dedup(
     buckets = _spread_for_cpu(df.select(id_col, embedding_col), id_col).mapInPandas(
         run, f"{id_col} long, _bucket long"
     ).persist()
-    cand = (
-        buckets.alias("a")
-        .join(_bucket_probes(buckets, ["_bucket"], id_col, max_probes).alias("b"), "_bucket")
-        .filter(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("_ida"), F.col(f"b.{id_col}").alias("_idb"))
-        # no distinct: single-probe SRP gives each vector exactly ONE
-        # bucket, so a pair can appear at most once
-    )
+    probes_side = _bucket_probes(buckets, ["_bucket"], id_col, max_probes).alias("b")
+    if multi_probe:
+        flips = F.array(F.lit(0), *[F.lit(1 << i) for i in range(num_planes)])
+        a_side = buckets.select(
+            F.col(id_col),
+            F.explode(F.transform(flips, lambda m: F.col("_bucket").bitwiseXOR(m))).alias("_bucket"),
+        ).alias("a")
+        cand = (
+            a_side.join(probes_side, "_bucket")
+            .filter(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("_ida"), F.col(f"b.{id_col}").alias("_idb"))
+            .distinct()  # a pair may match via several flipped buckets
+        )
+    else:
+        cand = (
+            buckets.alias("a")
+            .join(probes_side, "_bucket")
+            .filter(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("_ida"), F.col(f"b.{id_col}").alias("_idb"))
+            # no distinct: single-probe SRP gives each vector exactly ONE
+            # bucket, so a pair can appear at most once
+        )
     # embeddings join back ONLY for candidate pairs; exact cosine runs
     # on the (few) survivors of the bucket filter
     ea = df.select(F.col(id_col).alias("_ida"), F.col(embedding_col).alias("_ea"))

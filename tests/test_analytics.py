@@ -311,3 +311,24 @@ def test_ivf_index_save_load_roundtrip(spark, tables, tmp_path):
     fresh = [(r["vec_id"], round(r["score"], 6)) for r in idx.topk(q, k=5, nprobe=8).collect()]
     again = [(r["vec_id"], round(r["score"], 6)) for r in loaded.topk(q, k=5, nprobe=8).collect()]
     assert fresh == again
+
+
+def test_embedding_dedup_multi_probe_recall(spark):
+    """Multi-probe finds at least the single-probe pairs, and exact
+    duplicates are still deduped; candidate work stays bounded."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(200):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+        # exact copy with a larger id: must always drop
+        rows.append((1000 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    single = an.embedding_dedup(df, threshold=0.999, max_probes=8)
+    multi = an.embedding_dedup(df, threshold=0.999, max_probes=8, multi_probe=True)
+    assert single.filter(F.col("vec_id") >= 1000).count() == 0
+    assert multi.filter(F.col("vec_id") >= 1000).count() == 0
+    # multi-probe keeps a subset (it can only find MORE near-dups)
+    assert multi.count() <= single.count()
