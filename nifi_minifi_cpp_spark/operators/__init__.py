@@ -24,6 +24,7 @@ from .attributes import (
 )
 from .routing import funnel, retry_flow_file, route_on_attribute, route_text
 from .text import (
+    merged_attribute_maps,
     compress_content,
     defragment_text,
     merge_content_bin_packing,
@@ -61,6 +62,7 @@ __all__ = [
     "split_record",
     "defragment_text",
     "merge_content_defragment",
+    "merged_attribute_maps",
     "merge_content_bin_packing",
     "compress_content",
     "ArchiveOpError",

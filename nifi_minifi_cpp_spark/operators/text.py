@@ -230,12 +230,43 @@ def split_record(df: DataFrame, records_per_split: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def merged_attribute_maps(src: DataFrame, group_cols, strategy: str) -> DataFrame:
+    """(group, attributes) under a MergeContent attribute strategy
+    (MergeContent.h:253-285): ``keep_only_common`` keeps a key only
+    when every member carries it with the same value; ``keep_all_unique``
+    keeps every key that never conflicts (one distinct value, any
+    member count). One explode + two aggregations, all JVM-side.
+    """
+    if strategy not in ("keep_only_common", "keep_all_unique"):
+        raise ValueError(f"unknown attribute strategy {strategy!r}")
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    kv = src.select(*group_cols, F.explode_outer("attributes").alias("key", "value")).filter(
+        F.col("key").isNotNull()
+    )
+    per_key = kv.groupBy(*group_cols, "key").agg(
+        F.count_distinct("value").alias("_nv"),
+        F.count(F.lit(1)).alias("_n"),
+        F.first("value").alias("value"),
+    )
+    if strategy == "keep_only_common":
+        members = src.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n_members"))
+        per_key = per_key.join(members, group_cols).filter(
+            (F.col("_nv") == 1) & (F.col("_n") == F.col("_n_members"))
+        )
+    else:
+        per_key = per_key.filter(F.col("_nv") == 1)
+    return per_key.groupBy(*group_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("key", "value"))).alias("attributes")
+    )
+
+
 def merge_content_defragment(
     df: DataFrame,
     demarcator: str = "\n",
     header: str = "",
     footer: str = "",
     require_complete: bool = True,
+    attribute_strategy: str = "first",
 ) -> DataFrame:
     """MergeContent, Defragment strategy (MergeContent.h:44):
     reassemble fragments by ``fragment.identifier`` ordered by
@@ -246,6 +277,12 @@ def merge_content_defragment(
     sort_array(collect_list(struct(index, payload))). At 100 TB the
     identifier is high-cardinality (one group per original file) so
     the aggregation parallelizes cleanly; no skew expected.
+
+    ``attribute_strategy``: ``first`` (fast path — fragments of one
+    parent share their attributes, so first() is exact and skips a
+    second aggregation) or the reference's ``keep_only_common`` /
+    ``keep_all_unique`` (MergeContent.h:253-285) via
+    :func:`merged_attribute_maps`.
     """
     frag_id = F.col("attributes").getItem("fragment.identifier")
     frag_idx = F.col("attributes").getItem("fragment.index").cast("int")
@@ -274,7 +311,12 @@ def merge_content_defragment(
         # JOIN provenance: the bundle's ancestors = union of children's
         cols.append(F.col("lineage"))
         aggs.append(F.array_distinct(F.flatten(F.collect_list("lineage"))).alias("_lineage"))
-    grouped = df.select(*cols).groupBy("_fid").agg(*aggs)
+    selected = df.select(*cols)
+    grouped = selected.groupBy("_fid").agg(*aggs)
+    if attribute_strategy != "first":
+        grouped = grouped.drop("attributes").join(
+            merged_attribute_maps(selected, "_fid", attribute_strategy), "_fid", "left"
+        )
     if require_complete:
         grouped = grouped.filter(F.col("_have") == F.col("_want"))
     content = F.concat(F.lit(header), F.col("_joined"), F.lit(footer))
@@ -283,7 +325,7 @@ def merge_content_defragment(
         F.lit(None).cast("timestamp").alias("ts"),
         content.alias("content"),
         F.map_filter(
-            F.col("attributes"),
+            F.coalesce(F.col("attributes"), F.create_map().cast("map<string,string>")),
             lambda k, v: ~k.isin("fragment.identifier", "fragment.index", "fragment.count", "text.line.count"),
         ).alias("attributes"),
         (F.col("_lineage") if has_lineage else F.array(F.col("_fid"))).alias("lineage"),
@@ -297,12 +339,15 @@ def merge_content_bin_packing(
     correlation_attribute: str | None = None,
     demarcator: str = "\n",
     id_col: str = "uuid",
+    attribute_strategy: str = "first",
 ) -> DataFrame:
     """MergeContent, Bin-Packing strategy (MergeContent.h:315-319) —
     batch flavor: pack rows into bins of <= max_entries per
     correlation key. Bin assignment = row_number() div max_entries
     within the correlation partition; the streaming flavor with
     age/size flush lives in streaming.stateful.
+    ``attribute_strategy``: ``first`` fast path or the reference's
+    ``keep_only_common`` / ``keep_all_unique`` (MergeContent.h:253-285).
     """
     from pyspark.sql import Window
 
@@ -331,12 +376,18 @@ def merge_content_bin_packing(
         )
         .filter(F.col("_mcount") >= min_entries)
     )
+    if attribute_strategy != "first":
+        merged = merged.drop("attributes").join(
+            merged_attribute_maps(binned, ["_corr", "_bin"], attribute_strategy),
+            ["_corr", "_bin"],
+            "left",
+        )
     return merged.select(
         "uuid",
         F.lit(None).cast("timestamp").alias("ts"),
         "content",
         F.map_concat(
-            F.col("attributes"),
+            F.coalesce(F.col("attributes"), F.create_map().cast("map<string,string>")),
             F.create_map(F.lit("merge.count"), F.col("_mcount").cast("string")),
         ).alias("attributes"),
         F.array(F.col("uuid")).alias("lineage"),

@@ -447,3 +447,49 @@ def test_focus_unfocus_archive_entry(spark):
     unfocused = unfocus_archive_entry(transformed, "x.txt", fmt="tar")
     entries = {r["entry_name"]: r["content"] for r in unpack_archive(unfocused, fmt="tar").collect()}
     assert entries == {"x.txt": "HELLO", "y.txt": "world"}
+
+
+# -- MergeContent attribute strategies ----------------------------------------
+
+
+def test_merge_attribute_strategies(spark):
+    """Keep-Only-Common vs Keep-All-Unique (MergeContent.h:253-285):
+    common requires every member to carry the (key, value); unique
+    keeps any non-conflicting key."""
+    from nifi_minifi_cpp_spark.operators import merge_content_bin_packing
+
+    rows = [
+        ("a", "m1", {"env": "prod", "shared": "x", "only1": "v"}),
+        ("b", "m2", {"env": "prod", "shared": "y"}),
+        ("c", "m3", {"env": "prod", "shared": "x"}),
+    ]
+    ff = spark.createDataFrame(rows, "uuid string, content string, attributes map<string,string>")
+    common = merge_content_bin_packing(ff, attribute_strategy="keep_only_common").first()
+    attrs = dict(common["attributes"])
+    # env identical everywhere -> kept; shared conflicts -> dropped;
+    # only1 missing from two members -> dropped
+    assert attrs["env"] == "prod"
+    assert "shared" not in attrs and "only1" not in attrs
+    assert attrs["merge.count"] == "3"
+
+    unique = merge_content_bin_packing(ff, attribute_strategy="keep_all_unique").first()
+    uattrs = dict(unique["attributes"])
+    # only1 never conflicts -> kept under unique
+    assert uattrs["env"] == "prod" and uattrs["only1"] == "v"
+    assert "shared" not in uattrs
+
+
+def test_defragment_attribute_strategy(spark):
+    from nifi_minifi_cpp_spark.operators import merge_content_defragment
+
+    rows = [
+        ("u1", "part0", {"fragment.identifier": "f1", "fragment.index": "0",
+                          "fragment.count": "2", "src": "fileA", "part": "p0"}),
+        ("u2", "part1", {"fragment.identifier": "f1", "fragment.index": "1",
+                          "fragment.count": "2", "src": "fileA", "part": "p1"}),
+    ]
+    ff = spark.createDataFrame(rows, "uuid string, content string, attributes map<string,string>")
+    out = merge_content_defragment(ff, attribute_strategy="keep_only_common").first()
+    attrs = dict(out["attributes"])
+    assert attrs == {"src": "fileA"}  # part conflicts; fragment.* stripped
+    assert out["content"] == "part0\npart1"
