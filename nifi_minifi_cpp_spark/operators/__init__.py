@@ -39,6 +39,8 @@ from .text import (
 from .window import (
     attribute_rolling_window_count,
     attribute_rolling_window_time,
+    session_window_agg,
+    sliding_window_agg,
     tumbling_window_agg,
 )
 
@@ -76,4 +78,6 @@ __all__ = [
     "attribute_rolling_window_time",
     "attribute_rolling_window_count",
     "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
 ]

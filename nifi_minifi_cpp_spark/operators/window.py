@@ -89,3 +89,35 @@ def tumbling_window_agg(
     """
     aggs = aggs or [F.count(F.lit(1)).alias("n")]
     return df.groupBy(F.window(F.col(ts_col), duration), *(group_by or [])).agg(*aggs)
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    group_by: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Sliding event-time windows — ``window(ts, duration, slide)``:
+    each event lands in duration/slide overlapping windows (SURVEY
+    §2.10's sliding upgrade over AttributeRollingWindow's per-record
+    rolling). Same call works on a stream with a watermark.
+    """
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    return df.groupBy(F.window(F.col(ts_col), duration, slide), *(group_by or [])).agg(*aggs)
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    group_by: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Session windows with an inactivity gap —
+    ``session_window(ts, gap)``: the engine-native form of the
+    sessionization that DefragmentText/sessionize_users express
+    manually (SURVEY §2.10 session windows row)."""
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    return df.groupBy(F.session_window(F.col(ts_col), gap), *(group_by or [])).agg(*aggs)

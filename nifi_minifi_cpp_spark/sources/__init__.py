@@ -13,6 +13,7 @@ from .datasource import (
 )
 from .tail_file import TailFile
 from .incremental import IncrementalTableScan, jdbc_table_reader, parquet_table_reader
+from .kv import couchbase_client_factory, get_kv_key, put_kv_key
 from .process import execute_process
 from .remote_fs import (
     RemoteEntry,
@@ -50,4 +51,7 @@ __all__ = [
     "put_remote",
     "sftp_client_factory",
     "smb_client_factory",
+    "couchbase_client_factory",
+    "get_kv_key",
+    "put_kv_key",
 ]

@@ -493,3 +493,18 @@ def test_defragment_attribute_strategy(spark):
     attrs = dict(out["attributes"])
     assert attrs == {"src": "fileA"}  # part conflicts; fragment.* stripped
     assert out["content"] == "part0\npart1"
+
+
+def test_sliding_and_session_windows(spark, tables):
+    """Sliding: each event lands in duration/slide windows; session:
+    gap-based grouping equals the manual lag/cumsum sessionization."""
+    from nifi_minifi_cpp_spark.operators import session_window_agg, sliding_window_agg
+
+    ev = tables["events"].limit(2000)
+    n = ev.count()
+    slid = sliding_window_agg(ev, duration="1 hour", slide="30 minutes")
+    # every event is in exactly 2 overlapping hourly windows
+    assert slid.agg(F.sum("n")).first()[0] == 2 * n
+    sess = session_window_agg(ev, gap="10 minutes", group_by=["user_id"])
+    total = sess.agg(F.sum("n")).first()[0]
+    assert total == n

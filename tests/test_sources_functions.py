@@ -351,3 +351,43 @@ def test_remote_client_factories_are_import_gated():
         sftp_client_factory("host")
     with _pytest.raises(ImportError, match="smbprotocol"):
         smb_client_factory("server", "share")
+
+
+def test_kv_fetch_routes_and_put(spark, tmp_path):
+    from nifi_minifi_cpp_spark.sources import get_kv_key, put_kv_key
+
+    def factory(path=str(tmp_path / "kv.txt")):
+        class Client:
+            store = {"k1": "v1", "k2": b"v2"}
+
+            def get(self, key):
+                if key == "boom":
+                    raise RuntimeError("transient")
+                return self.store[key]
+
+            def upsert(self, key, value):
+                with open(path, "a") as f:
+                    f.write(f"{key}={value}\n")
+
+        return Client()
+
+    df = spark.createDataFrame([("k1",), ("k2",), ("nope",), ("boom",)], "key string")
+    out = get_kv_key(df, factory)
+    got = {r["key"]: (r["content"], r["kv_status"]) for r in out.collect()}
+    assert got["k1"] == ("v1", "success") and got["k2"] == ("v2", "success")
+    assert got["nope"] == (None, "not.found")
+    assert got["boom"] == (None, "failure")
+
+    handler = put_kv_key(factory)
+    handler(spark.createDataFrame([("a", "1"), ("b", "2")], "key string, content string"), 0)
+    lines = sorted((tmp_path / "kv.txt").read_text().strip().split("\n"))
+    assert lines == ["a=1", "b=2"]
+
+
+def test_couchbase_factory_is_import_gated():
+    import pytest as _pytest
+
+    from nifi_minifi_cpp_spark.sources import couchbase_client_factory
+
+    with _pytest.raises(ImportError, match="couchbase"):
+        couchbase_client_factory("couchbase://host", "bucket")
