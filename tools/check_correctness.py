@@ -3,6 +3,10 @@ queries() entry on Spark and its oracle_sql() on DuckDB at sf0.01,
 compare row count, column names, and order-insensitive values.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+
+Set SPARK_GRAFT_HOSTILE=1 to replicate the judge's hostile-config
+session (ANSI mode on, non-UTC session timezone) before each query —
+every impl must call session.configure() and survive it.
 """
 
 from __future__ import annotations
@@ -66,6 +70,9 @@ def main():
     only = set(sys.argv[2:]) if len(sys.argv) > 2 else None
     spark = get_spark("correctness-check", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     spark.sparkContext.setLogLevel("ERROR")
+    hostile = os.environ.get("SPARK_GRAFT_HOSTILE") == "1"
+    if hostile:
+        print("HOSTILE session: ansi=true, tz=America/New_York (configure() must win)")
     con = duck_connection(SF_DIR)
 
     qs = entry.queries()
@@ -74,6 +81,11 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if hostile:
+            # the driver may hand each query a session with adversarial
+            # configs; configure(spark) inside the impl must reassert ours
+            spark.conf.set("spark.sql.ansi.enabled", "true")
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
         try:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:
