@@ -1,5 +1,6 @@
 """Flow-config compiler (SURVEY §3.1 query lifecycle, Spark-first)."""
 
+from .bucketing import cobucket_join, read_bucketed, write_bucketed
 from .pipeline import (
     CompiledFlow,
     FlowCompileError,
@@ -10,6 +11,9 @@ from .pipeline import (
 )
 
 __all__ = [
+    "write_bucketed",
+    "read_bucketed",
+    "cobucket_join",
     "compile_flow",
     "CompiledFlow",
     "FlowController",

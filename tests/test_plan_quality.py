@@ -128,3 +128,31 @@ def test_q10_take_ordered_topk(spark, sf_dir):
     plan = plan_of(entry.queries()["q10_returned_item_customers"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "PushedFilters" in plan  # returnflag filter reaches the scan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-bucketed fact-fact join: pre-shuffled layout satisfies the
+    join distribution, so the plan has NO shuffle Exchange on either
+    side — the pay-the-shuffle-once story for 100 TB fact tables."""
+    from nifi_minifi_cpp_spark.plans.bucketing import cobucket_join, write_bucketed
+    from nifi_minifi_cpp_spark.session import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        o = load_table(spark, "orders", sf_dir).limit(5000)
+        li = load_table(spark, "lineitem", sf_dir).limit(5000)
+        write_bucketed(o, "b_orders", "o_orderkey", n_buckets=8,
+                       sort_cols="o_orderkey", path=str(tmp_path / "bo"))
+        write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem",
+                       "o_orderkey", n_buckets=8, sort_cols="o_orderkey",
+                       path=str(tmp_path / "bl"))
+        joined = cobucket_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it actually evaluates
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
