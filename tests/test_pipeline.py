@@ -307,3 +307,48 @@ def test_compile_flow_with_variables(spark, sf_dir):
     }
     flow = compile_flow(spark, cfg)
     assert flow.outputs["src"]["success"].count() > 0
+
+
+def test_flow_controller_start_and_hot_swap(spark, sf_dir, tmp_path):
+    """FlowController C2 parity (FlowController.cpp:110-171 +
+    applyConfiguration §3.4): deploy a streaming flow, hot-swap to a
+    new config, and roll back to the old flow when the new payload is
+    invalid."""
+    import os
+
+    from nifi_minifi_cpp_spark.plans.pipeline import FlowCompileError, FlowController
+    from nifi_minifi_cpp_spark.session import load_table
+
+    src_dir = str(tmp_path / "in")
+    load_table(spark, "events", sf_dir).limit(50).write.mode("overwrite").parquet(src_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def cfg(view_name):
+        return {
+            "processors": [
+                {"id": "src", "type": "FileStreamSource",
+                 "properties": {"path": src_dir, "schema": schema, "format": "parquet"}},
+                {"id": "sink", "type": "MemorySink", "properties": {"name": view_name}},
+            ],
+            "connections": [{"source": "src", "destination": "sink"}],
+        }
+
+    ctl = FlowController(spark, cfg("flow_v1")).start()
+    try:
+        ctl.await_quiesce()
+        assert spark.sql("SELECT count(*) c FROM flow_v1").first()["c"] == 50
+
+        # hot swap: new flow runs under the new view
+        ctl.apply_configuration(cfg("flow_v2"))
+        ctl.await_quiesce()
+        assert spark.sql("SELECT count(*) c FROM flow_v2").first()["c"] == 50
+
+        # invalid payload: raises AND the previous flow is restarted
+        import pytest as _pytest
+
+        with _pytest.raises(FlowCompileError):
+            ctl.apply_configuration({"processors": [{"id": "x", "type": "NoSuch"}], "connections": []})
+        assert ctl.queries, "rollback must leave the old flow running"
+        ctl.await_quiesce()
+    finally:
+        ctl.stop()
