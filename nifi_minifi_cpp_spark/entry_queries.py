@@ -1926,8 +1926,10 @@ def tailfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").orderBy("doc_id")
     tmp = tempfile.mkdtemp(prefix="tailq-")
     log_path = f"{tmp}/docs.log"
+    # one collect (single job) — toLocalIterator ran a job per partition
+    # for a fixture-sized table
     with open(log_path, "w") as f:
-        for row in docs.toLocalIterator():
+        for row in docs.collect():
             f.write(row["text"].replace("\n", " ") + "\n")
     tail = TailFile(log_path, f"{tmp}/state.json")
     out = tail.poll(spark)
