@@ -338,14 +338,23 @@ def jolt_chainr(data: Any, chain: list[dict]) -> Any:
 
 
 def jolt_transform_json(
-    df: DataFrame, chain: list[dict] | dict, content_col: str = "content"
+    df: DataFrame, chain: list[dict] | dict, content_col: str = "content", spread: bool = True
 ) -> DataFrame:
     """JoltTransformJSON over a JSON string column via an Arrow-batched
     pandas UDF. ``chain`` is either a full chainr list or a single
     shift spec (wrapped automatically, matching the processor's
-    Jolt Transform=Shift property)."""
+    Jolt Transform=Shift property).
+
+    ``spread``: a small parquet scan yields ONE partition, which would
+    run this CPU-bound interpreter on one core; repartition up to
+    cluster parallelism first (no-op at scale where the scan is already
+    wide — same guard as the Arrow dedup signatures)."""
     if isinstance(chain, dict):
         chain = [{"operation": "shift", "spec": chain}]
+    if spread:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     chain_json = json.dumps(chain)  # ship one serialized copy to executors
 
     from pyspark.sql.types import StringType
