@@ -19,22 +19,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import spread_for_cpu as _spread_for_cpu_shared
+
 
 def _spread_for_cpu(df: DataFrame, id_col: str) -> DataFrame:
-    """Repartition up to the cluster's parallelism before a CPU-bound
-    Arrow stage.
-
-    A small parquet file scans as ONE partition, so a mapInPandas
-    signature stage would run on one core no matter how many the
-    cluster has. Only widens (never shrinks): at 100 TB the scan
-    already yields thousands of partitions and this is a no-op — the
-    guard avoids paying a full-text shuffle when the data is already
-    spread.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, id_col)
-    return df
+    return _spread_for_cpu_shared(df, id_col)
 
 
 def _bucket_probes(

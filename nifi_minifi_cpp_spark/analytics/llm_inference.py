@@ -86,4 +86,6 @@ def run_llm_inference(
             out[output_col] = completions
             yield out
 
-    return df.mapInPandas(run, out_schema)
+    from ..util import spread_for_cpu
+
+    return spread_for_cpu(df).mapInPandas(run, out_schema)

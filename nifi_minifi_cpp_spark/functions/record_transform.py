@@ -60,7 +60,9 @@ def apply_record_transform(
                 names = [f.strip().split(" ")[0] for f in output_schema.split(",")]
                 yield pd.DataFrame({n: [] for n in names})
 
-    return df.mapInPandas(run, output_schema)
+    from ..util import spread_for_cpu
+
+    return spread_for_cpu(df).mapInPandas(run, output_schema)
 
 
 def lua_record_transform(

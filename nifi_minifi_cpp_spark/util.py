@@ -1,0 +1,24 @@
+"""Shared plan-shaping utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread_for_cpu(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition up to the cluster's parallelism before a CPU- or
+    I/O-bound Arrow/Python stage.
+
+    A small parquet file scans as ONE partition, so a mapInPandas /
+    pandas-UDF / per-row-I/O stage would run on one core no matter how
+    many the cluster has. Only widens (never shrinks): at 100 TB the
+    scan already yields thousands of partitions and this is a no-op —
+    the guard avoids paying a shuffle when the data is already spread.
+    Hash-partitions by ``key_cols`` when given (keeps related rows
+    together), round-robin otherwise.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+    return df
