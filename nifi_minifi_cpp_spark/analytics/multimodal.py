@@ -18,6 +18,8 @@ content-by-reference, which keeps shuffles metadata-sized.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from ..util import spread_for_cpu as _spread
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -95,7 +97,7 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+    return _spread(df).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
 def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
@@ -118,7 +120,7 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+    return _spread(df).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(df: DataFrame, every_s: float = 1.0, max_frames: int = 8, fake: bool = False) -> DataFrame:
@@ -142,7 +144,7 @@ def sample_video_frames(df: DataFrame, every_s: float = 1.0, max_frames: int = 8
                     out["frame"].append(bytes(payload)[:16] + i.to_bytes(4, "big"))
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+    return _spread(df).mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:

@@ -67,7 +67,9 @@ def cosine_topk_pandas(
             sims = (mat @ q) / np.where(norms == 0, 1.0, norms)
             yield __import__("pandas").DataFrame({id_col: pdf[id_col], "score": sims})
 
-    scored = df.select(id_col, embedding_col).mapInPandas(score, schema)
+    from ..util import spread_for_cpu
+
+    scored = spread_for_cpu(df.select(id_col, embedding_col), id_col).mapInPandas(score, schema)
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 

@@ -113,7 +113,9 @@ def put_splunk_http(
             out["splunk_ack_id"] = acks
             yield out
 
-    return df.mapInPandas(run, out_schema)
+    from ..util import spread_for_cpu
+
+    return spread_for_cpu(df).mapInPandas(run, out_schema)
 
 
 def build_splunk_ack_request(ack_ids: Iterable[int]) -> str:
@@ -183,7 +185,9 @@ def query_splunk_indexing_status(
             ]
             yield out
 
-    return df.mapInPandas(run, out_schema)
+    from ..util import spread_for_cpu
+
+    return spread_for_cpu(df).mapInPandas(run, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -122,7 +122,9 @@ def invoke_http(
             out["invokehttp_response_body"] = bodies
             yield out
 
-    return df.mapInPandas(run, out_schema)
+    from ..util import spread_for_cpu
+
+    return spread_for_cpu(df).mapInPandas(run, out_schema)
 
 
 def http_relationship(status_col: str = "invokehttp_status_code"):
