@@ -352,3 +352,38 @@ def test_flow_controller_start_and_hot_swap(spark, sf_dir, tmp_path):
         ctl.await_quiesce()
     finally:
         ctl.stop()
+
+
+def test_parameter_token_properties():
+    """Property test for the #{param} tokenizer: for any name and
+    value, substitution resolves tokens, doubles every escape hash
+    pair, and is the identity on parameter-free text
+    (ParameterTokenParser semantics)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nifi_minifi_cpp_spark.plans.pipeline import substitute_parameters
+
+    name_st = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_. ",
+        min_size=1,
+        max_size=20,
+    ).filter(lambda s: s.strip() == s and s)
+    value_st = st.text(max_size=30).filter(lambda s: "#" not in s and "{" not in s and "}" not in s)
+    plain_st = st.text(max_size=40).filter(lambda s: "#" not in s and "{" not in s and "}" not in s)
+
+    @settings(max_examples=200, deadline=None)
+    @given(name=name_st, value=value_st, pre=plain_st, post=plain_st, hashes=st.integers(1, 6))
+    def check(name, value, pre, post, hashes):
+        params = {name: value}
+        text = f"{pre}{'#' * hashes}{{{name}}}{post}"
+        got = substitute_parameters(text, params)
+        lit = "#" * (hashes // 2)
+        if hashes % 2 == 1:
+            assert got == f"{pre}{lit}{value}{post}"
+        else:
+            assert got == f"{pre}{lit}{{{name}}}{post}"
+        # identity on token-free text
+        assert substitute_parameters(pre + post, params) == pre + post
+
+    check()

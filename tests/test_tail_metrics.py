@@ -415,3 +415,46 @@ def test_consume_journald_tail_start_and_gating(spark, tmp_path):
         _JournaldReader({})
     with _pytest.raises(ImportError, match="python-systemd"):
         _JournaldReader({"journal": "system"})
+
+
+def test_consume_journald_checkpoint_recovery(spark, tmp_path):
+    """journald source: the cursor offset lives in the checkpoint, so a
+    stopped query restarted from the same checkpoint picks up exactly
+    the entries appended while it was down (ConsumeJournald.cpp:81-89
+    cursor persistence parity)."""
+    import time
+
+    from nifi_minifi_cpp_spark.sources.datasource import register_listeners
+
+    register_listeners(spark)
+    jf = tmp_path / "svc.export"
+    ck = str(tmp_path / "jck")
+    out = str(tmp_path / "jout")
+    jf.write_text("MESSAGE=j1\n\nMESSAGE=j2\n")
+
+    def run_until(n_target, timeout=40):
+        df = (
+            spark.readStream.format("journald")
+            .option("file", str(jf))
+            .option("process.old.messages", "true")
+            .load()
+        )
+        q = (
+            df.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck).start()
+        )
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= n_target:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        q.stop()
+        return sorted(r["message"] for r in spark.read.parquet(out).collect())
+
+    assert run_until(2) == ["j1", "j2"]
+    with open(jf, "a") as f:
+        f.write("\nMESSAGE=j3\n\nMESSAGE=j4\n")
+    assert run_until(4) == ["j1", "j2", "j3", "j4"]  # exactly once
