@@ -221,6 +221,48 @@ def _log_attribute(spark, df, props):
     return _one(ops.log_attribute(df))
 
 
+@processor("InvokeHTTP")
+def _invoke_http(spark, df, props):
+    """InvokeHTTP as a flow processor: executor-side requests, 4-way
+    status-class relationships (success/retry/no_retry/failure) like
+    the reference's relationship set (InvokeHTTP.cpp:382-404). A
+    ``session_factory`` property (dict configs only — not expressible
+    in YAML) injects a fake transport for tests."""
+    from ..streaming.sinks import invoke_http, route_invoke_http
+
+    sent = invoke_http(
+        df,
+        props["url"],
+        method=props.get("method", "POST"),
+        content_col=props.get("content_col", "content"),
+        headers=props.get("headers"),
+        session_factory=props.get("session_factory"),
+    )
+    return route_invoke_http(sent)
+
+
+@processor("PutSplunkHTTP")
+def _put_splunk_http(spark, df, props):
+    """PutSplunkHTTP as a flow processor: HEC put with per-row status
+    and ackId columns (PutSplunkHTTP.cpp:47-93); chain
+    QuerySplunkIndexingStatus downstream for ack polling."""
+    from ..streaming.adapters import put_splunk_http
+
+    sent = put_splunk_http(
+        df,
+        props["url"],
+        props.get("token", ""),
+        content_col=props.get("content_col", "content"),
+        source_type=props.get("source_type"),
+        source=props.get("source"),
+        host=props.get("host"),
+        index=props.get("index"),
+        session_factory=props.get("session_factory"),
+    )
+    ok = F.col("splunk_status_code").between(200, 299)
+    return {"success": sent.filter(ok), "failure": sent.filter(~ok)}
+
+
 @processor("FileStreamSource")
 def _file_stream_source(spark, df, props):
     """Streaming GetFile/ListFile: readStream over a directory. The

@@ -387,3 +387,50 @@ def test_parameter_token_properties():
         assert substitute_parameters(pre + post, params) == pre + post
 
     check()
+
+
+def test_flow_with_invoke_http_and_splunk(spark, sf_dir):
+    """A flow that POSTs event payloads through InvokeHTTP (fake
+    transport) and routes by status class, then ships the successes to
+    a fake Splunk HEC — the push-sink processors wired end-to-end
+    through the compiler."""
+    import json as _json
+
+    def http_factory():
+        class Resp:
+            def __init__(self, code):
+                self.status_code = code
+                self.text = _json.dumps({"ackId": 1})
+
+        class Sess:
+            def request(self, method, url, data=None, headers=None, timeout=None):
+                n = int(_json.loads(data.decode())["user_id"])
+                return Resp(200 if n % 2 == 0 else 503)
+
+        return Sess()
+
+    cfg = {
+        "processors": [
+            {"id": "src", "type": "TableSource", "properties": {"table": "events", "sf_dir": sf_dir}},
+            {"id": "tojson", "type": "AttributesToJSON",
+             "properties": {"attributes_list": ["user_id"]}},
+            {"id": "http", "type": "InvokeHTTP",
+             "properties": {"url": "http://sink.test/x", "session_factory": http_factory}},
+            {"id": "splunk", "type": "PutSplunkHTTP",
+             "properties": {"url": "https://splunk:8088", "token": "t",
+                            "session_factory": http_factory}},
+        ],
+        "connections": [
+            {"source": "src", "destination": "tojson"},
+            {"source": "tojson", "destination": "http"},
+            {"source": "http", "relationship": "success", "destination": "splunk"},
+        ],
+    }
+    flow = compile_flow(spark, cfg)
+    n = flow.outputs["src"]["success"].count()
+    n_success = flow.outputs["http"]["success"].count()
+    n_retry = flow.outputs["http"]["retry"].count()
+    assert n_success + n_retry == n and n_success > 0 and n_retry > 0
+    shipped = flow.outputs["splunk"]["success"]
+    assert shipped.count() == n_success
+    assert shipped.select("splunk_ack_id").first()[0] == 1
