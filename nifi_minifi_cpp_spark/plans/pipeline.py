@@ -221,6 +221,54 @@ def _log_attribute(spark, df, props):
     return _one(ops.log_attribute(df))
 
 
+@processor("CompressContent")
+def _compress_content(spark, df, props):
+    """CompressContent (CompressContent.cpp:68): compress/decompress
+    the content column; ``fmt: auto`` sniffs the codec on decompress."""
+    return _one(
+        ops.compress_content(
+            df,
+            mode=props.get("mode", "compress"),
+            fmt=props.get("fmt", "gzip"),
+            update_mime=bool(props.get("update_mime", False)),
+        )
+    )
+
+
+@processor("ConvertRecord")
+def _convert_record(spark, df, props):
+    """ConvertRecord (ConvertRecord.cpp:36): JSON<->XML record format
+    conversion with a declared record schema."""
+    from ..sources import convert_record
+
+    return _one(
+        convert_record(
+            df,
+            props["input_format"],
+            props["output_format"],
+            props["schema"],
+            xml_row_tag=props.get("xml_row_tag", "record"),
+        )
+    )
+
+
+@processor("ManipulateArchive")
+def _manipulate_archive(spark, df, props):
+    """ManipulateArchive (ManipulateArchive.cpp:95): touch/remove/copy/
+    move one entry inside each row's archive; success/failure
+    relationships."""
+    return ops.manipulate_archive(
+        df,
+        props["operation"],
+        target=props.get("target"),
+        destination=props.get("destination"),
+        before=props.get("before"),
+        after=props.get("after"),
+        fmt=props.get("fmt", "zip"),
+        archive_col=props.get("archive_col", "archive"),
+    )
+
+
 @processor("InvokeHTTP")
 def _invoke_http(spark, df, props):
     """InvokeHTTP as a flow processor: executor-side requests, 4-way

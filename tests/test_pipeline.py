@@ -434,3 +434,46 @@ def test_flow_with_invoke_http_and_splunk(spark, sf_dir):
     shipped = flow.outputs["splunk"]["success"]
     assert shipped.count() == n_success
     assert shipped.select("splunk_ack_id").first()[0] == 1
+
+
+def test_flow_compress_convert_archive_processors(spark):
+    """CompressContent roundtrip, ConvertRecord JSON->XML, and
+    ManipulateArchive run as flow processors."""
+    from nifi_minifi_cpp_spark.operators import merge_content_archive, unpack_archive
+    from nifi_minifi_cpp_spark.plans.pipeline import _PROCESSORS
+
+    # compress -> decompress roundtrip through two flow nodes
+    cfg = {
+        "processors": [
+            {"id": "gen", "type": "GenerateFlowFile",
+             "properties": {"batch_size": 4, "custom_text": "payload text"}},
+            {"id": "gz", "type": "CompressContent", "properties": {"mode": "compress"}},
+            {"id": "gunz", "type": "CompressContent", "properties": {"mode": "decompress", "fmt": "auto"}},
+        ],
+        "connections": [
+            {"source": "gen", "destination": "gz"},
+            {"source": "gz", "destination": "gunz"},
+        ],
+    }
+    flow = compile_flow(spark, cfg)
+    out = flow.outputs["gunz"]["success"].select("content").collect()
+    vals = {bytes(r["content"]).decode() if isinstance(r["content"], (bytes, bytearray))
+            else r["content"] for r in out}
+    assert vals == {"payload text"}
+
+    # ConvertRecord handler: JSON record -> XML
+    src = spark.createDataFrame([('{"a": 5}',)], "content string")
+    conv = _PROCESSORS["ConvertRecord"](
+        spark, src, {"input_format": "json", "output_format": "xml", "schema": "a int"}
+    )["success"].first()["content"]
+    assert "<a>5</a>" in conv
+
+    # ManipulateArchive handler: remove one entry, success routing
+    ff = spark.createDataFrame(
+        [("a", "alpha", {"filename": "a"}), ("b", "bravo", {"filename": "b"})],
+        "uuid string, content string, attributes map<string,string>",
+    )
+    packed = merge_content_archive(ff, fmt="zip")
+    routed = _PROCESSORS["ManipulateArchive"](spark, packed, {"operation": "remove", "target": "a"})
+    names = [r["entry_name"] for r in unpack_archive(routed["success"], fmt="zip").collect()]
+    assert names == ["b"]
