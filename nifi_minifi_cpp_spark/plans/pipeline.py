@@ -221,6 +221,50 @@ def _log_attribute(spark, df, props):
     return _one(ops.log_attribute(df))
 
 
+@processor("AppendHostInfo")
+def _append_host_info(spark, df, props):
+    return _one(
+        ops.append_host_info(
+            df,
+            hostname_attr=props.get("hostname_attr", "source.hostname"),
+            ip_attr=props.get("ip_attr", "source.ipv4"),
+        )
+    )
+
+
+@processor("SplitContent")
+def _split_content(spark, df, props):
+    return _one(
+        ops.split_content(df, props["delimiter"], keep_delimiter=props.get("keep_delimiter", "none"))
+    )
+
+
+@processor("SegmentContent")
+def _segment_content(spark, df, props):
+    return _one(ops.segment_content(df, int(props["segment_size"])))
+
+
+@processor("SplitJson")
+def _split_json(spark, df, props):
+    return _one(ops.split_json(df, element_schema=props.get("element_schema", "string")))
+
+
+@processor("SplitRecord")
+def _split_record(spark, df, props):
+    return _one(ops.split_record(df, int(props["records_per_split"])))
+
+
+@processor("DefragmentText")
+def _defragment_text(spark, df, props):
+    return _one(
+        ops.defragment_text(
+            df,
+            message_start_pattern=props.get("message_start_pattern"),
+            message_end_pattern=props.get("message_end_pattern"),
+        )
+    )
+
+
 @processor("CompressContent")
 def _compress_content(spark, df, props):
     """CompressContent (CompressContent.cpp:68): compress/decompress

@@ -477,3 +477,34 @@ def test_flow_compress_convert_archive_processors(spark):
     routed = _PROCESSORS["ManipulateArchive"](spark, packed, {"operation": "remove", "target": "a"})
     names = [r["entry_name"] for r in unpack_archive(routed["success"], fmt="zip").collect()]
     assert names == ["b"]
+
+
+def test_flow_split_segment_defragment_hostinfo(spark):
+    """The remaining content/attribute processors run from configs:
+    SplitContent -> DefragmentText roundtrip, SegmentContent sizes,
+    AppendHostInfo attributes."""
+    from nifi_minifi_cpp_spark.plans.pipeline import _PROCESSORS
+
+    ff = spark.createDataFrame(
+        [("u1", "<s>alpha|cont1|<s>beta|cont2", {"k": "v"})],
+        "uuid string, content string, attributes map<string,string>",
+    )
+    split = _PROCESSORS["SplitContent"](spark, ff, {"delimiter": "|"})["success"]
+    assert split.count() == 4
+    # DefragmentText glues lines WITHIN a row's content by a start marker
+    multi = spark.createDataFrame(
+        [("u2", "<s>alpha\ncont1\n<s>beta\ncont2", {})],
+        "uuid string, content string, attributes map<string,string>",
+    )
+    defrag = _PROCESSORS["DefragmentText"](spark, multi, {"message_start_pattern": "^<s>"})["success"]
+    msgs = sorted(r["content"] for r in defrag.collect())
+    assert msgs == ["<s>alpha\ncont1", "<s>beta\ncont2"]
+
+    seg = _PROCESSORS["SegmentContent"](spark, ff, {"segment_size": 10})["success"]
+    pieces = [r["content"] for r in seg.collect()]
+    assert "".join(pieces) == "<s>alpha|cont1|<s>beta|cont2"
+    assert all(len(p) <= 10 for p in pieces)
+
+    hosted = _PROCESSORS["AppendHostInfo"](spark, ff, {})["success"].first()
+    attrs = dict(hosted["attributes"])
+    assert "source.hostname" in attrs and "source.ipv4" in attrs and attrs["k"] == "v"
