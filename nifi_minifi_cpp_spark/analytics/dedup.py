@@ -27,7 +27,7 @@ def _spread_for_cpu(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def _bucket_probes(
-    buckets: DataFrame, keys: list[str], id_col: str, max_probes: int
+    buckets: DataFrame, keys: list[str], id_col: str, max_probes: int | None
 ) -> DataFrame:
     """The K smallest-id rows per bucket — the only rows the pairwise
     join compares against.
@@ -40,7 +40,14 @@ def _bucket_probes(
     (the smallest id IS probe #1). The row_number shuffle partitions by
     the bucket key, the same partitioning the join needs, so AQE reuses
     it rather than shuffling twice.
+
+    ``max_probes=None`` disables the cap (EXACT candidate generation:
+    every bucket-sharing pair is compared). This is the default for the
+    dedup entry points — capping silently trades recall for skew
+    safety, so the cap is an explicit opt-in for hot-bucket corpora.
     """
+    if max_probes is None:
+        return buckets
     w = Window.partitionBy(*keys).orderBy(id_col)
     return (
         buckets.withColumn("_rk", F.row_number().over(w))
@@ -335,14 +342,16 @@ def simhash_dedup(
     id_col: str = "doc_id",
     hamming_threshold: int = 3,
     arrow: bool = True,
-    max_probes: int = 64,
+    max_probes: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup removal. Bucket by 4 16-bit chunks: two
     signatures within Hamming distance 3 share at least one chunk
     (pigeonhole), so chunk-equality buckets are a complete candidate
-    filter; exact Hamming check prunes false positives. The pairwise
-    step compares each doc against only the ``max_probes`` smallest ids
-    per bucket (see ``_bucket_probes``) so hot chunks stay linear.
+    filter; exact Hamming check prunes false positives. Default is
+    EXACT (every bucket-sharing pair checked); pass ``max_probes=K``
+    to opt into the linear skew guard for hot-chunk corpora — that
+    trades recall (a pair whose members are both outside a bucket's K
+    smallest ids is missed) for bounded per-bucket work.
     """
     # sig once per row (Arrow numpy path by default), then explode
     # chunk indices (Generate blocks projection collapse — see
@@ -378,7 +387,11 @@ def simhash_dedup(
         )
         .filter(F.col("_ham") <= hamming_threshold)
     )
-    dropped = pairs.select(F.col("_id").alias(id_col)).distinct()
+    # materialize the (small) dropped-id set eagerly, then release the
+    # cached chunk table — a long-lived session otherwise accumulates
+    # one persisted intermediate per dedup call
+    dropped = pairs.select(F.col("_id").alias(id_col)).distinct().localCheckpoint(eager=True)
+    chunks.unpersist()
     return df.join(dropped, id_col, "left_anti")
 
 
@@ -395,15 +408,19 @@ def ngram_jaccard_dedup(
     shingle_words: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
-    max_probes: int = 64,
+    max_probes: int | None = None,
 ) -> DataFrame:
     """LSH candidates -> exact Jaccard verification -> drop.
 
     The LSH pass bounds the pairwise work; Jaccard is computed with
-    array_intersect/array_union on distinct shingle sets. Hot buckets
-    (boilerplate / near-empty docs) are skew-guarded: each doc is only
-    paired with the ``max_probes`` smallest ids in its bucket, keeping
-    per-bucket work linear (see ``_bucket_probes``).
+    array_intersect/array_union on distinct shingle sets. Default is
+    EXACT within the LSH filter: every bucket-sharing pair is Jaccard-
+    verified, so any pair the banding catches IS checked (identical
+    texts are always caught — identical signatures share every band).
+    Hot buckets (boilerplate / near-empty docs) can opt into the skew
+    guard with ``max_probes=K``: each doc is then only paired with the
+    K smallest ids in its bucket (linear per bucket, bounded recall
+    loss — see ``_bucket_probes``).
     """
     # persist the bucket table: it appears on BOTH sides of the
     # candidate join (full side + probes side) and Catalyst does not
@@ -443,7 +460,10 @@ def ngram_jaccard_dedup(
         )
         .filter(F.col("_jaccard") >= threshold)
     )
-    dropped = verified.select(F.col("_ida").alias(id_col)).distinct()
+    # eager dropped-id set, then release the cached bucket table (see
+    # simhash_dedup — no persisted intermediates outlive the call)
+    dropped = verified.select(F.col("_ida").alias(id_col)).distinct().localCheckpoint(eager=True)
+    buckets.unpersist()
     return df.join(dropped, id_col, "left_anti")
 
 
@@ -471,7 +491,7 @@ def embedding_dedup(
     threshold: float = 0.95,
     num_planes: int = 8,
     seed: int = 42,
-    max_probes: int = 64,
+    max_probes: int | None = None,
     multi_probe: bool = False,
 ) -> DataFrame:
     """Embedding near-dup removal: random-hyperplane LSH bucket ->
@@ -484,9 +504,10 @@ def embedding_dedup(
     probes every Hamming-1 neighbor bucket (flip each sign bit on the
     probe side only: one side of the join fans out ×(num_planes+1),
     catching every pair within one hyperplane of each other at
-    proportional cost). A hot bucket (a flood of identical vectors) is
-    skew-guarded by comparing each vector against only the
-    ``max_probes`` smallest ids in its bucket.
+    proportional cost). Candidate generation is exact-within-bucket by
+    default; a hot bucket (a flood of identical vectors) can opt into
+    the skew guard with ``max_probes=K`` (compare each vector against
+    only the K smallest ids in its bucket; bounded recall loss).
     """
     import random
 
@@ -549,5 +570,8 @@ def embedding_dedup(
         .withColumn("_cos", cosine(F.col("_ea"), F.col("_eb")))
         .filter(F.col("_cos") >= threshold)
     )
-    dropped = pairs.select(F.col("_ida").alias(id_col)).distinct()
+    # eager dropped-id set, then release the cached bucket table (see
+    # simhash_dedup — no persisted intermediates outlive the call)
+    dropped = pairs.select(F.col("_ida").alias(id_col)).distinct().localCheckpoint(eager=True)
+    buckets.unpersist()
     return df.join(dropped, id_col, "left_anti")

@@ -205,7 +205,7 @@ class IvfIndex:
     correctness fixture); the production path is::
 
         idx = IvfIndex.train(df, n_cells=256)
-        idx.save("/models/ivf", df)        # centroids + partitioned table
+        idx.save("/models/ivf")            # centroids + partitioned table
         ...
         idx = IvfIndex.load(spark, "/models/ivf")
         idx.topk(query_vec, k=10, nprobe=8)
@@ -231,11 +231,15 @@ class IvfIndex:
         if self.indexed is None:
             raise ValueError("nothing to save: train() first")
         self.indexed.write.mode("overwrite").partitionBy("ivf_cell").parquet(f"{path}/table")
-        # centroid matrix is tiny (n_cells x dim); keep it beside the table
-        np.save("/tmp/_ivf_centroids.npy", np.asarray(self.centroids))
-        import shutil
+        # centroid matrix is tiny (n_cells x dim); keep it beside the
+        # table. Serialize in-memory then write in one call so
+        # concurrent saves never race on a shared scratch path.
+        import io
 
-        shutil.move("/tmp/_ivf_centroids.npy", f"{path}/centroids.npy")
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(self.centroids))
+        with open(f"{path}/centroids.npy", "wb") as f:
+            f.write(buf.getvalue())
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfIndex":

@@ -314,8 +314,16 @@ def merge_content_defragment(
     selected = df.select(*cols)
     grouped = selected.groupBy("_fid").agg(*aggs)
     if attribute_strategy != "first":
-        grouped = grouped.drop("attributes").join(
-            merged_attribute_maps(selected, "_fid", attribute_strategy), "_fid", "left"
+        # null-safe join: rows with a missing fragment.identifier group
+        # under a null key, and a plain equi-join would silently hand
+        # that bin an empty attribute map
+        amap = merged_attribute_maps(selected, "_fid", attribute_strategy).withColumnRenamed(
+            "_fid", "_fid_m"
+        )
+        grouped = (
+            grouped.drop("attributes")
+            .join(amap, F.col("_fid").eqNullSafe(F.col("_fid_m")), "left")
+            .drop("_fid_m")
         )
     if require_complete:
         grouped = grouped.filter(F.col("_have") == F.col("_want"))
@@ -377,10 +385,21 @@ def merge_content_bin_packing(
         .filter(F.col("_mcount") >= min_entries)
     )
     if attribute_strategy != "first":
-        merged = merged.drop("attributes").join(
-            merged_attribute_maps(binned, ["_corr", "_bin"], attribute_strategy),
-            ["_corr", "_bin"],
-            "left",
+        # null-safe on _corr: a missing correlation attribute groups
+        # rows under a null key (see defragment flavor above)
+        amap = (
+            merged_attribute_maps(binned, ["_corr", "_bin"], attribute_strategy)
+            .withColumnRenamed("_corr", "_corr_m")
+            .withColumnRenamed("_bin", "_bin_m")
+        )
+        merged = (
+            merged.drop("attributes")
+            .join(
+                amap,
+                F.col("_corr").eqNullSafe(F.col("_corr_m")) & (F.col("_bin") == F.col("_bin_m")),
+                "left",
+            )
+            .drop("_corr_m", "_bin_m")
         )
     return merged.select(
         "uuid",

@@ -144,10 +144,17 @@ def http_relationship(status_col: str = "invokehttp_status_code"):
 
 def route_invoke_http(df: DataFrame, status_col: str = "invokehttp_status_code") -> dict[str, DataFrame]:
     """Relationship split by status class (InvokeHTTP.cpp:382-404).
-    Same dict-of-frames contract as RouteOnAttribute; Catalyst shares
-    the scan across the filters."""
+    Same dict-of-frames contract as RouteOnAttribute.
+
+    The input lineage contains the side-effecting HTTP map, and each
+    returned relationship is typically consumed by its own action —
+    without a materialization barrier every action would re-run the
+    map and re-POST every row (duplicate delivery). ``localCheckpoint``
+    executes the requests exactly once here and the four filters read
+    the materialized result."""
+    sent = df.localCheckpoint(eager=True)
     rel = http_relationship(status_col)
-    return {name: df.filter(rel == name) for name in ("success", "retry", "no_retry", "failure")}
+    return {name: sent.filter(rel == name) for name in ("success", "retry", "no_retry", "failure")}
 
 
 def http_post_handler(
