@@ -38,11 +38,20 @@ def main():
 
     qs = entry.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name, fn in qs.items():
+        # Fault-isolate each query: one regression must not destroy the
+        # round's entire bench artifact (round 3 lost every timing to a
+        # single AnalysisException).
         start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: FAILED {type(exc).__name__}", file=sys.stderr)
+            continue
         elapsed = round(time.perf_counter() - start, 3)
         timings[name] = elapsed
         total += elapsed
@@ -53,6 +62,7 @@ def main():
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "sf": sf,
     }
     # Per-query timings go to a file — the driver keeps only a ~2KB
@@ -70,6 +80,7 @@ def main():
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "n_failed": len(errors),
             }
         )
     )

@@ -72,9 +72,13 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
-# The driver's synthetic parquet stores timestamps as TIMESTAMP(NANOS),
-# which Spark's vectorized reader rejects unless nanos are read as longs;
-# we then restore proper TimestampType (micros) ourselves.
+# The driver's synthetic parquet has shipped timestamps in two
+# encodings across regenerations: TIMESTAMP(NANOS) (readable only as
+# longs via nanosAsLong) and TIMESTAMP_MICROS with isAdjustedToUTC=0
+# (read as TIMESTAMP_NTZ). Normalize both to TimestampType — the
+# session timezone is pinned to UTC, so the NTZ→TZ cast is a
+# wall-clock identity and oracle parity is preserved. unix_millis /
+# withWatermark / window() all require TIMESTAMP, not NTZ.
 _NANO_TS_COLUMNS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -86,11 +90,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLUMNS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+        if col not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[col]
+        if dtype == "bigint":
             # exact integer division: `/ 1000` is double division, and ns
             # epoch values exceed 2^53 so ~3% of µs-clean timestamps came
             # back 1µs low under the float round-trip
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
