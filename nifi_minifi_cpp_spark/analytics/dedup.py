@@ -42,9 +42,14 @@ def _bucket_probes(
     it rather than shuffling twice.
 
     ``max_probes=None`` disables the cap (EXACT candidate generation:
-    every bucket-sharing pair is compared). This is the default for the
-    dedup entry points — capping silently trades recall for skew
-    safety, so the cap is an explicit opt-in for hot-bucket corpora.
+    every bucket-sharing pair is compared). The dedup entry points
+    default to a LARGE finite cap (256): on real web corpora hot
+    buckets (exact-dup floods, boilerplate) are the common case, and
+    an uncapped self-join is quadratic exactly there. 256 probes keep
+    recall effectively complete (a duplicate's cluster representative
+    — the smallest id — is always probe #1) while bounding per-bucket
+    work to n*256. Pass ``None`` to opt into exact generation when the
+    corpus is known skew-free.
     """
     if max_probes is None:
         return buckets
@@ -342,7 +347,7 @@ def simhash_dedup(
     id_col: str = "doc_id",
     hamming_threshold: int = 3,
     arrow: bool = True,
-    max_probes: int | None = None,
+    max_probes: int | None = 256,
 ) -> DataFrame:
     """SimHash near-dup removal. Bucket by 4 16-bit chunks: two
     signatures within Hamming distance 3 share at least one chunk
@@ -408,7 +413,7 @@ def ngram_jaccard_dedup(
     shingle_words: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
-    max_probes: int | None = None,
+    max_probes: int | None = 256,
 ) -> DataFrame:
     """LSH candidates -> exact Jaccard verification -> drop.
 
@@ -491,7 +496,7 @@ def embedding_dedup(
     threshold: float = 0.95,
     num_planes: int = 8,
     seed: int = 42,
-    max_probes: int | None = None,
+    max_probes: int | None = 256,
     multi_probe: bool = False,
 ) -> DataFrame:
     """Embedding near-dup removal: random-hyperplane LSH bucket ->

@@ -1998,22 +1998,92 @@ def streaming_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT event_type, n FROM {view}")
 
 
-@_register("minhash_dedup_kept", None)
+# --- invariant-backed dedup grading -------------------------------------
+#
+# The near-dup algorithms are seeded/LSH-based, so their exact kept set
+# is not SQL-expressible — but their CONTRACT is. Each graded entry
+# injects exact duplicates (copies of the 100 smallest ids, shifted by
+# +1_000_000) into the corpus, runs the full dedup, and returns a
+# one-row invariant report whose every value a DuckDB oracle pins:
+#
+#   n_input            = corpus + injected copies   (pinned exactly)
+#   orphans            = kept ids not in the input  (must be 0)
+#   injected_survivors = injected copies kept       (must be 0: every
+#                        copy shares all buckets with its smaller-id
+#                        original, so the drop rule must fire)
+#   dup_violations     = kept pairs w/ identical content (must be 0)
+#
+# Non-vacuous by construction: the corpus has no natural exact dups
+# (exact_dedup keeps all 500 at sf0.01), so the 100 injected pairs are
+# what the recall assertions actually exercise.
+
+_INJECT_N = 100
+_INJECT_OFFSET = 1_000_000
+
+
+def _with_injected_dups(df: DataFrame, id_col: str) -> DataFrame:
+    dups = df.filter(F.col(id_col) < _INJECT_N).withColumn(
+        id_col, F.col(id_col) + F.lit(_INJECT_OFFSET)
+    )
+    return df.unionByName(dups)
+
+
+def _dedup_invariant_report(inp: DataFrame, kept: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    n_input = inp.agg(F.count(F.lit(1)).alias("n_input"))
+    orphans = kept.join(inp.select(id_col), id_col, "left_anti").agg(
+        F.count(F.lit(1)).alias("orphans")
+    )
+    survivors = kept.filter(F.col(id_col) >= _INJECT_OFFSET).agg(
+        F.count(F.lit(1)).alias("injected_survivors")
+    )
+    # pair join keyed on the 64-bit content hash (8-byte shuffle key at
+    # scale), equality re-checked on the content itself
+    ka = kept.select(
+        F.col(id_col).alias("_ida"), F.col(content_col).alias("_ca"), F.xxhash64(content_col).alias("_h")
+    )
+    kb = kept.select(
+        F.col(id_col).alias("_idb"), F.col(content_col).alias("_cb"), F.xxhash64(content_col).alias("_h")
+    )
+    viol = (
+        ka.join(kb, "_h")
+        .filter((F.col("_ida") > F.col("_idb")) & (F.col("_ca") == F.col("_cb")))
+        .agg(F.count(F.lit(1)).alias("dup_violations"))
+    )
+    return n_input.crossJoin(orphans).crossJoin(survivors).crossJoin(viol)
+
+
+_DEDUP_INVARIANT_ORACLE = f"""
+SELECT (SELECT count(*) FROM documents)
+       + (SELECT count(*) FROM documents WHERE doc_id < {_INJECT_N}) AS n_input,
+       CAST(0 AS BIGINT) AS orphans,
+       CAST(0 AS BIGINT) AS injected_survivors,
+       CAST(0 AS BIGINT) AS dup_violations
+"""
+
+
+@_register("minhash_dedup_kept", _DEDUP_INVARIANT_ORACLE)
 def minhash_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dedup (seeded hashing — not SQL-expressible)."""
+    """MinHash-LSH near-dedup, graded on its invariant contract (the
+    seeded kept set itself is not SQL-expressible)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return minhash_dedup(docs).select("doc_id")
+    inp = _with_injected_dups(docs, "doc_id")
+    kept = minhash_dedup(inp)
+    return _dedup_invariant_report(inp, kept, "doc_id", "text")
 
 
-@_register("ngram_jaccard_dedup_kept", None)
+@_register("ngram_jaccard_dedup_kept", _DEDUP_INVARIANT_ORACLE)
 def ngram_jaccard_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dedup: MinHash-LSH candidate pruning, then
     EXACT Jaccard (array_intersect/array_union on distinct 3-word
-    shingles) verification before dropping. Seeded LSH -> rows-only."""
+    shingles) verification before dropping. Graded on invariants —
+    identical-text pairs have Jaccard 1, so every injected copy must
+    verify and drop."""
     from .analytics import ngram_jaccard_dedup
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return ngram_jaccard_dedup(docs, threshold=0.5).select("doc_id")
+    inp = _with_injected_dups(docs, "doc_id")
+    kept = ngram_jaccard_dedup(inp, threshold=0.5)
+    return _dedup_invariant_report(inp, kept, "doc_id", "text")
 
 
 @_register("multimodal_features_frames", None)
@@ -2041,24 +2111,101 @@ def multimodal_features_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("simhash_signatures", None)
+@_register(
+    "simhash_signatures",
+    f"""
+SELECT (SELECT count(*) FROM documents)
+       + (SELECT count(*) FROM documents WHERE doc_id < {_INJECT_N}) AS n_rows,
+       (SELECT count(*) FROM documents WHERE doc_id < {_INJECT_N}) AS dup_pairs,
+       CAST(0 AS BIGINT) AS sig_mismatches,
+       CAST(0 AS BIGINT) AS null_sigs
+""",
+)
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit signatures via the Arrow-batched numpy path (the
     pure-Catalyst ``simhash64`` form costs 64 interpreted lambda evals
-    per token — ~2.5s at sf0.1 vs <1s here, and the gap widens 100×)."""
+    per token — ~2.5s at sf0.1 vs <1s here, and the gap widens 100×).
+    Graded on the signature contract: deterministic (identical text →
+    identical signature, checked over 100 injected exact-dup pairs),
+    total (no null signatures), one row per input."""
     from .analytics import simhash_signature_pandas
 
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_signature_pandas(docs, "text", "doc_id").withColumnRenamed("_sig", "sig")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    inp = _with_injected_dups(docs, "doc_id")
+    sigs = simhash_signature_pandas(inp, "text", "doc_id").withColumnRenamed("_sig", "sig")
+    n_rows = sigs.agg(F.count(F.lit(1)).alias("n_rows"))
+    orig = sigs.filter(F.col("doc_id") < _INJECT_N).select(
+        F.col("doc_id").alias("_id"), F.col("sig").alias("_sig_orig")
+    )
+    copy = sigs.filter(F.col("doc_id") >= _INJECT_OFFSET).select(
+        (F.col("doc_id") - _INJECT_OFFSET).alias("_id"), F.col("sig").alias("_sig_copy")
+    )
+    pairs = orig.join(copy, "_id")
+    pair_stats = pairs.agg(
+        F.count(F.lit(1)).alias("dup_pairs"),
+        F.sum((F.col("_sig_orig") != F.col("_sig_copy")).cast("long")).alias("sig_mismatches"),
+    )
+    nulls = sigs.agg(F.sum(F.col("sig").isNull().cast("long")).alias("null_sigs"))
+    return n_rows.crossJoin(pair_stats).crossJoin(nulls)
 
 
-@_register("embedding_dedup_kept", None)
+_EMBEDDING_DEDUP_ORACLE = f"""
+SELECT (SELECT count(*) FROM embeddings)
+       + (SELECT count(*) FROM embeddings WHERE vec_id < {_INJECT_N}) AS n_input,
+       CAST(0 AS BIGINT) AS orphans,
+       CAST(0 AS BIGINT) AS injected_survivors,
+       CAST(0 AS BIGINT) AS dup_violations
+"""
+
+
+@_register("embedding_dedup_kept", _EMBEDDING_DEDUP_ORACLE)
 def embedding_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "embeddings")
-    return embedding_dedup(docs, threshold=0.99).select("vec_id")
+    """SRP-LSH embedding near-dedup, graded on invariants: an injected
+    copy has an identical vector → identical hyperplane sign pattern →
+    same bucket as its original → cosine 1.0 ≥ threshold → dropped."""
+    vecs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    inp = _with_injected_dups(vecs, "vec_id")
+    kept = embedding_dedup(inp, threshold=0.99)
+    # content key for the pair check: hash the float array bit pattern
+    report_inp = inp.withColumn("_ckey", F.col("embedding").cast("array<string>"))
+    report_kept = kept.withColumn("_ckey", F.col("embedding").cast("array<string>"))
+    return _dedup_invariant_report(
+        report_inp.select("vec_id", "_ckey"), report_kept.select("vec_id", "_ckey"), "vec_id", "_ckey"
+    )
 
 
-@_register("language_id_distribution", None)
+def _language_id_oracle_sql() -> str:
+    """DuckDB mirror of analytics.text_analysis.language_id: distinct
+    lowercase whitespace tokens, per-language stopword-overlap counts,
+    argmax with ties broken toward the lexicographically greatest lang
+    (Spark's array_max over struct(score, lang) semantics)."""
+    from .analytics.text_analysis import _LANG_STOPWORDS
+
+    def lit(ws: list[str]) -> str:
+        return "[" + ",".join(f"'{w}'" for w in ws) + "]"
+
+    score_cols = ", ".join(
+        f"len(list_intersect(tk, {lit(ws)})) AS s_{lang}" for lang, ws in _LANG_STOPWORDS.items()
+    )
+    langs_desc = sorted(_LANG_STOPWORDS, reverse=True)
+    case = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs_desc[:-1])
+    return f"""
+WITH toks AS (
+  SELECT list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tk
+  FROM documents
+), scores AS (
+  SELECT {score_cols},
+         greatest({", ".join("s_" + lang for lang in _LANG_STOPWORDS)}) AS m
+  FROM toks
+), labeled AS (
+  SELECT CASE WHEN m = 0 THEN 'und' {case} ELSE '{langs_desc[-1]}' END AS lang_detected
+  FROM scores
+)
+SELECT lang_detected, count(*) AS count FROM labeled GROUP BY lang_detected
+"""
+
+
+@_register("language_id_distribution", _language_id_oracle_sql())
 def language_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy(language_id(F.col("text")).alias("lang_detected")).count()

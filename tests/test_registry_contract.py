@@ -28,9 +28,9 @@ MUST_GRADE = {
     "el_scalar_pack",
     "el_encode_pack",
     "json_path_extract",
-    "extract_first_word",
-    "hash_content_sha256",
-    "replace_text_hashed",
+    # extract_first_word / hash_content_sha256 / replace_text_hashed
+    # rotated OUT in round 4 (oracle-green rounds 1-3, locked by
+    # pytest) to make room for the never-graded TPC-H queries.
     "apply_template_events",
     "jolt_shift_events",
     "jolt_chain_events",
@@ -45,6 +45,15 @@ MUST_GRADE = {
     "streaming_route_counts",
     "rolling_window_count10",
     "tumbling_hourly_by_type",
+    "sessionize_users",
+    # round-4 rotation: TPC-H queries that had no driver row in r1-r3
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q20_promo_part_suppliers",
+    "q21_waiting_suppliers",
     # LLM pipeline, every operator
     "text_quality_features",
     "bpe_token_counts",
@@ -80,15 +89,14 @@ def test_every_query_has_oracle_or_documented_rows_only():
     qs = entry_queries.queries()
     oracles = entry_queries.oracle_sql()
     rows_only = {n for n in qs if n not in oracles}
-    # rows-only entries are the documented non-SQL-expressible set
+    # rows-only entries are the documented non-SQL-expressible set.
+    # Round 4 converted the dedup family to invariant-backed oracles
+    # and gave language_id a DuckDB mirror; only the fake-backend
+    # entries (outputs defined by the stub, not by SQL semantics)
+    # remain rows-only.
     allowed = {
         "llm_inference_fake",
-        "minhash_dedup_kept",
-        "ngram_jaccard_dedup_kept",
         "multimodal_features_frames",
-        "simhash_signatures",
-        "embedding_dedup_kept",
-        "language_id_distribution",
     }
     assert rows_only <= allowed, f"undocumented rows-only queries: {rows_only - allowed}"
 
