@@ -394,7 +394,13 @@ def simhash_dedup(
     )
     # materialize the (small) dropped-id set eagerly, then release the
     # cached chunk table — a long-lived session otherwise accumulates
-    # one persisted intermediate per dedup call
+    # one persisted intermediate per dedup call.
+    # HAZARD (dynamic allocation / spot fleets): localCheckpoint blocks
+    # are executor-local and unreplicated — losing an executor between
+    # here and the final anti-join action fails the job with no lineage
+    # to recompute. On preemptible clusters prefer
+    # spark.sparkContext.setCheckpointDir + .checkpoint() (HDFS-backed)
+    # or skip the barrier and accept one recompute of the bucket stage.
     dropped = pairs.select(F.col("_id").alias(id_col)).distinct().localCheckpoint(eager=True)
     chunks.unpersist()
     return df.join(dropped, id_col, "left_anti")

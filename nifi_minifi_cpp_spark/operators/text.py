@@ -249,9 +249,22 @@ def merged_attribute_maps(src: DataFrame, group_cols, strategy: str) -> DataFram
         F.first("value").alias("value"),
     )
     if strategy == "keep_only_common":
+        # null-safe member-count join: a group keyed by a null value
+        # (missing fragment.identifier/correlation attribute) must
+        # still find its member count — a plain equi-join drops it and
+        # the bin would get an empty attribute map
         members = src.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n_members"))
-        per_key = per_key.join(members, group_cols).filter(
-            (F.col("_nv") == 1) & (F.col("_n") == F.col("_n_members"))
+        renamed = members.select(
+            *[F.col(c).alias(f"_m_{c}") for c in group_cols], "_n_members"
+        )
+        cond = None
+        for c in group_cols:
+            eq = F.col(c).eqNullSafe(F.col(f"_m_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        per_key = (
+            per_key.join(renamed, cond)
+            .drop(*[f"_m_{c}" for c in group_cols])
+            .filter((F.col("_nv") == 1) & (F.col("_n") == F.col("_n_members")))
         )
     else:
         per_key = per_key.filter(F.col("_nv") == 1)

@@ -151,8 +151,13 @@ def route_invoke_http(df: DataFrame, status_col: str = "invokehttp_status_code")
     without a materialization barrier every action would re-run the
     map and re-POST every row (duplicate delivery). ``localCheckpoint``
     executes the requests exactly once here and the four filters read
-    the materialized result."""
-    sent = df.localCheckpoint(eager=True)
+    the materialized result.
+
+    Streaming frames can't be checkpointed (AnalysisException) and are
+    routed lazily — there the exactly-once barrier is per micro-batch:
+    use :func:`http_post_handler` inside ``foreachBatch``, whose
+    ``batch_df`` is already materialized by the streaming engine."""
+    sent = df if df.isStreaming else df.localCheckpoint(eager=True)
     rel = http_relationship(status_col)
     return {name: sent.filter(rel == name) for name in ("success", "retry", "no_retry", "failure")}
 

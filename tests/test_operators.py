@@ -495,6 +495,43 @@ def test_defragment_attribute_strategy(spark):
     assert out["content"] == "part0\npart1"
 
 
+def test_defragment_null_fragment_id_keeps_attributes(spark):
+    """Regression (round 3/4 null-key fixes): fragments with NO
+    fragment.identifier group under a null key; both the attribute-map
+    outer join and the member-count join inside merged_attribute_maps
+    must be null-safe or the bundle comes back with an empty map."""
+    from nifi_minifi_cpp_spark.operators import merge_content_defragment
+
+    rows = [
+        ("u1", "a", {"fragment.index": "0", "src": "orphan"}),
+        ("u2", "b", {"fragment.index": "1", "src": "orphan"}),
+    ]
+    ff = spark.createDataFrame(rows, "uuid string, content string, attributes map<string,string>")
+    out = merge_content_defragment(
+        ff, attribute_strategy="keep_only_common", require_complete=False
+    ).first()
+    assert dict(out["attributes"]) == {"src": "orphan"}
+    assert out["content"] == "a\nb"
+
+
+def test_bin_packing_null_correlation_keeps_attributes(spark):
+    """Same regression for the bin-packing path: a missing correlation
+    attribute must not strip the merged attribute map."""
+    from nifi_minifi_cpp_spark.operators import merge_content_bin_packing
+
+    rows = [
+        ("u1", "a", {"env": "prod", "x": "1"}),
+        ("u2", "b", {"env": "prod", "x": "2"}),
+    ]
+    ff = spark.createDataFrame(rows, "uuid string, content string, attributes map<string,string>")
+    out = merge_content_bin_packing(
+        ff, max_entries=2, correlation_attribute="corr", attribute_strategy="keep_only_common"
+    ).first()
+    attrs = dict(out["attributes"])
+    assert attrs["env"] == "prod"  # common across members -> kept
+    assert "x" not in attrs  # conflicting -> dropped
+
+
 def test_sliding_and_session_windows(spark, tables):
     """Sliding: each event lands in duration/slide windows; session:
     gap-based grouping equals the manual lag/cumsum sessionization."""

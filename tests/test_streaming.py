@@ -271,6 +271,52 @@ def test_invoke_http_executor_side_routing(spark):
     assert ok[0] == "resp-200"
 
 
+def test_invoke_http_posts_exactly_once_per_row(spark, tmp_path):
+    """Regression (round 3 localCheckpoint barrier): consuming all four
+    relationships must NOT re-run the HTTP map — each row is POSTed
+    exactly once. The fake transport appends one line per request to a
+    shared file (O_APPEND, atomic for short writes), so a re-executed
+    lineage shows up as extra lines."""
+    log = str(tmp_path / "posts.log")
+
+    class FakeResponse:
+        def __init__(self, code):
+            self.status_code = code
+            self.text = f"resp-{code}"
+
+    class CountingSession:
+        def request(self, method, url, data=None, headers=None, timeout=None):
+            with open(log, "a") as f:
+                f.write(data.decode() + "\n")
+            m = int(data.decode().lstrip("c")) % 4
+            return FakeResponse([200, 503, 404, 200][m])
+
+    batch = spark.createDataFrame([(f"c{i}",) for i in range(40)], "content string")
+    sent = st.invoke_http(batch, "http://sink.test/ingest", session_factory=CountingSession)
+    routed = st.route_invoke_http(sent)
+    counts = {k: v.count() for k, v in routed.items()}  # consume ALL relationships
+    assert sum(counts.values()) == 40
+    with open(log) as f:
+        posts = f.read().splitlines()
+    assert len(posts) == 40, f"duplicate delivery: {len(posts)} POSTs for 40 rows"
+    assert sorted(posts) == sorted(f"c{i}" for i in range(40))
+
+
+def test_route_invoke_http_streaming_frame_no_checkpoint(spark):
+    """Regression (round 4): localCheckpoint raises on streaming
+    DataFrames — route_invoke_http must route them lazily instead
+    (the foreachBatch micro-batch is the exactly-once barrier there)."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .withColumn("invokehttp_status_code", F.lit(200))
+    )
+    routed = st.route_invoke_http(stream)
+    assert set(routed) == {"success", "retry", "no_retry", "failure"}
+    assert all(v.isStreaming for v in routed.values())
+
+
 def test_foreach_batch_http_handler_routes(spark):
     """The foreachBatch adapter hands the routed frames to on_routed."""
     seen = {}
