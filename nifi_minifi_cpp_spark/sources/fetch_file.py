@@ -72,13 +72,64 @@ def fetch_file(
     path_col: str = "path",
     as_text: bool = True,
 ) -> DataFrame:
-    """FetchFile: join the listing against a distributed binaryFile
-    read of the same paths. Content loads executor-side; the listing
-    (small) broadcasts."""
-    paths = [r[path_col] for r in listing.select(path_col).distinct().collect()]
-    if not paths:
-        return listing.withColumn("content", F.lit(None).cast("string" if as_text else "binary"))
-    files = spark.read.format("binaryFile").load(paths)
+    """FetchFile (FetchFile.cpp:118): per-row content fetch, fully
+    distributed — each executor opens exactly the files its listing
+    partition names (Arrow-batched mapInPandas, one FlowFile per file
+    like the reference). No driver-side path collect, no scan of
+    unlisted siblings; an unreadable path yields NULL content (the
+    reference's ``failure`` relationship — route on
+    ``content IS NULL``). For object stores where only the Hadoop
+    connector has credentials, use :func:`fetch_file_scan`."""
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    # fresh StructType — StructType.add mutates the df's cached schema
+    schema = StructType(
+        list(listing.schema.fields)
+        + [StructField("content", StringType() if as_text else BinaryType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            contents = []
+            for p in pdf[path_col]:
+                try:
+                    local = str(p)
+                    if local.startswith("file:"):
+                        local = local[len("file:"):]
+                    with open(local, "rb") as f:
+                        data = f.read()
+                    contents.append(data.decode("utf-8", errors="replace") if as_text else data)
+                except OSError:
+                    contents.append(None)
+            out = pdf.copy()
+            out["content"] = contents
+            yield out
+
+    return listing.mapInPandas(run, schema)
+
+
+def fetch_file_scan(
+    spark: SparkSession,
+    listing: DataFrame,
+    root: str,
+    path_col: str = "path",
+    as_text: bool = True,
+    path_glob_filter: str | None = None,
+) -> DataFrame:
+    """FetchFile via a distributed ``binaryFile`` scan of ``root``
+    joined against the listing — the object-store path (s3a://,
+    abfss://, gs://) where executors authenticate through the Hadoop
+    FS layer rather than opening paths directly.
+
+    The scan is pruned declaratively (``pathGlobFilter``), never by a
+    driver-side path collect; the join drops unlisted files. Prefer
+    :func:`fetch_file` when executors can open the paths themselves —
+    a root scan reads every matching file under ``root`` before the
+    join filters."""
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if path_glob_filter:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    files = reader.load(root)
     content = F.col("content")
     if as_text:
         content = F.decode(content, "utf-8")

@@ -62,6 +62,44 @@ def test_tailfile_rolling_glob(spark, tmp_path):
 # -- ListFile / FetchFile -----------------------------------------------------
 
 
+def test_fetch_file_is_distributed_no_driver_collect(spark, tmp_path):
+    """FetchFile reads content executor-side (mapInPandas over the
+    listing) — no driver path collect; unreadable paths -> NULL
+    content (failure relationship)."""
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha")
+    listing = src.list_file(spark, str(d / "*.txt"))
+    listing = listing.unionByName(
+        spark.createDataFrame(
+            [(str(d / "missing.txt"), "missing.txt", 0, 0.0)], listing.schema
+        )
+    )
+    fetched = src.fetch_file(spark, listing)
+    plan = fetched._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    got = {r["filename"]: r["content"] for r in fetched.collect()}
+    assert got == {"a.txt": "alpha", "missing.txt": None}
+
+
+def test_fetch_file_scan_prunes_and_joins(spark, tmp_path):
+    """Object-store form: binaryFile scan of the root, pathGlobFilter
+    pruning, join against the listing drops unlisted files."""
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha")
+    (d / "b.txt").write_text("beta")
+    (d / "c.log").write_text("unlisted-format")
+    listing = src.list_file(spark, str(d / "a.txt"))  # only a.txt listed
+    fetched = src.fetch_file_scan(
+        spark, listing, str(d), path_glob_filter="*.txt"
+    )
+    plan = fetched._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan and "FileScan" in plan
+    got = {r["filename"]: r["content"] for r in fetched.collect()}
+    assert got == {"a.txt": "alpha"}
+
+
 def test_list_fetch_incremental(spark, tmp_path):
     d = tmp_path / "in"
     d.mkdir()
