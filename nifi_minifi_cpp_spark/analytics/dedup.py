@@ -97,17 +97,19 @@ def char_shingles(col: Column, n: int = 5) -> Column:
 def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the smallest id per identical content.
 
-    Hash-groupBy on a 64-bit content hash, not the content itself, so
-    the shuffle carries 8 bytes + id per row (the full text only rides
-    along inside the min struct). Collision risk at 100 TB: use
-    sha2-256 string when paranoia beats speed.
+    One shuffle on a 64-bit content hash (8-byte key), min-id per hash
+    as an unordered window aggregate, keep the row carrying that id.
+    Works for ANY payload column types (maps/arrays included — a
+    min(struct(...)) formulation cannot order those, and FlowFile
+    frames carry both). Collision risk at 100 TB: use sha2-256 string
+    when paranoia beats speed.
     """
-    h = F.xxhash64(F.col(content_col))
+    keyed = df.withColumn("_h", F.xxhash64(F.col(content_col)))
+    w = Window.partitionBy("_h")
     return (
-        df.withColumn("_h", h)
-        .groupBy("_h")
-        .agg(F.min(F.struct(F.col(id_col), *[F.col(c) for c in df.columns if c != id_col])).alias("_keep"))
-        .select("_keep.*")
+        keyed.withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .drop("_h", "_min_id")
     )
 
 

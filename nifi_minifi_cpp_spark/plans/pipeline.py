@@ -392,13 +392,445 @@ def _put_file(spark, df, props):
 
 
 # ---------------------------------------------------------------------------
+# sources / transforms over the rest of the engine surface
+# (round 4: every implemented operator is nameable from a flow config)
+# ---------------------------------------------------------------------------
+
+
+def _empty(spark, schema: str) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+@processor("ListFile")
+def _list_file(spark, df, props):
+    """ListFile (ListFile.cpp:92-118): incremental watermark listing."""
+    from ..sources import ListFileState, list_file
+
+    state = ListFileState(props["state_path"]) if props.get("state_path") else None
+    out = list_file(spark, props["pattern"], state, min_size=int(props.get("min_size", 0)))
+    if out is None:
+        out = _empty(spark, "path string, filename string, size long, mtime double")
+    return _one(out)
+
+
+@processor("FetchFile")
+def _fetch_file(spark, df, props):
+    """FetchFile (FetchFile.cpp:118): executor-side content fetch of
+    the upstream listing; NULL content routes to failure."""
+    from ..sources import fetch_file
+
+    fetched = fetch_file(
+        spark, df, path_col=props.get("path_col", "path"), as_text=props.get("as_text", True)
+    )
+    ok = F.col("content").isNotNull()
+    return {"success": fetched.filter(ok), "failure": fetched.filter(~ok)}
+
+
+@processor("TailFile")
+def _tail_file(spark, df, props):
+    """TailFile batch poll (TailFile.cpp:582): delta since the
+    persisted (position, checksum) state."""
+    from ..sources import TailFile
+
+    out = TailFile(
+        props["pattern"], props["state_path"], delimiter=props.get("delimiter", "\n")
+    ).poll(spark)
+    if out is None:
+        out = _empty(spark, "file string, position long, content string")
+    return _one(out)
+
+
+@processor("TailFileStream")
+def _tail_file_stream(spark, df, props):
+    """TailFile as the native streaming source (offsets = tail state)."""
+    from ..sources import register_tailfile
+
+    register_tailfile(spark)
+    reader = spark.readStream.format("tailfile").option("pattern", props["pattern"])
+    if props.get("delimiter"):
+        reader = reader.option("delimiter", props["delimiter"])
+    return _one(reader.load())
+
+
+@processor("ConsumeKafka")
+def _consume_kafka(spark, df, props):
+    """ConsumeKafka (ConsumeKafka.h:42): kafka readStream lifted to
+    FlowFiles. Needs the kafka connector jars on the cluster."""
+    from ..streaming.records import kafka_records_to_flowfiles
+    from ..streaming.sources import kafka_source
+
+    raw = kafka_source(
+        spark,
+        props["brokers"],
+        topics=props.get("topics"),
+        topic_pattern=props.get("topic_pattern"),
+        group_id=props.get("group_id"),
+        offset_reset=props.get("offset_reset", "latest"),
+    )
+    return _one(kafka_records_to_flowfiles(raw))
+
+
+@processor("ExecuteSQL")
+def _execute_sql(spark, df, props):
+    """ExecuteSQL (ExecuteSQL.cpp:41): rowset -> JSON-lines FlowFiles."""
+    from ..sources import execute_sql
+
+    return _one(execute_sql(spark, props["query"], int(props.get("max_rows_per_flowfile", 0))))
+
+
+@processor("QueryDatabaseTable")
+def _query_database_table(spark, df, props):
+    """QueryDatabaseTable (QueryDatabaseTable.cpp:80-116): incremental
+    max-value scan over a parquet or JDBC table."""
+    from ..sources import IncrementalTableScan, jdbc_table_reader, parquet_table_reader
+
+    if props.get("jdbc_url"):
+        reader = jdbc_table_reader(props["jdbc_url"], props["table"])
+    else:
+        reader = parquet_table_reader(props["path"])
+    cols = props["max_value_columns"]
+    cols = [c.strip() for c in cols.split(",")] if isinstance(cols, str) else list(cols)
+    scan = IncrementalTableScan(reader, cols, props["state_path"])
+    out = scan.poll(spark)
+    return _one(out if out is not None else reader(spark).limit(0))
+
+
+@processor("ExecuteProcess")
+def _execute_process(spark, df, props):
+    """ExecuteProcess (ExecuteProcess.cpp:62): stdout -> FlowFiles."""
+    from ..sources import execute_process
+
+    args = props.get("arguments")
+    if isinstance(args, str):
+        args = args.split()
+    return _one(
+        execute_process(
+            spark,
+            props["command"],
+            arguments=args,
+            working_dir=props.get("working_dir"),
+            batch_lines=int(props["batch_lines"]) if props.get("batch_lines") else None,
+        )
+    )
+
+
+@processor("ListSFTP")
+def _list_sftp(spark, df, props):
+    """ListSFTP/ListSmb (ListSFTP.cpp:781): watermark listing through
+    an injected remote client (dict-config only)."""
+    from ..sources import ListFileState, list_remote
+
+    state = ListFileState(props["state_path"]) if props.get("state_path") else None
+    out = list_remote(
+        spark,
+        props["client"],
+        props["directory"],
+        state=state,
+        name_filter=props.get("name_filter"),
+    )
+    if out is None:
+        out = _empty(spark, "path string, filename string, size long, mtime double")
+    return _one(out)
+
+
+@processor("FetchSFTP")
+def _fetch_sftp(spark, df, props):
+    """FetchSFTP/FetchSmb (FetchSFTP.cpp:57): executor-side remote
+    fetch with the reference's typed failure relationships."""
+    from ..sources import fetch_remote, route_fetch_remote
+
+    fetched = fetch_remote(
+        df,
+        props["client_factory"],
+        path_col=props.get("path_col", "path"),
+        as_text=props.get("as_text", True),
+    )
+    return route_fetch_remote(fetched)
+
+
+@processor("GetCouchbaseKey")
+def _get_couchbase_key(spark, df, props):
+    """GetCouchbaseKey (GetCouchbaseKey.cpp:32): executor-side KV get."""
+    from ..sources import get_kv_key
+
+    out = get_kv_key(
+        df,
+        props["client_factory"],
+        key_col=props.get("key_col", "key"),
+        value_col=props.get("value_col", "content"),
+    )
+    ok = F.col("kv_status") == "success"
+    return {"success": out.filter(ok), "failure": out.filter(~ok)}
+
+
+@processor("ParseSyslog")
+def _parse_syslog(spark, df, props):
+    """ListenSyslog's parse stage (ListenSyslog.cpp:303): RFC5424 /
+    RFC3164 fields + syslog.valid flag as columns."""
+    from ..streaming.records import parse_syslog
+
+    return _one(parse_syslog(df, content_col=props.get("content_col", "content")))
+
+
+@processor("Funnel")
+def _funnel(spark, df, props):
+    """Funnel (Funnel.h:27): explicit union node — the compiler already
+    unions multi-input connections; this names the merge point."""
+    return _one(df)
+
+
+@processor("ApplyTemplate")
+def _apply_template(spark, df, props):
+    """ApplyTemplate (ApplyTemplate.cpp:33): mustache-style content."""
+    from ..functions.templates import apply_template
+
+    return _one(apply_template(df, props["template"]))
+
+
+@processor("JoltTransformJSON")
+def _jolt_transform_json(spark, df, props):
+    """JoltTransformJSON (JoltTransformJSON.cpp:30), Catalyst jolt-lite
+    (shift/default/remove dot-paths compile to get_json_object)."""
+    from ..functions.templates import jolt_transform
+
+    return _one(
+        jolt_transform(
+            df,
+            shift=props.get("shift"),
+            default=props.get("default"),
+            remove=props.get("remove"),
+            content_col=props.get("content_col", "content"),
+        )
+    )
+
+
+@processor("ExecuteScript")
+def _execute_script(spark, df, props):
+    """ExecuteScript / ExecutePythonProcessor (ExecuteScript.cpp:40):
+    Arrow-batched record transform; ``transform`` is a Python callable
+    (dict-config only, like InvokeHTTP's session_factory)."""
+    from ..functions.record_transform import apply_record_transform
+
+    return _one(apply_record_transform(df, props["transform"], props["output_schema"]))
+
+
+@processor("AnalyzeText")
+def _analyze_text(spark, df, props):
+    """Training-data text analysis: quality features + language-ID +
+    BPE-ish token count + fingerprint as columns (analytics pack)."""
+    from ..analytics import analyze_documents
+
+    return _one(analyze_documents(df, text_col=props.get("text_col", "content")))
+
+
+@processor("DeduplicateText")
+def _deduplicate_text(spark, df, props):
+    """Dedup stage over the flow: strategy in {exact, minhash,
+    simhash, ngram_jaccard} (analytics.dedup; LSH-bucketed, never
+    all-pairs)."""
+    from ..analytics import exact_dedup, minhash_dedup, ngram_jaccard_dedup, simhash_dedup
+
+    strategy = props.get("strategy", "exact")
+    content = props.get("content_col", "content")
+    id_col = props.get("id_col", "uuid")
+    if strategy == "exact":
+        out = exact_dedup(df, content, id_col)
+    elif strategy == "minhash":
+        out = minhash_dedup(df, content, id_col)
+    elif strategy == "simhash":
+        out = simhash_dedup(df, content, id_col)
+    elif strategy == "ngram_jaccard":
+        out = ngram_jaccard_dedup(df, content, id_col, threshold=float(props.get("threshold", 0.8)))
+    else:
+        raise FlowCompileError(f"unknown dedup strategy {strategy!r}")
+    return _one(out)
+
+
+@processor("DeduplicateEmbeddings")
+def _deduplicate_embeddings(spark, df, props):
+    """Embedding near-dup removal (SRP-LSH + exact cosine)."""
+    from ..analytics import embedding_dedup
+
+    return _one(
+        embedding_dedup(
+            df,
+            embedding_col=props.get("embedding_col", "embedding"),
+            id_col=props.get("id_col", "vec_id"),
+            threshold=float(props.get("threshold", 0.95)),
+        )
+    )
+
+
+@processor("CosineTopK")
+def _cosine_topk(spark, df, props):
+    """Brute-force cosine top-k vs one query vector (broadcast into
+    the plan; TakeOrderedAndProject, no global sort)."""
+    from ..analytics import cosine_topk
+
+    return _one(
+        cosine_topk(
+            df,
+            [float(x) for x in props["query_vec"]],
+            k=int(props.get("k", 10)),
+            embedding_col=props.get("embedding_col", "embedding"),
+            id_col=props.get("id_col", "vec_id"),
+        )
+    )
+
+
+@processor("RunLlmInference")
+def _run_llm_inference(spark, df, props):
+    """RunLlamaCppInference (RunLlamaCppInference.cpp:34): batched
+    prompt -> completion; default backend is the deterministic fake
+    (llama.cpp import-gated via ``generate_fn``)."""
+    from ..analytics import run_llm_inference
+
+    return _one(
+        run_llm_inference(
+            df,
+            props["prompt_template"],
+            generate_fn=props.get("generate_fn"),
+            batch_size=int(props.get("batch_size", 32)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# handler-style sinks (side-effecting; executor-side foreachPartition).
+# Batch input: the handler runs eagerly at compile. Streaming input:
+# deferred — FlowController wraps the handler in foreachBatch.
+# ---------------------------------------------------------------------------
+
+# ptype -> props -> handler(batch_df, epoch_id)
+_SINK_HANDLER_FACTORIES: dict[str, Callable[[dict], Callable]] = {}
+
+
+def _handler_sink(name: str, factory: Callable[[dict], Callable]) -> None:
+    _SINK_HANDLER_FACTORIES[name] = factory
+
+    @processor(name)
+    def _sink(spark, df, props, _factory=factory):
+        _factory(props)(df, 0)
+        return _one(df)
+
+
+def _put_tcp_factory(props):
+    from ..streaming.sinks import put_tcp_handler
+
+    return put_tcp_handler(
+        props["host"],
+        int(props["port"]),
+        content_col=props.get("content_col", "content"),
+        delimiter=props.get("delimiter", "\n"),
+    )
+
+
+def _put_udp_factory(props):
+    from ..streaming.sinks import put_udp_handler
+
+    return put_udp_handler(props["host"], int(props["port"]), content_col=props.get("content_col", "content"))
+
+
+def _loki_factory(props):
+    from ..streaming.adapters import push_grafana_loki_handler
+
+    return push_grafana_loki_handler(
+        props["url"],
+        props.get("stream_labels", {"job": "nifi-minifi-cpp-spark"}),
+        content_col=props.get("content_col", "content"),
+        batch_size=int(props.get("batch_size", 100)),
+        session_factory=props.get("session_factory"),
+    )
+
+
+def _mqtt_factory(props):
+    from ..streaming.adapters import publish_mqtt_handler
+
+    return publish_mqtt_handler(
+        props.get("broker", ""),
+        props["topic"],
+        content_col=props.get("content_col", "content"),
+        qos=int(props.get("qos", 0)),
+        retain=bool(props.get("retain", False)),
+        client_factory=props.get("client_factory"),
+    )
+
+
+def _kinesis_factory(props):
+    from ..streaming.adapters import put_kinesis_handler
+
+    return put_kinesis_handler(
+        props["stream_name"],
+        content_col=props.get("content_col", "content"),
+        partition_key_col=props.get("partition_key_col"),
+        client_factory=props.get("client_factory"),
+    )
+
+
+def _es_factory(props):
+    from ..streaming.adapters import post_elasticsearch_handler
+
+    return post_elasticsearch_handler(
+        props["hosts"],
+        action_col=props.get("action_col", "action"),
+        index_col=props.get("index_col", "index"),
+        id_col=props.get("id_col"),
+        doc_col=props.get("doc_col", "doc"),
+        session_factory=props.get("session_factory"),
+    )
+
+
+def _put_kv_factory(props):
+    from ..sources import put_kv_key
+
+    return put_kv_key(
+        props["client_factory"],
+        key_col=props.get("key_col", "key"),
+        value_col=props.get("value_col", "content"),
+    )
+
+
+def _put_remote_factory(props):
+    from ..sources import put_remote
+
+    return put_remote(
+        None,
+        props["client_factory"],
+        path_col=props.get("path_col", "path"),
+        content_col=props.get("content_col", "content"),
+    )
+
+
+_handler_sink("PutTCP", _put_tcp_factory)
+_handler_sink("PutUDP", _put_udp_factory)
+_handler_sink("PushGrafanaLokiREST", _loki_factory)
+_handler_sink("PublishMQTT", _mqtt_factory)
+_handler_sink("PutKinesisStream", _kinesis_factory)
+_handler_sink("PostElasticsearch", _es_factory)
+_handler_sink("PutCouchbaseKey", _put_kv_factory)
+_handler_sink("PutSFTP", _put_remote_factory)
+_handler_sink("PutSmb", _put_remote_factory)
+
+
+@processor("PutSQL")
+def _put_sql(spark, df, props):
+    """PutSQL (PutSQL.cpp:37): eager write to a catalog table, or any
+    format/path/JDBC target via extra writer options."""
+    from ..sources import put_sql
+
+    extra = {k: v for k, v in props.items() if k not in ("table", "mode")}
+    put_sql(df, props.get("table", ""), mode=props.get("mode", "append"), **extra)
+    return _one(df)
+
+
+# ---------------------------------------------------------------------------
 # the compiler
 # ---------------------------------------------------------------------------
 
 
 # sink processor types that must defer when their input is a stream
 # (writeStream.start happens in FlowController, not at compile time)
-_STREAMING_SINK_TYPES = {"PutFile", "MemorySink"}
+_STREAMING_SINK_TYPES = {"PutFile", "MemorySink"} | set(_SINK_HANDLER_FACTORIES)
 
 
 @dataclass
@@ -437,6 +869,12 @@ class FlowController:
                     .queryName(props.get("name", pid))
                     .outputMode(props.get("output_mode", "append"))
                 )
+            elif ptype in _SINK_HANDLER_FACTORIES:
+                # side-effecting sink: the micro-batch is the
+                # exactly-once barrier; the handler runs per epoch
+                writer = df.writeStream.foreachBatch(_SINK_HANDLER_FACTORIES[ptype](props))
+                if props.get("checkpoint"):
+                    writer = writer.option("checkpointLocation", props["checkpoint"])
             else:  # PutFile
                 writer = (
                     df.writeStream.format(props.get("format", "parquet"))

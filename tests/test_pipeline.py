@@ -508,3 +508,283 @@ def test_flow_split_segment_defragment_hostinfo(spark):
     hosted = _PROCESSORS["AppendHostInfo"](spark, ff, {})["success"].first()
     attrs = dict(hosted["attributes"])
     assert "source.hostname" in attrs and "source.ipv4" in attrs and attrs["k"] == "v"
+
+
+# -- round-4 vocabulary: every implemented operator nameable from a flow ------
+
+
+def test_round4_processor_inventory():
+    """The flow compiler vocabulary covers the engine surface (round-2
+    item #6 / round-3 item #5: was 29 names)."""
+    have = set(registered_processors())
+    new = {
+        "ListFile", "FetchFile", "TailFile", "TailFileStream", "ConsumeKafka",
+        "ExecuteSQL", "QueryDatabaseTable", "ExecuteProcess", "ListSFTP",
+        "FetchSFTP", "GetCouchbaseKey", "ParseSyslog", "Funnel",
+        "ApplyTemplate", "JoltTransformJSON", "ExecuteScript", "AnalyzeText",
+        "DeduplicateText", "DeduplicateEmbeddings", "CosineTopK",
+        "RunLlmInference", "PutTCP", "PutUDP", "PushGrafanaLokiREST",
+        "PublishMQTT", "PutKinesisStream", "PostElasticsearch",
+        "PutCouchbaseKey", "PutSFTP", "PutSmb", "PutSQL",
+    }
+    assert new <= have
+    assert len(have) >= 45
+
+
+def test_flow_list_fetch_tail_exec_sources(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha")
+    (d / "b.log").write_text("l1\nl2\n")
+    cfg = {
+        "processors": [
+            {"id": "ls", "type": "ListFile", "properties": {"pattern": str(d / "*.txt")}},
+            {"id": "fetch", "type": "FetchFile"},
+            {"id": "tail", "type": "TailFile",
+             "properties": {"pattern": str(d / "*.log"), "state_path": str(tmp_path / "t.json")}},
+            {"id": "proc", "type": "ExecuteProcess",
+             "properties": {"command": "echo", "arguments": "hello world"}},
+        ],
+        "connections": [{"source": "ls", "destination": "fetch"}],
+    }
+    flow = compile_flow(spark, cfg)
+    fetched = {r["filename"]: r["content"] for r in flow.df("fetch").collect()}
+    assert fetched == {"a.txt": "alpha"}
+    assert [r["content"] for r in flow.df("tail").collect()] == ["l1", "l2"]
+    out = flow.df("proc").first()
+    assert out["content"].strip() == "hello world"
+
+
+def test_flow_execute_sql_and_query_database_table(spark, sf_dir, tmp_path):
+    from nifi_minifi_cpp_spark.session import load_table
+
+    load_table(spark, "nation", sf_dir).createOrReplaceTempView("nation_v")
+    cfg = {
+        "processors": [
+            {"id": "sql", "type": "ExecuteSQL",
+             "properties": {"query": "SELECT n_nationkey, n_name FROM nation_v ORDER BY n_nationkey"}},
+            {"id": "qdt", "type": "QueryDatabaseTable",
+             "properties": {"path": f"{sf_dir}/nation.parquet",
+                            "max_value_columns": "n_nationkey",
+                            "state_path": str(tmp_path / "qdt.json")}},
+        ],
+        "connections": [],
+    }
+    flow = compile_flow(spark, cfg)
+    row = flow.df("sql").first()
+    assert dict(row["attributes"])["executesql.row.count"] == "25"
+    assert flow.df("qdt").count() == 25
+    # second compile: watermark advanced -> nothing new
+    flow2 = compile_flow(spark, cfg)
+    assert flow2.df("qdt").count() == 0
+
+
+def test_flow_remote_fs_and_kv(spark, tmp_path):
+    from nifi_minifi_cpp_spark.sources.remote_fs import RemoteEntry
+
+    class FakeRemote:
+        def listdir(self, path):
+            return [RemoteEntry(path="/r/f1.txt", size=5, mtime=100.0, is_dir=False)]
+
+        def read(self, path):
+            if path == "/r/f1.txt":
+                return b"hello"
+            raise FileNotFoundError(path)
+
+        def write(self, path, data):
+            (tmp_path / "put.log").open("a").write(f"{path}|{data.decode()}\n")
+
+    def factory():
+        return FakeRemote()
+
+    kv_store = str(tmp_path / "kv.log")
+
+    def kv_factory(path=kv_store):
+        class KV:
+            def get(self, key):
+                if key == "/r/f1.txt":
+                    return b"kv-val"
+                raise KeyError(key)
+
+            def upsert(self, key, value):
+                with open(path, "a") as f:
+                    f.write(f"{key}={value}\n")
+
+        return KV()
+
+    cfg = {
+        "processors": [
+            {"id": "ls", "type": "ListSFTP",
+             "properties": {"client": FakeRemote(), "directory": "/r"}},
+            {"id": "fetch", "type": "FetchSFTP", "properties": {"client_factory": factory}},
+            {"id": "kvget", "type": "GetCouchbaseKey",
+             "properties": {"client_factory": kv_factory, "key_col": "path", "value_col": "kv_value"}},
+            {"id": "kvput", "type": "PutCouchbaseKey",
+             "properties": {"client_factory": kv_factory, "key_col": "path", "value_col": "content"}},
+            {"id": "putsftp", "type": "PutSFTP", "properties": {"client_factory": factory}},
+        ],
+        "connections": [
+            {"source": "ls", "destination": "fetch"},
+            {"source": "fetch", "relationship": "success", "destination": "kvget"},
+            {"source": "kvget", "relationship": "success", "destination": "kvput"},
+            {"source": "fetch", "relationship": "success", "destination": "putsftp"},
+        ],
+    }
+    flow = compile_flow(spark, cfg)
+    got = flow.df("fetch", "success").first()
+    assert got["content"] == "hello" and got["fetch_status"] == "success"
+    assert flow.df("kvget", "success").first()["kv_value"] == "kv-val"
+    assert open(kv_store).read() == "/r/f1.txt=hello\n"
+    assert (tmp_path / "put.log").read_text() == "/r/f1.txt|hello\n"
+
+
+def test_flow_template_jolt_script_syslog_funnel(spark):
+    def upper_transform(record):
+        return {"content": record["content"].upper()}
+
+    cfg = {
+        "processors": [
+            {"id": "gen", "type": "GenerateFlowFile",
+             "properties": {"batch_size": 2, "custom_text": '{"user": {"name": "ada"}}'}},
+            {"id": "tpl", "type": "UpdateAttribute", "properties": {"who": "ada"}},
+            {"id": "applied", "type": "ApplyTemplate", "properties": {"template": "hi {{who}}"}},
+            {"id": "jolt", "type": "JoltTransformJSON",
+             "properties": {"shift": {"user.name": "who.is"}}},
+            {"id": "script", "type": "ExecuteScript",
+             "properties": {"transform": upper_transform, "output_schema": "content string"}},
+            {"id": "fun", "type": "Funnel"},
+            {"id": "syslog", "type": "GenerateFlowFile",
+             "properties": {"batch_size": 1,
+                            "custom_text": "<34>Oct 11 22:14:15 host app: msg"}},
+            {"id": "parsed", "type": "ParseSyslog"},
+        ],
+        "connections": [
+            {"source": "gen", "destination": "tpl"},
+            {"source": "tpl", "destination": "applied"},
+            {"source": "gen", "destination": "jolt"},
+            {"source": "applied", "destination": "fun"},
+            {"source": "jolt", "destination": "fun"},
+            {"source": "jolt", "destination": "script"},
+            {"source": "syslog", "destination": "parsed"},
+        ],
+    }
+    flow = compile_flow(spark, cfg)
+    assert flow.df("applied").first()["content"] == "hi ada"
+    assert flow.df("jolt").first()["content"] == '{"who":{"is":"ada"}}'
+    assert flow.df("script").first()["content"] == '{"WHO":{"IS":"ADA"}}'
+    assert flow.df("fun").count() == 4
+    psl = flow.df("parsed").first()
+    assert dict(psl["attributes"])["syslog.valid"] == "true"
+
+
+def test_flow_analytics_stages(spark, sf_dir):
+    cfg = {
+        "processors": [
+            {"id": "docs", "type": "TableSource",
+             "properties": {"table": "documents", "sf_dir": sf_dir}},
+            {"id": "quality", "type": "AnalyzeText"},
+            {"id": "dedup", "type": "DeduplicateText", "properties": {"strategy": "exact"}},
+            {"id": "emb", "type": "TableSource",
+             "properties": {"table": "embeddings", "sf_dir": sf_dir, "as_flowfiles": False}},
+            {"id": "embdedup", "type": "DeduplicateEmbeddings", "properties": {"threshold": 0.99}},
+            {"id": "topk", "type": "CosineTopK",
+             "properties": {"query_vec": [1.0] + [0.0] * 63, "k": 5}},
+            {"id": "llm", "type": "RunLlmInference",
+             "properties": {"prompt_template": "summarize: {{content}}", "batch_size": 8}},
+        ],
+        "connections": [
+            {"source": "docs", "destination": "quality"},
+            {"source": "docs", "destination": "dedup"},
+            {"source": "emb", "destination": "embdedup"},
+            {"source": "emb", "destination": "topk"},
+            {"source": "docs", "destination": "llm"},
+        ],
+    }
+    flow = compile_flow(spark, cfg)
+    n_docs = flow.df("docs").count()
+    q = flow.df("quality").first()
+    assert q["lang_detected"] is not None and q["n_tokens"] >= 0
+    assert flow.df("dedup").count() <= n_docs
+    assert flow.df("embdedup").count() <= flow.df("emb").count()
+    topk = flow.df("topk").collect()
+    assert len(topk) == 5 and topk[0]["score"] >= topk[-1]["score"]
+    assert flow.df("llm").first()["completion"] != ""
+
+
+def test_flow_handler_sinks_batch(spark, tmp_path):
+    """Handler-style sinks run eagerly on batch flows, executor-side."""
+    mqtt_log = str(tmp_path / "mqtt.log")
+    es_log = str(tmp_path / "es.log")
+    kin_log = str(tmp_path / "kin.log")
+    loki_log = str(tmp_path / "loki.log")
+
+    def mqtt_factory(path=mqtt_log):
+        class Client:
+            def publish(self, topic, payload, qos=0, retain=False):
+                with open(path, "a") as f:
+                    f.write(f"{topic}|{payload.decode()}\n")
+
+        return Client()
+
+    def session_factory(path=es_log):
+        class Resp:
+            status_code = 200
+            text = "{}"
+
+        class Sess:
+            def request(self, method, url, data=None, headers=None, timeout=None):
+                with open(path, "a") as f:
+                    f.write(f"{url}\n")
+                return Resp()
+
+        return Sess()
+
+    def loki_session_factory(path=loki_log):
+        class Resp:
+            status_code = 204
+            text = ""
+
+        class Sess:
+            def request(self, method, url, data=None, headers=None, timeout=None):
+                with open(path, "a") as f:
+                    f.write(data.decode() + "\n")
+                return Resp()
+
+        return Sess()
+
+    def kinesis_factory(path=kin_log):
+        class Client:
+            def put_records(self, StreamName=None, Records=None):
+                with open(path, "a") as f:
+                    for r in Records:
+                        f.write(f"{StreamName}|{r['Data'].decode()}\n")
+                return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
+
+        return Client()
+
+    cfg = {
+        "processors": [
+            {"id": "gen", "type": "GenerateFlowFile",
+             "properties": {"batch_size": 3, "custom_text": "payload"}},
+            {"id": "mqtt", "type": "PublishMQTT",
+             "properties": {"topic": "t/x", "client_factory": mqtt_factory}},
+            {"id": "loki", "type": "PushGrafanaLokiREST",
+             "properties": {"url": "http://loki/push", "session_factory": loki_session_factory}},
+            {"id": "kin", "type": "PutKinesisStream",
+             "properties": {"stream_name": "s1", "client_factory": kinesis_factory}},
+            {"id": "sql", "type": "PutSQL",
+             "properties": {"format": "parquet", "path": str(tmp_path / "out.parquet")}},
+        ],
+        "connections": [
+            {"source": "gen", "destination": "mqtt"},
+            {"source": "gen", "destination": "loki"},
+            {"source": "gen", "destination": "kin"},
+            {"source": "gen", "destination": "sql"},
+        ],
+    }
+    flow = compile_flow(spark, cfg)
+    assert flow.df("mqtt").count() == 3  # passthrough relationship
+    assert open(mqtt_log).read().count("t/x|payload") == 3
+    assert open(kin_log).read().count("s1|payload") == 3
+    assert open(loki_log).read().count('"payload"') == 3
+    assert spark.read.parquet(str(tmp_path / "out.parquet")).count() == 3
