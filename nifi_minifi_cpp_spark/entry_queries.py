@@ -2033,6 +2033,11 @@ def _with_injected_dups(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def _dedup_invariant_report(inp: DataFrame, kept: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    # the kept set feeds THREE aggregates below; without a barrier each
+    # one re-runs the whole LSH/signature lineage (mapInPandas stages
+    # are not cached by Catalyst). Materialize the slim (id, content)
+    # projection once.
+    kept = kept.select(id_col, content_col).localCheckpoint(eager=True)
     n_input = inp.agg(F.count(F.lit(1)).alias("n_input"))
     orphans = kept.join(inp.select(id_col), id_col, "left_anti").agg(
         F.count(F.lit(1)).alias("orphans")
@@ -2136,7 +2141,13 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     inp = _with_injected_dups(docs, "doc_id")
-    sigs = simhash_signature_pandas(inp, "text", "doc_id").withColumnRenamed("_sig", "sig")
+    # materialize once: four aggregates below would otherwise re-run
+    # the Arrow signature stage each
+    sigs = (
+        simhash_signature_pandas(inp, "text", "doc_id")
+        .withColumnRenamed("_sig", "sig")
+        .localCheckpoint(eager=True)
+    )
     n_rows = sigs.agg(F.count(F.lit(1)).alias("n_rows"))
     orig = sigs.filter(F.col("doc_id") < _INJECT_N).select(
         F.col("doc_id").alias("_id"), F.col("sig").alias("_sig_orig")
