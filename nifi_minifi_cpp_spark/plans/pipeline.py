@@ -563,6 +563,55 @@ def _get_couchbase_key(spark, df, props):
     return {"success": out.filter(ok), "failure": out.filter(~ok)}
 
 
+@processor("FetchOPC")
+def _fetch_opc(spark, df, props):
+    """FetchOPC (fetchopc.cpp:60): traverse from a root node, one
+    FlowFile per variable; lazy-state skip via ``state_path``."""
+    from ..sources import OpcLazyState, fetch_opc
+
+    state = OpcLazyState(props["state_path"]) if props.get("state_path") else None
+    out = fetch_opc(
+        spark,
+        props["client"],
+        props["node_id"],
+        max_depth=int(props.get("max_depth", 0)),
+        lazy=props.get("lazy", "off"),
+        state=state,
+    )
+    if out is None:
+        out = _empty(spark, "uuid string, content string, attributes map<string,string>")
+    return _one(out)
+
+
+@processor("PutOPC")
+def _put_opc(spark, df, props):
+    """PutOPC (putopc.cpp:276): update-or-create the target node per
+    row, executor-side."""
+    from ..sources import put_opc
+
+    return put_opc(
+        df,
+        props["client_factory"],
+        props["parent_node_id"],
+        target_attr=props.get("target_attr", "targetnodeid"),
+        content_col=props.get("content_col", "content"),
+    )
+
+
+@processor("FetchModbusTcp")
+def _fetch_modbus_tcp(spark, df, props):
+    """FetchModbusTcp (FetchModbusTcp.cpp:152): read the address map
+    per row, record lands as JSON in ``modbus_record``."""
+    from ..sources import fetch_modbus_tcp
+
+    return fetch_modbus_tcp(
+        df,
+        props["client_factory"],
+        props["address_map"],
+        unit_id=int(props.get("unit_id", 1)),
+    )
+
+
 @processor("ParseSyslog")
 def _parse_syslog(spark, df, props):
     """ListenSyslog's parse stage (ListenSyslog.cpp:303): RFC5424 /

@@ -3,6 +3,15 @@
 
 from .convert_record import convert_record
 from .fetch_file import ListFileState, fetch_file, fetch_file_scan, list_file
+from .industrial import (
+    ModbusRead,
+    OpcLazyState,
+    OpcNode,
+    fetch_modbus_tcp,
+    fetch_opc,
+    parse_modbus_address,
+    put_opc,
+)
 from .datasource import (
     ListenHTTPDataSource,
     ListenTCPDataSource,
@@ -38,6 +47,13 @@ __all__ = [
     "list_file",
     "fetch_file",
     "fetch_file_scan",
+    "OpcNode",
+    "OpcLazyState",
+    "fetch_opc",
+    "put_opc",
+    "ModbusRead",
+    "parse_modbus_address",
+    "fetch_modbus_tcp",
     "ListFileState",
     "TailFileDataSource",
     "register_tailfile",

@@ -496,3 +496,173 @@ def test_consume_journald_checkpoint_recovery(spark, tmp_path):
     with open(jf, "a") as f:
         f.write("\nMESSAGE=j3\n\nMESSAGE=j4\n")
     assert run_until(4) == ["j1", "j2", "j3", "j4"]  # exactly once
+
+
+# -- OPC UA / Modbus (injected clients) ---------------------------------------
+
+
+def _fake_opc_tree():
+    from nifi_minifi_cpp_spark.sources import OpcNode
+
+    class FakeOpcClient:
+        def __init__(self):
+            self.values = {"ns=1;s=temp": ("21.5", "ts1"), "ns=1;s=rpm": ("900", "ts1")}
+
+        def traverse(self, node_id, max_depth):
+            yield OpcNode("ns=1;i=85", "Objects", "/Objects", is_variable=False)
+            for nid, (val, ts) in self.values.items():
+                name = nid.split("=")[-1]
+                yield OpcNode(nid, name, f"/Objects/{name}", value=val,
+                              datatype="String", source_timestamp=ts)
+
+    return FakeOpcClient()
+
+
+def test_fetch_opc_lazy_timestamp_state(spark, tmp_path):
+    from nifi_minifi_cpp_spark.sources import OpcLazyState, fetch_opc
+
+    client = _fake_opc_tree()
+    state = OpcLazyState(str(tmp_path / "opc.json"))
+    out = fetch_opc(spark, client, "ns=1;i=85", lazy="on", state=state)
+    rows = {r["uuid"]: dict(r["attributes"]) for r in out.collect()}
+    assert set(rows) == {"ns=1;s=temp", "ns=1;s=rpm"}
+    assert rows["ns=1;s=temp"]["Full path"] == "/Objects/temp"
+    assert rows["ns=1;s=temp"]["Sourcetimestamp"] == "ts1"
+    # unchanged timestamps -> nothing emitted
+    assert fetch_opc(spark, client, "ns=1;i=85", lazy="on", state=state) is None
+    # one node gets a new timestamp -> only it re-emits
+    client.values["ns=1;s=temp"] = ("22.0", "ts2")
+    out3 = fetch_opc(spark, client, "ns=1;i=85", lazy="on", state=state)
+    assert [r["uuid"] for r in out3.collect()] == ["ns=1;s=temp"]
+
+
+def test_fetch_opc_lazy_new_value_state(spark, tmp_path):
+    from nifi_minifi_cpp_spark.sources import OpcLazyState, fetch_opc
+
+    client = _fake_opc_tree()
+    state = OpcLazyState(str(tmp_path / "opc2.json"))
+    assert fetch_opc(spark, client, "x", lazy="new_value", state=state).count() == 2
+    assert fetch_opc(spark, client, "x", lazy="new_value", state=state) is None
+    client.values["ns=1;s=rpm"] = ("950", "ts1")  # same ts, new VALUE
+    out = fetch_opc(spark, client, "x", lazy="new_value", state=state)
+    assert [r["content"] for r in out.collect()] == ["950"]
+
+
+def test_put_opc_update_or_create(spark, tmp_path):
+    from nifi_minifi_cpp_spark.sources import put_opc
+
+    log = str(tmp_path / "opcput.log")
+
+    def factory(path=log):
+        class Client:
+            def exists(self, node_id):
+                return node_id == "ns=1;s=known"
+
+            def update_node(self, node_id, value):
+                with open(path, "a") as f:
+                    f.write(f"update|{node_id}|{value}\n")
+
+            def create_node(self, parent, node_id, value):
+                with open(path, "a") as f:
+                    f.write(f"create|{parent}|{node_id}|{value}\n")
+
+        return Client()
+
+    ff = spark.createDataFrame(
+        [
+            ("u1", "42", {"targetnodeid": "ns=1;s=known"}),
+            ("u2", "43", {"targetnodeid": "ns=1;s=new"}),
+            ("u3", "44", {}),  # no target -> failure
+        ],
+        "uuid string, content string, attributes map<string,string>",
+    )
+    routed = put_opc(ff, factory, "ns=1;i=85")
+    ok = {r["uuid"]: r["opc_action"] for r in routed["success"].collect()}
+    assert ok == {"u1": "update", "u2": "create"}
+    assert [r["uuid"] for r in routed["failure"].collect()] == ["u3"]
+    lines = sorted(open(log).read().splitlines())
+    assert lines == ["create|ns=1;i=85|ns=1;s=new|43", "update|ns=1;s=known|42"]
+
+
+def test_parse_modbus_address_grammars():
+    from nifi_minifi_cpp_spark.sources import parse_modbus_address as p
+
+    r = p("holding-register:123:INT[4]")
+    assert (r.kind, r.address, r.length, r.value_type) == ("holding-register", 123, 4, "INT")
+    r = p("coil:7")
+    assert (r.kind, r.address, r.length) == ("coil", 7, 1)
+    r = p("input-register:42[2]")
+    assert (r.kind, r.address, r.length) == ("input-register", 42, 2)
+    # classic forms: 4x/3x/1x prefix, 1-based remainder
+    r = p("4x00123")
+    assert (r.kind, r.address) == ("holding-register", 122)
+    r = p("300042")
+    assert (r.kind, r.address) == ("input-register", 41)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        p("5x0001")
+    with _pytest.raises(ValueError):
+        p("not-an-address")
+
+
+def test_fetch_modbus_tcp_records(spark):
+    from nifi_minifi_cpp_spark.sources import fetch_modbus_tcp
+
+    def factory():
+        class Client:
+            def read(self, kind, address, count, unit_id):
+                if kind == "coil":
+                    return [True] * count
+                return [address + i for i in range(count)]
+
+        return Client()
+
+    ff = spark.createDataFrame([("u1", "x")], "uuid string, content string")
+    routed = fetch_modbus_tcp(
+        ff, factory, {"temp": "holding-register:10", "flags": "coil:3[2]", "rpm": "3x00042"}
+    )
+    import json as _json
+
+    rec = _json.loads(routed["success"].first()["modbus_record"])
+    assert rec == {"temp": 10, "flags": [True, True], "rpm": 41}
+
+
+def test_flow_opc_modbus_processors(spark, tmp_path):
+    """FetchOPC -> PutOPC and FetchModbusTcp are nameable from a flow."""
+    from nifi_minifi_cpp_spark.plans import compile_flow
+
+    put_log = str(tmp_path / "p.log")
+
+    def put_factory(path=put_log):
+        class Client:
+            def exists(self, node_id):
+                return False
+
+            def create_node(self, parent, node_id, value):
+                with open(path, "a") as f:
+                    f.write(f"{parent}|{node_id}|{value}\n")
+
+        return Client()
+
+    cfg = {
+        "processors": [
+            {"id": "opc", "type": "FetchOPC",
+             "properties": {"client": _fake_opc_tree(), "node_id": "ns=1;i=85"}},
+            {"id": "tag", "type": "UpdateAttribute",
+             "properties": {"targetnodeid": "${Browsename:prepend('ns=2;s=')}"}},
+            {"id": "put", "type": "PutOPC",
+             "properties": {"client_factory": put_factory, "parent_node_id": "ns=2;i=85"}},
+            {"id": "modbus", "type": "FetchModbusTcp",
+             "properties": {"client_factory": lambda: None, "address_map": {}}},
+        ],
+        "connections": [
+            {"source": "opc", "destination": "tag"},
+            {"source": "tag", "destination": "put"},
+            {"source": "opc", "destination": "modbus"},
+        ],
+    }
+    flow = compile_flow(spark, cfg)
+    assert flow.df("put", "success").count() == 2
+    created = sorted(open(put_log).read().splitlines())
+    assert created == ["ns=2;i=85|ns=2;s=rpm|900", "ns=2;i=85|ns=2;s=temp|21.5"]
