@@ -563,6 +563,25 @@ def _get_couchbase_key(spark, df, props):
     return {"success": out.filter(ok), "failure": out.filter(~ok)}
 
 
+@processor("ProcFsMonitor")
+def _procfs_monitor(spark, df, props):
+    """ProcFsMonitor (extensions/procfs/processors/ProcFsMonitor.cpp:72):
+    one JSON telemetry FlowFile per trigger; relative mode needs
+    ``state_path``."""
+    from ..sources import ProcFs, procfs_monitor
+
+    pf = ProcFs(props["root"]) if props.get("root") else None
+    out = procfs_monitor(
+        spark,
+        procfs=pf,
+        relativeness=props.get("relativeness", "absolute"),
+        state_path=props.get("state_path"),
+    )
+    if out is None:
+        out = _empty(spark, "uuid string, content string, attributes map<string,string>")
+    return _one(out)
+
+
 @processor("FetchOPC")
 def _fetch_opc(spark, df, props):
     """FetchOPC (fetchopc.cpp:60): traverse from a root node, one

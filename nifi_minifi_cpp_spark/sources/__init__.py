@@ -3,6 +3,7 @@
 
 from .convert_record import convert_record
 from .fetch_file import ListFileState, fetch_file, fetch_file_scan, list_file
+from .procfs import ProcFs, procfs_monitor
 from .industrial import (
     ModbusRead,
     OpcLazyState,
@@ -54,6 +55,8 @@ __all__ = [
     "ModbusRead",
     "parse_modbus_address",
     "fetch_modbus_tcp",
+    "ProcFs",
+    "procfs_monitor",
     "ListFileState",
     "TailFileDataSource",
     "register_tailfile",

@@ -666,3 +666,90 @@ def test_flow_opc_modbus_processors(spark, tmp_path):
     assert flow.df("put", "success").count() == 2
     created = sorted(open(put_log).read().splitlines())
     assert created == ["ns=2;i=85|ns=2;s=rpm|900", "ns=2;i=85|ns=2;s=temp|21.5"]
+
+
+# -- ProcFsMonitor ------------------------------------------------------------
+
+
+def _write_fake_proc(d, cpu_user=100, rx=1000, busy_utime=50):
+    d.mkdir(exist_ok=True)
+    (d / "stat").write_text(
+        f"cpu  {cpu_user} 2 30 400 5 0 6 0 0 0\n"
+        f"cpu0 {cpu_user // 2} 1 15 200 2 0 3 0 0 0\n"
+        "intr 12345\n"
+    )
+    (d / "diskstats").write_text(
+        "   8       0 sda 100 2 3000 40 50 6 7000 80 0 90 130\n"
+    )
+    net = d / "net"
+    net.mkdir(exist_ok=True)
+    (net / "dev").write_text(
+        "Inter-|   Receive                                                |  Transmit\n"
+        " face |bytes    packets errs drop fifo frame compressed multicast|bytes    packets errs drop fifo colls carrier compressed\n"
+        f"  eth0: {rx} 10 0 0 0 0 0 0 2000 20 0 0 0 0 0 0\n"
+    )
+    (d / "meminfo").write_text("MemTotal:       16384 kB\nMemFree:         8192 kB\n")
+    pid = d / "4242"
+    pid.mkdir(exist_ok=True)
+    stat_fields = ["4242", "(fake proc)", "S"] + ["0"] * 50
+    stat_fields[13] = str(busy_utime)  # utime
+    stat_fields[14] = "7"              # stime
+    stat_fields[22] = "123456"         # vsize
+    stat_fields[23] = "99"             # rss
+    (pid / "stat").write_text(" ".join(stat_fields) + "\n")
+
+
+def test_procfs_monitor_absolute_snapshot(spark, tmp_path):
+    import json as _json
+
+    proc = tmp_path / "proc"
+    _write_fake_proc(proc)
+    out = src.procfs_monitor(spark, src.ProcFs(str(proc)))
+    row = out.first()
+    body = _json.loads(row["content"])
+    assert body["CPU"]["cpu"]["user"] == 100 and body["CPU"]["cpu0"]["system"] == 15
+    assert body["Disk"]["sda"]["sectors_read"] == 3000
+    assert body["Network"]["eth0"]["rx_bytes"] == 1000
+    assert body["Memory"]["MemTotal"] == 16384
+    assert body["Process"]["4242"]["comm"] == "fake proc"
+    assert body["Process"]["4242"]["utime"] == 50 and body["Process"]["4242"]["rss"] == 99
+
+
+def test_procfs_monitor_relative_deltas(spark, tmp_path):
+    import json as _json
+
+    proc = tmp_path / "proc"
+    state = str(tmp_path / "procfs.json")
+    _write_fake_proc(proc, cpu_user=100, rx=1000, busy_utime=50)
+    # first relative poll stores the baseline, emits nothing
+    assert src.procfs_monitor(spark, src.ProcFs(str(proc)), "relative", state) is None
+    _write_fake_proc(proc, cpu_user=160, rx=1500, busy_utime=80)
+    out = src.procfs_monitor(spark, src.ProcFs(str(proc)), "relative", state)
+    body = _json.loads(out.first()["content"])
+    assert body["CPU"]["cpu"]["user"] == 60        # counter delta
+    assert body["Network"]["eth0"]["rx_bytes"] == 500
+    assert body["Memory"]["MemTotal"] == 16384      # gauge stays absolute
+    assert body["Process"]["4242"]["utime"] == 30   # per-process cpu delta
+    assert body["Process"]["4242"]["rss"] == 99     # gauge
+
+
+def test_procfs_monitor_real_proc_and_flow(spark, tmp_path):
+    """On this Linux host the real /proc parses; the processor is
+    nameable from a flow."""
+    import json as _json
+
+    from nifi_minifi_cpp_spark.plans import compile_flow
+
+    cfg = {
+        "processors": [
+            {"id": "mon", "type": "ProcFsMonitor", "properties": {}},
+            {"id": "json", "type": "EvaluateJsonPath",
+             "properties": {"memtotal": "$.Memory.MemTotal"}},
+        ],
+        "connections": [{"source": "mon", "destination": "json"}],
+    }
+    flow = compile_flow(spark, cfg)
+    row = flow.df("json").first()
+    body = _json.loads(row["content"])
+    assert body["CPU"]["cpu"]["user"] > 0
+    assert int(dict(row["attributes"])["memtotal"]) > 0
