@@ -82,6 +82,17 @@ def _is_intlike(t: Typed) -> bool:
     return t.kind == INT
 
 
+def _truthy(t: Typed) -> Column:
+    """Value::asBoolean (Value.h:128-137): bool as-is, numbers != 0,
+    strings via trimmed case-insensitive toBool ('true'/'false', else
+    false)."""
+    if t.kind == BOOL:
+        return F.coalesce(t.col, F.lit(False))
+    if t.kind in (INT, NUM):
+        return F.coalesce(t.col.cast("double") != 0.0, F.lit(False))
+    return F.coalesce(F.lower(F.trim(t.col.cast("string"))) == "true", F.lit(False))
+
+
 # ---------------------------------------------------------------------------
 # function registry
 # ---------------------------------------------------------------------------
@@ -722,22 +733,36 @@ class Compiler:
 
         if agg:
             last = chain[-1]
-            mapped = F.transform(arr, lambda v: as_str(self._apply_chain(Typed(v, STR), per_value_chain)))
             if last.name == "join":
+                mapped = F.transform(
+                    arr, lambda v: as_str(self._apply_chain(Typed(v, STR), per_value_chain))
+                )
                 delim = _lit_str(last.args[0])
                 return Typed(F.array_join(mapped, delim), STR)
-            return Typed(F.size(mapped).cast("long"), INT)
+            # count: truthy results only (Expression.cpp:1324-1333 —
+            # each sub-expression's Value::asBoolean gates the tally)
+            return Typed(
+                F.size(
+                    F.filter(arr, lambda v: _truthy(self._apply_chain(Typed(v, STR), per_value_chain)))
+                ).cast("long"),
+                INT,
+            )
         if is_all:
             return Typed(F.forall(arr, lam), BOOL)
         return Typed(F.exists(arr, lam), BOOL)
 
     def _aggregate(self, results: list[Typed], last: FnCall) -> Typed:
-        arr = F.array(*[as_str(r) for r in results])
         if last.name == "join":
+            arr = F.array(*[as_str(r) for r in results])
             delim = _lit_str(last.args[0])
             return Typed(F.array_join(arr, delim), STR)
         if last.name == "count":
-            return Typed(F.size(F.filter(arr, lambda v: v.isNotNull())).cast("long"), INT)
+            # Value::asBoolean per sub-expression (Expression.cpp:1326)
+            total = None
+            for r in results:
+                b = _truthy(r).cast("int")
+                total = b if total is None else total + b
+            return Typed((total if total is not None else F.lit(0)).cast("long"), INT)
         raise ELCompileError(f"unsupported aggregate {last.name}")
 
     def compile_property(self, prop: Property) -> Typed:

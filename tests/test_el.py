@@ -116,6 +116,16 @@ GOLDEN = [
     ("$${not-an-expr}", "${not-an-expr}"),
     ("${filename:substringBefore('_'):toUpper()}", "REPORT"),
     ("${allAttributes('num.a', 'num.b'):join('|')}", "7|3"),
+    # count tallies TRUTHY sub-results only (Expression.cpp:1324-1333 +
+    # Value::asBoolean: bool true / nonzero number / string 'true')
+    ("${allAttributes('num.a', 'num.b'):gt(5):count()}", "1"),
+    ("${allAttributes('num.a', 'num.b'):gt(0):count()}", "2"),
+    ("${allAttributes('num.a', 'num.b'):gt(9):count()}", "0"),
+    ("${allAttributes('num.a', 'num.b'):count()}", "0"),  # '7'/'3' are not 'true'
+    ("${allDelineatedValues(${csvline}, ','):equals('c'):count()}", "1"),
+    ("${allDelineatedValues(${csvline}, ','):matches('[a-d]'):count()}", "4"),
+    ("${allMatchingAttributes('num\\..*'):gt(5):count()}", "1"),
+    ("${allDelineatedValues(${csvline}, ','):join('-')}", "a-b-c-d"),
 ]
 
 
