@@ -97,20 +97,23 @@ def char_shingles(col: Column, n: int = 5) -> Column:
 def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the smallest id per identical content.
 
-    One shuffle on a 64-bit content hash (8-byte key), min-id per hash
-    as an unordered window aggregate, keep the row carrying that id.
-    Works for ANY payload column types (maps/arrays included — a
-    min(struct(...)) formulation cannot order those, and FlowFile
+    Two-phase, both scale-friendly: (1) a SLIM aggregation — column
+    pruning reduces the scan to (content, id), the shuffle carries
+    only (hash, id) with map-side combine, min id per 64-bit content
+    hash; (2) a left-semi join of the full rows against the keep-set
+    on the unique id (AQE broadcasts the keep side when it fits). No
+    sort anywhere, and payload columns can be ANY type (maps/arrays —
+    a min(struct(...)) formulation cannot order those, and FlowFile
     frames carry both). Collision risk at 100 TB: use sha2-256 string
     when paranoia beats speed.
     """
-    keyed = df.withColumn("_h", F.xxhash64(F.col(content_col)))
-    w = Window.partitionBy("_h")
-    return (
-        keyed.withColumn("_min_id", F.min(id_col).over(w))
-        .filter(F.col(id_col) == F.col("_min_id"))
-        .drop("_h", "_min_id")
+    keep_ids = (
+        df.select(F.xxhash64(F.col(content_col)).alias("_h"), F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
+    return df.join(keep_ids, id_col, "left_semi")
 
 
 # ---------------------------------------------------------------------------
