@@ -156,3 +156,36 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_exact_dedup_sort_free_slim_agg(spark, sf_dir):
+    """exact_dedup: slim partial aggregation (8-byte hash key,
+    map-side combine) + left-semi join — no Sort, no Window in the
+    plan, so a 100 TB corpus pays one pruned-scan agg and one
+    row-preserving join."""
+    from nifi_minifi_cpp_spark.analytics import exact_dedup
+    from nifi_minifi_cpp_spark.session import load_table
+
+    plan = (
+        exact_dedup(load_table(spark, "documents", sf_dir))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan
+    assert "partial_min" in plan  # map-side combine survived
+    assert "Sort" not in plan and "Window" not in plan
+
+
+def test_fetch_file_no_driver_side_paths(spark, tmp_path):
+    """FetchFile's plan is scan -> MapInPandas: content loads on the
+    executors, nothing enumerates paths on the driver."""
+    from nifi_minifi_cpp_spark.sources import fetch_file, list_file
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.txt").write_text("x")
+    listing = list_file(spark, str(d / "*.txt"))
+    plan = (
+        fetch_file(spark, listing)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan
