@@ -1962,9 +1962,27 @@ def archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("llm_inference_fake", None)
+@_register(
+    "llm_inference_fake",
+    # DuckDB mirror of deterministic_fake_generate on the rendered
+    # prompt: first 5 all-alpha whitespace tokens, reversed. RE2's
+    # [[:alpha:]] is ASCII vs Python's unicode isalpha — identical on
+    # this corpus (verified sf0.01 + sf0.1); a unicode corpus would
+    # need a unicode-letter class here.
+    """
+SELECT doc_id,
+  'FAKE:' || array_to_string(
+    list_reverse(
+      list_filter(string_split_regex('Summarize: ' || text, '\\s+'),
+                  w -> regexp_matches(w, '^[[:alpha:]]+$'))[1:5]),
+    ' ') AS completion
+FROM documents
+""",
+)
 def llm_inference_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RunLlamaCppInference shape with the deterministic fake backend."""
+    """RunLlamaCppInference shape with the deterministic fake backend;
+    oracle-graded — the mapInPandas batching, prompt templating, and
+    extractive fake are all pinned by the SQL mirror."""
     from .analytics import run_llm_inference
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")

@@ -95,8 +95,7 @@ def test_every_query_has_oracle_or_documented_rows_only():
     # entries (outputs defined by the stub, not by SQL semantics)
     # remain rows-only.
     allowed = {
-        "llm_inference_fake",
-        "multimodal_features_frames",
+        "multimodal_features_frames",  # crc32-derived stub features — no DuckDB crc32
     }
     assert rows_only <= allowed, f"undocumented rows-only queries: {rows_only - allowed}"
 
