@@ -58,10 +58,13 @@ def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def _stable_hash(b: bytes) -> int:
     """Process-independent payload hash for the deterministic stubs
-    (builtin hash() is PYTHONHASHSEED-randomized across executors)."""
-    import zlib
+    (builtin hash() is PYTHONHASHSEED-randomized across executors).
+    md5 bytes 8..16 little-endian == DuckDB ``md5_number_lower`` —
+    chosen so the stub features are SQL-expressible for the oracle
+    gate."""
+    import hashlib
 
-    return (zlib.crc32(b) << 31) | zlib.crc32(b[::-1])
+    return int.from_bytes(hashlib.md5(b).digest()[8:16], "little")
 
 
 def _require_real_decoder(what: str):
@@ -93,7 +96,7 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     "height": (h % 1080 + 1).astype("int32"),
                     "channels": 3,
                     "mean_luma": (h % 256) / 255.0,
-                    "phash": h.astype("int64"),
+                    "phash": h.map(lambda v: v - (1 << 64) if v >= (1 << 63) else v),  # two's-complement int64
                 }
             )
 

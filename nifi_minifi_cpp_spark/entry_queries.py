@@ -2113,13 +2113,28 @@ def ngram_jaccard_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_invariant_report(inp, kept, "doc_id", "text")
 
 
-@_register("multimodal_features_frames", None)
+@_register(
+    "multimodal_features_frames",
+    # DuckDB mirror of the deterministic stub codec: _stable_hash is
+    # md5 bytes 8..16 LE == md5_number_lower; the frame sampler emits
+    # exactly max_frames=4 frames at every_s=0.5.
+    """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+  (md5_number_lower(text)::UBIGINT % 1920 + 1)::INTEGER AS width,
+  (md5_number_lower(text)::UBIGINT % 1080 + 1)::INTEGER AS height,
+  (md5_number_lower(text)::UBIGINT % 256) / 255.0 AS mean_luma,
+  CAST(4 AS BIGINT) AS n_frames,
+  CAST(1.5 AS DOUBLE) AS max_ts
+FROM documents
+""",
+)
 def multimodal_features_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end (analytics.multimodal): opaque
     binary payload + typed metadata -> Arrow-batched feature extraction
     (deterministic stub codec) -> frame-sample fan-out (UDTF shape) ->
-    per-media join + aggregate. Rows-only: the stub features are
-    crc32-derived, not SQL-semantic; the real cluster swaps the codec."""
+    per-media join + aggregate. Oracle-graded: the stub features are
+    md5-derived (DuckDB md5_number_lower mirror); the real cluster
+    swaps the codec."""
     from .analytics.multimodal import (
         documents_as_media,
         extract_image_features,

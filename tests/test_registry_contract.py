@@ -94,9 +94,7 @@ def test_every_query_has_oracle_or_documented_rows_only():
     # and gave language_id a DuckDB mirror; only the fake-backend
     # entries (outputs defined by the stub, not by SQL semantics)
     # remain rows-only.
-    allowed = {
-        "multimodal_features_frames",  # crc32-derived stub features — no DuckDB crc32
-    }
+    allowed = set()  # round 4: every graded entry carries an oracle
     assert rows_only <= allowed, f"undocumented rows-only queries: {rows_only - allowed}"
 
 
