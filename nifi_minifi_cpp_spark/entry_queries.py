@@ -2088,6 +2088,69 @@ SELECT (SELECT count(*) FROM documents)
 """
 
 
+# --- temporal joins (operators/temporal.py) ------------------------------
+
+
+@_register(
+    "asof_error_prior_click",
+    """
+SELECT e.event_id, c.event_id AS prior_click_id,
+       CAST(epoch_us(e.ts) - epoch_us(c.ts) AS DOUBLE) / 1000.0 AS gap_ms
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+""",
+)
+def asof_error_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union trick, one shuffle + sort — no non-equi
+    join): each error event matched to the user's latest click at or
+    before it; graded against DuckDB's native ASOF JOIN."""
+    from .operators import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(errors, clicks, on="user_id", right_prefix="prior_")
+    return out.select(
+        "event_id",
+        F.col("prior_click_id"),
+        ((F.unix_micros("ts") - F.unix_micros("prior_ts")) / 1000.0).alias("gap_ms"),
+    )
+
+
+@_register(
+    "range_join_purchase_after_error",
+    """
+SELECT p.event_id AS purchase_id, e.event_id AS error_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND e.ts <= p.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
+""",
+)
+def range_join_purchase_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (explode ranges into bins -> equi hash join
+    -> exact containment filter; no BroadcastNestedLoop): purchases
+    landing inside a 30-minute window after an error by the same
+    user."""
+    from .operators import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = range_join(purchases, errors, "ts", "start_ts", "end_ts", on="user_id")
+    return out.select("purchase_id", "error_id")
+
+
 @_register("minhash_dedup_kept", _DEDUP_INVARIANT_ORACLE)
 def minhash_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup, graded on its invariant contract (the
@@ -2331,8 +2394,11 @@ _GRADE_ORDER = [
     "q17_small_quantity_revenue",
     "q20_promo_part_suppliers",
     "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q15_top_supplier",
+    # q2_min_cost_supplier / q15_top_supplier rotated out (green in
+    # rounds 2 AND 3, locked by pytest + the local replica) for the
+    # new temporal-join operators, which need their first driver rows.
+    "asof_error_prior_click",
+    "range_join_purchase_after_error",
     "q22_idle_rich_customers",
     "top3_orders_per_customer",
     "cube_lineitem_status",

@@ -23,6 +23,7 @@ from .attributes import (
     update_attribute,
 )
 from .routing import funnel, retry_flow_file, route_on_attribute, route_text
+from .temporal import asof_join, range_join
 from .text import (
     merged_attribute_maps,
     compress_content,
@@ -56,6 +57,8 @@ __all__ = [
     "route_text",
     "retry_flow_file",
     "funnel",
+    "asof_join",
+    "range_join",
     "replace_text",
     "split_text",
     "split_content",

@@ -54,6 +54,8 @@ MUST_GRADE = {
     "q17_small_quantity_revenue",
     "q20_promo_part_suppliers",
     "q21_waiting_suppliers",
+    "asof_error_prior_click",
+    "range_join_purchase_after_error",
     # LLM pipeline, every operator
     "text_quality_features",
     "bpe_token_counts",

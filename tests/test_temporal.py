@@ -1,0 +1,108 @@
+"""Temporal join operators: as-of join (union trick) and binned range
+join — verified against DuckDB's native ASOF JOIN / inequality join."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_minifi_cpp_spark.operators import asof_join, range_join
+from nifi_minifi_cpp_spark.session import load_table
+
+
+def test_asof_join_matches_duckdb(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(errors, clicks, on="user_id", right_prefix="prior_")
+    got = sorted(
+        (r["event_id"], r["prior_click_id"]) for r in out.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(f"create view events as select * from read_parquet('{sf_dir}/events.parquet')")
+    oracle = con.execute("""
+        SELECT e.event_id, c.event_id AS click_id
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+        """).fetchall()
+    assert got == sorted((a, b) for a, b in oracle)
+
+
+def test_asof_join_tolerance_and_strict(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=10), "L1")], "k int, ts timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t0, "old"),
+            (1, t0 + dt.timedelta(minutes=10), "tie"),
+        ],
+        "k int, ts timestamp, rv string",
+    )
+    # non-strict: the equal-timestamp row wins
+    assert asof_join(left, right, on="k").first()["right_rv"] == "tie"
+    # strict: ties excluded -> previous row
+    assert asof_join(left, right, on="k", strict=True).first()["right_rv"] == "old"
+    # tolerance tighter than the gap -> no match
+    assert (
+        asof_join(left, right, on="k", strict=True, tolerance="5 minutes").first()["right_rv"]
+        is None
+    )
+
+
+def test_asof_join_plan_single_shuffle_no_nested_loop(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    l = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    r = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    plan = asof_join(l, r, on="user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    # the union trick is window-based: exactly one hash-partitioning exchange on the key
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_range_join_matches_inequality_join(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = range_join(purchases, errors, "ts", "start_ts", "end_ts", on="user_id")
+    got = sorted((r["purchase_id"], r["error_id"]) for r in out.collect())
+
+    con = duckdb.connect()
+    con.execute(f"create view events as select * from read_parquet('{sf_dir}/events.parquet')")
+    oracle = con.execute("""
+        SELECT p.event_id, e.event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON p.user_id = e.user_id
+         AND e.ts <= p.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
+        """).fetchall()
+    assert got == sorted((a, b) for a, b in oracle)
+    assert len(got) > 0
+
+
+def test_range_join_numeric_and_plan(spark):
+    points = spark.createDataFrame([(i, float(i)) for i in range(100)], "pid int, x double")
+    ranges = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 15.0, 16.0), (3, 90.0, 200.0)], "rid int, lo double, hi double"
+    )
+    out = range_join(points, ranges, "x", "lo", "hi")
+    counts = {r["rid"]: 0 for r in ranges.collect()}
+    for r in out.collect():
+        counts[r["rid"]] += 1
+    assert counts == {1: 10, 2: 1, 3: 10}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
