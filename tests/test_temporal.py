@@ -106,3 +106,73 @@ def test_range_join_numeric_and_plan(spark):
     assert counts == {1: 10, 2: 1, 3: 10}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# -- property-based: agree with a brute-force Python model --------------------
+
+
+def _brute_asof(left_rows, right_rows, strict=False):
+    """O(n*m) reference model: latest right (ts', v) with ts' <= ts
+    (< when strict), ties broken toward the largest ts'."""
+    out = {}
+    for k, lts, lid in left_rows:
+        best = None
+        for rk, rts, rid in right_rows:
+            if rk != k:
+                continue
+            if (rts < lts) if strict else (rts <= lts):
+                if best is None or rts > best[0] or (rts == best[0] and rid > best[1]):
+                    best = (rts, rid)
+        out[lid] = best[1] if best else None
+    return out
+
+
+def test_asof_join_property_random(spark):
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n_keys = rng.randint(1, 4)
+        left_rows = [
+            (rng.randrange(n_keys), rng.randrange(50), i) for i in range(rng.randint(1, 30))
+        ]
+        right_rows = [
+            (rng.randrange(n_keys), rng.randrange(50), 1000 + i)
+            for i in range(rng.randint(0, 30))
+        ]
+        # unique (key, ts) on the right so the model's tie-break is well-defined
+        seen = set()
+        right_rows = [r for r in right_rows if not (r[:2] in seen or seen.add(r[:2]))]
+        for strict in (False, True):
+            left = spark.createDataFrame(left_rows, "k int, ts int, lid int")
+            right = spark.createDataFrame(right_rows, "k int, ts int, rid int")
+            got = {
+                r["lid"]: r["right_rid"]
+                for r in asof_join(left, right, on="k", strict=strict).collect()
+            }
+            assert got == _brute_asof(left_rows, right_rows, strict), (trial, strict)
+
+
+def test_range_join_property_random(spark):
+    import random
+
+    rng = random.Random(99)
+    for trial in range(3):
+        points = [(rng.randrange(3), float(rng.randrange(100)), i) for i in range(25)]
+        ranges = []
+        for i in range(10):
+            lo = float(rng.randrange(100))
+            ranges.append((rng.randrange(3), lo, lo + rng.randrange(1, 40), 1000 + i))
+        expected = sorted(
+            (pid, rid)
+            for pk, x, pid in points
+            for rk, lo, hi, rid in ranges
+            if pk == rk and lo <= x < hi
+        )
+        p = spark.createDataFrame(points, "k int, x double, pid int")
+        r = spark.createDataFrame(ranges, "k int, lo double, hi double, rid int")
+        got = sorted(
+            (row["pid"], row["rid"])
+            for row in range_join(p, r, "x", "lo", "hi", on="k").collect()
+        )
+        assert got == expected, trial
