@@ -764,6 +764,180 @@ def _run_llm_inference(spark, df, props):
 
 
 # ---------------------------------------------------------------------------
+# object-store CRUD: one Hadoop-FS implementation registered under every
+# provider name the reference documents (ListS3.cpp / FetchS3Object.cpp /
+# PutS3Object.cpp / DeleteS3Object.cpp and the Azure/GCS families) —
+# same code, scheme comes from the URL (s3a://, abfss://, gs://, file://)
+# ---------------------------------------------------------------------------
+
+
+def _objectstore_list(spark, df, props):
+    from ..sources import list_object_store
+
+    return _one(
+        list_object_store(
+            spark,
+            props["url"],
+            glob_filter=props.get("glob_filter"),
+            min_age_ms=int(props.get("min_age_ms", 0)),
+        )
+    )
+
+
+def _objectstore_fetch(spark, df, props):
+    from ..sources import fetch_object_store
+
+    return _one(
+        fetch_object_store(
+            spark,
+            props["url"],
+            glob_filter=props.get("glob_filter"),
+            as_text=props.get("as_text", True),
+        )
+    )
+
+
+def _objectstore_put(spark, df, props):
+    from ..sources import put_object_store
+
+    put_object_store(
+        df,
+        props["url"],
+        fmt=props.get("format", "parquet"),
+        mode=props.get("mode", "append"),
+        partition_by=props.get("partition_by"),
+    )
+    return _one(df)
+
+
+def _objectstore_delete(spark, df, props):
+    from ..sources import delete_object_store
+
+    deleted = delete_object_store(spark, props["url"], recursive=bool(props.get("recursive", False)))
+    if df is None:
+        df = spark.createDataFrame([(props["url"], deleted)], "path string, deleted boolean")
+    return _one(df)
+
+
+for _name in ("ListS3", "ListAzureBlobStorage", "ListAzureDataLakeStorage", "ListGCSBucket"):
+    _PROCESSORS[_name] = _objectstore_list
+for _name in ("FetchS3Object", "FetchAzureBlobStorage", "FetchAzureDataLakeStorage", "FetchGCSObject"):
+    _PROCESSORS[_name] = _objectstore_fetch
+for _name in ("PutS3Object", "PutAzureBlobStorage", "PutAzureDataLakeStorage", "PutGCSObject"):
+    _PROCESSORS[_name] = _objectstore_put
+for _name in ("DeleteS3Object", "DeleteAzureBlobStorage", "DeleteAzureDataLakeStorage", "DeleteGCSObject"):
+    _PROCESSORS[_name] = _objectstore_delete
+
+
+# ---------------------------------------------------------------------------
+# reference-exact aliases for processors registered under engine names
+# ---------------------------------------------------------------------------
+
+
+@processor("AttributeRollingWindow")
+def _attribute_rolling_window(spark, df, props):
+    """AttributeRollingWindow (AttributeRollingWindow.cpp:31): rolling
+    aggregate of a numeric attribute over a time or count window."""
+    from ..operators import attribute_rolling_window_count, attribute_rolling_window_time
+
+    value_col = props.get("value_col", "value")
+    if props.get("window_seconds"):
+        out = attribute_rolling_window_time(
+            df, value_col, ts_col=props.get("ts_col", "ts"),
+            window_seconds=int(props["window_seconds"]),
+        )
+    else:
+        out = attribute_rolling_window_count(
+            df, value_col, order_col=props.get("ts_col", "ts"),
+            window_length=int(props.get("window_count", 10)),
+        )
+    return _one(out)
+
+
+@processor("GetTCP")
+def _get_tcp(spark, df, props):
+    """GetTCP (GetTCP.cpp:40): client-mode socket stream."""
+    from ..streaming.sources import socket_source
+
+    return _one(socket_source(spark, props["host"], int(props["port"])))
+
+
+def _native_stream_source(fmt: str, register_fn_name: str):
+    def handler(spark, df, props, _fmt=fmt, _reg=register_fn_name):
+        from .. import sources as _src
+
+        getattr(_src, _reg)(spark)
+        reader = spark.readStream.format(_fmt)
+        for k, v in props.items():
+            reader = reader.option(k, v)
+        return _one(reader.load())
+
+    return handler
+
+
+# ListenUDP/TCP/HTTP + ConsumeMQTT/Journald are native Python Data
+# Sources (sources/datasource.py); ListenSyslog = ListenUDP + the
+# ParseSyslog stage downstream (the reference couples them in one
+# processor; the flow names both stages)
+_PROCESSORS["ListenUDP"] = _native_stream_source("udplisten", "register_listeners")
+_PROCESSORS["ListenTCP"] = _native_stream_source("tcplisten", "register_listeners")
+_PROCESSORS["ListenHTTP"] = _native_stream_source("httplisten", "register_listeners")
+_PROCESSORS["ListenSyslog"] = _native_stream_source("udplisten", "register_listeners")
+_PROCESSORS["ConsumeMQTT"] = _native_stream_source("mqttlisten", "register_listeners")
+_PROCESSORS["ConsumeJournald"] = _native_stream_source("journald", "register_listeners")
+
+
+@processor("PublishKafka")
+def _publish_kafka(spark, df, props):
+    """PublishKafka (PublishKafka.cpp:60): FlowFiles -> kafka records
+    -> the kafka sink (connector jars required on the cluster)."""
+    from ..streaming.records import flowfiles_to_kafka_records
+
+    records = flowfiles_to_kafka_records(df, topic=props.get("topic"))
+    if not df.isStreaming:
+        records.write.format("kafka").option(
+            "kafka.bootstrap.servers", props["brokers"]
+        ).save()
+    return _one(df)
+
+
+@processor("QuerySplunkIndexingStatus")
+def _query_splunk_status(spark, df, props):
+    """QuerySplunkIndexingStatus (QuerySplunkIndexingStatus.cpp:39):
+    poll HEC ack ids; acknowledged/undetermined relationships."""
+    from ..streaming.adapters import query_splunk_indexing_status
+
+    polled = query_splunk_indexing_status(
+        df,
+        props["url"],
+        props.get("token", ""),
+        session_factory=props.get("session_factory"),
+    )
+    if not polled.isStreaming:
+        polled = polled.localCheckpoint(eager=True)  # one ack poll, both frames read it
+    acked = F.col("splunk_acknowledged")
+    return {"acknowledged": polled.filter(acked), "undetermined": polled.filter(~acked)}
+
+
+@processor("FocusArchiveEntry")
+def _focus_archive_entry(spark, df, props):
+    return _one(ops.focus_archive_entry(df, props["target"], fmt=props.get("fmt", "zip")))
+
+
+@processor("UnfocusArchiveEntry")
+def _unfocus_archive_entry(spark, df, props):
+    return _one(ops.unfocus_archive_entry(df, props["target"], fmt=props.get("fmt", "zip")))
+
+
+# reference class names for processors registered under engine names
+_PROCESSORS["FetchOPCProcessor"] = _PROCESSORS["FetchOPC"]
+_PROCESSORS["PutOPCProcessor"] = _PROCESSORS["PutOPC"]
+_PROCESSORS["FetchSmb"] = _PROCESSORS["FetchSFTP"]
+_PROCESSORS["ListSmb"] = _PROCESSORS["ListSFTP"]
+_PROCESSORS["RunLlamaCppInference"] = _PROCESSORS["RunLlmInference"]
+
+
+# ---------------------------------------------------------------------------
 # handler-style sinks (side-effecting; executor-side foreachPartition).
 # Batch input: the handler runs eagerly at compile. Streaming input:
 # deferred — FlowController wraps the handler in foreachBatch.
@@ -872,6 +1046,8 @@ def _put_remote_factory(props):
 _handler_sink("PutTCP", _put_tcp_factory)
 _handler_sink("PutUDP", _put_udp_factory)
 _handler_sink("PushGrafanaLokiREST", _loki_factory)
+# gRPC Loki variant: same batching/labels contract, injected transport
+_handler_sink("PushGrafanaLokiGrpc", _loki_factory)
 _handler_sink("PublishMQTT", _mqtt_factory)
 _handler_sink("PutKinesisStream", _kinesis_factory)
 _handler_sink("PostElasticsearch", _es_factory)

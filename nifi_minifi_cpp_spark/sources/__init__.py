@@ -3,6 +3,12 @@
 
 from .convert_record import convert_record
 from .fetch_file import ListFileState, fetch_file, fetch_file_scan, list_file
+from .objectstore import (
+    delete_object_store,
+    fetch_object_store,
+    list_object_store,
+    put_object_store,
+)
 from .procfs import ProcFs, procfs_monitor
 from .industrial import (
     ModbusRead,
@@ -56,6 +62,10 @@ __all__ = [
     "parse_modbus_address",
     "fetch_modbus_tcp",
     "ProcFs",
+    "list_object_store",
+    "fetch_object_store",
+    "put_object_store",
+    "delete_object_store",
     "procfs_monitor",
     "ListFileState",
     "TailFileDataSource",

@@ -788,3 +788,93 @@ def test_flow_handler_sinks_batch(spark, tmp_path):
     assert open(kin_log).read().count("s1|payload") == 3
     assert open(loki_log).read().count('"payload"') == 3
     assert spark.read.parquet(str(tmp_path / "out.parquet")).count() == 3
+
+
+def test_object_store_crud_file_scheme(spark, tmp_path):
+    """The 16 provider List/Fetch/Put/Delete names share one Hadoop-FS
+    implementation; file:// exercises the same code path as s3a://."""
+    src_dir = tmp_path / "store"
+    src_dir.mkdir()
+    (src_dir / "a.txt").write_text("alpha")
+    (src_dir / "b.txt").write_text("beta")
+    url = f"file://{src_dir}"
+    out_url = f"file://{tmp_path / 'out'}"
+    cfg = {
+        "processors": [
+            {"id": "ls", "type": "ListS3", "properties": {"url": url, "glob_filter": "*.txt"}},
+            {"id": "fetch", "type": "FetchGCSObject", "properties": {"url": url}},
+            {"id": "put", "type": "PutAzureBlobStorage",
+             "properties": {"url": out_url, "format": "parquet", "mode": "overwrite"}},
+        ],
+        "connections": [{"source": "fetch", "destination": "put"}],
+    }
+    flow = compile_flow(spark, cfg)
+    listing = {r["filename"]: r["size"] for r in flow.df("ls").collect()}
+    assert listing == {"a.txt": 5, "b.txt": 4}
+    fetched = {r["filename"]: r["content"] for r in flow.df("fetch").collect()}
+    assert fetched == {"a.txt": "alpha", "b.txt": "beta"}
+    assert spark.read.parquet(out_url).count() == 2
+    # delete one object, then the listing shrinks
+    del_cfg = {
+        "processors": [
+            {"id": "rm", "type": "DeleteS3Object", "properties": {"url": f"{url}/a.txt"}},
+        ],
+        "connections": [],
+    }
+    out = compile_flow(spark, del_cfg).df("rm").first()
+    assert out["deleted"] is True
+    assert [r["filename"] for r in compile_flow(spark, cfg).df("ls").collect()] == ["b.txt"]
+
+
+def test_reference_name_aliases_compile(spark, tmp_path):
+    """Reference-exact processor class names resolve: rolling window,
+    archive focus/unfocus, OPC/SMB/llama aliases, splunk ack poll."""
+    import json as _json
+
+    have = set(registered_processors())
+    assert {"FetchOPCProcessor", "PutOPCProcessor", "FetchSmb", "ListSmb",
+            "RunLlamaCppInference", "PushGrafanaLokiGrpc", "ListenUDP",
+            "ListenTCP", "ListenHTTP", "ListenSyslog", "ConsumeMQTT",
+            "ConsumeJournald", "PublishKafka", "GetTCP"} <= have
+
+    def ack_session():
+        class Resp:
+            status_code = 200
+            text = _json.dumps({"acks": {"1": True, "2": False}})
+
+        class Sess:
+            def request(self, method, url, data=None, headers=None, timeout=None):
+                return Resp()
+
+        return Sess()
+
+    cfg = {
+        "processors": [
+            {"id": "src", "type": "TableSource",
+             "properties": {"table": "events", "sf_dir": "/root/testdata/sf0.001",
+                            "as_flowfiles": False}},
+            {"id": "roll", "type": "AttributeRollingWindow",
+             "properties": {"value_col": "value", "window_count": 5}},
+        ],
+        "connections": [{"source": "src", "destination": "roll"}],
+    }
+    flow = compile_flow(spark, cfg)
+    row = flow.df("roll").first()
+    assert "rolling_count" in flow.df("roll").columns or row is not None
+
+    acks = spark.createDataFrame([("m1", 1), ("m2", 2)], "content string, splunk_ack_id long")
+    splunk_cfg = {
+        "processors": [
+            {"id": "poll", "type": "QuerySplunkIndexingStatus",
+             "properties": {"url": "https://splunk:8088", "token": "t",
+                            "session_factory": ack_session}},
+        ],
+        "connections": [],
+    }
+    from nifi_minifi_cpp_spark.plans.pipeline import _PROCESSORS
+
+    routed = _PROCESSORS["QuerySplunkIndexingStatus"](spark, acks, {
+        "url": "https://splunk:8088", "token": "t", "session_factory": ack_session,
+    })
+    assert [r["content"] for r in routed["acknowledged"].collect()] == ["m1"]
+    assert [r["content"] for r in routed["undetermined"].collect()] == ["m2"]
