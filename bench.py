@@ -35,6 +35,11 @@ def main():
     # mapInPandas query is charged ~2-4s of worker spawn across all
     # cores — a per-session cost, not that query's cost
     spark.range(cpus * 4).repartition(cpus).mapInPandas(lambda it: it, "id long").count()
+    # Parquet-reader + codegen warmup on the smallest table (8 rows):
+    # vectorized-reader class loading and whole-stage-codegen compiler
+    # startup otherwise land on whichever query runs first (observed
+    # as a one-off ~7s spike on the first complex expression)
+    spark.read.parquet(f"{sf_dir}/region.parquet").selectExpr("md5(r_name)").collect()
 
     qs = entry.queries()
     timings: dict[str, float] = {}
