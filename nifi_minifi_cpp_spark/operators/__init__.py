@@ -23,7 +23,7 @@ from .attributes import (
     update_attribute,
 )
 from .routing import funnel, retry_flow_file, route_on_attribute, route_text
-from .temporal import asof_join, range_join
+from .temporal import asof_join, range_join, stream_interval_join
 from .text import (
     merged_attribute_maps,
     compress_content,
@@ -59,6 +59,7 @@ __all__ = [
     "funnel",
     "asof_join",
     "range_join",
+    "stream_interval_join",
     "replace_text",
     "split_text",
     "split_content",

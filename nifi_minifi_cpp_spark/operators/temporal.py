@@ -146,3 +146,46 @@ def range_join(
     for c in [pb["_bin"], rb["_bin"]] + [rb[k] for k in keys]:
         joined = joined.drop(c)
     return joined
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    upper: str = "30 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """Stream-stream interval join — the streaming form of
+    :func:`range_join`: pair each left row with right rows satisfying
+    ``right.ts <= left.ts < right.ts + upper`` on the equi-keys.
+
+    Structured Streaming executes this natively when BOTH sides carry
+    watermarks and the join condition bounds both event-time columns —
+    the watermarks let the engine drop right-side state older than
+    ``left watermark + upper``, so state stays bounded at any scale
+    (the cross-stream analog of the reference's bounded
+    correlation/merge windows). Right columns come back prefixed to
+    avoid collisions.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    r = right
+    for c in right.columns:
+        if c not in keys:
+            r = r.withColumnRenamed(c, f"{right_prefix}{c}")
+    rts = f"{right_prefix}{right_ts}"
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = r.withWatermark(rts, right_watermark)
+    cond = None
+    for k in keys:
+        eq = lw[k] == rw[k]
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (F.col(left_ts) >= F.col(rts))
+        & (F.col(left_ts) < F.col(rts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[keys[0]] if len(keys) == 1 else rw[keys[0]])

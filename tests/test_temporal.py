@@ -176,3 +176,54 @@ def test_range_join_property_random(spark):
             for row in range_join(p, r, "x", "lo", "hi", on="k").collect()
         )
         assert got == expected, trial
+
+
+def test_stream_interval_join_matches_batch_range_join(spark, sf_dir, tmp_path):
+    """Stream-stream interval join produces the same pairs as the
+    batch binned range join over the same data, with bounded state
+    (both sides watermarked)."""
+    import os
+
+    from nifi_minifi_cpp_spark.operators import stream_interval_join
+    from nifi_minifi_cpp_spark.streaming.sources import file_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    err_dir, pur_dir = str(tmp_path / "err"), str(tmp_path / "pur")
+    ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    ).write.parquet(err_dir)
+    ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    ).write.parquet(pur_dir)
+
+    purchases = file_stream(spark, pur_dir, "user_id long, ts timestamp, purchase_id long", "parquet")
+    errors = file_stream(spark, err_dir, "user_id long, ts timestamp, error_id long", "parquet")
+    joined = stream_interval_join(purchases, errors, on="user_id", upper="30 minutes")
+    q = (
+        joined.select("purchase_id", "right_error_id")
+        .writeStream.format("memory").queryName("interval_out").outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["purchase_id"], r["right_error_id"])
+        for r in spark.sql("SELECT * FROM interval_out").collect()
+    )
+
+    # batch reference: the binned range join over the same frames
+    errors_b = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    purchases_b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    expected = sorted(
+        (r["purchase_id"], r["error_id"])
+        for r in range_join(purchases_b, errors_b, "ts", "start_ts", "end_ts", on="user_id").collect()
+    )
+    assert got == expected and len(got) > 0
