@@ -124,7 +124,8 @@ def range_join(
 
     if bin_width is None:
         row = ranges.agg(F.avg(scalar(F.col(end_col)) - scalar(F.col(start_col)))).first()
-        bin_width = float(row[0]) or 1.0
+        # empty ranges frame -> avg NULL -> any width works (join is empty)
+        bin_width = float(row[0]) if row is not None and row[0] else 1.0
 
     rb = ranges.withColumn(
         "_bin",

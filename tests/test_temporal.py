@@ -227,3 +227,9 @@ def test_stream_interval_join_matches_batch_range_join(spark, sf_dir, tmp_path):
         for r in range_join(purchases_b, errors_b, "ts", "start_ts", "end_ts", on="user_id").collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_range_join_empty_ranges(spark):
+    points = spark.createDataFrame([(1, 5.0, 1)], "k int, x double, pid int")
+    ranges = spark.createDataFrame([], "k int, lo double, hi double, rid int")
+    assert range_join(points, ranges, "x", "lo", "hi", on="k").count() == 0
