@@ -563,6 +563,25 @@ def _get_couchbase_key(spark, df, props):
     return {"success": out.filter(ok), "failure": out.filter(~ok)}
 
 
+@processor("CollectKubernetesPodMetrics")
+def _collect_k8s_pod_metrics(spark, df, props):
+    """CollectKubernetesPodMetrics (CollectKubernetesPodMetrics.cpp:34):
+    filtered podMetricsList JSON as one FlowFile; ``api_client`` is
+    injected (dict-config only), like the reference's controller
+    service."""
+    from ..sources import collect_pod_metrics
+
+    return _one(
+        collect_pod_metrics(
+            spark,
+            props["api_client"],
+            namespace_filter=props.get("namespace_filter"),
+            pod_name_filter=props.get("pod_name_filter"),
+            container_name_filter=props.get("container_name_filter"),
+        )
+    )
+
+
 @processor("ProcFsMonitor")
 def _procfs_monitor(spark, df, props):
     """ProcFsMonitor (extensions/procfs/processors/ProcFsMonitor.cpp:72):

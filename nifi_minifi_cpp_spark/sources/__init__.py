@@ -9,6 +9,13 @@ from .objectstore import (
     list_object_store,
     put_object_store,
 )
+from .k8s import (
+    collect_pod_metrics,
+    filter_pod_metrics,
+    parse_cpu_nanocores,
+    parse_memory_bytes,
+    pod_metrics_table,
+)
 from .procfs import ProcFs, procfs_monitor
 from .industrial import (
     ModbusRead,
@@ -67,6 +74,11 @@ __all__ = [
     "put_object_store",
     "delete_object_store",
     "procfs_monitor",
+    "collect_pod_metrics",
+    "filter_pod_metrics",
+    "pod_metrics_table",
+    "parse_cpu_nanocores",
+    "parse_memory_bytes",
     "ListFileState",
     "TailFileDataSource",
     "register_tailfile",

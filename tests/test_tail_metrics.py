@@ -753,3 +753,69 @@ def test_procfs_monitor_real_proc_and_flow(spark, tmp_path):
     body = _json.loads(row["content"])
     assert body["CPU"]["cpu"]["user"] > 0
     assert int(dict(row["attributes"])["memtotal"]) > 0
+
+
+# -- Kubernetes pod metrics (injected client) ---------------------------------
+
+
+_POD_METRICS = {
+    "kind": "PodMetricsList",
+    "items": [
+        {"metadata": {"namespace": "default", "name": "web-1"},
+         "containers": [
+             {"name": "nginx", "usage": {"cpu": "250m", "memory": "123Mi"}},
+             {"name": "sidecar", "usage": {"cpu": "100n", "memory": "2048Ki"}},
+         ]},
+        {"metadata": {"namespace": "kube-system", "name": "dns-1"},
+         "containers": [{"name": "coredns", "usage": {"cpu": "1", "memory": "129M"}}]},
+    ],
+}
+
+
+def test_collect_pod_metrics_filters_and_lifts(spark):
+    import json as _json
+
+    class FakeApi:
+        def pod_metrics_list(self):
+            return _json.dumps(_POD_METRICS)
+
+    out = src.collect_pod_metrics(spark, FakeApi(), namespace_filter="default")
+    body = _json.loads(out.first()["content"])
+    # kube-system pod dropped entirely (MetricsFilter.cpp pod-erase rule)
+    assert [p["metadata"]["name"] for p in body["items"]] == ["web-1"]
+    assert len(body["items"][0]["containers"]) == 2
+
+    # container filter erases containers, pod survives while non-empty
+    out2 = src.collect_pod_metrics(spark, FakeApi(), container_name_filter="core.*")
+    body2 = _json.loads(out2.first()["content"])
+    assert [p["metadata"]["name"] for p in body2["items"]] == ["dns-1"]
+
+    # relational lift with typed quantities
+    table = src.pod_metrics_table(src.collect_pod_metrics(spark, FakeApi()))
+    rows = {(r["pod"], r["container"]): (r["cpu_nanocores"], r["memory_bytes"]) for r in table.collect()}
+    assert rows[("web-1", "nginx")] == (250_000_000, 123 * 1024**2)
+    assert rows[("web-1", "sidecar")] == (100, 2048 * 1024)
+    assert rows[("dns-1", "coredns")] == (1_000_000_000, 129_000_000)
+    # python + catalyst parsers agree
+    assert src.parse_cpu_nanocores("250m") == 250_000_000
+    assert src.parse_memory_bytes("123Mi") == 123 * 1024**2
+
+
+def test_collect_pod_metrics_flow_processor(spark):
+    import json as _json
+
+    from nifi_minifi_cpp_spark.plans import compile_flow
+
+    class FakeApi:
+        def pod_metrics_list(self):
+            return _json.dumps(_POD_METRICS)
+
+    cfg = {
+        "processors": [
+            {"id": "k8s", "type": "CollectKubernetesPodMetrics",
+             "properties": {"api_client": FakeApi(), "pod_name_filter": "web-.*"}},
+        ],
+        "connections": [],
+    }
+    row = compile_flow(spark, cfg).df("k8s").first()
+    assert "web-1" in row["content"] and "dns-1" not in row["content"]
