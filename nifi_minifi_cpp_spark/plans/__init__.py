@@ -1,6 +1,7 @@
 """Flow-config compiler (SURVEY §3.1 query lifecycle, Spark-first)."""
 
 from .bucketing import cobucket_join, read_bucketed, write_bucketed
+from .ports import input_port, output_port
 from .pipeline import (
     CompiledFlow,
     FlowCompileError,
@@ -11,6 +12,8 @@ from .pipeline import (
 )
 
 __all__ = [
+    "input_port",
+    "output_port",
     "write_bucketed",
     "read_bucketed",
     "cobucket_join",

@@ -563,6 +563,35 @@ def _get_couchbase_key(spark, df, props):
     return {"success": out.filter(ok), "failure": out.filter(~ok)}
 
 
+@processor("OutputPort")
+def _output_port(spark, df, props):
+    """Site-to-Site output port (RemoteProcessorGroupPort.h): publish
+    the frame into a channel directory with an atomic-rename commit
+    (batch) or the exactly-once parquet sink (streaming via
+    FlowController deferral)."""
+    from .ports import output_port
+
+    output_port(df, props["channel"], checkpoint=props.get("checkpoint"))
+    return _one(df)
+
+
+@processor("InputPort")
+def _input_port(spark, df, props):
+    """Site-to-Site input port: tail the channel as a file stream
+    (own checkpoint = own replay cursor) or read it as a batch."""
+    from .ports import input_port
+
+    return _one(
+        input_port(
+            spark,
+            props["channel"],
+            props["schema"],
+            streaming=props.get("streaming", True),
+            max_files_per_trigger=props.get("max_files_per_trigger"),
+        )
+    )
+
+
 @processor("CollectKubernetesPodMetrics")
 def _collect_k8s_pod_metrics(spark, df, props):
     """CollectKubernetesPodMetrics (CollectKubernetesPodMetrics.cpp:34):
@@ -1093,7 +1122,7 @@ def _put_sql(spark, df, props):
 
 # sink processor types that must defer when their input is a stream
 # (writeStream.start happens in FlowController, not at compile time)
-_STREAMING_SINK_TYPES = {"PutFile", "MemorySink"} | set(_SINK_HANDLER_FACTORIES)
+_STREAMING_SINK_TYPES = {"PutFile", "MemorySink", "OutputPort"} | set(_SINK_HANDLER_FACTORIES)
 
 
 @dataclass
@@ -1131,6 +1160,14 @@ class FlowController:
                     df.writeStream.format("memory")
                     .queryName(props.get("name", pid))
                     .outputMode(props.get("output_mode", "append"))
+                )
+            elif ptype == "OutputPort":
+                # site-to-site channel: the parquet sink's metadata log
+                # is the exactly-once transaction
+                writer = (
+                    df.writeStream.format("parquet")
+                    .option("path", props["channel"])
+                    .option("checkpointLocation", props["checkpoint"])
                 )
             elif ptype in _SINK_HANDLER_FACTORIES:
                 # side-effecting sink: the micro-batch is the

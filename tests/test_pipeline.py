@@ -878,3 +878,60 @@ def test_reference_name_aliases_compile(spark, tmp_path):
     })
     assert [r["content"] for r in routed["acknowledged"].collect()] == ["m1"]
     assert [r["content"] for r in routed["undetermined"].collect()] == ["m2"]
+
+
+def test_site_to_site_ports_handoff(spark, tmp_path):
+    """Two independent flows hand off through a channel: producer
+    commits batches atomically (staging + rename), each consumer
+    replays with its own cursor; a second producer batch arrives
+    exactly once."""
+    from nifi_minifi_cpp_spark.plans import input_port, output_port
+
+    channel = str(tmp_path / "chan")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    assert output_port(b1, channel) > 0
+
+    # batch consumer sees batch 1 only
+    got1 = sorted(r["id"] for r in input_port(spark, channel, "id long, v string", streaming=False).collect())
+    assert got1 == [1, 2]
+
+    # streaming consumer with its own checkpoint: batch 1 now, batch 2 after publish
+    import os
+
+    stream = input_port(spark, channel, "id long, v string", streaming=True)
+    q = (
+        stream.writeStream.format("memory").queryName("s2s_out").outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+        assert {r["id"] for r in spark.sql("SELECT * FROM s2s_out").collect()} == {1, 2}
+        output_port(b2, channel)
+        q.processAllAvailable()
+        rows = [r["id"] for r in spark.sql("SELECT * FROM s2s_out").collect()]
+        assert sorted(rows) == [1, 2, 3] and len(rows) == 3  # exactly once
+    finally:
+        q.stop()
+
+    # flow-compiler names: producer flow and batch consumer flow
+    prod_cfg = {
+        "processors": [
+            {"id": "gen", "type": "GenerateFlowFile",
+             "properties": {"batch_size": 2, "custom_text": "hello"}},
+            {"id": "out", "type": "OutputPort", "properties": {"channel": str(tmp_path / "chan2")}},
+        ],
+        "connections": [{"source": "gen", "destination": "out"}],
+    }
+    compile_flow(spark, prod_cfg)
+    cons_cfg = {
+        "processors": [
+            {"id": "in", "type": "InputPort",
+             "properties": {"channel": str(tmp_path / "chan2"), "streaming": False,
+                            "schema": "uuid string, ts timestamp, content string, "
+                                      "attributes map<string,string>, lineage array<string>"}},
+        ],
+        "connections": [],
+    }
+    rows = compile_flow(spark, cons_cfg).df("in").collect()
+    assert len(rows) == 2 and all(r["content"] == "hello" for r in rows)
