@@ -189,3 +189,29 @@ def test_fetch_file_no_driver_side_paths(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" in plan
+
+
+def test_language_id_stays_jvm_side(spark, sf_dir):
+    """language_id + quality features are pure Catalyst — no Python
+    evaluation node anywhere in the plan (the text-analysis hot path
+    must stay inside whole-stage codegen at 100 TB)."""
+    import __spark_entry__ as e
+
+    for q in ("language_id_distribution", "text_quality_features"):
+        plan = (
+            e.queries()[q](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, q
+
+
+def test_dedup_invariant_entries_no_cartesian(spark, sf_dir):
+    """The invariant reports cross-join only single-row aggregates —
+    no CartesianProduct over data-sized inputs may appear."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.queries()["minhash_dedup_kept"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
