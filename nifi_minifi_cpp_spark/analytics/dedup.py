@@ -591,3 +591,33 @@ def embedding_dedup(
     dropped = pairs.select(F.col("_ida").alias(id_col)).distinct().localCheckpoint(eager=True)
     buckets.unpersist()
     return df.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# streaming exact dedup (dedup-on-ingest)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_stream(
+    df: DataFrame,
+    content_col: str = "content",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup on a STREAM: drop rows whose content hash was
+    already seen within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys state by the 8-byte content
+    hash and expires it once the watermark passes — bounded state, so
+    ingest-time dedup (the training-pipeline "don't re-ingest the same
+    document" gate) runs continuously instead of as a batch pass. The
+    batch :func:`exact_dedup` remains the keep-smallest-id
+    corpus-wide pass; this is its at-the-door complement (first
+    arrival wins, per-stream-epoch semantics).
+    """
+    hashed = df.withColumn("_h", F.xxhash64(F.col(content_col)))
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )

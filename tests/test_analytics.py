@@ -332,3 +332,29 @@ def test_embedding_dedup_multi_probe_recall(spark):
     assert multi.filter(F.col("vec_id") >= 1000).count() == 0
     # multi-probe keeps a subset (it can only find MORE near-dups)
     assert multi.count() <= single.count()
+
+
+def test_dedup_invariant_report_detects_broken_dedup(spark, tables):
+    """Non-vacuity of the graded invariant oracles: a dedup that drops
+    NOTHING must show every injected duplicate surviving and every
+    dup pair as a violation — the report can't be satisfied trivially."""
+    from nifi_minifi_cpp_spark.entry_queries import (
+        _INJECT_N,
+        _dedup_invariant_report,
+        _with_injected_dups,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    inp = _with_injected_dups(docs, "doc_id")
+    broken_kept = inp  # "dedup" that keeps everything
+    row = _dedup_invariant_report(inp, broken_kept, "doc_id", "text").first()
+    assert row["injected_survivors"] == _INJECT_N
+    assert row["dup_violations"] == _INJECT_N  # each copy pairs its original
+    assert row["orphans"] == 0
+
+    # and a dedup that hallucinates ids is caught by the orphan check
+    from pyspark.sql import functions as F
+
+    phantom = broken_kept.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    row2 = _dedup_invariant_report(inp, phantom, "doc_id", "text").first()
+    assert row2["orphans"] == row["n_input"]

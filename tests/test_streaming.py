@@ -453,3 +453,36 @@ def test_put_udp_tcp_handlers(spark, tmp_path):
     trx.close()
     assert sorted(udp_got) == ["m1", "m2", "m3"]
     assert sorted(tcp_got) == ["m1", "m2", "m3"]
+
+
+def test_exact_dedup_stream_drops_reingested_content(spark, tmpdir):
+    """Dedup-on-ingest: re-delivered content within the watermark
+    horizon is dropped with bounded state (dropDuplicatesWithinWatermark
+    keyed by the 64-bit content hash)."""
+    import datetime as _dt
+    import os as _os
+
+    from nifi_minifi_cpp_spark.analytics.dedup import exact_dedup_stream
+
+    src_dir = _os.path.join(str(tmpdir), "dedup_in")
+    base = _dt.datetime(2024, 1, 1)
+    rows1 = [(base, "doc-A"), (base + _dt.timedelta(minutes=1), "doc-B")]
+    spark.createDataFrame(rows1, "ts timestamp, content string").write.parquet(src_dir)
+
+    stream = st.file_stream(spark, src_dir, "ts timestamp, content string", "parquet")
+    deduped = exact_dedup_stream(stream, watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_out").outputMode("append")
+        .option("checkpointLocation", _os.path.join(str(tmpdir), "ck_dedup")).start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: doc-A re-delivered (duplicate) + fresh doc-C
+        rows2 = [(base + _dt.timedelta(minutes=2), "doc-A"),
+                 (base + _dt.timedelta(minutes=3), "doc-C")]
+        spark.createDataFrame(rows2, "ts timestamp, content string").write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["content"] for r in spark.sql("SELECT content FROM dedup_out").collect())
+    assert got == ["doc-A", "doc-B", "doc-C"]  # the duplicate doc-A dropped
