@@ -749,6 +749,21 @@ def _deduplicate_text(spark, df, props):
     strategy = props.get("strategy", "exact")
     content = props.get("content_col", "content")
     id_col = props.get("id_col", "uuid")
+    if df.isStreaming:
+        # dedup-on-ingest: watermark-bounded seen-set, first arrival
+        # wins (batch strategies need the whole corpus)
+        from ..analytics.dedup import exact_dedup_stream
+
+        if strategy != "exact":
+            raise FlowCompileError(f"streaming DeduplicateText supports strategy 'exact', got {strategy!r}")
+        return _one(
+            exact_dedup_stream(
+                df,
+                content_col=content,
+                ts_col=props.get("ts_col", "ts"),
+                watermark=props.get("watermark", "1 hour"),
+            )
+        )
     if strategy == "exact":
         out = exact_dedup(df, content, id_col)
     elif strategy == "minhash":

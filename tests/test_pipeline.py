@@ -935,3 +935,40 @@ def test_site_to_site_ports_handoff(spark, tmp_path):
     }
     rows = compile_flow(spark, cons_cfg).df("in").collect()
     assert len(rows) == 2 and all(r["content"] == "hello" for r in rows)
+
+
+def test_deduplicate_text_streaming_flow(spark, tmp_path):
+    """DeduplicateText on a streaming input compiles to the
+    watermark-bounded dedup-on-ingest form."""
+    import datetime as _dt
+
+    src = str(tmp_path / "in")
+    base = _dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(base, "same"), (base + _dt.timedelta(minutes=1), "same"),
+         (base + _dt.timedelta(minutes=2), "other")],
+        "ts timestamp, content string",
+    ).write.parquet(src)
+    cfg = {
+        "processors": [
+            {"id": "srcp", "type": "FileStreamSource",
+             "properties": {"path": src, "schema": "ts timestamp, content string"}},
+            {"id": "dedup", "type": "DeduplicateText",
+             "properties": {"strategy": "exact", "watermark": "10 minutes"}},
+        ],
+        "connections": [{"source": "srcp", "destination": "dedup"}],
+    }
+    flow = compile_flow(spark, cfg)
+    out = flow.df("dedup")
+    assert out.isStreaming
+    import os as _os
+
+    q = (
+        out.writeStream.format("memory").queryName("flow_dedup").outputMode("append")
+        .option("checkpointLocation", _os.path.join(str(tmp_path), "ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r["content"] for r in spark.sql("SELECT content FROM flow_dedup").collect()) == ["other", "same"]
