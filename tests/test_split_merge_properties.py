@@ -47,3 +47,29 @@ def test_split_then_defragment_roundtrips(docs, n):
     got = {r["uuid"]: r["content"] for r in merged.collect()}
     for i, d in enumerate(docs):
         assert got.get(str(i), "") == d, (i, docs, n)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200),
+        min_size=1,
+        max_size=5,
+    ),
+    fmt=st.sampled_from(["gzip", "bzip2", "lzma", "xz-lzma2"]),
+)
+def test_compress_roundtrip_property(texts, fmt):
+    """CompressContent roundtrip is exact for arbitrary unicode content
+    in every supported codec, including via auto-detect decompress."""
+    spark = _spark()
+    ff = spark.createDataFrame(
+        [(str(i), t, {}) for i, t in enumerate(texts)],
+        "uuid string, content string, attributes map<string,string>",
+    )
+    packed = ops.compress_content(ff, mode="compress", fmt=fmt)
+    unpacked = ops.compress_content(packed, mode="decompress", fmt=fmt)
+    got = {r["uuid"]: r["content"] for r in unpacked.collect()}
+    assert got == {str(i): t for i, t in enumerate(texts)}
+    sniffed = ops.compress_content(packed, mode="decompress", fmt="auto")
+    got2 = {r["uuid"]: r["content"] for r in sniffed.collect()}
+    assert got2 == {str(i): t for i, t in enumerate(texts)}
