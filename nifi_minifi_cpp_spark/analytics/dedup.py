@@ -45,11 +45,15 @@ def _bucket_probes(
     every bucket-sharing pair is compared). The dedup entry points
     default to a LARGE finite cap (256): on real web corpora hot
     buckets (exact-dup floods, boilerplate) are the common case, and
-    an uncapped self-join is quadratic exactly there. 256 probes keep
-    recall effectively complete (a duplicate's cluster representative
-    — the smallest id — is always probe #1) while bounding per-bucket
-    work to n*256. Pass ``None`` to opt into exact generation when the
-    corpus is known skew-free.
+    an uncapped self-join is quadratic exactly there. 256 probes bound
+    per-bucket work to n*256 and catch the dominant case (a
+    duplicate's cluster representative — the smallest id — is probe
+    #1). RECALL CAVEAT: in a polluted bucket with >K members, a
+    near-dup pair whose smaller member ranks outside the K smallest
+    ids is never compared and survives — the cap trades exactly that
+    tail of recall for skew safety. Pass ``None`` for exact
+    generation when the corpus is known skew-free, or raise K when
+    bucket pollution is expected.
     """
     if max_probes is None:
         return buckets

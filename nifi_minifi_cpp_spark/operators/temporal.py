@@ -48,6 +48,13 @@ def asof_join(
     merge-as-of would want, with no per-row lookups.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    # SQL equi-join semantics: a NULL key matches nothing. Window
+    # partitionBy would group NULL-keyed rows of both sides together,
+    # so drop NULL-keyed RIGHT rows up front — NULL-keyed left rows
+    # then sit in a partition with no right rows and come back
+    # unmatched (left-join behavior, same as the DuckDB ASOF oracle).
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
     # ts columns ride separately (as _ts / the matched struct's _rts);
     # including them in the payload lists would emit them twice
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
@@ -189,4 +196,7 @@ def stream_interval_join(
         & (F.col(left_ts) >= F.col(rts))
         & (F.col(left_ts) < F.col(rts) + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond, "inner").drop(rw[keys[0]] if len(keys) == 1 else rw[keys[0]])
+    joined = lw.join(rw, cond, "inner")
+    for k in keys:  # drop EVERY right-side key copy, not just the first
+        joined = joined.drop(rw[k])
+    return joined

@@ -422,6 +422,11 @@ def _fetch_file(spark, df, props):
     fetched = fetch_file(
         spark, df, path_col=props.get("path_col", "path"), as_text=props.get("as_text", True)
     )
+    if not fetched.isStreaming:
+        # one read per path: consuming both relationships must not
+        # re-run the fetch (a path readable in one pass and not the
+        # other would land in both frames or neither)
+        fetched = fetched.localCheckpoint(eager=True)
     ok = F.col("content").isNotNull()
     return {"success": fetched.filter(ok), "failure": fetched.filter(~ok)}
 
@@ -559,6 +564,8 @@ def _get_couchbase_key(spark, df, props):
         key_col=props.get("key_col", "key"),
         value_col=props.get("value_col", "content"),
     )
+    if not out.isStreaming:
+        out = out.localCheckpoint(eager=True)  # one KV get per key across relationships
     ok = F.col("kv_status") == "success"
     return {"success": out.filter(ok), "failure": out.filter(~ok)}
 
@@ -886,7 +893,8 @@ for _name in ("ListS3", "ListAzureBlobStorage", "ListAzureDataLakeStorage", "Lis
     _PROCESSORS[_name] = _objectstore_list
 for _name in ("FetchS3Object", "FetchAzureBlobStorage", "FetchAzureDataLakeStorage", "FetchGCSObject"):
     _PROCESSORS[_name] = _objectstore_fetch
-for _name in ("PutS3Object", "PutAzureBlobStorage", "PutAzureDataLakeStorage", "PutGCSObject"):
+_OBJECTSTORE_PUT_TYPES = ("PutS3Object", "PutAzureBlobStorage", "PutAzureDataLakeStorage", "PutGCSObject")
+for _name in _OBJECTSTORE_PUT_TYPES:
     _PROCESSORS[_name] = _objectstore_put
 for _name in ("DeleteS3Object", "DeleteAzureBlobStorage", "DeleteAzureDataLakeStorage", "DeleteGCSObject"):
     _PROCESSORS[_name] = _objectstore_delete
@@ -1137,7 +1145,11 @@ def _put_sql(spark, df, props):
 
 # sink processor types that must defer when their input is a stream
 # (writeStream.start happens in FlowController, not at compile time)
-_STREAMING_SINK_TYPES = {"PutFile", "MemorySink", "OutputPort"} | set(_SINK_HANDLER_FACTORIES)
+_STREAMING_SINK_TYPES = (
+    {"PutFile", "MemorySink", "OutputPort", "PublishKafka", "PutSQL"}
+    | set(_OBJECTSTORE_PUT_TYPES)
+    | set(_SINK_HANDLER_FACTORIES)
+)
 
 
 @dataclass
@@ -1184,6 +1196,31 @@ class FlowController:
                     .option("path", props["channel"])
                     .option("checkpointLocation", props["checkpoint"])
                 )
+            elif ptype == "PublishKafka":
+                from ..streaming.records import flowfiles_to_kafka_records
+
+                records = flowfiles_to_kafka_records(df, topic=props.get("topic"))
+                writer = records.writeStream.format("kafka").option(
+                    "kafka.bootstrap.servers", props["brokers"]
+                )
+                if props.get("checkpoint"):
+                    writer = writer.option("checkpointLocation", props["checkpoint"])
+            elif ptype in _OBJECTSTORE_PUT_TYPES:
+                writer = (
+                    df.writeStream.format(props.get("format", "parquet"))
+                    .option("path", props["url"])
+                    .option("checkpointLocation", props["checkpoint"])
+                )
+            elif ptype == "PutSQL":
+                from ..sources import put_sql
+
+                def _put_sql_batch(bdf, _eid, _props=props):
+                    extra = {k: v for k, v in _props.items() if k not in ("table", "mode", "checkpoint")}
+                    put_sql(bdf, _props.get("table", ""), mode=_props.get("mode", "append"), **extra)
+
+                writer = df.writeStream.foreachBatch(_put_sql_batch)
+                if props.get("checkpoint"):
+                    writer = writer.option("checkpointLocation", props["checkpoint"])
             elif ptype in _SINK_HANDLER_FACTORIES:
                 # side-effecting sink: the micro-batch is the
                 # exactly-once barrier; the handler runs per epoch

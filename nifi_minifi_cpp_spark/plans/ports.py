@@ -51,20 +51,15 @@ def output_port(df: DataFrame, channel_dir: str, checkpoint: str | None = None):
     txn = _uuid.uuid4().hex
     staging = os.path.join(channel_dir, f".staging-{txn}")
     df.write.mode("overwrite").parquet(staging)
-    # publish: move the committed part files into the channel under
-    # one transaction id; rename within a filesystem is atomic, and
-    # dot-prefixed staging dirs are invisible to Spark's file listing
-    n = 0
-    for name in os.listdir(staging):
-        if name.startswith(("part-", "part.")) and not name.endswith(".crc"):
-            os.rename(
-                os.path.join(staging, name),
-                os.path.join(channel_dir, f"txn-{txn}-{name}"),
-            )
-            n += 1
-    for leftover in os.listdir(staging):
-        os.remove(os.path.join(staging, leftover))
-    os.rmdir(staging)
+    for name in os.listdir(staging):  # strip non-data markers pre-publish
+        if not (name.startswith(("part-", "part.")) and not name.endswith(".crc")):
+            os.remove(os.path.join(staging, name))
+    n = len(os.listdir(staging))
+    # publish the WHOLE transaction with one atomic directory rename —
+    # a multi-partition batch becomes visible all-or-none (per-file
+    # renames would expose a torn batch to a concurrent reader), and a
+    # crash before this line leaves only an invisible dot-dir
+    os.rename(staging, os.path.join(channel_dir, f"txn-{txn}"))
     return n
 
 
@@ -79,8 +74,12 @@ def input_port(
     checkpoint is its own replay cursor), or a batch read of
     everything currently committed."""
     if not streaming:
-        return spark.read.schema(schema).parquet(channel_dir)
-    reader = spark.readStream.schema(schema)
+        return (
+            spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")  # txn dirs, batch-committed
+            .parquet(channel_dir)
+        )
+    reader = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(channel_dir)

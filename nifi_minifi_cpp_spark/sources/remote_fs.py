@@ -175,9 +175,16 @@ def fetch_remote(
 
 def route_fetch_remote(df: DataFrame, status_col: str = "fetch_status") -> dict[str, DataFrame]:
     """Relationship split for fetch results (FetchSFTP.h relationship
-    set). Same dict-of-frames contract as RouteOnAttribute."""
+    set). Same dict-of-frames contract as RouteOnAttribute.
+
+    Batch frames barrier first: the input lineage holds the
+    side-effecting remote fetch, and consuming several relationships
+    would otherwise re-fetch per relationship — a transiently-failing
+    path could then land in two relationships (or neither)."""
     from pyspark.sql import functions as F
 
+    if not df.isStreaming:
+        df = df.localCheckpoint(eager=True)
     return {
         name: df.filter(F.col(status_col) == name)
         for name in ("success", "not.found", "permission.denied", "comms.failure")

@@ -233,3 +233,37 @@ def test_range_join_empty_ranges(spark):
     points = spark.createDataFrame([(1, 5.0, 1)], "k int, x double, pid int")
     ranges = spark.createDataFrame([], "k int, lo double, hi double, rid int")
     assert range_join(points, ranges, "x", "lo", "hi", on="k").count() == 0
+
+
+def test_asof_join_null_keys_match_nothing(spark):
+    """SQL equi-join semantics: NULL keys never match (the window
+    formulation would otherwise pair NULL-keyed rows of both sides)."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(None, t0 + _dt.timedelta(minutes=5), "L-null"), (1, t0 + _dt.timedelta(minutes=5), "L-1")],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(None, t0, "R-null"), (1, t0, "R-1")], "k int, ts timestamp, rv string"
+    )
+    got = {r["lv"]: r["right_rv"] for r in asof_join(left, right, on="k").collect()}
+    assert got == {"L-null": None, "L-1": "R-1"}
+
+
+def test_stream_interval_join_multi_key_no_duplicate_columns(spark):
+    """Multi-key joins must drop every right-side key copy."""
+    from nifi_minifi_cpp_spark.operators import stream_interval_join
+
+    left = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS k1", "value AS k2", "timestamp AS ts", "value AS lv")
+    )
+    right = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS k1", "value AS k2", "timestamp AS ts", "value AS rv")
+    )
+    joined = stream_interval_join(left, right, on=["k1", "k2"])
+    assert joined.columns.count("k1") == 1 and joined.columns.count("k2") == 1
+    assert "right_rv" in joined.columns and "right_ts" in joined.columns
