@@ -1999,15 +1999,12 @@ def streaming_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed through a file STREAM -> groupBy aggregation in complete
     mode -> memory sink; the final state must equal the batch answer
     (same code path the streaming operators use, SURVEY §2.10)."""
-    import os
-    import tempfile
     import uuid as _uuid
 
     configure(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file-stream source wants a directory; stage the table file
-    stage = tempfile.mkdtemp(prefix="stream-ev-")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet")
+    stage = _stream_events_stage(spark, sf_dir)
     schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
     stream = spark.readStream.schema(schema).parquet(stage)
     agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
@@ -2018,6 +2015,176 @@ def streaming_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.sql(f"SELECT event_type, n FROM {view}")
+
+
+def _stream_events_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events parquet behind a directory for the file-stream
+    source (it wants a dir, not a file). O(1) driver work: one symlink."""
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="stream-ev-")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet")
+    return stage
+
+
+def _poll_stream_rows(spark: SparkSession, q, view: str, expected: int, timeout_s: float = 180.0):
+    """Wait until the memory sink holds >= expected rows (or raise).
+
+    ``processAllAvailable()`` is NOT usable here: with a stateful
+    operator holding ProcessingTimeTimeout state the stream keeps
+    scheduling timeout-sweep batches and the call never returns, so —
+    like the reference's SingleProcessorTestController trigger loop —
+    we poll the sink for the (deterministically known) result size."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while _time.monotonic() < deadline:
+        if q.exception():
+            raise q.exception()
+        n = spark.sql(f"SELECT count(*) AS n FROM {view}").first()["n"]
+        if n >= expected:
+            return
+        _time.sleep(0.25)
+    raise TimeoutError(f"{view}: {expected} rows not reached in {timeout_s}s")
+
+
+@_register(
+    "stateful_bin_packing_merge",
+    # Count-threshold flush is order-independent: every 8th row per key
+    # closes a bin, the <8-row remainder stays in state (no age timeout
+    # fires within the run), so per-key bin counts are exactly
+    # floor(cnt/8) regardless of shuffle/micro-batch interleaving.
+    """
+    SELECT event_type AS correlation,
+           CAST(floor(count(*) / 8) AS BIGINT)     AS n_bins,
+           CAST(floor(count(*) / 8) * 8 AS BIGINT) AS merged_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def stateful_bin_packing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeContent bin-packing as a STATEFUL STREAMING operator
+    (applyInPandasWithState, SURVEY §2.6 / BinFiles.h:190-229) in the
+    correctness gate: events stream through the bin packer keyed by
+    event_type with max_entries=8; the oracle pins per-key bin counts
+    and merged-row totals. Flush-by-bytes/age are pytest-covered
+    (test_streaming.py) — they are arrival-order/wallclock-dependent,
+    so the graded invariant uses the count threshold only."""
+    import uuid as _uuid
+
+    from .streaming.stateful import merge_content_bin_packing_stream
+
+    configure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = _stream_events_stage(spark, sf_dir)
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .select(
+            F.col("event_type").alias("correlation"),
+            F.col("event_id").cast("string").alias("content"),
+        )
+    )
+    merged = merge_content_bin_packing_stream(
+        stream,
+        correlation_col="correlation",
+        max_entries=8,
+        max_bytes=1 << 40,  # bytes flush disabled: count threshold only
+        max_bin_age_ms=3_600_000,
+    )
+    # expected bin count is deterministic — compute it from the batch
+    # side (distributed agg, tiny result) and poll the sink up to it
+    expected = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.floor(F.count(F.lit(1)) / 8).alias("b"))
+        .agg(F.sum("b").alias("s"))
+        .first()["s"]
+    )
+    view = f"bin_pack_{_uuid.uuid4().hex[:8]}"
+    q = merged.writeStream.format("memory").queryName(view).outputMode("append").start()
+    try:
+        _poll_stream_rows(spark, q, view, int(expected))
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""
+        SELECT correlation,
+               count(*) AS n_bins,
+               sum(merge_count) AS merged_rows
+        FROM {view}
+        WHERE flush_reason = 'entries' AND merge_count = 8
+        GROUP BY correlation
+        """
+    )
+
+
+@_register(
+    "stateful_defragment_reassembly",
+    # Fixed 20-char pieces + max_buffer_size=100 => a size flush every
+    # 5 pieces exactly; the <5-piece remainder stays buffered. Message
+    # counts are therefore floor(cnt/5) per key, order-independent.
+    """
+    SELECT event_type AS key,
+           CAST(floor(count(*) / 5) AS BIGINT)     AS n_messages,
+           CAST(floor(count(*) / 5) * 5 AS BIGINT) AS pieces_joined
+    FROM events GROUP BY event_type
+    """,
+)
+def stateful_defragment_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DefragmentText as a STATEFUL STREAMING operator
+    (applyInPandasWithState, DefragmentText.h:37-92) in the correctness
+    gate: fixed-width pieces stream through the defragmenter keyed by
+    event_type with a 100-byte buffer cap (= exactly 5 pieces); the
+    oracle pins per-key message counts and joined-piece totals. The
+    boundary-pattern flush path is pytest-covered (order-dependent, so
+    kept out of the graded invariant: start pattern here never matches)."""
+    import uuid as _uuid
+
+    from .streaming.stateful import defragment_text_stream
+
+    configure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = _stream_events_stage(spark, sf_dir)
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .select(
+            F.col("event_type").alias("key"),
+            F.lpad(F.col("event_id").cast("string"), 20, "0").alias("content"),
+        )
+    )
+    defrag = defragment_text_stream(
+        stream,
+        message_start_pattern=r"\ANEVERMATCHES\Z",
+        key_col="key",
+        max_buffer_age_ms=3_600_000,
+        max_buffer_size=100,
+    )
+    expected = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.floor(F.count(F.lit(1)) / 5).alias("m"))
+        .agg(F.sum("m").alias("s"))
+        .first()["s"]
+    )
+    view = f"defrag_{_uuid.uuid4().hex[:8]}"
+    q = defrag.writeStream.format("memory").queryName(view).outputMode("append").start()
+    try:
+        _poll_stream_rows(spark, q, view, int(expected))
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""
+        SELECT key,
+               count(*) AS n_messages,
+               sum(n_pieces) AS pieces_joined
+        FROM {view}
+        WHERE flush_reason = 'size' AND n_pieces = 5
+        GROUP BY key
+        """
+    )
 
 
 # --- invariant-backed dedup grading -------------------------------------
@@ -2335,74 +2502,80 @@ def language_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # were re-typed after round 1) and the rest — all green in round 1 and
 # locked by plan-shape tests — fall past the window.
 _GRADE_ORDER = [
-    # §2.3 routing + §2.8 expression language
-    "route_error_events",
-    "route_relationship_counts",
-    "route_text_merge_lines",
-    "el_scalar_pack",
-    "el_encode_pack",
-    # §2.4 attribute transforms
-    "json_path_extract",
-    # §2.5 content transforms
-    "apply_template_events",
-    "jolt_shift_events",
-    "jolt_chain_events",
-    "record_transform_upper",
-    # §2.6 split / merge / archive
-    "split_fragment_counts",
-    "split_merge_roundtrip",
-    "archive_roundtrip",
-    # §2.1 sources + §2.2 sinks + §2.10 streaming
-    "invoke_http_route_counts",
-    "syslog_parse",
+    # --- r5 rotation (VERDICT r4 action #1): the 25 entries whose only
+    # driver rows predate the testdata regeneration (green in r1 only)
+    # rotate IN for a fresh grade against current parquet encodings;
+    # the two new stateful-streaming entries (action #9) join them; 23
+    # r4-window entries stay (everything touched this round — range
+    # join, tailfile staging — plus the whole LLM-pipeline family).
+    # Rotated OUT (all with green r4 rows, locked by pytest +
+    # tools/check_correctness.py): route_error_events,
+    # route_relationship_counts, route_text_merge_lines,
+    # el_scalar_pack, el_encode_pack, json_path_extract,
+    # apply_template_events, jolt_shift_events, jolt_chain_events,
+    # record_transform_upper, split_fragment_counts,
+    # split_merge_roundtrip, archive_roundtrip, syslog_parse,
+    # tumbling_hourly_by_type, pivot_event_counts, q7, q8, q9, q13,
+    # q17, q20, q21, q22, top3_orders_per_customer,
+    # cube_lineitem_status, rollup_orders_priority.
+    #
+    # re-graded relational surface (r1-only rows until now)
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q2_min_cost_supplier",
+    "q4_priority_order_exists",
+    "q5_regional_supplier_revenue",
+    "q6_revenue_forecast",
+    "q10_returned_item_customers",
+    "q11_valuable_parts",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue_pct",
+    "q15_top_supplier",
+    "q16_brand_size_supplier_counts",
+    "q18_large_quantity_orders",
+    "q19_disjunctive_predicates",
+    "region_rollup",
+    "top10_orders",
+    "distinct_parts_per_order",
+    "customers_without_orders",
+    "customers_with_big_orders",
+    "segment_set_ops",
+    "part_brand_revenue",
+    "supplier_nation_agg",
+    # re-graded operator-family entries (r1-only rows until now)
+    "extract_first_word",
+    "replace_text_hashed",
+    "hash_content_sha256",
+    # NEW: stateful streaming pair (first driver rows)
+    "stateful_bin_packing_merge",
+    "stateful_defragment_reassembly",
+    # kept from the r4 window — touched this round
+    "range_join_purchase_after_error",
+    "asof_error_prior_click",
     "tailfile_ingest",
+    # kept from the r4 window — sources/sinks/streaming reps
+    "invoke_http_route_counts",
     "incremental_scan_tail",
     "streaming_route_counts",
-    # §2.7 aggregation & windowing
+    # kept — windowing reps (sessionize fixed in r4, one more round)
     "rolling_window_count10",
-    "tumbling_hourly_by_type",
     "sessionize_users",
-    "pivot_event_counts",
-    # LLM pipeline: text analysis
+    # kept — the whole LLM-pipeline family stays graded every round
     "text_quality_features",
     "bpe_token_counts",
     "language_id_distribution",
-    # LLM pipeline: dedup
     "exact_dedup_representatives",
     "normalized_fingerprint_dedup",
     "minhash_dedup_kept",
     "ngram_jaccard_dedup_kept",
     "simhash_signatures",
     "embedding_dedup_kept",
-    # LLM pipeline: similarity search
     "cosine_topk_vec0",
     "ivf_topk_vec0",
     "knn_exact_10x3",
     "embedding_norms_by_label",
-    # LLM pipeline: inference + multimodal
     "llm_inference_fake",
     "multimodal_features_frames",
-    # relational representatives (diverse plan shapes) — round-4
-    # rotation: q7/q8/q9/q13/q17/q20/q21 had never received a driver
-    # correctness row in rounds 1-3; they replace entries green for ≥2
-    # consecutive rounds (extract_first_word, hash_content_sha256,
-    # replace_text_hashed, q1, q3, q12, q18 — all locked by pytest).
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "q20_promo_part_suppliers",
-    "q21_waiting_suppliers",
-    # q2_min_cost_supplier / q15_top_supplier rotated out (green in
-    # rounds 2 AND 3, locked by pytest + the local replica) for the
-    # new temporal-join operators, which need their first driver rows.
-    "asof_error_prior_click",
-    "range_join_purchase_after_error",
-    "q22_idle_rich_customers",
-    "top3_orders_per_customer",
-    "cube_lineitem_status",
-    "rollup_orders_priority",
 ]
 
 GRADED_WINDOW = 50

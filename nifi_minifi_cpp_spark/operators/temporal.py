@@ -109,6 +109,7 @@ def range_join(
     on: str | list[str] | None = None,
     bin_width: float | None = None,
     how: str = "inner",
+    max_bins_per_range: int = 256,
 ) -> DataFrame:
     """Join each point row to every range row with
     ``start <= point < end`` (plus optional equi-keys ``on``).
@@ -117,24 +118,47 @@ def range_join(
     map to their bin, and the join is a plain equi-join on
     (keys, bin) with an exact containment filter after — Catalyst
     gets a hash join instead of the BroadcastNestedLoop a raw
-    inequality join would produce. ``bin_width`` defaults to the mean
-    range width (estimated with one cheap aggregate); ranges wider
-    than the bin fan out proportionally, so pick the width near the
-    typical range size. Numeric or timestamp columns both work
-    (timestamps bin via epoch seconds).
+    inequality join would produce. Numeric or timestamp columns both
+    work (timestamps bin via epoch seconds).
+
+    Skew guards (heavy-tailed range widths):
+
+    - ``bin_width`` defaults to the p90 range width (one cheap
+      ``percentile_approx``), not the mean — a single huge range can
+      drag the mean down-up arbitrarily, and a mean-sized bin makes
+      that range fan out ``width/mean`` rows.
+    - Any range still spanning more than ``max_bins_per_range`` bins is
+      EXCLUDED from the explode and routed through a broadcast
+      inequality join instead: per-row fan-out is hard-capped, and the
+      oversized stragglers (by construction a vanishing fraction: wider
+      than ``max_bins_per_range x p90``) ship to every executor as a
+      small broadcast table. The union of both paths is exact.
     """
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     is_ts = str(points.schema[point_col].dataType).lower().startswith("timestamp")
+    if how != "inner":
+        raise ValueError("range_join supports how='inner' (outer semantics don't compose with binning)")
 
     def scalar(c: Column) -> Column:
         return F.unix_micros(c) / 1_000_000.0 if is_ts else c.cast("double")
 
     if bin_width is None:
-        row = ranges.agg(F.avg(scalar(F.col(end_col)) - scalar(F.col(start_col)))).first()
-        # empty ranges frame -> avg NULL -> any width works (join is empty)
+        row = ranges.agg(
+            F.percentile_approx(scalar(F.col(end_col)) - scalar(F.col(start_col)), 0.9)
+        ).first()
+        # empty ranges frame -> percentile NULL -> any width works
+        # (join is empty); all-zero widths -> fall back to 1.0
         bin_width = float(row[0]) if row is not None and row[0] else 1.0
 
-    rb = ranges.withColumn(
+    n_bins = (
+        F.floor(scalar(F.col(end_col)) / bin_width)
+        - F.floor(scalar(F.col(start_col)) / bin_width)
+        + 1
+    )
+    narrow = ranges.filter(n_bins <= max_bins_per_range)
+    wide = ranges.filter(n_bins > max_bins_per_range)
+
+    rb = narrow.withColumn(
         "_bin",
         F.explode(
             F.sequence(
@@ -143,8 +167,6 @@ def range_join(
             )
         ),
     )
-    if how != "inner":
-        raise ValueError("range_join supports how='inner' (outer semantics don't compose with binning)")
     pb = points.withColumn("_bin", F.floor(scalar(F.col(point_col)) / bin_width))
     cond = pb["_bin"] == rb["_bin"]
     for k in keys:
@@ -153,7 +175,17 @@ def range_join(
     joined = pb.join(rb, cond, "inner").filter(contain)
     for c in [pb["_bin"], rb["_bin"]] + [rb[k] for k in keys]:
         joined = joined.drop(c)
-    return joined
+
+    # oversized-range path: broadcast the (rare) stragglers and join on
+    # keys + containment — a broadcast hash join when equi-keys exist,
+    # else a BroadcastNestedLoop over a deliberately tiny build side
+    wcond = (wide[start_col] <= points[point_col]) & (points[point_col] < wide[end_col])
+    for k in keys:
+        wcond = wcond & (points[k] == wide[k])
+    wjoined = points.join(F.broadcast(wide), wcond, "inner")
+    for k in keys:
+        wjoined = wjoined.drop(wide[k])
+    return joined.unionByName(wjoined.select(*joined.columns))
 
 
 def stream_interval_join(

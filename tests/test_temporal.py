@@ -105,7 +105,15 @@ def test_range_join_numeric_and_plan(spark):
         counts[r["rid"]] += 1
     assert counts == {1: 10, 2: 1, 3: 10}
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    # narrow path: explode + equi-join (no cartesian anywhere). The
+    # oversized-range branch legitimately plans a BroadcastNestedLoop,
+    # but its build side is the capped `wide` subset — and when that
+    # subset is empty AQE's empty-relation propagation removes the
+    # branch (and its second points scan) at runtime.
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    n_bnl = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnl <= 1  # only the capped wide-range branch
 
 
 # -- property-based: agree with a brute-force Python model --------------------
@@ -267,3 +275,58 @@ def test_stream_interval_join_multi_key_no_duplicate_columns(spark):
     joined = stream_interval_join(left, right, on=["k1", "k2"])
     assert joined.columns.count("k1") == 1 and joined.columns.count("k2") == 1
     assert "right_rv" in joined.columns and "right_ts" in joined.columns
+
+
+def test_range_join_heavy_tailed_widths(spark):
+    """Skew guard: one range 1000x wider than the rest must not blow up
+    the explode — auto bin width is p90-based and per-range fan-out is
+    capped, with oversized ranges routed through the broadcast path.
+    Results verified against a DuckDB inequality join."""
+    import random
+
+    rng = random.Random(7)
+    points = [(rng.randrange(5), float(rng.randrange(120_000)), i) for i in range(300)]
+    ranges = []
+    for i in range(40):  # typical ranges: width 1..10
+        lo = float(rng.randrange(100_000))
+        ranges.append((rng.randrange(5), lo, lo + rng.randrange(1, 10), 1000 + i))
+    # the heavy tail: one range ~1000x the typical width per key
+    for k in range(3):
+        ranges.append((k, 0.0, 110_000.0, 2000 + k))
+
+    p = spark.createDataFrame(points, "k int, x double, pid int")
+    r = spark.createDataFrame(ranges, "k int, lo double, hi double, rid int")
+    out = range_join(p, r, "x", "lo", "hi", on="k", max_bins_per_range=64)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(k INT, x DOUBLE, pid INT)")
+    con.execute("CREATE TABLE r(k INT, lo DOUBLE, hi DOUBLE, rid INT)")
+    con.executemany("INSERT INTO p VALUES (?,?,?)", points)
+    con.executemany("INSERT INTO r VALUES (?,?,?,?)", ranges)
+    oracle = sorted(
+        con.sql(
+            "SELECT pid, rid FROM p JOIN r ON p.k = r.k AND r.lo <= p.x AND p.x < r.hi"
+        ).fetchall()
+    )
+    got = sorted((row["pid"], row["rid"]) for row in out.collect())
+    assert got == oracle
+    assert len(got) > 0
+
+
+def test_range_join_wide_only_ranges(spark):
+    """All ranges oversized -> pure broadcast path, still exact."""
+    points = spark.createDataFrame(
+        [(float(i), i) for i in range(0, 1000, 7)], "x double, pid int"
+    )
+    ranges = spark.createDataFrame(
+        [(0.0, 900.0, 1), (100.0, 999.0, 2)], "lo double, hi double, rid int"
+    )
+    out = range_join(points, ranges, "x", "lo", "hi", bin_width=1.0, max_bins_per_range=8)
+    got = sorted((r["pid"], r["rid"]) for r in out.collect())
+    expected = sorted(
+        (pid, rid)
+        for x, pid in [(float(i), i) for i in range(0, 1000, 7)]
+        for lo, hi, rid in [(0.0, 900.0, 1), (100.0, 999.0, 2)]
+        if lo <= x < hi
+    )
+    assert got == expected
