@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import reliable_barrier
 from ..util import spread_for_cpu as _spread_for_cpu_shared
 
 
@@ -404,13 +405,13 @@ def simhash_dedup(
     # materialize the (small) dropped-id set eagerly, then release the
     # cached chunk table — a long-lived session otherwise accumulates
     # one persisted intermediate per dedup call.
-    # HAZARD (dynamic allocation / spot fleets): localCheckpoint blocks
-    # are executor-local and unreplicated — losing an executor between
-    # here and the final anti-join action fails the job with no lineage
-    # to recompute. On preemptible clusters prefer
-    # spark.sparkContext.setCheckpointDir + .checkpoint() (HDFS-backed)
-    # or skip the barrier and accept one recompute of the bucket stage.
-    dropped = pairs.select(F.col("_id").alias(id_col)).distinct().localCheckpoint(eager=True)
+    # reliable_barrier: when the session has a checkpoint dir set
+    # (spark.sparkContext.setCheckpointDir — the right setup on
+    # preemptible/spot fleets) the barrier is a RELIABLE .checkpoint()
+    # that survives executor loss; otherwise it falls back to fast
+    # executor-local localCheckpoint (lineage-free, fine on stable
+    # clusters / local mode).
+    dropped = reliable_barrier(pairs.select(F.col("_id").alias(id_col)).distinct())
     chunks.unpersist()
     return df.join(dropped, id_col, "left_anti")
 
@@ -482,7 +483,7 @@ def ngram_jaccard_dedup(
     )
     # eager dropped-id set, then release the cached bucket table (see
     # simhash_dedup — no persisted intermediates outlive the call)
-    dropped = verified.select(F.col("_ida").alias(id_col)).distinct().localCheckpoint(eager=True)
+    dropped = reliable_barrier(verified.select(F.col("_ida").alias(id_col)).distinct())
     buckets.unpersist()
     return df.join(dropped, id_col, "left_anti")
 
@@ -592,7 +593,7 @@ def embedding_dedup(
     )
     # eager dropped-id set, then release the cached bucket table (see
     # simhash_dedup — no persisted intermediates outlive the call)
-    dropped = pairs.select(F.col("_ida").alias(id_col)).distinct().localCheckpoint(eager=True)
+    dropped = reliable_barrier(pairs.select(F.col("_ida").alias(id_col)).distinct())
     buckets.unpersist()
     return df.join(dropped, id_col, "left_anti")
 

@@ -49,6 +49,7 @@ from .operators import (
     tumbling_window_agg,
 )
 from .session import configure, load_table
+from .util import reliable_barrier
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1921,7 +1922,9 @@ def tailfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's own agent model); the scale path is the native
     streaming source (``sources/datasource.py`` ``TailFileDataSource``,
     offsets = (file, position, checksum) state) — see test_tail_metrics."""
+    import shutil
     import tempfile
+    import uuid as _uuid
 
     from .sources import TailFile
 
@@ -1934,8 +1937,19 @@ def tailfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, "documents", sf_dir).select(
             F.regexp_replace("text", "\n", " ").alias("value")
         )
-        docs.write.mode("overwrite").text(stage)
-    tail = TailFile(f"{stage}/part-*", tempfile.mktemp(prefix="tailq-state-"))
+        # race-safe staging (ADVICE r4): write into a UNIQUE dir, then
+        # publish with one atomic rename — two concurrent bench/test
+        # processes can no longer tear each other's stage; the rename
+        # loser just discards its copy
+        tmp = f"{stage}.tmp-{_uuid.uuid4().hex}"
+        docs.write.mode("overwrite").text(tmp)
+        try:
+            os.rename(tmp, stage)
+        except OSError:  # another process published first
+            shutil.rmtree(tmp, ignore_errors=True)
+    # private fresh dir => unique state path without mktemp's race
+    state_path = os.path.join(tempfile.mkdtemp(prefix="tailq-state-"), "state.json")
+    tail = TailFile(f"{stage}/part-*", state_path)
     out = tail.poll(spark)
     return out.select(F.md5(F.col("content")).alias("line_md5"))
 
@@ -2222,7 +2236,7 @@ def _dedup_invariant_report(inp: DataFrame, kept: DataFrame, id_col: str, conten
     # one re-runs the whole LSH/signature lineage (mapInPandas stages
     # are not cached by Catalyst). Materialize the slim (id, content)
     # projection once.
-    kept = kept.select(id_col, content_col).localCheckpoint(eager=True)
+    kept = reliable_barrier(kept.select(id_col, content_col))
     n_input = inp.agg(F.count(F.lit(1)).alias("n_input"))
     orphans = kept.join(inp.select(id_col), id_col, "left_anti").agg(
         F.count(F.lit(1)).alias("orphans")
@@ -2407,9 +2421,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize once: four aggregates below would otherwise re-run
     # the Arrow signature stage each
     sigs = (
-        simhash_signature_pandas(inp, "text", "doc_id")
-        .withColumnRenamed("_sig", "sig")
-        .localCheckpoint(eager=True)
+        reliable_barrier(
+            simhash_signature_pandas(inp, "text", "doc_id").withColumnRenamed("_sig", "sig")
+        )
     )
     n_rows = sigs.agg(F.count(F.lit(1)).alias("n_rows"))
     orig = sigs.filter(F.col("doc_id") < _INJECT_N).select(

@@ -29,6 +29,7 @@ Funnel parity (libminifi/include/Funnel.h:27).
 
 from __future__ import annotations
 
+import os
 import re
 from collections import defaultdict
 from dataclasses import dataclass, field
@@ -330,7 +331,9 @@ def _invoke_http(spark, df, props):
         headers=props.get("headers"),
         session_factory=props.get("session_factory"),
     )
-    return route_invoke_http(sent)
+    return route_invoke_http(
+        sent, allow_streaming=bool(props.get("allow_streaming", False))
+    )
 
 
 @processor("PutSplunkHTTP")
@@ -1133,7 +1136,10 @@ def _put_sql(spark, df, props):
     format/path/JDBC target via extra writer options."""
     from ..sources import put_sql
 
-    extra = {k: v for k, v in props.items() if k not in ("table", "mode")}
+    # 'checkpoint' belongs to the STREAMING path (foreachBatch wiring);
+    # forwarding it here would leak checkpoint=... into batch writer
+    # options (ADVICE r4)
+    extra = {k: v for k, v in props.items() if k not in ("table", "mode", "checkpoint")}
     put_sql(df, props.get("table", ""), mode=props.get("mode", "append"), **extra)
     return _one(df)
 
@@ -1271,11 +1277,65 @@ _PARAM_TOKEN = re.compile(r"(#+)\{([^{}]*)\}")
 _PARAM_NAME_OK = re.compile(r"^[A-Za-z0-9\-_. ]+$")
 
 
+def parameter_provider_contexts(config: dict) -> dict[str, dict[str, str]]:
+    """Parameter providers -> generated parameter contexts.
+
+    EnvironmentVariableParameterProvider
+    (/root/reference/PARAMETER_PROVIDERS.md:22): fetches parameters
+    from environment variables into the parameter context named by
+    ``parameter_group_name`` (created if absent); inclusion strategy
+    "include all" | "comma-separated" | "regular expression" with
+    ``include_environment_variables`` as the list/pattern (the regex
+    is a FULL match on the variable name, the reference's matcher).
+
+    Config shape::
+
+        parameter_providers:
+          - type: EnvironmentVariableParameterProvider
+            parameter_group_name: env-context
+            environment_variable_inclusion_strategy: regular expression
+            include_environment_variables: "HOME|USER|SPARK_.*"
+    """
+    import re as _re
+
+    out: dict[str, dict[str, str]] = {}
+    for prov in config.get("parameter_providers", []) or []:
+        ptype = prov.get("type", "EnvironmentVariableParameterProvider")
+        if ptype != "EnvironmentVariableParameterProvider":
+            raise FlowCompileError(f"unknown parameter provider type {ptype!r}")
+        group = prov.get("parameter_group_name")
+        if not group:
+            raise FlowCompileError(
+                "EnvironmentVariableParameterProvider requires parameter_group_name"
+            )
+        strategy = str(
+            prov.get("environment_variable_inclusion_strategy", "include all")
+        ).lower().replace("-", " ").replace("_", " ")
+        include = prov.get("include_environment_variables", "")
+        env = dict(os.environ)
+        if strategy == "include all":
+            picked = env
+        elif strategy == "comma separated":
+            names = [n.strip() for n in str(include).split(",") if n.strip()]
+            picked = {n: env[n] for n in names if n in env}
+        elif strategy in ("regular expression", "regex"):
+            rx = _re.compile(str(include))
+            picked = {k: v for k, v in env.items() if rx.fullmatch(k)}
+        else:
+            raise FlowCompileError(
+                f"unknown environment variable inclusion strategy {strategy!r}"
+            )
+        out.setdefault(group, {}).update(picked)
+    return out
+
+
 def parse_parameter_contexts(config: dict) -> dict[str, dict[str, str]]:
     """Named parameter contexts with inheritance
     (StructuredConfiguration.cpp:129-133; ParameterContext.cpp:34;
     cycle detection mirrors hasInheritanceCycle at
-    StructuredConfiguration.cpp:148-158).
+    StructuredConfiguration.cpp:148-158). Parameter providers populate
+    their target context first; explicitly-declared parameters of the
+    same name win over provided ones.
 
     Config shape::
 
@@ -1287,12 +1347,17 @@ def parse_parameter_contexts(config: dict) -> dict[str, dict[str, str]]:
             parameters: {env: prod}
     """
     raw = {}
+    for group, params in parameter_provider_contexts(config).items():
+        raw[group] = {"params": dict(params), "inherits": []}
     for ctx in config.get("parameter_contexts", []) or []:
         params = ctx.get("parameters") or {}
         if isinstance(params, list):
             params = {p["name"]: p["value"] for p in params}
+        provided = raw.get(ctx["name"], {}).get("params", {})
+        merged = dict(provided)  # provider-fetched first ...
+        merged.update({str(k): str(v) for k, v in params.items()})  # ... declared win
         raw[ctx["name"]] = {
-            "params": {str(k): str(v) for k, v in params.items()},
+            "params": merged,
             "inherits": list(ctx.get("inherited_parameter_contexts", []) or []),
         }
 

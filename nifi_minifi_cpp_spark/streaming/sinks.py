@@ -142,7 +142,11 @@ def http_relationship(status_col: str = "invokehttp_status_code"):
     )
 
 
-def route_invoke_http(df: DataFrame, status_col: str = "invokehttp_status_code") -> dict[str, DataFrame]:
+def route_invoke_http(
+    df: DataFrame,
+    status_col: str = "invokehttp_status_code",
+    allow_streaming: bool = False,
+) -> dict[str, DataFrame]:
     """Relationship split by status class (InvokeHTTP.cpp:382-404).
     Same dict-of-frames contract as RouteOnAttribute.
 
@@ -154,10 +158,23 @@ def route_invoke_http(df: DataFrame, status_col: str = "invokehttp_status_code")
     the materialized result.
 
     Streaming frames can't be checkpointed (AnalysisException) and are
-    routed lazily — there the exactly-once barrier is per micro-batch:
-    use :func:`http_post_handler` inside ``foreachBatch``, whose
-    ``batch_df`` is already materialized by the streaming engine."""
-    sent = df if df.isStreaming else df.localCheckpoint(eager=True)
+    routed lazily — consuming two or more relationships in separate
+    sinks would re-execute the HTTP map per sink (duplicate delivery).
+    That hazard must be OPTED INTO with ``allow_streaming=True``; the
+    recommended streaming shape is :func:`http_post_handler` inside
+    ``foreachBatch``, whose ``batch_df`` is already materialized by
+    the streaming engine (per-micro-batch exactly-once barrier)."""
+    if df.isStreaming:
+        if not allow_streaming:
+            raise ValueError(
+                "route_invoke_http on a STREAMING frame returns lazy filters: "
+                "each consuming sink re-runs the HTTP map (duplicate "
+                "delivery). Pass allow_streaming=True to accept that (single "
+                "sink), or use http_post_handler inside foreachBatch."
+            )
+        sent = df
+    else:
+        sent = df.localCheckpoint(eager=True)
     rel = http_relationship(status_col)
     return {name: sent.filter(rel == name) for name in ("success", "retry", "no_retry", "failure")}
 

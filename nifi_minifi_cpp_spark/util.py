@@ -22,3 +22,23 @@ def spread_for_cpu(df: DataFrame, *key_cols: str) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target, *key_cols) if key_cols else df.repartition(target)
     return df
+
+
+def reliable_barrier(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` eagerly and cut its lineage — the barrier the
+    dedup pipelines place between candidate generation and the final
+    anti-join (mapInPandas stages are not cached by Catalyst, so three
+    downstream aggregates would otherwise re-run the whole LSH lineage).
+
+    Safety dial: when the session has a checkpoint directory configured
+    (``spark.sparkContext.setCheckpointDir`` — HDFS/object-store backed),
+    use a RELIABLE ``.checkpoint()``: blocks survive executor loss, the
+    right default for preemptible/spot fleets. Without one, fall back to
+    ``localCheckpoint`` (executor-local, unreplicated — fast, but an
+    executor loss before the last action kills the job with no lineage
+    to recompute; fine on a stable cluster or local mode).
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

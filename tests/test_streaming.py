@@ -312,7 +312,13 @@ def test_route_invoke_http_streaming_frame_no_checkpoint(spark):
         .load()
         .withColumn("invokehttp_status_code", F.lit(200))
     )
-    routed = st.route_invoke_http(stream)
+    # duplicate-delivery risk is opt-in now (ADVICE r4): lazy streaming
+    # routing must be requested explicitly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="allow_streaming"):
+        st.route_invoke_http(stream)
+    routed = st.route_invoke_http(stream, allow_streaming=True)
     assert set(routed) == {"success", "retry", "no_retry", "failure"}
     assert all(v.isStreaming for v in routed.values())
 
