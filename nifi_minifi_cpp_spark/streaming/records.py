@@ -21,11 +21,24 @@ KAFKA_KEY_ATTR = "kafka.key"
 KAFKA_OFFSET_ATTR = "kafka.offset"
 
 
-def kafka_records_to_flowfiles(df: DataFrame, headers_as_attributes: bool = True) -> DataFrame:
+def kafka_records_to_flowfiles(
+    df: DataFrame,
+    headers_as_attributes: bool = True,
+    headers_filter: str | None = None,
+    duplicate_header_handling: str = "keep_latest",
+) -> DataFrame:
     """Kafka record frame (key, value, headers, topic, partition,
     offset, timestamp) -> canonical FlowFiles with kafka.* attributes
     (ConsumeKafka.cpp:249-264) and optional header->attribute mapping
     (ConsumeKafka.cpp:236-245).
+
+    ``headers_filter``: comma-separated header names to admit
+    ('Headers To Add As Attributes', ConsumeKafka.h:177-185; None =
+    admit all). ``duplicate_header_handling`` mirrors
+    MessageHeaderPolicyEnum (ConsumeKafka.h:187-199): 'keep_first' |
+    'keep_latest' (default, the reference's) | 'comma_merge'
+    ("Comma-separated Merge"). All three run JVM-side on the headers
+    array — no Python in the hot path.
     """
     base_attrs = F.create_map(
         F.lit(KAFKA_TOPIC_ATTR),
@@ -41,15 +54,56 @@ def kafka_records_to_flowfiles(df: DataFrame, headers_as_attributes: bool = True
     )
     attrs = base_attrs
     if headers_as_attributes and "headers" in df.columns:
-        header_map = F.map_from_entries(
-            F.transform(
-                F.coalesce(F.col("headers"), F.array()),
-                lambda h: F.struct(
-                    h.getField("key").alias("key"),
-                    h.getField("value").cast("string").alias("value"),
+        hs = F.coalesce(F.col("headers"), F.array())
+        if headers_filter is not None:
+            admit = [n.strip() for n in headers_filter.split(",") if n.strip()]
+            hs = F.filter(hs, lambda h: h.getField("key").isin(admit))
+        policy = duplicate_header_handling.lower()
+        if policy == "keep_first":
+            # map_from_entries under LAST_WIN keeps the last entry, so
+            # reversing the array makes the FIRST occurrence win
+            hs = F.reverse(hs)
+        if policy in ("keep_first", "keep_latest"):
+            header_map = F.map_from_entries(
+                F.transform(
+                    hs,
+                    lambda h: F.struct(
+                        h.getField("key").alias("key"),
+                        h.getField("value").cast("string").alias("value"),
+                    ),
+                )
+            )
+        elif policy == "comma_merge":
+            # fold the header array into a map, appending ", "-joined
+            # values on key collision ("Comma-separated Merge",
+            # ConsumeKafka.h:195-198); O(k^2) in the per-row header
+            # count, all inside codegen
+            empty = F.create_map().cast("map<string,string>")
+            header_map = F.aggregate(
+                hs,
+                empty,
+                lambda acc, h: F.map_concat(
+                    F.map_filter(acc, lambda k, _v: k != h.getField("key")),
+                    F.map_from_arrays(
+                        F.array(h.getField("key")),
+                        F.array(
+                            F.when(
+                                F.map_contains_key(acc, h.getField("key")),
+                                F.concat(
+                                    F.element_at(acc, h.getField("key")),
+                                    F.lit(", "),
+                                    h.getField("value").cast("string"),
+                                ),
+                            ).otherwise(h.getField("value").cast("string"))
+                        ),
+                    ),
                 ),
             )
-        )
+        else:
+            raise ValueError(
+                f"unknown duplicate_header_handling {duplicate_header_handling!r} "
+                "(keep_first|keep_latest|comma_merge)"
+            )
         attrs = F.map_concat(base_attrs, F.coalesce(header_map, F.create_map().cast("map<string,string>")))
     return df.select(
         F.concat(F.col("topic"), F.lit("-"), F.col("partition"), F.lit("-"), F.col("offset")).alias("uuid"),

@@ -60,6 +60,116 @@ def generate_flowfiles(
     )
 
 
+def _parse_time_period_ms(value: str | int) -> int:
+    """Reference TIME_PERIOD strings ('60 seconds', '5 min', '100 ms')
+    -> milliseconds (StandardPropertyValidators::TIME_PERIOD_VALIDATOR
+    grammar subset)."""
+    if isinstance(value, (int, float)):
+        return int(value)
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+)\s*", str(value))
+    if not m:
+        raise ValueError(f"bad time period {value!r}")
+    n, unit = int(m.group(1)), m.group(2).lower()
+    factor = {
+        "ms": 1, "msec": 1, "millisecond": 1, "milliseconds": 1,
+        "s": 1000, "sec": 1000, "secs": 1000, "second": 1000, "seconds": 1000,
+        "m": 60_000, "min": 60_000, "mins": 60_000, "minute": 60_000, "minutes": 60_000,
+        "h": 3_600_000, "hr": 3_600_000, "hour": 3_600_000, "hours": 3_600_000,
+    }.get(unit)
+    if factor is None:
+        raise ValueError(f"bad time period unit {unit!r}")
+    return n * factor
+
+
+#: ConsumeKafka commit policies (ConsumeKafka.h:229-238) and how each
+#: lands on Spark's model. Spark's Kafka source NEVER commits offsets
+#: to the broker — progress lives in the query checkpoint, which is
+#: commit-after-batch with exactly-once replay, STRICTLY stronger than
+#: librdkafka's commit window. The map records the checkpoint-level
+#: equivalence so flows can declare any reference policy.
+CONSUME_KAFKA_COMMIT_POLICIES = {
+    "NoCommit": "no broker commit; no checkpoint required",
+    "AutoCommit": "checkpoint commit (engine-managed, after batch)",
+    "CommitAfterBatch": "checkpoint commit (exact semantic match)",
+    "CommitFromIncomingFlowFiles": "unsupported: requires per-flowfile offset control",
+}
+
+
+def consume_kafka_options(props: dict) -> dict[str, str]:
+    """ConsumeKafka property map -> Spark ``readStream.format("kafka")``
+    options, by REFERENCE property name (ConsumeKafka.h:93-238). This
+    is the single source of truth the contract tests lock:
+
+    - Kafka Brokers                 -> kafka.bootstrap.servers
+    - Topic Names + Topic Name Format {Names, Patterns}
+                                    -> subscribe / subscribePattern
+    - Offset Reset {earliest, latest} -> startingOffsets; 'none' has no
+      Spark analogue (progress lives in the checkpoint, so "fail when
+      no committed offset" must instead be an explicit per-partition
+      startingOffsets JSON) -> rejected with that guidance
+    - Honor Transactions true/false -> kafka.isolation.level
+      read_committed / read_uncommitted (ConsumeKafka.h:115-128)
+    - Group ID                      -> kafka.group.id
+    - Max Poll Records              -> maxOffsetsPerTrigger
+    - Session Timeout (time period) -> kafka.session.timeout.ms
+    - Headers To Add As Attributes / Message Header Encoding are
+      POST-READ concerns (includeHeaders=true + the header filter in
+      records.kafka_records_to_flowfiles)
+    - Commit Offsets Policy         -> see CONSUME_KAFKA_COMMIT_POLICIES
+      (CommitFromIncomingFlowFiles rejected)
+    """
+    opts: dict[str, str] = {
+        "kafka.bootstrap.servers": str(props.get("Kafka Brokers", "localhost:9092")),
+        "includeHeaders": "true",
+    }
+    fmt = str(props.get("Topic Name Format", "Names"))
+    topics = props.get("Topic Names")
+    if not topics:
+        raise ValueError("ConsumeKafka requires Topic Names")
+    if fmt == "Names":
+        opts["subscribe"] = str(topics)
+    elif fmt == "Patterns":
+        opts["subscribePattern"] = str(topics)
+    else:
+        raise ValueError(f"unknown Topic Name Format {fmt!r} (Names|Patterns)")
+
+    reset = str(props.get("Offset Reset", "latest"))
+    if reset in ("earliest", "latest"):
+        opts["startingOffsets"] = reset
+    elif reset == "none":
+        raise ValueError(
+            "Offset Reset 'none' (fail without committed offsets) has no "
+            "Spark analogue — offsets live in the checkpoint; pass an "
+            "explicit per-partition startingOffsets JSON instead"
+        )
+    else:
+        raise ValueError(f"unknown Offset Reset {reset!r} (earliest|latest|none)")
+
+    honor = props.get("Honor Transactions", True)
+    honor = str(honor).lower() in ("true", "1", "yes")
+    opts["kafka.isolation.level"] = "read_committed" if honor else "read_uncommitted"
+
+    if props.get("Group ID"):
+        opts["kafka.group.id"] = str(props["Group ID"])
+    if props.get("Max Poll Records"):
+        opts["maxOffsetsPerTrigger"] = str(int(props["Max Poll Records"]))
+    if props.get("Session Timeout"):
+        opts["kafka.session.timeout.ms"] = str(_parse_time_period_ms(props["Session Timeout"]))
+
+    policy = str(props.get("Commit Offsets Policy", "CommitAfterBatch"))
+    if policy not in CONSUME_KAFKA_COMMIT_POLICIES:
+        raise ValueError(f"unknown Commit Offsets Policy {policy!r}")
+    if policy == "CommitFromIncomingFlowFiles":
+        raise ValueError(
+            "CommitFromIncomingFlowFiles requires per-flowfile offset "
+            "control; Spark's checkpoint owns offsets — route the flow "
+            "through CommitAfterBatch (the checkpoint equivalent)"
+        )
+    return opts
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -70,39 +180,36 @@ def kafka_source(
     honor_transactions: bool = True,
     max_poll_records: int | None = None,
     include_headers: bool = True,
+    session_timeout: str | None = None,
 ) -> DataFrame:
-    """ConsumeKafka property mapping (ConsumeKafka.h:42,100-238):
-
-    - Topic Names / Topic Name Format pattern -> subscribe /
-      subscribePattern
-    - Offset Reset {earliest,latest} -> startingOffsets
-    - Honor Transactions -> kafka.isolation.level
-    - Max Poll Records -> maxOffsetsPerTrigger
+    """ConsumeKafka as a Spark streaming source: pythonic args ->
+    reference property names -> :func:`consume_kafka_options` (one
+    source of truth, locked by tests/test_kafka_contract.py).
 
     Requires the kafka connector jars on the cluster; constructing the
-    reader is lazy so this module imports fine without them.
+    reader is lazy so this module imports fine without them. The
+    container has no jars and no broker, so the end-to-end path is
+    contract-tested against kafka-shaped frames instead (documented in
+    COVERAGE.md).
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("startingOffsets", offset_reset)
-        .option("includeHeaders", str(include_headers).lower())
-        .option(
-            "kafka.isolation.level",
-            "read_committed" if honor_transactions else "read_uncommitted",
-        )
-    )
-    if topics:
-        reader = reader.option("subscribe", topics)
-    elif topic_pattern:
-        reader = reader.option("subscribePattern", topic_pattern)
-    else:
+    if not topics and not topic_pattern:
         raise ValueError("need topics or topic_pattern")
+    props = {
+        "Kafka Brokers": bootstrap_servers,
+        "Topic Names": topics or topic_pattern,
+        "Topic Name Format": "Names" if topics else "Patterns",
+        "Offset Reset": offset_reset,
+        "Honor Transactions": honor_transactions,
+    }
     if group_id:
-        reader = reader.option("kafka.group.id", group_id)
+        props["Group ID"] = group_id
     if max_poll_records:
-        reader = reader.option("maxOffsetsPerTrigger", max_poll_records)
-    return reader.load()
+        props["Max Poll Records"] = max_poll_records
+    if session_timeout:
+        props["Session Timeout"] = session_timeout
+    opts = consume_kafka_options(props)
+    opts["includeHeaders"] = str(include_headers).lower()
+    return spark.readStream.format("kafka").options(**opts).load()
 
 
 def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
