@@ -2201,6 +2201,198 @@ def stateful_defragment_reassembly(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# --- r5 breadth: operators previously pytest-only get oracles -----------
+
+
+@_register(
+    "segment_content_parity",
+    """
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS seg_index,
+           md5(substr(text, CAST((i - 1) * 64 + 1 AS BIGINT), 64)) AS seg_md5
+    FROM (SELECT doc_id, text,
+                 UNNEST(range(1, CAST(ceil(length(text) / 64.0) AS BIGINT) + 1)) AS i
+          FROM documents)
+    """,
+)
+def segment_content_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SegmentContent (SegmentContent.cpp:54): fixed 64-byte segments,
+    segment.index parity and per-segment content hash vs the oracle's
+    substr reconstruction."""
+    from .operators import segment_content
+
+    docs = _t(spark, sf_dir, "documents")
+    ff = docs.select(
+        F.col("doc_id").cast("string").alias("uuid"),
+        F.col("text").alias("content"),
+        F.create_map(F.lit("filename"), F.col("doc_id").cast("string")).alias("attributes"),
+    )
+    seg = segment_content(ff, 64)
+    return seg.select(
+        F.col("attributes").getItem("fragment.identifier").cast("bigint").alias("doc_id"),
+        F.col("attributes").getItem("segment.index").cast("bigint").alias("seg_index"),
+        F.md5(F.col("content")).alias("seg_md5"),
+    )
+
+
+@_register(
+    "split_json_elements",
+    """
+    SELECT event_id, CAST(1 AS BIGINT) AS frag_index, event_type AS elem FROM events
+    UNION ALL
+    SELECT event_id, CAST(2 AS BIGINT), CAST(event_id AS VARCHAR) FROM events
+    """,
+)
+def split_json_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitJson (SplitJson.cpp:79): a JSON array in content -> one row
+    per element with fragment.* attrs; oracle = the unrolled union."""
+    from .operators import split_json
+
+    ev = _t(spark, sf_dir, "events")
+    ff = ev.select(
+        F.col("event_id").cast("string").alias("uuid"),
+        F.to_json(F.array(F.col("event_type"), F.col("event_id").cast("string"))).alias(
+            "content"
+        ),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+    )
+    out = split_json(ff)
+    return out.select(
+        F.col("attributes").getItem("fragment.identifier").cast("bigint").alias("event_id"),
+        F.col("attributes").getItem("fragment.index").cast("bigint").alias("frag_index"),
+        F.col("content").alias("elem"),
+    )
+
+
+@_register(
+    "attributes_to_json_pack",
+    """
+    SELECT event_id,
+           '{"event_type":"' || event_type || '","user_id":"' ||
+           CAST(user_id AS VARCHAR) || '"}' AS packed
+    FROM events
+    """,
+)
+def attributes_to_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AttributesToJSON (AttributesToJSON.cpp:116): selected attributes
+    serialized in list order; oracle mirrors the exact JSON text."""
+    from .operators import attributes_to_json
+
+    ev = _t(spark, sf_dir, "events")
+    ff = events_to_flowfiles(ev)
+    out = attributes_to_json(ff, attributes_list=["event_type", "user_id"])
+    return out.select(
+        F.col("uuid").cast("bigint").alias("event_id"), F.col("content").alias("packed")
+    )
+
+
+@_register(
+    "compress_roundtrip_gzip",
+    "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+)
+def compress_roundtrip_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompressContent (CompressContent.cpp:68): gzip compress ->
+    magic-byte auto-detect decompress; the roundtrip must be the
+    identity (oracle pins the original content hash)."""
+    from .operators import compress_content
+
+    docs = _t(spark, sf_dir, "documents")
+    ff = docs.select(F.col("doc_id"), F.col("text").alias("content"))
+    packed = compress_content(ff, mode="compress", fmt="gzip")
+    unpacked = compress_content(packed, mode="decompress", fmt="auto")
+    return unpacked.select("doc_id", F.md5(F.col("content")).alias("text_md5"))
+
+
+@_register(
+    "defragment_messages",
+    # one message per 'a…'-led run of lines, plus a leading message when
+    # the first line is not a marker; reassembling all messages in order
+    # must reproduce the document exactly (identity md5)
+    """
+    WITH lines AS (
+        SELECT doc_id, text,
+               UNNEST(ls) AS line,
+               UNNEST(range(1, len(ls) + 1)) AS idx
+        FROM (SELECT doc_id, text, string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
+              FROM documents)
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN line LIKE 'a%' THEN 1 ELSE 0 END)
+                + max(CASE WHEN idx = 1 AND line NOT LIKE 'a%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_messages,
+           md5(replace(text, ' ', chr(10))) AS full_md5
+    FROM lines GROUP BY doc_id, text
+    """,
+)
+def defragment_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DefragmentText batch flavor (DefragmentText.cpp:59): lines split
+    into messages at '^a' start markers; the oracle pins the message
+    count per document AND the identity property (messages rejoined in
+    order reproduce the original content)."""
+    from .operators import defragment_text
+
+    docs = _t(spark, sf_dir, "documents")
+    ff = docs.select(
+        F.col("doc_id").cast("string").alias("uuid"),
+        F.regexp_replace(F.col("text"), " ", "\n").alias("content"),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+    )
+    msgs = defragment_text(ff, message_start_pattern="^a")
+    per_msg = msgs.select(
+        F.col("parent_uuid").cast("bigint").alias("doc_id"),
+        F.regexp_extract(F.col("uuid"), r"-m(\d+)$", 1).cast("int").alias("_msg"),
+        F.col("content"),
+    )
+    return (
+        per_msg.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct(F.col("_msg"), F.col("content").alias("_c")))
+                        ),
+                        lambda s: s.getField("_c"),
+                    ),
+                    "\n",
+                )
+            ).alias("full_md5"),
+        )
+    )
+
+
+@_register(
+    "convert_record_xml_roundtrip",
+    # Spark's to_xml shape is '<record>\n    <k>NN</k>\n</record>'; the
+    # roundtrip back to JSON must normalize to the compact object.
+    """
+    SELECT event_id,
+           '<record>' || chr(10) || '    <k>' ||
+           CAST(json_extract(props, '$.k') AS VARCHAR) || '</k>' || chr(10) ||
+           '</record>' AS xml,
+           '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}' AS json_back
+    FROM events
+    """,
+)
+def convert_record_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConvertRecord (ConvertRecord.cpp:36, JSON<->XML reader/writer
+    pair): props JSON -> XML -> JSON; both representations pinned by
+    the oracle's text mirror."""
+    from .sources.convert_record import convert_record
+
+    ev = _t(spark, sf_dir, "events")
+    ff = ev.select("event_id", F.col("props").alias("content"))
+    as_xml = convert_record(ff, "json", "xml", "k int")
+    back = convert_record(
+        as_xml.withColumnRenamed("content", "xml").withColumn("content", F.col("xml")),
+        "xml",
+        "json",
+        "k int",
+    )
+    return back.select("event_id", "xml", F.col("content").alias("json_back"))
+
+
 # --- invariant-backed dedup grading -------------------------------------
 #
 # The near-dup algorithms are seeded/LSH-based, so their exact kept set

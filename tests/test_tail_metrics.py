@@ -159,9 +159,16 @@ def test_llm_inference_fake_backend(spark, tables):
     assert all(again[r["doc_id"]] == r["completion"] for r in rows)
 
 
-def test_llm_inference_real_backend_gated(spark, tables):
+def test_llm_inference_real_backend_gated(spark, tables, monkeypatch):
+    """The llama factory is LAZY (model loads per worker at first call,
+    r5); the gate error fires at call time. sys.modules is pinned to
+    None so an addPyFile from another test can't leak a fake module in."""
+    import sys
+
+    monkeypatch.setitem(sys.modules, "llama_cpp", None)
+    gen = an.llm_inference.llama_cpp_generate("/nonexistent/model.gguf")
     with pytest.raises(NotImplementedError, match="llama-cpp-python"):
-        an.llm_inference.llama_cpp_generate("/nonexistent/model.gguf")
+        gen(["one prompt"])
 
 
 # -- metrics ------------------------------------------------------------------

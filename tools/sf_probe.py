@@ -1,0 +1,196 @@
+"""One-off sf1 scale probe (VERDICT r4 item #10 — not a gate).
+
+Builds a ~10x replica of the sf0.1 events/documents/embeddings tables
+(the inputs of the dedup/temporal/windowing/LLM-pipeline families),
+times the family queries at both scales on the same session, and
+writes BENCH_SF1_NOTES.md with per-query scaling ratios.
+
+Replication model (the realistic scale-out axis: MORE KEYS, same
+per-key density):
+- events: user_id/event_id shift per replica -> 10x users, identical
+  per-user timelines (as-of/sessionize state sizes stay constant).
+- documents: doc_id shift + per-replica WORD ROTATION (text tokens
+  rotated by 13*rep positions) — every replica is a genuinely distinct
+  document (different shingles, Jaccard ~ 2/len vs the original), so
+  the dedup probes measure scale-out, not detection-output growth. A
+  first probe run used append-one-token replicas: those are true
+  near-dups of their originals, so candidate pairs (and the reported
+  dup set) legitimately grew ~replicas^2 and ngram-jaccard showed 59x
+  — that variant measures the pair-explosion guard, not throughput.
+- embeddings: vec_id shift + per-replica element rotation (same norm,
+  different direction -> different SRP buckets).
+
+Usage: python tools/sf_probe.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from nifi_minifi_cpp_spark.session import get_spark, load_table
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark-graft-sfprobe1"
+REPLICAS = 10
+
+# the families the verdict asked to probe (dedup / temporal / window /
+# text) — all driven through the same entry_queries implementations
+PROBE_QUERIES = [
+    "exact_dedup_representatives",
+    "normalized_fingerprint_dedup",
+    "minhash_dedup_kept",
+    "ngram_jaccard_dedup_kept",
+    "simhash_signatures",
+    "embedding_dedup_kept",
+    "asof_error_prior_click",
+    "range_join_purchase_after_error",
+    "sessionize_users",
+    "rolling_window_count10",
+    "tumbling_hourly_by_type",
+    "text_quality_features",
+    "bpe_token_counts",
+    "language_id_distribution",
+    "llm_inference_fake",
+    "cosine_topk_vec0",
+    "ivf_topk_vec0",
+]
+
+
+def build_scaled_tables(spark) -> None:
+    if os.path.exists(OUT_DIR):
+        shutil.rmtree(OUT_DIR)
+    os.makedirs(OUT_DIR)
+
+    ev = load_table(spark, "events", SF_DIR)
+    n_events = ev.agg(F.max("event_id")).first()[0] + 1
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "_rep")
+    ev10 = (
+        ev.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("event_id") + F.col("_rep") * n_events).alias("event_id"),
+            F.col("ts"),
+            (F.col("user_id") + F.col("_rep") * n_users).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    ev10.write.mode("overwrite").parquet(f"{OUT_DIR}/events.parquet")
+
+    docs = load_table(spark, "documents", SF_DIR)
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    words = F.split(F.col("text"), " ")
+    k = (F.col("_rep") * 13) % F.greatest(F.size(words), F.lit(1)) + 1
+    rotated = F.array_join(
+        F.concat(F.slice(words, k, 100000), F.slice(words, 1, k - 1)), " "
+    )
+    docs10 = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("_rep") * n_docs).alias("doc_id"),
+            F.when(F.col("_rep") == 0, F.col("text")).otherwise(rotated).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+    )
+    docs10.write.mode("overwrite").parquet(f"{OUT_DIR}/documents.parquet")
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    n_vecs = emb.agg(F.max("vec_id")).first()[0] + 1
+    e = F.col("embedding")
+    ek = (F.col("_rep") * 7) % F.greatest(F.size(e), F.lit(1)) + 1
+    erot = F.concat(F.slice(e, ek, 100000), F.slice(e, 1, ek - 1))
+    emb10 = emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("_rep") * n_vecs).alias("vec_id"),
+        F.when(F.col("_rep") == 0, e).otherwise(erot).alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    emb10.write.mode("overwrite").parquet(f"{OUT_DIR}/embeddings.parquet")
+
+    # relational tables ride along unscaled (the probe families don't
+    # read them, but entry impls expect the dir to be complete)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        load_table(spark, t, SF_DIR).write.mode("overwrite").parquet(f"{OUT_DIR}/{t}.parquet")
+
+
+def time_queries(spark, qs, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in PROBE_QUERIES:
+        fn = qs[name]
+        start = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# {name} FAILED at {sf_dir}: {type(exc).__name__}: {exc}", file=sys.stderr)
+            out[name] = float("nan")
+    return out
+
+
+def main():
+    import __spark_entry__ as entry
+
+    spark = get_spark("sf-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    # same warmups as bench.py
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(128).repartition(32).mapInPandas(lambda it: it, "id long").count()
+
+    print("building 10x tables ...", file=sys.stderr)
+    t0 = time.perf_counter()
+    build_scaled_tables(spark)
+    print(f"built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    qs = entry.queries()
+    base = time_queries(spark, qs, SF_DIR)
+    big = time_queries(spark, qs, OUT_DIR)
+
+    lines = [
+        "# sf1 scale probe (r5)",
+        "",
+        f"10x replicas of sf0.1 events/documents/embeddings (see tools/sf_probe.py"
+        f" for the replication model); same session, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}].",
+        "",
+        "Ratio = t(10x) / t(1x). Linear scaling = 10.0; sub-linear is better",
+        "(fixed per-query overheads amortize). The gate asked: no query over",
+        "10x its linearly-scaled expectation (ratio <= 100).",
+        "",
+        "| query | t_sf0.1 (s) | t_sf1 (s) | ratio | verdict |",
+        "|---|---|---|---|---|",
+    ]
+    worst = 0.0
+    for name in PROBE_QUERIES:
+        r = big[name] / base[name] if base[name] else float("nan")
+        worst = max(worst, r)
+        verdict = "ok" if r <= 100 else "SLOW"
+        lines.append(f"| {name} | {base[name]} | {big[name]} | {r:.2f}x | {verdict} |")
+    lines += [
+        "",
+        f"Worst ratio: {worst:.2f}x (linear would be 10x; the gate bound is 100x).",
+        "",
+        "Replication model: word-rotated replicas (distinct shingles) so the",
+        "dedup probes measure scale-out. A first run used append-one-token",
+        "replicas — true near-dups — and ngram-jaccard hit 59x there: with",
+        "10 genuine near-copies per document the candidate-pair count (and",
+        "the real answer) grows ~replicas^2, so that variant measures",
+        "detection-output growth plus the probe-cap guard, not throughput.",
+        "Also notable: several ratios are BELOW 1.0 because the sf0.1 input",
+        "is one small parquet file (single-partition JVM scans); the 10x",
+        "staged tables ship 32 shards and parallelize fully — the engine is",
+        "faster on MORE data once the scan can spread.",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SF1_NOTES.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"base": base, "big": big, "worst_ratio": round(worst, 2)}))
+
+
+if __name__ == "__main__":
+    main()
