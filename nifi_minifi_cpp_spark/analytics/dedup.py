@@ -27,6 +27,25 @@ def _spread_for_cpu(df: DataFrame, id_col: str) -> DataFrame:
     return _spread_for_cpu_shared(df, id_col)
 
 
+def _spread_pairs(df: DataFrame, key: str) -> DataFrame:
+    """Unconditional numbered repartition for compute-heavy-per-byte
+    verify stages. spread_for_cpu's static partition-count guard cannot
+    help here: the pair frame PLANS with 32 shuffle partitions but
+    AQE's size-based coalescing folds the tiny (two-longs-per-row)
+    shuffle to 1-2 partitions AT RUNTIME before the expensive HOFs run.
+    An explicit numPartitions repartition is exempt from AQE
+    coalescing. Only ever widens runtime parallelism: the explicit
+    count equals the session's shuffle-partition setting, i.e. what a
+    byte-sized stage would have gotten before coalescing."""
+    spark = df.sparkSession
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return df.repartition(n, key)
+
+
+
 def _bucket_probes(
     buckets: DataFrame, keys: list[str], id_col: str, max_probes: int | None
 ) -> DataFrame:
@@ -467,9 +486,16 @@ def ngram_jaccard_dedup(
     # is bounded and the common case (pairs << n) is far cheaper.
     da = df.select(F.col(id_col).alias("_ida"), F.col(content_col).alias("_ta"))
     db = df.select(F.col(id_col).alias("_idb"), F.col(content_col).alias("_tb"))
+    # spread the pair frame BEFORE the shingling HOF: the candidate
+    # table is ~16 bytes/row, so AQE's size-based coalescing folds it
+    # to 1-2 partitions at runtime — and then the interpreted shingle
+    # expressions (the most compute-per-byte stage here) run on 2
+    # cores. A static partition-count check can't see that (AQE
+    # coalesces after planning), so this is an EXPLICIT numbered
+    # repartition — the one shuffle AQE is documented never to
+    # coalesce. Profiled at 10x sf0.1: verify 16s on 2 tasks -> ~2s.
     verified = (
-        cand.join(da, "_ida")
-        .join(db, "_idb")
+        _spread_pairs(cand.join(da, "_ida").join(db, "_idb"), "_ida")
         .withColumn("_sha", word_shingles(F.col("_ta"), shingle_words))
         .withColumn("_shb", word_shingles(F.col("_tb"), shingle_words))
         .withColumn(
@@ -585,9 +611,11 @@ def embedding_dedup(
     # on the (few) survivors of the bucket filter
     ea = df.select(F.col(id_col).alias("_ida"), F.col(embedding_col).alias("_ea"))
     eb = df.select(F.col(id_col).alias("_idb"), F.col(embedding_col).alias("_eb"))
+    # same spread-before-verify as ngram_jaccard_dedup: the slim pair
+    # table AQE-coalesces to a couple of partitions at runtime, then
+    # the cosine HOF (aggregate over zip_with) runs nearly serial
     pairs = (
-        cand.join(ea, "_ida")
-        .join(eb, "_idb")
+        _spread_pairs(cand.join(ea, "_ida").join(eb, "_idb"), "_ida")
         .withColumn("_cos", cosine(F.col("_ea"), F.col("_eb")))
         .filter(F.col("_cos") >= threshold)
     )

@@ -125,6 +125,12 @@ def time_queries(spark, qs, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in PROBE_QUERIES:
         fn = qs[name]
+        # isolate queries from each other: leftover cached blocks and
+        # un-GC'd shuffle state from earlier probes otherwise inflate
+        # later ones (observed: the same entry 39s fresh vs 206s in a
+        # polluted session)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         start = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
