@@ -15,6 +15,7 @@ Spark-first equivalents:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -99,3 +100,111 @@ def attach_streaming_metrics(spark: SparkSession) -> FlowMetricsLog:
 
     spark.streams.addListener(_Listener())
     return log
+
+
+# ---------------------------------------------------------------------------
+# Prometheus exposition (PrometheusMetricsPublisher parity, METRICS.md:98-130)
+# ---------------------------------------------------------------------------
+
+
+def prometheus_exposition(
+    transfer_metrics: list[TransferMetrics] | None = None,
+    flow_log: FlowMetricsLog | None = None,
+    agent_identifier: str | None = None,
+    procfs_root: str = "/proc",
+) -> str:
+    """Render current metrics in the Prometheus text exposition format.
+
+    Parity with PrometheusMetricsPublisher (/root/reference/METRICS.md:
+    98-130): every metric carries the ``minifi_`` domain prefix plus
+    the generic ``metric_class`` and ``agent_identifier`` labels; the
+    FlowInformation processor counters (flow_files_out / bytes_out /
+    invocations / processing_nanos) come from the Observation handles
+    and the streaming progress log; DeviceInfoNode gauges
+    (physical_mem / memory_usage / cpu_load_average) read /proc via the
+    ProcFsMonitor source.
+    """
+    import socket as _socket
+
+    agent = agent_identifier or _socket.gethostname()
+
+    def esc(v: str) -> str:
+        return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+    lines: list[str] = []
+
+    def emit(name: str, value, metric_class: str, **labels):
+        if value is None:
+            return
+        lbl = {"metric_class": metric_class, "agent_identifier": agent, **labels}
+        body = ",".join(f'{k}="{esc(v)}"' for k, v in lbl.items())
+        lines.append(f"minifi_{name}{{{body}}} {value}")
+
+    for tm in transfer_metrics or []:
+        vals = tm.values
+        emit("flow_files_out", vals["transferred_flowfiles"], "FlowInformation", processor_name=tm.name)
+        emit("bytes_out", vals["transferred_bytes"], "FlowInformation", processor_name=tm.name)
+
+    if flow_log is not None:
+        per_query: dict[str, dict] = {}
+        for p in flow_log.progress:
+            agg = per_query.setdefault(p["id"], {"rows": 0, "batches": 0, "ms": 0})
+            agg["rows"] += p.get("numInputRows", 0)
+            agg["batches"] += 1
+            agg["ms"] += sum((p.get("durationMs") or {}).values())
+        for qid, agg in per_query.items():
+            emit("flow_files_in", agg["rows"], "QueueMetrics", connection_uuid=qid)
+            emit("invocations", agg["batches"], "FlowInformation", processor_uuid=qid)
+            emit("processing_nanos", agg["ms"] * 1_000_000, "FlowInformation", processor_uuid=qid)
+
+    # DeviceInfoNode gauges via the ProcFsMonitor source (METRICS.md:174-181)
+    try:
+        from .sources.procfs import ProcFs
+
+        mem = ProcFs(procfs_root).mem_info()
+        total_kb, avail_kb = mem.get("MemTotal"), mem.get("MemAvailable")
+        if total_kb is not None:
+            emit("physical_mem", total_kb * 1024, "DeviceInfoNode")
+            if avail_kb is not None:
+                emit("memory_usage", (total_kb - avail_kb) * 1024, "DeviceInfoNode")
+    except (OSError, KeyError):
+        pass
+    try:
+        emit("cpu_load_average", round(os.getloadavg()[0], 4), "DeviceInfoNode")
+    except OSError:
+        pass
+
+    return "\n".join(lines) + "\n"
+
+
+def serve_prometheus(
+    port: int,
+    transfer_metrics: list[TransferMetrics] | None = None,
+    flow_log: FlowMetricsLog | None = None,
+    agent_identifier: str | None = None,
+):
+    """Start the scrape endpoint (PrometheusMetricsPublisher's port
+    property): a stdlib HTTP server on a daemon thread serving the
+    exposition at every path. Returns the server; ``.shutdown()`` stops
+    it. SSL termination is left to a fronting proxy (the reference's
+    cert options are out of scope for the engine)."""
+    import http.server
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - stdlib API name
+            body = prometheus_exposition(
+                transfer_metrics, flow_log, agent_identifier
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server

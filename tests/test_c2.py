@@ -133,3 +133,56 @@ def test_rest_sender_import_gated():
         pytest.skip("requests present; gate not exercisable")
     with pytest.raises(NotImplementedError, match="transport"):
         rest_sender("http://c2.test/heartbeat")({"operation": "heartbeat"})
+
+
+# -- Prometheus publisher (METRICS.md:98-130 parity) --------------------------
+
+
+def test_prometheus_exposition_and_scrape(spark, tables):
+    """Transfer counters + device gauges render in the Prometheus text
+    format with the minifi_ prefix and generic labels, and the scrape
+    endpoint actually serves them over HTTP."""
+    import urllib.request
+
+    from nifi_minifi_cpp_spark.metrics import (
+        prometheus_exposition,
+        serve_prometheus,
+        with_transfer_metrics,
+    )
+    from nifi_minifi_cpp_spark.model import documents_to_flowfiles
+
+    docs = documents_to_flowfiles(tables["documents"].limit(25))
+    observed, handle = with_transfer_metrics(docs, "route-out")
+    observed.write.format("noop").mode("overwrite").save()
+
+    text = prometheus_exposition([handle], agent_identifier="Agent1")
+    assert 'minifi_flow_files_out{metric_class="FlowInformation",agent_identifier="Agent1",processor_name="route-out"} 25' in text
+    assert "minifi_bytes_out{" in text
+    assert 'minifi_physical_mem{metric_class="DeviceInfoNode"' in text
+    assert "minifi_cpu_load_average{" in text
+
+    # scrape over HTTP (the publisher's port property)
+    import random
+
+    port = random.randint(29000, 29999)
+    server = serve_prometheus(port, [handle], agent_identifier="Agent1")
+    try:
+        got = urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics", timeout=5).read().decode()
+        assert "minifi_flow_files_out{" in got
+    finally:
+        server.shutdown()
+
+
+def test_prometheus_streaming_progress_metrics():
+    from nifi_minifi_cpp_spark.metrics import FlowMetricsLog, prometheus_exposition
+
+    log = FlowMetricsLog(
+        progress=[
+            {"id": "q-1", "batchId": 0, "numInputRows": 100, "durationMs": {"triggerExecution": 50}},
+            {"id": "q-1", "batchId": 1, "numInputRows": 40, "durationMs": {"triggerExecution": 30}},
+        ]
+    )
+    text = prometheus_exposition(flow_log=log, agent_identifier="a2")
+    assert 'minifi_flow_files_in{metric_class="QueueMetrics",agent_identifier="a2",connection_uuid="q-1"} 140' in text
+    assert 'minifi_invocations{metric_class="FlowInformation",agent_identifier="a2",processor_uuid="q-1"} 2' in text
+    assert "minifi_processing_nanos{" in text and "} 80000000" in text
