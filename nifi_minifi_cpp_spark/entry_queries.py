@@ -2363,6 +2363,109 @@ def defragment_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "retry_flow_file_exhaustion",
+    # three passes with max_retries=2: rows start at retries=0; pass 1
+    # bumps to 1 (retry), pass 2 to 2 (retry), pass 3 sees 2 >= 2 ->
+    # retries_exceeded with the counter UNCHANGED at 2 (the reference
+    # does not bump on the exceeded route). This oracle caught the
+    # off-by-one in the original operator (filter resolved against the
+    # post-increment map).
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_exceeded,
+           CAST(2 AS BIGINT)        AS final_retries
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def retry_flow_file_exhaustion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RetryFlowFile (RetryFlowFile.cpp:39): the retry counter loop —
+    route to retry until max_retries is exceeded; the oracle pins the
+    exceeded population and the final counter value."""
+    from .operators import retry_flow_file, route_on_attribute
+
+    ev = _t(spark, sf_dir, "events")
+    ff = route_on_attribute(events_to_flowfiles(ev), {"errors": "${event_type:equals('error')}"})[
+        "errors"
+    ]
+    for _ in range(3):  # each pass re-queues the 'retry' relationship
+        routed = retry_flow_file(ff, max_retries=2)
+        ff = routed["retry"]
+    exceeded = routed["retries_exceeded"]
+    return exceeded.agg(
+        F.count(F.lit(1)).alias("n_exceeded"),
+        F.max(F.col("attributes").getItem("flowfile.retries").cast("bigint")).alias(
+            "final_retries"
+        ),
+    )
+
+
+@_register(
+    "funnel_merge_counts",
+    """
+    SELECT event_type, CAST(count(*) * 2 AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def funnel_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel (Funnel.h:27): two branches of the same source unioned —
+    per-type counts double."""
+    from .operators import funnel, route_on_attribute
+
+    ev = events_to_flowfiles(_t(spark, sf_dir, "events"))
+    a = ev  # two logical branches of the flow graph
+    b = ev
+    merged = funnel(a, b)
+    return merged.groupBy(F.col("attributes").getItem("event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
+    "split_content_words",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_parts,
+           md5(text) AS rejoin_md5
+    FROM documents
+    """,
+)
+def split_content_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitContent (SplitContent.cpp:204): delimiter split -> one row
+    per part with fragment.*; parts rejoined on the delimiter must
+    reproduce the input (identity), count pinned by the oracle."""
+    from .operators import split_content
+
+    docs = _t(spark, sf_dir, "documents")
+    ff = docs.select(
+        F.col("doc_id").cast("string").alias("uuid"),
+        F.col("text").alias("content"),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+    )
+    parts = split_content(ff, " ")
+    return (
+        parts.select(
+            F.col("attributes").getItem("fragment.identifier").cast("bigint").alias("doc_id"),
+            F.col("attributes").getItem("fragment.index").cast("int").alias("_idx"),
+            "content",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct(F.col("_idx"), F.col("content").alias("_c")))
+                        ),
+                        lambda s: s.getField("_c"),
+                    ),
+                    " ",
+                )
+            ).alias("rejoin_md5"),
+        )
+    )
+
+
+@_register(
     "convert_record_xml_roundtrip",
     # Spark's to_xml shape is '<record>\n    <k>NN</k>\n</record>'; the
     # roundtrip back to JSON must normalize to the compact object.

@@ -145,7 +145,13 @@ def retry_flow_file(
     then ``retries_exceeded``.
     """
     current = F.coalesce(F.col("attributes").getItem(attribute).cast("int"), F.lit(0))
-    bumped = df.withColumn(
+    # Filter FIRST, bump only the retry branch: filtering the bumped
+    # frame would re-resolve `current` against the post-increment map
+    # (off-by-one routing — a flowfile was exceeded one pass early with
+    # a phantom extra retry on it; caught by the
+    # retry_flow_file_exhaustion oracle, r5). The exceeded branch keeps
+    # its counter untouched, like the reference.
+    bumped = df.filter(current < F.lit(max_retries)).withColumn(
         "attributes",
         F.map_concat(
             F.col("attributes"),
@@ -153,8 +159,8 @@ def retry_flow_file(
         ),
     )
     return {
-        "retry": bumped.filter(current < F.lit(max_retries)),
-        "retries_exceeded": bumped.filter(current >= F.lit(max_retries)),
+        "retry": bumped,
+        "retries_exceeded": df.filter(current >= F.lit(max_retries)),
     }
 
 

@@ -163,12 +163,21 @@ def test_route_text_regex_grouping(spark):
 
 
 def test_retry_flow_file(spark):
-    ff = make_ff(spark, [("1", "", {}), ("2", "", {"flowfile.retries": "3"})])
+    # "3" at the boundary: 2 retries consumed of max 3 -> one MORE
+    # retry is due (the r5 off-by-one resolved the comparison against
+    # the post-increment map and exceeded it a pass early)
+    ff = make_ff(
+        spark,
+        [("1", "", {}), ("2", "", {"flowfile.retries": "3"}), ("3", "", {"flowfile.retries": "2"})],
+    )
     routed = ops.retry_flow_file(ff, max_retries=3)
     retry = {r["uuid"]: dict(r["attributes"]) for r in routed["retry"].collect()}
-    exceeded = [r["uuid"] for r in routed["retries_exceeded"].collect()]
-    assert list(retry) == ["1"] and retry["1"]["flowfile.retries"] == "1"
-    assert exceeded == ["2"]
+    exceeded = {r["uuid"]: dict(r["attributes"]) for r in routed["retries_exceeded"].collect()}
+    assert sorted(retry) == ["1", "3"] and retry["1"]["flowfile.retries"] == "1"
+    assert retry["3"]["flowfile.retries"] == "3"
+    assert list(exceeded) == ["2"]
+    # the exceeded route does NOT bump the counter (reference parity)
+    assert exceeded["2"]["flowfile.retries"] == "3"
 
 
 # -- Funnel -------------------------------------------------------------------
