@@ -2363,6 +2363,93 @@ def defragment_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "execute_sql_rowsets",
+    # the rowset->JSON-lines chunking: 500 docs ordered by id, 50 rows
+    # per FlowFile -> 10 chunks whose exact JSON content the oracle
+    # reconstructs (to_json renders {"doc_id":N,"h":"..."} with int64
+    # as a bare number, struct-field order = select order).
+    """
+    WITH rows AS (
+        SELECT doc_id, md5(text) AS h,
+               row_number() OVER (ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT 'sql-' || CAST(CAST(floor((rn - 1) / 50) AS BIGINT) AS VARCHAR) AS uuid,
+           md5(string_agg('{"doc_id":' || doc_id || ',"h":"' || h || '"}',
+                          chr(10) ORDER BY rn)) AS content_md5,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM rows GROUP BY floor((rn - 1) / 50)
+    """,
+)
+def execute_sql_rowsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteSQL (ExecuteSQL.cpp:41-81): SELECT -> JSON-lines rowset
+    FlowFiles honoring Max Rows Per Flow File; chunk ids, exact chunk
+    content, and executesql.row.count all pinned by the oracle."""
+    from .session import register_views
+    from .sources.sql import execute_sql
+
+    configure(spark)
+    register_views(spark, sf_dir)
+    out = execute_sql(
+        spark,
+        "SELECT doc_id, md5(text) AS h FROM documents ORDER BY doc_id",
+        max_rows_per_flowfile=50,
+    )
+    return out.select(
+        "uuid",
+        F.md5(F.col("content")).alias("content_md5"),
+        F.col("attributes").getItem("executesql.row.count").cast("bigint").alias("n_rows"),
+    )
+
+
+@_register(
+    "get_put_file_roundtrip",
+    "SELECT md5(replace(text, chr(10), ' ')) AS line_md5 FROM documents",
+)
+def get_put_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetFile -> PutFile through the FLOW COMPILER (GetFile.cpp:71,
+    PutFile.cpp:75): documents staged as text files, a compiled flow
+    reads them with GetFile and lands them with PutFile (parquet),
+    and the landed rows must hash-match the originals."""
+    import tempfile
+
+    from .plans import compile_flow
+
+    configure(spark)
+    src = f"{sf_dir}/documents.parquet"
+    stamp = int(os.path.getmtime(src))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    stage = os.path.join(tempfile.gettempdir(), f"spark-graft-getfileq-{sf_name}-{stamp}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        import shutil
+        import uuid as _uuid
+
+        docs = load_table(spark, "documents", sf_dir).select(
+            F.regexp_replace("text", "\n", " ").alias("value")
+        )
+        tmp = f"{stage}.tmp-{_uuid.uuid4().hex}"
+        docs.write.mode("overwrite").text(tmp)
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    out_dir = tempfile.mkdtemp(prefix="putfileq-") + "/landed"
+    flow = compile_flow(
+        spark,
+        {
+            "processors": [
+                {"id": "get", "type": "GetFile", "properties": {"input_directory": stage}},
+                {"id": "put", "type": "PutFile", "properties": {"directory": out_dir}},
+            ],
+            "connections": [{"source": "get", "destination": "put"}],
+        },
+    )
+    flow.df("put").write.format("noop").mode("overwrite").save()  # flow ran at compile
+    landed = spark.read.parquet(out_dir)
+    return landed.select(F.md5(F.col("content")).alias("line_md5"))
+
+
+@_register(
     "retry_flow_file_exhaustion",
     # three passes with max_retries=2: rows start at retries=0; pass 1
     # bumps to 1 (retry), pass 2 to 2 (retry), pass 3 sees 2 >= 2 ->
