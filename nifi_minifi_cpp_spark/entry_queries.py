@@ -1907,6 +1907,38 @@ def syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+def _stage_text_atomic(stage: str, build_df) -> None:
+    """Publish a text stage under ``stage`` exactly once, race-safely,
+    REPAIRING torn stages: write to a unique tmp dir, atomic-rename
+    into place. If the rename fails because a previous run crashed
+    mid-publish (stage exists WITHOUT _SUCCESS), the torn dir is
+    removed and the rename retried — the old swallow-everything
+    except-clause served incomplete data forever (review r5)."""
+    import shutil
+    import uuid as _uuid
+
+    done = os.path.join(stage, "_SUCCESS")
+    if os.path.exists(done):
+        return
+    tmp = f"{stage}.tmp-{_uuid.uuid4().hex}"
+    build_df().write.mode("overwrite").text(tmp)
+    try:
+        os.rename(tmp, stage)
+        return
+    except OSError:
+        pass
+    if os.path.exists(done):  # lost the race to a healthy publisher
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    shutil.rmtree(stage, ignore_errors=True)  # torn stage: repair
+    try:
+        os.rename(tmp, stage)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(done):  # not a benign second race
+            raise
+
+
 @_register(
     "tailfile_ingest",
     "SELECT md5(text) AS line_md5 FROM documents",
@@ -1922,9 +1954,7 @@ def tailfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's own agent model); the scale path is the native
     streaming source (``sources/datasource.py`` ``TailFileDataSource``,
     offsets = (file, position, checksum) state) — see test_tail_metrics."""
-    import shutil
     import tempfile
-    import uuid as _uuid
 
     from .sources import TailFile
 
@@ -1933,20 +1963,12 @@ def tailfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamp = int(os.path.getmtime(src))
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     stage = os.path.join(tempfile.gettempdir(), f"spark-graft-tailq-{sf_name}-{stamp}")
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        docs = load_table(spark, "documents", sf_dir).select(
+    _stage_text_atomic(
+        stage,
+        lambda: load_table(spark, "documents", sf_dir).select(
             F.regexp_replace("text", "\n", " ").alias("value")
-        )
-        # race-safe staging (ADVICE r4): write into a UNIQUE dir, then
-        # publish with one atomic rename — two concurrent bench/test
-        # processes can no longer tear each other's stage; the rename
-        # loser just discards its copy
-        tmp = f"{stage}.tmp-{_uuid.uuid4().hex}"
-        docs.write.mode("overwrite").text(tmp)
-        try:
-            os.rename(tmp, stage)
-        except OSError:  # another process published first
-            shutil.rmtree(tmp, ignore_errors=True)
+        ),
+    )
     # private fresh dir => unique state path without mktemp's race
     state_path = os.path.join(tempfile.mkdtemp(prefix="tailq-state-"), "state.json")
     tail = TailFile(f"{stage}/part-*", state_path)
@@ -2420,19 +2442,12 @@ def get_put_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamp = int(os.path.getmtime(src))
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     stage = os.path.join(tempfile.gettempdir(), f"spark-graft-getfileq-{sf_name}-{stamp}")
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        import shutil
-        import uuid as _uuid
-
-        docs = load_table(spark, "documents", sf_dir).select(
+    _stage_text_atomic(
+        stage,
+        lambda: load_table(spark, "documents", sf_dir).select(
             F.regexp_replace("text", "\n", " ").alias("value")
-        )
-        tmp = f"{stage}.tmp-{_uuid.uuid4().hex}"
-        docs.write.mode("overwrite").text(tmp)
-        try:
-            os.rename(tmp, stage)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+        ),
+    )
     out_dir = tempfile.mkdtemp(prefix="putfileq-") + "/landed"
     flow = compile_flow(
         spark,
@@ -2495,7 +2510,7 @@ def retry_flow_file_exhaustion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel (Funnel.h:27): two branches of the same source unioned —
     per-type counts double."""
-    from .operators import funnel, route_on_attribute
+    from .operators import funnel
 
     ev = events_to_flowfiles(_t(spark, sf_dir, "events"))
     a = ev  # two logical branches of the flow graph

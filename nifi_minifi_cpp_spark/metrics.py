@@ -30,8 +30,19 @@ class TransferMetrics:
     observation: Observation
 
     @property
+    def ready(self) -> bool:
+        """True once the observed frame's first action has completed.
+        Checked via the JVM Observation's non-blocking getRowOrEmpty —
+        ``Observation.get`` itself BLOCKS until the first action, which
+        would hang a metrics scrape that fires before the flow runs."""
+        jo = self.observation._jo
+        return jo is not None and not jo.getRowOrEmpty().isEmpty()
+
+    @property
     def values(self) -> dict:
-        got = dict(self.observation.get)
+        if not self.ready:
+            return {"transferred_flowfiles": None, "transferred_bytes": None}
+        got = dict(self.observation.get)  # non-blocking now: metrics exist
         return {
             "transferred_flowfiles": got.get("transferred_flowfiles"),
             "transferred_bytes": got.get("transferred_bytes"),
@@ -151,7 +162,12 @@ def prometheus_exposition(
             agg = per_query.setdefault(p["id"], {"rows": 0, "batches": 0, "ms": 0})
             agg["rows"] += p.get("numInputRows", 0)
             agg["batches"] += 1
-            agg["ms"] += sum((p.get("durationMs") or {}).values())
+            # triggerExecution is the umbrella timer containing
+            # addBatch/getBatch/walCommit/... — summing every component
+            # would double-count; fall back to the sum only when the
+            # umbrella key is absent
+            dur = p.get("durationMs") or {}
+            agg["ms"] += dur.get("triggerExecution", sum(dur.values()))
         for qid, agg in per_query.items():
             emit("flow_files_in", agg["rows"], "QueueMetrics", connection_uuid=qid)
             emit("invocations", agg["batches"], "FlowInformation", processor_uuid=qid)

@@ -22,6 +22,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: explicit-bin_width safety valve: more wide ranges than this would
+#: be broadcast -> refuse with guidance (auto p90 width bounds the
+#: wide tail by construction; a user width does not)
+MAX_BROADCAST_WIDE_RANGES = 1_000_000
+
 
 def asof_join(
     left: DataFrame,
@@ -142,6 +147,7 @@ def range_join(
     def scalar(c: Column) -> Column:
         return F.unix_micros(c) / 1_000_000.0 if is_ts else c.cast("double")
 
+    explicit_width = bin_width is not None
     if bin_width is None:
         row = ranges.agg(
             F.percentile_approx(scalar(F.col(end_col)) - scalar(F.col(start_col)), 0.9)
@@ -157,6 +163,22 @@ def range_join(
     )
     narrow = ranges.filter(n_bins <= max_bins_per_range)
     wide = ranges.filter(n_bins > max_bins_per_range)
+    if explicit_width:
+        # With the AUTO p90 width, "wide" is by construction the
+        # extreme tail (wider than max_bins_per_range x p90). A
+        # user-supplied width has no such bound — an hour-wide range
+        # set with bin_width=1.0 would classify EVERYTHING wide and
+        # broadcast the whole ranges table (OOM). One cheap count
+        # (slim projection over the smaller input) guards that; the
+        # auto path stays lazy-after-the-percentile.
+        n_wide = wide.select(start_col).limit(MAX_BROADCAST_WIDE_RANGES + 1).count()
+        if n_wide > MAX_BROADCAST_WIDE_RANGES:
+            raise ValueError(
+                f"range_join: over {MAX_BROADCAST_WIDE_RANGES} ranges exceed max_bins_per_range="
+                f"{max_bins_per_range} at bin_width={bin_width} and would all "
+                "be broadcast — raise bin_width (or max_bins_per_range), or "
+                "pass bin_width=None for the p90 auto width"
+            )
 
     rb = narrow.withColumn(
         "_bin",

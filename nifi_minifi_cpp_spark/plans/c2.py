@@ -101,6 +101,7 @@ class C2Agent:
         self.sequence = 0
         self._sent_manifest = False
         self.paused = False
+        self.last_transport_error: str | None = None
 
     # -- response nodes (C2.md "C2 Response Nodes") ----------------------
 
@@ -154,26 +155,40 @@ class C2Agent:
     def heartbeat_payload(self) -> dict:
         include_manifest = self.full_heartbeat or not self._sent_manifest
         self.sequence += 1
-        payload = {
+        return {
             "operation": "heartbeat",
             "sequence": self.sequence,
             "agentInfo": self._agent_info(include_manifest),
             "deviceInfo": self._device_info(),
             "flowInfo": self._flow_info(),
         }
-        self._sent_manifest = True
-        return payload
 
     # -- operation dispatch (C2Agent.h: handle_c2_server_response) -------
 
     def heartbeat(self) -> list[dict]:
         """Send one heartbeat; process requested operations from the
-        response; send (and return) the acknowledge payloads."""
-        response = self.transport(self.heartbeat_payload()) or {}
+        response; send (and return) the acknowledge payloads.
+
+        Transport failures must not kill the heartbeat loop (the
+        reference keeps beating through server outages) and must not
+        latch the manifest flag: ``_sent_manifest`` flips only after a
+        DELIVERED heartbeat, so the server is guaranteed to eventually
+        receive the first-contact manifest."""
+        payload = self.heartbeat_payload()
+        try:
+            response = self.transport(payload) or {}
+        except Exception as exc:  # noqa: BLE001 — keep beating
+            self.last_transport_error = f"{type(exc).__name__}: {exc}"
+            return []
+        self.last_transport_error = None
+        self._sent_manifest = True
         acks = []
         for op in response.get("requestedOperations", []) or []:
             ack = self.process_operation(op)
-            self.transport(ack)
+            try:
+                self.transport(ack)
+            except Exception as exc:  # noqa: BLE001 — ack redelivery is server-side
+                self.last_transport_error = f"{type(exc).__name__}: {exc}"
             acks.append(ack)
         return acks
 

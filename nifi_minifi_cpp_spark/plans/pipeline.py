@@ -1196,7 +1196,11 @@ class FlowController:
                 )
             elif ptype == "OutputPort":
                 # site-to-site channel: the parquet sink's metadata log
-                # is the exactly-once transaction
+                # is the exactly-once transaction; same mixed-mode
+                # guard as the direct output_port path
+                from .ports import check_streaming_channel
+
+                check_streaming_channel(self.spark, props["channel"])
                 writer = (
                     df.writeStream.format("parquet")
                     .option("path", props["channel"])

@@ -60,6 +60,25 @@ def _fs_for(df_or_spark, path: str):
     return jvm, fs, jpath
 
 
+def check_streaming_channel(spark: SparkSession, channel_dir: str) -> None:
+    """One-mode-per-channel guard for STREAMING producers: refuse a
+    channel already holding batch ``txn-*`` commits (the parquet sink's
+    ``_spark_metadata`` log would make them invisible to readers).
+    Called by both :func:`output_port` and the FlowController's
+    compiled OutputPort sink — a compiled flow must not bypass the
+    guard (review r5)."""
+    jvm = spark._jvm
+    chan = jvm.org.apache.hadoop.fs.Path(channel_dir)
+    fs = chan.getFileSystem(spark._jsc.hadoopConfiguration())
+    txns = fs.globStatus(jvm.org.apache.hadoop.fs.Path(channel_dir, "txn-*"))
+    if txns is not None and len(txns) > 0:
+        raise ValueError(
+            f"channel {channel_dir} already holds batch txn-* commits; a "
+            "streaming producer's _spark_metadata log would make them "
+            "invisible to readers — use one mode per channel"
+        )
+
+
 def output_port(df: DataFrame, channel_dir: str, checkpoint: str | None = None):
     """Producer side. Batch: staged-write + atomic directory rename per
     transaction (readers see all of a batch or none of it). Streaming:
@@ -88,13 +107,7 @@ def output_port(df: DataFrame, channel_dir: str, checkpoint: str | None = None):
     if df.isStreaming:
         if checkpoint is None:
             raise ValueError("streaming output_port requires a checkpoint dir")
-        txns = fs.globStatus(jvm.org.apache.hadoop.fs.Path(channel_dir, "txn-*"))
-        if txns is not None and len(txns) > 0:
-            raise ValueError(
-                f"channel {channel_dir} already holds batch txn-* commits; a "
-                "streaming producer's _spark_metadata log would make them "
-                "invisible to readers — use one mode per channel"
-            )
+        check_streaming_channel(df.sparkSession, channel_dir)
         return (
             df.writeStream.format("parquet")
             .option("path", channel_dir)

@@ -50,6 +50,10 @@ def get_spark(app_name: str = "nifi-minifi-cpp-spark", cpus: int | None = None) 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # reliable_barrier uses .checkpoint() when a checkpoint dir is
+        # set; without this the checkpoint files outlive the RDD and a
+        # long-lived session leaks storage per dedup call
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

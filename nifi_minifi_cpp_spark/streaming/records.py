@@ -59,52 +59,50 @@ def kafka_records_to_flowfiles(
             admit = [n.strip() for n in headers_filter.split(",") if n.strip()]
             hs = F.filter(hs, lambda h: h.getField("key").isin(admit))
         policy = duplicate_header_handling.lower()
-        if policy == "keep_first":
-            # map_from_entries under LAST_WIN keeps the last entry, so
-            # reversing the array makes the FIRST occurrence win
-            hs = F.reverse(hs)
-        if policy in ("keep_first", "keep_latest"):
-            header_map = F.map_from_entries(
-                F.transform(
-                    hs,
-                    lambda h: F.struct(
-                        h.getField("key").alias("key"),
-                        h.getField("value").cast("string").alias("value"),
-                    ),
-                )
-            )
-        elif policy == "comma_merge":
-            # fold the header array into a map, appending ", "-joined
-            # values on key collision ("Comma-separated Merge",
-            # ConsumeKafka.h:195-198); O(k^2) in the per-row header
-            # count, all inside codegen
-            empty = F.create_map().cast("map<string,string>")
-            header_map = F.aggregate(
-                hs,
-                empty,
-                lambda acc, h: F.map_concat(
-                    F.map_filter(acc, lambda k, _v: k != h.getField("key")),
-                    F.map_from_arrays(
-                        F.array(h.getField("key")),
-                        F.array(
-                            F.when(
-                                F.map_contains_key(acc, h.getField("key")),
-                                F.concat(
-                                    F.element_at(acc, h.getField("key")),
-                                    F.lit(", "),
-                                    h.getField("value").cast("string"),
-                                ),
-                            ).otherwise(h.getField("value").cast("string"))
-                        ),
-                    ),
-                ),
-            )
-        else:
+        if policy not in ("keep_first", "keep_latest", "comma_merge"):
             raise ValueError(
                 f"unknown duplicate_header_handling {duplicate_header_handling!r} "
                 "(keep_first|keep_latest|comma_merge)"
             )
-        attrs = F.map_concat(base_attrs, F.coalesce(header_map, F.create_map().cast("map<string,string>")))
+
+        # All three policies fold the header array into a map with an
+        # explicit on-collision rule — NOT map_from_entries, whose
+        # duplicate-key behavior depends on the session's
+        # spark.sql.mapKeyDedupPolicy (EXCEPTION by default: a plain
+        # SparkSession would throw DUPLICATE_MAP_KEY on the second
+        # 'Accept' header). O(k^2) in the per-row header count, JVM-side.
+        def on_collision(acc, h):
+            new = h.getField("value").cast("string")
+            if policy == "keep_first":
+                return F.element_at(acc, h.getField("key"))
+            if policy == "keep_latest":
+                return new
+            return F.concat(F.element_at(acc, h.getField("key")), F.lit(", "), new)
+
+        empty = F.create_map().cast("map<string,string>")
+        header_map = F.aggregate(
+            hs,
+            empty,
+            lambda acc, h: F.map_concat(
+                F.map_filter(acc, lambda k, _v: k != h.getField("key")),
+                F.map_from_arrays(
+                    F.array(h.getField("key")),
+                    F.array(
+                        F.when(
+                            F.map_contains_key(acc, h.getField("key")),
+                            on_collision(acc, h),
+                        ).otherwise(h.getField("value").cast("string"))
+                    ),
+                ),
+            ),
+        )
+        hmap = F.coalesce(header_map, F.create_map().cast("map<string,string>"))
+        # collision-safe merge (a header literally named 'kafka.key'
+        # must not trip mapKeyDedupPolicy=EXCEPTION): headers win over
+        # the base kafka.* attributes, like an attribute overwrite
+        attrs = F.map_concat(
+            F.map_filter(base_attrs, lambda k, _v: ~F.map_contains_key(hmap, k)), hmap
+        )
     return df.select(
         F.concat(F.col("topic"), F.lit("-"), F.col("partition"), F.lit("-"), F.col("offset")).alias("uuid"),
         F.col("timestamp").alias("ts"),

@@ -136,16 +136,22 @@ def consume_kafka_options(props: dict) -> dict[str, str]:
         raise ValueError(f"unknown Topic Name Format {fmt!r} (Names|Patterns)")
 
     reset = str(props.get("Offset Reset", "latest"))
-    if reset in ("earliest", "latest"):
+    if reset in ("earliest", "latest") or reset.lstrip().startswith("{"):
+        # earliest/latest, or an explicit per-partition offsets JSON
+        # ({"topic":{"0":23}}), which Spark's startingOffsets accepts
+        # directly — the escape hatch the 'none' error points at
         opts["startingOffsets"] = reset
     elif reset == "none":
         raise ValueError(
             "Offset Reset 'none' (fail without committed offsets) has no "
             "Spark analogue — offsets live in the checkpoint; pass an "
-            "explicit per-partition startingOffsets JSON instead"
+            "explicit per-partition startingOffsets JSON "
+            '(e.g. \'{"topic":{"0":23}}\') as Offset Reset instead'
         )
     else:
-        raise ValueError(f"unknown Offset Reset {reset!r} (earliest|latest|none)")
+        raise ValueError(
+            f"unknown Offset Reset {reset!r} (earliest|latest|none|offsets JSON)"
+        )
 
     honor = props.get("Honor Transactions", True)
     honor = str(honor).lower() in ("true", "1", "yes")

@@ -37,6 +37,12 @@ def reliable_barrier(df: DataFrame) -> DataFrame:
     ``localCheckpoint`` (executor-local, unreplicated — fast, but an
     executor loss before the last action kills the job with no lineage
     to recompute; fine on a stable cluster or local mode).
+
+    Storage hygiene: the engine session sets
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so
+    reliable checkpoint files are removed when the barrier RDD is
+    garbage-collected — otherwise each dedup call would leak a
+    permanent checkpoint directory (default Spark behavior).
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:

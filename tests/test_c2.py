@@ -186,3 +186,46 @@ def test_prometheus_streaming_progress_metrics():
     assert 'minifi_flow_files_in{metric_class="QueueMetrics",agent_identifier="a2",connection_uuid="q-1"} 140' in text
     assert 'minifi_invocations{metric_class="FlowInformation",agent_identifier="a2",processor_uuid="q-1"} 2' in text
     assert "minifi_processing_nanos{" in text and "} 80000000" in text
+
+
+def test_heartbeat_survives_transport_failure_and_keeps_manifest(spark):
+    """Review r5: a transport exception must not kill the loop NOR
+    latch the manifest flag — the server still gets the manifest on
+    the first DELIVERED heartbeat."""
+    ctl = FlowController(spark, _flow_cfg("a")).start()
+    calls = {"n": 0}
+    received = []
+
+    def flaky(payload):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConnectionError("c2 server down")
+        received.append(payload)
+        return {}
+
+    agent = C2Agent(ctl, flaky)
+    assert agent.heartbeat() == []  # no raise
+    assert "c2 server down" in agent.last_transport_error
+    agent.heartbeat()
+    assert agent.last_transport_error is None
+    # the delivered heartbeat carries the manifest (not lost to the outage)
+    assert "agentManifest" in received[0]["agentInfo"]
+    agent.heartbeat()
+    assert "agentManifest" not in received[1]["agentInfo"]  # now light
+
+
+def test_prometheus_scrape_before_first_action_does_not_block(spark):
+    """Review r5: Observation.get blocks until the observed frame's
+    first action; a scrape that fires earlier must return immediately
+    with the metric omitted."""
+    import time
+
+    from nifi_minifi_cpp_spark.metrics import prometheus_exposition, with_transfer_metrics
+
+    df = spark.range(10).selectExpr("CAST(id AS STRING) AS content")
+    _observed, handle = with_transfer_metrics(df, "never-run")  # NO action
+    start = time.monotonic()
+    text = prometheus_exposition([handle], agent_identifier="a")
+    assert time.monotonic() - start < 5  # did not block on .get
+    assert "never-run" not in text  # metric omitted until ready
+    assert not handle.ready

@@ -221,3 +221,38 @@ def test_kafka_source_requires_subscription(spark):
 
     with pytest.raises(ValueError, match="topics or topic_pattern"):
         kafka_source(spark, "b:9092")
+
+
+def test_explicit_offsets_json_accepted():
+    """Review r5 regression: an explicit per-partition startingOffsets
+    JSON (the escape hatch the 'none' error recommends) must pass
+    through to Spark."""
+    js = '{"t1":{"0":23,"1":-2}}'
+    opts = consume_kafka_options(_base_props(**{"Offset Reset": js}))
+    assert opts["startingOffsets"] == js
+
+
+def test_duplicate_headers_work_under_exception_dedup_policy(spark):
+    """Review r5: the header fold must not depend on the session's
+    mapKeyDedupPolicy (default EXCEPTION throws on duplicate map keys).
+    Also: a header named like a base kafka.* attribute must override
+    it, not throw."""
+    from nifi_minifi_cpp_spark.streaming.records import kafka_records_to_flowfiles
+
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try:
+        df = _kafka_frame(
+            spark,
+            [("Accept", "text/html"), ("Accept", "application/xml"), ("kafka.key", "shadow")],
+        )
+        for policy, expected in (
+            ("keep_first", "text/html"),
+            ("keep_latest", "application/xml"),
+            ("comma_merge", "text/html, application/xml"),
+        ):
+            row = kafka_records_to_flowfiles(df, duplicate_header_handling=policy).first()
+            assert row["attributes"]["Accept"] == expected, policy
+            assert row["attributes"]["kafka.key"] == "shadow"  # header wins
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)

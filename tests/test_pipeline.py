@@ -1242,3 +1242,53 @@ def test_parameter_provider_unknown_type_raises():
         parameter_provider_contexts(
             {"parameter_providers": [{"type": "NoSuchProvider", "parameter_group_name": "x"}]}
         )
+
+
+def test_stage_text_atomic_repairs_torn_stage(spark, tmp_path):
+    """Review r5: a stage dir left WITHOUT _SUCCESS by a crashed run
+    must be repaired (removed + republished), not silently served."""
+    import os as _os
+
+    from nifi_minifi_cpp_spark.entry_queries import _stage_text_atomic
+
+    stage = str(tmp_path / "stage")
+    _os.makedirs(stage)  # torn: exists, no _SUCCESS
+    with open(_os.path.join(stage, "part-junk"), "w") as fh:
+        fh.write("stale partial data")
+
+    df = spark.createDataFrame([("good",)], "value string")
+    _stage_text_atomic(stage, lambda: df.coalesce(1))
+    assert _os.path.exists(_os.path.join(stage, "_SUCCESS"))
+    contents = []
+    for e in _os.listdir(stage):
+        if e.startswith("part-") and not e.endswith(".crc"):
+            with open(_os.path.join(stage, e)) as fh:
+                contents.append(fh.read())
+    assert "".join(contents) == "good\n"
+    # idempotent second call (healthy stage short-circuits)
+    _stage_text_atomic(stage, lambda: (_ for _ in ()).throw(AssertionError("must not rebuild")))
+
+
+def test_flow_controller_output_port_respects_channel_guard(spark, tmp_path):
+    """Review r5: a compiled flow's streaming OutputPort must hit the
+    same one-mode-per-channel guard as the direct output_port call."""
+    import os as _os
+
+    from nifi_minifi_cpp_spark.plans.pipeline import FlowController
+
+    channel = str(tmp_path / "chan")
+    _os.makedirs(_os.path.join(channel, "txn-deadbeef"))  # batch commits live here
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(src)
+    cfg = {
+        "processors": [
+            {"id": "in", "type": "FileStreamSource",
+             "properties": {"path": src, "schema": "id long, v string"}},
+            {"id": "out", "type": "OutputPort",
+             "properties": {"channel": channel, "checkpoint": str(tmp_path / "ck")}},
+        ],
+        "connections": [{"source": "in", "destination": "out"}],
+    }
+    with pytest.raises(ValueError, match="one mode per channel"):
+        FlowController(spark, cfg).start()

@@ -330,3 +330,20 @@ def test_range_join_wide_only_ranges(spark):
         if lo <= x < hi
     )
     assert got == expected
+
+
+def test_range_join_explicit_width_broadcast_guard(spark, monkeypatch):
+    """Review r5: a user-supplied bin_width that classifies (almost)
+    every range as wide must refuse instead of broadcasting the whole
+    ranges table."""
+    from nifi_minifi_cpp_spark.operators import temporal
+
+    monkeypatch.setattr(temporal, "MAX_BROADCAST_WIDE_RANGES", 1)
+    points = spark.createDataFrame([(5.0, 1)], "x double, pid int")
+    ranges = spark.createDataFrame(
+        [(0.0, 5000.0, 1), (1.0, 6000.0, 2)], "lo double, hi double, rid int"
+    )
+    with pytest.raises(ValueError, match="raise bin_width"):
+        temporal.range_join(points, ranges, "x", "lo", "hi", bin_width=1.0, max_bins_per_range=8)
+    # auto width stays lazy and fine on the same data
+    assert temporal.range_join(points, ranges, "x", "lo", "hi").count() == 2

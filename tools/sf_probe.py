@@ -9,14 +9,14 @@ Replication model (the realistic scale-out axis: MORE KEYS, same
 per-key density):
 - events: user_id/event_id shift per replica -> 10x users, identical
   per-user timelines (as-of/sessionize state sizes stay constant).
-- documents: doc_id shift + per-replica WORD ROTATION (text tokens
-  rotated by 13*rep positions) — every replica is a genuinely distinct
-  document (different shingles, Jaccard ~ 2/len vs the original), so
-  the dedup probes measure scale-out, not detection-output growth. A
-  first probe run used append-one-token replicas: those are true
-  near-dups of their originals, so candidate pairs (and the reported
-  dup set) legitimately grew ~replicas^2 and ngram-jaccard showed 59x
-  — that variant measures the pair-explosion guard, not throughput.
+- documents: doc_id shift + per-replica HASH-SORTED word order —
+  every replica is a genuinely distinct document (disjoint shingle
+  sets from the same word multiset), so the dedup probes measure
+  scale-out, not detection-output growth. Earlier variants
+  (append-one-token, word rotation) left replicas as true near-dups —
+  rotation preserves all contiguous shingles except at the seam — so
+  candidate pairs legitimately grew ~replicas^2 there; those runs
+  measured the pair-explosion guard, not throughput.
 - embeddings: vec_id shift + per-replica element rotation (same norm,
   different direction -> different SRP buckets).
 
@@ -89,15 +89,29 @@ def build_scaled_tables(spark) -> None:
     docs = load_table(spark, "documents", SF_DIR)
     n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
     words = F.split(F.col("text"), " ")
-    k = (F.col("_rep") * 13) % F.greatest(F.size(words), F.lit(1)) + 1
-    rotated = F.array_join(
-        F.concat(F.slice(words, k, 100000), F.slice(words, 1, k - 1)), " "
+    # per-replica HASH-SORTED word order: rotation kept ~97% of the
+    # contiguous 3-word shingles (windows survive a rotation except at
+    # the seam) and degenerated to an identity copy whenever the shift
+    # hit 0 mod word-count; sorting by xxhash64(word, rep) gives every
+    # replica a completely different shingle set from the same word
+    # multiset (review r5)
+    shuffled = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    words,
+                    lambda w: F.struct(F.xxhash64(w, F.col("_rep")).alias("h"), w.alias("w")),
+                )
+            ),
+            lambda s: s.getField("w"),
+        ),
+        " ",
     )
     docs10 = (
         docs.crossJoin(F.broadcast(reps))
         .select(
             (F.col("doc_id") + F.col("_rep") * n_docs).alias("doc_id"),
-            F.when(F.col("_rep") == 0, F.col("text")).otherwise(rotated).alias("text"),
+            F.when(F.col("_rep") == 0, F.col("text")).otherwise(shuffled).alias("text"),
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         )
     )
@@ -106,7 +120,9 @@ def build_scaled_tables(spark) -> None:
     emb = load_table(spark, "embeddings", SF_DIR)
     n_vecs = emb.agg(F.max("vec_id")).first()[0] + 1
     e = F.col("embedding")
-    ek = (F.col("_rep") * 7) % F.greatest(F.size(e), F.lit(1)) + 1
+    # shift in [1, size-1]: a `% size` formula produced shift 0 (an
+    # identity copy) whenever rep*7 divided the dimension (review r5)
+    ek = (F.col("_rep") * 7) % F.greatest(F.size(e) - 1, F.lit(1)) + 2
     erot = F.concat(F.slice(e, ek, 100000), F.slice(e, 1, ek - 1))
     emb10 = emb.crossJoin(F.broadcast(reps)).select(
         (F.col("vec_id") + F.col("_rep") * n_vecs).alias("vec_id"),
