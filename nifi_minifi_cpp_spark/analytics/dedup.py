@@ -449,6 +449,7 @@ def ngram_jaccard_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     max_probes: int | None = 256,
+    verify_strategy: str = "auto",
 ) -> DataFrame:
     """LSH candidates -> exact Jaccard verification -> drop.
 
@@ -476,41 +477,86 @@ def ngram_jaccard_dedup(
         .select(F.col(f"a.{id_col}").alias("_ida"), F.col(f"b.{id_col}").alias("_idb"))
         .distinct()
     )
-    # Shingle sets are computed INLINE on the joined pair rows, not
-    # over the full corpus: the interpreted shingling HOF is the most
-    # expensive expression here and Catalyst can't defer a projection
-    # past a join on its own, so the obvious "shingle everything then
-    # join" formulation does ~n/candidates times too much work. A doc
-    # appearing in several pairs re-shingles once per pair, but pairs
-    # are probe-capped (≤ max_probes per bucket) so the repeat factor
-    # is bounded and the common case (pairs << n) is far cheaper.
-    da = df.select(F.col(id_col).alias("_ida"), F.col(content_col).alias("_ta"))
-    db = df.select(F.col(id_col).alias("_idb"), F.col(content_col).alias("_tb"))
-    # spread the pair frame BEFORE the shingling HOF: the candidate
-    # table is ~16 bytes/row, so AQE's size-based coalescing folds it
-    # to 1-2 partitions at runtime — and then the interpreted shingle
-    # expressions (the most compute-per-byte stage here) run on 2
-    # cores. A static partition-count check can't see that (AQE
-    # coalesces after planning), so this is an EXPLICIT numbered
-    # repartition — the one shuffle AQE is documented never to
-    # coalesce. Profiled at 10x sf0.1: verify 16s on 2 tasks -> ~2s.
-    verified = (
-        _spread_pairs(cand.join(da, "_ida").join(db, "_idb"), "_ida")
-        .withColumn("_sha", word_shingles(F.col("_ta"), shingle_words))
-        .withColumn("_shb", word_shingles(F.col("_tb"), shingle_words))
-        .withColumn(
-            "_jaccard",
-            F.try_divide(
-                F.size(F.array_intersect("_sha", "_shb")),
-                F.size(F.array_union("_sha", "_shb")),
-            ),
+    # The Jaccard verify needs each pair's shingle sets, and the
+    # interpreted shingling HOF is the most expensive expression here.
+    # Two regimes, chosen by MEASURED candidate density (the stats are
+    # nearly free: cand is slim, persisted, and its generation cost is
+    # paid by the verify either way):
+    #
+    # - SPARSE (pairs/doc small — the common web-corpus case): shingle
+    #   INLINE on the joined pair rows; a doc re-shingles once per
+    #   pair, but with few pairs per doc that beats paying an extra
+    #   semi-join + two array-payload shuffles (measured 4.1s vs 14.8s
+    #   at a clean 10x sf0.1).
+    # - HOT (boilerplate floods, tiny vocabularies: a doc sits in up
+    #   to max_probes x bands pairs): shingle ONCE per involved doc
+    #   and join the precomputed sets — inline re-evaluation measured
+    #   114s at a shingle-saturated 10x sf0.1 vs ~15s precomputed.
+    if verify_strategy not in ("auto", "inline", "precompute"):
+        raise ValueError(f"unknown verify_strategy {verify_strategy!r}")
+    if verify_strategy == "auto":
+        # one extra traversal to measure density; pass an explicit
+        # strategy to skip it when the corpus shape is known (the
+        # stats job costs roughly one candidate-generation pass)
+        cand = cand.persist()
+        n_pairs = cand.count()
+        n_involved = (
+            cand.select(F.col("_ida").alias(id_col))
+            .unionByName(cand.select(F.col("_idb").alias(id_col)))
+            .distinct()
+            .count()
         )
-        .filter(F.col("_jaccard") >= threshold)
+        hot = n_pairs > 0 and n_pairs >= 4 * n_involved
+    else:
+        hot = verify_strategy == "precompute"
+    cand_ids = (
+        cand.select(F.col("_ida").alias(id_col))
+        .unionByName(cand.select(F.col("_idb").alias(id_col)))
+        .distinct()
     )
-    # eager dropped-id set, then release the cached bucket table (see
-    # simhash_dedup — no persisted intermediates outlive the call)
+    if hot:
+        # explicit numbered repartition before the HOF: the slim
+        # id/text frame AQE-coalesces to 1-2 runtime partitions and
+        # the shingle expressions would run nearly serial
+        shingled = (
+            _spread_pairs(
+                df.join(cand_ids, id_col, "left_semi").select(
+                    id_col, F.col(content_col).alias("_t")
+                ),
+                id_col,
+            )
+            .select(id_col, word_shingles(F.col("_t"), shingle_words).alias("_sh"))
+            .persist()
+        )
+        paired = cand.join(
+            shingled.select(F.col(id_col).alias("_ida"), F.col("_sh").alias("_sha")), "_ida"
+        ).join(
+            shingled.select(F.col(id_col).alias("_idb"), F.col("_sh").alias("_shb")), "_idb"
+        )
+    else:
+        shingled = None
+        da = df.select(F.col(id_col).alias("_ida"), F.col(content_col).alias("_ta"))
+        db = df.select(F.col(id_col).alias("_idb"), F.col(content_col).alias("_tb"))
+        paired = (
+            _spread_pairs(cand.join(da, "_ida").join(db, "_idb"), "_ida")
+            .withColumn("_sha", word_shingles(F.col("_ta"), shingle_words))
+            .withColumn("_shb", word_shingles(F.col("_tb"), shingle_words))
+        )
+    verified = paired.withColumn(
+        "_jaccard",
+        F.try_divide(
+            F.size(F.array_intersect("_sha", "_shb")),
+            F.size(F.array_union("_sha", "_shb")),
+        ),
+    ).filter(F.col("_jaccard") >= threshold)
+    # eager dropped-id set, then release every cached intermediate
+    # (no persisted table outlives the call)
     dropped = reliable_barrier(verified.select(F.col("_ida").alias(id_col)).distinct())
     buckets.unpersist()
+    if verify_strategy == "auto":
+        cand.unpersist()
+    if shingled is not None:
+        shingled.unpersist()
     return df.join(dropped, id_col, "left_anti")
 
 

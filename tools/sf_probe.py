@@ -89,18 +89,29 @@ def build_scaled_tables(spark) -> None:
     docs = load_table(spark, "documents", SF_DIR)
     n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
     words = F.split(F.col("text"), " ")
-    # per-replica HASH-SORTED word order: rotation kept ~97% of the
-    # contiguous 3-word shingles (windows survive a rotation except at
-    # the seam) and degenerated to an identity copy whenever the shift
-    # hit 0 mod word-count; sorting by xxhash64(word, rep) gives every
-    # replica a completely different shingle set from the same word
-    # multiset (review r5)
+    # per-(replica, document) HASH-SORTED word order: rotation kept
+    # ~97% of the contiguous 3-word shingles (windows survive a
+    # rotation except at the seam) and degenerated to identity copies
+    # at certain word counts. The seed MUST include doc_id: seeding by
+    # (word, rep) alone puts every replica-k document in the same
+    # global vocabulary order, so documents become sorted subsequences
+    # of one sequence and share shingles CORPUS-WIDE — LSH buckets go
+    # mega-hot across unrelated docs and the ngram probe exploded to
+    # 824s (measured). Per-doc seeding gives independent orders.
+    # ... and the sort key must include the POSITION: keyed on the
+    # word alone, duplicates of a word sort adjacent in every doc,
+    # manufacturing universal "w w w" shingles (boilerplate-like
+    # corpus-wide hot buckets; measured 114s). With position in the
+    # key this is a uniform random permutation per (doc, replica).
     shuffled = F.array_join(
         F.transform(
             F.array_sort(
                 F.transform(
                     words,
-                    lambda w: F.struct(F.xxhash64(w, F.col("_rep")).alias("h"), w.alias("w")),
+                    lambda w, i: F.struct(
+                        F.xxhash64(w, F.col("_rep"), F.col("doc_id"), i).alias("h"),
+                        w.alias("w"),
+                    ),
                 )
             ),
             lambda s: s.getField("w"),
@@ -198,12 +209,17 @@ def main():
         "",
         f"Worst ratio: {worst:.2f}x (linear would be 10x; the gate bound is 100x).",
         "",
-        "Replication model: word-rotated replicas (distinct shingles) so the",
-        "dedup probes measure scale-out. A first run used append-one-token",
-        "replicas — true near-dups — and ngram-jaccard hit 59x there: with",
-        "10 genuine near-copies per document the candidate-pair count (and",
-        "the real answer) grows ~replicas^2, so that variant measures",
-        "detection-output growth plus the probe-cap guard, not throughput.",
+        "Replication model: per-(doc, replica) random word permutation so",
+        "replicas are distinct documents. CAVEAT for the shingle-dedup row:",
+        "the driver's synthetic documents draw from a 31-WORD VOCABULARY, so",
+        "~30k distinct 3-word shingles exist in total; at 10x docs the",
+        "shingle space saturates and genuine Jaccard near-collisions (and",
+        "LSH bucket occupancy) grow super-linearly — that is a property of",
+        "the corpus, not the engine (the probe cap keeps it bounded; see",
+        "tools/sf_probe.py history: append-token replicas 59x, same-order",
+        "hash-sort 265x, per-doc duplicate-clustered sort 114x, this model",
+        "lowest). On a real web-scale vocabulary the shingle space never",
+        "saturates.",
         "Also notable: several ratios are BELOW 1.0 because the sf0.1 input",
         "is one small parquet file (single-partition JVM scans); the 10x",
         "staged tables ship 32 shards and parallelize fully — the engine is",
