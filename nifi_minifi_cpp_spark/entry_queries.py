@@ -1232,6 +1232,178 @@ def el_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "el_multiattr_pack",
+    """
+    SELECT event_id,
+           event_type || '|' || CAST(user_id AS VARCHAR)        AS joined,
+           CAST(CASE WHEN event_type LIKE '%e%' THEN 1 ELSE 0 END
+                AS BIGINT)                                   AS n_event_attrs,
+           (event_type = 'error')                               AS any_err
+    FROM events
+    """,
+)
+def el_multiattr_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EL multi-attribute combinators (Expression.cpp:1051-1336):
+    allAttributes(...):join, allMatchingAttributes(regex) with a
+    chained predicate into count() (truthy-only,
+    Expression.cpp:1324-1333), anyAttribute(...):equals — compiled to
+    Catalyst higher-order expressions over the attributes map."""
+    ev = _t(spark, sf_dir, "events")
+    ff = events_to_flowfiles(ev)
+    return ff.select(
+        F.col("uuid").cast("long").alias("event_id"),
+        el_string("${allAttributes('event_type', 'user_id'):join('|')}").alias("joined"),
+        el_string("${allMatchingAttributes('event.*'):contains('e'):count()}")
+        .cast("bigint")
+        .alias("n_event_attrs"),
+        el_bool("${anyAttribute('event_type', 'user_id'):equals('error')}").alias("any_err"),
+    )
+
+
+@_register(
+    "replace_text_line_modes",
+    # line-mode truth table expressed with string algebra: first_line
+    # prepend touches the string head, last_line append the tail,
+    # line_by_line regex == global regex (the pattern cannot span
+    # lines), except_first_line prepend marks every newline boundary.
+    """
+    WITH c AS (SELECT doc_id, replace(text, ' ', chr(10)) AS body FROM documents)
+    SELECT doc_id,
+           md5('X: ' || body)                                   AS first_prepend_md5,
+           md5(body || '!')                                     AS last_append_md5,
+           md5(regexp_replace(body, 'a', '4', 'g'))             AS lbl_regex_md5,
+           md5(replace(body, chr(10), chr(10) || '> '))         AS except_first_md5
+    FROM c
+    """,
+)
+def replace_text_line_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplaceText evaluation-mode matrix (ReplaceText.h:37-60;
+    feature truth table replace_text.feature:34-41): first_line /
+    last_line / line_by_line / except_first_line each applied with a
+    different strategy and pinned via content hashes."""
+    from .operators import replace_text
+
+    docs = _t(spark, sf_dir, "documents")
+    ff = docs.select(
+        "doc_id", F.regexp_replace(F.col("text"), " ", "\n").alias("content")
+    )
+
+    def mode(df_, strategy, search, repl, mode_):
+        return replace_text(df_, strategy=strategy, search=search, replacement=repl, mode=mode_)
+
+    fp = mode(ff, "prepend", None, "X: ", "first_line").select(
+        "doc_id", F.md5("content").alias("first_prepend_md5")
+    )
+    la = mode(ff, "append", None, "!", "last_line").select(
+        "doc_id", F.md5("content").alias("last_append_md5")
+    )
+    lb = mode(ff, "regex_replace", "a", "4", "line_by_line").select(
+        "doc_id", F.md5("content").alias("lbl_regex_md5")
+    )
+    ef = mode(ff, "prepend", None, "> ", "except_first_line").select(
+        "doc_id", F.md5("content").alias("except_first_md5")
+    )
+    return fp.join(la, "doc_id").join(lb, "doc_id").join(ef, "doc_id")
+
+
+class _FakeModbusDevice:
+    """Deterministic register map for the graded Modbus entry: value =
+    f(kind, address) so the oracle can pin the exact record. Module
+    level -> picklable into the executor-side client factory."""
+
+    def read(self, kind, address, count, unit_id):
+        if kind == "coil":
+            return [(address + i) % 2 == 0 for i in range(count)]
+        return [(address + i) * 2 for i in range(count)]
+
+
+@_register(
+    "modbus_read_registers",
+    # one device, one poll per row: record is the same deterministic
+    # JSON for every event (json.dumps sort_keys, ', '/': ' separators)
+    """
+    SELECT event_id,
+           '{"flag": true, "flow": 82, "temp": [20, 22]}' AS record,
+           'success' AS status
+    FROM events
+    """,
+)
+def modbus_read_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FetchModbusTcp (FetchModbusTcp.cpp:152) through BOTH reference
+    address grammars (ReadModbusFunctions.cpp:192-230): long form
+    holding-register:10:INT[2], classic 4x00042 (1-based) and coil
+    100017 — executor-side reads via the injected client, success
+    routing, JSON record pinned exactly by the oracle."""
+    from .sources.industrial import fetch_modbus_tcp
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    routed = fetch_modbus_tcp(
+        ev,
+        _FakeModbusDevice,
+        {"temp": "holding-register:10:INT[2]", "flow": "4x00042", "flag": "100017"},
+    )
+    return routed["success"].select(
+        "event_id",
+        F.col("modbus_record").alias("record"),
+        F.col("modbus_status").alias("status"),
+    )
+
+
+@_register(
+    "k8s_pod_metrics_quantities",
+    # the Kubernetes quantity grammar: cpu 'Nm' -> N*1e6 nanocores,
+    # memory 'NKi' -> N*1024 bytes
+    """
+    SELECT 'ns-' || CAST(user_id % 3 AS VARCHAR)           AS namespace,
+           'pod-' || CAST(event_id AS VARCHAR)             AS pod,
+           'main'                                          AS container,
+           CAST(round(value) * 1000000 AS BIGINT)          AS cpu_nanocores,
+           CAST(user_id * 1024 AS BIGINT)                  AS memory_bytes
+    FROM events
+    """,
+)
+def k8s_pod_metrics_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollectKubernetesPodMetrics relational lift
+    (CollectKubernetesPodMetrics.cpp:34 + the quantity parser):
+    podMetricsList JSON built per event -> pod_metrics_table explodes
+    containers and parses cpu/memory quantities — the oracle mirrors
+    the n/u/m and Ki/Mi arithmetic exactly."""
+    from .sources.k8s import pod_metrics_table
+
+    ev = _t(spark, sf_dir, "events")
+    metrics_json = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.concat(F.lit("ns-"), (F.col("user_id") % 3).cast("string")).alias(
+                            "namespace"
+                        ),
+                        F.concat(F.lit("pod-"), F.col("event_id").cast("string")).alias("name"),
+                    ).alias("metadata"),
+                    F.array(
+                        F.struct(
+                            F.lit("main").alias("name"),
+                            F.struct(
+                                F.concat(
+                                    F.round(F.col("value")).cast("long").cast("string"),
+                                    F.lit("m"),
+                                ).alias("cpu"),
+                                F.concat(F.col("user_id").cast("string"), F.lit("Ki")).alias(
+                                    "memory"
+                                ),
+                            ).alias("usage"),
+                        )
+                    ).alias("containers"),
+                )
+            ).alias("items")
+        )
+    )
+    frames = ev.select(metrics_json.alias("content"))
+    return pod_metrics_table(frames)
+
+
+@_register(
     "json_path_extract",
     """
     SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events
