@@ -1306,6 +1306,160 @@ def replace_text_line_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(la, "doc_id").join(lb, "doc_id").join(ef, "doc_id")
 
 
+class _FakeOpcServer:
+    """Deterministic OPC-UA address space: 50 variable nodes under the
+    browsed root, values/timestamps a pure function of the index."""
+
+    def traverse(self, node_id, max_depth):
+        from .sources.industrial import OpcNode
+
+        for i in range(50):
+            yield OpcNode(
+                node_id=f"ns=2;i={i}",
+                browsename=f"var{i}",
+                path=f"{node_id}/var{i}",
+                datatype="Int32",
+                source_timestamp=f"t{i // 10}",
+                value=i * 3,
+                is_variable=True,
+                attributes={},
+            )
+        yield OpcNode(  # folder nodes are skipped by FetchOPC
+            node_id="ns=2;folder",
+            browsename="folder",
+            path=f"{node_id}/folder",
+            datatype="",
+            source_timestamp="",
+            value=None,
+            is_variable=False,
+            attributes={},
+        )
+
+
+@_register(
+    "opc_browse_lazy",
+    """
+    SELECT 'ns=2;i=' || CAST(r.range AS VARCHAR)  AS node_id,
+           CAST(r.range * 3 AS VARCHAR)           AS value,
+           'root/var' || CAST(r.range AS VARCHAR) AS full_path,
+           't' || CAST(r.range // 10 AS VARCHAR)  AS ts
+    FROM range(50) r
+    """,
+)
+def opc_browse_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FetchOPC (fetchopc.cpp:60): browse-and-read of the variable
+    nodes under a root, folder nodes skipped, OPC attributes attached.
+    The LAZY contract is enforced in-run: a second poll with unchanged
+    Sourcetimestamps must emit nothing (state-backed, raises on
+    violation -> red graded row)."""
+    import tempfile
+
+    from .sources.industrial import OpcLazyState, fetch_opc
+
+    configure(spark)
+    client = _FakeOpcServer()
+    state = OpcLazyState(os.path.join(tempfile.mkdtemp(prefix="opcq-"), "state.json"))
+    first = fetch_opc(spark, client, "root", lazy="on", state=state)
+    if first is None:
+        raise RuntimeError("first OPC browse emitted nothing")
+    second = fetch_opc(spark, client, "root", lazy="on", state=state)
+    if second is not None:
+        raise RuntimeError("lazy contract violated: unchanged timestamps re-emitted")
+    return first.select(
+        F.col("uuid").alias("node_id"),
+        F.col("content").alias("value"),
+        F.col("attributes").getItem("Full path").alias("full_path"),
+        F.col("attributes").getItem("Sourcetimestamp").alias("ts"),
+    )
+
+
+class _FakeKvStore:
+    """GetCouchbaseKey fixture: even-user keys resolve, odd are
+    missing — both relationships exercised deterministically."""
+
+    def get(self, key):
+        uid = int(key.rsplit(":", 1)[1])
+        if uid % 2 == 0:
+            return f"profile-of-{uid}"
+        raise KeyError(key)
+
+
+@_register(
+    "kv_enrichment_route",
+    """
+    SELECT event_id,
+           CASE WHEN user_id % 2 = 0 THEN 'profile-of-' || CAST(user_id AS VARCHAR) END
+               AS profile,
+           CASE WHEN user_id % 2 = 0 THEN 'success' ELSE 'not.found' END AS kv_status
+    FROM events
+    """,
+)
+def kv_enrichment_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetCouchbaseKey (GetCouchbaseKey.cpp:32): executor-side KV
+    lookup per event with success / not.found routing — values and
+    statuses pinned per row by the oracle."""
+    from .sources.kv import get_kv_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("key")
+    )
+    out = get_kv_key(ev, _FakeKvStore, key_col="key", value_col="profile")
+    return out.select("event_id", "profile", "kv_status")
+
+
+class _FakeRemoteFs:
+    """ListSFTP/FetchSFTP fixture: a two-level tree of 20 files with
+    deterministic sizes/mtimes/contents."""
+
+    def listdir(self, path):
+        from .sources.remote_fs import RemoteEntry
+
+        if path == "/data":
+            yield RemoteEntry(path="/data/sub", size=0, mtime=0.0, is_dir=True)
+            for i in range(10):
+                yield RemoteEntry(path=f"/data/f{i}.log", size=100 + i, mtime=1000.0 + i, is_dir=False)
+        elif path == "/data/sub":
+            for i in range(10, 20):
+                yield RemoteEntry(path=f"/data/sub/f{i}.log", size=100 + i, mtime=1000.0 + i, is_dir=False)
+
+    def read(self, path):
+        return f"content-of-{path}".encode()
+
+
+@_register(
+    "remote_list_fetch",
+    """
+    SELECT CASE WHEN r.range < 10 THEN '/data/f' || CAST(r.range AS VARCHAR) || '.log'
+                ELSE '/data/sub/f' || CAST(r.range AS VARCHAR) || '.log' END AS path,
+           CAST(100 + r.range AS BIGINT) AS size,
+           md5('content-of-' ||
+               CASE WHEN r.range < 10 THEN '/data/f' || CAST(r.range AS VARCHAR) || '.log'
+                    ELSE '/data/sub/f' || CAST(r.range AS VARCHAR) || '.log' END) AS content_md5
+    FROM range(20) r
+    """,
+)
+def remote_list_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListSFTP -> FetchSFTP (ListSFTP.cpp:781, FetchSFTP.cpp:57):
+    recursive watermark listing over the injected remote FS, then
+    executor-side fetch of exactly the listed paths. Incremental
+    contract enforced in-run (second poll must list nothing)."""
+    import tempfile
+
+    from .sources.fetch_file import ListFileState
+    from .sources.remote_fs import fetch_remote, list_remote
+
+    configure(spark)
+    client = _FakeRemoteFs()
+    state = ListFileState(os.path.join(tempfile.mkdtemp(prefix="sftpq-"), "state.json"))
+    listing = list_remote(spark, client, "/data", state=state, name_filter=r"\.log$")
+    if listing is None:
+        raise RuntimeError("first remote listing emitted nothing")
+    if list_remote(spark, client, "/data", state=state) is not None:
+        raise RuntimeError("incremental contract violated on second remote poll")
+    fetched = fetch_remote(listing, _FakeRemoteFs)
+    return fetched.select("path", "size", F.md5(F.col("content")).alias("content_md5"))
+
+
 class _FakeModbusDevice:
     """Deterministic register map for the graded Modbus entry: value =
     f(kind, address) so the oracle can pin the exact record. Module
