@@ -1306,6 +1306,109 @@ def replace_text_line_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(la, "doc_id").join(lb, "doc_id").join(ef, "doc_id")
 
 
+@_register(
+    "execute_process_batched",
+    """
+    SELECT CAST(r.range // 10 AS BIGINT) AS batch_index,
+           md5(string_agg(CAST(r.range + 1 AS VARCHAR), chr(10) ORDER BY r.range))
+               AS chunk_md5,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM range(100) r GROUP BY r.range // 10
+    """,
+)
+def execute_process_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteProcess (ExecuteProcess.cpp:211): run a command, batch
+    stdout into FlowFiles of 10 lines with batch.index attributes —
+    exact chunk contents pinned by the oracle."""
+    from .sources.process import execute_process
+
+    configure(spark)
+    out = execute_process(spark, "seq", ["1", "100"], batch_lines=10)
+    if out.filter(F.col("attributes").getItem("execution.status") != "0").count() > 0:
+        raise RuntimeError("seq exited non-zero")
+    lines = out.select(
+        F.col("attributes").getItem("batch.index").cast("bigint").alias("batch_index"),
+        F.md5(F.col("content")).alias("chunk_md5"),
+        (F.size(F.split(F.col("content"), "\n"))).cast("bigint").alias("n_lines"),
+    )
+    return lines
+
+
+@_register(
+    "put_sql_roundtrip",
+    """
+    SELECT event_id, event_type, CAST(user_id AS BIGINT) AS user_id FROM events
+    """,
+)
+def put_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PutSQL (PutSQL.cpp:37): batch DML as a table write (parquet
+    target via writer options), read back and hash-match the source —
+    the write actually landed every row."""
+    import tempfile
+
+    from .sources.sql import put_sql
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    target = os.path.join(tempfile.mkdtemp(prefix="putsqlq-"), "landed")
+    put_sql(ev, "", mode="overwrite", format="parquet", path=target)
+    return spark.read.parquet(target).select(
+        "event_id", "event_type", F.col("user_id").cast("bigint").alias("user_id")
+    )
+
+
+_PROCFS_FIXTURE = {
+    "meminfo": "MemTotal:       16384000 kB\nMemFree:         4096000 kB\nMemAvailable:    8192000 kB\n",
+    "stat": "cpu  100 20 300 4000 50 0 6 0 0 0\ncpu0 50 10 150 2000 25 0 3 0 0 0\n",
+    "diskstats": "   8       0 sda 500 0 10000 400 200 0 8000 300 0 600 700\n",
+    "net/dev": (
+        "Inter-|   Receive                                                |  Transmit\n"
+        " face |bytes    packets errs drop fifo frame compressed multicast|bytes    "
+        "packets errs drop fifo colls carrier compressed\n"
+        "  eth0: 1000000    2000    0    0    0     0          0         0  500000    "
+        "1500    0    0    0     0       0          0\n"
+    ),
+}
+
+
+@_register(
+    "procfs_metrics_parse",
+    """
+    SELECT * FROM (VALUES
+        ('Memory', 'MemTotal',     CAST(16384000 AS BIGINT)),
+        ('Memory', 'MemAvailable', CAST(8192000 AS BIGINT)),
+        ('CPU',    'cpu.user',     CAST(100 AS BIGINT)),
+        ('CPU',    'cpu.idle',     CAST(4000 AS BIGINT)),
+        ('Network','eth0.rx_bytes',CAST(1000000 AS BIGINT)),
+        ('Network','eth0.tx_bytes',CAST(500000 AS BIGINT))
+    ) AS t(section, metric, value)
+    """,
+)
+def procfs_metrics_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProcFsMonitor (procfs.py vs the reference's ProcFs parser): a
+    fixture /proc tree with known counters; the parsed gauges must
+    match the oracle's literal table."""
+    import tempfile
+
+    from .sources.procfs import ProcFs
+
+    configure(spark)
+    root = tempfile.mkdtemp(prefix="procq-")
+    os.makedirs(os.path.join(root, "net"), exist_ok=True)
+    for rel, text in _PROCFS_FIXTURE.items():
+        with open(os.path.join(root, rel), "w") as fh:
+            fh.write(text)
+    snap = ProcFs(root).snapshot()
+    rows = [
+        ("Memory", "MemTotal", snap["Memory"]["MemTotal"]),
+        ("Memory", "MemAvailable", snap["Memory"]["MemAvailable"]),
+        ("CPU", "cpu.user", snap["CPU"]["cpu"]["user"]),
+        ("CPU", "cpu.idle", snap["CPU"]["cpu"]["idle"]),
+        ("Network", "eth0.rx_bytes", snap["Network"]["eth0"]["rx_bytes"]),
+        ("Network", "eth0.tx_bytes", snap["Network"]["eth0"]["tx_bytes"]),
+    ]
+    return spark.createDataFrame(rows, "section string, metric string, value long")
+
+
 class _FakeOpcServer:
     """Deterministic OPC-UA address space: 50 variable nodes under the
     browsed root, values/timestamps a pure function of the index."""
