@@ -1307,6 +1307,58 @@ def replace_text_line_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "object_store_crud_roundtrip",
+    """
+    SELECT CAST(doc_id AS VARCHAR) || '.txt' AS filename,
+           md5(replace(text, chr(10), ' ') || chr(10)) AS content_md5
+    FROM documents
+    """,
+)
+def object_store_crud_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The object-store engine behind all 16 Fetch/List/Put/Delete x
+    S3/Azure/ADLS/GCS names (one Hadoop-FS implementation,
+    sources/objectstore.py; file:// here, cloud schemes via fs.* conf):
+    Put writes one object per document (partitionBy), List sees
+    exactly them (metadata-only scan), Fetch reads the bytes back,
+    Delete removes the prefix and a second List must raise. Content
+    hash-matches the source documents."""
+    import tempfile
+
+    from .sources.objectstore import (
+        delete_object_store,
+        fetch_object_store,
+        list_object_store,
+        put_object_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias("filename"),
+        F.regexp_replace("text", "\n", " ").alias("value"),
+    )
+    url = "file://" + os.path.join(tempfile.mkdtemp(prefix="objq-"), "bucket")
+    put_object_store(docs, url, fmt="text", mode="overwrite", partition_by=["filename"])
+    n_docs = docs.count()
+    n_listed = list_object_store(spark, url, glob_filter="*.txt").count()
+    if n_listed < n_docs:  # one object dir per filename, >=1 shard each
+        raise RuntimeError(f"List saw {n_listed} objects for {n_docs} documents")
+    fetched = fetch_object_store(spark, url)
+    out = fetched.select(
+        F.regexp_extract("path", r"filename=([^/]+)/", 1).alias("filename"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+    out = out.localCheckpoint(eager=True)  # materialize before delete
+    if not delete_object_store(spark, url, recursive=True):
+        raise RuntimeError("Delete removed nothing")
+    try:
+        list_object_store(spark, url).count()
+        raise RuntimeError("prefix still listable after Delete")
+    except Exception as exc:
+        if "still listable" in str(exc):
+            raise
+    return out
+
+
+@_register(
     "execute_process_batched",
     """
     SELECT CAST(r.range // 10 AS BIGINT) AS batch_index,
