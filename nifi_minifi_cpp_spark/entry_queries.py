@@ -1367,6 +1367,131 @@ def object_store_crud_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mqtt_consume_counts",
+    """
+    SELECT 'sensors/' || event_type AS topic, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_id < 500 GROUP BY event_type
+    """,
+)
+def mqtt_consume_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConsumeMQTT (ConsumeMQTT.cpp:149) as a native Python Data
+    Source STREAM: 500 messages through the fake transport (one row
+    per message, topic -> sender), per-topic counts pinned by the
+    oracle. The real paho transport shares this exact reader."""
+    import json as _json
+    import uuid as _uuid
+
+    from .sources.datasource import ConsumeMQTTDataSource
+
+    configure(spark)
+    spark.dataSource.register(ConsumeMQTTDataSource)
+    msgs = [
+        (f"sensors/{r['event_type']}", str(r["event_id"]))
+        for r in _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)
+        .select("event_id", "event_type")
+        .collect()
+    ]
+    stream = (
+        spark.readStream.format("mqttlisten")
+        .option("topic", "sensors/#")
+        .option("transport", "fake")
+        .option("fake.messages", _json.dumps(msgs))
+        .load()
+    )
+    view = f"mqtt_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.groupBy(F.col("sender").alias("topic"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName(view)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        _poll_stream_rows(
+            spark,
+            q,
+            view,
+            expected=len({t for t, _ in msgs}),
+        )
+        # counts must reach the full 500 (complete mode re-upserts)
+        import time as _time
+
+        deadline = _time.monotonic() + 120
+        while _time.monotonic() < deadline:
+            total = spark.sql(f"SELECT sum(n) AS s FROM {view}").first()["s"]
+            if total == len(msgs):
+                break
+            _time.sleep(0.25)
+        else:
+            raise TimeoutError(f"mqtt stream delivered {total}/{len(msgs)} messages")
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT topic, n FROM {view}")
+
+
+@_register(
+    "journald_consume_syslog",
+    """
+    SELECT event_id,
+           'h' || CAST(user_id % 5 AS VARCHAR) || ' app[' || CAST(user_id AS VARCHAR)
+               || ']: ' || event_type || ':' || CAST(event_id AS VARCHAR) AS payload
+    FROM events WHERE event_id < 300
+    """,
+)
+def journald_consume_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConsumeJournald (ConsumeJournald.cpp:96): a journalctl-export
+    stream consumed through the cursor-as-offset data source with the
+    Syslog payload format (formatSyslogMessage parity) — every line
+    reconstructed exactly by the oracle."""
+    import tempfile
+    import uuid as _uuid
+
+    from .sources.datasource import ConsumeJournaldDataSource
+
+    configure(spark)
+    spark.dataSource.register(ConsumeJournaldDataSource)
+    rows = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 300)
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+        .collect()
+    )
+    export = "".join(
+        f"MESSAGE={r['event_type']}:{r['event_id']}\n"
+        f"_HOSTNAME=h{r['user_id'] % 5}\n"
+        f"SYSLOG_IDENTIFIER=app\n"
+        f"_PID={r['user_id']}\n"
+        f"EVENT_ID={r['event_id']}\n\n"
+        for r in rows
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="journalq-"), "export.txt")
+    with open(path, "w") as fh:
+        fh.write(export)
+    stream = (
+        spark.readStream.format("journald")
+        .option("file", path)
+        .option("payload.format", "syslog")
+        .load()
+    )
+    view = f"journal_{_uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.format("memory").queryName(view).outputMode("append").start()
+    try:
+        _poll_stream_rows(spark, q, view, expected=len(rows))
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""
+        SELECT CAST(get_json_object(fields, '$.EVENT_ID') AS BIGINT) AS event_id,
+               message AS payload
+        FROM {view}
+        """
+    )
+
+
+@_register(
     "execute_process_batched",
     """
     SELECT CAST(r.range // 10 AS BIGINT) AS batch_index,
