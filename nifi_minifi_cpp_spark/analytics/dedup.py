@@ -509,6 +509,11 @@ def ngram_jaccard_dedup(
         hot = n_pairs > 0 and n_pairs >= 4 * n_involved
     else:
         hot = verify_strategy == "precompute"
+        if hot:
+            # the hot path reads cand on THREE sides (semi-join ids +
+            # two pair joins) — without the barrier the LSH candidate
+            # join + distinct re-runs per consumer
+            cand = cand.persist()
     cand_ids = (
         cand.select(F.col("_ida").alias(id_col))
         .unionByName(cand.select(F.col("_idb").alias(id_col)))
@@ -553,7 +558,7 @@ def ngram_jaccard_dedup(
     # (no persisted table outlives the call)
     dropped = reliable_barrier(verified.select(F.col("_ida").alias(id_col)).distinct())
     buckets.unpersist()
-    if verify_strategy == "auto":
+    if verify_strategy == "auto" or hot:
         cand.unpersist()
     if shingled is not None:
         shingled.unpersist()

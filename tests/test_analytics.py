@@ -645,3 +645,24 @@ def test_llm_backend_errors():
     if importlib.util.find_spec("transformers") is None:
         with pytest.raises(NotImplementedError, match="transformers"):
             resolve_backend("hf", model_path="gpt2")(["x"])
+
+
+def test_ngram_verify_strategies_parity(spark, docs_with_dups):
+    """Review r5: the three Jaccard verify strategies (inline /
+    precompute / auto) must produce the SAME kept set — the hot
+    precompute joins otherwise only run in saturated-corpus probes."""
+    kept = {}
+    for strat in ("inline", "precompute", "auto"):
+        kept[strat] = sorted(
+            r["doc_id"]
+            for r in an.ngram_jaccard_dedup(
+                docs_with_dups, threshold=0.8, verify_strategy=strat
+            ).collect()
+        )
+    assert kept["inline"] == kept["precompute"] == kept["auto"]
+    assert len(kept["inline"]) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="verify_strategy"):
+        an.ngram_jaccard_dedup(docs_with_dups, verify_strategy="telepathy")
