@@ -3626,8 +3626,6 @@ _GRADE_ORDER = [
     "asof_error_prior_click",
     "tailfile_ingest",
     # kept from the r4 window — sources/sinks/streaming reps
-    "invoke_http_route_counts",
-    "incremental_scan_tail",
     "streaming_route_counts",
     # kept — windowing reps (sessionize fixed in r4, one more round)
     "rolling_window_count10",
@@ -3644,10 +3642,17 @@ _GRADE_ORDER = [
     "embedding_dedup_kept",
     "cosine_topk_vec0",
     "ivf_topk_vec0",
-    "knn_exact_10x3",
-    "embedding_norms_by_label",
     "llm_inference_fake",
     "multimodal_features_frames",
+    # late-r5 swap: knn_exact_10x3 / embedding_norms_by_label /
+    # invoke_http_route_counts / incremental_scan_tail are multi-round
+    # green (r2+r4); these four new entries have never had a driver row
+    # and carry the strongest evidence (retry caught a real operator
+    # bug; the other three grade sources/sinks end-to-end)
+    "retry_flow_file_exhaustion",
+    "list_fetch_incremental",
+    "execute_sql_rowsets",
+    "get_put_file_roundtrip",
 ]
 
 GRADED_WINDOW = 50

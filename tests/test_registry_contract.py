@@ -44,9 +44,12 @@ MUST_GRADE = {
     "range_join_purchase_after_error",
     "asof_error_prior_click",
     "tailfile_ingest",
-    "invoke_http_route_counts",
-    "incremental_scan_tail",
     "streaming_route_counts",
+    # late-r5 swap: first driver rows for the strongest new evidence
+    "retry_flow_file_exhaustion",
+    "list_fetch_incremental",
+    "execute_sql_rowsets",
+    "get_put_file_roundtrip",
     "rolling_window_count10",
     "sessionize_users",
     # LLM pipeline, every operator, graded every round
@@ -61,7 +64,6 @@ MUST_GRADE = {
     "embedding_dedup_kept",
     "cosine_topk_vec0",
     "ivf_topk_vec0",
-    "knn_exact_10x3",
     "llm_inference_fake",
     "multimodal_features_frames",
 }
