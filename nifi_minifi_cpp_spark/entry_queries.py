@@ -1386,6 +1386,8 @@ def mqtt_consume_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure(spark)
     spark.dataSource.register(ConsumeMQTTDataSource)
+    # BOUNDED fixture collect (<= 500 rows regardless of sf): builds
+    # the fake transport's message feed, not a data path
     msgs = [
         (f"sensors/{r['event_type']}", str(r["event_id"]))
         for r in _t(spark, sf_dir, "events")
@@ -1455,6 +1457,8 @@ def journald_consume_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure(spark)
     spark.dataSource.register(ConsumeJournaldDataSource)
+    # BOUNDED fixture collect (<= 300 rows regardless of sf): builds
+    # the journal export file the source consumes
     rows = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_id") < 300)
