@@ -1853,6 +1853,48 @@ def k8s_pod_metrics_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "el_delineated_pack",
+    # the delineated-value combinators over a synthetic csv attribute
+    # 'e,<type>,<uid>': join of per-value toUpper, count of values
+    # containing 'e', any-value equality
+    """
+    SELECT event_id,
+           upper('e,' || event_type || ',' || CAST(user_id AS VARCHAR)) AS all_upper,
+           CAST(1 + (CASE WHEN event_type LIKE '%e%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_e,
+           (event_type = 'error') AS any_is_error
+    FROM events
+    """,
+)
+def el_delineated_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EL delineated-value combinators (Expression.cpp:1247-1309:
+    allDelineatedValues / anyDelineatedValue): per-value function
+    chains, join/count aggregates, any-value predicates — all over a
+    csv-valued attribute, compiled to Catalyst array expressions."""
+    ev = _t(spark, sf_dir, "events")
+    ff = events_to_flowfiles(ev).withColumn(
+        "attributes",
+        F.map_concat(
+            F.col("attributes"),
+            F.create_map(
+                F.lit("csv"),
+                F.concat_ws(
+                    ",", F.lit("e"), F.col("attributes")["event_type"], F.col("attributes")["user_id"]
+                ),
+            ),
+        ),
+    )
+    return ff.select(
+        F.col("uuid").cast("long").alias("event_id"),
+        el_string("${allDelineatedValues(${csv}, ','):toUpper():join(',')}").alias("all_upper"),
+        el_string("${allDelineatedValues(${csv}, ','):contains('e'):count()}")
+        .cast("bigint")
+        .alias("n_with_e"),
+        el_bool("${anyDelineatedValue(${csv}, ','):equals('error')}").alias("any_is_error"),
+    )
+
+
+@_register(
     "json_path_extract",
     """
     SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events

@@ -492,3 +492,77 @@ def test_exact_dedup_stream_drops_reingested_content(spark, tmpdir):
         q.stop()
     got = sorted(r["content"] for r in spark.sql("SELECT content FROM dedup_out").collect())
     assert got == ["doc-A", "doc-B", "doc-C"]  # the duplicate doc-A dropped
+
+
+def test_bin_packer_property_random_vs_model():
+    """Property test for the MergeContent bin-packing core
+    (BinFiles.h:190-229 flush conditions): drive the
+    applyInPandasWithState function DIRECTLY with random payload
+    streams split into random micro-batches, and compare every flush
+    (content, count, reason) plus the carried state against a
+    straightforward Python model of entries/bytes thresholds."""
+    import random
+
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+            self.removed = False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self.exists, self._v, self.removed = False, None, True
+
+    def model(payloads, max_entries, max_bytes):
+        """Expected flushes + final buffer."""
+        flushes, buf, total = [], [], 0
+        for p in payloads:
+            buf.append(p)
+            total += len(p)
+            if len(buf) >= max_entries or total >= max_bytes:
+                reason = "entries" if len(buf) >= max_entries else "bytes"
+                flushes.append(("|".join(buf), len(buf), reason))
+                buf, total = [], 0
+        return flushes, buf
+
+    rng = random.Random(4242)
+    for trial in range(25):
+        max_entries = rng.randint(2, 6)
+        max_bytes = rng.randint(5, 40)
+        payloads = ["x" * rng.randint(1, 12) for _ in range(rng.randint(0, 30))]
+        func, _, _ = st.make_bin_packer(
+            min_entries=1,
+            max_entries=max_entries,
+            max_bytes=max_bytes,
+            max_bin_age_ms=10_000_000,
+            demarcator="|",
+        )
+        state = FakeState()
+        got = []
+        i = 0
+        while i < len(payloads):  # random micro-batch boundaries
+            j = rng.randint(i + 1, len(payloads))
+            pdf = pd.DataFrame({"content": payloads[i:j]})
+            for out in func(("k",), iter([pdf]), state):
+                got += list(
+                    zip(out["content"], out["merge_count"], out["flush_reason"])
+                )
+            i = j
+        want_flushes, want_buf = model(payloads, max_entries, max_bytes)
+        assert [(c, n, r) for c, n, r in got] == want_flushes, trial
+        if want_buf:
+            assert state.exists and list(state.get[0]) == want_buf, trial
+        else:
+            assert not state.exists, trial
