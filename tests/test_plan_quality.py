@@ -215,3 +215,58 @@ def test_dedup_invariant_entries_no_cartesian(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_spread_pairs_numbered_repartition_plan(spark):
+    """r5: _spread_pairs must plan an EXPLICIT numbered repartition
+    (REPARTITION_BY_NUM) — the only shuffle AQE's size-based
+    coalescing never folds, so the verify HOFs keep full parallelism.
+    (The dedup operators materialize internally, so the contract is
+    asserted on the helper: the verify pipeline plan is consumed
+    before the operator returns.)"""
+    from nifi_minifi_cpp_spark.analytics.dedup import _spread_pairs
+
+    pairs = spark.createDataFrame([(1, 2)], "_ida long, _idb long")
+    spread = _spread_pairs(pairs, "_ida")
+    plan = spread._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan  # the AQE-coalescing-exempt marker
+    assert "hashpartitioning(_ida" in plan
+
+
+def test_object_store_list_is_metadata_only(spark, tmp_path):
+    """List* must not read object bytes: the binaryFile scan's
+    ReadSchema excludes the content column entirely."""
+    from nifi_minifi_cpp_spark.sources.objectstore import list_object_store
+
+    url = str(tmp_path / "bucket")
+    spark.range(10).selectExpr("CAST(id AS STRING) AS value").write.text(url)
+    plan = (
+        list_object_store(spark, url)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m is not None and "content" not in m.group(1), m and m.group(1)
+
+
+def test_range_join_wide_branch_broadcast_hash_with_keys(spark, sf_dir):
+    """r5: with equi-keys, the oversized-range fallback plans a
+    BroadcastHashJoin (not a nested loop) — the wide branch costs one
+    broadcast of a capped subset even when it fires."""
+    from nifi_minifi_cpp_spark.operators import range_join
+    from nifi_minifi_cpp_spark.session import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    pts = ev.select("user_id", "ts", "event_id")
+    rng = ev.limit(100).select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t"),
+    )
+    plan = (
+        range_join(pts, rng, "ts", "s", "t", on="user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
