@@ -2493,7 +2493,8 @@ def incremental_scan_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure(spark)
     max_key = load_table(spark, "orders", sf_dir).agg(F.max("o_orderkey")).first()[0]
-    state = tempfile.mktemp(suffix=".json")
+    # private fresh dir => unique state path without mktemp's race
+    state = os.path.join(tempfile.mkdtemp(prefix="incr_scan_"), "state.json")
     scan = IncrementalTableScan(
         parquet_table_reader(f"{sf_dir}/orders.parquet"),
         ["o_orderkey"],

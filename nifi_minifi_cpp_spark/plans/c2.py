@@ -51,6 +51,7 @@ C2_OPERATIONS = (
 )
 
 FULLY_APPLIED = "FULLY_APPLIED"
+PARTIALLY_APPLIED = "PARTIALLY_APPLIED"
 NOT_APPLIED = "NOT_APPLIED"
 NO_OPERATION = "NO_OPERATION"
 
@@ -91,6 +92,8 @@ class C2Agent:
         agent_id: str | None = None,
         agent_class: str = "spark-engine",
         full_heartbeat: bool = False,
+        properties: dict[str, str] | None = None,
+        update_policy: dict | None = None,
     ):
         self.controller = controller
         self.transport = transport
@@ -102,6 +105,12 @@ class C2Agent:
         self._sent_manifest = False
         self.paused = False
         self.last_transport_error: str | None = None
+        #: agent configuration the C2 server may update (the
+        #: minifi.properties analogue); gated by an
+        #: UpdatePolicyControllerService resolved via plans.services
+        #: (C2.md:288-304, enforcement C2Agent.cpp:658)
+        self.properties: dict[str, str] = dict(properties or {})
+        self.update_policy = update_policy
 
     # -- response nodes (C2.md "C2 Response Nodes") ----------------------
 
@@ -202,6 +211,40 @@ class C2Agent:
             ack.update(extra)
         return ack
 
+    def _update_properties(self, op: dict) -> dict:
+        """``update properties`` (C2Agent.cpp:618 handlePropertyUpdate):
+        each arg is ``name -> value`` or ``name -> {value, persist}``;
+        the UpdatePolicyControllerService gate (C2Agent.cpp:658) rejects
+        disallowed names. State machine is the reference's exactly:
+        NO_OPERATION until a change, FULLY_APPLIED/NOT_APPLIED on
+        all-success/all-fail, PARTIALLY_APPLIED on a mix; a same-value
+        no-op never changes the state."""
+        state = NO_OPERATION
+        details: list[str] = []
+        for pname, pval in (op.get("args") or {}).items():
+            persist = True
+            if isinstance(pval, dict):
+                persist = bool(pval.get("persist", True))
+                pval = pval.get("value")
+            pval = str(pval)
+            gate = self.update_policy.get("can_update") if self.update_policy else None
+            if gate is not None and not gate(pname):
+                ok = False
+                details.append(f"{pname}: update not allowed by policy")
+            elif self.properties.get(pname) == pval:
+                continue  # NO_UPDATE: state unchanged
+            else:
+                self.properties[pname] = pval
+                if persist:
+                    self._persisted_properties = getattr(self, "_persisted_properties", {})
+                    self._persisted_properties[pname] = pval
+                ok = True
+            if state == NO_OPERATION:
+                state = FULLY_APPLIED if ok else NOT_APPLIED
+            elif (state == FULLY_APPLIED and not ok) or (state == NOT_APPLIED and ok):
+                state = PARTIALLY_APPLIED
+        return self._ack(op, state, "; ".join(details))
+
     def process_operation(self, op: dict) -> dict:
         """One requested operation -> acknowledge payload. Unknown
         operations ack NOT_APPLIED (the reference logs and acks rather
@@ -222,6 +265,8 @@ class C2Agent:
                     return self._ack(op, FULLY_APPLIED, extra={"metrics": self._flow_info()})
                 return self._ack(op, NOT_APPLIED, f"unknown describe operand {operand!r}")
             if name == "update":
+                if operand == "properties":
+                    return self._update_properties(op)
                 if operand != "configuration":
                     return self._ack(op, NOT_APPLIED, f"unknown update operand {operand!r}")
                 new_config = op.get("content") or op.get("args", {}).get("flowYaml")

@@ -283,7 +283,18 @@ def _compress_content(spark, df, props):
 @processor("ConvertRecord")
 def _convert_record(spark, df, props):
     """ConvertRecord (ConvertRecord.cpp:36): JSON<->XML record format
-    conversion with a declared record schema."""
+    conversion with a declared record schema. With declared Record
+    Reader / Record Set Writer controller services (the reference's
+    wiring) the resolved service options drive the conversion; the
+    format-string shorthand stays for service-less flows."""
+    if "record_reader" in props and "record_writer" in props:
+        from ..sources.convert_record import convert_record_with_services
+
+        return _one(
+            convert_record_with_services(
+                df, props["record_reader"], props["record_writer"], props["schema"]
+            )
+        )
     from ..sources import convert_record
 
     return _one(
@@ -1165,6 +1176,7 @@ class CompiledFlow:
     outputs: dict[str, dict[str, DataFrame]]
     terminals: dict[str, DataFrame] = field(default_factory=dict)
     streaming_sinks: dict[str, tuple[DataFrame, str, dict]] = field(default_factory=dict)
+    services: "object | None" = None  # ServiceRegistry of the compiled flow
 
     def df(self, processor_id: str, relationship: str = SUCCESS) -> DataFrame:
         return self.outputs[processor_id][relationship]
@@ -1514,7 +1526,10 @@ def compile_flow(spark: SparkSession, config: dict | str) -> CompiledFlow:
         else:
             config = yaml.safe_load(config)
 
+    from .services import parse_controller_services, resolve_service_refs
+
     contexts = parse_parameter_contexts(config)
+    services = parse_controller_services(config)
     procs, conns = _flatten_groups(config, contexts)
 
     incoming: dict[str, list[tuple[str, str]]] = defaultdict(list)
@@ -1555,14 +1570,14 @@ def compile_flow(spark: SparkSession, config: dict | str) -> CompiledFlow:
             in_df = frames[0]
             for other in frames[1:]:  # implicit funnel
                 in_df = in_df.unionByName(other, allowMissingColumns=True)
-        props = dict(spec.get("properties", {}))
+        props = resolve_service_refs(spark, dict(spec.get("properties", {})), services)
         if ptype in _STREAMING_SINK_TYPES and in_df is not None and in_df.isStreaming:
             # defer: writeStream.start happens in FlowController
             streaming_sinks[pid] = (in_df, ptype, props)
             outputs[pid] = {SUCCESS: in_df}
             continue
         outputs[pid] = handler(spark, in_df, props)
-    return CompiledFlow(outputs=outputs, streaming_sinks=streaming_sinks)
+    return CompiledFlow(outputs=outputs, streaming_sinks=streaming_sinks, services=services)
 
 
 def registered_processors() -> list[str]:
