@@ -1511,6 +1511,38 @@ def _flatten_groups(
     return procs, out_conns
 
 
+def _connection_edge(df: DataFrame, conn: dict) -> DataFrame:
+    """Per-connection queue semantics that survive the move to Spark
+    (FlowSchema.cpp connection fields):
+
+    - ``flowfile expiration`` — the reference deletes a FlowFile whose
+      queue age exceeds the TTL at poll time
+      (Connection.cpp:153-158, ``now > entryDate + expired_duration``).
+      Catalyst form: filter on ``ts`` (the FlowFile entry timestamp)
+      against the evaluation time — same check, evaluated when the
+      consumer's plan runs (per micro-batch under streaming).
+    - ``drop empty`` — zero-byte content is dropped on the edge.
+
+    Backpressure thresholds (max queue size/bytes) and swap thresholds
+    stay unmaterialized by design: micro-batch planning replaces
+    queues (SURVEY §1.5), with maxFilesPerTrigger/maxOffsetsPerTrigger
+    as the admission analogue.
+    """
+    exp = conn.get("flowfile expiration") or conn.get("flowfile_expiration")
+    if exp is not None:
+        from ..streaming.sources import _parse_time_period_ms
+
+        ms = _parse_time_period_ms(exp)
+        if ms > 0 and "ts" in df.columns:
+            df = df.filter(
+                F.current_timestamp() < F.col("ts") + F.expr(f"INTERVAL {ms} MILLISECONDS")
+            )
+    drop_empty = conn.get("drop empty", conn.get("drop_empty"))
+    if str(drop_empty).strip().lower() in ("true", "1", "yes") and "content" in df.columns:
+        df = df.filter(F.col("content").isNotNull() & (F.length("content") > 0))
+    return df
+
+
 def compile_flow(spark: SparkSession, config: dict | str) -> CompiledFlow:
     """Compile a flow config (dict, YAML string, or path) into lazy
     DataFrames per processor output. No jobs run until an action.
@@ -1532,10 +1564,10 @@ def compile_flow(spark: SparkSession, config: dict | str) -> CompiledFlow:
     services = parse_controller_services(config)
     procs, conns = _flatten_groups(config, contexts)
 
-    incoming: dict[str, list[tuple[str, str]]] = defaultdict(list)
+    incoming: dict[str, list[tuple[str, str, dict]]] = defaultdict(list)
     for c in conns:
         src, dst = c["source"], c["destination"]
-        incoming[dst].append((src, c.get("relationship", SUCCESS)))
+        incoming[dst].append((src, c.get("relationship", SUCCESS), c))
 
     # topological order (Kahn) — parseProcessGroup does processors
     # first then connections (StructuredConfiguration.cpp:106-121);
@@ -1549,7 +1581,7 @@ def compile_flow(spark: SparkSession, config: dict | str) -> CompiledFlow:
         order.append(pid)
         resolved.add(pid)
         for other, deps in list(pending.items()):
-            if other not in resolved and all(s in resolved for s, _ in deps):
+            if other not in resolved and all(s in resolved for s, *_ in deps):
                 if other not in order and other not in ready:
                     ready.append(other)
     if len(order) != len(procs):
@@ -1566,7 +1598,7 @@ def compile_flow(spark: SparkSession, config: dict | str) -> CompiledFlow:
         inputs = incoming.get(pid, [])
         in_df: DataFrame | None = None
         if inputs:
-            frames = [outputs[src][rel] for src, rel in inputs]
+            frames = [_connection_edge(outputs[src][rel], c) for src, rel, c in inputs]
             in_df = frames[0]
             for other in frames[1:]:  # implicit funnel
                 in_df = in_df.unionByName(other, allowMissingColumns=True)

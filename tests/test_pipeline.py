@@ -1292,3 +1292,45 @@ def test_flow_controller_output_port_respects_channel_guard(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="one mode per channel"):
         FlowController(spark, cfg).start()
+
+
+def test_connection_drop_empty_edge(spark):
+    """FlowSchema 'drop empty' connection field: zero-byte content is
+    dropped on the edge (Connection.h drop-empty flag)."""
+    from nifi_minifi_cpp_spark.plans.pipeline import compile_flow
+
+    flow = {
+        "processors": [
+            {"id": "gen", "type": "GenerateFlowFile",
+             "properties": {"batch_size": 4, "custom_text": ""}},
+            {"id": "gen2", "type": "GenerateFlowFile",
+             "properties": {"batch_size": 3, "custom_text": "keep"}},
+            {"id": "log", "type": "LogAttribute"},
+        ],
+        "connections": [
+            {"source": "gen", "destination": "log", "drop empty": "true"},
+            {"source": "gen2", "destination": "log", "drop empty": "true"},
+        ],
+    }
+    out = compile_flow(spark, flow).df("log")
+    assert out.count() == 3  # the 4 empty-content rows dropped on the edge
+
+
+def test_connection_flowfile_expiration_edge(spark):
+    """Connection.cpp:153-158: now > entryDate + TTL deletes the
+    FlowFile at poll time; the Catalyst edge filter is the same check."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.plans.pipeline import _connection_edge
+
+    df = spark.range(2).select(
+        F.col("id"),
+        F.when(F.col("id") == 0, F.current_timestamp())  # fresh
+        .otherwise(F.current_timestamp() - F.expr("INTERVAL 1 HOUR"))  # stale
+        .alias("ts"),
+        F.lit("x").alias("content"),
+    )
+    kept = _connection_edge(df, {"flowfile expiration": "10 min"}).collect()
+    assert [r.id for r in kept] == [0]
+    # 0 = disabled (reference default): nothing dropped
+    assert _connection_edge(df, {"flowfile expiration": 0}).count() == 2
