@@ -112,6 +112,133 @@ def winnowing_fingerprints(col: Column, k: int = 7, window: int = 4) -> Column:
     return F.array_distinct(F.when(m > 0, mins).otherwise(kgram_hashes))
 
 
+def repetition_features(col: Column) -> dict[str, Column]:
+    """Repetition metrics from the Gopher rules (Rae et al. 2021,
+    "Scaling Language Models", Table A1): duplicate-line fraction,
+    top word-bigram fraction, duplicate word-5-gram fraction. Pure
+    Catalyst HOFs — no Python.
+
+    Cost note: the top-bigram mode is O(d^2) in DISTINCT bigrams per
+    document (count per distinct value). That is the metric's inherent
+    shape at document granularity; it parallelizes embarrassingly and
+    touches no shuffle, so at 100 TB it scales with executor count.
+    """
+    lines = F.filter(F.split(col, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0, 1 - F.size(F.array_distinct(lines)) / n_lines
+    ).otherwise(F.lit(0.0))
+
+    toks = tokens(col)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_count = F.when(
+        F.size(bigrams) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    top_bigram_frac = F.when(F.size(bigrams) > 0, top_count / F.size(bigrams)).otherwise(
+        F.lit(0.0)
+    )
+
+    fivegrams = F.when(
+        n >= 5,
+        F.transform(
+            F.sequence(F.lit(1), n - 4),
+            lambda i: F.array_join(F.slice(toks, i, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_5gram_frac = F.when(
+        F.size(fivegrams) > 0,
+        1 - F.size(F.array_distinct(fivegrams)) / F.size(fivegrams),
+    ).otherwise(F.lit(0.0))
+
+    return {
+        "dup_line_frac": dup_line_frac.cast("double"),
+        "top_bigram_frac": top_bigram_frac.cast("double"),
+        "dup_5gram_frac": dup_5gram_frac.cast("double"),
+    }
+
+
+def gopher_quality_flags(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style document filter flags (Rae et al. 2021 §A1.1):
+    word-count band, mean-word-length band, symbol-to-word ratio
+    (# and ellipsis), minimum distinct stopword hits; ``keep`` is
+    their conjunction. Every flag is a named boolean column so
+    downstream pipelines can report WHY a document was rejected."""
+    toks = tokens(col)
+    n = F.size(toks)
+    mean_wl = F.when(n > 0, F.length(F.array_join(toks, "")) / n).otherwise(F.lit(0.0))
+    n_symbols = F.regexp_count(col, F.lit(r"#|\.\.\."))
+    stop_lit = F.array(*[F.lit(w) for w in _LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_lit))
+    flags = {
+        "word_count_ok": (n >= min_words) & (n <= max_words),
+        "mean_word_len_ok": (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        "symbol_ratio_ok": F.when(n > 0, n_symbols / n <= max_symbol_word_ratio).otherwise(
+            F.lit(False)
+        ),
+        "stopwords_ok": stop_hits >= min_stopword_hits,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    flags["keep"] = keep
+    return {k: v.cast("boolean") for k, v in flags.items()}
+
+
+#: PII patterns chosen to mean the same thing in Java regex (Spark)
+#: and RE2 (DuckDB) so oracles can mirror them exactly.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}",
+}
+
+
+def redact_pii(col: Column) -> tuple[Column, dict[str, Column]]:
+    """C4-style PII scrub: emails / IPv4 / international phone numbers
+    replaced with ``[EMAIL]``/``[IP]``/``[PHONE]`` tags. Returns the
+    redacted column and per-kind match counts (JVM regexp_count /
+    regexp_replace — codegen, no Python)."""
+    counts = {k: F.regexp_count(col, F.lit(p)).cast("long") for k, p in PII_PATTERNS.items()}
+    out = col
+    for kind, pattern in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pattern, f"[{kind.upper()}]")
+    return out, counts
+
+
+def deterministic_sample_pred(key: Column, fraction: float) -> Column:
+    """Engine-portable deterministic sampler: keep a row iff the first
+    4 hex digits of md5(key-as-string) fall below fraction * 0x10000.
+    Unlike rand(seed), the SAME rows are selected by any engine (the
+    oracle mirrors it verbatim in SQL), the sample is stable across
+    partitionings and retries, and membership is reproducible at
+    100 TB without any coordination."""
+    if not 0 <= fraction <= 1:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    threshold = format(int(fraction * 0x10000), "04x")
+    return F.substring(F.md5(key.cast("string")), 1, 4) < F.lit(threshold)
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass document analysis: all features + language + quality +
     fingerprint as new columns."""

@@ -3644,6 +3644,181 @@ def language_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(language_id(F.col("text")).alias("lang_detected")).count()
 
 
+@_register(
+    "repetition_report",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                  ELSE [] END AS bg,
+             CASE WHEN len(t) >= 5
+                  THEN list_transform(range(1, len(t) - 3), i -> array_to_string(list_slice(t, i, i+4), ' '))
+                  ELSE [] END AS fg
+      FROM toks
+    )
+    SELECT doc_id,
+           round(CASE WHEN len(bg) > 0
+                 THEN CAST(list_max(list_transform(list_distinct(bg), b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE) / len(bg)
+                 ELSE 0.0 END, 4) AS top_bigram_frac,
+           round(CASE WHEN len(fg) > 0
+                 THEN 1.0 - CAST(len(list_distinct(fg)) AS DOUBLE) / len(fg)
+                 ELSE 0.0 END, 4) AS dup_5gram_frac
+    FROM grams
+    """,
+)
+def repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition metrics (Rae et al. 2021 Table A1) per doc —
+    top word-bigram fraction and duplicate 5-gram fraction as pure
+    Catalyst HOFs, mirrored verbatim by DuckDB list lambdas."""
+    from .analytics.text_analysis import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = repetition_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(feats["top_bigram_frac"], 4).alias("top_bigram_frac"),
+        F.round(feats["dup_5gram_frac"], 4).alias("dup_5gram_frac"),
+    )
+
+
+_GOPHER_STOPWORDS_SQL = "['the','and','of','to','a','in','is','that','for','it']"
+
+
+@_register(
+    "gopher_filter_counts",
+    rf"""
+    WITH feats AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t,
+             len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+             text
+      FROM documents
+    ), flags AS (
+      SELECT len(t) BETWEEN 50 AND 100000 AS word_count_ok,
+             CASE WHEN len(t) > 0
+                  THEN CAST(length(array_to_string(t, '')) AS DOUBLE) / len(t) BETWEEN 3.0 AND 10.0
+                  ELSE FALSE END AS mean_word_len_ok,
+             CASE WHEN len(t) > 0
+                  THEN CAST(n_sym AS DOUBLE) / len(t) <= 0.1
+                  ELSE FALSE END AS symbol_ratio_ok,
+             len(list_intersect(list_distinct(t), {_GOPHER_STOPWORDS_SQL})) >= 2 AS stopwords_ok
+      FROM feats
+    )
+    SELECT word_count_ok, mean_word_len_ok, symbol_ratio_ok, stopwords_ok,
+           (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok AND stopwords_ok) AS keep,
+           count(*) AS n
+    FROM flags
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def gopher_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter flags (Rae et al. 2021 §A1.1) over the
+    corpus, aggregated by rejection reason — the reporting shape a
+    training-data pipeline actually wants ("how much did each rule
+    cost us"), with every rule mirrored in the oracle."""
+    from .analytics.text_analysis import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(F.col("text"))
+    out = docs.select(*[c.alias(name) for name, c in flags.items()])
+    return out.groupBy(
+        "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok", "stopwords_ok", "keep"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "pii_redaction_counts",
+    r"""
+    WITH pii AS (
+      SELECT source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+                  || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)
+                  || ' call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' 9876' AS t
+      FROM documents
+    ), redacted AS (
+      SELECT source,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             len(regexp_extract_all(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ip,
+             len(regexp_extract_all(t, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}')) AS n_phone,
+             length(regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IPV4]', 'g'),
+                 '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}', '[PHONE]', 'g')) AS red_len
+      FROM pii
+    )
+    SELECT source,
+           CAST(sum(n_email) AS BIGINT) AS emails,
+           CAST(sum(n_ip) AS BIGINT) AS ips,
+           CAST(sum(n_phone) AS BIGINT) AS phones,
+           CAST(sum(red_len) AS BIGINT) AS redacted_chars
+    FROM redacted
+    GROUP BY source
+    """,
+)
+def pii_redaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII scrub over documents with DETERMINISTICALLY
+    INJECTED pii (email/IPv4/phone built from doc_id — the synthetic
+    corpus has none, and the oracle rebuilds the same strings), then
+    per-source match counts plus redacted-length sums pinning the
+    replacement itself. regexp patterns chosen to parse identically
+    under Java regex and RE2 (analytics.text_analysis.PII_PATTERNS)."""
+    from .analytics.text_analysis import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" call +1 555 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" 9876"),
+    )
+    redacted, counts = redact_pii(pii_text)
+    enriched = docs.select(
+        "source",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+        F.length(redacted).alias("red_len"),
+    )
+    return enriched.groupBy("source").agg(
+        F.sum("n_email").alias("emails"),
+        F.sum("n_ip").alias("ips"),
+        F.sum("n_phone").alias("phones"),
+        F.sum("red_len").alias("redacted_chars"),
+    )
+
+
+@_register(
+    "deterministic_sample_ids",
+    """
+    SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+    """,
+)
+def deterministic_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% corpus sample: md5-prefix bucketing instead
+    of rand(seed) — the same rows are selected by ANY engine (the
+    oracle mirrors the rule verbatim), stable across partitionings,
+    retries, and scale. The sampling every 100 TB pipeline needs for
+    reproducible held-out splits."""
+    from .analytics.text_analysis import deterministic_sample_pred
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(deterministic_sample_pred(F.col("doc_id"), 0.25)).select(
+        "doc_id", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("bucket")
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================

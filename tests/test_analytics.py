@@ -666,3 +666,91 @@ def test_ngram_verify_strategies_parity(spark, docs_with_dups):
 
     with _pytest.raises(ValueError, match="verify_strategy"):
         an.ngram_jaccard_dedup(docs_with_dups, verify_strategy="telepathy")
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4 quality extensions (analytics.text_analysis r5 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_features_crafted_docs(spark):
+    """Hand-computable repetition metrics: a doc that is one bigram
+    repeated, a doc with duplicated lines, and a no-repetition doc."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ab cd ab cd ab cd"),            # bigrams: 5 total, 'ab cd' x3
+            (2, "line one\nline two\nline one\n"),  # 3 lines, 2 distinct
+            (3, "all words here are unique tokens now"),
+            (4, ""),                                # empty: all zeros
+        ],
+        "id int, text string",
+    )
+    f = repetition_features(__import__("pyspark.sql.functions", fromlist=["col"]).col("text"))
+    rows = {r.id: r for r in docs.select("id", *[v.alias(k) for k, v in f.items()]).collect()}
+    assert rows[1].top_bigram_frac == 3 / 5
+    assert rows[2].dup_line_frac == pytest.approx(1 / 3)
+    assert rows[3].top_bigram_frac == pytest.approx(1 / 6)  # 6 bigrams, all distinct
+    assert rows[3].dup_5gram_frac == 0.0
+    assert rows[4].dup_line_frac == 0.0 and rows[4].top_bigram_frac == 0.0
+
+
+def test_gopher_flags_reasons(spark):
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.text_analysis import gopher_quality_flags
+
+    good = "the quick brown fox jumps over the lazy dog and it is that good for " * 5
+    short = "too short"
+    symbols = "the " + "# " * 40 + "and it is that for a in of to"
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "id int, text string"
+    )
+    flags = gopher_quality_flags(F.col("text"))
+    rows = {r.id: r for r in docs.select("id", *[v.alias(k) for k, v in flags.items()]).collect()}
+    assert rows[1].keep is True
+    assert rows[2].keep is False and rows[2].word_count_ok is False
+    assert rows[3].keep is False and rows[3].symbol_ratio_ok is False
+    assert rows[3].stopwords_ok is True  # rejected for symbols, not stopwords
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.text_analysis import redact_pii
+
+    df = spark.createDataFrame(
+        [("mail a@b.com and c.d+x@e.org, ip 10.0.0.1, call +1 555 0100 9876",)],
+        "text string",
+    )
+    red, counts = redact_pii(F.col("text"))
+    row = df.select(
+        red.alias("t"), counts["email"].alias("e"), counts["ipv4"].alias("i"),
+        counts["phone"].alias("p"),
+    ).first()
+    assert row.e == 2 and row.i == 1 and row.p == 1
+    assert "[EMAIL]" in row.t and "[IPV4]" in row.t and "[PHONE]" in row.t
+    assert "a@b.com" not in row.t and "10.0.0.1" not in row.t
+
+
+def test_deterministic_sample_stable_and_sized(spark):
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.text_analysis import deterministic_sample_pred
+
+    df = spark.range(10_000)
+    kept = df.filter(deterministic_sample_pred(F.col("id"), 0.25))
+    n = kept.count()
+    assert 0.22 * 10_000 < n < 0.28 * 10_000  # md5 is uniform
+    # stability: same rows regardless of partitioning
+    ids1 = {r.id for r in kept.collect()}
+    ids2 = {
+        r.id
+        for r in df.repartition(13)
+        .filter(deterministic_sample_pred(F.col("id"), 0.25))
+        .collect()
+    }
+    assert ids1 == ids2
+    with pytest.raises(ValueError):
+        deterministic_sample_pred(F.col("id"), 1.5)
