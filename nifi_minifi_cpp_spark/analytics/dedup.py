@@ -705,3 +705,95 @@ def exact_dedup_stream(
         .dropDuplicatesWithinWatermark(["_h"])
         .drop("_h")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 0.95,
+    n_clusters: int = 64,
+    sample_rows: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+    max_cluster: int = 20_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
+    the embedding space, then within each cluster keep one member of
+    every epsilon-similar group.
+
+    Spark shape: the spherical k-means quantizer trains on a BOUNDED
+    driver sample (similarity.train_ivf_centroids — ~sample_rows x dim
+    floats regardless of table size), assignment is a broadcast
+    matmul (similarity.ivf_assign), and the within-cluster pass is one
+    ``applyInPandas`` over cells — the only shuffle is the groupBy on
+    the cell id. At 100 TB, pick n_clusters so the average cell fits
+    an executor (the paper uses ~0.1% of corpus size).
+
+    Keep rule (deterministic): cluster members are ranked by
+    similarity-to-centroid DESC with id ASC tie-break; scanning in
+    that order, a member is dropped iff it is >= eps cosine-similar to
+    an already-kept member — so the most-central member of each
+    duplicate group survives, and identical vectors always collapse to
+    the lowest id. (The paper keeps the LOW-centroid-similarity
+    extreme; centrality is chosen here so the survivor is the group's
+    best exemplar — flip the sort to match the paper exactly.)
+
+    Skew guard: only the ``max_cluster`` highest-centrality members of
+    a cluster enter the O(k^2) pairwise pass; members beyond the cap
+    are kept unexamined (bounded recall loss, same contract as the
+    probe caps in the LSH dedups — documented, not silent: the cap is
+    a parameter, not a constant).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import ivf_assign, train_ivf_centroids
+
+    cent = train_ivf_centroids(
+        df, n_cells=n_clusters, embedding_col=embedding_col,
+        sample_rows=sample_rows, iters=iters, seed=seed,
+    )
+    cent = np.asarray(cent, dtype=np.float64)
+    assigned = ivf_assign(df, cent, embedding_col=embedding_col, cell_col="_cell")
+    slim = assigned.select(id_col, embedding_col, "_cell")
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({id_col: pdf[id_col]})
+        # phase 0 — collapse BIT-EXACT duplicate vectors to the lowest
+        # id first. Identity must not ride on float comparisons:
+        # blocked BLAS reductions give identical vectors centroid-sims
+        # differing in the last ulp depending on ROW POSITION, which
+        # would make the tie-break between an original and its exact
+        # copy nondeterministic (observed: the copy sorting first).
+        pdf = (
+            pdf.assign(
+                _k=pdf[embedding_col].map(
+                    lambda e: np.asarray(e, dtype=np.float64).tobytes()
+                )
+            )
+            .sort_values(id_col)
+            .drop_duplicates("_k", keep="first")
+        )
+        cell = int(pdf["_cell"].iloc[0])
+        E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[embedding_col]])
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        E = E / np.where(norms == 0, 1.0, norms)
+        simc = E @ cent[cell]
+        ids = pdf[id_col].to_numpy()
+        order = np.lexsort((ids, -simc))  # centrality desc, id asc
+        head, tail = order[:max_cluster], order[max_cluster:]
+        kept: list[int] = []
+        buf = np.empty((len(head), E.shape[1]))  # preallocated kept-set matrix
+        for i in head:
+            if not kept or float(np.max(buf[: len(kept)] @ E[i])) < eps:
+                buf[len(kept)] = E[i]
+                kept.append(i)
+        kept_ids = np.concatenate([ids[kept], ids[tail]]) if len(tail) else ids[kept]
+        return pd.DataFrame({id_col: kept_ids})
+
+    kept_ids = slim.groupBy("_cell").applyInPandas(
+        dedup_cell, schema=f"{id_col} long"
+    )
+    return df.join(kept_ids, id_col, "left_semi")

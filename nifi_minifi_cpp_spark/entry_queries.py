@@ -3607,6 +3607,25 @@ def embedding_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("semantic_dedup_kept", _EMBEDDING_DEDUP_ORACLE)
+def semantic_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) graded on invariants: an injected
+    copy has an identical vector -> identical centroid argmax -> same
+    cluster as its original -> cosine 1.0 >= eps -> the greedy pass
+    (centrality desc, id asc) keeps the original and drops the copy —
+    regardless of what the sampled k-means converged to."""
+    from .analytics import semantic_dedup
+
+    vecs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    inp = _with_injected_dups(vecs, "vec_id")
+    kept = semantic_dedup(inp, eps=0.95, n_clusters=8)
+    report_inp = inp.withColumn("_ckey", F.col("embedding").cast("array<string>"))
+    report_kept = kept.withColumn("_ckey", F.col("embedding").cast("array<string>"))
+    return _dedup_invariant_report(
+        report_inp.select("vec_id", "_ckey"), report_kept.select("vec_id", "_ckey"), "vec_id", "_ckey"
+    )
+
+
 def _language_id_oracle_sql() -> str:
     """DuckDB mirror of analytics.text_analysis.language_id: distinct
     lowercase whitespace tokens, per-language stopword-overlap counts,

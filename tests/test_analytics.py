@@ -754,3 +754,62 @@ def test_deterministic_sample_stable_and_sized(spark):
     assert ids1 == ids2
     with pytest.raises(ValueError):
         deterministic_sample_pred(F.col("id"), 1.5)
+
+
+def test_semantic_dedup_drops_near_dups_keeps_distinct(spark):
+    """SemDeDup on a hand-built space: two tight groups + one isolated
+    vector. Exactly one survivor per eps-group, most-central first."""
+    import numpy as np
+
+    from nifi_minifi_cpp_spark.analytics import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # ~1.0 cos to id 1 -> dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.999, 0.02, 0.0]),   # near id 3 -> dropped
+        (5, [0.0, 0.0, 0.0, 1.0]),      # isolated -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(r.vec_id for r in semantic_dedup(df, eps=0.95, n_clusters=3).collect())
+    assert 5 in kept and len(kept) == 3
+    # one survivor per near-dup pair
+    assert len({1, 2} & set(kept)) == 1 and len({3, 4} & set(kept)) == 1
+
+
+def test_semantic_dedup_identical_vectors_keep_lowest_id(spark):
+    from nifi_minifi_cpp_spark.analytics import semantic_dedup
+
+    v = [0.5, 0.5, 0.5, 0.5]
+    df = spark.createDataFrame(
+        [(10, v), (20, v), (30, v)], "vec_id long, embedding array<double>"
+    )
+    kept = [r.vec_id for r in semantic_dedup(df, eps=0.99, n_clusters=2).collect()]
+    assert kept == [10]
+
+
+def test_semantic_dedup_max_cluster_guard_keeps_tail(spark):
+    """DISTINCT near-dup members beyond the cap are kept unexamined
+    (documented bounded recall loss), never dropped; bit-exact
+    duplicates collapse in phase 0 regardless of the cap."""
+    from nifi_minifi_cpp_spark.analytics import semantic_dedup
+
+    # 10 distinct but mutually >0.9-similar vectors
+    rows = [(i, [1.0, i * 1e-4]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r.vec_id for r in semantic_dedup(df, eps=0.9, n_clusters=1, max_cluster=4).collect()
+    )
+    # head of 4 most-central collapses to 1 survivor; 6 past the cap kept
+    assert len(kept) == 7
+
+    # bit-exact duplicates collapse even past the cap (phase 0)
+    v = [1.0, 0.0]
+    dupes = spark.createDataFrame(
+        [(i, v) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    kept2 = [
+        r.vec_id
+        for r in semantic_dedup(dupes, eps=0.9, n_clusters=1, max_cluster=4).collect()
+    ]
+    assert kept2 == [0]
