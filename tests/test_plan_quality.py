@@ -270,3 +270,33 @@ def test_range_join_wide_branch_broadcast_hash_with_keys(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_text_quality_extensions_stay_jvm_side(spark, sf_dir):
+    """Gopher repetition/filter/PII/sampling queries are pure Catalyst:
+    no Python evaluation nodes anywhere in the plan."""
+    for name in (
+        "repetition_report",
+        "gopher_filter_counts",
+        "pii_redaction_counts",
+        "deterministic_sample_ids",
+    ):
+        plan = plan_of(entry.queries()[name](spark, sf_dir))
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+def test_semantic_dedup_single_cell_shuffle(spark, sf_dir):
+    """semantic_dedup's only wide operation is the groupBy on the
+    int cell id (FlatMapGroupsInPandas); no cartesian product, no
+    sort-merge join on embedding payloads."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from nifi_minifi_cpp_spark.analytics import semantic_dedup
+    from nifi_minifi_cpp_spark.session import load_table
+
+    vecs = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    plan = plan_of(semantic_dedup(vecs, n_clusters=4))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # final membership join is the slim left-semi on the id
+    assert "LeftSemi" in plan
