@@ -709,6 +709,17 @@ def _parse_syslog(spark, df, props):
     return _one(parse_syslog(df, content_col=props.get("content_col", "content")))
 
 
+@processor("LocalPort")
+def _local_port(spark, df, props):
+    """Group-level Input/Output Port inside one flow (FlowSchema
+    ``Input Ports``/``Output Ports``): a named pass-through edge —
+    the implicit-funnel union upstream already merged its inputs.
+    Cross-FLOW Site-to-Site ports are plans/ports.py."""
+    if df is None:
+        raise FlowCompileError("LocalPort has no incoming connection")
+    return _one(df)
+
+
 @processor("Funnel")
 def _funnel(spark, df, props):
     """Funnel (Funnel.h:27): explicit union node — the compiler already
@@ -1558,8 +1569,11 @@ def compile_flow(spark: SparkSession, config: dict | str) -> CompiledFlow:
         else:
             config = yaml.safe_load(config)
 
+    from .reference_dialect import is_reference_dialect, normalize_flow_config
     from .services import parse_controller_services, resolve_service_refs
 
+    if is_reference_dialect(config):
+        config = normalize_flow_config(config)
     contexts = parse_parameter_contexts(config)
     services = parse_controller_services(config)
     procs, conns = _flatten_groups(config, contexts)

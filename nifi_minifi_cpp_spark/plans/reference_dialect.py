@@ -1,0 +1,213 @@
+"""Accept the reference's OWN flow-config dialect.
+
+MiNiFi C++ flows ship as ``config.yml`` in the schema of
+/root/reference/libminifi/src/core/flow/FlowSchema.cpp:30-99:
+capitalized section names (``Processors`` / ``Connections`` /
+``Process Groups`` / ``Controller Services`` / ``Funnels`` /
+``Input Ports`` / ``Output Ports``), namespaced ``class`` names
+(``org.apache.nifi.minifi.processors.GenerateFlowFile``), connection
+endpoints as ``source id``/``destination id`` (or names) with a
+``source relationship names`` LIST, and property values that may be
+wrapped as ``- value: X`` items (see
+libminifi/test/resources/*.yml for live examples).
+
+``normalize_flow_config`` rewrites that dialect into the engine's
+internal shape so ``compile_flow`` runs a reference config.yml
+unmodified:
+
+- agent-runtime sections (repositories, Core Properties, Security
+  Properties, Flow Controller header) are dropped — Spark owns
+  scheduling, durability, and transport;
+- group-level ``Input Ports``/``Output Ports`` become LocalPort
+  pass-through processors (their graph role inside one flow is edge
+  plumbing; cross-flow Site-to-Site ports are plans/ports.py),
+  ``Funnels`` become Funnel processors;
+- one connection is emitted per entry in ``source relationship
+  names``; queue fields the engine honors (``flowfile expiration``,
+  ``drop empty``) are carried through, backpressure fields are
+  dropped (micro-batch planning replaces queues, SURVEY §1.5);
+- processor properties keep their reference spelling AND gain a
+  snake_case alias (``Batch Size`` -> ``batch_size``) when absent, so
+  engine handlers find their inputs without a per-processor rename
+  table; name collisions defer to the explicit key.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+#: agent-runtime sections with no dataflow content
+_AGENT_SECTIONS = {
+    "Flow Controller",
+    "Core Properties",
+    "FlowFile Repository",
+    "Content Repository",
+    "Provenance Repository",
+    "Component Status Repository",
+    "Security Properties",
+    "Provenance Reporting",
+    "MiNiFi Config Version",
+}
+
+_REFERENCE_MARKERS = ("Processors", "Process Groups", "Flow Controller", "Connections")
+
+
+def is_reference_dialect(config: dict) -> bool:
+    """A config is reference-dialect when it uses the capitalized
+    FlowSchema section names (the internal dialect is lowercase)."""
+    return any(k in config for k in _REFERENCE_MARKERS)
+
+
+def _unwrap(value: Any) -> Any:
+    """Reference property values may arrive as ``[{value: X}, ...]``
+    (FlowSchema value lists, e.g. TestControllerServices.yml). A
+    single-item list unwraps to the scalar; multi-item stays a list of
+    the inner values (the services layer parses those)."""
+    if isinstance(value, list) and value and all(
+        isinstance(v, dict) and set(v) == {"value"} for v in value
+    ):
+        vals = [v["value"] for v in value]
+        return vals[0] if len(vals) == 1 else [{"value": v} for v in vals]
+    return value
+
+
+def _props(raw: dict | None) -> dict:
+    props = {k: _unwrap(v) for k, v in (raw or {}).items()}
+    for k, v in list(props.items()):
+        alias = k.strip().lower().replace(" ", "_")
+        if alias not in props:
+            props[alias] = v
+    return props
+
+
+def _type_of(entry: dict) -> str:
+    ctype = entry.get("class") or entry.get("type") or ""
+    return str(ctype).rsplit(".", 1)[-1]
+
+
+def _norm_group(group: dict, top: bool) -> tuple[dict, list[dict]]:
+    """One group -> internal shape; returns (group, hoisted services).
+
+    Controller services are hoisted to the flow level: the engine's
+    registry is flat (service names must be unique flow-wide, which
+    the reference's own examples satisfy)."""
+    out: dict[str, Any] = {}
+    services: list[dict] = []
+    for svc in group.get("Controller Services") or []:
+        svc = dict(svc)
+        # single-item value-wrapped scalars unwrap; genuine lists
+        # (Allowed Properties, Linked Services) keep the wrapped form
+        # the services layer parses
+        svc["Properties"] = {
+            k: _unwrap(v) for k, v in (svc.get("Properties") or {}).items()
+        }
+        services.append(svc)
+
+    procs = []
+    for p in group.get("Processors") or []:
+        procs.append(
+            {
+                "id": str(p.get("id") or p.get("name")),
+                "name": p.get("name"),
+                "type": _type_of(p),
+                "properties": _props(p.get("Properties")),
+            }
+        )
+    # ports inside a flow are edge plumbing: pass-through nodes
+    for section, ptype in (
+        ("Input Ports", "LocalPort"),
+        ("Output Ports", "LocalPort"),
+        ("Funnels", "Funnel"),
+    ):
+        for port in group.get(section) or []:
+            procs.append(
+                {
+                    "id": str(port.get("id") or port.get("name")),
+                    "name": port.get("name"),
+                    "type": ptype,
+                    "properties": {},
+                }
+            )
+    if procs:
+        out["processors"] = procs
+
+    # connections may reference siblings by display name instead of id
+    alias = {p["name"]: p["id"] for p in procs if p.get("name")}
+
+    conns = []
+    for c in group.get("Connections") or []:
+        src = c.get("source id") or c.get("source name") or c.get("source")
+        dst = c.get("destination id") or c.get("destination name") or c.get("destination")
+        src = alias.get(src, src)
+        dst = alias.get(dst, dst)
+        rels = c.get("source relationship names")
+        if not rels:
+            single = c.get("source relationship name") or c.get("relationship")
+            rels = [single] if single else ["success"]
+        for rel in rels:
+            conn = {"source": str(src), "destination": str(dst), "relationship": str(rel)}
+            for carried in ("flowfile expiration", "drop empty"):
+                if carried in c:
+                    conn[carried] = c[carried]
+            conns.append(conn)
+    if conns:
+        out["connections"] = conns
+
+    children = []
+    for child in group.get("Process Groups") or []:
+        norm_child, child_services = _norm_group(child, top=False)
+        norm_child.setdefault("name", child.get("name", child.get("id", "group")))
+        norm_child.setdefault("id", child.get("id"))
+        if child.get("Parameter Context Name"):
+            norm_child["parameter_context_name"] = child["Parameter Context Name"]
+        children.append(norm_child)
+        services.extend(child_services)
+    if children:
+        out["process_groups"] = children
+    return out, services
+
+
+def normalize_flow_config(config: dict) -> dict:
+    """Reference config.yml dict -> the engine's internal flow shape.
+    Unknown non-agent sections are preserved untouched (forward
+    compatibility); agent-runtime sections are dropped."""
+    root, services = _norm_group(config, top=True)
+
+    contexts = []
+    for ctx in config.get("Parameter Contexts") or []:
+        contexts.append(
+            {
+                "name": ctx.get("name"),
+                "parameters": [
+                    {"name": p.get("name"), "value": p.get("value")}
+                    for p in (ctx.get("Parameters") or [])
+                ],
+                "inherited_parameter_contexts": list(
+                    ctx.get("Inherited Parameter Contexts") or []
+                ),
+            }
+        )
+    if contexts:
+        root["parameter_contexts"] = contexts
+    if config.get("Parameter Context Name"):
+        root["parameter_context_name"] = config["Parameter Context Name"]
+    if services:
+        root["Controller Services"] = services
+
+    handled = _AGENT_SECTIONS | {
+        "Processors",
+        "Connections",
+        "Process Groups",
+        "Controller Services",
+        "Funnels",
+        "Input Ports",
+        "Output Ports",
+        "Parameter Contexts",
+        "Parameter Context Name",
+        "Remote Process Groups",
+        "Remote Processing Groups",
+    }
+    for k, v in config.items():
+        if k not in handled and k not in root:
+            root[k] = v
+    return root

@@ -1,0 +1,195 @@
+"""compile_flow accepts the reference's OWN config.yml dialect
+(FlowSchema.cpp:30-99; live examples under
+libminifi/test/resources/*.yml): capitalized sections, namespaced
+class names, 'source id'/'source relationship names' connections,
+value-wrapped properties, group-level ports and services.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nifi_minifi_cpp_spark.plans.pipeline import compile_flow
+from nifi_minifi_cpp_spark.plans.reference_dialect import (
+    is_reference_dialect,
+    normalize_flow_config,
+)
+
+REFERENCE_YAML = """
+Flow Controller:
+  name: MiNiFi Flow
+  id: 2438e3c8-015a-1000-79ca-83af40ec1990
+Core Properties:
+  flow controller graceful shutdown period: 10 sec
+Content Repository:
+  content claim max appendable size: 10 MB
+Security Properties:
+  keystore: ''
+Processors:
+- id: 4ed2d51d-076a-49b0-88de-5cf5adf52a7e
+  name: GenerateFlowFile
+  class: org.apache.nifi.minifi.processors.GenerateFlowFile
+  max concurrent tasks: 1
+  scheduling strategy: TIMER_DRIVEN
+  scheduling period: 15000 ms
+  auto-terminated relationships list: []
+  Properties:
+    Batch Size: '4'
+    Custom Text: hello from minifi
+- id: 1d51724d-dd76-46a0-892d-a7c7408d58dd
+  name: Logger
+  class: org.apache.nifi.minifi.processors.LogAttribute
+  Properties: {}
+Input Ports:
+- id: 012fc536-3137-4360-be65-3e3b47e05941
+  name: in
+Connections:
+- id: 189bee81-3e56-45ac-b6bb-aa70b7180dc8
+  name: GenerateFlowFile/success/in
+  source id: 4ed2d51d-076a-49b0-88de-5cf5adf52a7e
+  source relationship names:
+  - success
+  destination id: 012fc536-3137-4360-be65-3e3b47e05941
+  max work queue size: 0
+  flowfile expiration: 0 seconds
+  queue prioritizer class: ''
+- id: f5d1dd2d-f675-41bd-bf1b-b571aa23ebfb
+  source name: in
+  destination name: Logger
+  source relationship names:
+  - success
+Controller Services:
+- name: SSLClientServiceTest
+  id: 2438e3c8-015a-1000-79ca-83af40ec1922
+  class: SSLContextService
+  Properties:
+    Client Certificate:
+    - value: cn.crt.pem
+    Private Key:
+    - value: cn.ckey.pem
+    CA Certificate:
+    - value: nifi-cert.pem
+"""
+
+
+def test_detect_and_normalize_sections():
+    import yaml
+
+    config = yaml.safe_load(REFERENCE_YAML)
+    assert is_reference_dialect(config)
+    norm = normalize_flow_config(config)
+    # agent sections dropped, dataflow sections lowercased
+    assert "Content Repository" not in norm and "Security Properties" not in norm
+    types = {p["id"]: p["type"] for p in norm["processors"]}
+    assert types["4ed2d51d-076a-49b0-88de-5cf5adf52a7e"] == "GenerateFlowFile"
+    assert types["012fc536-3137-4360-be65-3e3b47e05941"] == "LocalPort"
+    # name references resolved to ids
+    conns = norm["connections"]
+    assert conns[1]["source"] == "012fc536-3137-4360-be65-3e3b47e05941"
+    assert conns[1]["destination"] == "1d51724d-dd76-46a0-892d-a7c7408d58dd"
+    # snake_case aliases added alongside reference spellings
+    gen = next(p for p in norm["processors"] if p["type"] == "GenerateFlowFile")
+    assert gen["properties"]["Batch Size"] == "4"
+    assert gen["properties"]["batch_size"] == "4"
+    # value-wrapped service properties unwrap to scalars
+    svc = norm["Controller Services"][0]
+    assert svc["Properties"]["Client Certificate"] == "cn.crt.pem"
+
+
+def test_reference_yaml_compiles_and_runs(spark):
+    flow = compile_flow(spark, REFERENCE_YAML)
+    out = flow.df("1d51724d-dd76-46a0-892d-a7c7408d58dd")
+    rows = out.collect()
+    assert len(rows) == 4
+    assert all(r.content == "hello from minifi" for r in rows)
+    assert "SSLClientServiceTest" in flow.services
+
+
+def test_group_level_ports_and_services_hoist(spark):
+    import yaml
+
+    config = yaml.safe_load(
+        """
+Processors:
+- id: gen
+  name: gen
+  class: GenerateFlowFile
+  Properties: {Batch Size: '2', Custom Text: nested}
+Process Groups:
+- id: sub
+  name: sub
+  Processors:
+  - id: sublog
+    name: sublog
+    class: LogAttribute
+  Input Ports:
+  - id: subin
+    name: subin
+  Connections:
+  - source id: subin
+    destination id: sublog
+    source relationship names: [success]
+  Controller Services:
+  - name: SubPolicy
+    id: subpol
+    class: UpdatePolicyControllerService
+    Properties: {Allow All Properties: 'true'}
+Connections:
+- source id: gen
+  destination id: sub/subin
+  source relationship names: [success]
+"""
+    )
+    norm = normalize_flow_config(config)
+    assert norm["Controller Services"][0]["name"] == "SubPolicy"  # hoisted
+    flow = compile_flow(spark, norm)
+    assert flow.df("sub/sublog").count() == 2
+
+
+def test_multi_relationship_connection_fans_out():
+    config = {
+        "Processors": [
+            {"id": "r", "class": "RouteOnAttribute", "Properties": {}},
+            {"id": "sink", "class": "LogAttribute"},
+        ],
+        "Connections": [
+            {
+                "source id": "r",
+                "destination id": "sink",
+                "source relationship names": ["matched", "unmatched"],
+            }
+        ],
+    }
+    norm = normalize_flow_config(config)
+    rels = sorted(c["relationship"] for c in norm["connections"])
+    assert rels == ["matched", "unmatched"]
+
+
+def test_local_port_without_input_is_an_error(spark):
+    with pytest.raises(Exception, match="LocalPort has no incoming connection"):
+        compile_flow(
+            spark,
+            {"processors": [{"id": "p", "type": "LocalPort"}], "connections": []},
+        )
+
+
+def test_every_reference_resource_yaml_normalizes():
+    """The reference ships 38 flow YAMLs with its own tests; every
+    well-formed one must normalize (TestBad.yml is its deliberately
+    malformed case)."""
+    import glob
+
+    import yaml
+
+    files = sorted(glob.glob("/root/reference/libminifi/test/resources/*.yml"))
+    if not files:
+        pytest.skip("reference checkout not present")
+    normalized = 0
+    for f in files:
+        if f.endswith("TestBad.yml"):
+            continue
+        config = yaml.safe_load(open(f))
+        norm = normalize_flow_config(config)
+        assert isinstance(norm, dict)
+        normalized += 1
+    assert normalized >= 30
