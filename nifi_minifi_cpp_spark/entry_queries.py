@@ -3902,8 +3902,10 @@ _GRADE_ORDER = [
     "range_join_purchase_after_error",
     "asof_error_prior_click",
     "tailfile_ingest",
-    # kept from the r4 window — sources/sinks/streaming reps
-    "streaming_route_counts",
+    # (late-r5 swap #2: streaming_route_counts is multi-round green
+    # (r2+r4) and streaming stays represented in-window by the
+    # stateful pair; its slot goes to semantic_dedup_kept below —
+    # never driver-graded, and the dedup family grades every round.)
     # kept — windowing reps (sessionize fixed in r4, one more round)
     "rolling_window_count10",
     "sessionize_users",
@@ -3917,6 +3919,7 @@ _GRADE_ORDER = [
     "ngram_jaccard_dedup_kept",
     "simhash_signatures",
     "embedding_dedup_kept",
+    "semantic_dedup_kept",
     "cosine_topk_vec0",
     "ivf_topk_vec0",
     "llm_inference_fake",
