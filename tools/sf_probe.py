@@ -61,6 +61,12 @@ PROBE_QUERIES = [
     "llm_inference_fake",
     "cosine_topk_vec0",
     "ivf_topk_vec0",
+    # r5 late additions
+    "semantic_dedup_kept",
+    "repetition_report",
+    "gopher_filter_counts",
+    "pii_redaction_counts",
+    "deterministic_sample_ids",
 ]
 
 
