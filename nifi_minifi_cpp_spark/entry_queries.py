@@ -3697,11 +3697,11 @@ def repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics.text_analysis import repetition_features
 
     docs = _t(spark, sf_dir, "documents")
-    feats = repetition_features(F.col("text"))
-    return docs.select(
+    feats = repetition_features(docs)
+    return feats.select(
         "doc_id",
-        F.round(feats["top_bigram_frac"], 4).alias("top_bigram_frac"),
-        F.round(feats["dup_5gram_frac"], 4).alias("dup_5gram_frac"),
+        F.round(F.col("top_bigram_frac"), 4).alias("top_bigram_frac"),
+        F.round(F.col("dup_5gram_frac"), 4).alias("dup_5gram_frac"),
     )
 
 

@@ -465,7 +465,7 @@ class ServiceRegistry:
             self.add(s)
 
     def add(self, svc: ControllerService) -> None:
-        for key in (svc.name, svc.service_id):
+        for key in {svc.name, svc.service_id}:  # set: name may equal id
             if key:
                 if key in self._by_key:
                     raise ServiceError(f"duplicate controller service key {key!r}")

@@ -687,8 +687,8 @@ def test_repetition_features_crafted_docs(spark):
         ],
         "id int, text string",
     )
-    f = repetition_features(__import__("pyspark.sql.functions", fromlist=["col"]).col("text"))
-    rows = {r.id: r for r in docs.select("id", *[v.alias(k) for k, v in f.items()]).collect()}
+    out = repetition_features(docs)
+    rows = {r.id: r for r in out.collect()}
     assert rows[1].top_bigram_frac == 3 / 5
     assert rows[2].dup_line_frac == pytest.approx(1 / 3)
     assert rows[3].top_bigram_frac == pytest.approx(1 / 6)  # 6 bigrams, all distinct
