@@ -1188,9 +1188,48 @@ class CompiledFlow:
     terminals: dict[str, DataFrame] = field(default_factory=dict)
     streaming_sinks: dict[str, tuple[DataFrame, str, dict]] = field(default_factory=dict)
     services: "object | None" = None  # ServiceRegistry of the compiled flow
+    provenance_reporting: dict | None = None
+    _proc_types: dict[str, str] = field(default_factory=dict)
 
     def df(self, processor_id: str, relationship: str = SUCCESS) -> DataFrame:
         return self.outputs[processor_id][relationship]
+
+    def provenance(self) -> DataFrame:
+        """Provenance event stream of the compiled flow — the engine's
+        SiteToSiteProvenanceReportingTask analogue
+        (/root/reference/extensions/standard-processors/.../
+        provenance reporting; events enum Provenance.h:45-135). One
+        slim row per (FlowFile, processor, relationship): the event
+        type derives from the processor's category, the component is
+        the processor id. Lazy — evaluating it runs the flow's lineage
+        like any other branch. Publish it with plans.ports.output_port
+        to the channel configured in ``Provenance Reporting``."""
+        from functools import reduce
+
+        from ..provenance import event_for
+
+        frames = []
+        for pid, rels in self.outputs.items():
+            ptype = self._proc_types.get(pid, "")
+            for rel, df in rels.items():
+                if df is None or df.isStreaming:
+                    continue
+                uuid_col = (
+                    F.col("uuid") if "uuid" in df.columns else F.lit(None).cast("string")
+                )
+                frames.append(
+                    df.select(
+                        F.lit(event_for(ptype, rel)).alias("event"),
+                        F.lit(pid).alias("component"),
+                        F.lit(ptype).alias("component_type"),
+                        F.lit(rel).alias("relationship"),
+                        uuid_col.alias("uuid"),
+                        F.current_timestamp().alias("ts"),
+                    )
+                )
+        if not frames:
+            raise FlowCompileError("flow has no batch outputs to report provenance for")
+        return reduce(lambda a, b: a.unionByName(b), frames)
 
 
 class FlowController:
@@ -1623,7 +1662,13 @@ def compile_flow(spark: SparkSession, config: dict | str) -> CompiledFlow:
             outputs[pid] = {SUCCESS: in_df}
             continue
         outputs[pid] = handler(spark, in_df, props)
-    return CompiledFlow(outputs=outputs, streaming_sinks=streaming_sinks, services=services)
+    return CompiledFlow(
+        outputs=outputs,
+        streaming_sinks=streaming_sinks,
+        services=services,
+        provenance_reporting=config.get("provenance_reporting"),
+        _proc_types={pid: spec["type"] for pid, spec in procs.items()},
+    )
 
 
 def registered_processors() -> list[str]:

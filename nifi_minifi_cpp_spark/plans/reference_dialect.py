@@ -45,7 +45,6 @@ _AGENT_SECTIONS = {
     "Provenance Repository",
     "Component Status Repository",
     "Security Properties",
-    "Provenance Reporting",
     "MiNiFi Config Version",
 }
 
@@ -193,6 +192,17 @@ def normalize_flow_config(config: dict) -> dict:
         root["parameter_context_name"] = config["Parameter Context Name"]
     if services:
         root["Controller Services"] = services
+    if config.get("Provenance Reporting"):
+        pr = config["Provenance Reporting"]
+        # the reference ships events to a Site-to-Site port
+        # (SiteToSiteProvenanceReportingTask); the engine's channel is
+        # the storage port, so carry the batch size + an optional
+        # channel dir (engine extension; host/port have no analogue)
+        root["provenance_reporting"] = {
+            "batch_size": pr.get("batch size", 100),
+            "port_uuid": pr.get("port uuid"),
+            "channel": pr.get("channel"),
+        }
 
     handled = _AGENT_SECTIONS | {
         "Processors",
@@ -204,6 +214,7 @@ def normalize_flow_config(config: dict) -> dict:
         "Output Ports",
         "Parameter Contexts",
         "Parameter Context Name",
+        "Provenance Reporting",
         "Remote Process Groups",
         "Remote Processing Groups",
     }

@@ -40,6 +40,52 @@ EVENT_TYPES = (
 PROVENANCE_EVENT_TYPE = "struct<event:string,component:string,ts:timestamp>"
 
 
+#: processor-category -> provenance event (Provenance.h:45-135 enum;
+#: assignments mirror which event each processor family records in the
+#: reference: sources CREATE/RECEIVE, sinks SEND, Route* ROUTE,
+#: splitters FORK, mergers JOIN, attribute ops ATTRIBUTES_MODIFIED,
+#: content ops CONTENT_MODIFIED)
+_SOURCE_TYPES = frozenset(
+    {"GetFile", "GenerateFlowFile", "TableSource", "FileStreamSource", "ExecuteProcess"}
+)
+_RECEIVE_PREFIXES = ("Listen", "Consume", "Fetch", "GetTCP", "GetCouchbase", "InputPort")
+_SEND_PREFIXES = ("Put", "Publish", "InvokeHTTP", "OutputPort")
+_ATTR_TYPES = frozenset(
+    {
+        "UpdateAttribute",
+        "AppendHostInfo",
+        "ExtractText",
+        "EvaluateJsonPath",
+        "HashContent",
+        "AttributesToJSON",
+        "LogAttribute",
+        "RetryFlowFile",
+    }
+)
+
+
+def event_for(processor_type: str, relationship: str = "success") -> str:
+    """Provenance event type for a processor's output edge."""
+    t = processor_type
+    if t in _SOURCE_TYPES:
+        return "CREATE"
+    if t.startswith(_RECEIVE_PREFIXES) or t in ("QueryDatabaseTable", "ExecuteSQL", "TailFile"):
+        return "RECEIVE"
+    if t.startswith(_SEND_PREFIXES):
+        return "SEND"
+    if t.startswith("Route") or relationship not in ("success", "matched"):
+        return "ROUTE"
+    if t.startswith(("Split", "Segment")) or t == "DefragmentText":
+        return "FORK"
+    if t.startswith("Merge"):
+        return "JOIN"
+    if t in _ATTR_TYPES:
+        return "ATTRIBUTES_MODIFIED"
+    if t in ("Funnel", "LocalPort"):
+        return "ADDINFO"
+    return "CONTENT_MODIFIED"
+
+
 def emit(df: DataFrame, event: str, component: str) -> DataFrame:
     """Append a provenance event to the ``provenance`` column
     (created on first use)."""
