@@ -1201,6 +1201,63 @@ def route_relationship_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dialect_flow_route_counts",
+    """
+    SELECT 'errors' AS route, count(*) AS n FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'hot' AS route, count(*) AS n FROM events WHERE value > 150 AND event_type <> 'error'
+    UNION ALL
+    SELECT 'unmatched' AS route, count(*) AS n FROM events
+      WHERE NOT (event_type = 'error') AND NOT (value > 150 AND event_type <> 'error')
+    """,
+)
+def dialect_flow_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference config.yml dialect end-to-end: a FlowSchema-shaped
+    YAML string (capitalized sections, namespaced class names,
+    'source id' + 'source relationship names' connections, group-level
+    Funnels) compiles through normalize_flow_config -> compile_flow and
+    must produce the exact same routed counts as the direct operator
+    call (route_relationship_counts' oracle)."""
+    from .plans.pipeline import compile_flow
+
+    configure(spark)
+    flow_yaml = f"""
+Flow Controller:
+  name: dialect-gate
+Processors:
+- id: src
+  name: events
+  class: org.apache.nifi.minifi.processors.TableSource
+  Properties:
+    Table: events
+    Sf Dir: {sf_dir}
+- id: route
+  name: router
+  class: org.apache.nifi.minifi.processors.RouteOnAttribute
+  Properties:
+    errors: ${{event_type:equals('error')}}
+    hot: ${{value:gt(150):and(${{event_type:equals('error'):not()}})}}
+Connections:
+- source id: src
+  destination id: route
+  source relationship names:
+  - success
+"""
+    flow = compile_flow(spark, flow_yaml)
+    frames = [
+        flow.df("route", rel)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(rel).alias("route"), "n")
+        for rel in ("errors", "hot", "unmatched")
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+@_register(
     "el_scalar_pack",
     """
     SELECT event_id,

@@ -70,8 +70,17 @@ def _unwrap(value: Any) -> Any:
     return value
 
 
-def _props(raw: dict | None) -> dict:
+#: processors whose properties are DYNAMIC (each key is a route /
+#: attribute name, not a configuration knob) — snake_case aliasing
+#: would inject phantom entries ("Bad Events" AND "bad_events" both
+#: becoming routes), so these keep their properties verbatim.
+_DYNAMIC_PROPERTY_TYPES = frozenset({"RouteOnAttribute", "RouteText", "UpdateAttribute"})
+
+
+def _props(raw: dict | None, ptype: str = "") -> dict:
     props = {k: _unwrap(v) for k, v in (raw or {}).items()}
+    if ptype in _DYNAMIC_PROPERTY_TYPES:
+        return props
     for k, v in list(props.items()):
         alias = k.strip().lower().replace(" ", "_")
         if alias not in props:
@@ -104,12 +113,13 @@ def _norm_group(group: dict, top: bool) -> tuple[dict, list[dict]]:
 
     procs = []
     for p in group.get("Processors") or []:
+        ptype = _type_of(p)
         procs.append(
             {
                 "id": str(p.get("id") or p.get("name")),
                 "name": p.get("name"),
-                "type": _type_of(p),
-                "properties": _props(p.get("Properties")),
+                "type": ptype,
+                "properties": _props(p.get("Properties"), ptype),
             }
         )
     # ports inside a flow are edge plumbing: pass-through nodes
