@@ -592,6 +592,8 @@ def _output_port(spark, df, props):
     FlowController deferral)."""
     from .ports import output_port
 
+    if "__rpg_unconfigured__" in props:
+        raise FlowCompileError(props["__rpg_unconfigured__"])
     output_port(df, props["channel"], checkpoint=props.get("checkpoint"))
     return _one(df)
 

@@ -143,6 +143,33 @@ def _norm_group(group: dict, top: bool) -> tuple[dict, list[dict]]:
     # connections may reference siblings by display name instead of id
     alias = {p["name"]: p["id"] for p in procs if p.get("name")}
 
+    # Remote Process Group ports: the wire-protocol Site-to-Site
+    # target becomes the engine's STORAGE channel (plans/ports.py).
+    # An RPG input port maps to an OutputPort processor whose channel
+    # comes from the port's `Channel` property (engine extension — the
+    # reference's host:port has no storage analogue); a flow that
+    # routes into an unconfigured RPG port gets a clear migration
+    # error instead of "unknown processor".
+    for rpg in group.get("Remote Process Groups") or group.get("Remote Processing Groups") or []:
+        for port in rpg.get("Input Ports") or []:
+            port_props = _props(port.get("Properties"))
+            channel = port_props.get("channel") or port_props.get("Channel")
+            entry = {
+                "id": str(port.get("id") or port.get("name")),
+                "name": port.get("name"),
+                "type": "OutputPort",
+                "properties": {"channel": channel} if channel else {
+                    "__rpg_unconfigured__": (
+                        f"RPG port {port.get('name')!r} targets "
+                        f"{rpg.get('url')!r} over the Site-to-Site wire "
+                        "protocol; give the port a 'Channel' property "
+                        "(shared storage dir) to route it through the "
+                        "engine's storage channel"
+                    )
+                },
+            }
+            procs.append(entry)
+
     conns = []
     for c in group.get("Connections") or []:
         src = c.get("source id") or c.get("source name") or c.get("source")

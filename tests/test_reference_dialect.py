@@ -193,3 +193,55 @@ def test_every_reference_resource_yaml_normalizes():
         assert isinstance(norm, dict)
         normalized += 1
     assert normalized >= 30
+
+
+def test_rpg_input_port_maps_to_storage_channel(spark, tmp_path):
+    """A Remote Process Group input port with a Channel property
+    publishes through the engine's storage Site-to-Site channel."""
+    chan = str(tmp_path / "rpg-chan")
+    flow = compile_flow(
+        spark,
+        {
+            "Processors": [
+                {"id": "gen", "class": "GenerateFlowFile",
+                 "Properties": {"Batch Size": "3", "Custom Text": "to-remote"}}
+            ],
+            "Remote Process Groups": [
+                {
+                    "name": "NiFi Flow",
+                    "url": "http://localhost:8099/nifi",
+                    "Input Ports": [
+                        {"id": "rp1", "name": "From Node A",
+                         "Properties": {"Channel": chan}}
+                    ],
+                }
+            ],
+            "Connections": [
+                {"source id": "gen", "destination id": "rp1",
+                 "source relationship names": ["success"]}
+            ],
+        },
+    )
+    assert flow is not None
+    got = spark.read.option("recursiveFileLookup", "true").parquet(chan)
+    assert got.count() == 3
+
+
+def test_rpg_port_without_channel_gets_migration_error(spark):
+    with pytest.raises(Exception, match="Channel.*storage channel"):
+        compile_flow(
+            spark,
+            {
+                "Processors": [
+                    {"id": "gen", "class": "GenerateFlowFile", "Properties": {}}
+                ],
+                "Remote Processing Groups": [
+                    {"name": "r", "url": "http://x/nifi",
+                     "Input Ports": [{"id": "rp1", "name": "in"}]}
+                ],
+                "Connections": [
+                    {"source id": "gen", "destination id": "rp1",
+                     "source relationship names": ["success"]}
+                ],
+            },
+        )
