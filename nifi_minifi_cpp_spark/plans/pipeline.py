@@ -1307,6 +1307,13 @@ class FlowController:
                     .option("path", props["directory"])
                     .option("checkpointLocation", props["checkpoint"])
                 )
+            if props.get("trigger_period"):
+                # reference 'scheduling period' (TIMER_DRIVEN) on the
+                # terminal processor -> micro-batch trigger cadence
+                from ..streaming.sources import _parse_time_period_ms
+
+                ms = _parse_time_period_ms(props["trigger_period"])
+                writer = writer.trigger(processingTime=f"{ms} milliseconds")
             self.queries.append(writer.start())
         return self
 

@@ -114,12 +114,24 @@ def _norm_group(group: dict, top: bool) -> tuple[dict, list[dict]]:
     procs = []
     for p in group.get("Processors") or []:
         ptype = _type_of(p)
+        props = _props(p.get("Properties"), ptype)
+        # TIMER_DRIVEN cadence -> the micro-batch trigger of the query
+        # this processor terminates (FlowController applies it on the
+        # streaming sink). EVENT_DRIVEN = Spark's default
+        # as-fast-as-available; CRON_DRIVEN has no native trigger —
+        # drive an availableNow run from an external scheduler.
+        if (
+            str(p.get("scheduling strategy", "TIMER_DRIVEN")) == "TIMER_DRIVEN"
+            and p.get("scheduling period")
+            and "trigger_period" not in props
+        ):
+            props["trigger_period"] = str(p["scheduling period"])
         procs.append(
             {
                 "id": str(p.get("id") or p.get("name")),
                 "name": p.get("name"),
                 "type": ptype,
-                "properties": _props(p.get("Properties"), ptype),
+                "properties": props,
             }
         )
     # ports inside a flow are edge plumbing: pass-through nodes

@@ -245,3 +245,44 @@ def test_rpg_port_without_channel_gets_migration_error(spark):
                 ],
             },
         )
+
+
+def test_scheduling_period_maps_to_trigger(spark, tmp_path):
+    """TIMER_DRIVEN 'scheduling period' on the terminal processor
+    becomes the streaming query's micro-batch trigger cadence."""
+    import os
+
+    import yaml
+
+    from nifi_minifi_cpp_spark.plans.pipeline import FlowController
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(src)
+    norm = normalize_flow_config(
+        yaml.safe_load(
+            f"""
+Processors:
+- id: in
+  class: FileStreamSource
+  Properties: {{path: {src}, schema: 'id long, v string'}}
+- id: sink
+  class: MemorySink
+  scheduling strategy: TIMER_DRIVEN
+  scheduling period: 2 sec
+  Properties: {{name: sched_view_{os.getpid()}}}
+Connections:
+- source id: in
+  destination id: sink
+  source relationship names: [success]
+"""
+        )
+    )
+    sink = next(p for p in norm["processors"] if p["id"] == "sink")
+    assert sink["properties"]["trigger_period"] == "2 sec"
+    ctl = FlowController(spark, norm).start()
+    try:
+        q = ctl.queries[0]
+        q.processAllAvailable()
+        assert spark.sql(f"SELECT count(*) n FROM sched_view_{os.getpid()}").first().n == 1
+    finally:
+        ctl.stop()
