@@ -77,6 +77,34 @@ def _unwrap(value: Any) -> Any:
 _DYNAMIC_PROPERTY_TYPES = frozenset({"RouteOnAttribute", "RouteText", "UpdateAttribute"})
 
 
+#: reference property name (snake form) -> engine handler key, for the
+#: processors where the generic snake_case alias does not land on the
+#: handler's input (names from PROCESSORS.md property tables).
+_PROPERTY_RENAMES: dict[str, dict[str, str]] = {
+    "InvokeHTTP": {"remote_url": "url", "http_method": "method"},
+    "CompressContent": {"compression_format": "fmt"},
+    "MergeContent": {
+        "correlation_attribute_name": "correlation_attribute",
+        "maximum_number_of_entries": "max_entries",
+    },
+    "TailFile": {"file_to_tail": "pattern", "state_file": "state_path",
+                 "input_delimiter": "delimiter"},
+    "TailFileStream": {"file_to_tail": "pattern", "input_delimiter": "delimiter"},
+    "PutFile": {"conflict_resolution_strategy": "conflict_resolution"},
+    "RetryFlowFile": {"maximum_retries": "max_retries"},
+    "ConsumeKafka": {"kafka_brokers": "brokers", "topic_names": "topics"},
+    "PublishKafka": {"known_brokers": "brokers", "topic_name": "topic"},
+    "HashContent": {"hash_attribute": "attribute", "hash_algorithm": "algorithm"},
+}
+
+#: reference allowable-values that need normalizing for the engine
+#: (e.g. MergeContent 'Defragment' vs the handler's 'defragment')
+_VALUE_TRANSFORMS: dict[tuple[str, str], Any] = {
+    ("MergeContent", "merge_strategy"): lambda v: str(v).lower().replace("-", "_").split(" ")[0],
+    ("CompressContent", "mode"): lambda v: str(v).lower(),
+}
+
+
 def _props(raw: dict | None, ptype: str = "") -> dict:
     props = {k: _unwrap(v) for k, v in (raw or {}).items()}
     if ptype in _DYNAMIC_PROPERTY_TYPES:
@@ -85,6 +113,12 @@ def _props(raw: dict | None, ptype: str = "") -> dict:
         alias = k.strip().lower().replace(" ", "_")
         if alias not in props:
             props[alias] = v
+    for src, dst in _PROPERTY_RENAMES.get(ptype, {}).items():
+        if src in props and dst not in props:
+            props[dst] = props[src]
+    for (t, key), fn in _VALUE_TRANSFORMS.items():
+        if t == ptype and key in props:
+            props[key] = fn(props[key])
     return props
 
 

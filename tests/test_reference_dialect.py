@@ -286,3 +286,57 @@ Connections:
         assert spark.sql(f"SELECT count(*) n FROM sched_view_{os.getpid()}").first().n == 1
     finally:
         ctl.stop()
+
+
+def test_property_rename_table():
+    """Reference property spellings land on the engine handler keys
+    where the generic snake_case alias doesn't (PROCESSORS.md names)."""
+    from nifi_minifi_cpp_spark.plans.reference_dialect import _props
+
+    p = _props({"Remote URL": "http://x", "HTTP Method": "GET"}, "InvokeHTTP")
+    assert p["url"] == "http://x" and p["method"] == "GET"
+
+    p = _props({"File to Tail": "/var/log/x.log", "State File": "/tmp/st",
+                "Input Delimiter": "\\n"}, "TailFile")
+    assert p["pattern"] == "/var/log/x.log" and p["state_path"] == "/tmp/st"
+
+    p = _props({"Merge Strategy": "Defragment",
+                "Correlation Attribute Name": "frag.id",
+                "Maximum Number of Entries": "50"}, "MergeContent")
+    assert p["merge_strategy"] == "defragment"
+    assert p["correlation_attribute"] == "frag.id" and p["max_entries"] == "50"
+
+    p = _props({"Kafka Brokers": "b:9092", "Topic Names": "t1,t2"}, "ConsumeKafka")
+    assert p["brokers"] == "b:9092" and p["topics"] == "t1,t2"
+
+    p = _props({"Conflict Resolution Strategy": "fail"}, "PutFile")
+    assert p["conflict_resolution"] == "fail"
+
+    p = _props({"Hash Attribute": "h", "Hash Algorithm": "MD5"}, "HashContent")
+    assert p["attribute"] == "h" and p["algorithm"] == "MD5"
+
+    # explicit engine key always wins over a renamed reference key
+    p = _props({"Remote URL": "http://ref", "url": "http://engine"}, "InvokeHTTP")
+    assert p["url"] == "http://engine"
+
+
+def test_reference_putfile_flow_runs(spark, tmp_path):
+    """A reference-spelled PutFile flow writes through the engine."""
+    out = str(tmp_path / "out")
+    compile_flow(
+        spark,
+        {
+            "Processors": [
+                {"id": "gen", "class": "GenerateFlowFile",
+                 "Properties": {"Batch Size": "2", "Custom Text": "w"}},
+                {"id": "put", "class": "org.apache.nifi.minifi.processors.PutFile",
+                 "Properties": {"Directory": out,
+                                "Conflict Resolution Strategy": "replace"}},
+            ],
+            "Connections": [
+                {"source id": "gen", "destination id": "put",
+                 "source relationship names": ["success"]}
+            ],
+        },
+    )
+    assert spark.read.parquet(out).count() == 2
