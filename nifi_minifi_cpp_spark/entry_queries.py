@@ -3664,6 +3664,116 @@ def embedding_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "listen_tcp_ingest",
+    """
+    SELECT event_type || ':' || CAST(event_id AS VARCHAR) AS message,
+           CAST(1 AS BIGINT) AS n
+    FROM events WHERE event_id < 400
+    """,
+)
+def listen_tcp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListenTCP (ListenTCP.cpp:65) end-to-end over a REAL socket: 400
+    delimited messages through one connection into the native stream
+    source; TCP is lossless after accept, so the oracle pins every
+    message exactly once (the UDP twin stays pytest-only — pre-bind
+    datagrams are droppable by design, so its exact content is not
+    deterministic)."""
+    import socket as _socket
+    import threading as _threading
+    import uuid as _uuid
+
+    from .sources.datasource import ListenTCPDataSource
+
+    configure(spark)
+    spark.dataSource.register(ListenTCPDataSource)
+    msgs = [
+        f"{r['event_type']}:{r['event_id']}"
+        for r in _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 400)
+        .select("event_id", "event_type")
+        .collect()
+    ]
+    s = _socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    view = f"tcp_{_uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.format("tcplisten").option("port", str(port)).load()
+    q = stream.writeStream.format("memory").queryName(view).outputMode("append").start()
+
+    def send():
+        import time as _time
+
+        deadline = _time.monotonic() + 120
+        while _time.monotonic() < deadline:  # listener binds with batch 0
+            try:
+                tx = _socket.create_connection(("127.0.0.1", port), timeout=2)
+                break
+            except OSError:
+                _time.sleep(0.1)
+        else:  # pragma: no cover - listener never came up
+            return
+        with tx:
+            tx.sendall(("\n".join(msgs) + "\n").encode())
+
+    t = _threading.Thread(target=send, daemon=True)
+    t.start()
+    try:
+        _poll_stream_rows(spark, q, view, expected=len(msgs), expected_input=len(msgs))
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT message, CAST(count(*) AS BIGINT) AS n FROM {view} GROUP BY message"
+    )
+
+
+@_register(
+    "kinesis_batch_plan",
+    """
+    WITH numbered AS (
+      SELECT event_id,
+             row_number() OVER (ORDER BY event_id) - 1 AS rn
+      FROM events WHERE event_id < 1250
+    )
+    SELECT CAST(floor(rn / 100) AS BIGINT) AS batch_idx,
+           CAST(count(*) AS BIGINT) AS records
+    FROM numbered GROUP BY 1
+    """,
+)
+def kinesis_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PutKinesisStream batching (PutKinesisStream.cpp:44-76): the
+    build_kinesis_batches chunker runs EXECUTOR-side over an
+    Arrow-batched sorted partition; per-batch record counts are pinned
+    by the oracle's row_number arithmetic (100-record cap exercised;
+    the 4 MB byte soft-cap keeps its pytest)."""
+    from .streaming.adapters import build_kinesis_batches
+
+    configure(spark)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 1250)
+        .select("event_id", "event_type")
+        .repartition(1)  # deterministic chunk boundaries need one sorted partition
+        .sortWithinPartitions("event_id")
+    )
+
+    def chunk(batches):
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            rows.extend(
+                (str(t), str(i).encode()) for i, t in zip(pdf["event_id"], pdf["event_type"])
+            )
+        out = []
+        for bi, batch in enumerate(build_kinesis_batches(iter(rows), max_records=100)):
+            out.append({"batch_idx": bi, "records": len(batch)})
+        yield pd.DataFrame(out, columns=["batch_idx", "records"])
+
+    return ev.mapInPandas(chunk, "batch_idx long, records long")
+
+
 @_register("semantic_dedup_kept", _EMBEDDING_DEDUP_ORACLE)
 def semantic_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) graded on invariants: an injected
