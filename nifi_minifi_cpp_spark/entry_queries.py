@@ -3774,6 +3774,84 @@ def kinesis_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.mapInPandas(chunk, "batch_idx long, records long")
 
 
+@_register(
+    "put_tcp_roundtrip",
+    """
+    SELECT 'tcp:' || event_type || ':' || CAST(event_id AS VARCHAR) AS message,
+           CAST(1 AS BIGINT) AS n
+    FROM events WHERE event_id < 300
+    """,
+)
+def put_tcp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PutTCP (PutTCP.cpp:83) end-to-end: executor-side
+    foreachPartition socket writes into a local collector server, the
+    collected wire bytes read back as a frame — every delimited
+    message pinned exactly once by the oracle. Proves the sink writes
+    from EXECUTORS (local mode shares the host, a cluster points at a
+    real endpoint) with no driver funnel."""
+    import socket as _socket
+    import threading as _threading
+
+    from .streaming.sinks import put_tcp_handler
+
+    configure(spark)
+    received: list[bytes] = []
+    done = _threading.Event()
+    srv = _socket.socket()
+    srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(64)
+
+    def collect():
+        while not done.is_set():
+            try:
+                srv.settimeout(0.5)
+                conn, _ = srv.accept()
+            except TimeoutError:
+                continue
+            except OSError:
+                return
+            with conn:
+                buf = b""
+                while True:
+                    chunk = conn.recv(65536)
+                    if not chunk:
+                        break
+                    buf += chunk
+                received.append(buf)
+
+    t = _threading.Thread(target=collect, daemon=True)
+    t.start()
+    try:
+        ev = (
+            _t(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 300)
+            .select(
+                F.concat(
+                    F.lit("tcp:"), F.col("event_type"), F.lit(":"), F.col("event_id").cast("string")
+                ).alias("content")
+            )
+        )
+        put_tcp_handler("127.0.0.1", port)(ev, 0)
+        # all partitions connected+closed synchronously in the action
+        # above; drain any still-open accept loop iteration
+        import time as _time
+
+        deadline = _time.monotonic() + 30
+        while _time.monotonic() < deadline:
+            lines = b"".join(received).split(b"\n")
+            if sum(1 for ln in lines if ln) >= 300:
+                break
+            _time.sleep(0.1)
+    finally:
+        done.set()
+        srv.close()
+    msgs = [ln.decode() for ln in b"".join(received).split(b"\n") if ln]
+    out = spark.createDataFrame([(m,) for m in msgs], "message string")
+    return out.groupBy("message").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
 @_register("semantic_dedup_kept", _EMBEDDING_DEDUP_ORACLE)
 def semantic_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) graded on invariants: an injected

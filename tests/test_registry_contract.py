@@ -44,7 +44,10 @@ MUST_GRADE = {
     "range_join_purchase_after_error",
     "asof_error_prior_click",
     "tailfile_ingest",
-    "streaming_route_counts",
+    # (streaming_route_counts swapped out late-r5: multi-round green
+    # r2+r4; the stateful pair represents streaming in-window and its
+    # slot went to never-graded semantic_dedup_kept)
+    "semantic_dedup_kept",
     # late-r5 swap: first driver rows for the strongest new evidence
     "retry_flow_file_exhaustion",
     "list_fetch_incremental",
