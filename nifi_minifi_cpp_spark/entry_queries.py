@@ -3775,6 +3775,77 @@ def kinesis_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "listen_http_ingest",
+    """
+    SELECT 'http:' || event_type || ':' || CAST(event_id AS VARCHAR) AS message,
+           CAST(1 AS BIGINT) AS n
+    FROM events WHERE event_id < 200
+    """,
+)
+def listen_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListenHTTP (ListenHTTP.cpp:138) end-to-end: 200 real POST
+    requests into the native httplisten stream source; HTTP is
+    request/response-reliable, so the oracle pins every body exactly
+    once."""
+    import threading as _threading
+    import uuid as _uuid
+
+    from .sources.datasource import ListenHTTPDataSource
+
+    configure(spark)
+    spark.dataSource.register(ListenHTTPDataSource)
+    msgs = [
+        f"http:{r['event_type']}:{r['event_id']}"
+        for r in _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select("event_id", "event_type")
+        .collect()
+    ]
+    import socket as _socket
+
+    s = _socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    view = f"http_{_uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.format("httplisten").option("port", str(port)).load()
+    q = stream.writeStream.format("memory").queryName(view).outputMode("append").start()
+
+    def send():
+        import time as _time
+        import urllib.request as _rq
+
+        deadline = _time.monotonic() + 120
+        sent = 0
+        while sent < len(msgs) and _time.monotonic() < deadline:
+            try:
+                _rq.urlopen(  # noqa: S310 - fixed localhost fixture endpoint
+                    f"http://127.0.0.1:{port}/contentListener",
+                    data=msgs[sent].encode(),
+                    timeout=5,
+                ).read()
+                sent += 1
+            except OSError:
+                _time.sleep(0.1)  # server binds with batch 0
+
+    t = _threading.Thread(target=send, daemon=True)
+    t.start()
+    try:
+        _poll_stream_rows(spark, q, view, expected=len(msgs), expected_input=len(msgs))
+    finally:
+        q.stop()
+    # message is the request envelope (body + headers + path JSON,
+    # ListenHTTP's headers->attributes parity); the body is the payload
+    return spark.sql(
+        f"""
+        SELECT get_json_object(message, '$.body') AS message,
+               CAST(count(*) AS BIGINT) AS n
+        FROM {view} GROUP BY 1
+        """
+    )
+
+
+@_register(
     "put_tcp_roundtrip",
     """
     SELECT 'tcp:' || event_type || ':' || CAST(event_id AS VARCHAR) AS message,
