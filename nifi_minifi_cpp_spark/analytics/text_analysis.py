@@ -261,6 +261,27 @@ def deterministic_sample_pred(key: Column, fraction: float) -> Column:
     return F.substring(F.md5(key.cast("string")), 1, 4) < F.lit(threshold)
 
 
+def deterministic_stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    key: Column,
+    per_group: int,
+) -> DataFrame:
+    """Per-stratum quota sampling, deterministic: within each group,
+    rank rows by md5(key) and keep the first ``per_group``. Same
+    engine-portable contract as :func:`deterministic_sample_pred` —
+    any engine selects the same rows — plus per-group quotas, the
+    balanced-split shape training pipelines need (cap documents per
+    source/language). One hash-partitioned window per group; no skew
+    beyond the group sizes themselves."""
+    from pyspark.sql import Window
+
+    rank_col = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(F.md5(key.cast("string")), key)
+    )
+    return df.withColumn("_srank", rank_col).filter(F.col("_srank") <= per_group).drop("_srank")
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass document analysis: all features + language + quality +
     fingerprint as new columns."""

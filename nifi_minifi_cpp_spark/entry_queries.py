@@ -3775,6 +3775,70 @@ def kinesis_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stratified_sample_by_source",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id FROM ranked WHERE rk <= 10
+    """,
+)
+def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum quota sample: 10 docs per source,
+    ranked by md5(doc_id) — any engine selects the same rows (the
+    oracle mirrors the rule verbatim), the balanced-split shape a
+    training pipeline uses to cap documents per source/language."""
+    from .analytics.text_analysis import deterministic_stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = deterministic_stratified_sample(docs, "source", F.col("doc_id"), per_group=10)
+    return out.select("source", "doc_id")
+
+
+@_register(
+    "token_count_distribution",
+    r"""
+    WITH tc AS (
+      SELECT source,
+             len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT) AS p50,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n) AS BIGINT) AS p90
+    FROM tc GROUP BY source
+    """,
+)
+def token_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-budget report per source: counts, totals, and
+    discrete p50/p90 token percentiles (percentile_disc semantics
+    match across engines, unlike interpolating percentile_cont on
+    even counts) — the what-goes-into-the-tokenizer accounting every
+    training run starts with."""
+    from .analytics.text_analysis import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    tc = docs.select("source", token_count(F.col("text")).alias("n"))
+    return tc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.min("n").cast("long").alias("min_tokens"),
+        F.max("n").cast("long").alias("max_tokens"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)").cast("long").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n)").cast("long").alias("p90"),
+    )
+
+
+@_register(
     "listen_http_ingest",
     """
     SELECT 'http:' || event_type || ':' || CAST(event_id AS VARCHAR) AS message,

@@ -813,3 +813,30 @@ def test_semantic_dedup_max_cluster_guard_keeps_tail(spark):
         for r in semantic_dedup(dupes, eps=0.9, n_clusters=1, max_cluster=4).collect()
     ]
     assert kept2 == [0]
+
+
+def test_stratified_sample_quota_and_stability(spark):
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.text_analysis import (
+        deterministic_stratified_sample,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    )
+    out = deterministic_stratified_sample(df, "grp", F.col("id"), per_group=5)
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 5 for v in counts.values()) and len(counts) == 7
+    # stable under repartitioning
+    ids1 = {r.id for r in out.collect()}
+    ids2 = {
+        r.id
+        for r in deterministic_stratified_sample(
+            df.repartition(17), "grp", F.col("id"), per_group=5
+        ).collect()
+    }
+    assert ids1 == ids2
+    # small groups keep everything
+    tiny = spark.createDataFrame([(1, "a"), (2, "a")], "id long, grp string")
+    assert deterministic_stratified_sample(tiny, "grp", F.col("id"), 5).count() == 2
