@@ -331,16 +331,20 @@ def _invoke_http(spark, df, props):
     status-class relationships (success/retry/no_retry/failure) like
     the reference's relationship set (InvokeHTTP.cpp:382-404). A
     ``session_factory`` property (dict configs only — not expressible
-    in YAML) injects a fake transport for tests."""
-    from ..streaming.sinks import invoke_http, route_invoke_http
+    in YAML) injects a fake transport for tests; declared SSL Context /
+    Proxy Configuration services resolve into the transport otherwise."""
+    from ..streaming.sinks import build_http_session_factory, invoke_http, route_invoke_http
 
+    factory = props.get("session_factory") or build_http_session_factory(
+        props.get("ssl_context"), props.get("proxy")
+    )
     sent = invoke_http(
         df,
         props["url"],
         method=props.get("method", "POST"),
         content_col=props.get("content_col", "content"),
         headers=props.get("headers"),
-        session_factory=props.get("session_factory"),
+        session_factory=factory,
     )
     return route_invoke_http(
         sent, allow_streaming=bool(props.get("allow_streaming", False))

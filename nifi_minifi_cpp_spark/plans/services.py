@@ -344,9 +344,9 @@ def _ssl_context(props: dict) -> dict:
     def context_factory():
         import ssl
 
+        # the default context already trusts the system store, which
+        # covers both Use System Cert Store and the no-CA case
         ctx = ssl.create_default_context()
-        if use_system or not ca:
-            pass  # default context already trusts the system store
         if ca:
             ctx.load_verify_locations(cafile=str(ca))
         if cert:

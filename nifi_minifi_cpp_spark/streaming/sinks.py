@@ -65,6 +65,36 @@ def foreach_batch_sink(
     return writer.start()
 
 
+def build_http_session_factory(ssl_conf: dict | None = None, proxy_conf: dict | None = None):
+    """Session factory wiring resolved SSLContextService /
+    ProxyConfigurationService configs (plans.services) into the
+    executor-side requests transport: client cert+key -> ``cert``,
+    CA -> ``verify``, proxy URL -> ``proxies``. Returns None when
+    neither service is configured (caller falls back to a plain
+    session). The factory is pickled to executors; requests imports
+    lazily there."""
+    ssl_conf = ssl_conf or {}
+    proxy_conf = proxy_conf or {}
+    cert, key, ca = ssl_conf.get("cert"), ssl_conf.get("key"), ssl_conf.get("ca")
+    proxy_url = proxy_conf.get("proxy_url")
+    if not (cert or ca or proxy_url):
+        return None
+
+    def factory():
+        import requests
+
+        s = requests.Session()
+        if proxy_url:
+            s.proxies = {"http": proxy_url, "https": proxy_url}
+        if ca:
+            s.verify = str(ca)
+        if cert:
+            s.cert = (str(cert), str(key)) if key else str(cert)
+        return s
+
+    return factory
+
+
 def invoke_http(
     df: DataFrame,
     url: str,

@@ -283,3 +283,45 @@ def test_c2_update_properties_gated_by_policy():
          "args": {"nifi.c2.agent.heartbeat.period": "5"}}
     )
     assert noop["operationState"]["state"] == NO_OPERATION
+
+
+def test_http_session_factory_wires_ssl_and_proxy(monkeypatch):
+    """Resolved SSLContextService/ProxyConfigurationService configs
+    reach the requests transport: proxies/verify/cert set on the
+    session (requests stubbed — the lib is not in this container)."""
+    import sys
+    import types
+
+    from nifi_minifi_cpp_spark.plans.services import ControllerService
+    from nifi_minifi_cpp_spark.streaming.sinks import build_http_session_factory
+
+    class FakeSession:
+        def __init__(self):
+            self.proxies = {}
+            self.verify = True
+            self.cert = None
+
+    fake_requests = types.SimpleNamespace(Session=FakeSession)
+    monkeypatch.setitem(sys.modules, "requests", fake_requests)
+
+    ssl_conf = ControllerService(
+        "s", "s", "SSLContextService",
+        {"Client Certificate": "/c.pem", "Private Key": "/k.pem", "CA Certificate": "/ca.pem"},
+    ).resolve()
+    proxy_conf = ControllerService(
+        "p", "p", "ProxyConfigurationService",
+        {"Proxy Server Host": "proxy.local", "Proxy Server Port": "3128"},
+    ).resolve()
+
+    factory = build_http_session_factory(ssl_conf, proxy_conf)
+    s = factory()
+    assert s.proxies == {"http": "http://proxy.local:3128",
+                         "https": "http://proxy.local:3128"}
+    assert s.verify == "/ca.pem"
+    assert s.cert == ("/c.pem", "/k.pem")
+
+    # DIRECT proxy + no certs -> no factory (plain session fallback)
+    direct = ControllerService(
+        "d", "d", "ProxyConfigurationService", {"Proxy Type": "DIRECT"}
+    ).resolve()
+    assert build_http_session_factory(None, direct) is None
