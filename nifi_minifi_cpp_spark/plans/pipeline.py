@@ -573,12 +573,25 @@ def _fetch_sftp(spark, df, props):
 
 @processor("GetCouchbaseKey")
 def _get_couchbase_key(spark, df, props):
-    """GetCouchbaseKey (GetCouchbaseKey.cpp:32): executor-side KV get."""
+    """GetCouchbaseKey (GetCouchbaseKey.cpp:32): executor-side KV get.
+    A declared CouchbaseClusterService resolves into the client
+    factory when no explicit one is injected."""
     from ..sources import get_kv_key
 
+    factory = props.get("client_factory")
+    if factory is None and "couchbase" in props:
+        from ..sources.kv import couchbase_client_factory
+
+        svc = props["couchbase"]
+        factory = couchbase_client_factory(
+            svc["connection_string"],
+            props.get("bucket", "default"),
+            username=svc.get("username"),
+            password=svc.get("password"),
+        )
     out = get_kv_key(
         df,
-        props["client_factory"],
+        factory,
         key_col=props.get("key_col", "key"),
         value_col=props.get("value_col", "content"),
     )
@@ -627,13 +640,16 @@ def _collect_k8s_pod_metrics(spark, df, props):
     service."""
     from ..sources import collect_pod_metrics
 
+    svc = props.get("k8s_controller") or {}
     return _one(
         collect_pod_metrics(
             spark,
             props["api_client"],
-            namespace_filter=props.get("namespace_filter"),
-            pod_name_filter=props.get("pod_name_filter"),
-            container_name_filter=props.get("container_name_filter"),
+            namespace_filter=props.get("namespace_filter", svc.get("namespace_filter")),
+            pod_name_filter=props.get("pod_name_filter", svc.get("pod_filter")),
+            container_name_filter=props.get(
+                "container_name_filter", svc.get("container_filter")
+            ),
         )
     )
 

@@ -325,3 +325,51 @@ def test_http_session_factory_wires_ssl_and_proxy(monkeypatch):
         "d", "d", "ProxyConfigurationService", {"Proxy Type": "DIRECT"}
     ).resolve()
     assert build_http_session_factory(None, direct) is None
+
+
+def test_couchbase_and_k8s_services_reach_handlers(spark):
+    """Declared CouchbaseClusterService resolves into the KV client
+    factory (import-gated: absent lib -> the factory's clear error),
+    and KubernetesControllerService filters default the collector's
+    regex properties."""
+    from nifi_minifi_cpp_spark.plans.pipeline import compile_flow
+
+    with pytest.raises(ImportError, match="couchbase client library"):
+        compile_flow(
+            spark,
+            {
+                "Controller Services": [
+                    {"id": "cb", "name": "cluster", "class": "CouchbaseClusterService",
+                     "Properties": {"Connection String": "couchbase://db1"}}
+                ],
+                "processors": [
+                    {"id": "gen", "type": "GenerateFlowFile",
+                     "properties": {"custom_text": "k1"}},
+                    {"id": "get", "type": "GetCouchbaseKey",
+                     "properties": {"Couchbase Cluster Controller Service": "cluster",
+                                    "key_col": "content"}},
+                ],
+                "connections": [{"source": "gen", "destination": "get"}],
+            },
+        )
+
+    class FakeK8s:
+        def pod_metrics_list(self):
+            return '{"items": []}'
+
+    flow = compile_flow(
+        spark,
+        {
+            "Controller Services": [
+                {"id": "k", "name": "kube", "class": "KubernetesControllerService",
+                 "Properties": {"Namespace Filter": "prod-.*", "Pod Name Filter": "web-.*"}}
+            ],
+            "processors": [
+                {"id": "pods", "type": "CollectKubernetesPodMetrics",
+                 "properties": {"Kubernetes Controller Service": "kube",
+                                "api_client": FakeK8s()}},
+            ],
+            "connections": [],
+        },
+    )
+    assert flow.df("pods") is not None  # filters flowed from the service
