@@ -1,0 +1,112 @@
+"""Distributed connected components — transitive closure for dedup.
+
+The pairwise dedup family (MinHash/SimHash/embedding/semantic) drops
+near-duplicates against a kept exemplar; when duplicate relations
+CHAIN (A~B, B~C, but A!~C), cluster-consistent dedup needs the
+CONNECTED COMPONENT of the similarity graph, not pairwise verdicts.
+This is the classic iterative-algorithm gap SQL can't express.
+
+``connected_components`` implements min-label propagation with
+POINTER JUMPING (the hash-to-min idea of Rastogi et al. 2013,
+"Finding Connected Components in Map-Reduce in Logarithmic Rounds"):
+every round each node takes the min label over its neighbors' labels,
+then labels compress by one pointer jump (label <- label's label), so
+a path of length L converges in O(log L) rounds instead of L. Each
+round is two shuffles on (node, label) pairs — 16 bytes a row at
+100 TB scale — and the loop stops when a round changes nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Component labels for an undirected graph.
+
+    Returns (node, component) where component = min node id reachable.
+    ``edges`` needs one row per edge in either orientation; isolated
+    nodes appear only if self-loops are included by the caller.
+    Raises if the fixpoint is not reached in ``max_iterations`` rounds
+    (log2 of the longest path; 30 covers any graph a real corpus
+    produces) rather than returning silently-wrong labels.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    from ..util import reliable_barrier
+
+    sym = reliable_barrier(sym)
+    labels = reliable_barrier(
+        sym.groupBy("a")
+        .agg(F.min("b").alias("nmin"))
+        .select(F.col("a").alias("node"), F.least("a", "nmin").alias("label"))
+    )
+
+    for _ in range(max_iterations):
+        # neighbor-min: the smallest label among my neighbors and me
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+            .select(F.col("a").alias("node"), "nmin")
+        )
+        stepped = (
+            labels.join(nbr, "node", "left")
+            .select("node", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+        )
+        # pointer jump: label <- label's label (path halving)
+        jump = stepped.alias("l1").join(
+            stepped.select(
+                F.col("node").alias("label"), F.col("label").alias("label2")
+            ).alias("l2"),
+            "label",
+            "left",
+        )
+        # barrier each round: an iterative plan otherwise compounds
+        # analysis depth linearly with rounds (persist alone does not
+        # truncate lineage) and the analyzer/codegen eventually fails
+        new_labels = reliable_barrier(
+            jump.select(
+                "node", F.least("label", F.coalesce("label2", "label")).alias("label")
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Cluster-consistent dedup: keep exactly ONE row (the min id) per
+    connected component of the duplicate-pair graph; rows in no pair
+    survive untouched. This is the transitive upgrade of the pairwise
+    drop-larger-id rule the LSH dedups apply."""
+    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -840,3 +840,62 @@ def test_stratified_sample_quota_and_stability(spark):
     # small groups keep everything
     tiny = spark.createDataFrame([(1, "a"), (2, "a")], "id long, grp string")
     assert deterministic_stratified_sample(tiny, "grp", F.col("id"), 5).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# connected components (analytics.graph)
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(edges):
+    """Python union-find ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    from nifi_minifi_cpp_spark.analytics.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    # add a long path to force multi-round convergence
+    edges += [(1000 + i, 1001 + i) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    want = _uf_components(edges)
+    assert got == want
+    # the 41-node path collapsed to its min label in O(log) rounds
+    assert all(got[1000 + i] == 1000 for i in range(41))
+
+
+def test_dedup_by_components_transitive_chain(spark):
+    """A~B, B~C (A!~C directly): pairwise drop could keep A and C;
+    component dedup keeps exactly the min of {A,B,C}."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.graph import dedup_by_components
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_by_components(df, pairs, "doc_id").collect()
+    )
+    assert kept == [0, 1, 4]
