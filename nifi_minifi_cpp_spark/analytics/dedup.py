@@ -281,6 +281,48 @@ def minhash_dedup(
     return df.join(keep, id_col, "left_semi")
 
 
+def minhash_component_map(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(doc, exemplar) over the TRANSITIVE closure of LSH bucket
+    co-membership: chains A~B (bucket X), B~C (bucket Y) all map to
+    min(A) even though A and C never share a bucket.
+
+    :func:`minhash_dedup`'s per-doc bucket-min rep can point at a doc
+    that was itself dropped (C's rep is B, B's rep is A) — fine for
+    the kept set, wrong as a dedup MAP. Connected components over
+    per-bucket STAR edges (each member -> its bucket min: connectivity
+    preserved at O(bucket size) edges, no pairwise blowup) give every
+    doc its surviving exemplar — what a removal-provenance record or a
+    train/test leak check actually joins against. Returns
+    ``(id_col, exemplar)`` for every input doc (singletons map to
+    themselves)."""
+    from .graph import connected_components
+
+    buckets = minhash_lsh_candidates(df, content_col, id_col, num_hashes, bands, shingle_words)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_hash")
+    star = (
+        buckets.withColumn("_bucket_min", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("_bucket_min"))
+        .select(F.col(id_col).alias("_s"), F.col("_bucket_min").alias("_d"))
+        .distinct()
+    )
+    comp = connected_components(star, src="_s", dst="_d")
+    mapped = comp.select(F.col("node").alias(id_col), F.col("component").alias("exemplar"))
+    return (
+        df.select(id_col)
+        .join(mapped, id_col, "left")
+        .select(id_col, F.coalesce("exemplar", F.col(id_col)).alias("exemplar"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

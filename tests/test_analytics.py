@@ -899,3 +899,38 @@ def test_dedup_by_components_transitive_chain(spark):
         r.doc_id for r in dedup_by_components(df, pairs, "doc_id").collect()
     )
     assert kept == [0, 1, 4]
+
+
+def test_minhash_component_map_transitive_exemplar(spark):
+    """Chained near-dups: B shares a bucket with A, C with B only —
+    the per-doc bucket-min rep would point C at B (itself dropped);
+    the component map points every chain member at the survivor."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.dedup import (
+        minhash_component_map,
+        minhash_dedup,
+    )
+
+    words = [f"w{i}" for i in range(100)]  # distinct vocab: real shingle sets
+    # sliding windows: J(adjacent) = 0.5, J(1,3) = 0.2 — the chain
+    # holds through adjacency whether or not the far pair collides
+    docs = [
+        (1, " ".join(words[0:60])),
+        (2, " ".join(words[20:80])),
+        (3, " ".join(words[40:100])),
+        (100, " ".join(f"z{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cmap = {
+        r.doc_id: r.exemplar
+        for r in minhash_component_map(df, num_hashes=64, bands=32).collect()
+    }
+    assert cmap[1] == 1 and cmap[100] == 100
+    assert cmap[2] == 1  # direct bucket share
+    assert cmap[3] == 1  # TRANSITIVE: via 2, even if 3 never buckets with 1
+    kept = {r.doc_id for r in minhash_dedup(df, num_hashes=64, bands=32).collect()}
+    assert kept == {1, 100}
+    # every dropped doc's exemplar survived (the map is usable as a
+    # removal-provenance record)
+    assert all(cmap[d] in kept for d in (2, 3))
