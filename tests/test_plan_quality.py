@@ -300,3 +300,17 @@ def test_semantic_dedup_single_cell_shuffle(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     # final membership join is the slim left-semi on the id
     assert "LeftSemi" in plan
+
+
+def test_connected_components_slim_no_cartesian(spark):
+    """Each CC round is equi-joins over slim (node,label) pairs: no
+    cartesian products, no nested-loop joins anywhere in the final
+    labels plan."""
+    from nifi_minifi_cpp_spark.analytics.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "src long, dst long"
+    )
+    plan = plan_of(connected_components(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

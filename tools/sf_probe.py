@@ -67,6 +67,10 @@ PROBE_QUERIES = [
     "gopher_filter_counts",
     "pii_redaction_counts",
     "deterministic_sample_ids",
+    "duplicate_components_chains",
+    "stratified_sample_by_source",
+    "token_count_distribution",
+    "kinesis_batch_plan",
 ]
 
 
