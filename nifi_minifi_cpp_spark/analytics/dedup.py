@@ -492,8 +492,19 @@ def ngram_jaccard_dedup(
     bands: int = 16,
     max_probes: int | None = 256,
     verify_strategy: str = "auto",
+    transitive: bool = False,
 ) -> DataFrame:
     """LSH candidates -> exact Jaccard verification -> drop.
+
+    ``transitive=True`` switches the drop rule from pairwise (any doc
+    that is the larger side of a verified pair is dropped — a doc can
+    survive because its only duplicate was itself dropped) to
+    component-consistent: exactly ONE survivor per connected component
+    of the verified-pair graph (analytics.graph pointer jumping).
+    Star example — pairs (1,3) and (2,3): pairwise keeps {1,2},
+    transitive keeps {1}. Near-duplicate similarity is not actually
+    transitive, so both semantics are legitimate; SemDeDup-style
+    corpus pruning wants the transitive one.
 
     The LSH pass bounds the pairwise work; Jaccard is computed with
     array_intersect/array_union on distinct shingle sets. Default is
@@ -598,7 +609,18 @@ def ngram_jaccard_dedup(
     ).filter(F.col("_jaccard") >= threshold)
     # eager dropped-id set, then release every cached intermediate
     # (no persisted table outlives the call)
-    dropped = reliable_barrier(verified.select(F.col("_ida").alias(id_col)).distinct())
+    if transitive:
+        from .graph import connected_components
+
+        comp = connected_components(
+            verified.select("_ida", "_idb"), src="_ida", dst="_idb"
+        )
+        dropped = reliable_barrier(
+            comp.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col))
+        )
+    else:
+        dropped = reliable_barrier(verified.select(F.col("_ida").alias(id_col)).distinct())
     buckets.unpersist()
     if verify_strategy == "auto" or hot:
         cand.unpersist()

@@ -934,3 +934,32 @@ def test_minhash_component_map_transitive_exemplar(spark):
     # every dropped doc's exemplar survived (the map is usable as a
     # removal-provenance record)
     assert all(cmap[d] in kept for d in (2, 3))
+
+
+def test_ngram_jaccard_transitive_vs_pairwise_star(spark):
+    """Star topology (1~3, 2~3, 1!~2): pairwise keeps both points of
+    the star's rim; transitive keeps one survivor per component."""
+    from nifi_minifi_cpp_spark.analytics import ngram_jaccard_dedup
+
+    w = [f"w{i}" for i in range(60)]
+    x = [f"x{i}" for i in range(60)]
+    # doc3 = half of doc1's vocab + half of doc2's: J(1,3)=J(2,3)~0.33,
+    # J(1,2)=0 exactly
+    docs = [
+        (1, " ".join(w)),
+        (2, " ".join(x)),
+        (3, " ".join(w[:30] + x[:30])),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairwise = sorted(
+        r.doc_id
+        for r in ngram_jaccard_dedup(df, threshold=0.2, bands=32).collect()
+    )
+    assert pairwise == [1, 2]  # 3 dropped twice over; rim survives
+    transitive = sorted(
+        r.doc_id
+        for r in ngram_jaccard_dedup(
+            df, threshold=0.2, bands=32, transitive=True
+        ).collect()
+    )
+    assert transitive == [1]  # one survivor per component
