@@ -857,7 +857,8 @@ def semantic_dedup(
         kept_ids = np.concatenate([ids[kept], ids[tail]]) if len(tail) else ids[kept]
         return pd.DataFrame({id_col: kept_ids})
 
+    id_type = df.schema[id_col].dataType.simpleString()  # id-type agnostic
     kept_ids = slim.groupBy("_cell").applyInPandas(
-        dedup_cell, schema=f"{id_col} long"
+        dedup_cell, schema=f"{id_col} {id_type}"
     )
     return df.join(kept_ids, id_col, "left_semi")

@@ -50,6 +50,7 @@ def connected_components(
         .agg(F.min("b").alias("nmin"))
         .select(F.col("a").alias("node"), F.least("a", "nmin").alias("label"))
     )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
 
     for _ in range(max_iterations):
         # neighbor-min: the smallest label among my neighbors and me
@@ -79,16 +80,15 @@ def connected_components(
                 "node", F.least("label", F.coalesce("label2", "label")).alias("label")
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # convergence check: labels are element-wise non-increasing, so
+        # an unchanged SUM means an unchanged labelling — one cheap
+        # aggregate on the already-barriered frame instead of a
+        # join-and-count per round (review)
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels.select("node", F.col("label").alias("component"))
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )

@@ -238,7 +238,7 @@ PII_PATTERNS: dict[str, str] = {
 
 def redact_pii(col: Column) -> tuple[Column, dict[str, Column]]:
     """C4-style PII scrub: emails / IPv4 / international phone numbers
-    replaced with ``[EMAIL]``/``[IP]``/``[PHONE]`` tags. Returns the
+    replaced with ``[EMAIL]``/``[IPV4]``/``[PHONE]`` tags. Returns the
     redacted column and per-kind match counts (JVM regexp_count /
     regexp_replace — codegen, no Python)."""
     counts = {k: F.regexp_count(col, F.lit(p)).cast("long") for k, p in PII_PATTERNS.items()}
@@ -257,8 +257,12 @@ def deterministic_sample_pred(key: Column, fraction: float) -> Column:
     100 TB without any coordination."""
     if not 0 <= fraction <= 1:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    threshold = format(int(fraction * 0x10000), "04x")
-    return F.substring(F.md5(key.cast("string")), 1, 4) < F.lit(threshold)
+    threshold = int(fraction * 0x10000)
+    if threshold >= 0x10000:
+        # '10000' is 5 chars — the lexicographic compare would keep
+        # only '0'-prefixed hashes; fraction 1.0 means keep everything
+        return F.lit(True)
+    return F.substring(F.md5(key.cast("string")), 1, 4) < F.lit(format(threshold, "04x"))
 
 
 def deterministic_stratified_sample(

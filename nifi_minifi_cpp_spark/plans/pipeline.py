@@ -290,6 +290,14 @@ def _convert_record(spark, df, props):
     if "record_reader" in props and "record_writer" in props:
         from ..sources.convert_record import convert_record_with_services
 
+        if not props.get("schema"):
+            # the reference's readers infer per-record; Catalyst needs
+            # a declared type — an engine requirement, said clearly
+            raise FlowCompileError(
+                "ConvertRecord via record services needs a 'schema' property "
+                "(Spark DDL of one record, e.g. 'a INT, b STRING') — the "
+                "engine's typed columnar path cannot infer per-FlowFile"
+            )
         return _one(
             convert_record_with_services(
                 df, props["record_reader"], props["record_writer"], props["schema"]
@@ -1616,8 +1624,10 @@ def _connection_edge(df: DataFrame, conn: dict) -> DataFrame:
             df = df.filter(
                 F.current_timestamp() < F.col("ts") + F.expr(f"INTERVAL {ms} MILLISECONDS")
             )
+    from .services import _flag
+
     drop_empty = conn.get("drop empty", conn.get("drop_empty"))
-    if str(drop_empty).strip().lower() in ("true", "1", "yes") and "content" in df.columns:
+    if _flag(drop_empty) and "content" in df.columns:
         df = df.filter(F.col("content").isNotNull() & (F.length("content") > 0))
     return df
 

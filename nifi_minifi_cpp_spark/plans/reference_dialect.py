@@ -183,19 +183,15 @@ def _norm_group(group: dict, top: bool) -> tuple[dict, list[dict]]:
                     "properties": {},
                 }
             )
-    if procs:
-        out["processors"] = procs
-
-    # connections may reference siblings by display name instead of id
-    alias = {p["name"]: p["id"] for p in procs if p.get("name")}
-
     # Remote Process Group ports: the wire-protocol Site-to-Site
     # target becomes the engine's STORAGE channel (plans/ports.py).
     # An RPG input port maps to an OutputPort processor whose channel
     # comes from the port's `Channel` property (engine extension — the
     # reference's host:port has no storage analogue); a flow that
     # routes into an unconfigured RPG port gets a clear migration
-    # error instead of "unknown processor".
+    # error instead of "unknown processor". Runs BEFORE the processors
+    # guard and the name->id alias map so RPG-only groups keep their
+    # ports and name-based connections to RPG ports resolve (review).
     for rpg in group.get("Remote Process Groups") or group.get("Remote Processing Groups") or []:
         for port in rpg.get("Input Ports") or []:
             port_props = _props(port.get("Properties"))
@@ -215,6 +211,12 @@ def _norm_group(group: dict, top: bool) -> tuple[dict, list[dict]]:
                 },
             }
             procs.append(entry)
+
+    if procs:
+        out["processors"] = procs
+
+    # connections may reference siblings by display name instead of id
+    alias = {p["name"]: p["id"] for p in procs if p.get("name")}
 
     conns = []
     for c in group.get("Connections") or []:

@@ -160,7 +160,12 @@ def _azure_credentials(props: dict) -> dict:
             kv.split("=", 1) for kv in str(cs).split(";") if "=" in kv
         )
         account = parts.get("AccountName", account)
-        props = {**props, "Storage Account Key": parts.get("AccountKey")}
+        # only override explicitly-declared credentials with values the
+        # connection string actually carries
+        if "AccountKey" in parts:
+            props = {**props, "Storage Account Key": parts["AccountKey"]}
+        if "SharedAccessSignature" in parts:
+            props = {**props, "SAS Token": parts["SharedAccessSignature"]}
         suffix = parts.get("EndpointSuffix", suffix)
     if not account:
         raise ServiceError("AzureStorageCredentialsService needs a Storage Account Name")
@@ -193,15 +198,25 @@ def _gcp_credentials(props: dict) -> dict:
     loc = props.get("Credentials Location", "Google Application Default Credentials")
     conf: dict[str, str] = {}
     if loc == "Service Account JSON File":
+        keyfile = props.get("Service Account JSON File")
+        if not keyfile:
+            raise ServiceError(
+                "GCPCredentialsControllerService: Credentials Location is "
+                "'Service Account JSON File' but the property is missing"
+            )
         conf["google.cloud.auth.service.account.enable"] = "true"
-        conf["google.cloud.auth.service.account.json.keyfile"] = str(
-            props["Service Account JSON File"]
-        )
+        conf["google.cloud.auth.service.account.json.keyfile"] = str(keyfile)
     elif loc == "Service Account JSON":
+        raw = props.get("Service Account JSON")
+        if not raw:
+            raise ServiceError(
+                "GCPCredentialsControllerService: Credentials Location is "
+                "'Service Account JSON' but the property is missing"
+            )
         # raw JSON has no conf-name form: materialize once per resolve
         fd, path = tempfile.mkstemp(prefix="gcp_sa_", suffix=".json")
         with io.open(fd, "w") as f:
-            f.write(str(props["Service Account JSON"]))
+            f.write(str(raw))
         conf["google.cloud.auth.service.account.enable"] = "true"
         conf["google.cloud.auth.service.account.json.keyfile"] = path
     elif loc == "Use Anonymous credentials":
@@ -535,6 +550,7 @@ SERVICE_REF_PROPERTIES = {
     "Proxy Configuration Service": "proxy",
     "Record Reader": "record_reader",
     "Record Set Writer": "record_writer",
+    "Record Writer": "record_writer",  # the PROCESSORS.md spelling
     "Couchbase Cluster Controller Service": "couchbase",
     "Elasticsearch Credentials Provider Service": "es_credentials",
     "SMB Connection Controller Service": "smb_connection",

@@ -963,3 +963,13 @@ def test_ngram_jaccard_transitive_vs_pairwise_star(spark):
         ).collect()
     )
     assert transitive == [1]  # one survivor per component
+
+
+def test_deterministic_sample_fraction_one_keeps_all(spark):
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.text_analysis import deterministic_sample_pred
+
+    df = spark.range(500)
+    assert df.filter(deterministic_sample_pred(F.col("id"), 1.0)).count() == 500
+    assert df.filter(deterministic_sample_pred(F.col("id"), 0.0)).count() == 0

@@ -373,3 +373,29 @@ def test_couchbase_and_k8s_services_reach_handlers(spark):
         },
     )
     assert flow.df("pods") is not None  # filters flowed from the service
+
+
+def test_azure_connection_string_does_not_clobber_declared_key():
+    """Review fix: a connection string without AccountKey must not
+    erase an explicitly declared Storage Account Key."""
+    svc = ControllerService(
+        "az", "az", "AzureStorageCredentialsService",
+        {"Connection String": "AccountName=acct;EndpointSuffix=core.windows.net",
+         "Storage Account Key": "declared-key"},
+    )
+    conf = svc.resolve()["hadoop_conf"]
+    assert conf["fs.azure.account.key.acct.blob.core.windows.net"] == "declared-key"
+
+    sas_cs = ControllerService(
+        "az2", "az2", "AzureStorageCredentialsService",
+        {"Connection String": "AccountName=a2;SharedAccessSignature=sig=x"},
+    ).resolve()["hadoop_conf"]
+    assert sas_cs["fs.azure.sas.fixed.token.a2.dfs.core.windows.net"] == "sig=x"
+
+
+def test_gcp_missing_property_is_service_error():
+    with pytest.raises(ServiceError, match="Service Account JSON File"):
+        ControllerService(
+            "g", "g", "GCPCredentialsControllerService",
+            {"Credentials Location": "Service Account JSON File"},
+        ).resolve()

@@ -340,3 +340,60 @@ def test_reference_putfile_flow_runs(spark, tmp_path):
         },
     )
     assert spark.read.parquet(out).count() == 2
+
+
+def test_rpg_only_group_and_name_reference(spark, tmp_path):
+    """Review fix: a group whose only members are RPG ports keeps
+    them, and connections may reference the port by display name."""
+    chan = str(tmp_path / "rpg2")
+    flow = compile_flow(
+        spark,
+        {
+            "Processors": [
+                {"id": "gen", "class": "GenerateFlowFile",
+                 "Properties": {"Batch Size": "2", "Custom Text": "x"}}
+            ],
+            "Process Groups": [
+                {"id": "g2", "name": "g2",
+                 "Remote Process Groups": [
+                     {"name": "remote", "url": "http://r/nifi",
+                      "Input Ports": [{"id": "rp", "name": "Port Name",
+                                       "Properties": {"Channel": chan}}]}
+                 ]}
+            ],
+            "Connections": [
+                {"source id": "gen", "destination name": "g2/rp",
+                 "source relationship names": ["success"]}
+            ],
+        },
+    )
+    assert flow is not None
+    assert spark.read.option("recursiveFileLookup", "true").parquet(chan).count() == 2
+
+
+def test_convert_record_service_path_requires_schema(spark):
+    """Review fix: the PROCESSORS.md 'Record Writer' spelling resolves,
+    and a missing schema raises the designed error, not a KeyError."""
+    flow = {
+        "Controller Services": [
+            {"id": "r1", "name": "reader", "class": "JsonTreeReader"},
+            {"id": "w1", "name": "writer", "class": "JsonRecordSetWriter"},
+        ],
+        "Processors": [
+            {"id": "gen", "class": "GenerateFlowFile",
+             "Properties": {"Batch Size": "1", "Custom Text": '{"a":1}'}},
+            {"id": "conv", "class": "ConvertRecord",
+             "Properties": {"Record Reader": "reader", "Record Writer": "writer"}},
+        ],
+        "Connections": [
+            {"source id": "gen", "destination id": "conv",
+             "source relationship names": ["success"]}
+        ],
+    }
+    with pytest.raises(Exception, match="needs a 'schema' property"):
+        compile_flow(spark, flow)
+    flow["Processors"][1]["Properties"]["schema"] = "a int"
+    out = compile_flow(spark, flow).df("conv").first().content
+    import json as _json
+
+    assert _json.loads(out) == [{"a": 1}]
