@@ -3813,6 +3813,115 @@ def duplicate_components_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _append_host_info_oracle() -> str:
+    """The oracle is generated at registration time with THIS machine's
+    hostname/IP inlined as literals — AppendHostInfo's output is
+    host-deterministic, which is exactly its contract
+    (AppendHostInfo.cpp:58)."""
+    import socket
+
+    host = socket.gethostname()
+    try:
+        ip = socket.gethostbyname(host)
+    except OSError:
+        ip = "127.0.0.1"
+    return f"""
+    SELECT event_id, '{host}' AS src_host, '{ip}' AS src_ip
+    FROM events WHERE event_id < 500
+    """
+
+
+@_register("append_host_info_pack", _append_host_info_oracle())
+def append_host_info_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AppendHostInfo over the FlowFile frame: the merged attribute
+    map must carry this host's name and address on every row."""
+    from .operators import append_host_info
+
+    configure(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ff = events_to_flowfiles(ev)
+    out = append_host_info(ff)
+    return out.select(
+        F.col("uuid").cast("long").alias("event_id"),  # uuid = event_id stringly
+        F.col("attributes").getItem("source.hostname").alias("src_host"),
+        F.col("attributes").getItem("source.ipv4").alias("src_ip"),
+    )
+
+
+@_register(
+    "es_bulk_validation_counts",
+    """
+    WITH shaped AS (
+      SELECT CASE event_id % 6
+               WHEN 0 THEN 'index' WHEN 1 THEN 'create' WHEN 2 THEN 'delete'
+               WHEN 3 THEN 'update' WHEN 4 THEN 'upsert' ELSE 'bogus' END AS action,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE 'docs' END AS idx,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_id END AS doc_id
+      FROM events WHERE event_id < 1000
+    ), judged AS (
+      SELECT CASE
+               WHEN action = 'bogus' THEN 'missing or invalid action'
+               WHEN idx IS NULL THEN 'missing index'
+               WHEN doc_id IS NULL AND action IN ('delete','update','upsert')
+                 THEN 'identifier is required for ' || action
+               ELSE 'ok:' ||
+                 CASE WHEN action = 'delete' THEN '1' ELSE '2' END
+             END AS verdict
+      FROM shaped
+    )
+    SELECT verdict, CAST(count(*) AS BIGINT) AS n FROM judged GROUP BY verdict
+    """,
+)
+def es_bulk_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostElasticsearch _bulk action validation
+    (PostElasticsearch.cpp:80-113) graded as a truth table: rows
+    engineered from event_id arithmetic hit every branch — invalid
+    action, missing index, missing id for delete/update/upsert, and
+    the 1-line (delete) vs 2-line (indexed/updated doc) payload shape.
+    build_es_bulk_payload runs EXECUTOR-side per Arrow batch; the
+    oracle mirrors the validation order exactly."""
+    from .streaming.adapters import build_es_bulk_payload
+
+    configure(spark)
+    shaped = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 1000)
+        .select(
+            F.element_at(
+                F.array(*[F.lit(a) for a in ("index", "create", "delete", "update", "upsert", "bogus")]),
+                (F.col("event_id") % 6 + 1).cast("int"),
+            ).alias("action"),
+            F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.lit("docs")).alias("idx"),
+            F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("event_id")).alias("doc_id"),
+        )
+    )
+
+    def judge(batches):
+        import pandas as pd
+
+        out: list[dict] = []
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                rows = [
+                    {
+                        "action": r["action"],
+                        "index": r["idx"],
+                        "id": None if pd.isna(r["doc_id"]) else int(r["doc_id"]),
+                        "doc": "{}",
+                    }
+                ]
+                payload, errors = build_es_bulk_payload(rows)
+                if errors:
+                    verdict = errors[0][1]
+                else:
+                    verdict = f"ok:{payload.count(chr(10))}"
+                out.append({"verdict": verdict})
+        yield pd.DataFrame(out, columns=["verdict"])
+
+    judged = shaped.mapInPandas(judge, "verdict string")
+    return judged.groupBy("verdict").agg(F.count(F.lit(1)).alias("n"))
+
+
 @_register(
     "stratified_sample_by_source",
     """
