@@ -3813,6 +3813,60 @@ def duplicate_components_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "splunk_hec_url_pack",
+    """
+    SELECT event_id,
+           'https://splunk:8088/services/collector/raw?sourcetype=st%20'
+             || CAST(event_id % 3 AS VARCHAR)
+             || '&source=events&index=main' AS url,
+           CASE WHEN event_id % 4 = 0 THEN event_id ELSE NULL END AS ack_id
+    FROM events WHERE event_id < 600
+    """,
+)
+def splunk_hec_url_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PutSplunkHTTP endpoint construction + ack parsing
+    (PutSplunkHTTP.cpp:47-93) executor-side: per-row HEC URLs with
+    percent-encoded query params, and ackId extraction over valid /
+    invalid HEC response bodies (every 4th row carries an int ackId,
+    the rest a string/absent one -> None). Oracle rebuilds both by
+    string arithmetic."""
+    from .streaming.adapters import parse_hec_ack, splunk_hec_url
+
+    configure(spark)
+    shaped = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 600)
+        .select("event_id", (F.col("event_id") % 3).alias("st"), (F.col("event_id") % 4).alias("m"))
+    )
+
+    def run(batches):
+        import json as _json
+
+        import pandas as pd
+
+        out = []
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                url = splunk_hec_url(
+                    "https://splunk:8088/",
+                    source_type=f"st {int(r['st'])}",  # space forces %20
+                    source="events",
+                    index="main",
+                )
+                resp = (
+                    _json.dumps({"ackId": int(r["event_id"])})
+                    if r["m"] == 0
+                    else _json.dumps({"ackId": str(int(r["event_id"]))})
+                )
+                out.append(
+                    {"event_id": int(r["event_id"]), "url": url, "ack_id": parse_hec_ack(resp)}
+                )
+        yield pd.DataFrame(out, columns=["event_id", "url", "ack_id"])
+
+    return shaped.mapInPandas(run, "event_id long, url string, ack_id long")
+
+
 def _append_host_info_oracle() -> str:
     """The oracle is generated at registration time with THIS machine's
     hostname/IP inlined as literals — AppendHostInfo's output is
