@@ -3814,6 +3814,54 @@ def duplicate_components_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "loki_batch_flush_counts",
+    """
+    WITH numbered AS (
+      SELECT row_number() OVER (ORDER BY event_id) - 1 AS rn
+      FROM events WHERE event_id < 730
+    )
+    SELECT CASE WHEN CAST(floor(rn / 64) AS BIGINT) < CAST(floor(730.0 / 64) AS BIGINT)
+                THEN 'size' ELSE 'final' END AS reason,
+           CAST(floor(rn / 64) AS BIGINT) AS batch_idx,
+           CAST(count(*) AS BIGINT) AS n
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def loki_batch_flush_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PushGrafanaLoki LogBatch flush (PushGrafanaLoki.cpp:49-67):
+    count-threshold batching over a sorted partition, executor-side —
+    full 64-entry batches flush with reason 'size', the remainder as
+    'final' (the age path keeps its injectable-clock pytest; wall
+    time has no oracle)."""
+    from .streaming.adapters import batch_by_count_and_age
+
+    configure(spark)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 730)
+        .select("event_id")
+        .repartition(1)
+        .sortWithinPartitions("event_id")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        rows: list[int] = []
+        for pdf in batches:
+            rows.extend(int(v) for v in pdf["event_id"])
+        out = [
+            {"reason": reason, "batch_idx": bi, "n": len(batch)}
+            for bi, (batch, reason) in enumerate(
+                batch_by_count_and_age(iter(rows), batch_size=64, batch_wait_ms=None)
+            )
+        ]
+        yield pd.DataFrame(out, columns=["reason", "batch_idx", "n"])
+
+    return ev.mapInPandas(run, "reason string, batch_idx long, n long")
+
+
+@_register(
     "splunk_hec_url_pack",
     """
     SELECT event_id,
