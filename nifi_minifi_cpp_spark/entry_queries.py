@@ -3814,6 +3814,79 @@ def duplicate_components_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "get_tcp_client_ingest",
+    """
+    SELECT 'line:' || event_type || ':' || CAST(event_id AS VARCHAR) AS content,
+           CAST(1 AS BIGINT) AS n
+    FROM events WHERE event_id < 250
+    """,
+)
+def get_tcp_client_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetTCP (GetTCP.cpp:40,127) end-to-end: the engine CONNECTS OUT
+    to a server (Spark's socket source = the client-mode analog), 250
+    delimited lines served over one accepted connection; every line
+    pinned exactly once by the oracle."""
+    import socket as _socket
+    import threading as _threading
+    import uuid as _uuid
+
+    from .streaming.sources import socket_source
+
+    configure(spark)
+    msgs = [
+        f"line:{r['event_type']}:{r['event_id']}"
+        for r in _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 250)
+        .select("event_id", "event_type")
+        .collect()
+    ]
+    srv = _socket.socket()
+    srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(4)
+
+    def serve():
+        # serve every connection the source opens (it may reconnect)
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            try:
+                conn.sendall(("\n".join(msgs) + "\n").encode())
+                # leave the socket open: the socket source treats EOF
+                # as end-of-stream; the fixture closes it at the end
+                import time as _time
+
+                _time.sleep(120)
+            except OSError:
+                pass
+            finally:
+                conn.close()
+
+    t = _threading.Thread(target=serve, daemon=True)
+    t.start()
+    view = f"gettcp_{_uuid.uuid4().hex[:8]}"
+    stream = socket_source(spark, "127.0.0.1", port)
+    q = (
+        stream.select("content")
+        .writeStream.format("memory")
+        .queryName(view)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _poll_stream_rows(spark, q, view, expected=len(msgs), expected_input=len(msgs))
+    finally:
+        q.stop()
+        srv.close()
+    return spark.sql(
+        f"SELECT content, CAST(count(*) AS BIGINT) AS n FROM {view} GROUP BY content"
+    )
+
+
+@_register(
     "loki_batch_flush_counts",
     """
     WITH numbered AS (
