@@ -3814,6 +3814,42 @@ def duplicate_components_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "el_date_pack",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H')                         AS hour_str,
+           CAST(epoch_ms(ts) AS BIGINT)                        AS ms,
+           CAST(epoch_ms(date_trunc('second', ts)) AS BIGINT)  AS ms_roundtrip
+    FROM events WHERE event_id < 2000
+    """,
+)
+def el_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EL date surface (EXPRESSIONS.md format/toDate/toNumber over the
+    reference's epoch-millis date model, Expression.cpp): format a
+    millis attribute, then parse the formatted-to-seconds string back
+    — the roundtrip truncates to the second exactly like the
+    reference's SimpleDateFormat path. Session TZ is pinned by
+    configure(), so the hostile non-UTC session must produce identical
+    strings."""
+    from .el import promoted_columns
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ff = events_to_flowfiles(ev).withColumn("ms", F.unix_millis(F.col("ts")))
+    cols = promoted_columns(ff)
+    return ff.select(
+        F.col("uuid").cast("long").alias("event_id"),
+        el_string("${ms:format('yyyy-MM-dd HH')}", columns=cols).alias("hour_str"),
+        el_string("${ms:toNumber()}", columns=cols).cast("long").alias("ms"),
+        el_string(
+            "${ms:format('yyyy-MM-dd HH:mm:ss'):toDate('yyyy-MM-dd HH:mm:ss')}",
+            columns=cols,
+        )
+        .cast("long")
+        .alias("ms_roundtrip"),
+    )
+
+
+@_register(
     "get_tcp_client_ingest",
     """
     SELECT 'line:' || event_type || ':' || CAST(event_id AS VARCHAR) AS content,
