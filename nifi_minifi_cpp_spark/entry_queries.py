@@ -3814,6 +3814,74 @@ def duplicate_components_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "c2_operation_acks",
+    """
+    SELECT * FROM (VALUES
+      (1, 'describe',  'manifest',      'FULLY_APPLIED'),
+      (2, 'update',    'properties',    'FULLY_APPLIED'),
+      (3, 'update',    'properties',    'NOT_APPLIED'),
+      (4, 'update',    'properties',    'NO_OPERATION'),
+      (5, 'clear',     'connection',    'NO_OPERATION'),
+      (6, 'flagellate', 'self',         'NOT_APPLIED')
+    ) AS t(seq, op, operand, state)
+    """,
+)
+def c2_operation_acks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 agent protocol (C2.md; C2Agent.cpp handle_c2_server_response)
+    graded as an operation/ack truth table: one heartbeat carries six
+    requested operations — describe manifest, an allowed property
+    update, a policy-denied one, a same-value NO_OPERATION, a no-op
+    clear, and an unknown op — and every acknowledge state must match
+    the reference's semantics. Fully deterministic: the injected
+    transport IS the C2 server."""
+    from .plans.c2 import C2Agent
+    from .plans.pipeline import FlowController
+    from .plans.services import ControllerService
+
+    configure(spark)
+    ops = [
+        {"identifier": "1", "operation": "describe", "operand": "manifest"},
+        {"identifier": "2", "operation": "update", "operand": "properties",
+         "args": {"nifi.c2.agent.heartbeat.period": "10"}},
+        {"identifier": "3", "operation": "update", "operand": "properties",
+         "args": {"nifi.locked.prop": "x"}},
+        {"identifier": "4", "operation": "update", "operand": "properties",
+         "args": {"nifi.c2.agent.heartbeat.period": "10"}},  # same value now
+        {"identifier": "5", "operation": "clear", "operand": "connection"},
+        {"identifier": "6", "operation": "flagellate", "operand": "self"},
+    ]
+
+    def transport(payload: dict) -> dict | None:
+        if payload.get("operation") == "heartbeat":
+            return {"requestedOperations": ops}
+        return None  # acks accepted silently
+
+    policy = ControllerService(
+        "pol", "pol", "UpdatePolicyControllerService",
+        {"Allowed Properties": [{"value": "nifi.c2.agent.heartbeat.period"}]},
+    ).resolve()
+    ctl = FlowController.__new__(FlowController)  # flowless agent fixture
+    ctl.queries, ctl.flow, ctl.config = [], None, {}
+    agent = C2Agent(
+        ctl,
+        transport=transport,
+        properties={"nifi.c2.agent.heartbeat.period": "30"},
+        update_policy=policy,
+    )
+    acks = agent.heartbeat()
+    rows = [
+        (
+            int(op["identifier"]),
+            op["operation"],
+            op["operand"],
+            ack["operationState"]["state"],
+        )
+        for op, ack in zip(ops, acks)
+    ]
+    return spark.createDataFrame(rows, "seq int, op string, operand string, state string")
+
+
+@_register(
     "el_date_pack",
     """
     SELECT event_id,
