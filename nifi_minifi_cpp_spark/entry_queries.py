@@ -3814,6 +3814,56 @@ def duplicate_components_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "prometheus_exposition_pack",
+    """
+    SELECT 'minifi_flow_files_out' AS metric,
+           CAST((SELECT count(*) FROM events WHERE event_id < 800) AS BIGINT) AS value
+    UNION ALL
+    SELECT 'minifi_bytes_out',
+           CAST((SELECT sum(length(props)) FROM events WHERE event_id < 800) AS BIGINT)
+    UNION ALL SELECT 'minifi_physical_mem', CAST(16384 * 1024 AS BIGINT)
+    UNION ALL SELECT 'minifi_memory_usage', CAST((16384 - 8192) * 1024 AS BIGINT)
+    """,
+)
+def prometheus_exposition_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrometheusMetricsPublisher exposition (METRICS.md:98-181):
+    TransferredFlowFiles/Bytes counted by a real Observation on the
+    events frame, DeviceInfoNode gauges from a fixture /proc — the
+    rendered text is parsed back and every deterministic metric value
+    pinned (cpu_load_average is wall-clock state and is excluded)."""
+    import os as _os
+    import tempfile as _tmp
+
+    from .metrics import prometheus_exposition, with_transfer_metrics
+
+    configure(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 800).select(
+        F.col("props").alias("content")
+    )
+    observed, tm = with_transfer_metrics(ev, "events_out")
+    observed.write.format("noop").mode("overwrite").save()  # the action the counters observe
+
+    proc = _tmp.mkdtemp(prefix="procfx_")
+    with open(_os.path.join(proc, "meminfo"), "w") as f:
+        f.write("MemTotal:       16384 kB\nMemAvailable:    8192 kB\n")
+    text = prometheus_exposition(
+        transfer_metrics=[tm], agent_identifier="graded-agent", procfs_root=proc
+    )
+    wanted = (
+        "minifi_flow_files_out",
+        "minifi_bytes_out",
+        "minifi_physical_mem",
+        "minifi_memory_usage",
+    )
+    rows = []
+    for line in text.splitlines():
+        name = line.split("{", 1)[0]
+        if name in wanted:
+            rows.append((name, int(float(line.rsplit(" ", 1)[1]))))
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
+@_register(
     "c2_operation_acks",
     """
     SELECT * FROM (VALUES
