@@ -50,7 +50,6 @@ def connected_components(
         .agg(F.min("b").alias("nmin"))
         .select(F.col("a").alias("node"), F.least("a", "nmin").alias("label"))
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
 
     for _ in range(max_iterations):
         # neighbor-min: the smallest label among my neighbors and me
@@ -60,9 +59,16 @@ def connected_components(
             .agg(F.min("label").alias("nmin"))
             .select(F.col("a").alias("node"), "nmin")
         )
-        stepped = (
-            labels.join(nbr, "node", "left")
-            .select("node", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+        # carry the round-entry label as `old` so convergence is an
+        # exact changed-row COUNT, not a sum of labels: with 64-bit
+        # node ids (uuid hashes near 2^63) sum(label) overflows long —
+        # wrapping silently in non-ANSI sessions (a spurious equal sum
+        # would early-exit with wrong components) and throwing under
+        # ANSI. A count is bounded by the row count; never overflows.
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least("label", F.coalesce("nmin", "label")).alias("label"),
+            F.col("label").alias("old"),
         )
         # pointer jump: label <- label's label (path halving)
         jump = stepped.alias("l1").join(
@@ -77,18 +83,17 @@ def connected_components(
         # truncate lineage) and the analyzer/codegen eventually fails
         new_labels = reliable_barrier(
             jump.select(
-                "node", F.least("label", F.coalesce("label2", "label")).alias("label")
+                "node",
+                F.least("label", F.coalesce("label2", "label")).alias("label"),
+                "old",
             )
         )
-        # convergence check: labels are element-wise non-increasing, so
-        # an unchanged SUM means an unchanged labelling — one cheap
-        # aggregate on the already-barriered frame instead of a
-        # join-and-count per round (review)
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels = new_labels
-        if new_sum == prev_sum:
+        changed = new_labels.agg(
+            F.sum((F.col("label") < F.col("old")).cast("long")).alias("c")
+        ).first()[0]
+        labels = new_labels.select("node", "label")
+        if not changed:
             return labels.select("node", F.col("label").alias("component"))
-        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )

@@ -6,22 +6,32 @@ from pyspark.sql import DataFrame
 
 
 def spread_for_cpu(df: DataFrame, *key_cols: str) -> DataFrame:
-    """Repartition up to the cluster's parallelism before a CPU- or
-    I/O-bound Arrow/Python stage.
+    """Numbered repartition to the session's tuned width before a CPU-
+    or I/O-bound Arrow/Python stage.
 
     A small parquet file scans as ONE partition, so a mapInPandas /
     pandas-UDF / per-row-I/O stage would run on one core no matter how
-    many the cluster has. Only widens (never shrinks): at 100 TB the
-    scan already yields thousands of partitions and this is a no-op —
-    the guard avoids paying a shuffle when the data is already spread.
-    Hash-partitions by ``key_cols`` when given (keeps related rows
-    together), round-robin otherwise.
+    many the cluster has. The width is ``max(defaultParallelism,
+    spark.sql.shuffle.partitions)`` — the number a byte-counted shuffle
+    stage would plan with — and the EXPLICIT count makes it exempt from
+    AQE's size-based coalescing, which otherwise folds slim (id, text)
+    frames back to 1-2 partitions at runtime right before the expensive
+    Python stage. Unconditional by design: probing the current width
+    via ``df.rdd.getNumPartitions()`` forces a second physical planning
+    of the whole upstream plan (and throws on streaming frames); the
+    inputs at every call site are slim pre-projections, so one numbered
+    shuffle is bounded by the Arrow stage's own serialization cost. On
+    a real cluster ``spark.sql.shuffle.partitions`` is tuned to fleet
+    scale (thousands), so this never pathologically shrinks a wide
+    scan. Hash-partitions by ``key_cols`` when given (keeps related
+    rows together), round-robin otherwise.
     """
     spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, *key_cols) if key_cols else df.repartition(target)
-    return df
+    target = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
 
 
 def reliable_barrier(df: DataFrame) -> DataFrame:

@@ -884,6 +884,29 @@ def test_connected_components_vs_union_find(spark):
     assert all(got[1000 + i] == 1000 for i in range(41))
 
 
+def test_connected_components_huge_ids_ansi(spark):
+    """r6 (VERDICT r5 #2): convergence must not ride on sum(label) —
+    with uuid-hash node ids near 2^62 that sum overflows long (throws
+    under ANSI, silently wraps otherwise). The changed-label COUNT
+    check converges identically under the hostile ANSI config."""
+    from nifi_minifi_cpp_spark.analytics.graph import connected_components
+
+    base = 1 << 62
+    # two chains of huge ids (any 3-term sum of these overflows int64)
+    edges = [(base + i, base + i + 1) for i in range(5)]
+    edges += [(base + 100 + i, base + 101 + i) for i in range(3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = {r.node: r.component for r in connected_components(df).collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    want = _uf_components(edges)
+    assert got == want
+    assert all(got[base + i] == base for i in range(6))
+
+
 def test_dedup_by_components_transitive_chain(spark):
     """A~B, B~C (A!~C directly): pairwise drop could keep A and C;
     component dedup keeps exactly the min of {A,B,C}."""

@@ -233,6 +233,33 @@ def test_spread_pairs_numbered_repartition_plan(spark):
     assert "hashpartitioning(_ida" in plan
 
 
+def test_spread_for_cpu_no_rdd_probe(spark, monkeypatch):
+    """r6 (VERDICT r5 #5): spread_for_cpu must not touch df.rdd — the
+    RDD conversion physical-plans the whole upstream tree a second time
+    per call (and throws on streaming frames). Lock: poison the .rdd
+    property; the helper must still plan an AQE-exempt numbered
+    repartition."""
+    from pyspark.sql import DataFrame
+
+    from nifi_minifi_cpp_spark.util import spread_for_cpu
+
+    def _boom(self):
+        raise AssertionError("spread_for_cpu converted the frame to RDD")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    df = spark.createDataFrame([(1, "x")], "id long, content string")
+    plan = (
+        spread_for_cpu(df, "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "REPARTITION_BY_NUM" in plan
+    assert "hashpartitioning(id" in plan
+    plan_rr = (
+        spread_for_cpu(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "REPARTITION_BY_NUM" in plan_rr
+
+
 def test_object_store_list_is_metadata_only(spark, tmp_path):
     """List* must not read object bytes: the binaryFile scan's
     ReadSchema excludes the content column entirely."""
