@@ -40,12 +40,60 @@ def main():
     # startup otherwise land on whichever query runs first (observed
     # as a one-off ~7s spike on the first complex expression)
     spark.read.parquet(f"{sf_dir}/region.parquet").selectExpr("md5(r_name)").collect()
+    # Structured-streaming + Python-data-source machinery warmup: the
+    # first streaming query's empty batch 0 pays memory-sink /
+    # streaming-planner class loading plus the Python data-source
+    # runner spawn (observed: 3.4s addBatch on an EMPTY batch in
+    # listen_tcp_ingest). Run one batch of an idle tcplisten stream so
+    # the socket-fixture queries measure ingest, not session startup.
+    try:
+        import socket as _socket
+
+        from nifi_minifi_cpp_spark.sources.datasource import ListenTCPDataSource
+
+        spark.dataSource.register(ListenTCPDataSource)
+        _s = _socket.socket()
+        _s.bind(("127.0.0.1", 0))
+        _port = _s.getsockname()[1]
+        _s.close()
+        from pyspark.sql import functions as F
+
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            # complete-mode agg so the STATEFUL machinery (state store
+            # provider classes) warms too, not just the append path
+            wq = (
+                spark.readStream.format("tcplisten")
+                .option("port", str(_port))
+                .load()
+                .groupBy("sender")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .writeStream.format("memory")
+                .queryName("bench_warmup_stream")
+                .outputMode("complete")
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _deadline = time.time() + 30
+        while time.time() < _deadline and not wq.recentProgress:
+            time.sleep(0.1)
+        wq.stop()
+    except Exception as exc:  # noqa: BLE001 — warmup must never fail the bench
+        print(f"# stream warmup skipped: {type(exc).__name__}: {exc}", file=sys.stderr)
 
     qs = entry.queries()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
-    for name, fn in qs.items():
+    # FIXED alphabetical order, independent of the grading rotation:
+    # queries() order follows _GRADE_ORDER, which rotates per round, so
+    # iterating it aliased whichever queries moved to the front with
+    # residual warm-up cost and broke round-over-round comparisons
+    # (r4->r5: q1 0.48s->2.31s purely from moving to position 0).
+    for name in sorted(qs):
+        fn = qs[name]
         # Fault-isolate each query: one regression must not destroy the
         # round's entire bench artifact (round 3 lost every timing to a
         # single AnalysisException).
