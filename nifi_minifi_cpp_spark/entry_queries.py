@@ -4718,88 +4718,77 @@ def deterministic_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # were re-typed after round 1) and the rest — all green in round 1 and
 # locked by plan-shape tests — fall past the window.
 _GRADE_ORDER = [
-    # --- r5 rotation (VERDICT r4 action #1): the 25 entries whose only
-    # driver rows predate the testdata regeneration (green in r1 only)
-    # rotate IN for a fresh grade against current parquet encodings;
-    # the two new stateful-streaming entries (action #9) join them; 23
-    # r4-window entries stay (everything touched this round — range
-    # join, tailfile staging — plus the whole LLM-pipeline family).
-    # Rotated OUT (all with green r4 rows, locked by pytest +
-    # tools/check_correctness.py): route_error_events,
-    # route_relationship_counts, route_text_merge_lines,
-    # el_scalar_pack, el_encode_pack, json_path_extract,
-    # apply_template_events, jolt_shift_events, jolt_chain_events,
-    # record_transform_upper, split_fragment_counts,
-    # split_merge_roundtrip, archive_roundtrip, syslog_parse,
-    # tumbling_hourly_by_type, pivot_event_counts, q7, q8, q9, q13,
-    # q17, q20, q21, q22, top3_orders_per_customer,
-    # cube_lineitem_status, rollup_orders_priority.
+    # --- r6 rotation (VERDICT r5 action #1): ALL 42 never-driver-graded
+    # entries (the r5 additions, all green on the judge's independent
+    # check_correctness.py run) rotate IN for first driver rows; 8
+    # slots stay with the queries whose implementations changed THIS
+    # round (jolt compilation, spread_for_cpu in the dedup family,
+    # graph convergence, multimodal/LLM backends). Rotated OUT (all
+    # with green r5 rows, locked by pytest + tools/check_correctness.py):
+    # the 22 re-graded relational entries (q1-q19 set, region_rollup,
+    # top10_orders, set-ops/distinct), extract_first_word,
+    # replace_text_hashed, hash_content_sha256, the stateful streaming
+    # pair, range_join/asof/tailfile, rolling_window/sessionize,
+    # text_quality/bpe/language_id, normalized_fingerprint_dedup,
+    # simhash_signatures, cosine/ivf topk, retry_flow_file_exhaustion,
+    # list_fetch_incremental, execute_sql_rowsets,
+    # get_put_file_roundtrip.
     #
-    # re-graded relational surface (r1-only rows until now)
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q2_min_cost_supplier",
-    "q4_priority_order_exists",
-    "q5_regional_supplier_revenue",
-    "q6_revenue_forecast",
-    "q10_returned_item_customers",
-    "q11_valuable_parts",
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue_pct",
-    "q15_top_supplier",
-    "q16_brand_size_supplier_counts",
-    "q18_large_quantity_orders",
-    "q19_disjunctive_predicates",
-    "region_rollup",
-    "top10_orders",
-    "distinct_parts_per_order",
-    "customers_without_orders",
-    "customers_with_big_orders",
-    "segment_set_ops",
-    "part_brand_revenue",
-    "supplier_nation_agg",
-    # re-graded operator-family entries (r1-only rows until now)
-    "extract_first_word",
-    "replace_text_hashed",
-    "hash_content_sha256",
-    # NEW: stateful streaming pair (first driver rows)
-    "stateful_bin_packing_merge",
-    "stateful_defragment_reassembly",
-    # kept from the r4 window — touched this round
-    "range_join_purchase_after_error",
-    "asof_error_prior_click",
-    "tailfile_ingest",
-    # (late-r5 swap #2: streaming_route_counts is multi-round green
-    # (r2+r4) and streaming stays represented in-window by the
-    # stateful pair; its slot goes to semantic_dedup_kept below —
-    # never driver-graded, and the dedup family grades every round.)
-    # kept — windowing reps (sessionize fixed in r4, one more round)
-    "rolling_window_count10",
-    "sessionize_users",
-    # kept — the whole LLM-pipeline family stays graded every round
-    "text_quality_features",
-    "bpe_token_counts",
-    "language_id_distribution",
-    "exact_dedup_representatives",
-    "normalized_fingerprint_dedup",
+    # r5-breadth operator oracles (never driver-graded)
+    "segment_content_parity",
+    "split_json_elements",
+    "attributes_to_json_pack",
+    "compress_roundtrip_gzip",
+    "defragment_messages",
+    "convert_record_xml_roundtrip",
+    "funnel_merge_counts",
+    "split_content_words",
+    "el_multiattr_pack",
+    "el_delineated_pack",
+    "el_date_pack",
+    "replace_text_line_modes",
+    "append_host_info_pack",
+    # source adapters (never driver-graded)
+    "modbus_read_registers",
+    "k8s_pod_metrics_quantities",
+    "opc_browse_lazy",
+    "kv_enrichment_route",
+    "remote_list_fetch",
+    "execute_process_batched",
+    "put_sql_roundtrip",
+    "procfs_metrics_parse",
+    "object_store_crud_roundtrip",
+    # socket/stream ingests + sink adapters (never driver-graded)
+    "mqtt_consume_counts",
+    "journald_consume_syslog",
+    "listen_tcp_ingest",
+    "listen_http_ingest",
+    "get_tcp_client_ingest",
+    "put_tcp_roundtrip",
+    "kinesis_batch_plan",
+    "es_bulk_validation_counts",
+    "splunk_hec_url_pack",
+    "loki_batch_flush_counts",
+    # text-pipeline pack + C2/metrics/dialect/graph (never driver-graded)
+    "repetition_report",
+    "gopher_filter_counts",
+    "pii_redaction_counts",
+    "deterministic_sample_ids",
+    "stratified_sample_by_source",
+    "token_count_distribution",
+    "dialect_flow_route_counts",
+    "c2_operation_acks",
+    "prometheus_exposition_pack",
+    "duplicate_components_chains",
+    # kept in-window: implementations changed in r6
+    "jolt_chain_events",  # schema-specialized Catalyst compilation (r6)
+    "exact_dedup_representatives",  # spread_for_cpu rewrite (r6)
     "minhash_dedup_kept",
     "ngram_jaccard_dedup_kept",
-    "simhash_signatures",
     "embedding_dedup_kept",
     "semantic_dedup_kept",
-    "cosine_topk_vec0",
-    "ivf_topk_vec0",
-    "llm_inference_fake",
-    "multimodal_features_frames",
-    # late-r5 swap: knn_exact_10x3 / embedding_norms_by_label /
-    # invoke_http_route_counts / incremental_scan_tail are multi-round
-    # green (r2+r4); these four new entries have never had a driver row
-    # and carry the strongest evidence (retry caught a real operator
-    # bug; the other three grade sources/sinks end-to-end)
-    "retry_flow_file_exhaustion",
-    "list_fetch_incremental",
-    "execute_sql_rowsets",
-    "get_put_file_roundtrip",
+    "multimodal_features_frames",  # video-frame parser (r6)
+    "llm_inference_fake",  # LLM backend smoke path (r6)
 ]
 
 GRADED_WINDOW = 50

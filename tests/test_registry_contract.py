@@ -22,53 +22,67 @@ from nifi_minifi_cpp_spark import entry_queries
 # Every SURVEY §2 operator family and every LLM-pipeline operator must
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
-    # r5 rotation (VERDICT r4 action #1): the 25 entries graded only on
-    # r1-era testdata are back in-window for fresh rows; operator-family
-    # entries green in r4 rotated out (their r4 rows stand, locked by
-    # pytest + tools/check_correctness.py). The LLM-pipeline family
-    # stays graded EVERY round, as do the entries touched this round.
+    # r6 rotation (VERDICT r5 action #1): all 42 never-driver-graded r5
+    # additions are in-window for first driver rows; the 8 kept slots
+    # are the queries whose implementations changed in r6 (jolt
+    # Catalyst compilation, spread_for_cpu rewrite through the dedup
+    # family, graph convergence fix, multimodal/LLM backend work).
     #
-    # re-graded relational + operator-family (r1-only rows until r5)
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q4_priority_order_exists",
-    "q6_revenue_forecast",
-    "q15_top_supplier",
-    "extract_first_word",
-    "replace_text_hashed",
-    "hash_content_sha256",
-    # new stateful-streaming pair (first driver rows in r5)
-    "stateful_bin_packing_merge",
-    "stateful_defragment_reassembly",
-    # touched this round / sources / streaming / windowing
-    "range_join_purchase_after_error",
-    "asof_error_prior_click",
-    "tailfile_ingest",
-    # (streaming_route_counts swapped out late-r5: multi-round green
-    # r2+r4; the stateful pair represents streaming in-window and its
-    # slot went to never-graded semantic_dedup_kept)
-    "semantic_dedup_kept",
-    # late-r5 swap: first driver rows for the strongest new evidence
-    "retry_flow_file_exhaustion",
-    "list_fetch_incremental",
-    "execute_sql_rowsets",
-    "get_put_file_roundtrip",
-    "rolling_window_count10",
-    "sessionize_users",
-    # LLM pipeline, every operator, graded every round
-    "text_quality_features",
-    "bpe_token_counts",
-    "language_id_distribution",
+    # r5-breadth operator oracles
+    "segment_content_parity",
+    "split_json_elements",
+    "attributes_to_json_pack",
+    "compress_roundtrip_gzip",
+    "defragment_messages",
+    "convert_record_xml_roundtrip",
+    "funnel_merge_counts",
+    "split_content_words",
+    "el_multiattr_pack",
+    "el_delineated_pack",
+    "el_date_pack",
+    "replace_text_line_modes",
+    "append_host_info_pack",
+    # source adapters
+    "modbus_read_registers",
+    "k8s_pod_metrics_quantities",
+    "opc_browse_lazy",
+    "kv_enrichment_route",
+    "remote_list_fetch",
+    "execute_process_batched",
+    "put_sql_roundtrip",
+    "procfs_metrics_parse",
+    "object_store_crud_roundtrip",
+    # socket/stream ingests + sink adapters
+    "mqtt_consume_counts",
+    "journald_consume_syslog",
+    "listen_tcp_ingest",
+    "listen_http_ingest",
+    "get_tcp_client_ingest",
+    "put_tcp_roundtrip",
+    "kinesis_batch_plan",
+    "es_bulk_validation_counts",
+    "splunk_hec_url_pack",
+    "loki_batch_flush_counts",
+    # text-pipeline pack + C2/metrics/dialect/graph
+    "repetition_report",
+    "gopher_filter_counts",
+    "pii_redaction_counts",
+    "deterministic_sample_ids",
+    "stratified_sample_by_source",
+    "token_count_distribution",
+    "dialect_flow_route_counts",
+    "c2_operation_acks",
+    "prometheus_exposition_pack",
+    "duplicate_components_chains",
+    # kept in-window: implementations changed in r6
+    "jolt_chain_events",
     "exact_dedup_representatives",
-    "normalized_fingerprint_dedup",
     "minhash_dedup_kept",
     "ngram_jaccard_dedup_kept",
-    "simhash_signatures",
     "embedding_dedup_kept",
-    "cosine_topk_vec0",
-    "ivf_topk_vec0",
-    "llm_inference_fake",
+    "semantic_dedup_kept",
     "multimodal_features_frames",
+    "llm_inference_fake",
 }
 
 
