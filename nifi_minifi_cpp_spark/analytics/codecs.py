@@ -188,3 +188,168 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
     if channels > 1:
         x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
     return sample_rate, x
+
+
+# ---------------------------------------------------------------------------
+# video — uncompressed / MJPEG AVI (r6, VERDICT r5 item #7)
+# ---------------------------------------------------------------------------
+#
+# The reference has no video path at all (north-star extension); this
+# is the honest container half: a stdlib-only RIFF/AVI demuxer for the
+# two in-container-decodable frame encodings — '00db' raw DIB frames
+# (re-wrapped as BMP so decode_bmp above handles them with numpy
+# alone) and '00dc' MJPEG frames (emitted as JPEG bytes for the
+# Pillow-gated image path). Anything else still raises
+# UnsupportedMediaError; ffmpeg-class codecs stay out of scope.
+
+
+def _riff_chunks(b: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type_or_None, body_start, body_size)."""
+    while pos + 8 <= end:
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid in (b"LIST", b"RIFF"):
+            yield cid, b[pos + 8 : pos + 12], pos + 12, size - 4
+        else:
+            yield cid, None, pos + 8, size
+        pos += 8 + size + (size & 1)  # word-aligned
+
+
+def parse_avi(b: bytes) -> tuple[dict, list[tuple[bytes, bytes]]]:
+    """AVI container -> (meta, frames).
+
+    meta: fps, width, height, n_frames, handler (strh fccHandler),
+    strf (the video stream's BITMAPINFOHEADER bytes, palette included).
+    frames: [(chunk_id, payload)] for the first video stream's
+    '..db'/'..dc' chunks in movi order.
+    """
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise UnsupportedMediaError("not a RIFF/AVI payload")
+    meta: dict = {}
+    frames: list[tuple[bytes, bytes]] = []
+    vid_stream = -1
+
+    def walk(pos: int, end: int, stream_counter: list[int]):
+        nonlocal vid_stream
+        for cid, ltype, s, size in _riff_chunks(b, pos, min(end, len(b))):
+            if cid in (b"LIST", b"RIFF"):
+                if ltype in (b"hdrl", b"strl", b"movi", b"AVI "):
+                    walk(s, s + size, stream_counter)
+                continue
+            body = b[s : s + size]
+            if cid == b"avih":
+                meta["micro_per_frame"] = int.from_bytes(body[0:4], "little")
+                meta["n_frames"] = int.from_bytes(body[16:20], "little")
+                meta["width"] = int.from_bytes(body[32:36], "little")
+                meta["height"] = int.from_bytes(body[36:40], "little")
+            elif cid == b"strh":
+                idx = stream_counter[0]
+                stream_counter[0] += 1
+                if body[0:4] == b"vids" and vid_stream < 0:
+                    vid_stream = idx
+                    meta["handler"] = body[4:8].decode("ascii", "replace").strip()
+                    scale = int.from_bytes(body[20:24], "little")
+                    rate = int.from_bytes(body[24:28], "little")
+                    if scale and rate:
+                        meta["fps"] = rate / scale
+            elif cid == b"strf":
+                if stream_counter[0] - 1 == vid_stream and "strf" not in meta:
+                    meta["strf"] = body
+            elif len(cid) == 4 and cid[2:4] in (b"db", b"dc"):
+                try:
+                    sn = int(cid[:2])
+                except ValueError:
+                    continue
+                if sn == max(vid_stream, 0):
+                    frames.append((bytes(cid), body))
+
+    walk(12, len(b), [0])
+    if "fps" not in meta:
+        mpf = meta.get("micro_per_frame") or 0
+        meta["fps"] = 1e6 / mpf if mpf else 25.0
+    if "strf" not in meta:
+        raise ValueError("AVI missing video stream format (strf)")
+    return meta, frames
+
+
+def avi_frame_to_image_bytes(chunk_id: bytes, payload: bytes, strf: bytes) -> bytes:
+    """One movi chunk -> decodable image bytes: '..db' raw DIB gets a
+    BITMAPFILEHEADER + the stream's BITMAPINFOHEADER prepended (a valid
+    BMP for decode_bmp); '..dc' MJPEG (JPEG magic) passes through."""
+    if chunk_id[2:4] == b"db":
+        offset = 14 + len(strf)
+        header = b"BM" + (offset + len(payload)).to_bytes(4, "little") + b"\x00\x00\x00\x00" + offset.to_bytes(4, "little")
+        return header + strf + payload
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI — MJPEG frame
+        return bytes(payload)
+    raise UnsupportedMediaError(
+        f"AVI frame encoding {chunk_id!r} not decodable without ffmpeg-class codecs"
+    )
+
+
+def sample_avi_frames(
+    b: bytes, every_s: float = 1.0, max_frames: int = 8
+) -> list[tuple[int, float, bytes]]:
+    """Demux + time-sample: frames nearest to k*every_s for
+    k=0..max_frames-1, deduplicated -> [(frame_idx, ts_s, image_bytes)]
+    where image_bytes decode with decode_image (BMP-wrapped DIB or
+    MJPEG JPEG)."""
+    meta, frames = parse_avi(b)
+    fps = meta["fps"]
+    picked: list[tuple[int, float, bytes]] = []
+    seen: set[int] = set()
+    for k in range(max_frames):
+        idx = int(round(k * every_s * fps))
+        if idx >= len(frames) or idx in seen:
+            continue
+        seen.add(idx)
+        cid, payload = frames[idx]
+        picked.append((idx, idx / fps, avi_frame_to_image_bytes(cid, payload, meta["strf"])))
+    return picked
+
+
+def encode_avi_rawdib(frames_rgb: list[np.ndarray], fps: int = 10) -> bytes:
+    """Minimal uncompressed-AVI writer (golden-fixture builder and the
+    inverse of parse_avi): HxWx3 uint8 RGB frames -> RIFF/AVI with one
+    'vids'/'DIB ' stream of bottom-up BGR '00db' chunks."""
+    h, w = frames_rgb[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+
+    def dib(frame: np.ndarray) -> bytes:
+        bgr = np.ascontiguousarray(frame[::-1, :, ::-1], dtype=np.uint8)  # bottom-up BGR
+        if stride == w * 3:
+            return bgr.tobytes()
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, : w * 3] = bgr.reshape(h, w * 3)
+        return padded.tobytes()
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    strf = (
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (stride * h).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    strh = (
+        b"vids" + b"DIB " + b"\x00" * 12
+        + (1).to_bytes(4, "little") + fps.to_bytes(4, "little")  # scale, rate
+        + (0).to_bytes(4, "little") + len(frames_rgb).to_bytes(4, "little")
+        + (stride * h).to_bytes(4, "little") + (0xFFFFFFFF).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") + b"\x00" * 8
+    )
+    avih = (
+        int(1e6 / fps).to_bytes(4, "little") + (stride * h * fps).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") + (0).to_bytes(4, "little")
+        + len(frames_rgb).to_bytes(4, "little") + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little") + (stride * h).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little") + b"\x00" * 16
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames_rgb))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body

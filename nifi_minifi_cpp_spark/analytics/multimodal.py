@@ -9,8 +9,10 @@ shape, Arrow transfer — is real and tested. Codec status (r5):
   (Rec.601 mean luma, 64-bit average-hash).
 - audio: REAL decode for RIFF/WAV PCM (pure stdlib+numpy); sample
   rate / duration / RMS are real.
-- video: still STUBBED (frame demux genuinely needs ffmpeg, absent in
-  this container) — strict mode raises, fake mode emits deterministic
+- video (r6): REAL demux for RIFF/AVI with uncompressed DIB or MJPEG
+  frames (pure stdlib+numpy, `codecs.parse_avi`); other containers
+  (mp4/mkv/compressed codecs) genuinely need ffmpeg, absent here —
+  strict mode raises for those, fake mode emits deterministic
   pseudo-frames.
 - ``fake=True`` keeps the deterministic md5-derived stub for every
   modality: that is what the DuckDB oracle grades
@@ -164,22 +166,38 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
 def sample_video_frames(df: DataFrame, every_s: float = 1.0, max_frames: int = 8, fake: bool = False) -> DataFrame:
     """Frame sampling (UDTF shape: one media row -> many frame rows).
 
-    Real path would demux with ffmpeg; the stub emits max_frames
-    deterministic pseudo-frames so partitioning and fan-out are real.
+    Real path (r6): stdlib-only RIFF/AVI demux (codecs.sample_avi_frames)
+    for uncompressed '00db' DIB frames — re-wrapped as BMP so the
+    emitted ``frame`` bytes decode with codecs.decode_image — and MJPEG
+    '00dc' frames (JPEG bytes, Pillow-gated downstream). Non-AVI
+    payloads raise: ffmpeg-class codecs are out of container scope.
+    Fake path: deterministic pseudo-frames (the graded oracle's
+    contract) so partitioning and fan-out stay testable on any bytes.
     """
     import pandas as pd
 
     def run(batches):
+        from .codecs import sample_avi_frames
+
         for pdf in batches:
-            if not fake:
-                _require_real_decoder("video")
             out = {"media_id": [], "frame_idx": [], "frame_ts_s": [], "frame": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for i in range(max_frames):
+                if fake:
+                    for i in range(max_frames):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(i)
+                        out["frame_ts_s"].append(i * every_s)
+                        out["frame"].append(bytes(payload)[:16] + i.to_bytes(4, "big"))
+                    continue
+                if bytes(payload)[:4] != b"RIFF":
+                    _require_real_decoder("non-AVI video")
+                for idx, ts, img in sample_avi_frames(
+                    bytes(payload), every_s=every_s, max_frames=max_frames
+                ):
                     out["media_id"].append(mid)
-                    out["frame_idx"].append(i)
-                    out["frame_ts_s"].append(i * every_s)
-                    out["frame"].append(bytes(payload)[:16] + i.to_bytes(4, "big"))
+                    out["frame_idx"].append(idx)
+                    out["frame_ts_s"].append(ts)
+                    out["frame"].append(img)
             yield pd.DataFrame(out)
 
     return _spread(df).mapInPandas(run, FRAME_SAMPLE_SCHEMA)

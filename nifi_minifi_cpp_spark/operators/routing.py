@@ -9,6 +9,8 @@ matching frame).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -74,6 +76,41 @@ def route_text(
     route and 'unmatched' otherwise; 'all'/'any' route the whole
     content iff all/any lines match (first route's condition).
     """
+    if routing == "dynamic" and grouping_regex is None:
+        # shuffle-free fast path (r6): without a grouping regex the
+        # per-FlowFile regroup is per-ROW, so it compiles to a pure
+        # higher-order filter + array_join — no explode, no groupBy
+        # shuffle per route (the explode path shuffles once per route
+        # at 100 TB), and streaming-append safe, which the posexplode+
+        # groupBy path is not (streaming agg needs watermark/update).
+        arr = F.split(F.col("content"), "\n")
+        if trim_whitespace:
+            arr = F.transform(arr, F.trim)
+        def _mk_pred(v: str):
+            # NOTE: must stay a 1-arg lambda — F.filter treats a 2-arg
+            # callable as (element, index), so the usual `v=v` default
+            # capture would bind v to the INDEX column
+            return lambda c: _line_predicate(c, matching, v, ignore_case)
+
+        hof_preds = {name: _mk_pred(v) for name, v in routes.items()}
+
+        def _route_frame(pred) -> DataFrame:
+            matched = F.filter(arr, pred)
+            return (
+                df.select(
+                    F.col(id_col),
+                    F.array_join(matched, "\n").alias("content"),
+                    F.col("attributes"),
+                )
+                .filter(F.size(matched) > 0)
+            )
+
+        out = {name: _route_frame(p) for name, p in hof_preds.items()}
+        out[UNMATCHED] = _route_frame(
+            lambda c: ~reduce(lambda a, b: a | b, [p(c) for p in hof_preds.values()])
+        )
+        return out
+
     lines = df.select(
         F.col(id_col),
         "attributes",

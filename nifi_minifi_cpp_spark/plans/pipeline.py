@@ -133,13 +133,29 @@ def _route_on_attribute(spark, df, props):
     return ops.route_on_attribute(df, props)
 
 
+#: reference allowable values (RouteText.h:73-136) -> engine keywords
+_ROUTE_TEXT_MATCHING = {
+    "starts with": "starts_with", "ends with": "ends_with",
+    "contains": "contains", "equals": "equals",
+    "matches regex": "matches_regex", "contains regex": "contains_regex",
+}
+_ROUTE_TEXT_ROUTING = {
+    "dynamic routing": "dynamic", "route on all": "all", "route on any": "any",
+}
+
+
 @processor("RouteText")
 def _route_text(spark, df, props):
     routes = {k: v for k, v in props.items() if not k.startswith("_")}
+    matching = str(props.get("_matching", "contains"))
+    routing = str(props.get("_routing", "dynamic"))
     return ops.route_text(
         df,
         routes,
-        matching=props.get("_matching", "contains"),
+        matching=_ROUTE_TEXT_MATCHING.get(matching.lower(), matching),
+        routing=_ROUTE_TEXT_ROUTING.get(routing.lower(), routing),
+        ignore_case=str(props.get("_ignore_case", "false")).lower() == "true",
+        trim_whitespace=str(props.get("_trim", "true")).lower() == "true",
         grouping_regex=props.get("_grouping_regex"),
     )
 
@@ -473,14 +489,33 @@ def _tail_file(spark, df, props):
 
 @processor("TailFileStream")
 def _tail_file_stream(spark, df, props):
-    """TailFile as the native streaming source (offsets = tail state)."""
+    """TailFile as the native streaming source (offsets = tail state).
+
+    Lifts to FlowFiles by default (r6) — the reference's TailFile emits
+    FlowFiles with absolute.path/filename attributes (TailFile.cpp:661),
+    and downstream flow processors (RouteText, UpdateAttribute, ...)
+    expect the (uuid, content, attributes) shape. as_flowfiles=false
+    keeps the raw (file, position, content) rows."""
     from ..sources import register_tailfile
 
     register_tailfile(spark)
     reader = spark.readStream.format("tailfile").option("pattern", props["pattern"])
     if props.get("delimiter"):
         reader = reader.option("delimiter", props["delimiter"])
-    return _one(reader.load())
+    raw = reader.load()
+    if not props.get("as_flowfiles", True):
+        return _one(raw)
+    return _one(
+        raw.select(
+            F.expr("uuid()").alias("uuid"),
+            F.col("content"),
+            F.create_map(
+                F.lit("absolute.path"), F.col("file"),
+                F.lit("filename"), F.element_at(F.split(F.col("file"), "/"), -1),
+                F.lit("tailfile.position"), F.col("position").cast("string"),
+            ).alias("attributes"),
+        )
+    )
 
 
 @processor("ConsumeKafka")

@@ -76,6 +76,20 @@ def _unwrap(value: Any) -> Any:
 #: becoming routes), so these keep their properties verbatim.
 _DYNAMIC_PROPERTY_TYPES = frozenset({"RouteOnAttribute", "RouteText", "UpdateAttribute"})
 
+#: well-known (non-dynamic) properties of dynamic-property processors:
+#: mapped to the handler's underscore-prefixed keys so they are never
+#: mistaken for user-defined routes (RouteText.h:124-162)
+_DYNAMIC_KNOWN_PROPS: dict[str, dict[str, str]] = {
+    "RouteText": {
+        "Routing Strategy": "_routing",
+        "Matching Strategy": "_matching",
+        "Ignore Case": "_ignore_case",
+        "Ignore Leading/Trailing Whitespace": "_trim",
+        "Grouping Regular Expression": "_grouping_regex",
+        "Character Set": "_charset",
+    },
+}
+
 
 #: reference property name (snake form) -> engine handler key, for the
 #: processors where the generic snake_case alias does not land on the
@@ -108,6 +122,9 @@ _VALUE_TRANSFORMS: dict[tuple[str, str], Any] = {
 def _props(raw: dict | None, ptype: str = "") -> dict:
     props = {k: _unwrap(v) for k, v in (raw or {}).items()}
     if ptype in _DYNAMIC_PROPERTY_TYPES:
+        for src, dst in _DYNAMIC_KNOWN_PROPS.get(ptype, {}).items():
+            if src in props:
+                props[dst] = props.pop(src)
         return props
     for k, v in list(props.items()):
         alias = k.strip().lower().replace(" ", "_")

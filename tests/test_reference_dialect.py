@@ -397,3 +397,84 @@ def test_convert_record_service_path_requires_schema(spark):
     import json as _json
 
     assert _json.loads(out) == [{"a": 1}]
+
+
+def test_streaming_reference_yaml_tail_route_put(spark, tmp_path):
+    """r6 (VERDICT r5 #8): a STREAMING reference-dialect YAML runs end
+    to end — TailFileStream -> RouteText -> PutFile — with the
+    TIMER_DRIVEN scheduling period mapped onto the micro-batch trigger
+    and RouteText's well-known reference properties (Matching/Routing
+    Strategy) consumed as configuration, not mistaken for routes."""
+    import yaml as _yaml
+
+    from nifi_minifi_cpp_spark.plans.pipeline import FlowController
+    from nifi_minifi_cpp_spark.plans.reference_dialect import normalize_flow_config
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    (logdir / "app.log").write_text(
+        "INFO started\nERROR disk full\nINFO heartbeat\nERROR net down\n"
+    )
+    out_dir = tmp_path / "out"
+    text = f"""
+Flow Controller:
+  name: tail-route-put
+Processors:
+- id: tail1
+  name: TailApp
+  class: org.apache.nifi.minifi.processors.TailFileStream
+  scheduling strategy: EVENT_DRIVEN
+  Properties:
+    File to Tail: {logdir}/app.log
+- id: route1
+  name: RouteErrors
+  class: org.apache.nifi.minifi.processors.RouteText
+  scheduling strategy: EVENT_DRIVEN
+  Properties:
+    Routing Strategy: Dynamic Routing
+    Matching Strategy: Starts With
+    errors: ERROR
+- id: put1
+  name: PutErrors
+  class: org.apache.nifi.minifi.processors.PutFile
+  scheduling strategy: TIMER_DRIVEN
+  scheduling period: 300 ms
+  Properties:
+    Directory: {out_dir}
+    checkpoint: {tmp_path / 'ck'}
+Connections:
+- source id: tail1
+  source relationship names: [success]
+  destination id: route1
+- source id: route1
+  source relationship names: [errors]
+  destination id: put1
+"""
+    config = _yaml.safe_load(text)
+    norm = normalize_flow_config(config)
+    # RouteText's well-known properties resolved to engine keys, the
+    # dynamic route survived, and TIMER_DRIVEN landed on the sink
+    route = next(p for p in norm["processors"] if p["id"] == "route1")
+    assert route["properties"]["_matching"] == "Starts With"
+    assert route["properties"]["_routing"] == "Dynamic Routing"
+    assert route["properties"]["errors"] == "ERROR"
+    put = next(p for p in norm["processors"] if p["id"] == "put1")
+    assert put["properties"]["trigger_period"] == "300 ms"
+
+    ctl = FlowController(spark, text).start()
+    try:
+        assert len(ctl.queries) == 1
+        import time as _time
+
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            try:
+                if spark.read.parquet(str(out_dir)).count() >= 2:
+                    break
+            except Exception:
+                pass
+            _time.sleep(0.3)
+    finally:
+        ctl.stop()
+    rows = spark.read.parquet(str(out_dir)).select("content").collect()
+    assert sorted(r["content"] for r in rows) == ["ERROR disk full", "ERROR net down"]
