@@ -298,3 +298,180 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_detected", language_id(F.col(text_col)))
         .withColumn("fingerprint", fingerprint64(F.col(text_col)))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level span dedup / contamination / mixture planning (r6)
+# ---------------------------------------------------------------------------
+
+
+def word_spans(text: Column, span_words: int, overlap: bool = False) -> Column:
+    """Word-window spans of a text column as an array<string>.
+
+    ``overlap=False``: non-overlapping chunks (span dedup granularity,
+    the Lee-et-al./C4 repeated-passage unit); ``overlap=True``: every
+    n-gram window (contamination probes). NOTE: callers must STAGE the
+    words array in its own projection — the expression references the
+    split twice (sequence bound + slice), which keeps CollapseProject
+    from inlining one tokenization per array element (the
+    repetition_features 490s->4.6s pathology)."""
+    words = F.split(text, " ")
+    if overlap:
+        n = F.size(words) - F.lit(span_words - 1)
+        # guard: Spark's sequence(0, -1) yields a DESCENDING [0, -1],
+        # not an empty array — short texts must produce zero spans
+        return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.array_join(F.slice(words, i + 1, span_words), " "),
+            )
+        )
+    n = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(words, i * span_words + 1, span_words), " "),
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level exact span dedup (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"; C4's repeated-passage
+    rule): any ``span_words``-word chunk occurring in >= ``min_docs``
+    DISTINCT documents is removed from every document, and texts are
+    rebuilt from the surviving chunks (order preserved, single-space
+    joined; a fully-deduped document keeps an empty text).
+
+    100 TB shape: spans explode to ~tokens/span_words rows, but the
+    global frequency count runs on (xxhash64(span), id) pairs — 16
+    bytes a row, partial-aggregated map-side — and only the kept spans
+    carry text into the one rebuild shuffle per document. No pairwise
+    comparisons anywhere; skew is bounded by span frequency itself.
+    """
+    staged = df.select(
+        F.col(id_col), word_spans(F.col(text_col), span_words).alias("_spans")
+    )
+    spans = staged.select(
+        id_col, F.posexplode("_spans").alias("_idx", "_span")
+    ).withColumn("_h", F.xxhash64("_span"))
+    shared = (
+        spans.select("_h", id_col)
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_h")
+    )
+    kept = spans.join(shared, "_h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_span"))),
+                lambda s: s.getField("_span"),
+            ),
+            " ",
+        ).alias(text_col)
+    )
+    # documents whose every span was removed: keep the row, empty text
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
+    )
+
+
+def contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_words: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination flagging (the GPT-3/PaLM decontamination
+    rule): a training document is contaminated when it shares any
+    ``ngram_words``-gram with the evaluation benchmark. Returns
+    (id, overlap_ngrams, contaminated) for EVERY training doc.
+
+    100 TB shape: the benchmark side is small by construction (eval
+    sets, not corpora) — its distinct n-gram hashes broadcast; the
+    corpus side streams slim (id, hash) pairs through a broadcast
+    semi-ish join, no shuffle of the corpus text at all."""
+    from pyspark.sql.functions import broadcast
+
+    bench_grams = (
+        benchmark.select(
+            word_spans(F.col(text_col), ngram_words, overlap=True).alias("_g")
+        )
+        .select(F.explode("_g").alias("_gram"))
+        .select(F.xxhash64("_gram").alias("_h"))
+        .distinct()
+    )
+    doc_grams = (
+        df.select(F.col(id_col), word_spans(F.col(text_col), ngram_words, overlap=True).alias("_g"))
+        .select(id_col, F.explode("_g").alias("_gram"))
+        .select(id_col, F.xxhash64("_gram").alias("_h"))
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(broadcast(bench_grams), "_h", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("overlap_ngrams", F.lit(0)).cast("long").alias("overlap_ngrams"),
+            (F.coalesce("overlap_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Training-mix planner: per-source token accounting plus the
+    resampling weight that hits a target mixture (DoReMi-style domain
+    reweighting reduced to its bookkeeping core). ``target_shares``
+    maps source -> desired token share; default is the uniform mix
+    over observed sources. weight = target_share / actual_share —
+    >1 means upsample (epochs over that domain), <1 downsample.
+    Token totals are exact; the whole thing is two tiny aggregates on
+    (source, token_count) — at 100 TB the only full-data work is the
+    one pass computing token counts."""
+    per = (
+        df.select(source_col, token_count(F.col(text_col)).alias("_n"))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("_n").cast("long").alias("tokens"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    per = per.withColumn("_total", F.sum("tokens").over(w)).withColumn(
+        "_nsrc", F.count(F.lit(1)).over(w)
+    )
+    if target_shares:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target_shares.items() for x in kv]
+        )
+        tgt = mapping.getItem(F.col(source_col))
+    else:
+        tgt = F.lit(1.0) / F.col("_nsrc")
+    share = F.col("tokens") / F.col("_total")
+    return per.select(
+        source_col,
+        "docs",
+        "tokens",
+        share.alias("token_share"),
+        tgt.alias("target_share"),
+        (tgt / share).alias("weight"),
+    )

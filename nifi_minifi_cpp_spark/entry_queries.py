@@ -4326,6 +4326,105 @@ def token_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "span_dedup_rebuild",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sp AS (
+      SELECT doc_id,
+             unnest(range(CAST(ceil(len(ws) / 2.0) AS BIGINT))) AS idx,
+             unnest(list_transform(range(CAST(ceil(len(ws) / 2.0) AS BIGINT)),
+                    i -> array_to_string(ws[i*2+1 : i*2+2], ' '))) AS span
+      FROM w),
+    shared AS (
+      SELECT span FROM (
+        SELECT span, count(DISTINCT doc_id) AS d FROM sp GROUP BY span
+      ) WHERE d >= 5),
+    kept AS (SELECT doc_id, idx, span FROM sp
+             WHERE span NOT IN (SELECT span FROM shared)),
+    rebuilt AS (SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS text
+                FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(r.text, '') AS text
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def span_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact span dedup (Lee et al. 2022 / C4 repeated-
+    passage rule): every 2-word chunk occurring in >=5 distinct docs is
+    cut from all of them and texts are rebuilt from surviving chunks.
+    The global frequency pass runs on 16-byte (xxhash64, doc_id) pairs;
+    the oracle rebuilds the exact same texts chunk-by-chunk in SQL."""
+    from .analytics.text_analysis import span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup(docs, span_words=2, min_docs=5)
+
+
+@_register(
+    "contamination_flags",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(greatest(len(ws) - 2, 0)),
+                    i -> array_to_string(ws[i+1 : i+3], ' '))) AS gram
+      FROM w),
+    dg AS (SELECT DISTINCT doc_id, gram FROM g),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS overlap_ngrams
+      FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(h.overlap_ngrams, 0) AS overlap_ngrams,
+           coalesce(h.overlap_ngrams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination flagging (the GPT-3/PaLM n-gram
+    overlap rule): docs with doc_id % 50 == 0 stand in as the held-out
+    benchmark; every training doc is flagged with its count of shared
+    word 3-grams. Corpus side streams slim (id, hash) pairs through a
+    broadcast join with the benchmark's n-gram set — the corpus text
+    itself never shuffles."""
+    from .analytics.text_analysis import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_report(docs, bench, ngram_words=3)
+
+
+@_register(
+    "domain_mixture_plan",
+    r"""
+    WITH tc AS (
+      SELECT source,
+             len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n
+      FROM documents),
+    per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(n) AS BIGINT) AS tokens
+      FROM tc GROUP BY source)
+    SELECT source, docs, tokens,
+           tokens / CAST((SELECT sum(tokens) FROM per) AS DOUBLE) AS token_share,
+           1.0 / (SELECT count(*) FROM per) AS target_share,
+           (1.0 / (SELECT count(*) FROM per))
+             / (tokens / CAST((SELECT sum(tokens) FROM per) AS DOUBLE)) AS weight
+    FROM per
+    """,
+)
+def domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planner (DoReMi-style bookkeeping): exact per-source
+    token accounting plus the resampling weight that would equalize the
+    mixture — weight >1 means upsample that domain. One full-data pass
+    (token counts), then window aggregates over the tiny per-source
+    frame."""
+    from .analytics.text_analysis import domain_mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_mixture_weights(docs)
+
+
+@_register(
     "listen_http_ingest",
     """
     SELECT 'http:' || event_type || ':' || CAST(event_id AS VARCHAR) AS message,

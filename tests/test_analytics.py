@@ -1044,3 +1044,77 @@ def test_deterministic_sample_fraction_one_keeps_all(spark):
     df = spark.range(500)
     assert df.filter(deterministic_sample_pred(F.col("id"), 1.0)).count() == 500
     assert df.filter(deterministic_sample_pred(F.col("id"), 0.0)).count() == 0
+
+
+# -- corpus span dedup / contamination / mixture (r6) -------------------------
+
+
+def test_span_dedup_removes_shared_chunks(spark):
+    from nifi_minifi_cpp_spark.analytics.text_analysis import span_dedup
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha beta {boiler}"),
+        (2, f"{boiler} gamma delta"),
+        (3, "unique text entirely here"),
+        (4, boiler),  # nothing survives -> empty text kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in span_dedup(df, span_words=2, min_docs=2).collect()}
+    # 2-word chunking of doc1: [alpha beta] [subscribe to] [our newsletter]
+    # docs 1,2,4 share no identical 2-word CHUNK boundaries except where
+    # alignment matches: doc2 chunks [subscribe to][our newsletter][gamma delta]
+    # doc4 chunks [subscribe to][our newsletter] -> those two chunks
+    # appear in >=2 docs and are removed everywhere.
+    assert out[1] == "alpha beta"
+    assert out[2] == "gamma delta"
+    assert out[3] == "unique text entirely here"
+    assert out[4] == ""
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_word_spans_overlap_short_text_empty(spark):
+    from nifi_minifi_cpp_spark.analytics.text_analysis import word_spans
+
+    df = spark.createDataFrame([("a b",), ("",), ("one two three",)], "text string")
+    got = df.select(word_spans(F.col("text"), 3, overlap=True).alias("g")).collect()
+    assert got[0]["g"] == []          # 2 words < 3-gram -> no spans
+    assert got[1]["g"] == []          # empty text -> [''] split -> no 3-gram
+    assert got[2]["g"] == ["one two three"]
+
+
+def test_contamination_report_flags_only_overlapping(spark):
+    from nifi_minifi_cpp_spark.analytics.text_analysis import contamination_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "totally different words here"),
+            (3, "quick brown fox elsewhere"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, "a quick brown fox appears")], "doc_id long, text string")
+    got = {r.doc_id: (r.overlap_ngrams, r.contaminated) for r in
+           contamination_report(docs, bench, ngram_words=3).collect()}
+    assert got[1] == (1, True)   # 'quick brown fox'
+    assert got[2] == (0, False)
+    assert got[3] == (1, True)
+
+
+def test_domain_mixture_weights_math(spark):
+    from nifi_minifi_cpp_spark.analytics.text_analysis import domain_mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", "one two three four"), ("a", "five six"), ("b", "seven eight")],
+        "source string, text string",
+    )
+    got = {r.source: r for r in domain_mixture_weights(df).collect()}
+    assert got["a"].tokens == 6 and got["b"].tokens == 2
+    assert abs(got["a"].token_share - 0.75) < 1e-12
+    assert abs(got["a"].weight - (0.5 / 0.75)) < 1e-12
+    assert abs(got["b"].weight - (0.5 / 0.25)) < 1e-12
+    # explicit target mixture
+    got2 = {r.source: r for r in
+            domain_mixture_weights(df, target_shares={"a": 0.9, "b": 0.1}).collect()}
+    assert abs(got2["a"].weight - (0.9 / 0.75)) < 1e-12

@@ -273,6 +273,40 @@ def test_jolt_chain_events_compiles_to_catalyst(spark):
     assert "REPARTITION_BY_NUM" in plan  # spread before the JSON stage
 
 
+def test_contamination_report_broadcasts_benchmark(spark):
+    """r6: the benchmark n-gram side must BROADCAST — the corpus side
+    (slim id/hash pairs) streams through without shuffling its text."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import contamination_report
+
+    docs = spark.createDataFrame(
+        [(i, "w%d x y z" % i) for i in range(50)], "doc_id long, text string"
+    )
+    bench = docs.limit(2)
+    plan = (
+        contamination_report(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_frequency_pass_is_slim(spark):
+    """r6: span_dedup's global frequency aggregate must run on hashed
+    spans (xxhash64), never carry the span text into the count shuffle,
+    and plan no cartesian product."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import span_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(20)], "doc_id long, text string"
+    )
+    plan = (
+        span_dedup(docs, span_words=2, min_docs=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_object_store_list_is_metadata_only(spark, tmp_path):
     """List* must not read object bytes: the binaryFile scan's
     ReadSchema excludes the content column entirely."""
