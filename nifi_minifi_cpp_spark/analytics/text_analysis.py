@@ -305,17 +305,15 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def word_spans(text: Column, span_words: int, overlap: bool = False) -> Column:
-    """Word-window spans of a text column as an array<string>.
+def spans_from_words(words: Column, span_words: int, overlap: bool = False) -> Column:
+    """Word-window spans from an ALREADY-STAGED words-array column.
 
-    ``overlap=False``: non-overlapping chunks (span dedup granularity,
-    the Lee-et-al./C4 repeated-passage unit); ``overlap=True``: every
-    n-gram window (contamination probes). NOTE: callers must STAGE the
-    words array in its own projection — the expression references the
-    split twice (sequence bound + slice), which keeps CollapseProject
-    from inlining one tokenization per array element (the
-    repetition_features 490s->4.6s pathology)."""
-    words = F.split(text, " ")
+    The lambda slices ``words`` per element, so the caller must pass an
+    attribute reference from its own projection — passing the split
+    expression inline re-tokenizes the text once per span (the
+    repetition_features 490s->4.6s pathology; measured again here:
+    6.7s -> sub-second for 260k n-grams at sf0.1). Use
+    :func:`staged_word_spans` for the spread+staged DataFrame form."""
     if overlap:
         n = F.size(words) - F.lit(span_words - 1)
         # guard: Spark's sequence(0, -1) yields a DESCENDING [0, -1],
@@ -330,6 +328,34 @@ def word_spans(text: Column, span_words: int, overlap: bool = False) -> Column:
     return F.transform(
         F.sequence(F.lit(0), n - 1),
         lambda i: F.array_join(F.slice(words, i * span_words + 1, span_words), " "),
+    )
+
+
+def word_spans(text: Column, span_words: int, overlap: bool = False) -> Column:
+    """Column-level convenience over :func:`spans_from_words` — fine
+    for tests and small frames; data paths should stage (see
+    :func:`staged_word_spans`)."""
+    return spans_from_words(F.split(text, " "), span_words, overlap)
+
+
+def staged_word_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int,
+    overlap: bool = False,
+) -> DataFrame:
+    """(id, _spans) with the tokenization STAGED and the frame spread:
+    a small corpus file scans as one partition, and an inline split
+    would re-evaluate once per span element inside the HOF lambda —
+    both measured multi-second pathologies at sf0.1."""
+    from ..util import spread_for_cpu
+
+    staged = spread_for_cpu(df.select(id_col, text_col), id_col).select(
+        id_col, F.split(F.col(text_col), " ").alias("_w")
+    )
+    return staged.select(
+        id_col, spans_from_words(F.col("_w"), span_words, overlap).alias("_spans")
     )
 
 
@@ -353,12 +379,18 @@ def span_dedup(
     carry text into the one rebuild shuffle per document. No pairwise
     comparisons anywhere; skew is bounded by span frequency itself.
     """
-    staged = df.select(
-        F.col(id_col), word_spans(F.col(text_col), span_words).alias("_spans")
+    staged = staged_word_spans(df, id_col, text_col, span_words)
+    # _outer explode + post-filter, NOT plain posexplode: Catalyst's
+    # InferFiltersFromGenerate turns a plain explode into a
+    # size(<spans>) > 0 filter that pushes BELOW the spread exchange
+    # with the whole span expression inlined — recomputing every span
+    # on the single pre-shuffle partition (measured: the entire 5s
+    # cost of this operator at sf0.1)
+    spans = (
+        staged.select(id_col, F.posexplode_outer("_spans").alias("_idx", "_span"))
+        .filter(F.col("_span").isNotNull())
+        .withColumn("_h", F.xxhash64("_span"))
     )
-    spans = staged.select(
-        id_col, F.posexplode("_spans").alias("_idx", "_span")
-    ).withColumn("_h", F.xxhash64("_span"))
     shared = (
         spans.select("_h", id_col)
         .distinct()
@@ -403,22 +435,28 @@ def contamination_report(
     semi-ish join, no shuffle of the corpus text at all."""
     from pyspark.sql.functions import broadcast
 
+    # explode_outer + null-filter: see span_dedup — a plain explode's
+    # inferred size()>0 filter pushes the whole n-gram expression below
+    # the spread exchange onto one partition
     bench_grams = (
-        benchmark.select(
-            word_spans(F.col(text_col), ngram_words, overlap=True).alias("_g")
-        )
-        .select(F.explode("_g").alias("_gram"))
+        staged_word_spans(benchmark, id_col, text_col, ngram_words, overlap=True)
+        .select(F.explode_outer("_spans").alias("_gram"))
+        .filter(F.col("_gram").isNotNull())
         .select(F.xxhash64("_gram").alias("_h"))
         .distinct()
     )
     doc_grams = (
-        df.select(F.col(id_col), word_spans(F.col(text_col), ngram_words, overlap=True).alias("_g"))
-        .select(id_col, F.explode("_g").alias("_gram"))
+        staged_word_spans(df, id_col, text_col, ngram_words, overlap=True)
+        .select(id_col, F.explode_outer("_spans").alias("_gram"))
+        .filter(F.col("_gram").isNotNull())
         .select(id_col, F.xxhash64("_gram").alias("_h"))
-        .distinct()
     )
+    # dedupe (id, gram) AFTER the broadcast join: matches are rare by
+    # construction, so the distinct shuffles only the hits instead of
+    # every n-gram in the corpus (8.2s -> sub-second at sf0.1)
     hits = (
         doc_grams.join(broadcast(bench_grams), "_h", "inner")
+        .distinct()
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
     )

@@ -4425,6 +4425,151 @@ def domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "s2s_port_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events WHERE event_id < 600 GROUP BY event_type
+    """,
+)
+def s2s_port_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-to-Site storage channel end-to-end (SURVEY §2.3 /
+    RemoteProcessGroup + Port semantics): two producer TRANSACTIONS
+    commit through output_port's atomic-rename protocol, a batch
+    input_port consumer reads everything committed, and the oracle
+    pins the union exactly — torn or doubled transactions would break
+    the id_sum."""
+    import tempfile
+
+    from .plans.ports import input_port, output_port
+
+    configure(spark)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 600)
+        .select("event_id", "event_type")
+    )
+    chan = tempfile.mkdtemp(prefix="s2sq-") + "/chan"
+    output_port(ev.filter(F.col("event_id") < 300), chan)
+    output_port(ev.filter(F.col("event_id") >= 300), chan)
+    got = input_port(spark, chan, "event_id long, event_type string", streaming=False)
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
+
+
+@_register(
+    "param_context_resolution",
+    """
+    SELECT 'hot' AS rel, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'big', CAST(count(*) AS BIGINT) FROM events WHERE value > 0.5
+    """,
+)
+def param_context_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameter contexts end-to-end (SURVEY §2.3 / ParameterContext.cpp
+    + ProcessGroup binding): a flow whose RouteOnAttribute expressions
+    take their comparison values from #{param} substitution — one
+    parameter from the bound context, one INHERITED from a parent
+    context — graded by the resulting route counts."""
+    from .plans import compile_flow
+
+    configure(spark)
+    cfg = {
+        "parameter_contexts": [
+            {"name": "common", "parameters": [{"name": "vt", "value": "0.5"}]},
+            {
+                "name": "app",
+                "inherited_parameter_contexts": ["common"],
+                "parameters": [{"name": "etype", "value": "error"}],
+            },
+        ],
+        "parameter_context_name": "app",
+        "processors": [
+            {"id": "src", "type": "TableSource",
+             "properties": {"table": "events", "sf_dir": sf_dir}},
+            {"id": "route", "type": "RouteOnAttribute",
+             "properties": {"hot": "${event_type:equals('#{etype}')}",
+                            "big": "${value:gt(#{vt})}"}},
+        ],
+        "connections": [{"source": "src", "destination": "route"}],
+    }
+    flow = compile_flow(spark, cfg)
+    hot = flow.df("route", "hot").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("hot").alias("rel"), F.col("n").cast("long")
+    )
+    big = flow.df("route", "big").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("big").alias("rel"), F.col("n").cast("long")
+    )
+    return hot.unionByName(big)
+
+
+@_register(
+    "connection_edge_semantics",
+    """
+    SELECT 'ttl_keep' AS rel, CAST(count(*) AS BIGINT) AS n FROM events
+    UNION ALL
+    SELECT 'ttl_expired', 0
+    UNION ALL
+    SELECT 'drop_empty', CAST(count(*) AS BIGINT)
+    FROM events WHERE event_type <> 'error'
+    """,
+)
+def connection_edge_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connection queue-edge semantics end-to-end (Connection.cpp:153-158
+    TTL-at-poll + drop-empty, SURVEY §2.3): ApplyTemplate renders
+    content = event_type, ReplaceText blanks the 'error' rows, and the
+    output fans out over three connections — a 10-year TTL (all
+    FlowFiles survive: the table's entry timestamps are historical), a
+    1-hour TTL (all expired), and drop-empty (only the blanked rows
+    drop). Counts per edge are the oracle."""
+    from .plans import compile_flow
+
+    configure(spark)
+    cfg = {
+        "processors": [
+            {"id": "src", "type": "TableSource",
+             "properties": {"table": "events", "sf_dir": sf_dir}},
+            {"id": "tmpl", "type": "ApplyTemplate",
+             "properties": {"template": "{{event_type}}"}},
+            {"id": "blank", "type": "ReplaceText",
+             "properties": {"replacement_strategy": "regex_replace",
+                            "search_value": "^error$",
+                            "replacement_value": "",
+                            "evaluation_mode": "entire_text"}},
+            {"id": "log_keep", "type": "LogAttribute"},
+            {"id": "log_expired", "type": "LogAttribute"},
+            {"id": "log_nonempty", "type": "LogAttribute"},
+        ],
+        "connections": [
+            {"source": "src", "destination": "tmpl"},
+            {"source": "tmpl", "destination": "blank"},
+            {"source": "blank", "destination": "log_keep",
+             "flowfile expiration": "87600 hours"},
+            {"source": "blank", "destination": "log_expired",
+             "flowfile expiration": "1 hours"},
+            {"source": "blank", "destination": "log_nonempty",
+             "drop empty": "true"},
+        ],
+    }
+    flow = compile_flow(spark, cfg)
+
+    def counted(pid: str, rel: str) -> DataFrame:
+        return flow.df(pid).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(rel).alias("rel"), F.col("n").cast("long")
+        )
+
+    return (
+        counted("log_keep", "ttl_keep")
+        .unionByName(counted("log_expired", "ttl_expired"))
+        .unionByName(counted("log_nonempty", "drop_empty"))
+    )
+
+
+@_register(
     "listen_http_ingest",
     """
     SELECT 'http:' || event_type || ':' || CAST(event_id AS VARCHAR) AS message,
