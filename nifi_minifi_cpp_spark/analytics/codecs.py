@@ -233,7 +233,10 @@ def parse_avi(b: bytes) -> tuple[dict, list[tuple[bytes, bytes]]]:
         nonlocal vid_stream
         for cid, ltype, s, size in _riff_chunks(b, pos, min(end, len(b))):
             if cid in (b"LIST", b"RIFF"):
-                if ltype in (b"hdrl", b"strl", b"movi", b"AVI "):
+                # 'rec ' groups interleaved movi frames meant to be read
+                # in one disk op (ADVICE r6: standard AVIs use it —
+                # skipping it silently demuxed zero frames)
+                if ltype in (b"hdrl", b"strl", b"movi", b"AVI ", b"rec "):
                     walk(s, s + size, stream_counter)
                 continue
             body = b[s : s + size]

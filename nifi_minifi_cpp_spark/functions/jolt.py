@@ -100,6 +100,18 @@ def _parse_out_segment(seg: str, stack: list[_Match]) -> tuple[str, int | str | 
     return base, int(idx)
 
 
+def _contains_sym(v: Any) -> bool:
+    """True when a value tree holds any symbolic (_Sym) leaf — i.e. we
+    are compiling, not interpreting."""
+    if isinstance(v, _Sym):
+        return True
+    if isinstance(v, dict):
+        return any(_contains_sym(x) for x in v.values())
+    if isinstance(v, list):
+        return any(_contains_sym(x) for x in v)
+    return False
+
+
 def _write_output(out: dict, path_tokens: list[tuple[str, int | str | None]], value: Any) -> None:
     """Insert value at the resolved RHS path; Jolt accumulates multiple
     writes to one leaf into an array (public shift semantics)."""
@@ -110,6 +122,16 @@ def _write_output(out: dict, path_tokens: list[tuple[str, int | str | None]], va
             if slot is None and last:
                 if key in node:
                     prev = node[key]
+                    if _contains_sym(prev) or _contains_sym(value):
+                        # ADVICE r6: compiled multi-write would bake a
+                        # STATIC 2-element array (to_json keeps null
+                        # ARRAY elements), diverging from the
+                        # interpreter's scalar when one source key is
+                        # absent at runtime — shape is data-dependent,
+                        # so route the chain to the interpreter.
+                        raise _Unsupported(
+                            "multi-write to one RHS leaf (runtime-dependent shape)"
+                        )
                     if isinstance(prev, list) and not isinstance(value, list):
                         prev.append(value)
                     else:
@@ -538,20 +560,40 @@ def jolt_transform_json(
 
         df = spread_for_cpu(df)
     if input_schema is not None:
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StringType, StructField, StructType
 
         try:
             if isinstance(input_schema, str):
                 input_schema = StructType.fromDDL(input_schema)
             # stage the parse in its own projection: the compiled tree
             # references it once per leaf, and staging keeps it a
-            # single from_json per row instead of N inlined copies
+            # single from_json per row instead of N inlined copies.
+            # The extra _corrupt_record field is PERMISSIVE from_json's
+            # parse-validity signal: malformed JSON yields a non-null
+            # struct with all-null fields, indistinguishable from a
+            # parseable {} without it (it is NOT in input_schema, so
+            # wildcards never enumerate it).
+            corrupt = "_corrupt_record"
+            if any(f.name == corrupt for f in input_schema.fields):
+                raise _Unsupported(f"schema reserves {corrupt}")
+            parse_schema = StructType(
+                list(input_schema.fields) + [StructField(corrupt, StringType())]
+            )
             staged = df.withColumn(
-                "__jolt_parsed", F.from_json(F.col(content_col), input_schema)
+                "__jolt_parsed", F.from_json(F.col(content_col), parse_schema)
             )
             compiled = compile_jolt_chain(
                 F.col("__jolt_parsed"), chain, input_schema
             )
+            # failure-route parity with the interpreter (ADVICE r6):
+            # for NULL or unparseable content the interpreter returns
+            # null content (-> failure route); without this guard
+            # default operations would still fill literals and to_json
+            # would fabricate a document for garbage input.
+            ok = F.col("__jolt_parsed").isNotNull() & F.col(
+                "__jolt_parsed"
+            ).getField(corrupt).isNull()
+            compiled = F.when(ok, compiled)
             out = staged.withColumn(content_col, compiled).drop("__jolt_parsed")
             out.schema  # force analysis now so type errors fall back
             return out

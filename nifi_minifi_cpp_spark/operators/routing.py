@@ -105,6 +105,12 @@ def route_text(
                 .filter(F.size(matched) > 0)
             )
 
+        if not hof_preds:
+            # No routes declared: reduce() below would throw on the
+            # empty predicate list — every line is unmatched (parity
+            # with the explode path, which skips the matched frames).
+            return {UNMATCHED: _route_frame(lambda c: F.lit(True))}
+
         out = {name: _route_frame(p) for name, p in hof_preds.items()}
         out[UNMATCHED] = _route_frame(
             lambda c: ~reduce(lambda a, b: a | b, [p(c) for p in hof_preds.values()])

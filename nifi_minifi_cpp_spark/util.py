@@ -20,17 +20,32 @@ def spread_for_cpu(df: DataFrame, *key_cols: str) -> DataFrame:
     via ``df.rdd.getNumPartitions()`` forces a second physical planning
     of the whole upstream plan (and throws on streaming frames); the
     inputs at every call site are slim pre-projections, so one numbered
-    shuffle is bounded by the Arrow stage's own serialization cost. On
-    a real cluster ``spark.sql.shuffle.partitions`` is tuned to fleet
-    scale (thousands), so this never pathologically shrinks a wide
-    scan. Hash-partitions by ``key_cols`` when given (keeps related
-    rows together), round-robin otherwise.
+    shuffle is bounded by the Arrow stage's own serialization cost.
+
+    Never-shrink guard (r7, VERDICT r6 #2): an untuned
+    ``shuffle.partitions`` default (200) must not FUNNEL a
+    multi-thousand-split scan through 200 partitions at fleet scale,
+    so the width is floored by ``len(df.inputFiles())`` — pure
+    metadata from the resolved logical plan (reads the file index, no
+    job, no second physical planning, unlike the banned
+    ``df.rdd.getNumPartitions()`` probe). Capped at 10_000 so a
+    millions-of-small-files scan doesn't explode the task count; a
+    fleet that large should tune ``shuffle.partitions`` anyway.
+    Streaming frames (no static file listing) and non-file sources
+    fall back to the conf-derived width. Hash-partitions by
+    ``key_cols`` when given (keeps related rows together), round-robin
+    otherwise.
     """
     spark = df.sparkSession
     target = max(
         spark.sparkContext.defaultParallelism,
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
     )
+    if not df.isStreaming:
+        try:
+            target = max(target, min(len(df.inputFiles()), 10_000))
+        except Exception:
+            pass  # non-file relation / unresolvable listing: conf width
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
 
 

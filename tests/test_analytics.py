@@ -253,6 +253,40 @@ def test_multimodal_non_avi_video_still_raises(spark, tables):
         mm.sample_video_frames(media, fake=False).collect()
 
 
+def test_codec_avi_rec_list_grouped_frames():
+    """ADVICE r6: standard AVIs group interleaved movi frames in
+    'rec ' LISTs — the demuxer must recurse into them instead of
+    silently returning zero frames."""
+    import numpy as np
+
+    from nifi_minifi_cpp_spark.analytics.codecs import encode_avi_rawdib, parse_avi
+
+    frames = [np.full((4, 5, 3), (i * 20, 0, 0), dtype=np.uint8) for i in range(6)]
+    avi = encode_avi_rawdib(frames, fps=10)
+
+    # rewrap: every movi chunk goes into its own 'rec ' LIST
+    movi_type = avi.find(b"movi")
+    li = avi.rfind(b"LIST", 0, movi_type)
+    size = int.from_bytes(avi[li + 4 : li + 8], "little")
+    body = avi[li + 12 : li + 8 + size]
+    wrapped = b""
+    pos = 0
+    while pos + 8 <= len(body):
+        csize = int.from_bytes(body[pos + 4 : pos + 8], "little")
+        chunk = body[pos : pos + 8 + csize + (csize & 1)]
+        wrapped += b"LIST" + (4 + len(chunk)).to_bytes(4, "little") + b"rec " + chunk
+        pos += 8 + csize + (csize & 1)
+    new_movi = b"LIST" + (4 + len(wrapped)).to_bytes(4, "little") + b"movi" + wrapped
+    rec_avi = avi[:li] + new_movi + avi[li + 8 + size :]
+    rec_avi = rec_avi[:4] + (len(rec_avi) - 8).to_bytes(4, "little") + rec_avi[8:]
+
+    meta_a, frames_a = parse_avi(avi)
+    meta_b, frames_b = parse_avi(rec_avi)
+    assert len(frames_a) == 6
+    assert frames_b == frames_a  # identical chunk ids + payloads
+    assert meta_b["fps"] == meta_a["fps"]
+
+
 def test_codec_avi_mjpeg_chunk_passthrough():
     """'00dc' MJPEG frames pass through as JPEG bytes; unknown
     encodings raise UnsupportedMediaError."""

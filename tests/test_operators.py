@@ -150,6 +150,17 @@ def test_route_text_contains(spark):
     assert un[0]["content"] == "banana split"
 
 
+def test_route_text_empty_routes(spark):
+    """ADVICE r6: the dynamic fast path crashed (reduce over an empty
+    predicate list) when no routes are declared — everything must go
+    to unmatched instead."""
+    ff = make_ff(spark, [("1", "apple pie\nbanana split", {})])
+    routed = ops.route_text(ff, {}, matching="contains")
+    assert set(routed) == {"unmatched"}
+    rows = routed["unmatched"].collect()
+    assert rows[0]["content"] == "apple pie\nbanana split"
+
+
 def test_route_text_regex_grouping(spark):
     ff = make_ff(spark, [("1", "a:1\nb:2\na:3", {})])
     routed = ops.route_text(

@@ -260,6 +260,40 @@ def test_spread_for_cpu_no_rdd_probe(spark, monkeypatch):
     assert "REPARTITION_BY_NUM" in plan_rr
 
 
+def test_spread_for_cpu_never_shrinks_wide_scan(spark, tmp_path, monkeypatch):
+    """r7 (VERDICT r6 #2): a scan wider than the conf-derived width must
+    not be funneled through shuffle.partitions — the floor comes from
+    the file listing (pure metadata), still without any RDD probe."""
+    from pyspark.sql import DataFrame
+
+    from nifi_minifi_cpp_spark.util import spread_for_cpu
+
+    path = str(tmp_path / "wide")
+    spark.range(0, 480).repartition(48).write.parquet(path)
+    df = spark.read.parquet(path)
+    n_files = len(df.inputFiles())
+    assert n_files >= 48  # one file per write partition
+
+    def _boom(self):
+        raise AssertionError("spread_for_cpu converted the frame to RDD")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    plan = (
+        spread_for_cpu(df, "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "REPARTITION_BY_NUM" in plan
+    assert f"hashpartitioning(id#" in plan
+    # the numbered width must be >= the scan's split count, not the
+    # session's 32-partition default
+    import re
+
+    widths = [
+        int(m) for m in re.findall(r"hashpartitioning\(id#\d+L?, (\d+)\)", plan)
+    ]
+    assert widths and widths[0] >= n_files, plan
+
+
 def test_jolt_chain_events_compiles_to_catalyst(spark):
     """r6 (VERDICT r5 #3): the registry's one former Python hot path —
     jolt_chain_events — now declares its content schema, so the whole

@@ -288,6 +288,60 @@ def test_jolt_compiled_sigils_remove_alternation(spark):
     assert got == want
 
 
+def test_jolt_compiled_null_content_failure_route(spark):
+    """ADVICE r6 (medium): compiled path must match the interpreter's
+    failure-route contract — NULL or unparseable content yields NULL
+    content, never a fabricated document built from default literals."""
+    import json
+
+    rows = [
+        (json.dumps({"event_type": "click"}),),
+        ("{{{not json",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "content string")
+    chain = [
+        {"operation": "shift", "spec": {"event_type": "etype"}},
+        {"operation": "default", "spec": {"meta": {"src": "events"}}},
+    ]
+    out = fx.jolt_transform_json(
+        df, chain, input_schema="event_type string"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # still the compiled path
+    got = sorted(
+        [r["content"] for r in out.collect()], key=lambda r: (r is None, r)
+    )
+    assert json.loads(got[0]) == {"etype": "click", "meta": {"src": "events"}}
+    assert got[1] is None and got[2] is None  # failure route, like interpreter
+
+
+def test_jolt_compiled_multiwrite_leaf_falls_back(spark):
+    """ADVICE r6 (low): two RHS writes to ONE leaf have runtime-
+    dependent shape (scalar when one source is absent, array when
+    both present) — the compiled path can't express that, so the
+    operator must route the chain to the interpreter and match its
+    scalar/array semantics exactly."""
+    import json
+
+    rows = [
+        (json.dumps({"a": 1, "b": 2}),),   # both present -> [1, 2]
+        (json.dumps({"a": 1}),),            # one absent  -> scalar 1
+    ]
+    df = spark.createDataFrame(rows, "content string")
+    chain = [{"operation": "shift", "spec": {"a": "x", "b": "x"}}]
+    out = fx.jolt_transform_json(
+        df, chain, input_schema="a bigint, b bigint"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" in plan  # interpreter fallback
+    docs = sorted(
+        (json.loads(r["content"]) for r in out.collect()),
+        key=lambda d: json.dumps(d, sort_keys=True),
+    )
+    assert docs == [{"x": 1}, {"x": [1, 2]}]
+
+
 def test_jolt_compiled_falls_back_on_arrays(spark):
     """An array field in the schema can't be wildcard-enumerated at
     compile time — the operator must transparently use the interpreter
