@@ -417,6 +417,87 @@ def span_dedup(
     )
 
 
+def span_dedup_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Any-position span dedup (Lee et al. 2022's actual rule, vs the
+    C4-style non-overlapping chunks of :func:`span_dedup`): EVERY
+    ``span_words``-word window (all positions, overlapping) occurring
+    in >= ``min_docs`` distinct documents marks its covered word
+    interval for removal; intervals merge implicitly at word
+    granularity and texts are rebuilt from surviving words (order
+    preserved, single-space joined; fully-covered docs keep '').
+
+    100 TB shape: the global frequency pass is the same 16-byte
+    (xxhash64, id) partial-agg as the chunk variant — overlap only
+    multiplies span ROWS by ~span_words, not bytes per row. The
+    word-granularity rebuild explodes words ONLY for documents that
+    actually hold a duplicated span (left_semi before the explode);
+    clean documents — the overwhelming majority of a deduped corpus —
+    keep their original text with no per-word shuffle at all. No
+    pairwise comparisons, no O(len^2) per-doc lambda work.
+    """
+    staged = staged_word_spans(df, id_col, text_col, span_words, overlap=True)
+    spans = (
+        staged.select(id_col, F.posexplode_outer("_spans").alias("_idx", "_span"))
+        .filter(F.col("_span").isNotNull())
+        .withColumn("_h", F.xxhash64("_span"))
+    )
+    shared = (
+        spans.select("_h", id_col)
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_h")
+    )
+    # duplicate span occurrences -> covered word positions (k rows per
+    # hit, deduped: overlapping hits collapse at the position level)
+    hits = spans.join(shared, "_h", "left_semi").select(id_col, "_idx")
+    removed = hits.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("_idx"), F.col("_idx") + F.lit(span_words - 1))
+        ).alias("_pos"),
+    ).distinct()
+    touched_ids = removed.select(id_col).distinct()
+
+    from ..util import spread_for_cpu
+
+    # word-level rebuild ONLY for touched docs
+    touched = df.join(touched_ids, id_col, "left_semi")
+    wpos = (
+        spread_for_cpu(touched.select(id_col, text_col), id_col)
+        .select(id_col, F.split(F.col(text_col), " ").alias("_w"))
+        .select(id_col, F.posexplode_outer("_w").alias("_pos", "_word"))
+        .filter(F.col("_word").isNotNull())
+    )
+    rebuilt = (
+        wpos.join(removed, [id_col, "_pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_word"))),
+                    lambda s: s.getField("_word"),
+                ),
+                " ",
+            ).alias(text_col)
+        )
+    )
+    untouched = df.join(touched_ids, id_col, "left_anti").select(id_col, text_col)
+    fully_removed = (
+        touched.select(id_col)
+        .join(rebuilt.select(id_col), id_col, "left_anti")
+        .select(id_col, F.lit("").alias(text_col))
+    )
+    return untouched.unionByName(rebuilt).unionByName(fully_removed)
+
+
 def contamination_report(
     df: DataFrame,
     benchmark: DataFrame,

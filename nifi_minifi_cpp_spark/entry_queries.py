@@ -4360,6 +4360,52 @@ def span_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "span_dedup_overlap_rebuild",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sp AS (
+      SELECT doc_id,
+             unnest(range(CAST(greatest(len(ws) - 3, 0) AS BIGINT))) AS idx,
+             unnest(list_transform(range(CAST(greatest(len(ws) - 3, 0) AS BIGINT)),
+                    i -> array_to_string(ws[i+1 : i+4], ' '))) AS span
+      FROM w),
+    shared AS (SELECT span FROM (
+        SELECT span, count(DISTINCT doc_id) AS d FROM sp GROUP BY span
+      ) WHERE d >= 3),
+    hits AS (SELECT DISTINCT doc_id, idx FROM sp
+             WHERE span IN (SELECT span FROM shared)),
+    removed AS (SELECT DISTINCT doc_id, idx + o AS pos
+                FROM hits, (SELECT unnest(range(4)) AS o) off),
+    wp AS (SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos
+           FROM w),
+    tw AS (SELECT DISTINCT doc_id FROM removed),
+    kept AS (SELECT wp.doc_id, wp.word, wp.pos FROM wp
+             SEMI JOIN tw USING (doc_id)
+             ANTI JOIN removed USING (doc_id, pos)),
+    rebuilt AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text
+                FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN t.doc_id IS NULL THEN d.text
+                ELSE coalesce(r.text, '') END AS text
+    FROM documents d LEFT JOIN tw t USING (doc_id)
+                     LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def span_dedup_overlap_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-position span dedup (Lee et al. 2022's actual repeated-
+    substring rule, r7 — VERDICT r6 #7): every overlapping 4-word
+    window shared by >=3 distinct docs marks its word interval for
+    removal; intervals merge at word granularity and texts rebuild
+    from surviving words. Word-level explode happens ONLY for docs
+    holding a duplicated span (left_semi first); clean docs pass
+    through untouched. Oracle mirrors interval coverage in SQL."""
+    from .analytics.text_analysis import span_dedup_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup_overlap(docs, span_words=4, min_docs=3)
+
+
+@_register(
     "contamination_flags",
     """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -4972,7 +5018,8 @@ _GRADE_ORDER = [
     # tools/check_correctness.py): the r5-breadth operator/source/
     # sink adapters block and the text-pipeline pack graded in r6.
     #
-    # never driver-graded (r6 additions)
+    # never driver-graded (r6 additions + new r7 entries)
+    "span_dedup_overlap_rebuild",
     "span_dedup_rebuild",
     "contamination_flags",
     "domain_mixture_plan",
@@ -5025,7 +5072,6 @@ _GRADE_ORDER = [
     "tailfile_ingest",
     "rolling_window_count10",
     "sessionize_users",
-    "text_quality_features",
 ]
 
 GRADED_WINDOW = 50

@@ -1107,6 +1107,34 @@ def test_span_dedup_removes_shared_chunks(spark):
     assert set(out) == {1, 2, 3, 4}
 
 
+def test_span_dedup_overlap_any_position(spark):
+    """r7 (VERDICT r6 #7): Lee-et-al. any-position semantics — a
+    duplicated window is removed regardless of chunk alignment (the
+    case the non-overlapping C4 variant misses), overlapping hits
+    merge at word granularity, clean docs pass through verbatim."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import span_dedup_overlap
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha beta {boiler} tail"),     # boiler at offset 2
+        (2, f"x {boiler} gamma delta"),       # boiler at offset 1 (misaligned)
+        (3, "unique  text entirely here"),    # double space must round-trip
+        (4, boiler),                          # fully covered -> empty text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in span_dedup_overlap(df, span_words=4, min_docs=2).collect()
+    }
+    # the 4-word window "subscribe to our newsletter" appears in docs
+    # 1, 2, 4 at DIFFERENT offsets -> removed from all three
+    assert out[1] == "alpha beta tail"
+    assert out[2] == "x gamma delta"
+    assert out[3] == "unique  text entirely here"  # untouched, verbatim
+    assert out[4] == ""
+    assert set(out) == {1, 2, 3, 4}
+
+
 def test_word_spans_overlap_short_text_empty(spark):
     from nifi_minifi_cpp_spark.analytics.text_analysis import word_spans
 

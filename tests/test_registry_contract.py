@@ -22,67 +22,62 @@ from nifi_minifi_cpp_spark import entry_queries
 # Every SURVEY §2 operator family and every LLM-pipeline operator must
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
-    # r6 rotation (VERDICT r5 action #1): all 42 never-driver-graded r5
-    # additions are in-window for first driver rows; the 8 kept slots
-    # are the queries whose implementations changed in r6 (jolt
-    # Catalyst compilation, spread_for_cpu rewrite through the dedup
-    # family, graph convergence fix, multimodal/LLM backend work).
-    #
-    # r5-breadth operator oracles
-    "segment_content_parity",
-    "split_json_elements",
-    "attributes_to_json_pack",
-    "compress_roundtrip_gzip",
-    "defragment_messages",
-    "convert_record_xml_roundtrip",
-    "funnel_merge_counts",
-    "split_content_words",
-    "el_multiattr_pack",
-    "el_delineated_pack",
-    "el_date_pack",
-    "replace_text_line_modes",
-    "append_host_info_pack",
-    # source adapters
-    "modbus_read_registers",
-    "k8s_pod_metrics_quantities",
-    "opc_browse_lazy",
-    "kv_enrichment_route",
-    "remote_list_fetch",
-    "execute_process_batched",
-    "put_sql_roundtrip",
-    "procfs_metrics_parse",
-    "object_store_crud_roundtrip",
-    # socket/stream ingests + sink adapters
-    "mqtt_consume_counts",
-    "journald_consume_syslog",
-    "listen_tcp_ingest",
-    "listen_http_ingest",
-    "get_tcp_client_ingest",
-    "put_tcp_roundtrip",
-    "kinesis_batch_plan",
-    "es_bulk_validation_counts",
-    "splunk_hec_url_pack",
-    "loki_batch_flush_counts",
-    # text-pipeline pack + C2/metrics/dialect/graph
-    "repetition_report",
-    "gopher_filter_counts",
-    "pii_redaction_counts",
-    "deterministic_sample_ids",
-    "stratified_sample_by_source",
-    "token_count_distribution",
-    "dialect_flow_route_counts",
-    "c2_operation_acks",
-    "prometheus_exposition_pack",
-    "duplicate_components_chains",
-    # kept in-window: implementations changed in r6
+    # r7 rotation (VERDICT r6 action #1): the 6 never-driver-graded
+    # entries + new r7 additions enter first (cumulative coverage ->
+    # every registered query holds a driver row), then the 31 entries
+    # whose last driver row is r4, then the 2 implementations changed
+    # in r7 (jolt compiled-path failure-route guard, spread_for_cpu
+    # never-shrink), then oldest-green (r5) backfill.
+    "span_dedup_overlap_rebuild",
+    "span_dedup_rebuild",
+    "contamination_flags",
+    "domain_mixture_plan",
+    "s2s_port_roundtrip",
+    "param_context_resolution",
+    "connection_edge_semantics",
+    "route_error_events",
+    "route_relationship_counts",
+    "route_text_merge_lines",
+    "el_scalar_pack",
+    "el_encode_pack",
+    "json_path_extract",
+    "apply_template_events",
+    "jolt_shift_events",
+    "record_transform_upper",
+    "split_fragment_counts",
+    "split_merge_roundtrip",
+    "archive_roundtrip",
+    "syslog_parse",
+    "tumbling_hourly_by_type",
+    "pivot_event_counts",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q20_promo_part_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "top3_orders_per_customer",
+    "cube_lineitem_status",
+    "rollup_orders_priority",
+    "knn_exact_10x3",
+    "embedding_norms_by_label",
+    "invoke_http_route_counts",
+    "incremental_scan_tail",
+    "streaming_route_counts",
     "jolt_chain_events",
     "exact_dedup_representatives",
-    "minhash_dedup_kept",
-    "ngram_jaccard_dedup_kept",
-    "embedding_dedup_kept",
-    "semantic_dedup_kept",
-    "multimodal_features_frames",
-    "llm_inference_fake",
+    "extract_first_word",
+    "replace_text_hashed",
+    "hash_content_sha256",
+    "stateful_bin_packing_merge",
+    "stateful_defragment_reassembly",
+    "range_join_purchase_after_error",
+    "asof_error_prior_click",
+    "tailfile_ingest",
+    "rolling_window_count10",
+    "sessionize_users",
 }
 
 
