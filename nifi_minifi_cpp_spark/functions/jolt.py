@@ -229,6 +229,17 @@ def _shift_walk(
         # arrays are addressed with numeric string keys, per Jolt
         if isinstance(data, list):
             data = {str(i): v for i, v in enumerate(data)}
+        elif isinstance(data, _Sym):
+            from pyspark.sql.types import ArrayType, MapType
+
+            if isinstance(data.dtype, ArrayType):
+                # symbolic array: enumerate the spec's literal indices
+                data = _sym_array_as_dict(data, spec)
+            elif isinstance(data.dtype, MapType):
+                # interpreter descends into maps; the compiler can't
+                raise _Unsupported("spec descends into a runtime map")
+            else:
+                return  # scalar leaf: nothing to descend into
         else:
             return
     # most-specific match wins: literal > alternation > wildcard
@@ -396,12 +407,45 @@ def _schema_tree(col: Column, schema) -> dict:
         sub = col.getField(field.name)
         if isinstance(field.dataType, StructType):
             out[field.name] = _schema_tree(sub, field.dataType)
-        elif isinstance(field.dataType, (ArrayType, MapType)):
-            # a wildcard/@-path descending into a runtime-sized
-            # container cannot be enumerated at compile time
-            raise _Unsupported(f"array/map field {field.name!r}")
+        elif isinstance(field.dataType, MapType):
+            # wildcard keys of a runtime map cannot be enumerated at
+            # compile time
+            raise _Unsupported(f"map field {field.name!r}")
         else:
+            # ArrayType included (r7, VERDICT r6 #6): an array leaf is a
+            # _Sym like any other — whole-array copies compile directly,
+            # and _shift_walk enumerates literal numeric spec indices
+            # via element_at when a spec descends into it. Only a
+            # wildcard/&/| OVER the array stays interpreter-only.
             out[field.name] = _Sym(sub, field.dataType)
+    return out
+
+
+def _sym_array_as_dict(sym: _Sym, spec: dict) -> dict:
+    """Spec descends into a runtime array: enumerate EXACTLY the
+    literal numeric indices the spec addresses (element_at is null for
+    out-of-range — the documented absent≡null model). Wildcards,
+    ampersands, and alternations over a runtime-sized array cannot be
+    enumerated at compile time -> interpreter."""
+    out: dict = {}
+    for spec_key in spec:
+        if spec_key.startswith(("$", "@", "#")):
+            continue
+        if not spec_key.isdigit():
+            raise _Unsupported(
+                f"non-literal key {spec_key!r} over a runtime array"
+            )
+        idx = int(spec_key)
+        # try_element_at: null (not an ANSI error) when out of range —
+        # the absent≡null model, and hostile-config (ansi=true) safe
+        elem = F.try_element_at(sym.col, F.lit(idx + 1))
+        etype = sym.dtype.elementType
+        from pyspark.sql.types import StructType
+
+        if isinstance(etype, StructType):
+            out[spec_key] = _schema_tree(elem, etype)
+        else:
+            out[spec_key] = _Sym(elem, etype)
     return out
 
 
@@ -452,8 +496,10 @@ def _sym_cardinality(data, spec: dict):
                 if isinstance(v, list):
                     data[key] = v[0] if v else None
                 elif isinstance(v, _Sym) and isinstance(v.dtype, ArrayType):
+                    # try_element_at: empty array -> null, not an ANSI
+                    # error (interpreter: v[0] if v else None)
                     data[key] = _Sym(
-                        F.element_at(v.col, 1), v.dtype.elementType
+                        F.try_element_at(v.col, F.lit(1)), v.dtype.elementType
                     )
             elif sub == "MANY":
                 if isinstance(v, list):

@@ -342,8 +342,56 @@ def test_jolt_compiled_multiwrite_leaf_falls_back(spark):
     assert docs == [{"x": 1}, {"x": [1, 2]}]
 
 
-def test_jolt_compiled_falls_back_on_arrays(spark):
-    """An array field in the schema can't be wildcard-enumerated at
+def test_jolt_compiled_array_literal_indices(spark):
+    """r7 (VERDICT r6 #6): literal numeric indices into an array field
+    compile to element_at — no interpreter. Whole-array copies and
+    struct-element arrays compile too; out-of-range indices follow the
+    absent≡null model (key omitted from output)."""
+    import json
+
+    rows = [
+        (json.dumps({"tags": ["a", "b"], "id": 1}),),
+        (json.dumps({"tags": ["only"], "id": 2}),),  # index 1 out of range
+    ]
+    df = spark.createDataFrame(rows, "content string")
+    out = fx.jolt_transform_json(
+        df,
+        {"tags": {"0": "first_tag", "1": "second_tag"}, "id": "key"},
+        input_schema="tags array<string>, id bigint",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # compiled path now handles arrays
+    docs = sorted(
+        (json.loads(r["content"]) for r in out.collect()),
+        key=lambda d: d["key"],
+    )
+    assert docs[0] == {"first_tag": "a", "second_tag": "b", "key": 1}
+    assert docs[1] == {"first_tag": "only", "key": 2}
+
+    # whole-array copy compiles as a plain leaf
+    out2 = fx.jolt_transform_json(
+        df, {"tags": "kept_tags"}, input_schema="tags array<string>, id bigint"
+    )
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan2
+    assert json.loads(out2.orderBy("content").collect()[0]["content"]) == {
+        "kept_tags": ["a", "b"]
+    }
+
+    # array of structs: literal index then struct field
+    df3 = spark.createDataFrame(
+        [(json.dumps({"rs": [{"v": 7}, {"v": 9}]}),)], "content string"
+    )
+    out3 = fx.jolt_transform_json(
+        df3, {"rs": {"1": {"v": "second_v"}}},
+        input_schema="rs array<struct<v:bigint>>",
+    )
+    assert "Python" not in out3._jdf.queryExecution().executedPlan().toString()
+    assert json.loads(out3.collect()[0]["content"]) == {"second_v": 9}
+
+
+def test_jolt_compiled_falls_back_on_array_wildcard(spark):
+    """A wildcard over a runtime-sized array can't be enumerated at
     compile time — the operator must transparently use the interpreter
     (and still produce the right answer)."""
     import json
@@ -353,13 +401,13 @@ def test_jolt_compiled_falls_back_on_arrays(spark):
     )
     out = fx.jolt_transform_json(
         df,
-        {"tags": {"0": "first_tag"}, "id": "key"},
+        {"tags": {"*": "t.&"}, "id": "key"},
         input_schema="tags array<string>, id bigint",
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" in plan  # interpreter path
     assert json.loads(out.collect()[0]["content"]) == {
-        "first_tag": "a", "key": 1
+        "t": {"0": "a", "1": "b"}, "key": 1
     }
 
 
