@@ -71,7 +71,19 @@ PROBE_QUERIES = [
     "stratified_sample_by_source",
     "token_count_distribution",
     "kinesis_batch_plan",
+    # r6/r7 corpus-pipeline additions (VERDICT r6 #4)
+    "span_dedup_rebuild",
+    "span_dedup_overlap_rebuild",
+    "contamination_flags",
+    "domain_mixture_plan",
 ]
+
+# targeted re-probe: SF_PROBE_ONLY=a,b,c probes just those queries and
+# prints the table to stdout WITHOUT rewriting BENCH_SF1_NOTES.md (the
+# full-table rewrite would clobber rows not probed in this run)
+_ONLY = [s for s in os.environ.get("SF_PROBE_ONLY", "").split(",") if s]
+if _ONLY:
+    PROBE_QUERIES = _ONLY
 
 
 def build_scaled_tables(spark) -> None:
@@ -235,8 +247,11 @@ def main():
         "staged tables ship 32 shards and parallelize fully — the engine is",
         "faster on MORE data once the scan can spread.",
     ]
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SF1_NOTES.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    if _ONLY:
+        print("\n".join(lines))
+    else:
+        with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SF1_NOTES.md"), "w") as f:
+            f.write("\n".join(lines) + "\n")
     print(json.dumps({"base": base, "big": big, "worst_ratio": round(worst, 2)}))
 
 
