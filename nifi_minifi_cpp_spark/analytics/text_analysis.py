@@ -498,6 +498,159 @@ def span_dedup_overlap(
     return untouched.unionByName(rebuilt).unionByName(fully_removed)
 
 
+def sequence_packing(
+    df: DataFrame,
+    ctx_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk training-example packing manifest: documents
+    are concatenated in ``id_col`` order WITHIN each ``group_col``
+    (shard/domain — the realistic packing unit) and cut into
+    ``ctx_len``-token examples; returns per-doc placement
+    (group, id, n_tokens, start_offset, first_example, last_example).
+
+    100 TB shape: one token-count pass over the corpus, then a window
+    cumsum PARTITIONED by the group column — each shard packs
+    independently in parallel, no global sort. An all-corpus single
+    sequence would serialize on one ordering by construction; per-shard
+    packing is what production GPT-style pipelines do anyway."""
+    from pyspark.sql import Window
+
+    tc = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    out = tc.select(group_col, id_col, "n_tokens", start)
+    return out.select(
+        group_col,
+        id_col,
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / ctx_len).alias("first_example"),
+        F.floor(
+            (F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+            / ctx_len
+        ).alias("last_example"),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """First BPE merge iteration (Sennrich et al. 2016): adjacent
+    character-pair frequencies, weighted by word frequency. Returns the
+    ``top_k`` (pair, pair_count) rows, count desc / pair asc.
+
+    100 TB shape: the corpus pass is a plain word count (map-side
+    partial agg); pair enumeration runs over the DISTINCT VOCABULARY —
+    thousands of rows regardless of corpus size — so each additional
+    terabyte costs only the word count."""
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # stage the pair array in its own projection (HOF-inlining rule)
+    paired = words.select(
+        "freq",
+        F.when(
+            F.length("word") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_pairs"),
+    )
+    return (
+        paired.select(F.explode_outer("_pairs").alias("pair"), "freq")
+        .filter(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): hash every k-word shingle, slide a
+    ``window``-wide window over the hash sequence, select the minimum
+    hash per window (rightmost on ties), and keep the distinct
+    selections. Guarantees a match of length >= window+k-1 words is
+    always detected while storing ~2/(window+1) of the shingles.
+
+    Returns (id, pos, fp) — one row per selected fingerprint. The hash
+    is md5 so a DuckDB oracle reproduces the selection bit-for-bit
+    (hex strings order identically in both engines); a production
+    deployment would swap xxhash64 for an 8-byte fingerprint without
+    changing the selection logic.
+
+    100 TB shape: everything is per-document Catalyst HOFs staged
+    projection-by-projection (shingle array, then hash structs, then
+    window minima) — no shuffle at all until the caller aggregates;
+    output is ~2/(window+1) of shingle count."""
+    from ..util import spread_for_cpu
+
+    staged = spread_for_cpu(df.select(id_col, text_col), id_col).select(
+        id_col, F.split(F.col(text_col), " ").alias("_w")
+    )
+    n = F.size("_w") - F.lit(k - 1)
+    hashed = staged.select(
+        id_col,
+        F.when(n <= 0, F.array().cast("array<struct<h:string,np:int>>"))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.struct(
+                    F.md5(F.array_join(F.slice(F.col("_w"), i + 1, k), " ")).alias("h"),
+                    (-i).alias("np"),
+                ),
+            )
+        )
+        .alias("_hs"),
+    )
+    # min(struct(h, np)) = smallest hash, and on ties the smallest np =
+    # the RIGHTMOST position — winnowing's tie rule for free
+    fps = hashed.filter(F.size("_hs") > 0).select(
+        id_col,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("_hs") - window, F.lit(0))),
+                lambda i: F.array_min(F.slice(F.col("_hs"), i + 1, window)),
+            )
+        ).alias("_fps"),
+    )
+    return (
+        fps.select(id_col, F.explode_outer("_fps").alias("_f"))
+        .filter(F.col("_f").isNotNull())
+        .select(
+            id_col,
+            (-F.col("_f.np")).cast("long").alias("pos"),
+            F.col("_f.h").alias("fp"),
+        )
+    )
+
+
 def contamination_report(
     df: DataFrame,
     benchmark: DataFrame,
