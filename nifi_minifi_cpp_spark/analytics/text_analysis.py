@@ -585,7 +585,7 @@ def bpe_pair_counts(
     )
 
 
-def winnowing_fingerprints(
+def winnowing_fingerprint_rows(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",

@@ -181,6 +181,53 @@ def test_winnowing_subset_detection(spark):
     assert len(a & b) / len(a) > 0.8  # shared prefix -> shared fingerprints
 
 
+def test_winnowing_fingerprint_rows_guarantee(spark):
+    # winnowing guarantee: any shared run of >= window+k-1 words shares
+    # at least one selected fingerprint; positions index the shingle start
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, "xx yy " + shared), (2, shared + " zz ww"), (3, "totally different words here entirely now")],
+        "doc_id long, text string",
+    )
+    rows = an.winnowing_fingerprint_rows(df, k=5, window=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]  # 10-word shared run detected
+    assert not (by_doc[1] & by_doc[3])
+    # pos is a valid shingle index: 0 <= pos <= n_words - k
+    for r in rows:
+        assert r["pos"] >= 0
+
+
+def test_sequence_packing_offsets(spark):
+    from nifi_minifi_cpp_spark.analytics.text_analysis import sequence_packing
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "w " * 300),  # 300 tokens
+            ("a", 2, "w " * 300),  # starts at 300, crosses the 512 boundary
+            ("b", 1, "w " * 10),   # independent shard: starts at 0
+        ],
+        "source string, doc_id long, text string",
+    )
+    out = {(r["source"], r["doc_id"]): r for r in sequence_packing(df, ctx_len=512).collect()}
+    assert out[("a", 1)]["start_offset"] == 0
+    assert out[("a", 1)]["first_example"] == 0 and out[("a", 1)]["last_example"] == 0
+    assert out[("a", 2)]["start_offset"] == 300
+    assert out[("a", 2)]["first_example"] == 0 and out[("a", 2)]["last_example"] == 1
+    assert out[("b", 1)]["start_offset"] == 0  # shards pack independently
+
+
+def test_bpe_pair_counts_first_merge(spark):
+    from nifi_minifi_cpp_spark.analytics.text_analysis import bpe_pair_counts
+
+    # "abab" x3 -> pairs ab,ba,ab per occurrence: ab=6, ba=3; "cd" x2 -> cd=2
+    df = spark.createDataFrame([("abab abab cd",), ("abab cd",)], "text string")
+    rows = bpe_pair_counts(df, top_k=3).collect()
+    assert [(r["pair"], r["pair_count"]) for r in rows] == [("ab", 6), ("ba", 3), ("cd", 2)]
+
+
 def test_analyze_documents_runs(spark, tables):
     out = an.analyze_documents(tables["documents"])
     row = out.first()
