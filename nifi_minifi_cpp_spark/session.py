@@ -54,6 +54,23 @@ def get_spark(app_name: str = "nifi-minifi-cpp-spark", cpus: int | None = None) 
         # set; without this the checkpoint files outlive the RDD and a
         # long-lived session leaks storage per dedup call
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # RocksDB state store: stateful operators (MergeContent
+        # bin-packing, DefragmentText — streaming/stateful.py) keep
+        # long-lived correlation keys; the default HDFS-backed store
+        # holds every key in executor heap, which at 100 TB is an OOM
+        # waiting to happen. RocksDB spills state off-heap the same way
+        # the reference's RocksDB repositories do
+        # (/root/reference/extensions/rocksdb-repos/FlowFileRepository.cpp).
+        # Changelog checkpointing uploads per-batch deltas instead of
+        # full SST snapshots — required for sane commit latency.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -71,6 +88,19 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     try:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    try:
+        # runtime-settable in local mode; stateful queries pick the
+        # provider up at query start (see get_spark for rationale)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     except Exception:
         pass
     return spark
