@@ -5164,8 +5164,9 @@ _GRADE_ORDER = [
     "el_delineated_pack",
     "replace_text_line_modes",
     "modbus_read_registers",
-    "k8s_pod_metrics_quantities",
-    "opc_browse_lazy",
+    # implementations changed in r8 (wildcard-over-array compilation)
+    "jolt_chain_events",
+    "jolt_shift_events",
 ]
 
 GRADED_WINDOW = 50

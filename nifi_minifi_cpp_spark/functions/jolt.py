@@ -97,6 +97,10 @@ def _parse_out_segment(seg: str, stack: list[_Match]) -> tuple[str, int | str | 
     if idx == "":
         return base, "append"
     idx = _resolve_amp(idx, stack)
+    if idx == _ELEM:
+        return base, _ELEM  # compiled wildcard-over-array element slot
+    if _ELEM in idx:
+        raise _Unsupported("element index composed into an array slot")
     return base, int(idx)
 
 
@@ -110,6 +114,19 @@ def _contains_sym(v: Any) -> bool:
     if isinstance(v, list):
         return any(_contains_sym(x) for x in v)
     return False
+
+
+# Sentinel standing for "the runtime array-element index" during the
+# wildcard-over-array compile (r8): the per-element sub-spec walks with
+# a _Match whose key is _ELEM, so RHS ``[&n]`` slots that resolve to the
+# element's match level come back as _ELEM instead of an int. The
+# interpreter never sees it — real array keys are digit strings.
+_ELEM = "\x00jolt-elem\x00"
+
+
+class _ElemArray(dict):
+    """Output-tree marker: the per-element subtree of a compiled
+    wildcard-over-array write lives under key ``_ELEM``."""
 
 
 def _write_output(out: dict, path_tokens: list[tuple[str, int | str | None]], value: Any) -> None:
@@ -140,10 +157,39 @@ def _write_output(out: dict, path_tokens: list[tuple[str, int | str | None]], va
                     node[key] = value
                 return
             nxt_is_list = slot is not None
-            if key not in node or not isinstance(node[key], (dict, list)):
+            if slot == _ELEM:
+                if key not in node or not isinstance(node[key], _ElemArray):
+                    if key in node and isinstance(node[key], (dict, list)):
+                        raise _Unsupported("array-output path collision")
+                    node[key] = _ElemArray()
+            elif key not in node or not isinstance(node[key], (dict, list)):
                 node[key] = [] if nxt_is_list else {}
             node = node[key]
         if slot is not None:
+            if slot == _ELEM:
+                # compiled wildcard-over-array: descend into (or write)
+                # the per-element subtree under the sentinel key
+                if not isinstance(node, _ElemArray):
+                    raise _Unsupported("array-output path collision")
+                if last:
+                    if _ELEM in node:
+                        prev = node[_ELEM]
+                        if _contains_sym(prev) or _contains_sym(value):
+                            raise _Unsupported(
+                                "multi-write to one RHS leaf (runtime-dependent shape)"
+                            )
+                        if isinstance(prev, list) and not isinstance(value, list):
+                            prev.append(value)
+                        else:
+                            node[_ELEM] = [prev, value]
+                    else:
+                        node[_ELEM] = value
+                    return
+                cur = node.get(_ELEM)
+                if not isinstance(cur, dict) or isinstance(cur, _ElemArray):
+                    node[_ELEM] = cur = {}
+                node = cur
+                continue
             if not isinstance(node, list):
                 return
             if slot == "append":
@@ -233,6 +279,13 @@ def _shift_walk(
             from pyspark.sql.types import ArrayType, MapType
 
             if isinstance(data.dtype, ArrayType):
+                nonsig = [k for k in spec if not k.startswith(("$", "@", "#"))]
+                if any(("*" in k) or ("&" in k) or ("|" in k) for k in nonsig):
+                    # r8 (VERDICT r7 #5): a lone '*' over a runtime
+                    # array compiles to F.transform; anything fancier
+                    # raises _Unsupported -> interpreter
+                    _compile_array_wildcard(data, spec, nonsig, stack, data_stack, out)
+                    return
                 # symbolic array: enumerate the spec's literal indices
                 data = _sym_array_as_dict(data, spec)
             elif isinstance(data.dtype, MapType):
@@ -447,6 +500,135 @@ def _sym_array_as_dict(sym: _Sym, spec: dict) -> dict:
         else:
             out[spec_key] = _Sym(elem, etype)
     return out
+
+
+def _infer_dtype(node):
+    """Spark type of a symbolic output subtree (for the _Sym wrapping
+    a compiled wildcard-over-array transform)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        NullType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if isinstance(node, dict):
+        return StructType([StructField(k, _infer_dtype(v)) for k, v in node.items()])
+    if isinstance(node, list):
+        return ArrayType(_infer_dtype(node[0]) if node else StringType())
+    if isinstance(node, _Sym):
+        return node.dtype
+    if isinstance(node, bool):
+        return BooleanType()
+    if isinstance(node, int):
+        return LongType()
+    if isinstance(node, float):
+        return DoubleType()
+    if node is None:
+        return NullType()
+    return StringType()
+
+
+def _validate_elem_tree(node, path: list, found: list) -> None:
+    """Collect _ElemArray nodes (paths of plain dict keys). Any leaf
+    OUTSIDE an _ElemArray was written once PER ELEMENT to a shared
+    location — the interpreter would accumulate a runtime-length array
+    there, which no static Column can express -> interpreter."""
+    if isinstance(node, _ElemArray):
+        found.append((list(path), node))
+        return
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if isinstance(k, str) and _ELEM in k:
+                raise _Unsupported("element index used as an output key")
+            _validate_elem_tree(v, path + [k], found)
+        return
+    if isinstance(node, list):
+        raise _Unsupported("array-wildcard output nested in a static array")
+    if isinstance(node, str) and _ELEM in node:
+        raise _Unsupported("element index leaked as a literal value")
+    raise _Unsupported("per-element write to a non-element-indexed output")
+
+
+def _extract_path(node, path):
+    for p in path:
+        node = node[p]
+    return node
+
+
+def _merge_out_path(out: dict, path: list, value) -> None:
+    node = out
+    for p in path[:-1]:
+        nxt = node.get(p)
+        if nxt is None:
+            node[p] = nxt = {}
+        if not isinstance(nxt, dict) or isinstance(nxt, _ElemArray):
+            raise _Unsupported("array-output path collision")
+        node = nxt
+    if path[-1] in node:
+        raise _Unsupported("array-output path collision")
+    node[path[-1]] = value
+
+
+def _compile_array_wildcard(
+    sym: "_Sym", spec: dict, nonsig: list, stack, data_stack, out: dict
+) -> None:
+    """A lone ``*`` over a runtime array compiles to ``F.transform``
+    (r8, VERDICT r7 #5). The per-element sub-spec is walked with the
+    EXISTING symbolic machinery: the element enters as a one-key dict
+    ``{_ELEM: element_tree}`` so the ``*`` matches the sentinel, and
+    every RHS ``[&n]`` slot that resolves to the element's match level
+    comes back as the sentinel slot. A shape pass (dummy element)
+    discovers each output location indexed by the element; each then
+    gets its own ``F.transform(arr, lambda e: <per-element Column>)``.
+    Writes NOT indexed by the element (a per-element write to a shared
+    leaf, an element index inside an output key) are runtime-shape-
+    dependent and raise _Unsupported -> interpreter."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    if nonsig != ["*"]:
+        raise _Unsupported("array wildcard must be the only matching key to compile")
+    if any(f.key == _ELEM for f in stack):
+        raise _Unsupported("nested array wildcards")
+    sub = spec["*"]
+    if not isinstance(sub, (dict, str, list)):
+        raise _Unsupported("array-wildcard spec value outside the compiled subset")
+    etype = sym.dtype.elementType
+
+    def walk_elem(elem_col: Column) -> dict:
+        tree = (
+            _schema_tree(elem_col, etype)
+            if isinstance(etype, StructType)
+            else _Sym(elem_col, etype)
+        )
+        tmp: dict = {}
+        _shift_walk({"*": sub}, {_ELEM: tree}, stack, data_stack, tmp)
+        return tmp
+
+    # shape pass: a dummy element column discovers the output locations
+    shape = walk_elem(F.try_element_at(sym.col, F.lit(1)))
+    found: list = []
+    _validate_elem_tree(shape, [], found)
+    if not found:
+        raise _Unsupported("array wildcard produced no element-indexed writes")
+    def make_lambda(p):
+        # NB: single-parameter lambda — F.transform inspects the arity,
+        # and a second (defaulted) parameter would receive the index col
+        return lambda e: _build_column(_extract_path(walk_elem(e), p)[_ELEM])
+
+    for path, ea in found:
+        elem_dtype = _infer_dtype(ea[_ELEM])
+        # empty/null input array -> NULL (not []): the interpreter
+        # never writes the output key when there are no elements, and
+        # to_json omits null fields (the absent≡null model)
+        col = F.when(
+            F.size(sym.col) > 0, F.transform(sym.col, make_lambda(tuple(path)))
+        )
+        _merge_out_path(out, path, _Sym(col, ArrayType(elem_dtype)))
 
 
 def _sym_default(data, spec: dict):

@@ -260,6 +260,67 @@ def test_jolt_compiled_parity_and_plan(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
 
 
+def test_jolt_compiled_wildcard_over_array(spark):
+    """r8 (VERDICT r7 #5): a lone '*' over a runtime array compiles to
+    F.transform — zero Python in the plan, parity with the interpreter
+    on populated, empty, null-element, and absent arrays (modulo the
+    documented absent≡null model: interpreter keeps explicit nulls,
+    to_json omits null fields)."""
+    import json
+
+    docs = [
+        {"items": [{"name": "a", "value": 1}, {"name": "b", "value": 2}], "tag": "t1"},
+        {"items": [], "tag": "t2"},
+        {"items": [{"name": "c", "value": None}], "tag": "t3"},
+        {"tag": "t4"},
+    ]
+    df = spark.createDataFrame([(json.dumps(d),) for d in docs], "content string")
+    schema = "items array<struct<name:string,value:bigint>>, tag string"
+    chain = [
+        {"operation": "shift",
+         "spec": {"items": {"*": {"name": "out[&1].label", "value": "out[&1].qty"}},
+                  "tag": "meta.tag"}},
+        {"operation": "sort"},
+    ]
+    fast = fx.jolt_transform_json(df, chain, input_schema=schema)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "transform(" in plan.lower()
+
+    def strip_nulls(o):
+        if isinstance(o, dict):
+            return {k: strip_nulls(v) for k, v in o.items() if v is not None}
+        if isinstance(o, list):
+            return [strip_nulls(x) for x in o]
+        return o
+
+    def canon(out):
+        return sorted(
+            json.dumps(strip_nulls(json.loads(r["content"])), sort_keys=True)
+            for r in out.collect()
+        )
+
+    slow = fx.jolt_transform_json(df, chain)
+    assert canon(fast) == canon(slow)
+
+    # whole-element copy ({"*": "copy[&]"}) also compiles
+    chain2 = [{"operation": "shift", "spec": {"items": {"*": "copy[&]"}}}]
+    fast2 = fx.jolt_transform_json(df, chain2, input_schema=schema)
+    assert "Python" not in fast2._jdf.queryExecution().executedPlan().toString()
+    assert canon(fast2) == canon(fx.jolt_transform_json(df, chain2))
+
+    # per-element write to a SHARED leaf is runtime-shape-dependent:
+    # must fall back to the interpreter, still correct
+    chain3 = [{"operation": "shift", "spec": {"items": {"*": {"name": "all_names"}}}}]
+    out3 = fx.jolt_transform_json(df, chain3, input_schema=schema)
+    assert "Python" in out3._jdf.queryExecution().executedPlan().toString()
+    got = {json.dumps(json.loads(r["content"]), sort_keys=True) for r in out3.collect()}
+    want = {
+        json.dumps(fx.jolt_chainr(d, chain3), sort_keys=True) for d in docs
+    }
+    assert got == want
+
+
 def test_jolt_compiled_sigils_remove_alternation(spark):
     """Compiled-path coverage of $/#/@, remove, a|b alternation, ONE."""
     import json
