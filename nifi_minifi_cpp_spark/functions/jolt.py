@@ -775,6 +775,18 @@ def jolt_transform_json(
     runtime; wildcards enumerate the schema's keys at compile time.
     Falls back to the Arrow-batched interpreter otherwise.
 
+    CONTRACT (r8, ADVICE r7): ``input_schema`` must exactly type the
+    data. PERMISSIVE ``from_json`` marks a record corrupt both for
+    malformed JSON and for well-formed JSON whose fields fail type
+    coercion (e.g. a string where the schema says bigint); the
+    compiled path routes BOTH to failure. The schema-less interpreter
+    would transform the type-mismatched record on its raw values —
+    but so would compiling it "leniently": the coerced struct nulls
+    the mismatched field, which diverges from the interpreter anyway.
+    Declaring the wrong schema has no faithful compiled semantics, so
+    the failure route is the pinned behavior
+    (test_jolt_compiled_type_mismatch_contract).
+
     ``spread`` (interpreter path only): a small parquet scan yields ONE
     partition, which would run the CPU-bound interpreter on one core;
     numbered repartition first (AQE-exempt, same guard as the Arrow

