@@ -342,3 +342,53 @@ def knn_join_exact(
         .filter(F.col("_rank") <= k)
         .select("query_id", "neighbor_id", "score", F.col("_rank").alias("rank"))
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension symmetric int8 quantization (the standard
+    vector-index compression: FAISS SQ8 / Milvus-style): one corpus
+    pass finds ``scale_j = max(|v_j|) / 127`` per dimension, then each
+    vector maps to ``round(v_j / scale_j)`` clamped to [-127, 127].
+    Returns (id, qvec array<tinyint>, norm double) — norm kept so
+    cosine search can rescale without touching the floats again.
+
+    100 TB shape: the scale pass posexplodes to slim (pos, |v|) pairs
+    that PARTIAL-AGGREGATE map-side (each partition contributes at most
+    ``dim`` rows to the shuffle — the corpus never moves); the scales
+    collapse to a ONE-ROW array that broadcast-joins back, and
+    quantization itself is a per-row zip_with. No full-data shuffle
+    anywhere. All arithmetic is IEEE +,*,/ and half-away-from-zero
+    rounding, so any engine reproduces the bytes exactly."""
+    vecs = df.select(F.col(id_col), _as_double(F.col(embedding_col)).alias("_v"))
+    scales = (
+        vecs.select(F.posexplode("_v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("val"))).alias("mx"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("mx")))
+                ),
+                # guard all-zero dimensions: scale 1.0 quantizes them to 0
+                lambda s: F.when(s.getField("mx") > 0, s.getField("mx") / 127.0).otherwise(
+                    F.lit(1.0)
+                ),
+            ).alias("_scales")
+        )
+    )
+    joined = vecs.crossJoin(F.broadcast(scales))
+    qvec = F.zip_with(
+        F.col("_v"),
+        F.col("_scales"),
+        lambda v, s: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.round(v / s).cast("int"))
+        ).cast("tinyint"),
+    )
+    norm = F.sqrt(
+        F.aggregate("_v", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return joined.select(F.col(id_col), qvec.alias("qvec"), norm.alias("norm"))

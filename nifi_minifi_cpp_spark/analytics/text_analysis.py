@@ -747,3 +747,70 @@ def domain_mixture_weights(
         tgt.alias("target_share"),
         (tgt / share).alias("weight"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 document ranking (Robertson et al., TREC-3) for a fixed
+    query-term set — the standard retrieval scorer used to mine
+    training corpora for topic-targeted subsets. Returns the ``top_k``
+    (id, score) rows, score desc / id asc.
+
+    idf uses the RATIONAL Robertson-Sparck Jones form
+    ``(N - df + 0.5) / (df + 0.5)`` — deliberately no ``ln``: every
+    operation is +,*,/ over IEEE doubles, so any engine reproduces the
+    scores bit-for-bit (transcendental libm functions differ in the
+    last ulp across engines; an ln-idf rank would need tolerance
+    comparisons).
+
+    100 TB shape: per-doc term frequencies are pure Catalyst HOFs over
+    the staged token array (``size(filter(...))`` per query term — the
+    query is a literal, nothing joins); the corpus statistics (N,
+    total dl, per-term document frequencies) partial-aggregate to ONE
+    row that broadcast-joins back. The only shuffle is that one-row
+    aggregate plus the final top-k (TakeOrderedAndProject)."""
+    terms = list(query_terms)
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+
+    def term_eq(w):
+        # NB: single-parameter lambda — F.filter inspects the arity; a
+        # second (defaulted) parameter would receive the index column
+        return lambda x: x == w
+
+    tf_cols = [
+        F.size(F.filter(F.col("_t"), term_eq(w))).cast("long").alias(f"_tf{i}")
+        for i, w in enumerate(terms)
+    ]
+    per_doc = staged.select(
+        F.col(id_col), F.size("_t").cast("long").alias("_dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_dl").cast("double").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).cast("double").alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl") / F.col("_n")
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5)) / (F.col(f"_df{i}") + F.lit(0.5))
+        part = idf * (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / avgdl)
+        )
+        score = score + part
+    return (
+        joined.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )

@@ -228,6 +228,52 @@ def test_bpe_pair_counts_first_merge(spark):
     assert [(r["pair"], r["pair_count"]) for r in rows] == [("ab", 6), ("ba", 3), ("cd", 2)]
 
 
+def test_bm25_ranking(spark):
+    from nifi_minifi_cpp_spark.analytics.text_analysis import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark engine spark engine spark"),  # tf(spark)=3, short
+            (2, "spark is one word here in a much longer document about other things"),
+            (3, "nothing relevant at all"),
+            (4, "spark spark"),  # highest density
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_scores(df, ["spark"], top_k=4).collect()
+    ranked = [r["doc_id"] for r in rows]
+    # docs containing the term outrank the one that doesn't; the
+    # highest-density short doc wins; scores are monotonically ordered
+    assert ranked[-1] == 3 and rows[-1]["score"] == 0.0
+    assert ranked[0] in (1, 4)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # length normalization: same tf, shorter doc scores higher
+    by_id = {r["doc_id"]: r["score"] for r in rows}
+    assert by_id[4] > by_id[2]
+
+
+def test_quantize_embeddings_int8_roundtrip(spark):
+    from nifi_minifi_cpp_spark.analytics.similarity import quantize_embeddings_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.0]),
+            (2, [0.5, 2.0, 0.0]),
+            (3, [-1.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    # dim scales: max|v| = [1.0, 2.0, 0.0] -> scales [1/127, 2/127, 1.0]
+    assert out[1]["qvec"] == [127, -127, 0]
+    assert out[2]["qvec"] == [64, 127, 0]  # round(0.5*127) = 64
+    assert out[3]["qvec"] == [-127, 64, 0]
+    import math
+
+    assert abs(out[1]["norm"] - math.sqrt(5.0)) < 1e-12
+
+
 def test_analyze_documents_runs(spark, tables):
     out = an.analyze_documents(tables["documents"])
     row = out.first()
