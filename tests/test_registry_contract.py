@@ -22,62 +22,61 @@ from nifi_minifi_cpp_spark import entry_queries
 # Every SURVEY §2 operator family and every LLM-pipeline operator must
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
-    # r7 rotation (VERDICT r6 action #1): the 6 never-driver-graded
-    # entries + new r7 additions enter first (cumulative coverage ->
-    # every registered query holds a driver row), then the 31 entries
-    # whose last driver row is r4, then the 2 implementations changed
-    # in r7 (jolt compiled-path failure-route guard, spread_for_cpu
-    # never-shrink), then oldest-green (r5) backfill.
-    "span_dedup_overlap_rebuild",
-    "span_dedup_rebuild",
-    "contamination_flags",
-    "domain_mixture_plan",
-    "s2s_port_roundtrip",
-    "param_context_resolution",
-    "connection_edge_semantics",
-    "route_error_events",
-    "route_relationship_counts",
-    "route_text_merge_lines",
-    "el_scalar_pack",
-    "el_encode_pack",
-    "json_path_extract",
-    "apply_template_events",
-    "jolt_shift_events",
-    "record_transform_upper",
-    "split_fragment_counts",
-    "split_merge_roundtrip",
-    "archive_roundtrip",
-    "syslog_parse",
-    "tumbling_hourly_by_type",
-    "pivot_event_counts",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "q20_promo_part_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "top3_orders_per_customer",
-    "cube_lineitem_status",
-    "rollup_orders_priority",
-    "knn_exact_10x3",
-    "embedding_norms_by_label",
-    "invoke_http_route_counts",
-    "incremental_scan_tail",
-    "streaming_route_counts",
+    # r8 rotation (VERDICT r7 #4, COVERAGE.md r8 queue): the 5 new r8
+    # registrations (3 snapshot-addition oracles + bm25 + int8 quant)
+    # enter first, then the 33 r5-stale entries, then r6-green breadth
+    # backfill, then the 2 implementations changed in r8 (Jolt
+    # wildcard-over-array compilation).
+    "sequence_packing_manifest",
+    "bpe_pair_merge_counts",
+    "winnowing_fingerprint_rows",
+    "bm25_topk_docs",
+    "embedding_quantize_int8",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q4_priority_order_exists",
+    "q5_regional_supplier_revenue",
+    "q6_revenue_forecast",
+    "q10_returned_item_customers",
+    "q11_valuable_parts",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue_pct",
+    "q15_top_supplier",
+    "q16_brand_size_supplier_counts",
+    "q18_large_quantity_orders",
+    "q19_disjunctive_predicates",
+    "region_rollup",
+    "top10_orders",
+    "distinct_parts_per_order",
+    "customers_without_orders",
+    "customers_with_big_orders",
+    "segment_set_ops",
+    "part_brand_revenue",
+    "supplier_nation_agg",
+    "normalized_fingerprint_dedup",
+    "simhash_signatures",
+    "cosine_topk_vec0",
+    "ivf_topk_vec0",
+    "retry_flow_file_exhaustion",
+    "list_fetch_incremental",
+    "execute_sql_rowsets",
+    "get_put_file_roundtrip",
+    "text_quality_features",
+    "bpe_token_counts",
+    "language_id_distribution",
+    "segment_content_parity",
+    "split_json_elements",
+    "attributes_to_json_pack",
+    "compress_roundtrip_gzip",
+    "defragment_messages",
+    "convert_record_xml_roundtrip",
+    "funnel_merge_counts",
+    "split_content_words",
+    "el_multiattr_pack",
+    "el_delineated_pack",
     "jolt_chain_events",
-    "exact_dedup_representatives",
-    "extract_first_word",
-    "replace_text_hashed",
-    "hash_content_sha256",
-    "stateful_bin_packing_merge",
-    "stateful_defragment_reassembly",
-    "range_join_purchase_after_error",
-    "asof_error_prior_click",
-    "tailfile_ingest",
-    "rolling_window_count10",
-    "sessionize_users",
+    "jolt_shift_events",
 }
 
 
