@@ -76,6 +76,12 @@ PROBE_QUERIES = [
     "span_dedup_overlap_rebuild",
     "contamination_flags",
     "domain_mixture_plan",
+    # r8 additions (VERDICT r7 #9)
+    "sequence_packing_manifest",
+    "bpe_pair_merge_counts",
+    "winnowing_fingerprint_rows",
+    "bm25_topk_docs",
+    "embedding_quantize_int8",
 ]
 
 # targeted re-probe: SF_PROBE_ONLY=a,b,c probes just those queries and
