@@ -166,18 +166,22 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
 def sample_video_frames(df: DataFrame, every_s: float = 1.0, max_frames: int = 8, fake: bool = False) -> DataFrame:
     """Frame sampling (UDTF shape: one media row -> many frame rows).
 
-    Real path (r6): stdlib-only RIFF/AVI demux (codecs.sample_avi_frames)
-    for uncompressed '00db' DIB frames — re-wrapped as BMP so the
-    emitted ``frame`` bytes decode with codecs.decode_image — and MJPEG
-    '00dc' frames (JPEG bytes, Pillow-gated downstream). Non-AVI
-    payloads raise: ffmpeg-class codecs are out of container scope.
+    Real path (r6; MP4 added r8): stdlib-only RIFF/AVI demux
+    (codecs.sample_avi_frames) for uncompressed '00db' DIB frames —
+    re-wrapped as BMP so the emitted ``frame`` bytes decode with
+    codecs.decode_image — and MJPEG '00dc' frames (JPEG bytes,
+    Pillow-gated downstream); ISO-BMFF/MP4 demux
+    (codecs.sample_mp4_frames) for 'jpeg' (MJPEG-in-MP4) samples,
+    with compressed codecs (avc1/hev1/...) demuxing to metadata but
+    refusing frame extraction. Other containers raise: ffmpeg-class
+    codecs are out of container scope.
     Fake path: deterministic pseudo-frames (the graded oracle's
     contract) so partitioning and fan-out stay testable on any bytes.
     """
     import pandas as pd
 
     def run(batches):
-        from .codecs import sample_avi_frames
+        from .codecs import sample_avi_frames, sample_mp4_frames
 
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "frame_ts_s": [], "frame": []}
@@ -189,10 +193,15 @@ def sample_video_frames(df: DataFrame, every_s: float = 1.0, max_frames: int = 8
                         out["frame_ts_s"].append(i * every_s)
                         out["frame"].append(bytes(payload)[:16] + i.to_bytes(4, "big"))
                     continue
-                if bytes(payload)[:4] != b"RIFF":
-                    _require_real_decoder("non-AVI video")
-                for idx, ts, img in sample_avi_frames(
-                    bytes(payload), every_s=every_s, max_frames=max_frames
+                pb = bytes(payload)
+                if pb[:4] == b"RIFF":
+                    sampler = sample_avi_frames
+                elif pb[4:8] == b"ftyp":
+                    sampler = sample_mp4_frames
+                else:
+                    _require_real_decoder("non-AVI/MP4 video")
+                for idx, ts, img in sampler(
+                    pb, every_s=every_s, max_frames=max_frames
                 ):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
