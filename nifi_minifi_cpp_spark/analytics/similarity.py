@@ -392,3 +392,50 @@ def quantize_embeddings_int8(
         F.aggregate("_v", F.lit(0.0), lambda acc, x: acc + x * x)
     )
     return joined.select(F.col(id_col), qvec.alias("qvec"), norm.alias("norm"))
+
+
+def matryoshka_energy_report(
+    df: DataFrame,
+    dims: list[int] | None = None,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022): per vector
+    and candidate prefix length, the prefix norm and the retained-
+    energy fraction ``|v[:d]|^2 / |v|^2`` — the quantity that decides
+    how far an MRL-trained embedding column can be truncated for a
+    cheaper ANN index. Returns (id, dim, prefix_norm, energy).
+
+    100 TB shape: pure per-row HOF arithmetic (sliced left-fold sums,
+    one row out per candidate dim) — no shuffle at all; exact IEEE
+    left-fold so any engine reproduces the doubles."""
+    dims = dims or [16, 32, 64]
+    # stage the squared array in its own projection (HOF-inlining
+    # rule): 1 + len(dims) consumers reference it
+    sqd = df.select(
+        F.col(id_col),
+        F.transform(_as_double(F.col(embedding_col)), lambda x: x * x).alias("_sq"),
+    )
+    staged = sqd.select(
+        id_col,
+        F.aggregate("_sq", F.lit(0.0), lambda a, x: a + x).alias("_tot"),
+        *[
+            F.aggregate(F.slice("_sq", 1, d), F.lit(0.0), lambda a, x: a + x).alias(f"_p{d}")
+            for d in dims
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("dim"),
+                F.sqrt(F.col(f"_p{d}")).alias("prefix_norm"),
+                F.when(F.col("_tot") > 0, F.col(f"_p{d}") / F.col("_tot"))
+                .otherwise(F.lit(0.0))
+                .alias("energy"),
+            )
+            for d in dims
+        ]
+    )
+    return staged.select(id_col, F.explode(rows).alias("_r")).select(
+        id_col, "_r.dim", "_r.prefix_norm", "_r.energy"
+    )

@@ -822,3 +822,68 @@ def bm25_scores(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def vocabulary_report(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 25,
+) -> DataFrame:
+    """Corpus vocabulary statistics (the tokenizer-design /
+    data-audit pass): one row per top-``top_k`` token (rank, count,
+    doc_freq, corpus share) plus aggregate rows for vocabulary size,
+    hapax-legomena count, and total tokens (token set to the marker
+    '<vocab_size>' / '<hapax_count>' / '<total_tokens>').
+
+    100 TB shape: ONE explode->count pass with map-side partial
+    aggregation (the classic word count — each partition contributes
+    at most |vocab| rows to the shuffle); everything downstream
+    operates on the vocabulary-sized frame. All arithmetic is integer
+    counts + one exact double division."""
+    from pyspark.sql import Window
+
+    # hash the doc identity BEFORE exploding — the (token, 8-byte id)
+    # pairs are what shuffles, never the text
+    words = (
+        df.select(F.xxhash64(text_col).alias("_doc"), tokens(F.col(text_col)).alias("_t"))
+        .select("_doc", F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.count_distinct("_doc").alias("doc_freq"),
+        )
+    )
+    total = words.agg(
+        F.sum("count").alias("_tot"),
+        F.count(F.lit(1)).alias("_vocab"),
+        F.sum((F.col("count") == 1).cast("long")).alias("_hapax"),
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("w").asc())
+    top = (
+        words.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            F.col("w").alias("token"),
+            "count",
+            "doc_freq",
+            (F.col("count").cast("double") / F.col("_tot")).alias("share"),
+        )
+    )
+    markers = total.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("rank"), F.lit("<vocab_size>").alias("token"),
+                         F.col("_vocab").alias("count"), F.lit(0).cast("long").alias("doc_freq"),
+                         F.lit(0.0).alias("share")),
+                F.struct(F.lit(0).alias("rank"), F.lit("<hapax_count>").alias("token"),
+                         F.col("_hapax").alias("count"), F.lit(0).cast("long").alias("doc_freq"),
+                         F.lit(0.0).alias("share")),
+                F.struct(F.lit(0).alias("rank"), F.lit("<total_tokens>").alias("token"),
+                         F.col("_tot").alias("count"), F.lit(0).cast("long").alias("doc_freq"),
+                         F.lit(0.0).alias("share")),
+            )
+        ).alias("_s")
+    ).select("_s.*")
+    return top.unionByName(markers)

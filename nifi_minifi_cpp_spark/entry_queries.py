@@ -4650,6 +4650,69 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "vocabulary_zipf_report",
+    r"""
+    WITH wx AS (
+      SELECT text, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '')) AS w
+      FROM documents),
+    v AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS count,
+                 CAST(count(DISTINCT text) AS BIGINT) AS doc_freq
+          FROM wx GROUP BY w),
+    t AS (SELECT CAST(sum(count) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS vocab,
+                 CAST(sum(CASE WHEN count = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax FROM v),
+    top AS (
+      SELECT CAST(row_number() OVER (ORDER BY count DESC, token ASC) AS INT) AS rank,
+             token, count, doc_freq, CAST(count AS DOUBLE) / tot AS share
+      FROM v, t QUALIFY rank <= 25)
+    SELECT rank, token, count, doc_freq, share FROM top
+    UNION ALL SELECT 0, '<vocab_size>', vocab, 0, 0.0 FROM t
+    UNION ALL SELECT 0, '<hapax_count>', hapax, 0, 0.0 FROM t
+    UNION ALL SELECT 0, '<total_tokens>', tot, 0, 0.0 FROM t
+    """,
+)
+def vocabulary_zipf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary audit (r8): top-25 tokens with rank / count /
+    doc-frequency / corpus share, plus vocab-size, hapax-legomena and
+    total-token marker rows. One explode->count pass with map-side
+    partial aggregation (each partition contributes at most |vocab|
+    rows to the shuffle); doc identity travels as an 8-byte hash, the
+    text never shuffles."""
+    from .analytics.text_analysis import vocabulary_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary_report(docs, top_k=25)
+
+
+@_register(
+    "matryoshka_energy",
+    r"""
+    WITH s AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sq
+         FROM embeddings),
+    a AS (SELECT vec_id, list_reduce(sq, (a, b) -> a + b) AS tot,
+            list_reduce(sq[1:16], (a, b) -> a + b) AS p16,
+            list_reduce(sq[1:32], (a, b) -> a + b) AS p32,
+            list_reduce(sq[1:64], (a, b) -> a + b) AS p64 FROM s)
+    SELECT vec_id, 16 AS dim, sqrt(p16) AS prefix_norm,
+           CASE WHEN tot > 0 THEN p16 / tot ELSE 0.0 END AS energy FROM a
+    UNION ALL SELECT vec_id, 32, sqrt(p32), CASE WHEN tot > 0 THEN p32 / tot ELSE 0.0 END FROM a
+    UNION ALL SELECT vec_id, 64, sqrt(p64), CASE WHEN tot > 0 THEN p64 / tot ELSE 0.0 END FROM a
+    """,
+)
+def matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022; r8): per
+    vector and candidate prefix dim (16/32/64), prefix norm and
+    retained-energy fraction — pure per-row HOF arithmetic with the
+    squared array staged once (HOF-inlining rule), zero shuffle;
+    left-fold sums reproduce in DuckDB's list_reduce exactly."""
+    from .analytics.similarity import matryoshka_energy_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_energy_report(emb, dims=[16, 32, 64])
+
+
+@_register(
     "s2s_port_roundtrip",
     """
     SELECT event_type,
@@ -5204,6 +5267,8 @@ _GRADE_ORDER = [
     "winnowing_fingerprint_rows",
     "bm25_topk_docs",
     "embedding_quantize_int8",
+    "vocabulary_zipf_report",
+    "matryoshka_energy",
     # r5-stale: the 22 relational entries re-graded in r5
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -5249,8 +5314,6 @@ _GRADE_ORDER = [
     "convert_record_xml_roundtrip",
     "funnel_merge_counts",
     "split_content_words",
-    "el_multiattr_pack",
-    "el_delineated_pack",
     # implementations changed in r8 (wildcard-over-array compilation)
     "jolt_chain_events",
     "jolt_shift_events",

@@ -274,6 +274,32 @@ def test_quantize_embeddings_int8_roundtrip(spark):
     assert abs(out[1]["norm"] - math.sqrt(5.0)) < 1e-12
 
 
+def test_vocabulary_report_counts(spark):
+    from nifi_minifi_cpp_spark.analytics.text_analysis import vocabulary_report
+
+    df = spark.createDataFrame(
+        [("a b a",), ("a c",), ("d",)], "text string"
+    )
+    rows = {(r["token"], r["rank"]): r for r in vocabulary_report(df, top_k=2).collect()}
+    assert rows[("a", 1)]["count"] == 3 and rows[("a", 1)]["doc_freq"] == 2
+    assert ("b", 2) in rows or ("b", 0) not in rows  # b/c/d tie at 1; b wins rank 2
+    markers = {r["token"]: r["count"] for r in rows.values() if r["rank"] == 0}
+    assert markers == {"<vocab_size>": 4, "<hapax_count>": 3, "<total_tokens>": 6}
+    assert abs(rows[("a", 1)]["share"] - 0.5) < 1e-15
+
+
+def test_matryoshka_energy_prefix_math(spark):
+    from nifi_minifi_cpp_spark.analytics.similarity import matryoshka_energy_report
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 0.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    out = {r["dim"]: r for r in matryoshka_energy_report(df, dims=[2, 4]).collect()}
+    assert out[2]["prefix_norm"] == 5.0  # sqrt(9+16)
+    assert abs(out[2]["energy"] - 25.0 / 29.0) < 1e-15
+    assert out[4]["energy"] == 1.0
+
+
 def test_analyze_documents_runs(spark, tables):
     out = an.analyze_documents(tables["documents"])
     row = out.first()
