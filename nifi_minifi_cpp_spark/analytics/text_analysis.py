@@ -837,14 +837,19 @@ def vocabulary_report(
 
     100 TB shape: ONE explode->count pass with map-side partial
     aggregation (the classic word count — each partition contributes
-    at most |vocab| rows to the shuffle); everything downstream
-    operates on the vocabulary-sized frame. All arithmetic is integer
-    counts + one exact double division."""
+    at most |vocab| rows to the shuffle); the vocabulary-sized result
+    is barriered so the three downstream consumers (rank window,
+    totals broadcast, marker rows) read the materialized vocab instead
+    of re-running the corpus pass per branch (unbarriered plan:
+    3 corpus scans). All arithmetic is integer counts + one exact
+    double division."""
     from pyspark.sql import Window
+
+    from ..util import reliable_barrier
 
     # hash the doc identity BEFORE exploding — the (token, 8-byte id)
     # pairs are what shuffles, never the text
-    words = (
+    words = reliable_barrier(
         df.select(F.xxhash64(text_col).alias("_doc"), tokens(F.col(text_col)).alias("_t"))
         .select("_doc", F.explode("_t").alias("w"))
         .groupBy("w")

@@ -338,6 +338,59 @@ def test_spread_for_cpu_floor_memoized_and_join_exempt(spark, tmp_path):
         ClassicDF.inputFiles = orig
 
 
+def test_bm25_plan_broadcast_stats_topk(spark):
+    """r8: BM25's corpus statistics must BROADCAST (one-row frame) and
+    the top-k must plan as TakeOrderedAndProject — no cartesian, no
+    Python, per-doc term frequencies stay HOF-side."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(i, "merge scan window x y") for i in range(40)], "doc_id long, text string"
+    )
+    plan = (
+        bm25_scores(docs, ["merge", "scan"], top_k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan
+    assert "Python" not in plan
+
+
+def test_quantize_embeddings_plan_no_full_shuffle(spark):
+    """r8: int8 quantization must shuffle only the slim (pos, |v|)
+    pairs for the scale pass — the vectors themselves never
+    repartition; scales arrive via broadcast."""
+    from nifi_minifi_cpp_spark.analytics.similarity import quantize_embeddings_int8
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, -2.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = (
+        quantize_embeddings_int8(emb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_matryoshka_plan_zero_shuffle(spark):
+    """r8: the Matryoshka energy report is pure per-row arithmetic —
+    the executed plan must contain NO exchange at all."""
+    from nifi_minifi_cpp_spark.analytics.similarity import matryoshka_energy_report
+
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    plan = (
+        matryoshka_energy_report(emb, dims=[2, 4])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan
+
+
 def test_jolt_chain_events_compiles_to_catalyst(spark):
     """r6 (VERDICT r5 #3): the registry's one former Python hot path —
     jolt_chain_events — now declares its content schema, so the whole
