@@ -862,3 +862,55 @@ def semantic_dedup(
         dedup_cell, schema=f"{id_col} {id_type}"
     )
     return df.join(kept_ids, id_col, "left_semi")
+
+
+def winnowing_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_probes: int | None = 256,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing near-dup dedup (Schleimer et al. 2003, the MOSS
+    pipeline; r8): documents sharing at least ``min_shared`` selected
+    winnowing fingerprints are near-duplicates; the larger id of each
+    qualified pair is dropped (the family's pairwise keep-smallest
+    rule — see ngram_jaccard_dedup for the pairwise-vs-transitive
+    discussion).
+
+    Winnowing's guarantee makes this the CONTIGUOUS-overlap detector:
+    any shared word run of length >= window+k-1 lands at least one
+    shared fingerprint, so plagiarism-style passage reuse is caught
+    even when the rest of the document differs completely (MinHash
+    needs global set similarity; winnowing needs one shared passage).
+
+    100 TB shape: identical to the LSH family — fingerprint generation
+    is per-doc Catalyst HOFs (no shuffle), candidates come from an
+    equi-join on the fingerprint value with the ``_bucket_probes``
+    skew cap (a boilerplate fingerprint shared by a million docs stays
+    linear), and only slim (id, fp) pairs ever shuffle. ``hash_fn``:
+    'xxhash64' (default — 8-byte fingerprints) or 'md5' (hex strings,
+    the oracle-reproducible choice)."""
+    from .text_analysis import winnowing_fingerprint_rows
+
+    fps = (
+        winnowing_fingerprint_rows(df, id_col, content_col, k, window, hash_fn)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    # persist: the (id, fp) table sits on both sides of the candidate
+    # join (same rationale as the minhash bucket table)
+    fps = fps.persist()
+    cand = (
+        fps.alias("a")
+        .join(_bucket_probes(fps, ["fp"], id_col, max_probes).alias("b"), ["fp"])
+        .filter(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("_ida"), F.col(f"b.{id_col}").alias("_idb"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= min_shared)
+    )
+    drop = cand.select(F.col("_ida").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")

@@ -4650,6 +4650,52 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "winnowing_dedup_kept",
+    r"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    hs AS (SELECT doc_id,
+       list_transform(range(CAST(greatest(len(ws) - 4, 0) AS BIGINT)),
+          i -> {'h': md5(array_to_string(ws[CAST(i+1 AS INT):CAST(i+5 AS INT)], ' ')),
+                'np': -i}) AS hl
+      FROM w),
+    f AS (SELECT doc_id,
+       list_transform(range(CAST(greatest(len(hl) - 4, 0) AS BIGINT) + 1),
+          i -> list_sort(hl[CAST(i+1 AS INT):CAST(i+4 AS INT)])[1]) AS fps
+      FROM hs WHERE len(hl) > 0),
+    fp AS (SELECT DISTINCT doc_id, u.h AS fp
+           FROM (SELECT doc_id, unnest(fps) AS u FROM f)),
+    probes AS (SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fp)
+      WHERE rn <= 256),
+    cand AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+      FROM fp a JOIN probes b USING (fp)
+      WHERE a.doc_id > b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 3),
+    drops AS (SELECT DISTINCT ida AS doc_id FROM cand)
+    SELECT doc_id FROM documents ANTI JOIN drops USING (doc_id)
+    """,
+)
+def winnowing_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup dedup (the MOSS pipeline; r8): docs sharing
+    >=3 selected 5-word-shingle fingerprints drop their larger id —
+    the CONTIGUOUS-overlap detector (a shared passage of >= window+k-1
+    words always lands a shared fingerprint, unlike MinHash's global
+    set similarity). Candidates come from an equi-join on the
+    fingerprint value under the _bucket_probes skew cap; the oracle
+    mirrors selection, cap, pair counting and anti-join verbatim
+    (md5 path)."""
+    from .analytics.dedup import winnowing_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_dedup(
+        docs, k=5, window=4, min_shared=3, max_probes=256, hash_fn="md5"
+    ).select("doc_id")
+
+
+@_register(
     "vocabulary_zipf_report",
     r"""
     WITH wx AS (
@@ -5269,6 +5315,7 @@ _GRADE_ORDER = [
     "embedding_quantize_int8",
     "vocabulary_zipf_report",
     "matryoshka_energy",
+    "winnowing_dedup_kept",
     # r5-stale: the 22 relational entries re-graded in r5
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -5313,7 +5360,6 @@ _GRADE_ORDER = [
     "defragment_messages",
     "convert_record_xml_roundtrip",
     "funnel_merge_counts",
-    "split_content_words",
     # implementations changed in r8 (wildcard-over-array compilation)
     "jolt_chain_events",
     "jolt_shift_events",

@@ -67,6 +67,37 @@ def _nest(paths: dict[str, Column]) -> Column:
     return build(tree)
 
 
+def _shift_input_schema(in_paths: list[str]):
+    """Inferred from_json schema for a shift's input dot-paths: every
+    leaf a string (get_json_object's type model). Returns None when a
+    path is a prefix of another (the leaf would need to be both string
+    and struct) — callers fall back to per-path JSONPath reads."""
+    from pyspark.sql import types as T
+
+    tree: dict = {}
+    for p in in_paths:
+        node = tree
+        segs = p.split(".")
+        for seg in segs[:-1]:
+            nxt = node.setdefault(seg, {})
+            if nxt is None:
+                return None  # prefix conflict: seg already a leaf
+            node = nxt
+        if isinstance(node.get(segs[-1]), dict):
+            return None  # prefix conflict: leaf already a subtree
+        node[segs[-1]] = None
+
+    def build(node: dict) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(k, T.StringType() if v is None else build(v))
+                for k, v in node.items()
+            ]
+        )
+
+    return build(tree) if tree else None
+
+
 def jolt_transform(
     df: DataFrame,
     shift: dict[str, str] | None = None,
@@ -86,8 +117,26 @@ def jolt_transform(
     default = default or {}
     c = F.col(content_col)
     outputs: dict[str, Column] = {}
-    for in_path, out_path in shift.items():
-        outputs[out_path] = F.get_json_object(c, f"$.{in_path}")
+    schema = _shift_input_schema(list(shift))
+    if schema is not None and shift:
+        # Parse ONCE with an inferred string-leaf schema instead of one
+        # get_json_object per path (r8): beyond the single parse, when
+        # the content was itself built by to_json upstream (the
+        # standard flowfile pipeline), Catalyst's OptimizeJsonExprs
+        # elides from_json(to_json(struct)) entirely — the whole
+        # restructure becomes struct rewiring with ZERO runtime JSON
+        # work, which get_json_object can never achieve.
+        parsed = F.from_json(c, schema)
+        for in_path, out_path in shift.items():
+            col = parsed
+            for seg in in_path.split("."):
+                col = col.getField(seg)
+            outputs[out_path] = col
+    else:
+        # a path is a prefix of another (string-vs-struct conflict in
+        # the inferred schema): keep the per-path JSONPath reads
+        for in_path, out_path in shift.items():
+            outputs[out_path] = F.get_json_object(c, f"$.{in_path}")
     for out_path, lit in default.items():
         if out_path in outputs:
             outputs[out_path] = F.coalesce(outputs[out_path], F.lit(lit))

@@ -274,6 +274,32 @@ def test_quantize_embeddings_int8_roundtrip(spark):
     assert abs(out[1]["norm"] - math.sqrt(5.0)) < 1e-12
 
 
+def test_winnowing_dedup_passage_overlap(spark):
+    """winnowing_dedup catches PASSAGE reuse: two docs sharing a long
+    run (with otherwise different content) pair up and the larger id
+    drops; fully distinct docs survive."""
+    from nifi_minifi_cpp_spark.analytics.dedup import winnowing_dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    df = spark.createDataFrame(
+        [
+            (1, "intro words " + shared),
+            (2, shared + " totally different tail content here"),
+            (3, "unrelated document about nothing shared with others at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in winnowing_dedup(df, min_shared=2, hash_fn="xxhash64").collect()
+    )
+    assert kept == [1, 3]  # 2 pairs with 1 (smaller id wins); 3 untouched
+    # md5 path agrees
+    kept_md5 = sorted(
+        r["doc_id"] for r in winnowing_dedup(df, min_shared=2, hash_fn="md5").collect()
+    )
+    assert kept_md5 == kept
+
+
 def test_vocabulary_report_counts(spark):
     from nifi_minifi_cpp_spark.analytics.text_analysis import vocabulary_report
 
