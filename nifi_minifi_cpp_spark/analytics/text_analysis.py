@@ -892,3 +892,36 @@ def vocabulary_report(
         ).alias("_s")
     ).select("_s.*")
     return top.unionByName(markers)
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment (the reproducible-split
+    primitive every training pipeline needs): each row maps to the
+    split whose cumulative md5-bucket interval contains
+    ``md5(salt || id)``'s first 4 hex digits. Engine-portable and
+    partitioning/retry/scale-independent — the same ids land in the
+    same split on any engine (mirrors deterministic_sample_pred's
+    bucketing rule). Adds a ``split`` column.
+
+    100 TB shape: one stateless projection, no shuffle, no rand()."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))), 1, 4
+    )
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, wgt in items[:-1]:
+        acc += wgt / total
+        threshold = format(min(int(acc * 0x10000), 0xFFFF), "04x")
+        cond = bucket < F.lit(threshold)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)

@@ -4696,6 +4696,42 @@ def winnowing_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dataset_split_counts",
+    """
+    WITH b AS (
+      SELECT source, doc_id,
+             substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+      FROM documents)
+    SELECT source,
+           CASE WHEN bucket < 'e666' THEN 'train'
+                WHEN bucket < 'f333' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM b GROUP BY 1, 2
+    """,
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (r8): md5('split:'||id)
+    4-hex-digit buckets against cumulative weight thresholds
+    (0.9/0.05/0.05 -> e666/f333) — the same ids land in the same split
+    on any engine, at any partitioning, after any retry. One stateless
+    projection, no shuffle, no rand(); graded as per-(source, split)
+    counts + id checksum."""
+    from .analytics.text_analysis import dataset_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dataset_split(docs, weights={"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
+@_register(
     "vocabulary_zipf_report",
     r"""
     WITH wx AS (
@@ -5316,6 +5352,7 @@ _GRADE_ORDER = [
     "vocabulary_zipf_report",
     "matryoshka_energy",
     "winnowing_dedup_kept",
+    "dataset_split_counts",
     # r5-stale: the 22 relational entries re-graded in r5
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -5359,7 +5396,6 @@ _GRADE_ORDER = [
     "compress_roundtrip_gzip",
     "defragment_messages",
     "convert_record_xml_roundtrip",
-    "funnel_merge_counts",
     # implementations changed in r8 (wildcard-over-array compilation)
     "jolt_chain_events",
     "jolt_shift_events",

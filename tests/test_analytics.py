@@ -274,6 +274,26 @@ def test_quantize_embeddings_int8_roundtrip(spark):
     assert abs(out[1]["norm"] - math.sqrt(5.0)) < 1e-12
 
 
+def test_dataset_split_deterministic_and_proportional(spark):
+    from nifi_minifi_cpp_spark.analytics.text_analysis import dataset_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = dataset_split(df, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    # deterministic: repartitioned input assigns identically
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(df.repartition(13), weights={"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    assert a == b
+    # salt changes the assignment
+    c = {r["doc_id"]: r["split"] for r in dataset_split(df, weights={"train": 0.8, "val": 0.1, "test": 0.1}, salt="other").collect()}
+    assert a != c
+
+
 def test_winnowing_dedup_passage_overlap(spark):
     """winnowing_dedup catches PASSAGE reuse: two docs sharing a long
     run (with otherwise different content) pair up and the larger id

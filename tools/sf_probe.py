@@ -82,6 +82,9 @@ PROBE_QUERIES = [
     "winnowing_fingerprint_rows",
     "bm25_topk_docs",
     "embedding_quantize_int8",
+    "vocabulary_zipf_report",
+    "matryoshka_energy",
+    "winnowing_dedup_kept",
 ]
 
 # targeted re-probe: SF_PROBE_ONLY=a,b,c probes just those queries and
