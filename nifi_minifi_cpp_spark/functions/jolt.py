@@ -574,6 +574,44 @@ def _merge_out_path(out: dict, path: list, value) -> None:
     node[path[-1]] = value
 
 
+def _rewrite_elem_appends(sub):
+    """Rewrite ``[]`` append slots in a wildcard-over-array sub-spec to
+    the equivalent ``[&d]`` element-indexed slot (d = match-stack
+    distance to the ``*`` frame: data keys at nesting level L sit L
+    frames below it, sigil keys L-1 — the sigil loop writes before a
+    frame is pushed for the key). Raises _Unsupported when one output
+    array would receive more than one append per element."""
+    targets: dict[str, int] = {}
+
+    def rewrite_rhs(rhs: str, d: int) -> str:
+        out_segs = []
+        for seg in rhs.split("."):
+            if seg.endswith("[]"):
+                targets[seg[:-2]] = targets.get(seg[:-2], 0) + 1
+                if targets[seg[:-2]] > 1:
+                    raise _Unsupported(
+                        "multiple appends per element to one output array"
+                    )
+                seg = f"{seg[:-2]}[&{d}]"
+            out_segs.append(seg)
+        return ".".join(out_segs)
+
+    def walk(node, level: int):
+        if isinstance(node, str):
+            return rewrite_rhs(node, level)
+        if isinstance(node, list):
+            return [walk(v, level) for v in node]
+        if isinstance(node, dict):
+            out = {}
+            for key, v in node.items():
+                d = level if key.startswith(("$", "@", "#")) else level + 1
+                out[key] = walk(v, d)
+            return out
+        return node
+
+    return walk(sub, 0)
+
+
 def _compile_array_wildcard(
     sym: "_Sym", spec: dict, nonsig: list, stack, data_stack, out: dict
 ) -> None:
@@ -597,6 +635,12 @@ def _compile_array_wildcard(
     sub = spec["*"]
     if not isinstance(sub, (dict, str, list)):
         raise _Unsupported("array-wildcard spec value outside the compiled subset")
+    # the classic Jolt '[]' append idiom: appends in walk order ==
+    # element order, so 'names[]' at depth L below the '*' is exactly
+    # 'names[&L]' — PROVIDED each output array receives one append per
+    # element (two leaves appending to one array would interleave in
+    # walk order, which no per-element transform can express)
+    sub = _rewrite_elem_appends(sub)
     etype = sym.dtype.elementType
 
     def walk_elem(elem_col: Column) -> dict:

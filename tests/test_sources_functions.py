@@ -336,6 +336,16 @@ def test_jolt_compiled_wildcard_over_array(spark):
     assert "Python" not in fast2._jdf.queryExecution().executedPlan().toString()
     assert canon(fast2) == canon(fx.jolt_transform_json(df, chain2))
 
+    # the classic '[]' append idiom compiles too (append order ==
+    # element order == F.transform order)
+    chain_append = [
+        {"operation": "shift",
+         "spec": {"items": {"*": {"name": "names[]", "value": "vals[]"}}, "tag": "tag"}}
+    ]
+    fast_a = fx.jolt_transform_json(df, chain_append, input_schema=schema)
+    assert "Python" not in fast_a._jdf.queryExecution().executedPlan().toString()
+    assert canon(fast_a) == canon(fx.jolt_transform_json(df, chain_append))
+
     # per-element write to a SHARED leaf is runtime-shape-dependent:
     # must fall back to the interpreter, still correct
     chain3 = [{"operation": "shift", "spec": {"items": {"*": {"name": "all_names"}}}}]
