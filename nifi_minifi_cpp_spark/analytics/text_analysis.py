@@ -863,10 +863,15 @@ def vocabulary_report(
         F.count(F.lit(1)).alias("_vocab"),
         F.sum((F.col("count") == 1).cast("long")).alias("_hapax"),
     )
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # heaps, no global sort), then rank the top_k-row result: a global
+    # row_number window over the full vocabulary would funnel a 10M-row
+    # web-scale vocab through one partition
     w = Window.orderBy(F.col("count").desc(), F.col("w").asc())
     top = (
-        words.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+        words.orderBy(F.col("count").desc(), F.col("w").asc())
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
         .crossJoin(F.broadcast(total))
         .select(
             "rank",
