@@ -873,6 +873,7 @@ def winnowing_dedup(
     min_shared: int = 2,
     max_probes: int | None = 256,
     hash_fn: str = "xxhash64",
+    transitive: bool = False,
 ) -> DataFrame:
     """Winnowing near-dup dedup (Schleimer et al. 2003, the MOSS
     pipeline; r8): documents sharing at least ``min_shared`` selected
@@ -912,5 +913,14 @@ def winnowing_dedup(
         .agg(F.count(F.lit(1)).alias("_shared"))
         .filter(F.col("_shared") >= min_shared)
     )
-    drop = cand.select(F.col("_ida").alias(id_col)).distinct()
+    if transitive:
+        # component-consistent survivors (one per duplicate cluster),
+        # same semantics switch as ngram_jaccard_dedup
+        from .graph import dedup_by_components
+
+        out = dedup_by_components(df, cand, id_col, pair_a="_ida", pair_b="_idb")
+        fps.unpersist()
+        return out
+    drop = reliable_barrier(cand.select(F.col("_ida").alias(id_col)).distinct())
+    fps.unpersist()
     return df.join(drop, id_col, "left_anti")

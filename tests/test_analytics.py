@@ -318,6 +318,12 @@ def test_winnowing_dedup_passage_overlap(spark):
         r["doc_id"] for r in winnowing_dedup(df, min_shared=2, hash_fn="md5").collect()
     )
     assert kept_md5 == kept
+    # transitive: one survivor per duplicate component, same result here
+    kept_t = sorted(
+        r["doc_id"]
+        for r in winnowing_dedup(df, min_shared=2, transitive=True).collect()
+    )
+    assert kept_t == [1, 3]
 
 
 def test_vocabulary_report_counts(spark):
