@@ -809,12 +809,17 @@ def bm25_scores(
     )
     joined = per_doc.crossJoin(F.broadcast(stats))
     avgdl = F.col("_sumdl") / F.col("_n")
+    # all-empty corpus: avgdl == 0 (and every dl == 0) — the length-
+    # normalization ratio is 0 by convention, not a division-by-zero
+    # (ANSI-mode hostile sessions error on 0/0; found by the
+    # test_bm25_model property suite)
+    dl_ratio = F.when(avgdl > 0, F.col("_dl") / avgdl).otherwise(F.lit(0.0))
     score = F.lit(0.0)
     for i in range(len(terms)):
         tf = F.col(f"_tf{i}").cast("double")
         idf = (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5)) / (F.col(f"_df{i}") + F.lit(0.5))
         part = idf * (tf * F.lit(k1 + 1.0)) / (
-            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / avgdl)
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_ratio)
         )
         score = score + part
     return (

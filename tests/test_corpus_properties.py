@@ -1,0 +1,177 @@
+"""Property-based suites for the r8 corpus operators, against pure
+Python models (the EL property suites' strategy — those caught two
+real parity bugs; same batching discipline: few examples, one Spark
+job each, deadline off)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _spark():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from nifi_minifi_cpp_spark.session import get_spark
+
+    return get_spark("corpus-props", cpus=8)
+
+
+word = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+doc_words = st.lists(word, min_size=0, max_size=30)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    shared=st.lists(word, min_size=8, max_size=12),
+    pre=st.lists(word, min_size=0, max_size=6),
+    post=st.lists(word, min_size=0, max_size=6),
+)
+def test_winnowing_guarantee_shared_run_always_detected(shared, pre, post):
+    """The Schleimer et al. guarantee: any shared word run of length
+    >= window + k - 1 (here 4 + 5 - 1 = 8) yields at least one shared
+    fingerprint — for ARBITRARY distinct surrounding context."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import winnowing_fingerprint_rows
+
+    spark = _spark()
+    a = " ".join(["zz1 zz2"] + pre + shared)
+    b = " ".join(shared + post + ["qq1 qq2"])
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = winnowing_fingerprint_rows(df, k=5, window=4).collect()
+    fps: dict[int, set] = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps.get(1, set()) & fps.get(2, set()), (a, b)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2"]), doc_words), min_size=1, max_size=10
+    ),
+    ctx=st.integers(2, 64),
+)
+def test_sequence_packing_model(docs, ctx):
+    """Offsets are the per-shard running sum in id order; example ids
+    bracket [start, start + max(n,1) - 1] // ctx."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import sequence_packing
+
+    spark = _spark()
+    rows = [(src, i, " ".join(ws)) for i, (src, ws) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {
+        (r["source"], r["doc_id"]): r
+        for r in sequence_packing(df, ctx_len=ctx).collect()
+    }
+    by_shard: dict[str, list[tuple[int, list[str]]]] = {}
+    for i, (src, ws) in enumerate(docs):
+        by_shard.setdefault(src, []).append((i, ws))
+    for src, items in by_shard.items():
+        off = 0
+        for i, ws in sorted(items):
+            n = len([w for w in ws if w])
+            r = got[(src, i)]
+            assert r["n_tokens"] == n
+            assert r["start_offset"] == off
+            assert r["first_example"] == off // ctx
+            assert r["last_example"] == (off + max(n, 1) - 1) // ctx
+            off += n
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(doc_words, min_size=1, max_size=8))
+def test_bpe_pair_counts_model(docs):
+    """Pair counts equal the brute-force frequency-weighted adjacent
+    character-pair census over the corpus vocabulary."""
+    from collections import Counter
+
+    from nifi_minifi_cpp_spark.analytics.text_analysis import bpe_pair_counts
+
+    spark = _spark()
+    df = spark.createDataFrame([(" ".join(ws),) for ws in docs], "text string")
+    got = [(r["pair"], r["pair_count"]) for r in bpe_pair_counts(df, top_k=1000).collect()]
+    freq = Counter(w for ws in docs for w in ws if w)
+    model: Counter = Counter()
+    for w, f in freq.items():
+        for i in range(len(w) - 1):
+            model[w[i : i + 2]] += f
+    want = sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == want, (got, want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(doc_words, min_size=2, max_size=8), q=st.lists(word, min_size=1, max_size=3, unique=True))
+def test_bm25_model(docs, q):
+    """Scores match a pure-Python BM25 with the rational idf to 1e-12
+    (same double arithmetic, possibly different op order)."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import bm25_scores
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(df, q, top_k=100).collect()}
+    n = float(len(docs))
+    toks = [[w for w in ws if w] for ws in docs]
+    sumdl = float(sum(len(t) for t in toks))
+    k1, b = 1.2, 0.75
+    for i, t in enumerate(toks):
+        score = 0.0
+        dl_ratio = len(t) / (sumdl / n) if sumdl > 0 else 0.0
+        for term in q:
+            tf = float(t.count(term))
+            dfreq = float(sum(1 for tt in toks if term in tt))
+            idf = (n - dfreq + 0.5) / (dfreq + 0.5)
+            score += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl_ratio))
+        assert abs(got[i] - score) < 1e-12, (i, got[i], score)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-8, 8, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quantize_int8_reconstruction_bound(vecs):
+    """Dequantized values are within scale/2 of the input (rounding
+    bound), the max-|v| dimension hits ±127 exactly, and zero columns
+    quantize to zero."""
+    from nifi_minifi_cpp_spark.analytics.similarity import quantize_embeddings_int8
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    import numpy as np
+
+    arr = np.array(vecs, dtype=np.float32).astype(np.float64)
+    scales = np.abs(arr).max(axis=0)
+    scales = np.where(scales > 0, scales / 127.0, 1.0)
+    for i, v in enumerate(arr):
+        q = np.array(out[i]["qvec"], dtype=np.float64)
+        assert np.all(np.abs(q * scales - v) <= scales / 2 + 1e-12), (i, q, v, scales)
+        assert abs(out[i]["norm"] - math.sqrt(float((v * v).sum()))) < 1e-9
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ids=st.lists(st.integers(0, 10_000_000), min_size=1, max_size=40, unique=True))
+def test_dataset_split_model(ids):
+    """Assignment matches the md5-bucket model exactly for arbitrary
+    ids (engine-portability is the operator's whole contract)."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import dataset_split
+
+    spark = _spark()
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["split"] for r in dataset_split(df).collect()}
+    for i in ids:
+        bucket = hashlib.md5(f"split:{i}".encode()).hexdigest()[:4]
+        want = "train" if bucket < "e666" else ("val" if bucket < "f333" else "test")
+        assert got[i] == want, (i, bucket)
