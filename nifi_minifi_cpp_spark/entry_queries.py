@@ -2097,6 +2097,65 @@ def split_fragment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "split_record_fragments",
+    """
+    WITH l AS (SELECT user_id, event_id,
+        '{"event_id":' || CAST(event_id AS VARCHAR) || ',"event_type":"'
+          || event_type || '"}' AS line
+      FROM events),
+    d AS (SELECT user_id, string_agg(line, chr(10) ORDER BY event_id) AS content
+          FROM l GROUP BY user_id),
+    s AS (SELECT user_id, string_split(content, chr(10)) AS ls FROM d),
+    fr AS (SELECT user_id,
+        CAST(i + 1 AS INT) AS frag_index,
+        CAST(len(ls[CAST(3*i+1 AS INT):CAST(3*i+3 AS INT)]) AS INT) AS record_count,
+        md5(array_to_string(ls[CAST(3*i+1 AS INT):CAST(3*i+3 AS INT)], chr(10)))
+          AS frag_md5
+      FROM s, LATERAL (SELECT unnest(range(CAST(ceil(len(ls) / 3.0) AS BIGINT))) AS i) ix)
+    SELECT user_id, frag_index, record_count, frag_md5 FROM fr
+    """,
+)
+def split_record_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitRecord (r8 — first oracle row for the operator): per-user
+    JSON-lines record sets re-chunked into <=3 records per fragment;
+    fragment.index (1-based), text.line.count and exact fragment
+    content (md5) graded chunk-by-chunk. JSON lines are built with
+    explicit concat in BOTH engines so the text is byte-identical."""
+    from .operators import split_record
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit('{"event_id":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"event_type":"'),
+        F.col("event_type"),
+        F.lit('"}'),
+    )
+    per_user = (
+        ev.select("user_id", F.struct("event_id", line.alias("line")).alias("_s"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "\n", F.array_sort(F.collect_list("_s")).getField("line")
+            ).alias("content")
+        )
+    )
+    ff = per_user.select(
+        F.col("user_id").cast("string").alias("uuid"),
+        "content",
+        F.create_map().cast("map<string,string>").alias("attributes"),
+        F.col("user_id"),
+    )
+    frags = split_record(ff, records_per_split=3)
+    return frags.select(
+        "user_id",
+        F.col("attributes").getItem("fragment.index").cast("int").alias("frag_index"),
+        F.col("attributes").getItem("text.line.count").cast("int").alias("record_count"),
+        F.md5(F.col("content")).alias("frag_md5"),
+    )
+
+
+@_register(
     "split_merge_roundtrip",
     "SELECT doc_id, md5(text) AS content_md5 FROM documents",
 )
@@ -5353,6 +5412,7 @@ _GRADE_ORDER = [
     "matryoshka_energy",
     "winnowing_dedup_kept",
     "dataset_split_counts",
+    "split_record_fragments",
     # r5-stale: the 22 relational entries re-graded in r5
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -5395,7 +5455,6 @@ _GRADE_ORDER = [
     "attributes_to_json_pack",
     "compress_roundtrip_gzip",
     "defragment_messages",
-    "convert_record_xml_roundtrip",
     # implementations changed in r8 (wildcard-over-array compilation)
     "jolt_chain_events",
     "jolt_shift_events",
