@@ -336,6 +336,18 @@ def test_jolt_compiled_wildcard_over_array(spark):
     assert "Python" not in fast2._jdf.queryExecution().executedPlan().toString()
     assert canon(fast2) == canon(fx.jolt_transform_json(df, chain2))
 
+    # sigils inside the element sub-spec compile: '#literal' per
+    # element (&0 = the element frame for sigil writes) and '@'
+    # whole-element copy into an indexed slot
+    for chain_s in (
+        [{"operation": "shift",
+          "spec": {"items": {"*": {"name": "o[&1].n", "#x": "o[&0].flag"}}}}],
+        [{"operation": "shift", "spec": {"items": {"*": {"@": "copy[&0]"}}}}],
+    ):
+        fast_s = fx.jolt_transform_json(df, chain_s, input_schema=schema)
+        assert "Python" not in fast_s._jdf.queryExecution().executedPlan().toString()
+        assert canon(fast_s) == canon(fx.jolt_transform_json(df, chain_s))
+
     # the classic '[]' append idiom compiles too (append order ==
     # element order == F.transform order)
     chain_append = [
