@@ -85,6 +85,7 @@ PROBE_QUERIES = [
     "vocabulary_zipf_report",
     "matryoshka_energy",
     "winnowing_dedup_kept",
+    "split_record_fragments",
 ]
 
 # targeted re-probe: SF_PROBE_ONLY=a,b,c probes just those queries and
