@@ -1,0 +1,896 @@
+"""Kafka wire protocol, stdlib-only (r8): a minimal client + an
+in-process single-node broker speaking the PUBLIC Kafka binary
+protocol (kafka.apache.org/protocol), so ConsumeKafka/PublishKafka
+EXECUTE end-to-end in environments without the Spark Kafka connector
+jars — messages travel over real TCP in the real format:
+
+- RecordBatch v2 (magic 2): zigzag-varint records, CRC32C
+  (Castagnoli) integrity over attributes..records — the format every
+  modern broker stores and ships.
+- Non-flexible protocol versions (fixed primitive framing):
+  ApiVersions v0, Metadata v1, ListOffsets v1, Fetch v4, Produce v3.
+
+Scope and honesty: the broker is a test/fixture implementation (one
+node, no replication, no consumer groups, no compression, no
+transactions — isolation level is accepted and ignored because every
+batch here is committed). The CLIENT is the piece the engine uses: the
+``kafkawire`` streaming DataSource polls it with checkpointed
+per-partition offsets, reusing ``consume_kafka_options``'s property
+contract and ``kafka_records_to_flowfiles``'s attribute lifting
+unchanged (ConsumeKafka.h:93-238, :267-277 parity). Interop against a
+REAL broker remains the first action on a cluster with one — this
+module removes the "never executed" caveat, not the interop one.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import socket
+import socketserver
+import struct
+import threading
+from datetime import datetime, timezone
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+_CRC32C_TABLE: list[int] = []
+
+
+def _crc32c_init() -> None:
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        _CRC32C_TABLE.append(c)
+
+
+_crc32c_init()
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    crc ^= 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+    # NB: python's arbitrary ints make the usual C trick wrong for
+    # negatives; the explicit form above is the zigzag definition
+
+
+def _unzigzag(z: int) -> int:
+    return (z >> 1) ^ -(z & 1)
+
+
+def write_varint(n: int) -> bytes:
+    z = _zigzag(n)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    z = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(z), pos
+        shift += 7
+
+
+def _s16(v: int) -> bytes:
+    return struct.pack(">h", v)
+
+
+def _s32(v: int) -> bytes:
+    return struct.pack(">i", v)
+
+
+def _s64(v: int) -> bytes:
+    return struct.pack(">q", v)
+
+
+def _string(s: str | None) -> bytes:
+    if s is None:
+        return _s16(-1)
+    b = s.encode()
+    return _s16(len(b)) + b
+
+
+def _bytes32(b: bytes | None) -> bytes:
+    if b is None:
+        return _s32(-1)
+    return _s32(len(b)) + b
+
+
+class _Reader:
+    """Big-endian struct reader over a response/request payload."""
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def i8(self) -> int:
+        (v,) = struct.unpack_from(">b", self.buf, self.pos)
+        self.pos += 1
+        return v
+
+    def i16(self) -> int:
+        (v,) = struct.unpack_from(">h", self.buf, self.pos)
+        self.pos += 2
+        return v
+
+    def i32(self) -> int:
+        (v,) = struct.unpack_from(">i", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def i64(self) -> int:
+        (v,) = struct.unpack_from(">q", self.buf, self.pos)
+        self.pos += 8
+        return v
+
+    def string(self) -> str | None:
+        n = self.i16()
+        if n < 0:
+            return None
+        v = self.buf[self.pos : self.pos + n].decode()
+        self.pos += n
+        return v
+
+    def bytes32(self) -> bytes | None:
+        n = self.i32()
+        if n < 0:
+            return None
+        v = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return v
+
+
+# ---------------------------------------------------------------------------
+# RecordBatch v2
+# ---------------------------------------------------------------------------
+
+
+def encode_record_batch(
+    base_offset: int,
+    items: list[tuple[int, bytes | None, bytes | None, list[tuple[str, bytes | None]]]],
+    partition_leader_epoch: int = 0,
+) -> bytes:
+    """items: [(timestamp_ms, key, value, headers)] -> one magic-2 batch."""
+    if not items:
+        raise ValueError("empty batch")
+    base_ts = items[0][0]
+    max_ts = base_ts
+    recs = bytearray()
+    for i, (ts, key, value, headers) in enumerate(items):
+        body = bytearray(b"\x00")  # record attributes (unused)
+        body += write_varint(ts - base_ts)
+        body += write_varint(i)
+        if key is None:
+            body += write_varint(-1)
+        else:
+            body += write_varint(len(key)) + key
+        if value is None:
+            body += write_varint(-1)
+        else:
+            body += write_varint(len(value)) + value
+        body += write_varint(len(headers))
+        for hk, hv in headers:
+            hkb = hk.encode()
+            body += write_varint(len(hkb)) + hkb
+            if hv is None:
+                body += write_varint(-1)
+            else:
+                body += write_varint(len(hv)) + hv
+        recs += write_varint(len(body)) + body
+        max_ts = max(max_ts, ts)
+    after_crc = (
+        _s16(0)  # batch attributes: no compression, CreateTime
+        + _s32(len(items) - 1)  # lastOffsetDelta
+        + _s64(base_ts)
+        + _s64(max_ts)
+        + _s64(-1)  # producerId
+        + _s16(-1)  # producerEpoch
+        + _s32(-1)  # baseSequence
+        + _s32(len(items))
+        + bytes(recs)
+    )
+    crc = crc32c(after_crc)
+    tail = _s32(partition_leader_epoch) + b"\x02" + struct.pack(">I", crc) + after_crc
+    return _s64(base_offset) + _s32(len(tail)) + tail
+
+
+def decode_record_batches(buf: bytes) -> list[dict]:
+    """Concatenated magic-2 batches -> flat [{offset, timestamp, key,
+    value, headers}] (CRC-verified)."""
+    out: list[dict] = []
+    pos = 0
+    while pos + 12 <= len(buf):
+        (base_offset,) = struct.unpack_from(">q", buf, pos)
+        (batch_len,) = struct.unpack_from(">i", buf, pos + 8)
+        end = pos + 12 + batch_len
+        if end > len(buf):
+            break  # partial batch at the tail of a fetch — broker may truncate
+        r = _Reader(buf, pos + 12)
+        r.i32()  # partitionLeaderEpoch
+        magic = r.i8()
+        if magic != 2:
+            raise ValueError(f"unsupported record batch magic {magic}")
+        (crc,) = struct.unpack_from(">I", buf, r.pos)
+        r.pos += 4
+        if crc32c(buf[r.pos : end]) != crc:
+            raise ValueError("record batch CRC32C mismatch")
+        attrs = r.i16()
+        if attrs & 0x07:
+            raise ValueError("compressed batches not supported")
+        r.i32()  # lastOffsetDelta
+        base_ts = r.i64()
+        r.i64()  # maxTimestamp
+        r.i64()  # producerId
+        r.i16()  # producerEpoch
+        r.i32()  # baseSequence
+        n = r.i32()
+        p = r.pos
+        for _ in range(n):
+            _rec_len, p = read_varint(buf, p)
+            p += 1  # record attributes
+            ts_delta, p = read_varint(buf, p)
+            off_delta, p = read_varint(buf, p)
+            klen, p = read_varint(buf, p)
+            key = None if klen < 0 else buf[p : p + klen]
+            p += max(klen, 0)
+            vlen, p = read_varint(buf, p)
+            value = None if vlen < 0 else buf[p : p + vlen]
+            p += max(vlen, 0)
+            hn, p = read_varint(buf, p)
+            headers: list[tuple[str, bytes | None]] = []
+            for _h in range(hn):
+                hklen, p = read_varint(buf, p)
+                hk = buf[p : p + hklen].decode()
+                p += hklen
+                hvlen, p = read_varint(buf, p)
+                hv = None if hvlen < 0 else buf[p : p + hvlen]
+                p += max(hvlen, 0)
+                headers.append((hk, hv))
+            out.append(
+                {
+                    "offset": base_offset + off_delta,
+                    "timestamp": base_ts + ts_delta,
+                    "key": key,
+                    "value": value,
+                    "headers": headers,
+                }
+            )
+        pos = end
+    return out
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+_API_PRODUCE = 0
+_API_FETCH = 1
+_API_LIST_OFFSETS = 2
+_API_METADATA = 3
+_API_VERSIONS = 18
+
+EARLIEST = -2
+LATEST = -1
+
+
+class MiniKafkaClient:
+    """Blocking single-connection client for the non-flexible protocol
+    versions above. One instance per (host, port); not thread-safe."""
+
+    def __init__(self, bootstrap: str, client_id: str = "nifi-minifi-cpp-spark", timeout: float = 10.0):
+        host, _, port = bootstrap.partition(":")
+        self.host, self.port = host, int(port or 9092)
+        self.client_id = client_id
+        self.timeout = timeout
+        self._sock: socket.socket | None = None
+        self._corr = 0
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+
+    def _request(self, api_key: int, api_version: int, body: bytes) -> _Reader:
+        if self._sock is None:
+            self._sock = socket.create_connection((self.host, self.port), timeout=self.timeout)
+        self._corr += 1
+        header = _s16(api_key) + _s16(api_version) + _s32(self._corr) + _string(self.client_id)
+        payload = header + body
+        try:
+            self._sock.sendall(_s32(len(payload)) + payload)
+            raw = self._recv_response()
+        except OSError:
+            # one reconnect (broker restarted / idle close)
+            self.close()
+            self._sock = socket.create_connection((self.host, self.port), timeout=self.timeout)
+            self._sock.sendall(_s32(len(payload)) + payload)
+            raw = self._recv_response()
+        r = _Reader(raw)
+        corr = r.i32()
+        if corr != self._corr:
+            raise ValueError(f"correlation mismatch {corr} != {self._corr}")
+        return r
+
+    def _recv_response(self) -> bytes:
+        assert self._sock is not None
+        size_b = self._read_exact(4)
+        (size,) = struct.unpack(">i", size_b)
+        return self._read_exact(size)
+
+    def _read_exact(self, n: int) -> bytes:
+        assert self._sock is not None
+        chunks = bytearray()
+        while len(chunks) < n:
+            c = self._sock.recv(n - len(chunks))
+            if not c:
+                raise OSError("broker closed connection")
+            chunks += c
+        return bytes(chunks)
+
+    def api_versions(self) -> list[tuple[int, int, int]]:
+        r = self._request(_API_VERSIONS, 0, b"")
+        err = r.i16()
+        if err:
+            raise ValueError(f"ApiVersions error {err}")
+        n = r.i32()
+        return [(r.i16(), r.i16(), r.i16()) for _ in range(n)]
+
+    def metadata(self, topics: list[str] | None = None) -> dict[str, list[int]]:
+        """{topic: [partition ids]} (leader checks elided: one node)."""
+        if topics is None:
+            body = _s32(-1)
+        else:
+            body = _s32(len(topics)) + b"".join(_string(t) for t in topics)
+        r = self._request(_API_METADATA, 1, body)
+        n_brokers = r.i32()
+        for _ in range(n_brokers):
+            r.i32(), r.string(), r.i32(), r.string()  # node, host, port, rack
+        r.i32()  # controller id
+        out: dict[str, list[int]] = {}
+        n_topics = r.i32()
+        for _ in range(n_topics):
+            err = r.i16()
+            name = r.string() or ""
+            r.i8()  # is_internal
+            parts = []
+            n_parts = r.i32()
+            for _p in range(n_parts):
+                r.i16()  # partition error
+                pid = r.i32()
+                r.i32()  # leader
+                for _arr in range(2):  # replicas, isr
+                    cnt = r.i32()
+                    for _i in range(cnt):
+                        r.i32()
+                parts.append(pid)
+            if not err:
+                out[name] = sorted(parts)
+        return out
+
+    def list_offsets(self, topic: str, partition: int, timestamp: int) -> int:
+        """EARLIEST (-2) -> log start, LATEST (-1) -> next offset."""
+        body = (
+            _s32(-1)
+            + _s32(1)
+            + _string(topic)
+            + _s32(1)
+            + _s32(partition)
+            + _s64(timestamp)
+        )
+        r = self._request(_API_LIST_OFFSETS, 1, body)
+        n_topics = r.i32()
+        for _ in range(n_topics):
+            r.string()
+            n_parts = r.i32()
+            for _p in range(n_parts):
+                r.i32()  # partition
+                err = r.i16()
+                r.i64()  # timestamp
+                off = r.i64()
+                if err:
+                    raise ValueError(f"ListOffsets error {err}")
+                return off
+        raise ValueError("empty ListOffsets response")
+
+    def fetch(
+        self, topic: str, partition: int, offset: int, max_bytes: int = 1 << 20
+    ) -> tuple[list[dict], int]:
+        """-> (records with offset >= requested, high watermark)."""
+        body = (
+            _s32(-1)  # replica
+            + _s32(100)  # max wait ms
+            + _s32(1)  # min bytes
+            + _s32(max_bytes)
+            + b"\x00"  # isolation: read_uncommitted (single node, all committed)
+            + _s32(1)
+            + _string(topic)
+            + _s32(1)
+            + _s32(partition)
+            + _s64(offset)
+            + _s32(max_bytes)
+        )
+        r = self._request(_API_FETCH, 4, body)
+        r.i32()  # throttle
+        n_topics = r.i32()
+        for _ in range(n_topics):
+            r.string()
+            n_parts = r.i32()
+            for _p in range(n_parts):
+                r.i32()  # partition
+                err = r.i16()
+                hw = r.i64()
+                r.i64()  # last stable offset
+                n_aborted = r.i32()
+                for _a in range(max(n_aborted, 0)):
+                    r.i64(), r.i64()
+                record_set = r.bytes32() or b""
+                if err:
+                    raise ValueError(f"Fetch error {err}")
+                recs = [x for x in decode_record_batches(record_set) if x["offset"] >= offset]
+                return recs, hw
+        raise ValueError("empty Fetch response")
+
+    def produce(
+        self,
+        topic: str,
+        partition: int,
+        items: list[tuple[int, bytes | None, bytes | None, list[tuple[str, bytes | None]]]],
+    ) -> int:
+        """-> base offset assigned by the broker."""
+        batch = encode_record_batch(0, items)
+        body = (
+            _string(None)  # transactional id
+            + _s16(-1)  # acks: all
+            + _s32(10_000)  # timeout
+            + _s32(1)
+            + _string(topic)
+            + _s32(1)
+            + _s32(partition)
+            + _bytes32(batch)
+        )
+        r = self._request(_API_PRODUCE, 3, body)
+        n_topics = r.i32()
+        for _ in range(n_topics):
+            r.string()
+            n_parts = r.i32()
+            for _p in range(n_parts):
+                r.i32()  # partition
+                err = r.i16()
+                base = r.i64()
+                r.i64()  # log append time
+                if err:
+                    raise ValueError(f"Produce error {err}")
+                return base
+        raise ValueError("empty Produce response")
+
+
+# ---------------------------------------------------------------------------
+# broker
+# ---------------------------------------------------------------------------
+
+
+class _PartitionLog:
+    __slots__ = ("batches", "next_offset")
+
+    def __init__(self):
+        self.batches: list[tuple[int, int, bytes]] = []  # (base, count, bytes)
+        self.next_offset = 0
+
+
+class MiniKafkaBroker:
+    """Single-node in-process broker: Metadata v1, ListOffsets v1,
+    Fetch v4, Produce v3, ApiVersions v0. Topics auto-create on
+    produce; ``append`` seeds without the wire."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self._logs: dict[tuple[str, int], _PartitionLog] = {}
+        self._lock = threading.Lock()
+        broker = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                try:
+                    while True:
+                        size_b = self._read_exact(4)
+                        if size_b is None:
+                            return
+                        (size,) = struct.unpack(">i", size_b)
+                        payload = self._read_exact(size)
+                        if payload is None:
+                            return
+                        resp = broker._dispatch(payload)
+                        self.request.sendall(_s32(len(resp)) + resp)
+                except OSError:
+                    return
+
+            def _read_exact(self, n):
+                chunks = bytearray()
+                while len(chunks) < n:
+                    c = self.request.recv(n - len(chunks))
+                    if not c:
+                        return None
+                    chunks += c
+                return bytes(chunks)
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.host, self.port = self._server.server_address
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    # -- lifecycle
+
+    def start(self) -> "MiniKafkaBroker":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    @property
+    def bootstrap(self) -> str:
+        return f"{self.host}:{self.port}"
+
+    # -- log management
+
+    def create_topic(self, topic: str, partitions: int = 1) -> None:
+        with self._lock:
+            for p in range(partitions):
+                self._logs.setdefault((topic, p), _PartitionLog())
+
+    def append(
+        self,
+        topic: str,
+        partition: int,
+        items: list[tuple[int, bytes | None, bytes | None, list[tuple[str, bytes | None]]]],
+    ) -> int:
+        """Seed records directly (fixture path); returns base offset."""
+        with self._lock:
+            log = self._logs.setdefault((topic, partition), _PartitionLog())
+            base = log.next_offset
+            log.batches.append((base, len(items), encode_record_batch(base, items)))
+            log.next_offset = base + len(items)
+            return base
+
+    # -- dispatch
+
+    def _dispatch(self, payload: bytes) -> bytes:
+        r = _Reader(payload)
+        api_key = r.i16()
+        api_version = r.i16()
+        corr = r.i32()
+        r.string()  # client id
+        body: bytes
+        if api_key == _API_VERSIONS:
+            versions = [(_API_PRODUCE, 3, 3), (_API_FETCH, 4, 4), (_API_LIST_OFFSETS, 1, 1), (_API_METADATA, 1, 1), (_API_VERSIONS, 0, 0)]
+            body = _s16(0) + _s32(len(versions)) + b"".join(
+                _s16(k) + _s16(lo) + _s16(hi) for k, lo, hi in versions
+            )
+        elif api_key == _API_METADATA and api_version == 1:
+            body = self._handle_metadata(r)
+        elif api_key == _API_LIST_OFFSETS and api_version == 1:
+            body = self._handle_list_offsets(r)
+        elif api_key == _API_FETCH and api_version == 4:
+            body = self._handle_fetch(r)
+        elif api_key == _API_PRODUCE and api_version == 3:
+            body = self._handle_produce(r)
+        else:
+            body = _s16(35)  # UNSUPPORTED_VERSION
+        return _s32(corr) + body
+
+    def _handle_metadata(self, r: _Reader) -> bytes:
+        n = r.i32()
+        wanted = [r.string() for _ in range(n)] if n >= 0 else None
+        with self._lock:
+            topics: dict[str, list[int]] = {}
+            for (t, p) in self._logs:
+                topics.setdefault(t, []).append(p)
+        if wanted is not None:
+            topics = {t: topics.get(t, [0]) for t in wanted if t is not None}
+        out = _s32(1) + _s32(0) + _string(self.host) + _s32(self.port) + _string(None)
+        out += _s32(0)  # controller id
+        out += _s32(len(topics))
+        for t, parts in topics.items():
+            out += _s16(0) + _string(t) + b"\x00"
+            out += _s32(len(parts))
+            for p in sorted(parts):
+                out += _s16(0) + _s32(p) + _s32(0) + _s32(1) + _s32(0) + _s32(1) + _s32(0)
+        return out
+
+    def _handle_list_offsets(self, r: _Reader) -> bytes:
+        r.i32()  # replica
+        n_topics = r.i32()
+        out_topics = []
+        for _ in range(n_topics):
+            topic = r.string() or ""
+            n_parts = r.i32()
+            parts = []
+            for _p in range(n_parts):
+                pid = r.i32()
+                ts = r.i64()
+                with self._lock:
+                    log = self._logs.get((topic, pid))
+                    if log is None:
+                        parts.append(_s32(pid) + _s16(3) + _s64(-1) + _s64(-1))  # UNKNOWN_TOPIC
+                        continue
+                    if ts == EARLIEST:
+                        off = log.batches[0][0] if log.batches else 0
+                    else:  # LATEST or a timestamp (timestamps resolve to latest here)
+                        off = log.next_offset
+                parts.append(_s32(pid) + _s16(0) + _s64(-1) + _s64(off))
+            out_topics.append(_string(topic) + _s32(len(parts)) + b"".join(parts))
+        return _s32(len(out_topics)) + b"".join(out_topics)
+
+    def _handle_fetch(self, r: _Reader) -> bytes:
+        r.i32(), r.i32(), r.i32(), r.i32(), r.i8()  # replica, wait, min, max, isolation
+        n_topics = r.i32()
+        out_topics = []
+        for _ in range(n_topics):
+            topic = r.string() or ""
+            n_parts = r.i32()
+            parts = []
+            for _p in range(n_parts):
+                pid = r.i32()
+                fetch_off = r.i64()
+                r.i32()  # partition max bytes
+                with self._lock:
+                    log = self._logs.get((topic, pid))
+                    if log is None:
+                        parts.append(
+                            _s32(pid) + _s16(3) + _s64(-1) + _s64(-1) + _s32(0) + _bytes32(b"")
+                        )
+                        continue
+                    hw = log.next_offset
+                    record_set = b"".join(
+                        raw for (base, cnt, raw) in log.batches if base + cnt > fetch_off
+                    )
+                parts.append(
+                    _s32(pid) + _s16(0) + _s64(hw) + _s64(hw) + _s32(0) + _bytes32(record_set)
+                )
+            out_topics.append(_string(topic) + _s32(len(parts)) + b"".join(parts))
+        return _s32(0) + _s32(len(out_topics)) + b"".join(out_topics)
+
+    def _handle_produce(self, r: _Reader) -> bytes:
+        r.string()  # transactional id
+        r.i16()  # acks
+        r.i32()  # timeout
+        n_topics = r.i32()
+        out_topics = []
+        for _ in range(n_topics):
+            topic = r.string() or ""
+            n_parts = r.i32()
+            parts = []
+            for _p in range(n_parts):
+                pid = r.i32()
+                record_set = r.bytes32() or b""
+                recs = decode_record_batches(record_set)
+                items = [
+                    (x["timestamp"], x["key"], x["value"], x["headers"]) for x in recs
+                ]
+                base = self.append(topic, pid, items) if items else 0
+                parts.append(_s32(pid) + _s16(0) + _s64(base) + _s64(-1))
+            out_topics.append(_string(topic) + _s32(len(parts)) + b"".join(parts))
+        return _s32(len(out_topics)) + b"".join(out_topics) + _s32(0)
+
+
+# ---------------------------------------------------------------------------
+# streaming DataSource: readStream.format("kafkawire")
+# ---------------------------------------------------------------------------
+
+KAFKA_WIRE_SCHEMA = (
+    "topic string, partition int, offset long, key binary, value binary, "
+    "headers array<struct<key:string,value:binary>>, timestamp timestamp"
+)
+
+
+def _register_kafkawire_impl():
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class KafkaWireStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.bootstrap = options.get("kafka.bootstrap.servers") or options.get(
+                "bootstrap.servers"
+            )
+            if not self.bootstrap:
+                raise ValueError("kafkawire source requires 'kafka.bootstrap.servers'")
+            topics = options.get("subscribe")
+            if not topics:
+                raise ValueError("kafkawire source requires 'subscribe'")
+            self.topics = [t.strip() for t in topics.split(",") if t.strip()]
+            self.starting = options.get("startingoffsets", options.get("startingOffsets", "earliest"))
+            self.max_records = int(options.get("maxoffsetspertrigger", "10000"))
+            self._client: MiniKafkaClient | None = None
+
+        def _cli(self) -> MiniKafkaClient:
+            if self._client is None:
+                self._client = MiniKafkaClient(self.bootstrap)
+            return self._client
+
+        def initialOffset(self) -> dict:
+            cli = self._cli()
+            meta = cli.metadata(self.topics)
+            state: dict[str, int] = {}
+            explicit = None
+            if self.starting.lstrip().startswith("{"):
+                explicit = json.loads(self.starting)
+            for t in self.topics:
+                for p in meta.get(t, [0]):
+                    if explicit is not None:
+                        state[f"{t}\x00{p}"] = int(explicit.get(t, {}).get(str(p), 0))
+                    else:
+                        ts = EARLIEST if self.starting == "earliest" else LATEST
+                        state[f"{t}\x00{p}"] = cli.list_offsets(t, p, ts)
+            return {"offsets": json.dumps(state)}
+
+        def _rows_between(self, state: dict[str, int], upto: dict[str, int] | None):
+            cli = self._cli()
+            rows = []
+            new_state = dict(state)
+            budget = self.max_records
+            for tp, off in state.items():
+                topic, _, part_s = tp.partition("\x00")
+                part = int(part_s)
+                limit = None if upto is None else upto.get(tp, off)
+                cur = off
+                while budget > 0:
+                    recs, hw = cli.fetch(topic, part, cur)
+                    if not recs:
+                        break
+                    for x in recs:
+                        if limit is not None and x["offset"] >= limit:
+                            break
+                        if x["offset"] < cur:
+                            continue
+                        rows.append(
+                            (
+                                topic,
+                                part,
+                                x["offset"],
+                                x["key"],
+                                x["value"],
+                                [(hk, hv) for hk, hv in x["headers"]],
+                                datetime.fromtimestamp(x["timestamp"] / 1000.0, tz=timezone.utc).replace(tzinfo=None),
+                            )
+                        )
+                        cur = x["offset"] + 1
+                        budget -= 1
+                        if budget <= 0:
+                            break
+                    if (limit is not None and cur >= limit) or cur >= hw:
+                        break
+                new_state[tp] = cur
+            return rows, new_state
+
+        def read(self, start: dict):
+            state = {k: int(v) for k, v in json.loads(start.get("offsets", "{}")).items()}
+            rows, new_state = self._rows_between(state, None)
+            return iter(rows), {"offsets": json.dumps(new_state)}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            s = {k: int(v) for k, v in json.loads(start.get("offsets", "{}")).items()}
+            e = {k: int(v) for k, v in json.loads(end.get("offsets", "{}")).items()}
+            rows, _ = self._rows_between(s, e)
+            return iter(rows)
+
+    class KafkaWireDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "kafkawire"
+
+        def schema(self):
+            return KAFKA_WIRE_SCHEMA
+
+        def simpleStreamReader(self, schema):
+            return KafkaWireStreamReader(self.options)
+
+    return KafkaWireDataSource
+
+
+def register_kafkawire(spark) -> None:
+    spark.dataSource.register(_register_kafkawire_impl())
+
+
+# ---------------------------------------------------------------------------
+# PublishKafka over the wire (executor-side)
+# ---------------------------------------------------------------------------
+
+
+def murmur2(data: bytes) -> int:
+    """Kafka's DefaultPartitioner hash (murmur2, seed 0x9747b28c) —
+    the public algorithm from the Kafka clients, so key->partition
+    placement matches what a real producer would do."""
+    length = len(data)
+    seed = 0x9747B28C
+    m = 0x5BD1E995
+    r = 24
+    h = (seed ^ length) & 0xFFFFFFFF
+    i = 0
+    while length - i >= 4:
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> r
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+        i += 4
+    rem = length - i
+    if rem >= 3:
+        h ^= data[i + 2] << 16
+    if rem >= 2:
+        h ^= data[i + 1] << 8
+    if rem >= 1:
+        h ^= data[i]
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
+def kafka_partition_for_key(key: bytes | None, n_partitions: int) -> int:
+    if key is None or n_partitions <= 1:
+        return 0
+    return (murmur2(key) & 0x7FFFFFFF) % n_partitions
+
+
+def publish_kafka_wire_handler(bootstrap: str, timestamp_ms: int | None = None):
+    """foreachPartition handler producing (key, value, topic[, headers])
+    rows over the wire — the PublishKafka execution path without
+    connector jars. Key->partition placement uses Kafka's
+    DefaultPartitioner (murmur2). One client + one produce per
+    (topic, partition) per Spark partition."""
+    import time as _time
+
+    def handle(rows) -> None:
+        pending: dict[tuple[str, int], list] = {}
+        cli: MiniKafkaClient | None = None
+        n_parts: dict[str, int] = {}
+        for row in rows:
+            if cli is None:
+                cli = MiniKafkaClient(bootstrap)
+            topic = row["topic"]
+            if topic not in n_parts:
+                n_parts[topic] = max(len(cli.metadata([topic]).get(topic, [0])), 1)
+            key = bytes(row["key"]) if row["key"] is not None else None
+            value = bytes(row["value"]) if row["value"] is not None else None
+            headers = [
+                (h["key"], bytes(h["value"]) if h["value"] is not None else None)
+                for h in (row["headers"] or [])
+            ] if "headers" in row.__fields__ else []
+            ts = timestamp_ms if timestamp_ms is not None else int(_time.time() * 1000)
+            part = kafka_partition_for_key(key, n_parts[topic])
+            pending.setdefault((topic, part), []).append((ts, key, value, headers))
+        if cli is not None:
+            try:
+                for (topic, part), items in pending.items():
+                    cli.produce(topic, part, items)
+            finally:
+                cli.close()
+
+    return handle

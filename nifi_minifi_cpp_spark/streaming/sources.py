@@ -218,6 +218,35 @@ def kafka_source(
     return spark.readStream.format("kafka").options(**opts).load()
 
 
+def kafka_wire_source(spark: SparkSession, props: dict) -> DataFrame:
+    """ConsumeKafka WITHOUT connector jars (r8): the same reference
+    property map -> :func:`consume_kafka_options` contract, executed by
+    the stdlib ``kafkawire`` Python Data Source
+    (sources/kafka_wire.py), which speaks the public Kafka binary
+    protocol (RecordBatch v2 + Fetch/Metadata/ListOffsets) over TCP
+    with checkpointed per-partition offsets. Topic Name Format
+    'Patterns' needs broker-side subscription — not supported on the
+    wire source (pass explicit Names)."""
+    from ..sources.kafka_wire import register_kafkawire
+
+    opts = consume_kafka_options(props)
+    if "subscribePattern" in opts:
+        raise ValueError(
+            "kafka_wire_source supports Topic Name Format 'Names' only "
+            "(pattern subscription is a consumer-group concern)"
+        )
+    register_kafkawire(spark)
+    reader = (
+        spark.readStream.format("kafkawire")
+        .option("kafka.bootstrap.servers", opts["kafka.bootstrap.servers"])
+        .option("subscribe", opts["subscribe"])
+        .option("startingOffsets", opts.get("startingOffsets", "latest"))
+    )
+    if "maxOffsetsPerTrigger" in opts:
+        reader = reader.option("maxOffsetsPerTrigger", opts["maxOffsetsPerTrigger"])
+    return reader.load()
+
+
 def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
     """GetTCP/ListenTCP simple analog (GetTCP.cpp:127): line-delimited
     text from a socket, lifted to the canonical frame."""
