@@ -24,7 +24,6 @@ module removes the "never executed" caveat, not the interop one.
 
 from __future__ import annotations
 
-import io
 import json
 import socket
 import socketserver
