@@ -968,6 +968,30 @@ def test_llm_backend_errors():
             resolve_backend("hf", model_path="gpt2")(["x"])
 
 
+def test_numpy_transformer_backend(spark):
+    """r8: the 'numpy' backend runs a REAL decoder-only transformer
+    forward (causal MHA, pre-LN, GELU MLP, greedy autoregression) with
+    deterministic synthetic weights — the inference COMPUTE executes
+    through the Arrow pipeline even though no pretrained runtime
+    exists in this container. Deterministic across calls and workers
+    (seeded), prompt-sensitive, and honors max_new_tokens."""
+    from nifi_minifi_cpp_spark.analytics.llm_inference import (
+        numpy_transformer_generate,
+        run_llm_inference,
+    )
+
+    g = numpy_transformer_generate(max_new_tokens=8)
+    a = g(["hello world", "hello world", "a very different prompt"])
+    assert a[0] == a[1]
+    assert all(x.startswith("NPT:") for x in a)
+    assert len(a[0]) <= len("NPT:") + 8
+    # through Spark: same rows -> same completions on every run
+    df = spark.createDataFrame([(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string")
+    out1 = {r["doc_id"]: r["completion"] for r in run_llm_inference(df, "Say: {{text}}", backend="numpy").collect()}
+    out2 = {r["doc_id"]: r["completion"] for r in run_llm_inference(df, "Say: {{text}}", backend="numpy").collect()}
+    assert out1 == out2 and set(out1) == {1, 2}
+
+
 def test_ngram_verify_strategies_parity(spark, docs_with_dups):
     """Review r5: the three Jaccard verify strategies (inline /
     precompute / auto) must produce the SAME kept set — the hot
