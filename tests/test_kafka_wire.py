@@ -267,3 +267,33 @@ def test_kafka_wire_checkpoint_recovery(spark, broker, tmpdir):
     rows = spark.read.parquet(out).collect()
     assert sorted(r["v"] for r in rows) == ["m0", "m1", "m2", "m3", "m4"]
     assert len(rows) == 5  # exactly-once across the restart
+
+
+def test_consume_kafka_wire_multi_partition(spark, broker, tmpdir):
+    """Both partitions of a topic stream concurrently with independent
+    checkpointed offsets."""
+    from nifi_minifi_cpp_spark.streaming.sources import kafka_wire_source
+
+    broker.create_topic("mp", partitions=2)
+    broker.append("mp", 0, [(1700000000000, b"a", b"p0-%d" % i, []) for i in range(3)])
+    broker.append("mp", 1, [(1700000000000, b"b", b"p1-%d" % i, []) for i in range(2)])
+    stream = kafka_wire_source(
+        spark,
+        {"Kafka Brokers": broker.bootstrap, "Topic Names": "mp", "Offset Reset": "earliest"},
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kwmp")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .start()
+    )
+    try:
+        rows = _poll(spark, q, "kwmp", expected=5)
+    finally:
+        q.stop()
+    got = {(r["partition"], r["offset"]): bytes(r["value"]) for r in rows}
+    assert got == {
+        (0, 0): b"p0-0", (0, 1): b"p0-1", (0, 2): b"p0-2",
+        (1, 0): b"p1-0", (1, 1): b"p1-1",
+    }
