@@ -36,6 +36,12 @@ from .datasource import (
 )
 from .tail_file import TailFile
 from .incremental import IncrementalTableScan, jdbc_table_reader, parquet_table_reader
+from .kafka_wire import (
+    MiniKafkaBroker,
+    MiniKafkaClient,
+    publish_kafka_wire_handler,
+    register_kafkawire,
+)
 from .kv import couchbase_client_factory, get_kv_key, put_kv_key
 from .process import execute_process
 from .remote_fs import (
