@@ -521,18 +521,40 @@ def _tail_file_stream(spark, df, props):
 @processor("ConsumeKafka")
 def _consume_kafka(spark, df, props):
     """ConsumeKafka (ConsumeKafka.h:42): kafka readStream lifted to
-    FlowFiles. Needs the kafka connector jars on the cluster."""
+    FlowFiles. Transport selection (r8): ``transport: wire`` (or no
+    connector jars on the classpath) uses the stdlib kafkawire source
+    — the full flow runs without the connector; the default ``auto``
+    prefers the connector when its classes are present."""
     from ..streaming.records import kafka_records_to_flowfiles
-    from ..streaming.sources import kafka_source
+    from ..streaming.sources import kafka_source, kafka_wire_source
 
-    raw = kafka_source(
-        spark,
-        props["brokers"],
-        topics=props.get("topics"),
-        topic_pattern=props.get("topic_pattern"),
-        group_id=props.get("group_id"),
-        offset_reset=props.get("offset_reset", "latest"),
-    )
+    transport = str(props.get("transport", "auto")).lower()
+    if transport == "auto":
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+            )
+            transport = "connector"
+        except Exception:  # noqa: BLE001 — jars absent
+            transport = "wire"
+    if transport == "wire":
+        raw = kafka_wire_source(
+            spark,
+            {
+                "Kafka Brokers": props["brokers"],
+                "Topic Names": props.get("topics"),
+                "Offset Reset": props.get("offset_reset", "latest"),
+            },
+        )
+    else:
+        raw = kafka_source(
+            spark,
+            props["brokers"],
+            topics=props.get("topics"),
+            topic_pattern=props.get("topic_pattern"),
+            group_id=props.get("group_id"),
+            offset_reset=props.get("offset_reset", "latest"),
+        )
     return _one(kafka_records_to_flowfiles(raw))
 
 

@@ -297,3 +297,50 @@ def test_consume_kafka_wire_multi_partition(spark, broker, tmpdir):
         (0, 0): b"p0-0", (0, 1): b"p0-1", (0, 2): b"p0-2",
         (1, 0): b"p1-0", (1, 1): b"p1-1",
     }
+
+
+def test_flow_consume_kafka_wire_transport(spark, broker, tmpdir):
+    """A compiled flow's ConsumeKafka processor RUNS on the wire
+    transport (r8): reference-style YAML -> kafkawire stream ->
+    downstream processors, end-to-end against the in-process broker.
+    transport:auto falls back to 'wire' when the connector classes are
+    absent (this container)."""
+    from nifi_minifi_cpp_spark.plans import compile_flow
+
+    broker.append(
+        "flowtopic", 0,
+        [(1700000000000 + i, b"fk%d" % i, b"flow-msg-%d" % i, []) for i in range(5)],
+    )
+    cfg = f"""
+processors:
+  - id: src
+    type: ConsumeKafka
+    properties: {{brokers: "{broker.bootstrap}", topics: flowtopic, offset_reset: earliest, transport: wire}}
+  - id: tag
+    type: UpdateAttribute
+    properties: {{pipeline.stage: ingested}}
+  - id: log
+    type: LogAttribute
+connections:
+  - {{source: src, destination: tag}}
+  - {{source: tag, destination: log}}
+"""
+    flow = compile_flow(spark, cfg)
+    out = flow.df("log")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kwflow")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .start()
+    )
+    try:
+        rows = _poll(spark, q, "kwflow", expected=5)
+    finally:
+        q.stop()
+    assert len(rows) == 5
+    assert {r["content"] for r in rows} == {f"flow-msg-{i}" for i in range(5)}
+    for r in rows:
+        assert r["attributes"]["kafka.topic"] == "flowtopic"
+        assert r["attributes"]["pipeline.stage"] == "ingested"
