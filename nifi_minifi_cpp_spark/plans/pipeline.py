@@ -1073,14 +1073,21 @@ _PROCESSORS["ConsumeJournald"] = _native_stream_source("journald", "register_lis
 @processor("PublishKafka")
 def _publish_kafka(spark, df, props):
     """PublishKafka (PublishKafka.cpp:60): FlowFiles -> kafka records
-    -> the kafka sink (connector jars required on the cluster)."""
+    -> the kafka sink. ``transport: wire`` (r8) produces executor-side
+    over the stdlib wire client (murmur2 key placement) — no connector
+    jars needed; default stays the connector sink."""
     from ..streaming.records import flowfiles_to_kafka_records
 
     records = flowfiles_to_kafka_records(df, topic=props.get("topic"))
     if not df.isStreaming:
-        records.write.format("kafka").option(
-            "kafka.bootstrap.servers", props["brokers"]
-        ).save()
+        if str(props.get("transport", "connector")).lower() == "wire":
+            from ..sources.kafka_wire import publish_kafka_wire_handler
+
+            records.foreachPartition(publish_kafka_wire_handler(props["brokers"]))
+        else:
+            records.write.format("kafka").option(
+                "kafka.bootstrap.servers", props["brokers"]
+            ).save()
     return _one(df)
 
 

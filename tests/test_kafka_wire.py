@@ -344,3 +344,32 @@ connections:
     for r in rows:
         assert r["attributes"]["kafka.topic"] == "flowtopic"
         assert r["attributes"]["pipeline.stage"] == "ingested"
+
+
+def test_flow_publish_kafka_wire_transport(spark, sf_dir, broker):
+    """A compiled batch flow's PublishKafka produces over the wire:
+    GetFile -> PublishKafka(transport wire) lands every record in the
+    broker, key = flowfile uuid."""
+    from nifi_minifi_cpp_spark.plans import compile_flow
+
+    broker.create_topic("pubflow", partitions=1)
+    cfg = f"""
+processors:
+  - id: src
+    type: GenerateFlowFile
+    properties: {{batch_size: 6, custom_text: hello-wire}}
+  - id: pub
+    type: PublishKafka
+    properties: {{brokers: "{broker.bootstrap}", topic: pubflow, transport: wire}}
+connections:
+  - {{source: src, destination: pub}}
+"""
+    flow = compile_flow(spark, cfg)
+    flow.df("pub").collect()  # drive the batch edge (publish side effect)
+    cli = MiniKafkaClient(broker.bootstrap)
+    try:
+        recs, hw = cli.fetch("pubflow", 0, 0)
+    finally:
+        cli.close()
+    assert hw == 6
+    assert all(bytes(r["value"]) == b"hello-wire" for r in recs)
