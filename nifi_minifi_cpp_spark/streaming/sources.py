@@ -193,10 +193,10 @@ def kafka_source(
     source of truth, locked by tests/test_kafka_contract.py).
 
     Requires the kafka connector jars on the cluster; constructing the
-    reader is lazy so this module imports fine without them. The
-    container has no jars and no broker, so the end-to-end path is
-    contract-tested against kafka-shaped frames instead (documented in
-    COVERAGE.md).
+    reader is lazy so this module imports fine without them. Without
+    jars, :func:`kafka_wire_source` runs the same property contract
+    over the stdlib wire client (sources/kafka_wire.py) — the
+    end-to-end path executes either way (COVERAGE.md).
     """
     if not topics and not topic_pattern:
         raise ValueError("need topics or topic_pattern")
