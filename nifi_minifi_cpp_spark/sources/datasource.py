@@ -336,6 +336,19 @@ class _MqttListenReader(_ListenStreamReader):
 
             threading.Event().wait()  # keep the thread parked
             return
+        if self.transport == "wire":
+            # stdlib MQTT 3.1.1 client (r8, sources/mqtt_wire.py) — the
+            # executing path when paho is absent; same row shape
+            from .mqtt_wire import MqttWireClient
+
+            client = MqttWireClient(self.broker, self.client_id)
+            client.subscribe(self.topic, qos=self.qos)
+            while True:
+                m = client.recv_message(timeout=None)
+                if m is None:
+                    return
+                topic, payload = m
+                self._push(topic, payload.decode("utf-8", errors="replace"))
         client = connect_paho_client(
             self.broker, self.client_id, clean_session=self.clean_session
         )
