@@ -22,7 +22,7 @@ from nifi_minifi_cpp_spark import entry_queries
 # Every SURVEY §2 operator family and every LLM-pipeline operator must
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
-    # r8 rotation: the 11 new r8 registrations enter first, then the
+    # r8 rotation: the 12 new r8 registrations enter first, then the
     # 33 r5-stale entries, then r6-green breadth backfill, then the 2
     # implementations changed in r8 (Jolt wildcard-over-array).
     "sequence_packing_manifest",
@@ -36,6 +36,7 @@ MUST_GRADE = {
     "dataset_split_counts",
     "split_record_fragments",
     "kafka_wire_consume",
+    "mqtt_wire_consume",
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_top_revenue_orders",
@@ -72,7 +73,6 @@ MUST_GRADE = {
     "segment_content_parity",
     "split_json_elements",
     "attributes_to_json_pack",
-    "compress_roundtrip_gzip",
     "jolt_chain_events",
     "jolt_shift_events",
 }
