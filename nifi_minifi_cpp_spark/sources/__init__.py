@@ -43,6 +43,11 @@ from .kafka_wire import (
     register_kafkawire,
 )
 from .kv import couchbase_client_factory, get_kv_key, put_kv_key
+from .mqtt_wire import (
+    MiniMqttBroker,
+    MqttWireClient,
+    mqtt_wire_client_factory,
+)
 from .process import execute_process
 from .remote_fs import (
     RemoteEntry,
