@@ -103,3 +103,33 @@ def reliable_barrier(df: DataFrame) -> DataFrame:
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED managed table — the co-located-join
+    primitive for 100 TB fact tables: two tables bucketed by the same
+    key and count join with ZERO exchange (Spark reads matching buckets
+    pairwise), and a bucketed fact aggregating on its bucket key skips
+    the shuffle entirely. The reference has no analogue (its queues are
+    row streams); at warehouse scale this is how repeated joins against
+    the same keys stop paying per-query shuffles.
+
+    ``sort_cols`` additionally sorts within buckets (sort-merge join
+    without the sort). Requires a metastore-backed session (Spark's
+    bucketing metadata lives in the catalog, not the parquet files —
+    a plain ``.parquet(path)`` write cannot carry it)."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, bucket_cols[0], *bucket_cols[1:]
+    )
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(sort_cols[0], *sort_cols[1:])
+    writer.saveAsTable(table)

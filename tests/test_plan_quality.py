@@ -391,6 +391,34 @@ def test_matryoshka_plan_zero_shuffle(spark):
     assert "Python" not in plan
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """r8: two tables bucketed on the join key with the same bucket
+    count must join WITHOUT any exchange — the co-located-join
+    primitive for repeated fact-table joins at warehouse scale."""
+    from nifi_minifi_cpp_spark.util import write_bucketed
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "bk_a", "k", num_buckets=8, sort_cols="k")
+    write_bucketed(b, "bk_b", "k", num_buckets=8, sort_cols="k")
+    try:
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        # disable broadcast so the co-location (not a broadcast) is
+        # what removes the shuffle
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
 def test_jolt_chain_events_compiles_to_catalyst(spark):
     """r6 (VERDICT r5 #3): the registry's one former Python hot path —
     jolt_chain_events — now declares its content schema, so the whole
