@@ -121,3 +121,46 @@ def test_publish_mqtt_wire_handler_roundtrip(spark, broker):
     assert sorted((t, bytes(p)) for t, p in broker.published) == sorted(
         (f"out/{i % 2}", b"msg-%d" % i) for i in range(6)
     )
+
+
+def test_flow_consume_mqtt_wire_transport(spark, broker, tmpdir):
+    """A compiled flow's ConsumeMQTT runs on the wire transport: the
+    native-source wrapper passes 'transport: wire' through to the
+    mqttlisten reader; messages stream into downstream processors."""
+    from nifi_minifi_cpp_spark.plans import compile_flow
+
+    cfg = f"""
+processors:
+  - id: src
+    type: ConsumeMQTT
+    properties: {{topic: "flow/#", broker: "{broker.address}", transport: wire}}
+connections: []
+"""
+    flow = compile_flow(spark, cfg)
+    out = flow.df("src")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mqflow")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline and not broker.subscription_filters:
+            time.sleep(0.2)
+        pub = MqttWireClient(broker.address, "flowpub")
+        for i in range(3):
+            pub.publish("flow/a", b"fm-%d" % i, qos=1)
+        pub.disconnect()
+        rows = []
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            rows = spark.sql("select * from mqflow").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert {r["message"] for r in rows} == {"fm-0", "fm-1", "fm-2"}
