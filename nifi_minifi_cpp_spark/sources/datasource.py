@@ -337,18 +337,37 @@ class _MqttListenReader(_ListenStreamReader):
             threading.Event().wait()  # keep the thread parked
             return
         if self.transport == "wire":
-            # stdlib MQTT 3.1.1 client (r8, sources/mqtt_wire.py) — the
-            # executing path when paho is absent; same row shape
+            # stdlib MQTT client (r8, sources/mqtt_wire.py) — the
+            # executing path when paho is absent; same row shape.
+            # recv_message(timeout=None) BLOCKS until a PUBLISH or EOF
+            # (an idle broker gap is NOT end-of-stream — treating it as
+            # one silently stopped consumption, r8 advice item). On EOF
+            # the broker went away: reconnect with backoff, and only
+            # give up when the reconnect itself fails repeatedly.
+            import time as _time
+
             from .mqtt_wire import MqttWireClient
 
-            client = MqttWireClient(self.broker, self.client_id)
-            client.subscribe(self.topic, qos=self.qos)
+            attempts = 0
             while True:
-                m = client.recv_message(timeout=None)
-                if m is None:
-                    return
-                topic, payload = m
-                self._push(topic, payload.decode("utf-8", errors="replace"))
+                try:
+                    client = MqttWireClient(self.broker, self.client_id)
+                    client.subscribe(self.topic, qos=self.qos)
+                except (OSError, ConnectionError):
+                    attempts += 1
+                    if attempts > 5:
+                        return  # broker gone for good
+                    _time.sleep(0.2 * attempts)
+                    continue
+                attempts = 0
+                while True:
+                    m = client.recv_message(timeout=None)
+                    if m is None:
+                        if client.eof:
+                            break  # reconnect in the outer loop
+                        continue  # spurious timeout-less None: keep reading
+                    topic, payload = m
+                    self._push(topic, payload.decode("utf-8", errors="replace"))
         client = connect_paho_client(
             self.broker, self.client_id, clean_session=self.clean_session
         )

@@ -1,25 +1,40 @@
-"""MQTT 3.1.1 wire protocol, stdlib-only (r8): a minimal client + an
-in-process broker speaking the PUBLIC MQTT v3.1.1 packet format
-(mqtt.org / OASIS spec), so ConsumeMQTT/PublishMQTT EXECUTE over real
-TCP in environments without paho-mqtt — the same move as
-sources/kafka_wire.py for Kafka:
+"""MQTT wire protocol, stdlib-only (r8, v5 added r9): a minimal client
+plus an in-process broker speaking the PUBLIC MQTT packet format
+(mqtt.org / OASIS 3.1.1 and 5.0 specs), so ConsumeMQTT/PublishMQTT
+EXECUTE over real TCP in environments without paho-mqtt — the same
+move as sources/kafka_wire.py for Kafka:
 
 - CONNECT/CONNACK, SUBSCRIBE/SUBACK (wildcard filters ``+`` and
   ``#``), PUBLISH (QoS 0/1 with PUBACK), PINGREQ/PINGRESP, DISCONNECT;
   remaining-length varints and UTF-8 length-prefixed strings per the
-  3.1.1 fixed/variable-header layout.
+  fixed/variable-header layout.
+- Protocol level 4 (3.1.1) AND level 5: the broker detects the level
+  from CONNECT and speaks it back per-connection (v5 adds the
+  properties field to CONNECT/CONNACK/SUBSCRIBE/SUBACK/PUBLISH/PUBACK);
+  the client takes ``protocol_level=4|5``, a v5 ``session_expiry``
+  interval (property 0x11), and v5 PUBLISH user properties (0x26),
+  which the broker passes through to v5 subscribers — parity target
+  /root/reference/extensions/mqtt/processors/AbstractMQTTProcessor.cpp:257
+  (the reference supports MQTT 3.x and 5 with session-expiry/properties).
 - The broker routes live PUBLISHes to every matching subscription
   (delivery at QoS 0 — acknowledged-redelivery machinery is a real
   broker's job; the reference's subscription QoS is the MAXIMUM
-  delivery level, so downgrade is spec-legal).
+  delivery level, so downgrade is spec-legal). All writes to one
+  connection's socket serialize under its per-connection lock (the
+  handler thread and routing threads share it).
 - The client is synchronous with a buffered reader: PUBLISHes that
   arrive while waiting for an ack queue up and drain via
-  ``recv_message``.
+  ``recv_message``. ``recv_message(timeout=None)`` BLOCKS (the socket
+  is switched to blocking mode) — ``None`` then means EOF, surfaced
+  via ``client.eof``, never a silent idle-gap timeout.
 
-ConsumeMQTT's ``mqttlisten`` reader gains ``transport: wire`` next to
-``paho``/``fake`` (AbstractMQTTProcessor.cpp:257 parity stays with
-paho on clusters that have it); PublishMQTT gets a wire client
-factory. Interop against a real broker (mosquitto et al.) remains a
+Spec conformance notes: a remaining-length varint whose 4th byte still
+has the continuation bit set is a protocol error (connection closed,
+``MqttProtocolError``), and a ``#`` wildcard is only honored as the
+final filter segment (non-final ``#`` filters are rejected at
+SUBSCRIBE with the 0x80 failure return code).
+
+Interop against a real broker (mosquitto et al.) remains a
 cluster-side action — this removes the "paho-gated, never executed"
 caveat, not the interop one.
 """
@@ -35,6 +50,13 @@ from collections import deque
 CONNECT, CONNACK, PUBLISH, PUBACK = 1, 2, 3, 4
 SUBSCRIBE, SUBACK, UNSUBSCRIBE, UNSUBACK = 8, 9, 10, 11
 PINGREQ, PINGRESP, DISCONNECT = 12, 13, 14
+
+PROP_SESSION_EXPIRY = 0x11
+PROP_USER_PROPERTY = 0x26
+
+
+class MqttProtocolError(ValueError):
+    """Malformed packet on the wire (spec-mandated connection close)."""
 
 
 def _encode_remaining(n: int) -> bytes:
@@ -67,20 +89,25 @@ def _read_exact(sock: socket.socket, n: int) -> bytes | None:
 
 
 def _read_packet(sock: socket.socket) -> tuple[int, int, bytes] | None:
-    """-> (type, flags, body) or None on EOF."""
+    """-> (type, flags, body) or None on EOF; MqttProtocolError on a
+    malformed remaining-length varint (>4 continuation bytes)."""
     h = _read_exact(sock, 1)
     if h is None:
         return None
     ptype, flags = h[0] >> 4, h[0] & 0x0F
     n = 0
     mult = 1
-    for _ in range(4):
+    for i in range(4):
         b = _read_exact(sock, 1)
         if b is None:
             return None
         n += (b[0] & 0x7F) * mult
         if not b[0] & 0x80:
             break
+        if i == 3:
+            # 4th byte still has the continuation bit: spec 2.2.3 says
+            # this is a malformed packet -> protocol error, close.
+            raise MqttProtocolError("remaining-length varint exceeds 4 bytes")
         mult *= 128
     body = _read_exact(sock, n) if n else b""
     if body is None:
@@ -88,8 +115,91 @@ def _read_packet(sock: socket.socket) -> tuple[int, int, bytes] | None:
     return ptype, flags, body
 
 
+def _read_varint(body: bytes, pos: int) -> tuple[int, int]:
+    """Decode an in-body varint (v5 property length) -> (value, new_pos)."""
+    n = 0
+    mult = 1
+    for i in range(4):
+        b = body[pos]
+        pos += 1
+        n += (b & 0x7F) * mult
+        if not b & 0x80:
+            return n, pos
+        if i == 3:
+            raise MqttProtocolError("property-length varint exceeds 4 bytes")
+        mult *= 128
+    return n, pos
+
+
+def _encode_user_props(props: dict[str, str] | None) -> bytes:
+    """v5 property block bytes for a set of user properties (0x26)."""
+    if not props:
+        return b""
+    out = bytearray()
+    for k, v in props.items():
+        out.append(PROP_USER_PROPERTY)
+        out += _utf8(k) + _utf8(v)
+    return bytes(out)
+
+
+def _parse_props(raw: bytes) -> tuple[list[tuple[str, str]], int | None]:
+    """Parse a v5 property block -> (user_properties, session_expiry).
+    Unknown one/two/four-byte and string properties are skipped by id."""
+    user: list[tuple[str, str]] = []
+    expiry: int | None = None
+    pos = 0
+    while pos < len(raw):
+        pid = raw[pos]
+        pos += 1
+        if pid == PROP_USER_PROPERTY:
+            (ln,) = struct.unpack_from(">H", raw, pos)
+            k = raw[pos + 2 : pos + 2 + ln].decode()
+            pos += 2 + ln
+            (ln,) = struct.unpack_from(">H", raw, pos)
+            v = raw[pos + 2 : pos + 2 + ln].decode()
+            pos += 2 + ln
+            user.append((k, v))
+        elif pid == PROP_SESSION_EXPIRY:
+            (expiry,) = struct.unpack_from(">I", raw, pos)
+            pos += 4
+        elif pid in (0x01, 0x17, 0x19, 0x24, 0x25, 0x28, 0x29, 0x2A):  # byte
+            pos += 1
+        elif pid in (0x13, 0x21, 0x22, 0x23):  # two-byte int
+            pos += 2
+        elif pid in (0x02, 0x18, 0x27):  # four-byte int
+            pos += 4
+        elif pid in (0x08, 0x12, 0x15, 0x1A, 0x1C, 0x1F, 0x03):  # UTF-8 str
+            (ln,) = struct.unpack_from(">H", raw, pos)
+            pos += 2 + ln
+        elif pid in (0x09, 0x16):  # binary data
+            (ln,) = struct.unpack_from(">H", raw, pos)
+            pos += 2 + ln
+        elif pid == 0x0B:  # subscription identifier: varint
+            _, pos = _read_varint(raw, pos)
+        else:
+            raise MqttProtocolError(f"unknown property id 0x{pid:02x}")
+    return user, expiry
+
+
+def filter_valid(filt: str) -> bool:
+    """Spec 4.7.1: ``#`` must be the last segment and occupy a whole
+    level; ``+`` must occupy a whole level."""
+    if not filt:
+        return False
+    parts = filt.split("/")
+    for i, p in enumerate(parts):
+        if "#" in p and (p != "#" or i != len(parts) - 1):
+            return False
+        if "+" in p and p != "+":
+            return False
+    return True
+
+
 def topic_matches(filt: str, topic: str) -> bool:
-    """3.1.1 wildcard matching: ``+`` one level, ``#`` the rest."""
+    """Wildcard matching: ``+`` one level, ``#`` the rest (final
+    segment only — an illegal non-final ``#`` never matches)."""
+    if not filter_valid(filt):
+        return False
     fp, tp = filt.split("/"), topic.split("/")
     for i, f in enumerate(fp):
         if f == "#":
@@ -101,14 +211,33 @@ def topic_matches(filt: str, topic: str) -> bool:
     return len(fp) == len(tp)
 
 
+class _Conn:
+    """Broker-side connection state: socket + filters + write lock +
+    negotiated protocol level (4 or 5)."""
+
+    def __init__(self, sock: socket.socket, level: int):
+        self.sock = sock
+        self.filters: list[str] = []
+        self.lock = threading.Lock()
+        self.level = level
+        self.session_expiry: int | None = None
+
+    def send(self, pkt: bytes) -> None:
+        # ALL writes to this socket (acks from the handler thread AND
+        # routed PUBLISHes from other handlers' threads) serialize here.
+        with self.lock:
+            self.sock.sendall(pkt)
+
+
 class MiniMqttBroker:
-    """In-process MQTT 3.1.1 broker: CONNECT handshake, wildcard
-    subscriptions, QoS 0/1 publish (PUBACK to the publisher, QoS-0
-    fan-out to subscribers), ping, disconnect."""
+    """In-process MQTT broker: CONNECT handshake (levels 4 and 5),
+    wildcard subscriptions, QoS 0/1 publish (PUBACK to the publisher,
+    QoS-0 fan-out to subscribers), ping, disconnect. v5 PUBLISH
+    properties are passed through to v5 subscribers."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self._subs_lock = threading.Lock()
-        self._subs: dict[int, tuple[socket.socket, list[str], threading.Lock]] = {}
+        self._subs: dict[int, _Conn] = {}
         self._next_id = 0
         self.published: list[tuple[str, bytes]] = []  # fixture visibility
         broker = self
@@ -116,15 +245,30 @@ class MiniMqttBroker:
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
                 sock = self.request
-                first = _read_packet(sock)
+                try:
+                    first = _read_packet(sock)
+                except MqttProtocolError:
+                    return
                 if first is None or first[0] != CONNECT:
                     return
-                # body: proto name, level, flags, keepalive, client id
-                sock.sendall(_packet(CONNACK, 0, b"\x00\x00"))
+                body = first[2]
+                # variable header: proto name (len-prefixed), level,
+                # flags, keepalive [, v5 properties]
+                (nlen,) = struct.unpack_from(">H", body, 0)
+                level = body[2 + nlen]
+                pos = 2 + nlen + 1 + 1 + 2  # level + flags + keepalive
+                conn = _Conn(sock, level)
+                if level >= 5:
+                    plen, pos = _read_varint(body, pos)
+                    _, conn.session_expiry = _parse_props(body[pos : pos + plen])
+                    connack = b"\x00\x00\x00"  # flags, reason, empty props
+                else:
+                    connack = b"\x00\x00"
                 with broker._subs_lock:
                     broker._next_id += 1
                     my_id = broker._next_id
-                    broker._subs[my_id] = (sock, [], threading.Lock())
+                    broker._subs[my_id] = conn
+                conn.send(_packet(CONNACK, 0, connack))
                 try:
                     while True:
                         pkt = _read_packet(sock)
@@ -134,21 +278,29 @@ class MiniMqttBroker:
                         if ptype == SUBSCRIBE:
                             (pid,) = struct.unpack_from(">H", body, 0)
                             pos = 2
+                            if level >= 5:
+                                plen, pos = _read_varint(body, pos)
+                                pos += plen
                             granted = bytearray()
                             filters = []
                             while pos < len(body):
                                 (ln,) = struct.unpack_from(">H", body, pos)
                                 pos += 2
-                                filters.append(body[pos : pos + ln].decode())
+                                f = body[pos : pos + ln].decode()
                                 pos += ln
-                                qos = body[pos]
+                                qos = body[pos] & 0x03
                                 pos += 1
-                                granted.append(min(qos, 1))
+                                if filter_valid(f):
+                                    filters.append(f)
+                                    granted.append(min(qos, 1))
+                                else:
+                                    granted.append(0x80)  # spec: failure code
                             with broker._subs_lock:
-                                broker._subs[my_id][1].extend(filters)
-                            sock.sendall(
-                                _packet(SUBACK, 0, struct.pack(">H", pid) + bytes(granted))
-                            )
+                                conn.filters.extend(filters)
+                            suback = struct.pack(">H", pid)
+                            if level >= 5:
+                                suback += b"\x00"  # empty properties
+                            conn.send(_packet(SUBACK, 0, suback + bytes(granted)))
                         elif ptype == PUBLISH:
                             qos = (flags >> 1) & 0x03
                             (ln,) = struct.unpack_from(">H", body, 0)
@@ -157,15 +309,22 @@ class MiniMqttBroker:
                             if qos:
                                 (pid,) = struct.unpack_from(">H", body, pos)
                                 pos += 2
+                            props = b""
+                            if level >= 5:
+                                plen, pos = _read_varint(body, pos)
+                                props = body[pos : pos + plen]
+                                pos += plen
                             payload = body[pos:]
                             broker.published.append((topic, payload))
                             if qos:
-                                sock.sendall(_packet(PUBACK, 0, struct.pack(">H", pid)))
-                            broker._route(topic, payload)
+                                conn.send(_packet(PUBACK, 0, struct.pack(">H", pid)))
+                            broker._route(topic, payload, props)
                         elif ptype == PINGREQ:
-                            sock.sendall(_packet(PINGRESP, 0, b""))
+                            conn.send(_packet(PINGRESP, 0, b""))
                         elif ptype == DISCONNECT:
                             return
+                except MqttProtocolError:
+                    return  # spec: close the network connection
                 finally:
                     with broker._subs_lock:
                         broker._subs.pop(my_id, None)
@@ -178,19 +337,22 @@ class MiniMqttBroker:
         self.host, self.port = self._server.server_address
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
 
-    def _route(self, topic: str, payload: bytes) -> None:
-        body = _utf8(topic) + payload  # QoS-0 delivery: no packet id
-        pkt = _packet(PUBLISH, 0, body)
+    def _route(self, topic: str, payload: bytes, props: bytes = b"") -> None:
         with self._subs_lock:
             targets = [
-                (sock, lock)
-                for sock, filters, lock in self._subs.values()
-                if any(topic_matches(f, topic) for f in filters)
+                c
+                for c in self._subs.values()
+                if any(topic_matches(f, topic) for f in c.filters)
             ]
-        for sock, lock in targets:
+        for conn in targets:
+            # QoS-0 delivery: no packet id; v5 subscribers get the
+            # publisher's property block passed through verbatim.
+            if conn.level >= 5:
+                body = _utf8(topic) + _encode_remaining(len(props)) + props + payload
+            else:
+                body = _utf8(topic) + payload
             try:
-                with lock:
-                    sock.sendall(pkt)
+                conn.send(_packet(PUBLISH, 0, body))
             except OSError:
                 pass  # subscriber went away; its handler cleans up
 
@@ -199,7 +361,13 @@ class MiniMqttBroker:
         """Active filters across connections (lets fixtures wait for a
         subscriber before publishing — no retained-message machinery)."""
         with self._subs_lock:
-            return [f for _s, filters, _l in self._subs.values() for f in filters]
+            return [f for c in self._subs.values() for f in c.filters]
+
+    @property
+    def session_expiries(self) -> list[int]:
+        """v5 session-expiry intervals across live connections."""
+        with self._subs_lock:
+            return [c.session_expiry for c in self._subs.values() if c.session_expiry is not None]
 
     def publish(self, topic: str, payload: bytes) -> None:
         """Broker-side injection (fixture path, no client needed)."""
@@ -213,6 +381,19 @@ class MiniMqttBroker:
     def stop(self) -> None:
         self._server.shutdown()
         self._server.server_close()
+        # Drop live connections too: clients blocked in a read get EOF
+        # instead of hanging on a half-dead broker.
+        with self._subs_lock:
+            conns = list(self._subs.values())
+        for c in conns:
+            try:
+                c.sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                c.sock.close()
+            except OSError:
+                pass
 
     @property
     def address(self) -> str:
@@ -220,34 +401,73 @@ class MiniMqttBroker:
 
 
 class MqttWireClient:
-    """Synchronous 3.1.1 client: connect/subscribe/publish(QoS 0|1)/
-    recv_message. PUBLISHes arriving while an ack is awaited are
-    buffered. Not thread-safe."""
+    """Synchronous client (levels 4 and 5): connect/subscribe/
+    publish(QoS 0|1)/recv_message. PUBLISHes arriving while an ack is
+    awaited are buffered. Not thread-safe.
 
-    def __init__(self, broker: str, client_id: str = "nifi-minifi-cpp-spark", timeout: float = 10.0):
+    ``recv_message(timeout=None)`` blocks (socket switched to blocking
+    mode) until a PUBLISH or EOF — ``None`` with ``self.eof`` set means
+    the connection closed; ``None`` with ``eof`` unset means the given
+    finite timeout elapsed."""
+
+    def __init__(
+        self,
+        broker: str,
+        client_id: str = "nifi-minifi-cpp-spark",
+        timeout: float = 10.0,
+        protocol_level: int = 4,
+        session_expiry: int | None = None,
+    ):
         addr = broker.removeprefix("tcp://")
         host, _, port = addr.partition(":")
         self._sock = socket.create_connection((host, int(port or 1883)), timeout=timeout)
-        self._inbox: deque[tuple[str, bytes]] = deque()
+        self._inbox: deque[tuple[str, bytes, list[tuple[str, str]]]] = deque()
         self._pid = 0
-        body = _utf8("MQTT") + b"\x04" + b"\x02" + struct.pack(">H", 60) + _utf8(client_id)
+        self.level = protocol_level
+        self.eof = False
+        self.last_publish_properties: list[tuple[str, str]] = []
+        if protocol_level >= 5:
+            props = bytearray()
+            if session_expiry is not None:
+                props.append(PROP_SESSION_EXPIRY)
+                props += struct.pack(">I", session_expiry)
+            body = (
+                _utf8("MQTT")
+                + b"\x05"
+                + b"\x02"
+                + struct.pack(">H", 60)
+                + _encode_remaining(len(props))
+                + bytes(props)
+                + _utf8(client_id)
+            )
+        else:
+            body = _utf8("MQTT") + b"\x04" + b"\x02" + struct.pack(">H", 60) + _utf8(client_id)
         self._sock.sendall(_packet(CONNECT, 0, body))
         pkt = self._wait_for(CONNACK)
         if pkt is None or pkt[2][1] != 0:
             raise ConnectionError("MQTT CONNACK refused")
 
+    def _parse_publish(self, flags: int, body: bytes) -> tuple[str, bytes, list[tuple[str, str]]]:
+        (ln,) = struct.unpack_from(">H", body, 0)
+        topic = body[2 : 2 + ln].decode()
+        qos = (flags >> 1) & 0x03
+        pos = 2 + ln + (2 if qos else 0)
+        user: list[tuple[str, str]] = []
+        if self.level >= 5:
+            plen, pos = _read_varint(body, pos)
+            user, _ = _parse_props(body[pos : pos + plen])
+            pos += plen
+        return topic, body[pos:], user
+
     def _wait_for(self, want_type: int):
         while True:
             pkt = _read_packet(self._sock)
             if pkt is None:
+                self.eof = True
                 return None
             ptype, flags, body = pkt
             if ptype == PUBLISH:
-                (ln,) = struct.unpack_from(">H", body, 0)
-                topic = body[2 : 2 + ln].decode()
-                qos = (flags >> 1) & 0x03
-                pos = 2 + ln + (2 if qos else 0)
-                self._inbox.append((topic, body[pos:]))
+                self._inbox.append(self._parse_publish(flags, body))
                 continue
             if ptype == want_type:
                 return pkt
@@ -257,45 +477,69 @@ class MqttWireClient:
 
     def subscribe(self, topic_filter: str, qos: int = 0) -> None:
         self._pid += 1
-        body = struct.pack(">H", self._pid) + _utf8(topic_filter) + bytes([qos])
+        body = struct.pack(">H", self._pid)
+        if self.level >= 5:
+            body += b"\x00"  # empty properties
+        body += _utf8(topic_filter) + bytes([qos])
         self._sock.sendall(_packet(SUBSCRIBE, 0x02, body))
         pkt = self._wait_for(SUBACK)
-        if pkt is None or pkt[2][2] > 2:
+        code_at = 3 if self.level >= 5 else 2  # v5 SUBACK has a props byte
+        if pkt is None or pkt[2][code_at] > 2:
             raise ConnectionError(f"MQTT SUBACK failure for {topic_filter!r}")
 
-    def publish(self, topic: str, payload: bytes, qos: int = 1) -> None:
+    def publish(
+        self,
+        topic: str,
+        payload: bytes,
+        qos: int = 1,
+        user_properties: dict[str, str] | None = None,
+    ) -> None:
+        props = b""
+        if self.level >= 5:
+            raw = _encode_user_props(user_properties)
+            props = _encode_remaining(len(raw)) + raw
         if qos == 0:
-            self._sock.sendall(_packet(PUBLISH, 0, _utf8(topic) + payload))
+            self._sock.sendall(_packet(PUBLISH, 0, _utf8(topic) + props + payload))
             return
         self._pid += 1
-        body = _utf8(topic) + struct.pack(">H", self._pid) + payload
+        body = _utf8(topic) + struct.pack(">H", self._pid) + props + payload
         self._sock.sendall(_packet(PUBLISH, 0x02, body))
         if self._wait_for(PUBACK) is None:
             raise ConnectionError("MQTT PUBACK missing")
 
     def recv_message(self, timeout: float | None = None) -> tuple[str, bytes] | None:
-        """Next PUBLISH (buffered first); None on timeout/EOF."""
+        """Next PUBLISH (buffered first). ``timeout=None`` blocks until
+        a message or EOF (``self.eof``); a finite timeout returns None
+        when it elapses. Non-PUBLISH packets (pings, stray acks) are
+        skipped, never mistaken for end-of-stream."""
         if self._inbox:
-            return self._inbox.popleft()
+            topic, payload, user = self._inbox.popleft()
+            self.last_publish_properties = user
+            return topic, payload
         old = self._sock.gettimeout()
-        if timeout is not None:
-            self._sock.settimeout(timeout)
+        # timeout=None must mean BLOCK, not "inherit the connect
+        # timeout": a 10s idle gap is normal broker behavior and must
+        # not read as EOF (that was a silent consume-path data loss).
+        self._sock.settimeout(timeout)
         try:
-            pkt = _read_packet(self._sock)
+            while True:
+                pkt = _read_packet(self._sock)
+                if pkt is None:
+                    self.eof = True
+                    return None
+                ptype, flags, body = pkt
+                if ptype == PUBLISH:
+                    topic, payload, user = self._parse_publish(flags, body)
+                    self.last_publish_properties = user
+                    return topic, payload
+                # PINGRESP / late acks: keep waiting for a PUBLISH
         except (TimeoutError, socket.timeout):
             return None
         finally:
-            self._sock.settimeout(old)
-        if pkt is None:
-            return None
-        ptype, flags, body = pkt
-        if ptype != PUBLISH:
-            return None
-        (ln,) = struct.unpack_from(">H", body, 0)
-        topic = body[2 : 2 + ln].decode()
-        qos = (flags >> 1) & 0x03
-        pos = 2 + ln + (2 if qos else 0)
-        return topic, body[pos:]
+            try:
+                self._sock.settimeout(old)
+            except OSError:
+                pass  # socket already closed at EOF
 
     def disconnect(self) -> None:
         try:

@@ -164,3 +164,109 @@ connections: []
     finally:
         q.stop()
     assert {r["message"] for r in rows} == {"fm-0", "fm-1", "fm-2"}
+
+
+def test_recv_message_blocks_across_idle_gap(broker):
+    """r9 advice fix: timeout=None must BLOCK through idle gaps longer
+    than the connect timeout — a late publish still arrives (the r8
+    behavior read the 10s connect timeout as EOF and silently stopped
+    consuming)."""
+    import threading
+
+    sub = MqttWireClient(broker.address, "idlesub", timeout=1.0)
+    sub.subscribe("idle/t", qos=0)
+    pub = MqttWireClient(broker.address, "idlepub")
+
+    def late_publish():
+        time.sleep(2.5)  # well past the subscriber's 1s connect timeout
+        pub.publish("idle/t", b"after-gap", qos=1)
+
+    t = threading.Thread(target=late_publish)
+    t.start()
+    got = sub.recv_message(timeout=None)  # blocks ~2.5s
+    t.join()
+    assert got == ("idle/t", b"after-gap")
+    assert not sub.eof
+    pub.disconnect()
+    sub.disconnect()
+
+
+def test_recv_message_eof_flag(broker):
+    """EOF (broker-side close) is surfaced via client.eof, distinct
+    from a finite-timeout None."""
+    sub = MqttWireClient(broker.address, "eofsub")
+    sub.subscribe("eof/t", qos=0)
+    assert sub.recv_message(timeout=0.3) is None
+    assert not sub.eof  # timeout, not EOF
+    broker.stop()
+    assert sub.recv_message(timeout=5) is None
+    assert sub.eof
+
+
+def test_mqtt5_roundtrip_properties_and_session_expiry(broker):
+    """v5 wire path (r9): level-5 CONNECT with session-expiry property,
+    v5 SUBSCRIBE/SUBACK, PUBLISH user-property passthrough to v5
+    subscribers. Parity target: AbstractMQTTProcessor.cpp:257 (the
+    reference speaks 3.x and 5 with session expiry + v5 properties)."""
+    sub = MqttWireClient(broker.address, "v5sub", protocol_level=5, session_expiry=300)
+    sub.subscribe("five/+", qos=1)
+    assert broker.session_expiries == [300]
+    pub = MqttWireClient(broker.address, "v5pub", protocol_level=5)
+    pub.publish("five/a", b"v5-payload", qos=1, user_properties={"k1": "v1", "k2": "v2"})
+    got = sub.recv_message(timeout=5)
+    assert got == ("five/a", b"v5-payload")
+    assert sorted(sub.last_publish_properties) == [("k1", "v1"), ("k2", "v2")]
+    pub.disconnect()
+    sub.disconnect()
+
+
+def test_mqtt_mixed_levels_interop(broker):
+    """A 3.1.1 publisher reaches a v5 subscriber and vice versa — the
+    broker re-frames per-connection (properties added/stripped)."""
+    sub5 = MqttWireClient(broker.address, "mix5", protocol_level=5)
+    sub5.subscribe("mix/t", qos=0)
+    sub4 = MqttWireClient(broker.address, "mix4")
+    sub4.subscribe("mix/t", qos=0)
+    pub4 = MqttWireClient(broker.address, "mixpub4")
+    pub4.publish("mix/t", b"from-v3", qos=1)
+    pub5 = MqttWireClient(broker.address, "mixpub5", protocol_level=5)
+    pub5.publish("mix/t", b"from-v5", qos=1, user_properties={"origin": "v5"})
+    assert {sub5.recv_message(timeout=5) for _ in range(2)} == {
+        ("mix/t", b"from-v3"),
+        ("mix/t", b"from-v5"),
+    }
+    assert {sub4.recv_message(timeout=5) for _ in range(2)} == {
+        ("mix/t", b"from-v3"),
+        ("mix/t", b"from-v5"),
+    }
+    for c in (sub5, sub4, pub4, pub5):
+        c.disconnect()
+
+
+def test_filter_validation_and_malformed_varint(broker):
+    """Spec-conformance (r9 advice): non-final '#' filters are rejected
+    (SUBACK 0x80 -> client raises) and a >4-byte remaining-length varint
+    is a protocol error that closes the connection."""
+    import socket as _socket
+
+    from nifi_minifi_cpp_spark.sources.mqtt_wire import filter_valid
+
+    assert not filter_valid("a/#/b")
+    assert not filter_valid("a+/b")
+    assert filter_valid("a/+/b/#")
+    assert not topic_matches("a/#/b", "a/x/b")  # illegal filter never matches
+
+    bad = MqttWireClient(broker.address, "badfilter")
+    with pytest.raises(ConnectionError):
+        bad.subscribe("a/#/b")
+    bad._sock.close()
+
+    raw = _socket.create_connection((broker.host, broker.port), timeout=5)
+    # valid minimal v4 CONNECT, then a fixed header whose remaining
+    # length has 5 continuation bytes -> broker must close, not hang
+    body = b"\x00\x04MQTT\x04\x02\x00\x3c\x00\x03bad"
+    raw.sendall(b"\x10" + bytes([len(body)]) + body)
+    assert raw.recv(4)[:1] == b"\x20"  # CONNACK
+    raw.sendall(b"\x30" + b"\x80\x80\x80\x80\x80")
+    assert raw.recv(1) == b""  # connection closed by the broker
+    raw.close()
