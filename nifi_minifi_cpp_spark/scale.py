@@ -58,11 +58,11 @@ def write_bucketed(
     df: DataFrame, table_name: str, bucket_col: str, num_buckets: int = 64, sort_col: str | None = None
 ) -> None:
     """Bucketed persistence: later equi-joins/aggregations on
-    ``bucket_col`` skip the shuffle entirely (SURVEY scale note)."""
-    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
-    if sort_col:
-        writer = writer.sortBy(sort_col)
-    writer.saveAsTable(table_name)
+    ``bucket_col`` skip the shuffle entirely (SURVEY scale note).
+    Delegates to the single primitive in ``plans.bucketing`` (r9)."""
+    from .plans.bucketing import write_bucketed as _wb
+
+    _wb(df, table_name, bucket_col, n_buckets=num_buckets, sort_cols=sort_col)
 
 
 def partitions_for_bytes(total_bytes: int, target_mb: int = 128) -> int:

@@ -11,9 +11,14 @@ jars — messages travel over real TCP in the real format:
   ApiVersions v0, Metadata v1, ListOffsets v1, Fetch v4, Produce v3.
 
 Scope and honesty: the broker is a test/fixture implementation (one
-node, no replication, no consumer groups, no compression, no
-transactions — isolation level is accepted and ignored because every
-batch here is committed). The CLIENT is the piece the engine uses: the
+node, no replication, no consumer groups, no transactions — isolation
+level is accepted and ignored because every batch here is committed;
+compression: optional gzip serving mode, r9). The CLIENT decodes
+plain and gzip RecordBatches (the records section gzipped per the
+spec) and raises a NAMED UnsupportedKafkaCodecError for
+snappy/lz4/zstd, which need native codec libs — real brokers serve
+those transparently through librdkafka (ConsumeKafka.cpp:370), so the
+connector path covers them on clusters with the jars. The CLIENT is the piece the engine uses: the
 ``kafkawire`` streaming DataSource polls it with checkpointed
 per-partition offsets, reusing ``consume_kafka_options``'s property
 contract and ``kafka_records_to_flowfiles``'s attribute lifting
@@ -165,12 +170,36 @@ class _Reader:
 # ---------------------------------------------------------------------------
 
 
+_CODEC_NONE, _CODEC_GZIP, _CODEC_SNAPPY, _CODEC_LZ4, _CODEC_ZSTD = 0, 1, 2, 3, 4
+_CODEC_NAMES = {_CODEC_SNAPPY: "snappy", _CODEC_LZ4: "lz4", _CODEC_ZSTD: "zstd"}
+
+
+class UnsupportedKafkaCodecError(ValueError):
+    """A fetched RecordBatch uses a compression codec this stdlib-only
+    client cannot decode (snappy/lz4/zstd need native libs; gzip is
+    handled via zlib). Real brokers serve such topics transparently
+    through librdkafka (ConsumeKafka.cpp:370) — front them with the
+    connector path on clusters that have the jars."""
+
+    def __init__(self, codec: int):
+        self.codec = codec
+        name = _CODEC_NAMES.get(codec, f"codec-{codec}")
+        super().__init__(
+            f"RecordBatch compressed with {name} (attributes bits {codec}); "
+            "this stdlib wire client decodes only none/gzip — consume this "
+            "topic via the Spark Kafka connector (librdkafka-equivalent path)"
+        )
+
+
 def encode_record_batch(
     base_offset: int,
     items: list[tuple[int, bytes | None, bytes | None, list[tuple[str, bytes | None]]]],
     partition_leader_epoch: int = 0,
+    compression: str | None = None,
 ) -> bytes:
-    """items: [(timestamp_ms, key, value, headers)] -> one magic-2 batch."""
+    """items: [(timestamp_ms, key, value, headers)] -> one magic-2 batch.
+    ``compression='gzip'`` gzips the records section (attribute bits 001),
+    matching what a gzip-configured producer ships to the broker."""
     if not items:
         raise ValueError("empty batch")
     base_ts = items[0][0]
@@ -198,8 +227,20 @@ def encode_record_batch(
                 body += write_varint(len(hv)) + hv
         recs += write_varint(len(body)) + body
         max_ts = max(max_ts, ts)
+    if compression is None or compression == "none":
+        attrs = _CODEC_NONE
+        rec_bytes = bytes(recs)
+    elif compression == "gzip":
+        import zlib
+
+        attrs = _CODEC_GZIP
+        # wbits=31: gzip container, what Kafka's gzip codec produces
+        comp = zlib.compressobj(wbits=31)
+        rec_bytes = comp.compress(bytes(recs)) + comp.flush()
+    else:
+        raise ValueError(f"unsupported producer compression {compression!r}")
     after_crc = (
-        _s16(0)  # batch attributes: no compression, CreateTime
+        _s16(attrs)  # batch attributes: codec bits 0-2, CreateTime
         + _s32(len(items) - 1)  # lastOffsetDelta
         + _s64(base_ts)
         + _s64(max_ts)
@@ -207,7 +248,7 @@ def encode_record_batch(
         + _s16(-1)  # producerEpoch
         + _s32(-1)  # baseSequence
         + _s32(len(items))
-        + bytes(recs)
+        + rec_bytes
     )
     crc = crc32c(after_crc)
     tail = _s32(partition_leader_epoch) + b"\x02" + struct.pack(">I", crc) + after_crc
@@ -235,8 +276,7 @@ def decode_record_batches(buf: bytes) -> list[dict]:
         if crc32c(buf[r.pos : end]) != crc:
             raise ValueError("record batch CRC32C mismatch")
         attrs = r.i16()
-        if attrs & 0x07:
-            raise ValueError("compressed batches not supported")
+        codec = attrs & 0x07
         r.i32()  # lastOffsetDelta
         base_ts = r.i64()
         r.i64()  # maxTimestamp
@@ -244,26 +284,37 @@ def decode_record_batches(buf: bytes) -> list[dict]:
         r.i16()  # producerEpoch
         r.i32()  # baseSequence
         n = r.i32()
-        p = r.pos
+        # compression covers only the records section (everything after
+        # the record count); the batch header stays plain
+        if codec == _CODEC_NONE:
+            rdata = buf[r.pos : end]
+        elif codec == _CODEC_GZIP:
+            import zlib
+
+            # wbits=47 auto-detects gzip vs zlib containers
+            rdata = zlib.decompress(buf[r.pos : end], wbits=47)
+        else:
+            raise UnsupportedKafkaCodecError(codec)
+        p = 0
         for _ in range(n):
-            _rec_len, p = read_varint(buf, p)
+            _rec_len, p = read_varint(rdata, p)
             p += 1  # record attributes
-            ts_delta, p = read_varint(buf, p)
-            off_delta, p = read_varint(buf, p)
-            klen, p = read_varint(buf, p)
-            key = None if klen < 0 else buf[p : p + klen]
+            ts_delta, p = read_varint(rdata, p)
+            off_delta, p = read_varint(rdata, p)
+            klen, p = read_varint(rdata, p)
+            key = None if klen < 0 else rdata[p : p + klen]
             p += max(klen, 0)
-            vlen, p = read_varint(buf, p)
-            value = None if vlen < 0 else buf[p : p + vlen]
+            vlen, p = read_varint(rdata, p)
+            value = None if vlen < 0 else rdata[p : p + vlen]
             p += max(vlen, 0)
-            hn, p = read_varint(buf, p)
+            hn, p = read_varint(rdata, p)
             headers: list[tuple[str, bytes | None]] = []
             for _h in range(hn):
-                hklen, p = read_varint(buf, p)
-                hk = buf[p : p + hklen].decode()
+                hklen, p = read_varint(rdata, p)
+                hk = rdata[p : p + hklen].decode()
                 p += hklen
-                hvlen, p = read_varint(buf, p)
-                hv = None if hvlen < 0 else buf[p : p + hvlen]
+                hvlen, p = read_varint(rdata, p)
+                hv = None if hvlen < 0 else rdata[p : p + hvlen]
                 p += max(hvlen, 0)
                 headers.append((hk, hv))
             out.append(
@@ -502,9 +553,14 @@ class _PartitionLog:
 class MiniKafkaBroker:
     """Single-node in-process broker: Metadata v1, ListOffsets v1,
     Fetch v4, Produce v3, ApiVersions v0. Topics auto-create on
-    produce; ``append`` seeds without the wire."""
+    produce; ``append`` seeds without the wire.
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    ``compression='gzip'`` stores (and therefore SERVES) gzip-compressed
+    RecordBatches — the broker-side shape of a gzip-producing topic, so
+    the wire consume path can be exercised against compressed fetches."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, compression: str | None = None):
+        self.compression = compression
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._lock = threading.Lock()
         broker = self
@@ -573,7 +629,9 @@ class MiniKafkaBroker:
         with self._lock:
             log = self._logs.setdefault((topic, partition), _PartitionLog())
             base = log.next_offset
-            log.batches.append((base, len(items), encode_record_batch(base, items)))
+            log.batches.append(
+                (base, len(items), encode_record_batch(base, items, compression=self.compression))
+            )
             log.next_offset = base + len(items)
             return base
 
@@ -741,7 +799,23 @@ def _register_kafkawire_impl():
             for t in self.topics:
                 for p in meta.get(t, [0]):
                     if explicit is not None:
-                        state[f"{t}\x00{p}"] = int(explicit.get(t, {}).get(str(p), 0))
+                        off = int(explicit.get(t, {}).get(str(p), 0))
+                        # the connector contract's per-partition JSON
+                        # uses Kafka's sentinels: -2=earliest, -1=latest
+                        # (NOT literal offsets — a literal -1 would make
+                        # the fetch filter pass everything and silently
+                        # replay the whole log)
+                        if off == EARLIEST:
+                            off = cli.list_offsets(t, p, EARLIEST)
+                        elif off == LATEST:
+                            off = cli.list_offsets(t, p, LATEST)
+                        elif off < 0:
+                            raise ValueError(
+                                f"startingOffsets for {t}/{p} is {off}; only "
+                                "-2 (earliest), -1 (latest) or a non-negative "
+                                "offset are valid"
+                            )
+                        state[f"{t}\x00{p}"] = off
                     else:
                         ts = EARLIEST if self.starting == "earliest" else LATEST
                         state[f"{t}\x00{p}"] = cli.list_offsets(t, p, ts)

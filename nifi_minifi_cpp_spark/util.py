@@ -57,23 +57,36 @@ def spread_for_cpu(df: DataFrame, *key_cols: str) -> DataFrame:
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
 
 
-_FILE_FLOOR_CACHE: dict[tuple[int, int], int] = {}
+_FILE_FLOOR_CACHE: dict[tuple[str, int], tuple[int, float]] = {}
+_FILE_FLOOR_TTL_S = 300.0
 
 
 def _scan_file_floor(df: DataFrame) -> int:
     """File-count floor for direct scan projections; 0 when the frame
-    is a join/aggregate derivative or the listing is unavailable."""
+    is a join/aggregate derivative or the listing is unavailable.
+
+    Memo key is (applicationId, semanticHash) — a stable session
+    identity, not ``id(session)``, which the allocator can reuse after
+    a session is garbage-collected and alias a NEW session onto old
+    entries (r8 advice). Entries also carry a coarse TTL so a table
+    that gains files in a long-lived session stops serving a stale
+    (smaller) floor after a few minutes; impact of staleness is only a
+    suboptimal partition width, so a 5-minute bound is plenty."""
+    import time as _time
+
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
         if ("Join" in plan) or ("Aggregate" in plan):
             return 0
-        key = (id(df.sparkSession), df.semanticHash())
-        got = _FILE_FLOOR_CACHE.get(key)
-        if got is None:
-            got = min(len(df.inputFiles()), 10_000)
-            if len(_FILE_FLOOR_CACHE) > 256:
-                _FILE_FLOOR_CACHE.clear()
-            _FILE_FLOOR_CACHE[key] = got
+        key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+        now = _time.monotonic()
+        hit = _FILE_FLOOR_CACHE.get(key)
+        if hit is not None and now - hit[1] < _FILE_FLOOR_TTL_S:
+            return hit[0]
+        got = min(len(df.inputFiles()), 10_000)
+        if len(_FILE_FLOOR_CACHE) > 256:
+            _FILE_FLOOR_CACHE.clear()
+        _FILE_FLOOR_CACHE[key] = (got, now)
         return got
     except Exception:
         return 0  # non-file relation / unresolvable listing: conf width
@@ -105,31 +118,11 @@ def reliable_barrier(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    bucket_cols: list[str] | str,
-    num_buckets: int = 32,
-    sort_cols: list[str] | str | None = None,
-    mode: str = "overwrite",
-) -> None:
-    """Persist ``df`` as a BUCKETED managed table — the co-located-join
-    primitive for 100 TB fact tables: two tables bucketed by the same
-    key and count join with ZERO exchange (Spark reads matching buckets
-    pairwise), and a bucketed fact aggregating on its bucket key skips
-    the shuffle entirely. The reference has no analogue (its queues are
-    row streams); at warehouse scale this is how repeated joins against
-    the same keys stop paying per-query shuffles.
+def write_bucketed(*args, **kwargs) -> None:
+    """Compatibility re-export: the single bucketed-write primitive
+    lives in ``plans.bucketing.write_bucketed`` (r9 consolidation —
+    the r8 round grew two divergent signatures for the same thing).
+    Lazy import avoids a util <-> plans import cycle."""
+    from .plans.bucketing import write_bucketed as _wb
 
-    ``sort_cols`` additionally sorts within buckets (sort-merge join
-    without the sort). Requires a metastore-backed session (Spark's
-    bucketing metadata lives in the catalog, not the parquet files —
-    a plain ``.parquet(path)`` write cannot carry it)."""
-    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
-    writer = df.write.mode(mode).format("parquet").bucketBy(
-        num_buckets, bucket_cols[0], *bucket_cols[1:]
-    )
-    if sort_cols:
-        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
-        writer = writer.sortBy(sort_cols[0], *sort_cols[1:])
-    writer.saveAsTable(table)
+    _wb(*args, **kwargs)
