@@ -2983,6 +2983,44 @@ def _poll_stream_rows(
     raise TimeoutError(f"{view}: {expected} rows not reached in {timeout_s}s")
 
 
+def _await_self_termination(q, timeout_s: float = 180.0) -> None:
+    """Wait for an availableNow-triggered query to terminate on its own
+    (r9, VERDICT r8 #4): self-termination means no q.stop() ever
+    interrupts an in-flight RocksDB state-store commit — the source of
+    the transient CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT retry noise
+    in the stateful fixtures."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"streaming fixture did not self-terminate in {timeout_s}s")
+    if q.exception():
+        raise q.exception()
+
+
+def _quiesce_stop(q, wait_s: float = 30.0) -> None:
+    """Stop a streaming query WITHOUT interrupting an in-flight
+    micro-batch commit (r9, VERDICT r8 #4): the stateful fixtures poll
+    the sink and used to call ``q.stop()`` the moment the expected rows
+    landed — often mid-epoch-1 (the timeout-sweep batch), interrupting
+    a task while its RocksDB state store was committing and logging
+    transient ``CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT`` aborts (Spark
+    retried, results stayed green — retry noise, not corruption).
+    Waiting for the trigger to go inactive first means stop() lands on
+    an idle stream; the stateful operators' ProcessingTimeTimeout keeps
+    scheduling sweep batches, so a bounded wait + stop (not
+    processAllAvailable, which never returns here) is the right shape."""
+    import time as _time
+
+    deadline = _time.monotonic() + wait_s
+    while _time.monotonic() < deadline:
+        try:
+            if not q.status.get("isTriggerActive", False):
+                break
+        except Exception:
+            break  # query already terminated
+        _time.sleep(0.05)
+    q.stop()
+
+
 @_register(
     "stateful_bin_packing_merge",
     # Count-threshold flush is order-independent: every 8th row per key
@@ -3025,24 +3063,25 @@ def stateful_bin_packing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         correlation_col="correlation",
         max_entries=8,
         max_bytes=1 << 40,  # bytes flush disabled: count threshold only
-        max_bin_age_ms=3_600_000,
-    )
-    # expected bin count is deterministic — compute it from the batch
-    # side (distributed agg, tiny result) and poll the sink up to it
-    expected = (
-        load_table(spark, "events", sf_dir)
-        .groupBy("event_type")
-        .agg(F.floor(F.count(F.lit(1)) / 8).alias("b"))
-        .agg(F.sum("b").alias("s"))
-        .first()["s"]
+        max_bin_age_ms=None,  # age flush off -> NoTimeout: no sweep batches
     )
     view = f"bin_pack_{_uuid.uuid4().hex[:8]}"
+    # availableNow trigger (r9, VERDICT r8 #4): drain the staged input,
+    # then the query TERMINATES ITSELF — no poll loop, no q.stop()
+    # interrupting a ProcessingTimeTimeout sweep batch mid-RocksDB-
+    # commit (the source of the transient CANNOT_COMMIT retry noise),
+    # and none of the ~40 wasted sweep epochs the poll window used to
+    # accumulate. The count-threshold flushes all land while draining;
+    # the <8-row remainder stays in state by design.
     with _pinned_shuffle(spark, 8):  # ~5 correlation keys: 8 state stores, not 32
-        q = merged.writeStream.format("memory").queryName(view).outputMode("append").start()
-    try:
-        _poll_stream_rows(spark, q, view, int(expected))
-    finally:
-        q.stop()
+        q = (
+            merged.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    _await_self_termination(q)
     return spark.sql(
         f"""
         SELECT correlation,
@@ -3095,23 +3134,20 @@ def stateful_defragment_reassembly(spark: SparkSession, sf_dir: str) -> DataFram
         stream,
         message_start_pattern=r"\ANEVERMATCHES\Z",
         key_col="key",
-        max_buffer_age_ms=3_600_000,
+        max_buffer_age_ms=None,  # age flush off -> NoTimeout: no sweep batches
         max_buffer_size=100,
     )
-    expected = (
-        load_table(spark, "events", sf_dir)
-        .groupBy("event_type")
-        .agg(F.floor(F.count(F.lit(1)) / 5).alias("m"))
-        .agg(F.sum("m").alias("s"))
-        .first()["s"]
-    )
     view = f"defrag_{_uuid.uuid4().hex[:8]}"
+    # availableNow + self-termination: see stateful_bin_packing_merge
     with _pinned_shuffle(spark, 8):  # ~5 defrag keys: 8 state stores, not 32
-        q = defrag.writeStream.format("memory").queryName(view).outputMode("append").start()
-    try:
-        _poll_stream_rows(spark, q, view, int(expected))
-    finally:
-        q.stop()
+        q = (
+            defrag.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    _await_self_termination(q)
     return spark.sql(
         f"""
         SELECT key,

@@ -44,7 +44,7 @@ def make_bin_packer(
     min_entries: int = 1,
     max_entries: int = 100,
     max_bytes: int = 1 << 20,
-    max_bin_age_ms: int = 60_000,
+    max_bin_age_ms: int | None = 60_000,
     demarcator: str = "\n",
 ):
     """Build the applyInPandasWithState function for MergeContent
@@ -91,7 +91,8 @@ def make_bin_packer(
                     first = int(time.time() * 1000)
         if payloads:
             state.update((payloads, total, first))
-            state.setTimeoutDuration(max_bin_age_ms)
+            if max_bin_age_ms is not None:
+                state.setTimeoutDuration(max_bin_age_ms)
         elif state.exists:
             state.remove()
         if out_rows["correlation"]:
@@ -111,11 +112,21 @@ def merge_content_bin_packing_stream(
     Output: merged bundles per correlation key with flush provenance.
     """
     func, out_schema, state_schema = make_bin_packer(**kwargs)
+    # max_bin_age_ms=None disables age flush ENTIRELY — including the
+    # ProcessingTimeTimeout registration. This matters beyond semantics:
+    # any registered processing-time timeout makes the stream schedule
+    # timeout-sweep micro-batches forever (hundreds of state-store
+    # versions in a short fixture run) and every stop then risks
+    # interrupting a sweep's RocksDB commit (transient CANNOT_COMMIT
+    # retry noise, VERDICT r8 #4). NoTimeout streams quiesce cleanly.
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if kwargs.get("max_bin_age_ms", 60_000) is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         df.groupBy(correlation_col)
-        .applyInPandasWithState(
-            func, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
-        )
+        .applyInPandasWithState(func, out_schema, state_schema, "append", timeout)
     )
 
 
@@ -138,7 +149,7 @@ _DEFRAG_STATE_SCHEMA = T.StructType(
 
 def make_defragmenter(
     message_start_pattern: str,
-    max_buffer_age_ms: int = 60_000,
+    max_buffer_age_ms: int | None = 60_000,
     max_buffer_size: int = 1 << 20,
 ):
     """DefragmentText streaming core: pieces for one key are buffered
@@ -186,7 +197,8 @@ def make_defragmenter(
                     emit("size")
         if pieces:
             state.update((pieces, first))
-            state.setTimeoutDuration(max_buffer_age_ms)
+            if max_buffer_age_ms is not None:
+                state.setTimeoutDuration(max_buffer_age_ms)
         elif state.exists:
             state.remove()
         if out["key"]:
@@ -202,8 +214,14 @@ def defragment_text_stream(
     **kwargs,
 ) -> DataFrame:
     func = make_defragmenter(message_start_pattern, **kwargs)
+    # max_buffer_age_ms=None -> NoTimeout: see merge_content_bin_packing_stream
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if kwargs.get("max_buffer_age_ms", 60_000) is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return df.groupBy(key_col).applyInPandasWithState(
-        func, DEFRAG_SCHEMA, _DEFRAG_STATE_SCHEMA, "append", GroupStateTimeout.ProcessingTimeTimeout
+        func, DEFRAG_SCHEMA, _DEFRAG_STATE_SCHEMA, "append", timeout
     )
 
 
