@@ -5578,73 +5578,67 @@ def deterministic_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # were re-typed after round 1) and the rest — all green in round 1 and
 # locked by plan-shape tests — fall past the window.
 _GRADE_ORDER = [
-    # --- r8 rotation (VERDICT r7 #4, COVERAGE.md r8 queue): the 3
-    # never-driver-graded r8 registrations enter first (the r7
-    # snapshot additions, now tested + oracle-locked), then the 33
-    # entries whose last driver row is r5 (3 rounds stale — the 22
-    # relational entries + the 8 operator/source reps + the 3
-    # text-pipeline entries trimmed from the r7 backfill), then
-    # backfill from the r6-green breadth block (2 rounds stale),
-    # oldest first per the original r6 queue order. Rotated OUT (all
-    # green r7 rows, locked by pytest + tools/check_correctness.py):
-    # the full r7 window.
+    # --- r9 rotation (VERDICT r8 #3, COVERAGE.md r9 queue): the 45
+    # r6-green breadth entries (3 rounds stale — the oldest rows in the
+    # ledger) re-enter, plus the 5 entries whose IMPLEMENTATIONS
+    # changed in r9 (MQTT wire idle-gap fix + v5, Kafka wire gzip +
+    # startingOffsets sentinels, the stateful fixtures' NoTimeout/
+    # availableNow rework, bm25 idf_form plumbing). Rotated OUT (all
+    # green r8 rows, locked by pytest + tools/check_correctness.py):
+    # the full r8 window.
     #
-    # never driver-graded (r8 registrations)
-    "sequence_packing_manifest",
-    "bpe_pair_merge_counts",
-    "winnowing_fingerprint_rows",
-    "bm25_topk_docs",
-    "embedding_quantize_int8",
-    "vocabulary_zipf_report",
-    "matryoshka_energy",
-    "winnowing_dedup_kept",
-    "dataset_split_counts",
-    "split_record_fragments",
-    "kafka_wire_consume",
+    # r6-stale breadth block, original r6 queue order (oldest first)
+    "compress_roundtrip_gzip",
+    "defragment_messages",
+    "convert_record_xml_roundtrip",
+    "funnel_merge_counts",
+    "split_content_words",
+    "el_multiattr_pack",
+    "el_delineated_pack",
+    "replace_text_line_modes",
+    "modbus_read_registers",
+    "k8s_pod_metrics_quantities",
+    "opc_browse_lazy",
+    "kv_enrichment_route",
+    "remote_list_fetch",
+    "execute_process_batched",
+    "put_sql_roundtrip",
+    "procfs_metrics_parse",
+    "object_store_crud_roundtrip",
+    "mqtt_consume_counts",
+    "journald_consume_syslog",
+    "repetition_report",
+    "gopher_filter_counts",
+    "pii_redaction_counts",
+    "deterministic_sample_ids",
+    "dialect_flow_route_counts",
+    "listen_tcp_ingest",
+    "listen_http_ingest",
+    "put_tcp_roundtrip",
+    "kinesis_batch_plan",
+    "stratified_sample_by_source",
+    "token_count_distribution",
+    "es_bulk_validation_counts",
+    "splunk_hec_url_pack",
+    "loki_batch_flush_counts",
+    "get_tcp_client_ingest",
+    "el_date_pack",
+    "c2_operation_acks",
+    "prometheus_exposition_pack",
+    "append_host_info_pack",
+    "duplicate_components_chains",
+    "semantic_dedup_kept",
+    "minhash_dedup_kept",
+    "ngram_jaccard_dedup_kept",
+    "multimodal_features_frames",
+    "embedding_dedup_kept",
+    "llm_inference_fake",
+    # implementations changed in r9
     "mqtt_wire_consume",
-    # r5-stale: the 22 relational entries re-graded in r5
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_top_revenue_orders",
-    "q4_priority_order_exists",
-    "q5_regional_supplier_revenue",
-    "q6_revenue_forecast",
-    "q10_returned_item_customers",
-    "q11_valuable_parts",
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue_pct",
-    "q15_top_supplier",
-    "q16_brand_size_supplier_counts",
-    "q18_large_quantity_orders",
-    "q19_disjunctive_predicates",
-    "region_rollup",
-    "top10_orders",
-    "distinct_parts_per_order",
-    "customers_without_orders",
-    "customers_with_big_orders",
-    "segment_set_ops",
-    "part_brand_revenue",
-    "supplier_nation_agg",
-    # r5-stale: operator/source reps graded r5
-    "normalized_fingerprint_dedup",
-    "simhash_signatures",
-    "cosine_topk_vec0",
-    "ivf_topk_vec0",
-    "retry_flow_file_exhaustion",
-    "list_fetch_incremental",
-    "execute_sql_rowsets",
-    "get_put_file_roundtrip",
-    # r5-stale: text-pipeline entries trimmed from the r7 backfill
-    "text_quality_features",
-    "bpe_token_counts",
-    "language_id_distribution",
-    # r6-green breadth backfill (oldest first, original r6 queue order)
-    "segment_content_parity",
-    "split_json_elements",
-    "attributes_to_json_pack",
-    # implementations changed in r8 (wildcard-over-array compilation)
-    "jolt_chain_events",
-    "jolt_shift_events",
+    "kafka_wire_consume",
+    "stateful_bin_packing_merge",
+    "stateful_defragment_reassembly",
+    "bm25_topk_docs",
 ]
 
 GRADED_WINDOW = 50

@@ -175,3 +175,42 @@ def test_dataset_split_model(ids):
         bucket = hashlib.md5(f"split:{i}".encode()).hexdigest()[:4]
         want = "train" if bucket < "e666" else ("val" if bucket < "f333" else "test")
         assert got[i] == want, (i, bucket)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(doc_words, min_size=2, max_size=8), q=st.lists(word, min_size=1, max_size=3, unique=True))
+def test_bm25_ln_idf_model(docs, q):
+    """r9: the opt-in textbook ln-idf form (Lucene's ln(odds+1)) matches
+    a pure-Python model to 1e-9 — tolerance-based, because libm ln
+    differs in the last ulp across engines (why 'rational' stays the
+    graded-oracle default)."""
+    import math
+
+    from nifi_minifi_cpp_spark.analytics.text_analysis import bm25_scores
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(df, q, top_k=100, idf_form="ln").collect()
+    }
+    n = float(len(docs))
+    toks = [[w for w in ws if w] for ws in docs]
+    sumdl = float(sum(len(t) for t in toks))
+    k1, b = 1.2, 0.75
+    for i, t in enumerate(toks):
+        score = 0.0
+        dl_ratio = len(t) / (sumdl / n) if sumdl > 0 else 0.0
+        for term in q:
+            tf = float(t.count(term))
+            dfreq = float(sum(1 for tt in toks if term in tt))
+            idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            score += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl_ratio))
+        assert abs(got[i] - score) < 1e-9, (i, got[i], score)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="idf_form"):
+        bm25_scores(df, q, idf_form="log2")

@@ -22,59 +22,58 @@ from nifi_minifi_cpp_spark import entry_queries
 # Every SURVEY §2 operator family and every LLM-pipeline operator must
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
-    # r8 rotation: the 12 new r8 registrations enter first, then the
-    # 33 r5-stale entries, then r6-green breadth backfill, then the 2
-    # implementations changed in r8 (Jolt wildcard-over-array).
-    "sequence_packing_manifest",
-    "bpe_pair_merge_counts",
-    "winnowing_fingerprint_rows",
-    "bm25_topk_docs",
-    "embedding_quantize_int8",
-    "vocabulary_zipf_report",
-    "matryoshka_energy",
-    "winnowing_dedup_kept",
-    "dataset_split_counts",
-    "split_record_fragments",
-    "kafka_wire_consume",
+    # r9 rotation: the 45 r6-stale breadth entries + the 5
+    # implementations changed in r9 (wire fixes, stateful rework, bm25).
+    "compress_roundtrip_gzip",
+    "defragment_messages",
+    "convert_record_xml_roundtrip",
+    "funnel_merge_counts",
+    "split_content_words",
+    "el_multiattr_pack",
+    "el_delineated_pack",
+    "replace_text_line_modes",
+    "modbus_read_registers",
+    "k8s_pod_metrics_quantities",
+    "opc_browse_lazy",
+    "kv_enrichment_route",
+    "remote_list_fetch",
+    "execute_process_batched",
+    "put_sql_roundtrip",
+    "procfs_metrics_parse",
+    "object_store_crud_roundtrip",
+    "mqtt_consume_counts",
+    "journald_consume_syslog",
+    "repetition_report",
+    "gopher_filter_counts",
+    "pii_redaction_counts",
+    "deterministic_sample_ids",
+    "dialect_flow_route_counts",
+    "listen_tcp_ingest",
+    "listen_http_ingest",
+    "put_tcp_roundtrip",
+    "kinesis_batch_plan",
+    "stratified_sample_by_source",
+    "token_count_distribution",
+    "es_bulk_validation_counts",
+    "splunk_hec_url_pack",
+    "loki_batch_flush_counts",
+    "get_tcp_client_ingest",
+    "el_date_pack",
+    "c2_operation_acks",
+    "prometheus_exposition_pack",
+    "append_host_info_pack",
+    "duplicate_components_chains",
+    "semantic_dedup_kept",
+    "minhash_dedup_kept",
+    "ngram_jaccard_dedup_kept",
+    "multimodal_features_frames",
+    "embedding_dedup_kept",
+    "llm_inference_fake",
     "mqtt_wire_consume",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_top_revenue_orders",
-    "q4_priority_order_exists",
-    "q5_regional_supplier_revenue",
-    "q6_revenue_forecast",
-    "q10_returned_item_customers",
-    "q11_valuable_parts",
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue_pct",
-    "q15_top_supplier",
-    "q16_brand_size_supplier_counts",
-    "q18_large_quantity_orders",
-    "q19_disjunctive_predicates",
-    "region_rollup",
-    "top10_orders",
-    "distinct_parts_per_order",
-    "customers_without_orders",
-    "customers_with_big_orders",
-    "segment_set_ops",
-    "part_brand_revenue",
-    "supplier_nation_agg",
-    "normalized_fingerprint_dedup",
-    "simhash_signatures",
-    "cosine_topk_vec0",
-    "ivf_topk_vec0",
-    "retry_flow_file_exhaustion",
-    "list_fetch_incremental",
-    "execute_sql_rowsets",
-    "get_put_file_roundtrip",
-    "text_quality_features",
-    "bpe_token_counts",
-    "language_id_distribution",
-    "segment_content_parity",
-    "split_json_elements",
-    "attributes_to_json_pack",
-    "jolt_chain_events",
-    "jolt_shift_events",
+    "kafka_wire_consume",
+    "stateful_bin_packing_merge",
+    "stateful_defragment_reassembly",
+    "bm25_topk_docs",
 }
 
 
