@@ -950,3 +950,176 @@ def dataset_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", expr)
+
+
+def document_chunks(
+    df: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (r9) — the RAG/embedding-prep
+    primitive: each document becomes ceil(n_tokens / stride) chunks of
+    up to ``chunk_size`` tokens starting every ``stride`` tokens, with
+    provenance (chunk_index, start_token, n_tokens) so chunk hits map
+    back to source spans. Empty documents produce no chunks.
+
+    100 TB shape: pure per-row Catalyst HOFs — the token array is
+    staged ONCE (the HOF-inlining rule: an unstaged ``tokens(text)``
+    inside the transform lambda would re-split the string per chunk),
+    chunk structs are built by ``transform`` over a ``sequence`` and
+    exploded; zero shuffles, zero Python."""
+    if chunk_size < 1 or stride < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    staged = staged.select(id_col, "_t", F.size("_t").alias("_n")).where(F.col("_n") > 0)
+    n_chunks = F.ceil(F.col("_n") / F.lit(stride)).cast("int")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_index"),
+            (i * stride).cast("long").alias("start_token"),
+            F.slice(F.col("_t"), i * stride + 1, chunk_size).alias("_c"),
+        ),
+    )
+    return (
+        staged.select(F.col(id_col), F.explode(chunk_structs).alias("_s"))
+        .select(
+            id_col,
+            F.col("_s.chunk_index"),
+            F.col("_s.start_token"),
+            F.size("_s._c").cast("long").alias("n_tokens"),
+            F.array_join("_s._c", " ").alias("chunk_text"),
+        )
+    )
+
+
+def ngram_census(
+    df: DataFrame,
+    n: int = 2,
+    top_k: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``top_k`` word n-grams with corpus count and document
+    frequency (r9) — the phrase-level companion to vocabulary_report
+    (tokenizer/dedup design: which multi-word units are frequent
+    enough to merit merges or boilerplate review). Deterministic
+    order: count desc, ngram asc.
+
+    100 TB shape: n-grams are built per-row by a ``transform`` over
+    the STAGED token array (no joins, no self-zip shuffles), then one
+    explode->groupBy word-count pass with map-side partial aggregation
+    (each partition contributes at most |distinct ngrams| rows to the
+    shuffle); the top-k is TakeOrderedAndProject, never a full sort."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    staged = staged.select(id_col, "_t", F.size("_t").alias("_n")).where(F.col("_n") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.col("_n") - n),
+        lambda i: F.array_join(F.slice(F.col("_t"), i + 1, n), " "),
+    )
+    return (
+        staged.select(F.col(id_col), F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct(F.col(id_col)).alias("doc_freq"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(top_k)
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 100,
+    flag_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary-rate quality scoring (r9): build the corpus
+    top-``vocab_size`` vocabulary (count desc, token asc — fully
+    deterministic), then score each document by the fraction of its
+    tokens OUTSIDE that vocabulary. High OOV rate against a corpus
+    vocabulary is the classic gibberish/encoding-noise signal used to
+    filter web-crawl training data. All-integer arithmetic plus ONE
+    division per doc — engine-exact, no transcendental functions.
+
+    100 TB shape: the vocabulary pass is a word count (map-side
+    partial agg) and the vocab itself is tiny -> BROADCAST left-semi
+    join counts in-vocab tokens (a hash probe per token, JVM-side,
+    no corpus shuffle by token); the per-doc tallies shuffle only slim
+    (id, count) pairs. No per-token linear scans of the vocab array."""
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    staged = staged.select(id_col, "_t", F.size("_t").cast("long").alias("_dl"))
+    vocab = (
+        staged.select(F.explode("_t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token")
+    )
+    toks = staged.select(F.col(id_col), F.explode("_t").alias("token"))
+    in_vocab = (
+        toks.join(F.broadcast(vocab), "token", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_in"))
+    )
+    scored = (
+        staged.drop("_t")
+        .join(in_vocab, id_col, "left")
+        .select(
+            id_col,
+            F.col("_dl").alias("dl"),
+            (F.col("_dl") - F.coalesce(F.col("_in"), F.lit(0))).alias("oov_cnt"),
+        )
+    )
+    rate = F.when(F.col("dl") > 0, F.col("oov_cnt") / F.col("dl")).otherwise(F.lit(0.0))
+    return scored.select(
+        id_col,
+        "dl",
+        "oov_cnt",
+        rate.alias("oov_rate"),
+        (rate > flag_threshold).alias("flagged"),
+    )
+
+
+def boilerplate_prefix_clusters(
+    df: DataFrame,
+    prefix_len: int = 3,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shared-prefix cluster detection (r9): documents opening with the
+    same first ``prefix_len`` tokens form a cluster — the cheap
+    template/boilerplate detector (scraped pages sharing headers,
+    license preambles, nav text) run before expensive near-dup passes
+    to triage candidate template families. Returns clusters with
+    ``n_docs >= min_docs``, their exemplar (min doc id), and total
+    token volume; n_docs desc, prefix asc.
+
+    100 TB shape: the prefix is a per-row projection; the only shuffle
+    is the groupBy on the prefix string with map-side partial agg, and
+    the result set is bounded by the number of REPEATED prefixes (the
+    long unique tail partial-aggregates away)."""
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    staged = staged.where(F.size("_t") > 0).select(
+        F.col(id_col),
+        F.array_join(F.slice("_t", 1, prefix_len), " ").alias("prefix"),
+        F.size("_t").cast("long").alias("_dl"),
+    )
+    return (
+        staged.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("exemplar_id"),
+            F.sum("_dl").alias("total_tokens"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("prefix").asc())
+    )

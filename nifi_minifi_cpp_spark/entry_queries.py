@@ -5569,6 +5569,121 @@ def deterministic_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # public accessors
 # ===========================================================================
 
+@_register(
+    "document_chunks_rag",
+    r"""
+    WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l
+      FROM documents),
+    c AS (SELECT doc_id,
+        unnest(list_transform(range(0, CAST(ceil(len(l) / 12.0) AS BIGINT)),
+          i -> {'ci': i, 'st': i * 12,
+                'ch': list_slice(l, CAST(i*12 + 1 AS BIGINT), CAST(i*12 + 16 AS BIGINT))})) AS s
+      FROM t WHERE len(l) > 0)
+    SELECT doc_id,
+           CAST(s.ci AS BIGINT) AS chunk_index,
+           CAST(s.st AS BIGINT) AS start_token,
+           CAST(len(s.ch) AS BIGINT) AS n_tokens,
+           array_to_string(s.ch, ' ') AS chunk_text
+    FROM c
+    """,
+)
+def document_chunks_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking over documents (r9): 16-token
+    chunks every 12 tokens with span provenance — the RAG/embedding
+    ingest primitive. Pure per-row HOFs over the staged token array;
+    zero shuffles."""
+    from .analytics.text_analysis import document_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return document_chunks(docs, chunk_size=16, stride=12)
+
+
+@_register(
+    "ngram_census_top20",
+    r"""
+    WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l
+      FROM documents),
+    g AS (SELECT doc_id,
+        unnest(list_transform(range(0, CAST(len(l) - 1 AS BIGINT)),
+          i -> array_to_string(list_slice(l, CAST(i+1 AS BIGINT), CAST(i+2 AS BIGINT)), ' '))) AS ngram
+      FROM t WHERE len(l) >= 2)
+    SELECT ngram,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM g GROUP BY ngram
+    ORDER BY cnt DESC, ngram ASC LIMIT 20
+    """,
+)
+def ngram_census_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams with corpus count + document frequency (r9) —
+    the phrase-level vocabulary audit. One explode->word-count pass
+    with map-side partial agg; top-k is TakeOrderedAndProject."""
+    from .analytics.text_analysis import ngram_census
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_census(docs, n=2, top_k=20)
+
+
+@_register(
+    "oov_rate_scores",
+    r"""
+    WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l
+      FROM documents),
+    v AS (SELECT word FROM (SELECT unnest(l) AS word FROM t)
+          GROUP BY word ORDER BY count(*) DESC, word ASC LIMIT 50),
+    tok AS (SELECT doc_id, unnest(l) AS w FROM t),
+    inv AS (SELECT doc_id, count(*) AS inc FROM tok
+            WHERE w IN (SELECT word FROM v) GROUP BY doc_id),
+    s AS (SELECT t.doc_id, CAST(len(l) AS BIGINT) AS dl,
+                 CAST(len(l) - coalesce(inc, 0) AS BIGINT) AS oov_cnt
+          FROM t LEFT JOIN inv ON t.doc_id = inv.doc_id)
+    SELECT doc_id, dl, oov_cnt,
+           CASE WHEN dl > 0 THEN oov_cnt / dl ELSE 0.0 END AS oov_rate,
+           CASE WHEN dl > 0 THEN (oov_cnt / dl) > 0.5 ELSE FALSE END AS flagged
+    FROM s
+    """,
+)
+def oov_rate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary-rate quality scores against the corpus top-50
+    vocabulary (r9): the gibberish/encoding-noise filter. Integer
+    counts + one exact division; the vocab broadcast-semi-joins, so no
+    corpus shuffle by token."""
+    from .analytics.text_analysis import oov_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_size=50, flag_threshold=0.5)
+
+
+@_register(
+    "boilerplate_prefix_clusters",
+    r"""
+    WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l
+      FROM documents),
+    p AS (SELECT doc_id, array_to_string(list_slice(l, 1, 2), ' ') AS prefix,
+                 CAST(len(l) AS BIGINT) AS dl
+      FROM t WHERE len(l) > 0)
+    SELECT prefix,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS exemplar_id,
+           CAST(sum(dl) AS BIGINT) AS total_tokens
+    FROM p GROUP BY prefix HAVING count(*) >= 2
+    ORDER BY n_docs DESC, prefix ASC
+    """,
+)
+def boilerplate_prefix_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 2-token-prefix clusters (r9): the cheap template/
+    boilerplate triage before near-dup passes. One groupBy on the
+    prefix projection; result bounded by repeated prefixes."""
+    from .analytics.text_analysis import boilerplate_prefix_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_prefix_clusters(docs, prefix_len=2, min_docs=2)
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

@@ -1443,3 +1443,73 @@ def test_domain_mixture_weights_math(spark):
     got2 = {r.source: r for r in
             domain_mixture_weights(df, target_shares={"a": 0.9, "b": 0.1}).collect()}
     assert abs(got2["a"].weight - (0.9 / 0.75)) < 1e-12
+
+
+def test_document_chunks(spark):
+    """r9: overlapping windows with provenance; empty docs vanish."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import document_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_index"], r["start_token"], r["n_tokens"], r["chunk_text"])
+        for r in document_chunks(df, chunk_size=4, stride=3).collect()
+    )
+    assert rows == [
+        (1, 0, 0, 4, "a b c d"),
+        (1, 1, 3, 4, "d e f g"),
+        (1, 2, 6, 1, "g"),
+        (2, 0, 0, 2, "x y"),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        document_chunks(df, chunk_size=0)
+
+
+def test_ngram_census(spark):
+    """r9: bigram counts + doc freq, count desc / ngram asc."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import ngram_census
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z")], "doc_id long, text string"
+    )
+    rows = [(r["ngram"], r["cnt"], r["doc_freq"]) for r in ngram_census(df, n=2, top_k=10).collect()]
+    assert rows == [("a b", 3, 2), ("b a", 1, 1), ("b c", 1, 1)]
+
+
+def test_oov_rate(spark):
+    """r9: top-V vocab is deterministic (count desc, token asc); rate is
+    oov/dl; docs fully inside the vocab score 0."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import oov_rate
+
+    df = spark.createDataFrame(
+        [(1, "a a b b q"), (2, "a b"), (3, "q r s t")], "doc_id long, text string"
+    )
+    # counts: a=3, b=3, q=2, r/s/t=1 -> vocab_size=2 keeps {a, b}
+    rows = {r["doc_id"]: r for r in oov_rate(df, vocab_size=2, flag_threshold=0.5).collect()}
+    assert (rows[1]["dl"], rows[1]["oov_cnt"], rows[1]["flagged"]) == (5, 1, False)
+    assert rows[1]["oov_rate"] == 1 / 5
+    assert (rows[2]["oov_cnt"], rows[2]["oov_rate"]) == (0, 0.0)
+    assert (rows[3]["oov_cnt"], rows[3]["flagged"]) == (4, True)
+
+
+def test_boilerplate_prefix_clusters(spark):
+    """r9: same-opening docs cluster; unique prefixes drop out."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import boilerplate_prefix_clusters
+
+    df = spark.createDataFrame(
+        [
+            (10, "terms of service apply here"),
+            (11, "terms of service differ a lot"),
+            (12, "totally unique document text"),
+            (13, "terms of use"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [
+        (r["prefix"], r["n_docs"], r["exemplar_id"], r["total_tokens"])
+        for r in boilerplate_prefix_clusters(df, prefix_len=3, min_docs=2).collect()
+    ]
+    assert rows == [("terms of service", 2, 10, 11)]

@@ -86,6 +86,11 @@ PROBE_QUERIES = [
     "matryoshka_energy",
     "winnowing_dedup_kept",
     "split_record_fragments",
+    # r9 additions
+    "document_chunks_rag",
+    "ngram_census_top20",
+    "oov_rate_scores",
+    "boilerplate_prefix_clusters",
 ]
 
 # targeted re-probe: SF_PROBE_ONLY=a,b,c probes just those queries and
