@@ -5684,6 +5684,39 @@ def boilerplate_prefix_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return boilerplate_prefix_clusters(docs, prefix_len=2, min_docs=2)
 
 
+@_register(
+    "incremental_dedup_ledger",
+    r"""
+    WITH b1 AS (SELECT count(DISTINCT text) AS c FROM documents WHERE doc_id < 250),
+    allc AS (SELECT count(DISTINCT text) AS c FROM documents)
+    SELECT 'batch1' AS phase, CAST(b1.c AS BIGINT) AS n_admitted FROM b1
+    UNION ALL
+    SELECT 'batch2' AS phase, CAST(allc.c - b1.c AS BIGINT) AS n_admitted FROM allc, b1
+    UNION ALL
+    SELECT 'batch2_rerun' AS phase, CAST(0 AS BIGINT) AS n_admitted
+    """,
+)
+def incremental_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup against a persisted fingerprint ledger
+    (r9): the corpus arrives as two batches (doc_id < 250, then the
+    full table re-sent); batch 2 admits only never-seen content and a
+    re-run of batch 2 admits nothing (idempotence). The oracle pins
+    all three admission counts via distinct-text arithmetic."""
+    import tempfile as _tf
+
+    from .analytics.dedup import exact_dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    ledger = _tf.mkdtemp(prefix="dedup-ledger-") + "/fps"
+    n1 = exact_dedup_incremental(docs.where(F.col("doc_id") < 250), ledger).count()
+    n2 = exact_dedup_incremental(docs, ledger).count()
+    n3 = exact_dedup_incremental(docs, ledger).count()
+    return spark.createDataFrame(
+        [("batch1", n1), ("batch2", n2), ("batch2_rerun", n3)],
+        "phase string, n_admitted long",
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

@@ -252,7 +252,7 @@ def merge_content_bin_packing_tws(
     entries/bytes inline, flush partial bins by REGISTERED processing-
     time timer (one per open bin).
 
-    CONTAINER LIMITATION (2026-08-14, r8): the TWS runtime ships a
+    CONTAINER LIMITATION (2026-08-14, re-attempted r9 — `import google.protobuf` still fails, `pip download protobuf` returns empty offline): the TWS runtime ships a
     protobuf wire protocol between JVM and the Python state server —
     ``google.protobuf`` is not installed here and there is no network
     to fetch it, so this variant cannot EXECUTE in this environment
