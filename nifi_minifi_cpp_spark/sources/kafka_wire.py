@@ -508,9 +508,12 @@ class MiniKafkaClient:
         topic: str,
         partition: int,
         items: list[tuple[int, bytes | None, bytes | None, list[tuple[str, bytes | None]]]],
+        compression: str | None = None,
     ) -> int:
-        """-> base offset assigned by the broker."""
-        batch = encode_record_batch(0, items)
+        """-> base offset assigned by the broker. ``compression='gzip'``
+        ships a gzip RecordBatch (what a compression.type=gzip producer
+        sends; the broker stores batches as-received)."""
+        batch = encode_record_batch(0, items, compression=compression)
         body = (
             _string(None)  # transactional id
             + _s16(-1)  # acks: all
@@ -932,12 +935,15 @@ def kafka_partition_for_key(key: bytes | None, n_partitions: int) -> int:
     return (murmur2(key) & 0x7FFFFFFF) % n_partitions
 
 
-def publish_kafka_wire_handler(bootstrap: str, timestamp_ms: int | None = None):
+def publish_kafka_wire_handler(
+    bootstrap: str, timestamp_ms: int | None = None, compression: str | None = None
+):
     """foreachPartition handler producing (key, value, topic[, headers])
     rows over the wire — the PublishKafka execution path without
     connector jars. Key->partition placement uses Kafka's
     DefaultPartitioner (murmur2). One client + one produce per
-    (topic, partition) per Spark partition."""
+    (topic, partition) per Spark partition. ``compression='gzip'``
+    ships gzip RecordBatches (PublishKafka's compress.codec property)."""
     import time as _time
 
     def handle(rows) -> None:
@@ -962,7 +968,7 @@ def publish_kafka_wire_handler(bootstrap: str, timestamp_ms: int | None = None):
         if cli is not None:
             try:
                 for (topic, part), items in pending.items():
-                    cli.produce(topic, part, items)
+                    cli.produce(topic, part, items, compression=compression)
             finally:
                 cli.close()
 

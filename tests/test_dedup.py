@@ -22,3 +22,33 @@ def test_exact_dedup_incremental_ledger(spark, tmp_path):
     b3 = spark.createDataFrame([(7, "delta")], "doc_id long, text string")
     assert exact_dedup_incremental(b3, ledger, commit=False).count() == 1
     assert exact_dedup_incremental(b3, ledger, commit=False).count() == 1
+
+
+def test_incremental_ledger_bucketed_join_shape(spark, tmp_path):
+    """r9 scale lock: with the ledger persisted as a table BUCKETED by
+    fingerprint, the per-batch anti-join needs NO Exchange on the
+    ledger side — the repeated-ingest path stops re-shuffling history
+    (the 100 TB claim in exact_dedup_incremental's docstring)."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.plans.bucketing import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.range(1000).select(
+            F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+        )
+        fps = docs.select(F.xxhash64("text").alias("_fp"), "doc_id")
+        spark.sql("DROP TABLE IF EXISTS dedup_ledger_bk")
+        write_bucketed(fps, "dedup_ledger_bk", "_fp", n_buckets=8)
+        batch = docs.select(F.xxhash64("text").alias("_fp"), "doc_id").repartition(8, "_fp")
+        fresh = batch.join(spark.table("dedup_ledger_bk").select("_fp"), "_fp", "left_anti")
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # exactly ONE Exchange: the batch side's explicit repartition —
+        # the ledger side contributes none (co-located bucket reads)
+        assert plan.count("Exchange") == 1, plan
+        assert fresh.count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dedup_ledger_bk")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

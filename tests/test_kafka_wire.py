@@ -508,3 +508,20 @@ def test_starting_offsets_json_sentinels(spark, broker, tmpdir):
     ).simpleStreamReader(None)
     with pytest.raises(ValueError, match="-7"):
         rdr_bad.initialOffset()
+
+
+def test_gzip_produce_path(broker):
+    """r9: a gzip-producing client (compression.type=gzip) round-trips
+    through the broker — the producer-side half of compressed-topic
+    support (PublishKafka's compress.codec property)."""
+    cli = MiniKafkaClient(broker.bootstrap)
+    base = cli.produce(
+        "gzp", 0,
+        [(1700000000000 + i, b"k%d" % i, b"zpayload-%d" % i * 30, []) for i in range(4)],
+        compression="gzip",
+    )
+    assert base == 0
+    recs, hw = cli.fetch("gzp", 0, 0)
+    cli.close()
+    assert hw == 4
+    assert [r["value"] for r in recs] == [b"zpayload-%d" % i * 30 for i in range(4)]
