@@ -976,3 +976,37 @@ def exact_dedup_incremental(
         fresh_rows.write.mode("append").parquet(ledger_path)
         admitted = new_df.join(fresh_rows.select(id_col), id_col, "left_semi")
     return admitted
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    content_col: str = "text",
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """Cross-source duplicate-overlap matrix (r9): for every source
+    pair (a < b), how many DISTINCT contents appear in both — the
+    crawl-triage diagnostic that tells you which feeds duplicate each
+    other before you pay for full dedup (two mirrors of the same dump
+    show near-total overlap; independent crawls show noise-level).
+
+    100 TB shape: the corpus collapses FIRST to distinct slim
+    (fingerprint, source) pairs — map-side combine, 16 bytes a row —
+    and only that reduced set self-joins on the fingerprint (the join
+    explodes per-fingerprint source lists, bounded by the number of
+    sources, not documents). All-integer output."""
+    if prefix_tokens is not None:
+        # prefix-fingerprint mode: overlap of shared OPENINGS (the
+        # boilerplate/template axis) instead of whole-content equality
+        toks = F.filter(F.split(F.lower(F.col(content_col)), r"\s+"), lambda t: t != "")
+        fp_expr = F.xxhash64(F.array_join(F.slice(toks, 1, prefix_tokens), " "))
+    else:
+        fp_expr = F.xxhash64(F.col(content_col))
+    fp_src = df.select(fp_expr.alias("_fp"), F.col(source_col).alias("_s")).distinct()
+    a, b = fp_src.alias("a"), fp_src.alias("b")
+    return (
+        a.join(b, (F.col("a._fp") == F.col("b._fp")) & (F.col("a._s") < F.col("b._s")))
+        .groupBy(F.col("a._s").alias("source_a"), F.col("b._s").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(F.col("n_shared").desc(), "source_a", "source_b")
+    )

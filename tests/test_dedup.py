@@ -52,3 +52,33 @@ def test_incremental_ledger_bucketed_join_shape(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS dedup_ledger_bk")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_source_overlap_matrix(spark):
+    """r9: exact mode counts distinct shared contents per source pair;
+    prefix mode fires on shared openings."""
+    from nifi_minifi_cpp_spark.analytics.dedup import source_overlap_matrix
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared text one", "A"),
+            (2, "shared text one", "B"),   # exact dup across A/B
+            (3, "shared text two", "A"),
+            (4, "shared text two", "B"),   # second exact dup A/B
+            (5, "shared text two", "C"),   # and A/C + B/C
+            (6, "unique to c", "C"),
+            (7, "shared text one", "A"),   # same content, same source: distinct-collapsed
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = [
+        (r["source_a"], r["source_b"], r["n_shared"])
+        for r in source_overlap_matrix(df).collect()
+    ]
+    assert rows == [("A", "B", 2), ("A", "C", 1), ("B", "C", 1)]
+    pre = [
+        (r["source_a"], r["source_b"], r["n_shared"])
+        for r in source_overlap_matrix(df, prefix_tokens=2).collect()
+    ]
+    # 2-token prefix 'shared text' is one distinct fingerprint per source
+    assert pre == [("A", "B", 1), ("A", "C", 1), ("B", "C", 1)]
