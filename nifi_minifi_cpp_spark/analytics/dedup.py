@@ -961,10 +961,20 @@ def exact_dedup_incremental(
     spark = new_df.sparkSession
     fp = F.xxhash64(F.col(content_col)).alias("_fp")
     batch = new_df.select(fp, F.col(id_col)).groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    from pyspark.errors import AnalysisException
+
     try:
         ledger = spark.read.parquet(ledger_path).select("_fp")
         fresh = batch.join(ledger, "_fp", "left_anti")
-    except Exception:
+    except AnalysisException as e:
+        # ONLY a missing ledger means "first batch". Any other failure
+        # (permissions, corrupt footer, transient FS error) must
+        # propagate: swallowing it would silently re-admit duplicates
+        # AND append their fingerprints again, corrupting the ledger's
+        # one-row-per-content invariant.
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
         fresh = batch  # first batch: no ledger yet
     admitted = new_df.join(fresh.select(id_col), id_col, "left_semi")
     if commit:

@@ -2996,31 +2996,6 @@ def _await_self_termination(q, timeout_s: float = 180.0) -> None:
         raise q.exception()
 
 
-def _quiesce_stop(q, wait_s: float = 30.0) -> None:
-    """Stop a streaming query WITHOUT interrupting an in-flight
-    micro-batch commit (r9, VERDICT r8 #4): the stateful fixtures poll
-    the sink and used to call ``q.stop()`` the moment the expected rows
-    landed — often mid-epoch-1 (the timeout-sweep batch), interrupting
-    a task while its RocksDB state store was committing and logging
-    transient ``CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT`` aborts (Spark
-    retried, results stayed green — retry noise, not corruption).
-    Waiting for the trigger to go inactive first means stop() lands on
-    an idle stream; the stateful operators' ProcessingTimeTimeout keeps
-    scheduling sweep batches, so a bounded wait + stop (not
-    processAllAvailable, which never returns here) is the right shape."""
-    import time as _time
-
-    deadline = _time.monotonic() + wait_s
-    while _time.monotonic() < deadline:
-        try:
-            if not q.status.get("isTriggerActive", False):
-                break
-        except Exception:
-            break  # query already terminated
-        _time.sleep(0.05)
-    q.stop()
-
-
 @_register(
     "stateful_bin_packing_merge",
     # Count-threshold flush is order-independent: every 8th row per key

@@ -27,21 +27,18 @@ def write_bucketed(
     sort_cols: list[str] | str | None = None,
     path: str | None = None,
     mode: str = "overwrite",
-    num_buckets: int | None = None,
 ) -> None:
     """Persist ``df`` bucketed (and optionally sorted) by the join key.
 
     THE single bucketed-write primitive (r9 consolidation — util and
-    scale delegate here; two divergent signatures for the same
-    primitive is how drift starts). ``num_buckets`` is accepted as an
-    alias for ``n_buckets`` for callers of the old util signature.
+    scale delegate here with their own legacy signatures; this one has
+    exactly ONE spelling, ``n_buckets``, so the two-name drift the
+    consolidation removed cannot return).
 
     ``n_buckets`` should divide evenly into the cluster's parallelism;
     sorting within buckets additionally removes the sort from
     sort-merge joins and enables binary-search-ish filters.
     """
-    if num_buckets is not None:
-        n_buckets = num_buckets
     bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:

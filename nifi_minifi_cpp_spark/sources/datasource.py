@@ -348,26 +348,46 @@ class _MqttListenReader(_ListenStreamReader):
 
             from .mqtt_wire import MqttWireClient
 
+            # attempts reset only when a MESSAGE arrives (a successful
+            # CONNECT alone doesn't prove health — a crash-looping
+            # broker that accepts then EOFs would otherwise drive an
+            # unbounded zero-delay spin), every reconnect path sleeps
+            # with capped backoff, and superseded sockets are closed.
             attempts = 0
+
+            def _backoff_or_give_up() -> bool:
+                nonlocal attempts
+                attempts += 1
+                if attempts > 30:  # ~2.5 min of capped backoff: gone for good
+                    return False
+                _time.sleep(min(0.2 * attempts, 5.0))
+                return True
+
             while True:
                 try:
                     client = MqttWireClient(self.broker, self.client_id)
                     client.subscribe(self.topic, qos=self.qos)
                 except (OSError, ConnectionError):
-                    attempts += 1
-                    if attempts > 5:
-                        return  # broker gone for good
-                    _time.sleep(0.2 * attempts)
-                    continue
-                attempts = 0
-                while True:
-                    m = client.recv_message(timeout=None)
-                    if m is None:
-                        if client.eof:
-                            break  # reconnect in the outer loop
-                        continue  # spurious timeout-less None: keep reading
-                    topic, payload = m
-                    self._push(topic, payload.decode("utf-8", errors="replace"))
+                    if _backoff_or_give_up():
+                        continue
+                    return
+                try:
+                    while True:
+                        m = client.recv_message(timeout=None)
+                        if m is None:
+                            if client.eof:
+                                break  # reconnect in the outer loop
+                            continue  # spurious timeout-less None: keep reading
+                        attempts = 0  # healthy: delivery observed
+                        topic, payload = m
+                        self._push(topic, payload.decode("utf-8", errors="replace"))
+                finally:
+                    try:
+                        client.disconnect()  # close the superseded socket
+                    except OSError:
+                        pass
+                if not _backoff_or_give_up():
+                    return
         client = connect_paho_client(
             self.broker, self.client_id, clean_session=self.clean_session
         )

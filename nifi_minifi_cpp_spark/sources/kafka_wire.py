@@ -511,8 +511,13 @@ class MiniKafkaClient:
         compression: str | None = None,
     ) -> int:
         """-> base offset assigned by the broker. ``compression='gzip'``
-        ships a gzip RecordBatch (what a compression.type=gzip producer
-        sends; the broker stores batches as-received)."""
+        ships a gzip RecordBatch over the wire (what a
+        compression.type=gzip producer sends). NOTE: the fixture broker
+        decodes incoming batches and re-encodes them with ITS OWN
+        compression mode before storing — a gzip produce to a plain
+        broker is stored and served plain, so compressed FETCHES are
+        exercised via MiniKafkaBroker(compression='gzip'), not via this
+        flag."""
         batch = encode_record_batch(0, items, compression=compression)
         body = (
             _string(None)  # transactional id

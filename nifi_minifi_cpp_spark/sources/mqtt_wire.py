@@ -116,10 +116,14 @@ def _read_packet(sock: socket.socket) -> tuple[int, int, bytes] | None:
 
 
 def _read_varint(body: bytes, pos: int) -> tuple[int, int]:
-    """Decode an in-body varint (v5 property length) -> (value, new_pos)."""
+    """Decode an in-body varint (v5 property length) -> (value, new_pos).
+    Truncation raises MqttProtocolError, never IndexError — parse
+    failures must stay inside the protocol-error handling paths."""
     n = 0
     mult = 1
     for i in range(4):
+        if pos >= len(body):
+            raise MqttProtocolError("truncated varint in packet body")
         b = body[pos]
         pos += 1
         n += (b & 0x7F) * mult
@@ -144,7 +148,19 @@ def _encode_user_props(props: dict[str, str] | None) -> bytes:
 
 def _parse_props(raw: bytes) -> tuple[list[tuple[str, str]], int | None]:
     """Parse a v5 property block -> (user_properties, session_expiry).
-    Unknown one/two/four-byte and string properties are skipped by id."""
+    Unknown one/two/four-byte and string properties are skipped by id.
+    Any truncated/malformed block raises MqttProtocolError (converted
+    from struct/index errors) so it flows through the same
+    connection-close handling as every other protocol error."""
+    try:
+        return _parse_props_inner(raw)
+    except MqttProtocolError:
+        raise
+    except (struct.error, IndexError, UnicodeDecodeError) as e:
+        raise MqttProtocolError(f"malformed v5 property block: {e}") from e
+
+
+def _parse_props_inner(raw: bytes) -> tuple[list[tuple[str, str]], int | None]:
     user: list[tuple[str, str]] = []
     expiry: int | None = None
     pos = 0
@@ -323,8 +339,8 @@ class MiniMqttBroker:
                             conn.send(_packet(PINGRESP, 0, b""))
                         elif ptype == DISCONNECT:
                             return
-                except MqttProtocolError:
-                    return  # spec: close the network connection
+                except (MqttProtocolError, struct.error, IndexError, UnicodeDecodeError):
+                    return  # spec: close the connection on malformed packets
                 finally:
                     with broker._subs_lock:
                         broker._subs.pop(my_id, None)
@@ -448,16 +464,21 @@ class MqttWireClient:
             raise ConnectionError("MQTT CONNACK refused")
 
     def _parse_publish(self, flags: int, body: bytes) -> tuple[str, bytes, list[tuple[str, str]]]:
-        (ln,) = struct.unpack_from(">H", body, 0)
-        topic = body[2 : 2 + ln].decode()
-        qos = (flags >> 1) & 0x03
-        pos = 2 + ln + (2 if qos else 0)
-        user: list[tuple[str, str]] = []
-        if self.level >= 5:
-            plen, pos = _read_varint(body, pos)
-            user, _ = _parse_props(body[pos : pos + plen])
-            pos += plen
-        return topic, body[pos:], user
+        try:
+            (ln,) = struct.unpack_from(">H", body, 0)
+            topic = body[2 : 2 + ln].decode()
+            qos = (flags >> 1) & 0x03
+            pos = 2 + ln + (2 if qos else 0)
+            user: list[tuple[str, str]] = []
+            if self.level >= 5:
+                plen, pos = _read_varint(body, pos)
+                user, _ = _parse_props(body[pos : pos + plen])
+                pos += plen
+            return topic, body[pos:], user
+        except MqttProtocolError:
+            raise
+        except (struct.error, IndexError, UnicodeDecodeError) as e:
+            raise MqttProtocolError(f"malformed PUBLISH body: {e}") from e
 
     def _wait_for(self, want_type: int):
         while True:
@@ -516,13 +537,26 @@ class MqttWireClient:
             topic, payload, user = self._inbox.popleft()
             self.last_publish_properties = user
             return topic, payload
+        import time as _time
+
         old = self._sock.gettimeout()
         # timeout=None must mean BLOCK, not "inherit the connect
         # timeout": a 10s idle gap is normal broker behavior and must
         # not read as EOF (that was a silent consume-path data loss).
-        self._sock.settimeout(timeout)
+        # A FINITE timeout is a deadline on the whole call: skipped
+        # non-PUBLISH packets (pings, late acks) shrink the remaining
+        # budget instead of re-arming it, so a chatty connection can't
+        # stretch recv_message(0.3) indefinitely.
+        deadline = None if timeout is None else _time.monotonic() + timeout
         try:
             while True:
+                if deadline is None:
+                    self._sock.settimeout(None)
+                else:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        return None
+                    self._sock.settimeout(remaining)
                 pkt = _read_packet(self._sock)
                 if pkt is None:
                     self.eof = True
@@ -534,6 +568,15 @@ class MqttWireClient:
                     return topic, payload
                 # PINGRESP / late acks: keep waiting for a PUBLISH
         except (TimeoutError, socket.timeout):
+            return None
+        except MqttProtocolError:
+            # spec 4.8: close the connection on a malformed packet; the
+            # reader sees EOF and reconnects rather than dying mid-thread
+            self.eof = True
+            try:
+                self._sock.close()
+            except OSError:
+                pass
             return None
         finally:
             try:

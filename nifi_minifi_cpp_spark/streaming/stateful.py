@@ -104,24 +104,28 @@ def make_bin_packer(
 def merge_content_bin_packing_stream(
     df: DataFrame,
     correlation_col: str = "correlation",
+    max_bin_age_ms: int | None = 60_000,
     **kwargs,
 ) -> DataFrame:
     """MergeContent bin-packing as a streaming operator.
 
     Input: a streaming frame with (correlation, content) columns.
     Output: merged bundles per correlation key with flush provenance.
-    """
-    func, out_schema, state_schema = make_bin_packer(**kwargs)
-    # max_bin_age_ms=None disables age flush ENTIRELY — including the
-    # ProcessingTimeTimeout registration. This matters beyond semantics:
-    # any registered processing-time timeout makes the stream schedule
-    # timeout-sweep micro-batches forever (hundreds of state-store
-    # versions in a short fixture run) and every stop then risks
-    # interrupting a sweep's RocksDB commit (transient CANNOT_COMMIT
-    # retry noise, VERDICT r8 #4). NoTimeout streams quiesce cleanly.
+
+    ``max_bin_age_ms=None`` disables age flush ENTIRELY — including the
+    ProcessingTimeTimeout registration (the parameter is explicit here,
+    not a kwargs pass-through, precisely so the timeout-mode decision
+    and the factory receive the SAME value). This matters beyond
+    semantics: any registered processing-time timeout makes the stream
+    schedule timeout-sweep micro-batches forever (hundreds of
+    state-store versions in a short fixture run) and every stop then
+    risks interrupting a sweep's RocksDB commit (transient
+    CANNOT_COMMIT retry noise, VERDICT r8 #4). NoTimeout streams
+    quiesce cleanly."""
+    func, out_schema, state_schema = make_bin_packer(max_bin_age_ms=max_bin_age_ms, **kwargs)
     timeout = (
         GroupStateTimeout.NoTimeout
-        if kwargs.get("max_bin_age_ms", 60_000) is None
+        if max_bin_age_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout
     )
     return (
@@ -211,13 +215,18 @@ def defragment_text_stream(
     df: DataFrame,
     message_start_pattern: str,
     key_col: str = "key",
+    max_buffer_age_ms: int | None = 60_000,
     **kwargs,
 ) -> DataFrame:
-    func = make_defragmenter(message_start_pattern, **kwargs)
-    # max_buffer_age_ms=None -> NoTimeout: see merge_content_bin_packing_stream
+    # max_buffer_age_ms is explicit (not kwargs) so the NoTimeout
+    # decision and the factory share one value: see
+    # merge_content_bin_packing_stream
+    func = make_defragmenter(
+        message_start_pattern, max_buffer_age_ms=max_buffer_age_ms, **kwargs
+    )
     timeout = (
         GroupStateTimeout.NoTimeout
-        if kwargs.get("max_buffer_age_ms", 60_000) is None
+        if max_buffer_age_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout
     )
     return df.groupBy(key_col).applyInPandasWithState(

@@ -118,11 +118,22 @@ def reliable_barrier(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def write_bucketed(*args, **kwargs) -> None:
-    """Compatibility re-export: the single bucketed-write primitive
-    lives in ``plans.bucketing.write_bucketed`` (r9 consolidation —
-    the r8 round grew two divergent signatures for the same thing).
-    Lazy import avoids a util <-> plans import cycle."""
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Compatibility wrapper preserving THIS module's original
+    signature (positional ``num_buckets``/``sort_cols``/``mode``); the
+    single bucketed-write primitive lives in
+    ``plans.bucketing.write_bucketed`` (r9 consolidation). A bare
+    ``*args`` pass-through would silently rebind old positional calls
+    onto the canonical signature's ``path`` slot — the explicit
+    signature keeps legacy call sites meaning what they meant. Lazy
+    import avoids a util <-> plans import cycle."""
     from .plans.bucketing import write_bucketed as _wb
 
-    _wb(*args, **kwargs)
+    _wb(df, table, bucket_cols, n_buckets=num_buckets, sort_cols=sort_cols, mode=mode)

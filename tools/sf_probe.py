@@ -91,6 +91,8 @@ PROBE_QUERIES = [
     "ngram_census_top20",
     "oov_rate_scores",
     "boilerplate_prefix_clusters",
+    "incremental_dedup_ledger",
+    "source_overlap_matrix",
 ]
 
 # targeted re-probe: SF_PROBE_ONLY=a,b,c probes just those queries and
