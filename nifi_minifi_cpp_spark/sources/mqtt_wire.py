@@ -433,6 +433,7 @@ class MqttWireClient:
         timeout: float = 10.0,
         protocol_level: int = 4,
         session_expiry: int | None = None,
+        keepalive: int = 60,
     ):
         addr = broker.removeprefix("tcp://")
         host, _, port = addr.partition(":")
@@ -440,6 +441,7 @@ class MqttWireClient:
         self._inbox: deque[tuple[str, bytes, list[tuple[str, str]]]] = deque()
         self._pid = 0
         self.level = protocol_level
+        self.keepalive = max(int(keepalive), 1)
         self.eof = False
         self.last_publish_properties: list[tuple[str, str]] = []
         if protocol_level >= 5:
@@ -451,13 +453,15 @@ class MqttWireClient:
                 _utf8("MQTT")
                 + b"\x05"
                 + b"\x02"
-                + struct.pack(">H", 60)
+                + struct.pack(">H", self.keepalive)
                 + _encode_remaining(len(props))
                 + bytes(props)
                 + _utf8(client_id)
             )
         else:
-            body = _utf8("MQTT") + b"\x04" + b"\x02" + struct.pack(">H", 60) + _utf8(client_id)
+            body = (
+                _utf8("MQTT") + b"\x04" + b"\x02" + struct.pack(">H", self.keepalive) + _utf8(client_id)
+            )
         self._sock.sendall(_packet(CONNECT, 0, body))
         pkt = self._wait_for(CONNACK)
         if pkt is None or pkt[2][1] != 0:
@@ -548,16 +552,35 @@ class MqttWireClient:
         # budget instead of re-arming it, so a chatty connection can't
         # stretch recv_message(0.3) indefinitely.
         deadline = None if timeout is None else _time.monotonic() + timeout
+        # keepalive discipline (spec 3.1.2.10): a real broker drops a
+        # client that stays silent for 1.5x the CONNECT keepalive, and
+        # a blocking subscriber SENDS nothing while idle — so the
+        # "blocking" read is internally paced at keepalive/2 and each
+        # internal timeout emits a PINGREQ instead of surfacing to the
+        # caller. The caller contract is unchanged: timeout=None blocks
+        # until a PUBLISH or EOF; a finite timeout is a whole-call
+        # deadline.
+        ping_interval = self.keepalive / 2.0
         try:
             while True:
                 if deadline is None:
-                    self._sock.settimeout(None)
+                    self._sock.settimeout(ping_interval)
                 else:
                     remaining = deadline - _time.monotonic()
                     if remaining <= 0:
                         return None
-                    self._sock.settimeout(remaining)
-                pkt = _read_packet(self._sock)
+                    self._sock.settimeout(min(remaining, ping_interval))
+                try:
+                    pkt = _read_packet(self._sock)
+                except (TimeoutError, socket.timeout):
+                    if deadline is not None and _time.monotonic() >= deadline:
+                        return None
+                    try:
+                        self._sock.sendall(_packet(PINGREQ, 0, b""))  # keep the session alive
+                    except OSError:
+                        self.eof = True  # connection died while idle
+                        return None
+                    continue
                 if pkt is None:
                     self.eof = True
                     return None

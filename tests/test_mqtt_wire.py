@@ -270,3 +270,30 @@ def test_filter_validation_and_malformed_varint(broker):
     raw.sendall(b"\x30" + b"\x80\x80\x80\x80\x80")
     assert raw.recv(1) == b""  # connection closed by the broker
     raw.close()
+
+
+def test_keepalive_pings_while_blocked(broker):
+    """r9: a blocked subscriber paces its read at keepalive/2 and emits
+    PINGREQ — a real broker (1.5x-keepalive idle kill) keeps the
+    session; messages after several ping cycles still arrive."""
+    import threading
+
+    sub = MqttWireClient(broker.address, "kasub", keepalive=2)  # ping every ~1s
+    sub.subscribe("ka/t", qos=0)
+    pub = MqttWireClient(broker.address, "kapub")
+
+    def late():
+        time.sleep(3.2)  # > 1.5x keepalive: a silent client would be dead
+        pub.publish("ka/t", b"still-alive", qos=1)
+
+    t = threading.Thread(target=late)
+    t.start()
+    got = sub.recv_message(timeout=None)
+    t.join()
+    assert got == ("ka/t", b"still-alive")
+    # finite timeout still honors the whole-call deadline despite pings
+    start = time.monotonic()
+    assert sub.recv_message(timeout=0.4) is None
+    assert time.monotonic() - start < 2.0
+    pub.disconnect()
+    sub.disconnect()
