@@ -22,60 +22,60 @@ from nifi_minifi_cpp_spark import entry_queries
 # Every SURVEY §2 operator family and every LLM-pipeline operator must
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
-    # r9 rotation: the 45 r6-stale breadth entries + the 5
-    # implementations changed in r9 (wire fixes, stateful rework, bm25).
-    "compress_roundtrip_gzip",
-    "defragment_messages",
-    "convert_record_xml_roundtrip",
-    "funnel_merge_counts",
-    "split_content_words",
-    "el_multiattr_pack",
-    "el_delineated_pack",
-    "replace_text_line_modes",
-    "modbus_read_registers",
-    "k8s_pod_metrics_quantities",
-    "opc_browse_lazy",
-    "kv_enrichment_route",
-    "remote_list_fetch",
-    "execute_process_batched",
-    "put_sql_roundtrip",
-    "procfs_metrics_parse",
-    "object_store_crud_roundtrip",
-    "mqtt_consume_counts",
-    "journald_consume_syslog",
-    "repetition_report",
-    "gopher_filter_counts",
-    "pii_redaction_counts",
-    "deterministic_sample_ids",
-    "dialect_flow_route_counts",
-    "listen_tcp_ingest",
-    "listen_http_ingest",
-    "put_tcp_roundtrip",
-    "kinesis_batch_plan",
-    "stratified_sample_by_source",
-    "token_count_distribution",
-    "es_bulk_validation_counts",
-    "splunk_hec_url_pack",
-    "loki_batch_flush_counts",
-    "get_tcp_client_ingest",
-    "el_date_pack",
-    "c2_operation_acks",
-    "prometheus_exposition_pack",
-    "append_host_info_pack",
-    "duplicate_components_chains",
-    "semantic_dedup_kept",
-    "minhash_dedup_kept",
-    "ngram_jaccard_dedup_kept",
-    "multimodal_features_frames",
-    "embedding_dedup_kept",
-    "llm_inference_fake",
-    "mqtt_wire_consume",
-    "kafka_wire_consume",
-    "stateful_bin_packing_merge",
-    "stateful_defragment_reassembly",
-    "bm25_topk_docs",
+    # r10 rotation: the 6 never-driver-graded r9 registrations FIRST,
+    # then the r7-green breadth block (2 rounds stale at r10).
+    # route_relationship_counts / embedding_norms_by_label defer to r11.
+    "document_chunks_rag",
+    "ngram_census_top20",
+    "oov_rate_scores",
+    "boilerplate_prefix_clusters",
+    "incremental_dedup_ledger",
+    "source_overlap_matrix",
+    "el_scalar_pack",
+    "el_encode_pack",
+    "route_error_events",
+    "route_text_merge_lines",
+    "json_path_extract",
+    "extract_first_word",
+    "hash_content_sha256",
+    "replace_text_hashed",
+    "apply_template_events",
+    "archive_roundtrip",
+    "split_fragment_counts",
+    "split_merge_roundtrip",
+    "record_transform_upper",
+    "rolling_window_count10",
+    "tumbling_hourly_by_type",
+    "sessionize_users",
+    "incremental_scan_tail",
+    "invoke_http_route_counts",
+    "s2s_port_roundtrip",
+    "param_context_resolution",
+    "connection_edge_semantics",
+    "streaming_route_counts",
+    "syslog_parse",
+    "tailfile_ingest",
+    "exact_dedup_representatives",
+    "span_dedup_rebuild",
+    "span_dedup_overlap_rebuild",
+    "contamination_flags",
+    "domain_mixture_plan",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q20_promo_part_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "top3_orders_per_customer",
+    "range_join_purchase_after_error",
+    "rollup_orders_priority",
+    "asof_error_prior_click",
+    "cube_lineitem_status",
+    "pivot_event_counts",
+    "knn_exact_10x3",
 }
-
 
 def test_must_grade_queries_inside_window():
     names = list(entry_queries.queries())
