@@ -16,6 +16,8 @@ dedup pipelines (e.g. the C4/RefinedWeb recipes) use).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -926,6 +928,37 @@ def winnowing_dedup(
     return df.join(drop, id_col, "left_anti")
 
 
+class LedgerLockError(RuntimeError):
+    """Another writer holds the dedup ledger's lock file. Ingest batches
+    against one ledger are serialized by design — wait for the holder to
+    finish, or remove the stale ``<ledger>.lock`` file if the holder
+    crashed without releasing it."""
+
+
+@contextmanager
+def _ledger_writer_lock(spark, ledger_path: str):
+    """Best-effort single-writer guard: atomically create a sibling
+    ``<ledger>.lock`` file (Hadoop ``create(overwrite=false)`` — atomic
+    on HDFS/object-store committers, check-then-create on the local FS)
+    and delete it on exit. Held across the ledger READ as well as the
+    append: two concurrent batches that both anti-join the same ledger
+    snapshot would each admit the same content and double-append its
+    fingerprint, breaking the one-row-per-content invariant."""
+    from ..util import hadoop_fs
+
+    fs, lock = hadoop_fs(spark, ledger_path.rstrip("/") + ".lock")
+    try:
+        fs.create(lock, False).close()
+    except Exception as e:
+        if "FileAlreadyExists" in type(e).__name__ or "FileAlreadyExists" in str(e):
+            raise LedgerLockError(f"ledger lock held: {ledger_path}.lock") from e
+        raise
+    try:
+        yield
+    finally:
+        fs.delete(lock, False)
+
+
 def exact_dedup_incremental(
     new_df: DataFrame,
     ledger_path: str,
@@ -953,39 +986,47 @@ def exact_dedup_incremental(
     batch against it (at fleet scale, bucket the ledger table by
     fingerprint via plans.bucketing.write_bucketed and the repeated
     per-batch anti-join stops re-shuffling the ledger side entirely).
+    Concurrency: ingest batches against one ledger are SERIALIZED. A
+    ``commit=True`` run takes a ``<ledger>.lock`` file (atomic Hadoop
+    create-no-overwrite) across the ledger read AND the append — two
+    writers racing the same snapshot would each admit the same content
+    and double-append its fingerprint. A concurrent writer gets
+    :class:`LedgerLockError` immediately (no blocking — the caller's
+    scheduler owns retry policy). Delivery is at-most-once: the append
+    commits BEFORE the caller consumes the admitted rows, so a
+    downstream failure after this returns leaves fingerprints ledgered
+    for content never persisted — a re-run will not re-admit them.
+
     Parity: the reference's DetectDuplicate keeps content hashes in a
     DistributedMapCache and routes duplicates out
     (extensions/standard-processors tests reference the same
     hash-cache-lookup flow); this is that operator as a table-backed
     batch primitive."""
     spark = new_df.sparkSession
+    from ..util import hadoop_path_exists
+
     fp = F.xxhash64(F.col(content_col)).alias("_fp")
     batch = new_df.select(fp, F.col(id_col)).groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    from pyspark.errors import AnalysisException
 
-    try:
-        ledger = spark.read.parquet(ledger_path).select("_fp")
-        fresh = batch.join(ledger, "_fp", "left_anti")
-    except AnalysisException as e:
-        # ONLY a missing ledger means "first batch". Any other failure
-        # (permissions, corrupt footer, transient FS error) must
-        # propagate: swallowing it would silently re-admit duplicates
-        # AND append their fingerprints again, corrupting the ledger's
-        # one-row-per-content invariant.
-        msg = str(e)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
-        fresh = batch  # first batch: no ledger yet
-    admitted = new_df.join(fresh.select(id_col), id_col, "left_semi")
-    if commit:
+    def _fresh() -> DataFrame:
+        # existence probed via the FS API, not try/except around the
+        # read: a failed read fires every ExecutionListener (ERROR
+        # stack traces on clean first-batch runs) and message-sniffing
+        # is brittle; any OTHER read failure (permissions, corrupt
+        # footer) still propagates from the read itself.
+        if hadoop_path_exists(spark, ledger_path):
+            ledger = spark.read.parquet(ledger_path).select("_fp")
+            return batch.join(ledger, "_fp", "left_anti")
+        return batch  # first batch: no ledger yet
+
+    if not commit:
+        return new_df.join(_fresh().select(id_col), id_col, "left_semi")
+    with _ledger_writer_lock(spark, ledger_path):
         # the barrier materializes the admitted keep-set BEFORE the
         # ledger append mutates the path the anti-join read from
-        from ..util import reliable_barrier
-
-        fresh_rows = reliable_barrier(fresh)
+        fresh_rows = reliable_barrier(_fresh())
         fresh_rows.write.mode("append").parquet(ledger_path)
-        admitted = new_df.join(fresh_rows.select(id_col), id_col, "left_semi")
-    return admitted
+    return new_df.join(fresh_rows.select(id_col), id_col, "left_semi")
 
 
 def source_overlap_matrix(

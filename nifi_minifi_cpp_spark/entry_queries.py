@@ -5682,10 +5682,11 @@ def incremental_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics.dedup import exact_dedup_incremental
 
     docs = _t(spark, sf_dir, "documents")
-    ledger = _tf.mkdtemp(prefix="dedup-ledger-") + "/fps"
-    n1 = exact_dedup_incremental(docs.where(F.col("doc_id") < 250), ledger).count()
-    n2 = exact_dedup_incremental(docs, ledger).count()
-    n3 = exact_dedup_incremental(docs, ledger).count()
+    with _tf.TemporaryDirectory(prefix="dedup-ledger-") as tmp:
+        ledger = tmp + "/fps"
+        n1 = exact_dedup_incremental(docs.where(F.col("doc_id") < 250), ledger).count()
+        n2 = exact_dedup_incremental(docs, ledger).count()
+        n3 = exact_dedup_incremental(docs, ledger).count()
     return spark.createDataFrame(
         [("batch1", n1), ("batch2", n2), ("batch2_rerun", n3)],
         "phase string, n_admitted long",

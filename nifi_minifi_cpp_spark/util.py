@@ -92,6 +92,25 @@ def _scan_file_floor(df: DataFrame) -> int:
         return 0  # non-file relation / unresolvable listing: conf width
 
 
+def hadoop_fs(spark, path: str):
+    """Return the (FileSystem, Path) pair for ``path`` via the session's
+    Hadoop configuration — the scheme-aware way to probe/mutate paths
+    (local, HDFS, s3a alike) without sniffing exception messages."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def hadoop_path_exists(spark, path: str) -> bool:
+    """True iff ``path`` exists on its filesystem. Preferred over
+    try/except around ``spark.read`` — a failed read fires every
+    registered ExecutionListener (ERROR noise in clean logs) and
+    message-sniffing AnalysisException text is brittle across versions."""
+    fs, hpath = hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
 def reliable_barrier(df: DataFrame) -> DataFrame:
     """Materialize ``df`` eagerly and cut its lineage — the barrier the
     dedup pipelines place between candidate generation and the final
