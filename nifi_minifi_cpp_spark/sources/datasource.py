@@ -373,7 +373,15 @@ class _MqttListenReader(_ListenStreamReader):
                     return
                 try:
                     while True:
-                        m = client.recv_message(timeout=None)
+                        # OSError here (ConnectionResetError from recv on
+                        # an abrupt broker RST — distinct from the clean
+                        # EOF recv_message handles) must take the SAME
+                        # reconnect path as EOF, not escape and silently
+                        # kill the listener thread (r9 advice item).
+                        try:
+                            m = client.recv_message(timeout=None)
+                        except OSError:
+                            break  # reconnect in the outer loop
                         if m is None:
                             if client.eof:
                                 break  # reconnect in the outer loop

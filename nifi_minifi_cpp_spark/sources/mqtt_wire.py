@@ -4,9 +4,11 @@ plus an in-process broker speaking the PUBLIC MQTT packet format
 EXECUTE over real TCP in environments without paho-mqtt — the same
 move as sources/kafka_wire.py for Kafka:
 
-- CONNECT/CONNACK, SUBSCRIBE/SUBACK (wildcard filters ``+`` and
-  ``#``), PUBLISH (QoS 0/1 with PUBACK), PINGREQ/PINGRESP, DISCONNECT;
-  remaining-length varints and UTF-8 length-prefixed strings per the
+- CONNECT/CONNACK (with Last Will), SUBSCRIBE/SUBACK (wildcard filters
+  ``+`` and ``#``, retained-message replay), PUBLISH (QoS 0/1/2 —
+  PUBACK at 1, the PUBREC/PUBREL/PUBCOMP exactly-once handshake at 2 —
+  and the retain flag), PINGREQ/PINGRESP, DISCONNECT; remaining-length
+  varints and UTF-8 length-prefixed strings per the
   fixed/variable-header layout.
 - Protocol level 4 (3.1.1) AND level 5: the broker detects the level
   from CONNECT and speaks it back per-connection (v5 adds the
@@ -19,14 +21,20 @@ move as sources/kafka_wire.py for Kafka:
 - The broker routes live PUBLISHes to every matching subscription
   (delivery at QoS 0 — acknowledged-redelivery machinery is a real
   broker's job; the reference's subscription QoS is the MAXIMUM
-  delivery level, so downgrade is spec-legal). All writes to one
-  connection's socket serialize under its per-connection lock (the
-  handler thread and routing threads share it).
-- The client is synchronous with a buffered reader: PUBLISHes that
+  delivery level, so downgrade is spec-legal), holds a retained-message
+  map (latest per topic, replayed with retain=1 on SUBSCRIBE, empty
+  payload deletes), tracks QoS-2 inbound packet ids for exactly-once
+  admission, and publishes a connection's Last Will on abnormal close.
+  All writes to one connection's socket serialize under its
+  per-connection lock (the handler thread and routing threads share it).
+- The client is synchronous with a RESUMABLE buffered reader (r10):
+  partial packets survive read timeouts in ``_rxbuf``, so keepalive
+  pacing can never desynchronize the stream mid-packet. PUBLISHes that
   arrive while waiting for an ack queue up and drain via
-  ``recv_message``. ``recv_message(timeout=None)`` BLOCKS (the socket
-  is switched to blocking mode) — ``None`` then means EOF, surfaced
-  via ``client.eof``, never a silent idle-gap timeout.
+  ``recv_message``. ``recv_message(timeout=None)`` BLOCKS — ``None``
+  then means EOF, surfaced via ``client.eof``, never a silent idle-gap
+  timeout. Publisher-only clients honor the keepalive contract too:
+  ``publish()`` emits a PINGREQ when the write gap exceeds keepalive/2.
 
 Spec conformance notes: a remaining-length varint whose 4th byte still
 has the continuation bit set is a protocol error (connection closed,
@@ -48,6 +56,7 @@ import threading
 from collections import deque
 
 CONNECT, CONNACK, PUBLISH, PUBACK = 1, 2, 3, 4
+PUBREC, PUBREL, PUBCOMP = 5, 6, 7
 SUBSCRIBE, SUBACK, UNSUBSCRIBE, UNSUBACK = 8, 9, 10, 11
 PINGREQ, PINGRESP, DISCONNECT = 12, 13, 14
 
@@ -113,6 +122,35 @@ def _read_packet(sock: socket.socket) -> tuple[int, int, bytes] | None:
     if body is None:
         return None
     return ptype, flags, body
+
+
+def _parse_buffered(buf: bytearray) -> tuple[int, int, bytes, int] | None:
+    """Try to parse ONE complete packet from the front of ``buf`` ->
+    (type, flags, body, bytes_consumed), or None if the buffer holds
+    only a partial packet (caller recv()s more and retries — this is
+    what makes the client reader RESUMABLE: a read timeout mid-packet
+    leaves the partial bytes buffered instead of desynchronizing the
+    stream). MqttProtocolError on a malformed remaining-length varint."""
+    if not buf:
+        return None
+    ptype, flags = buf[0] >> 4, buf[0] & 0x0F
+    n = 0
+    mult = 1
+    pos = 1
+    for i in range(4):
+        if pos >= len(buf):
+            return None
+        b = buf[pos]
+        pos += 1
+        n += (b & 0x7F) * mult
+        if not b & 0x80:
+            break
+        if i == 3:
+            raise MqttProtocolError("remaining-length varint exceeds 4 bytes")
+        mult *= 128
+    if len(buf) < pos + n:
+        return None
+    return ptype, flags, bytes(buf[pos : pos + n]), pos + n
 
 
 def _read_varint(body: bytes, pos: int) -> tuple[int, int]:
@@ -237,6 +275,13 @@ class _Conn:
         self.lock = threading.Lock()
         self.level = level
         self.session_expiry: int | None = None
+        # QoS-2 exactly-once receive state: packet ids PUBLISHed to us
+        # that we have PUBRECed but not yet seen the PUBREL for. A DUP
+        # redelivery of a pending pid is acked again but NOT re-routed.
+        self.qos2_pending: set[int] = set()
+        # Last Will: (topic, payload, retain) published on ABNORMAL
+        # disconnect (EOF/protocol error), discarded on clean DISCONNECT.
+        self.will: tuple[str, bytes, bool] | None = None
 
     def send(self, pkt: bytes) -> None:
         # ALL writes to this socket (acks from the handler thread AND
@@ -246,14 +291,20 @@ class _Conn:
 
 
 class MiniMqttBroker:
-    """In-process MQTT broker: CONNECT handshake (levels 4 and 5),
-    wildcard subscriptions, QoS 0/1 publish (PUBACK to the publisher,
-    QoS-0 fan-out to subscribers), ping, disconnect. v5 PUBLISH
-    properties are passed through to v5 subscribers."""
+    """In-process MQTT broker: CONNECT handshake (levels 4 and 5, with
+    Last Will), wildcard subscriptions, QoS 0/1/2 publish (PUBACK /
+    PUBREC-PUBREL-PUBCOMP to the publisher, QoS-0 fan-out to
+    subscribers — downgrade to the granted QoS is spec-legal), retained
+    messages (stored per topic, replayed on SUBSCRIBE with the retain
+    flag set; an empty retained payload deletes), ping, disconnect. v5
+    PUBLISH properties are passed through to v5 subscribers. Parity:
+    /root/reference/PROCESSORS.md:338,343 (ConsumeMQTT/PublishMQTT
+    expose QoS 0-2, Last Will and retain on both processors)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self._subs_lock = threading.Lock()
         self._subs: dict[int, _Conn] = {}
+        self._retained: dict[str, tuple[bytes, bytes]] = {}  # topic -> (payload, v5 props)
         self._next_id = 0
         self.published: list[tuple[str, bytes]] = []  # fixture visibility
         broker = self
@@ -268,18 +319,43 @@ class MiniMqttBroker:
                 if first is None or first[0] != CONNECT:
                     return
                 body = first[2]
-                # variable header: proto name (len-prefixed), level,
-                # flags, keepalive [, v5 properties]
-                (nlen,) = struct.unpack_from(">H", body, 0)
-                level = body[2 + nlen]
-                pos = 2 + nlen + 1 + 1 + 2  # level + flags + keepalive
-                conn = _Conn(sock, level)
-                if level >= 5:
-                    plen, pos = _read_varint(body, pos)
-                    _, conn.session_expiry = _parse_props(body[pos : pos + plen])
-                    connack = b"\x00\x00\x00"  # flags, reason, empty props
-                else:
-                    connack = b"\x00\x00"
+                # The CONNECT variable-header/payload parse sits inside
+                # the same except-and-close net as every other packet: a
+                # truncated CONNECT must follow the spec's silent-close
+                # path, not raise into socketserver's per-connection
+                # traceback printer.
+                try:
+                    # variable header: proto name (len-prefixed), level,
+                    # flags, keepalive [, v5 properties]
+                    (nlen,) = struct.unpack_from(">H", body, 0)
+                    level = body[2 + nlen]
+                    cflags = body[2 + nlen + 1]
+                    pos = 2 + nlen + 1 + 1 + 2  # level + flags + keepalive
+                    conn = _Conn(sock, level)
+                    if level >= 5:
+                        plen, pos = _read_varint(body, pos)
+                        _, conn.session_expiry = _parse_props(body[pos : pos + plen])
+                        connack = b"\x00\x00\x00"  # flags, reason, empty props
+                    else:
+                        connack = b"\x00\x00"
+                    # payload: client id [, will props (v5), will topic,
+                    # will payload] — flag bit 2 = Will, bits 3-4 = Will
+                    # QoS, bit 5 = Will Retain (spec 3.1.2)
+                    (ln,) = struct.unpack_from(">H", body, pos)
+                    pos += 2 + ln  # client id (unused by this broker)
+                    if cflags & 0x04:
+                        if level >= 5:
+                            plen, pos = _read_varint(body, pos)
+                            pos += plen  # will properties: skipped
+                        (ln,) = struct.unpack_from(">H", body, pos)
+                        wtopic = body[pos + 2 : pos + 2 + ln].decode()
+                        pos += 2 + ln
+                        (ln,) = struct.unpack_from(">H", body, pos)
+                        wpayload = body[pos + 2 : pos + 2 + ln]
+                        pos += 2 + ln
+                        conn.will = (wtopic, wpayload, bool(cflags & 0x20))
+                except (MqttProtocolError, struct.error, IndexError, UnicodeDecodeError):
+                    return  # spec: close on a malformed CONNECT
                 with broker._subs_lock:
                     broker._next_id += 1
                     my_id = broker._next_id
@@ -313,12 +389,21 @@ class MiniMqttBroker:
                                     granted.append(0x80)  # spec: failure code
                             with broker._subs_lock:
                                 conn.filters.extend(filters)
+                                retained = list(broker._retained.items())
                             suback = struct.pack(">H", pid)
                             if level >= 5:
                                 suback += b"\x00"  # empty properties
                             conn.send(_packet(SUBACK, 0, suback + bytes(granted)))
+                            # spec 3.3.1.3: retained messages matching a
+                            # NEW subscription are sent with retain=1
+                            for rtopic, (rpayload, rprops) in retained:
+                                if any(topic_matches(f, rtopic) for f in filters):
+                                    conn.send(
+                                        _packet(PUBLISH, 0x01, broker._publish_body(conn, rtopic, rpayload, rprops))
+                                    )
                         elif ptype == PUBLISH:
                             qos = (flags >> 1) & 0x03
+                            retain = bool(flags & 0x01)
                             (ln,) = struct.unpack_from(">H", body, 0)
                             topic = body[2 : 2 + ln].decode()
                             pos = 2 + ln
@@ -331,19 +416,38 @@ class MiniMqttBroker:
                                 props = body[pos : pos + plen]
                                 pos += plen
                             payload = body[pos:]
-                            broker.published.append((topic, payload))
-                            if qos:
-                                conn.send(_packet(PUBACK, 0, struct.pack(">H", pid)))
-                            broker._route(topic, payload, props)
+                            if qos == 2:
+                                # exactly-once receive: route only the
+                                # FIRST delivery of this packet id; a DUP
+                                # redelivery before PUBREL re-acks only.
+                                first_seen = pid not in conn.qos2_pending
+                                conn.qos2_pending.add(pid)
+                                if first_seen:
+                                    broker._accept(topic, payload, props, retain)
+                                conn.send(_packet(PUBREC, 0, struct.pack(">H", pid)))
+                            else:
+                                if qos == 1:
+                                    conn.send(_packet(PUBACK, 0, struct.pack(">H", pid)))
+                                broker._accept(topic, payload, props, retain)
+                        elif ptype == PUBREL:
+                            (pid,) = struct.unpack_from(">H", body, 0)
+                            conn.qos2_pending.discard(pid)
+                            conn.send(_packet(PUBCOMP, 0, struct.pack(">H", pid)))
                         elif ptype == PINGREQ:
                             conn.send(_packet(PINGRESP, 0, b""))
                         elif ptype == DISCONNECT:
+                            conn.will = None  # clean close: will discarded
                             return
                 except (MqttProtocolError, struct.error, IndexError, UnicodeDecodeError):
                     return  # spec: close the connection on malformed packets
                 finally:
                     with broker._subs_lock:
                         broker._subs.pop(my_id, None)
+                    if conn.will is not None:
+                        # abnormal disconnect (EOF / protocol error /
+                        # keepalive-style drop): publish the Last Will
+                        wtopic, wpayload, wretain = conn.will
+                        broker._accept(wtopic, wpayload, b"", wretain)
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -353,6 +457,27 @@ class MiniMqttBroker:
         self.host, self.port = self._server.server_address
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
 
+    @staticmethod
+    def _publish_body(conn: _Conn, topic: str, payload: bytes, props: bytes) -> bytes:
+        # QoS-0 delivery: no packet id; v5 subscribers get the
+        # publisher's property block passed through verbatim.
+        if conn.level >= 5:
+            return _utf8(topic) + _encode_remaining(len(props)) + props + payload
+        return _utf8(topic) + payload
+
+    def _accept(self, topic: str, payload: bytes, props: bytes, retain: bool = False) -> None:
+        """Admit one inbound message: record, update the retained map
+        (spec 3.3.1.3: empty retained payload DELETES the retained
+        message and is not stored), fan out to live subscribers."""
+        self.published.append((topic, payload))
+        if retain:
+            with self._subs_lock:
+                if payload:
+                    self._retained[topic] = (payload, props)
+                else:
+                    self._retained.pop(topic, None)
+        self._route(topic, payload, props)
+
     def _route(self, topic: str, payload: bytes, props: bytes = b"") -> None:
         with self._subs_lock:
             targets = [
@@ -361,14 +486,8 @@ class MiniMqttBroker:
                 if any(topic_matches(f, topic) for f in c.filters)
             ]
         for conn in targets:
-            # QoS-0 delivery: no packet id; v5 subscribers get the
-            # publisher's property block passed through verbatim.
-            if conn.level >= 5:
-                body = _utf8(topic) + _encode_remaining(len(props)) + props + payload
-            else:
-                body = _utf8(topic) + payload
             try:
-                conn.send(_packet(PUBLISH, 0, body))
+                conn.send(_packet(PUBLISH, 0, self._publish_body(conn, topic, payload, props)))
             except OSError:
                 pass  # subscriber went away; its handler cleans up
 
@@ -385,10 +504,9 @@ class MiniMqttBroker:
         with self._subs_lock:
             return [c.session_expiry for c in self._subs.values() if c.session_expiry is not None]
 
-    def publish(self, topic: str, payload: bytes) -> None:
+    def publish(self, topic: str, payload: bytes, retain: bool = False) -> None:
         """Broker-side injection (fixture path, no client needed)."""
-        self.published.append((topic, payload))
-        self._route(topic, payload)
+        self._accept(topic, payload, b"", retain)
 
     def start(self) -> "MiniMqttBroker":
         self._thread.start()
@@ -416,15 +534,24 @@ class MiniMqttBroker:
         return f"tcp://{self.host}:{self.port}"
 
 
-class MqttWireClient:
-    """Synchronous client (levels 4 and 5): connect/subscribe/
-    publish(QoS 0|1)/recv_message. PUBLISHes arriving while an ack is
-    awaited are buffered. Not thread-safe.
+_READ_TIMEOUT = object()  # sentinel: buffered read hit its deadline
 
-    ``recv_message(timeout=None)`` blocks (socket switched to blocking
-    mode) until a PUBLISH or EOF — ``None`` with ``self.eof`` set means
-    the connection closed; ``None`` with ``eof`` unset means the given
-    finite timeout elapsed."""
+
+class MqttWireClient:
+    """Synchronous client (levels 4 and 5): connect (optionally with a
+    Last Will)/subscribe/publish(QoS 0|1|2, retain)/recv_message.
+    PUBLISHes arriving while an ack is awaited are buffered. Not
+    thread-safe.
+
+    All reads go through a RESUMABLE buffered reader: a read timeout
+    mid-packet (header byte arrived, body delayed past the keepalive
+    pacing interval) leaves the partial bytes in ``self._rxbuf`` and the
+    next read resumes where it left off — the stream can never
+    desynchronize into bogus fixed headers.
+
+    ``recv_message(timeout=None)`` blocks until a PUBLISH or EOF —
+    ``None`` with ``self.eof`` set means the connection closed; ``None``
+    with ``eof`` unset means the given finite timeout elapsed."""
 
     def __init__(
         self,
@@ -434,16 +561,33 @@ class MqttWireClient:
         protocol_level: int = 4,
         session_expiry: int | None = None,
         keepalive: int = 60,
+        will_topic: str | None = None,
+        will_payload: bytes = b"",
+        will_qos: int = 0,
+        will_retain: bool = False,
     ):
         addr = broker.removeprefix("tcp://")
         host, _, port = addr.partition(":")
         self._sock = socket.create_connection((host, int(port or 1883)), timeout=timeout)
+        self._rxbuf = bytearray()
         self._inbox: deque[tuple[str, bytes, list[tuple[str, str]]]] = deque()
         self._pid = 0
+        self._ack_timeout = timeout
         self.level = protocol_level
         self.keepalive = max(int(keepalive), 1)
         self.eof = False
         self.last_publish_properties: list[tuple[str, str]] = []
+        import time as _time
+
+        self._last_write = _time.monotonic()
+        cflags = 0x02  # clean session
+        will = b""
+        if will_topic is not None:
+            # spec 3.1.2: bit 2 = Will, bits 3-4 = Will QoS, bit 5 = retain
+            cflags |= 0x04 | ((will_qos & 0x03) << 3) | (0x20 if will_retain else 0)
+            if protocol_level >= 5:
+                will += b"\x00"  # empty will properties
+            will += _utf8(will_topic) + struct.pack(">H", len(will_payload)) + will_payload
         if protocol_level >= 5:
             props = bytearray()
             if session_expiry is not None:
@@ -452,20 +596,70 @@ class MqttWireClient:
             body = (
                 _utf8("MQTT")
                 + b"\x05"
-                + b"\x02"
+                + bytes([cflags])
                 + struct.pack(">H", self.keepalive)
                 + _encode_remaining(len(props))
                 + bytes(props)
                 + _utf8(client_id)
+                + will
             )
         else:
             body = (
-                _utf8("MQTT") + b"\x04" + b"\x02" + struct.pack(">H", self.keepalive) + _utf8(client_id)
+                _utf8("MQTT")
+                + b"\x04"
+                + bytes([cflags])
+                + struct.pack(">H", self.keepalive)
+                + _utf8(client_id)
+                + will
             )
-        self._sock.sendall(_packet(CONNECT, 0, body))
+        self._send(_packet(CONNECT, 0, body))
         pkt = self._wait_for(CONNACK)
         if pkt is None or pkt[2][1] != 0:
             raise ConnectionError("MQTT CONNACK refused")
+
+    def _send(self, pkt: bytes) -> None:
+        import time as _time
+
+        self._sock.sendall(pkt)
+        self._last_write = _time.monotonic()
+
+    def _keepalive_tick(self) -> None:
+        """Publisher-side keepalive: a client that only WRITES (the
+        PublishMQTT path) never enters recv_message's paced read loop,
+        so a real broker would drop it after 1.5x keepalive of silence.
+        Emit a PINGREQ before a write whenever the write gap exceeds
+        keepalive/2 (the PINGRESP is skipped by _wait_for/recv_message)."""
+        import time as _time
+
+        if _time.monotonic() - self._last_write > self.keepalive / 2.0:
+            self._send(_packet(PINGREQ, 0, b""))
+
+    def _read_pkt(self, timeout: float | None):
+        """One packet from the buffered stream. Returns (type, flags,
+        body), None on EOF, or _READ_TIMEOUT when ``timeout`` elapses
+        with no COMPLETE packet (partial bytes stay buffered)."""
+        import time as _time
+
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        while True:
+            got = _parse_buffered(self._rxbuf)
+            if got is not None:
+                del self._rxbuf[: got[3]]
+                return got[0], got[1], got[2]
+            if deadline is None:
+                self._sock.settimeout(None)
+            else:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    return _READ_TIMEOUT
+                self._sock.settimeout(remaining)
+            try:
+                chunk = self._sock.recv(65536)
+            except (TimeoutError, socket.timeout):
+                return _READ_TIMEOUT
+            if not chunk:
+                return None
+            self._rxbuf += chunk
 
     def _parse_publish(self, flags: int, body: bytes) -> tuple[str, bytes, list[tuple[str, str]]]:
         try:
@@ -486,7 +680,9 @@ class MqttWireClient:
 
     def _wait_for(self, want_type: int):
         while True:
-            pkt = _read_packet(self._sock)
+            pkt = self._read_pkt(self._ack_timeout)
+            if pkt is _READ_TIMEOUT:
+                raise TimeoutError(f"MQTT ack timeout waiting for packet type {want_type}")
             if pkt is None:
                 self.eof = True
                 return None
@@ -506,7 +702,7 @@ class MqttWireClient:
         if self.level >= 5:
             body += b"\x00"  # empty properties
         body += _utf8(topic_filter) + bytes([qos])
-        self._sock.sendall(_packet(SUBSCRIBE, 0x02, body))
+        self._send(_packet(SUBSCRIBE, 0x02, body))
         pkt = self._wait_for(SUBACK)
         code_at = 3 if self.level >= 5 else 2  # v5 SUBACK has a props byte
         if pkt is None or pkt[2][code_at] > 2:
@@ -518,19 +714,36 @@ class MqttWireClient:
         payload: bytes,
         qos: int = 1,
         user_properties: dict[str, str] | None = None,
+        retain: bool = False,
     ) -> None:
+        if qos not in (0, 1, 2):
+            raise ValueError(f"MQTT QoS must be 0, 1 or 2, got {qos}")
+        self._keepalive_tick()
         props = b""
         if self.level >= 5:
             raw = _encode_user_props(user_properties)
             props = _encode_remaining(len(raw)) + raw
+        rflag = 0x01 if retain else 0
         if qos == 0:
-            self._sock.sendall(_packet(PUBLISH, 0, _utf8(topic) + props + payload))
+            self._send(_packet(PUBLISH, rflag, _utf8(topic) + props + payload))
             return
         self._pid += 1
-        body = _utf8(topic) + struct.pack(">H", self._pid) + props + payload
-        self._sock.sendall(_packet(PUBLISH, 0x02, body))
-        if self._wait_for(PUBACK) is None:
-            raise ConnectionError("MQTT PUBACK missing")
+        pid = self._pid
+        body = _utf8(topic) + struct.pack(">H", pid) + props + payload
+        self._send(_packet(PUBLISH, (qos << 1) | rflag, body))
+        if qos == 1:
+            if self._wait_for(PUBACK) is None:
+                raise ConnectionError("MQTT PUBACK missing")
+            return
+        # QoS 2 exactly-once handshake (spec 4.3.3):
+        # PUBLISH -> PUBREC -> PUBREL -> PUBCOMP
+        pkt = self._wait_for(PUBREC)
+        if pkt is None or pkt[0] != PUBREC:
+            raise ConnectionError("MQTT PUBREC missing")
+        self._send(_packet(PUBREL, 0x02, struct.pack(">H", pid)))
+        pkt = self._wait_for(PUBCOMP)
+        if pkt is None or pkt[0] != PUBCOMP:
+            raise ConnectionError("MQTT PUBCOMP missing")
 
     def recv_message(self, timeout: float | None = None) -> tuple[str, bytes] | None:
         """Next PUBLISH (buffered first). ``timeout=None`` blocks until
@@ -543,7 +756,6 @@ class MqttWireClient:
             return topic, payload
         import time as _time
 
-        old = self._sock.gettimeout()
         # timeout=None must mean BLOCK, not "inherit the connect
         # timeout": a 10s idle gap is normal broker behavior and must
         # not read as EOF (that was a silent consume-path data loss).
@@ -556,27 +768,26 @@ class MqttWireClient:
         # client that stays silent for 1.5x the CONNECT keepalive, and
         # a blocking subscriber SENDS nothing while idle — so the
         # "blocking" read is internally paced at keepalive/2 and each
-        # internal timeout emits a PINGREQ instead of surfacing to the
-        # caller. The caller contract is unchanged: timeout=None blocks
-        # until a PUBLISH or EOF; a finite timeout is a whole-call
-        # deadline.
+        # pacing timeout emits a PINGREQ instead of surfacing to the
+        # caller. A pacing timeout that fires MID-packet is safe: the
+        # buffered reader keeps the partial bytes and resumes, so the
+        # stream never desynchronizes.
         ping_interval = self.keepalive / 2.0
         try:
             while True:
                 if deadline is None:
-                    self._sock.settimeout(ping_interval)
+                    step = ping_interval
                 else:
                     remaining = deadline - _time.monotonic()
                     if remaining <= 0:
                         return None
-                    self._sock.settimeout(min(remaining, ping_interval))
-                try:
-                    pkt = _read_packet(self._sock)
-                except (TimeoutError, socket.timeout):
+                    step = min(remaining, ping_interval)
+                pkt = self._read_pkt(step)
+                if pkt is _READ_TIMEOUT:
                     if deadline is not None and _time.monotonic() >= deadline:
                         return None
                     try:
-                        self._sock.sendall(_packet(PINGREQ, 0, b""))  # keep the session alive
+                        self._send(_packet(PINGREQ, 0, b""))  # keep the session alive
                     except OSError:
                         self.eof = True  # connection died while idle
                         return None
@@ -590,8 +801,6 @@ class MqttWireClient:
                     self.last_publish_properties = user
                     return topic, payload
                 # PINGRESP / late acks: keep waiting for a PUBLISH
-        except (TimeoutError, socket.timeout):
-            return None
         except MqttProtocolError:
             # spec 4.8: close the connection on a malformed packet; the
             # reader sees EOF and reconnects rather than dying mid-thread
@@ -601,11 +810,6 @@ class MqttWireClient:
             except OSError:
                 pass
             return None
-        finally:
-            try:
-                self._sock.settimeout(old)
-            except OSError:
-                pass  # socket already closed at EOF
 
     def disconnect(self) -> None:
         try:
@@ -617,9 +821,10 @@ class MqttWireClient:
 
 def mqtt_wire_client_factory(broker: str, client_id: str = "nifi-minifi-cpp-spark-pub"):
     """Paho-shaped client factory for publish_mqtt_handler: the wire
-    client behind ``publish(topic, payload, qos, retain)`` (retain is
-    accepted and ignored — the fixture broker holds no retained
-    state)."""
+    client behind ``publish(topic, payload, qos, retain)``. QoS 0/1/2
+    all pass through at their REQUESTED level (r10 — the old factory
+    silently capped QoS 2 to 1, a weaker delivery guarantee with no
+    signal); retain reaches the broker's retained-message map."""
 
     class _PahoShaped:
         def __init__(self):
@@ -627,7 +832,7 @@ def mqtt_wire_client_factory(broker: str, client_id: str = "nifi-minifi-cpp-spar
 
         def publish(self, topic, payload, qos=0, retain=False):
             data = payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode()
-            self._cli.publish(topic, bytes(data), qos=min(int(qos), 1))
+            self._cli.publish(topic, bytes(data), qos=int(qos), retain=bool(retain))
 
         def disconnect(self):
             self._cli.disconnect()
