@@ -13,12 +13,14 @@ jars — messages travel over real TCP in the real format:
 Scope and honesty: the broker is a test/fixture implementation (one
 node, no replication, no consumer groups, no transactions — isolation
 level is accepted and ignored because every batch here is committed;
-compression: optional gzip serving mode, r9). The CLIENT decodes
-plain and gzip RecordBatches (the records section gzipped per the
-spec) and raises a NAMED UnsupportedKafkaCodecError for
-snappy/lz4/zstd, which need native codec libs — real brokers serve
-those transparently through librdkafka (ConsumeKafka.cpp:370), so the
-connector path covers them on clusters with the jars. The CLIENT is the piece the engine uses: the
+compression: optional gzip/snappy/lz4 serving modes, r9-r10). The
+CLIENT decodes plain, gzip, snappy and lz4 RecordBatches (gzip via
+zlib; snappy and lz4 via the pure-Python block codecs in
+sources/block_codecs.py, r10) and raises a NAMED
+UnsupportedKafkaCodecError only for zstd, which genuinely needs a
+native lib — real brokers serve it transparently through librdkafka
+(ConsumeKafka.cpp:370), so the connector path covers it on clusters
+with the jars. The CLIENT is the piece the engine uses: the
 ``kafkawire`` streaming DataSource polls it with checkpointed
 per-partition offsets, reusing ``consume_kafka_options``'s property
 contract and ``kafka_records_to_flowfiles``'s attribute lifting
@@ -176,18 +178,22 @@ _CODEC_NAMES = {_CODEC_SNAPPY: "snappy", _CODEC_LZ4: "lz4", _CODEC_ZSTD: "zstd"}
 
 class UnsupportedKafkaCodecError(ValueError):
     """A fetched RecordBatch uses a compression codec this stdlib-only
-    client cannot decode (snappy/lz4/zstd need native libs; gzip is
-    handled via zlib). Real brokers serve such topics transparently
-    through librdkafka (ConsumeKafka.cpp:370) — front them with the
-    connector path on clusters that have the jars."""
+    client cannot decode. r10: gzip (zlib), snappy and lz4 (pure-Python
+    block codecs, sources/block_codecs.py) are all decoded in-process;
+    only zstd remains — its FSE/huffman entropy stages genuinely need a
+    native lib and Python 3.11 has no stdlib zstd. Real brokers serve
+    zstd topics transparently through librdkafka (ConsumeKafka.cpp:370)
+    — front them with the connector path on clusters that have the
+    jars."""
 
     def __init__(self, codec: int):
         self.codec = codec
         name = _CODEC_NAMES.get(codec, f"codec-{codec}")
         super().__init__(
             f"RecordBatch compressed with {name} (attributes bits {codec}); "
-            "this stdlib wire client decodes only none/gzip — consume this "
-            "topic via the Spark Kafka connector (librdkafka-equivalent path)"
+            "this stdlib wire client decodes none/gzip/snappy/lz4 — consume "
+            "this topic via the Spark Kafka connector (librdkafka-equivalent "
+            "path)"
         )
 
 
@@ -237,6 +243,16 @@ def encode_record_batch(
         # wbits=31: gzip container, what Kafka's gzip codec produces
         comp = zlib.compressobj(wbits=31)
         rec_bytes = comp.compress(bytes(recs)) + comp.flush()
+    elif compression == "snappy":
+        from .block_codecs import snappy_compress
+
+        attrs = _CODEC_SNAPPY
+        rec_bytes = snappy_compress(bytes(recs))
+    elif compression == "lz4":
+        from .block_codecs import lz4_frame_compress
+
+        attrs = _CODEC_LZ4
+        rec_bytes = lz4_frame_compress(bytes(recs))
     else:
         raise ValueError(f"unsupported producer compression {compression!r}")
     after_crc = (
@@ -293,6 +309,15 @@ def decode_record_batches(buf: bytes) -> list[dict]:
 
             # wbits=47 auto-detects gzip vs zlib containers
             rdata = zlib.decompress(buf[r.pos : end], wbits=47)
+        elif codec == _CODEC_SNAPPY:
+            from .block_codecs import snappy_decompress
+
+            # raw snappy (message format v2) with xerial auto-detect
+            rdata = snappy_decompress(buf[r.pos : end])
+        elif codec == _CODEC_LZ4:
+            from .block_codecs import lz4_frame_decompress
+
+            rdata = lz4_frame_decompress(buf[r.pos : end])
         else:
             raise UnsupportedKafkaCodecError(codec)
         p = 0

@@ -1,0 +1,107 @@
+"""Pure-Python snappy/LZ4/xxHash32 codec tests (r10) — the stdlib
+block codecs behind the Kafka wire client's compressed-fetch path
+(sources/block_codecs.py). Vectors come from the public format specs;
+round-trips exercise the greedy compressors' copy/match emission."""
+
+from __future__ import annotations
+
+import os
+import random
+import struct
+
+import pytest
+
+from nifi_minifi_cpp_spark.sources import block_codecs as bc
+from nifi_minifi_cpp_spark.sources.block_codecs import (
+    lz4_frame_compress,
+    lz4_frame_decompress,
+    snappy_compress,
+    snappy_decompress,
+    xxh32,
+)
+
+
+def test_xxh32_public_vectors():
+    # published xxHash32 reference vectors (seed 0)
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+
+
+def test_snappy_tag_stream_hand_vectors():
+    """Each tag kind decoded from hand-built streams: literal, copy-1
+    (11-bit offset), copy-2, copy-4, and the overlapping-copy RLE
+    idiom — format_description.txt sections 2.1/2.2."""
+    raw = bc._snappy_raw_decompress
+    assert raw(bytes([5, 4 << 2]) + b"hello") == b"hello"
+    # copy-1: tag (len-4)<<2 | 01 | (off>>8)<<5, then offset low byte
+    assert raw(bytes([8, 3 << 2]) + b"abcd" + bytes([0x01, 4])) == b"abcdabcd"
+    # copy-2: tag (len-1)<<2 | 10, then 2-byte LE offset
+    assert raw(bytes([8, 3 << 2]) + b"abcd" + bytes([(3 << 2) | 2]) + struct.pack("<H", 4)) == b"abcdabcd"
+    # copy-4: tag (len-1)<<2 | 11, then 4-byte LE offset
+    assert raw(bytes([8, 3 << 2]) + b"abcd" + bytes([(3 << 2) | 3]) + struct.pack("<I", 4)) == b"abcdabcd"
+    # overlap (offset < length): 'a' then copy len 5 off 1 -> RLE
+    assert raw(bytes([6, 0]) + b"a" + bytes([(4 << 2) | 2]) + struct.pack("<H", 1)) == b"aaaaaa"
+    # corrupt: offset beyond output
+    with pytest.raises(ValueError, match="offset"):
+        raw(bytes([8, 3 << 2]) + b"abcd" + bytes([(3 << 2) | 2]) + struct.pack("<H", 99))
+    # corrupt: declared length mismatch
+    with pytest.raises(ValueError, match="expected"):
+        raw(bytes([9, 4 << 2]) + b"hello")
+
+
+def test_snappy_xerial_stream_framing():
+    """The java-producer stream framing: \\x82SNAPPY\\x00 header +
+    version/compat words + 4-byte-BE-length raw blocks."""
+    b1 = snappy_compress(b"hello world " * 10)
+    b2 = snappy_compress(b"second block")
+    framed = (
+        b"\x82SNAPPY\x00"
+        + struct.pack(">II", 1, 1)
+        + struct.pack(">I", len(b1))
+        + b1
+        + struct.pack(">I", len(b2))
+        + b2
+    )
+    assert snappy_decompress(framed) == b"hello world " * 10 + b"second block"
+
+
+@pytest.mark.parametrize("codec", ["snappy", "lz4"])
+def test_roundtrips_all_shapes(codec):
+    comp = snappy_compress if codec == "snappy" else lz4_frame_compress
+    decomp = snappy_decompress if codec == "snappy" else lz4_frame_decompress
+    rng = random.Random(7)
+    cases = [
+        b"",
+        b"a",
+        b"abc",
+        b"abcd" * 1000,  # highly repetitive: copies dominate
+        os.urandom(100_000),  # incompressible: literal runs dominate
+        bytes(rng.choices(b"abcde", k=200_000)),  # mixed
+        b"x" * 70_000,  # RLE across block boundaries (lz4 64K blocks)
+    ]
+    for d in cases:
+        assert decomp(comp(d)) == d
+    # repetitive data genuinely compresses (real matching, not literals)
+    rep = b"the quick brown fox " * 2000
+    assert len(comp(rep)) < len(rep) // 2
+
+
+def test_lz4_frame_header_checksum_guard():
+    f = bytearray(lz4_frame_compress(b"payload payload payload"))
+    f[6] ^= 0xFF  # corrupt the HC byte
+    with pytest.raises(ValueError, match="header checksum"):
+        lz4_frame_decompress(bytes(f))
+    with pytest.raises(ValueError, match="magic"):
+        lz4_frame_decompress(b"\x00\x00\x00\x00rest")
+
+
+def test_lz4_stored_block_path():
+    """Incompressible chunks are stored with the high bit set on the
+    block size (frame spec) and decode verbatim."""
+    d = os.urandom(1000)
+    f = lz4_frame_compress(d)
+    (bsize,) = struct.unpack_from("<I", f, 7)
+    assert bsize & 0x80000000  # stored, not compressed
+    assert lz4_frame_decompress(f) == d

@@ -382,39 +382,39 @@ connections:
     assert all(bytes(r["value"]) == b"hello-wire" for r in recs)
 
 
-def test_gzip_batch_roundtrip_and_named_codec_errors():
-    """r9: gzip-compressed RecordBatches decode (codec bits 001, records
-    section gzipped — ConsumeKafka.cpp:370 consumes compressed topics
-    transparently); snappy/lz4/zstd raise a NAMED error listing the
-    codec instead of a generic refusal."""
+def test_compressed_batch_roundtrips_and_named_zstd_error():
+    """r9 gzip + r10 snappy/lz4: compressed RecordBatches decode for
+    every codec the reference consumes except zstd
+    (ConsumeKafka.cpp:370); zstd raises a NAMED error listing the codec
+    instead of a generic refusal (it genuinely needs a native lib)."""
     from nifi_minifi_cpp_spark.sources.kafka_wire import (
         UnsupportedKafkaCodecError,
         _s16,
     )
 
     items = [
-        (1700000000000, b"k1", b"gzip-payload-1" * 50, [("h", b"x")]),
-        (1700000000500, None, b"gzip-payload-2", []),
+        (1700000000000, b"k1", b"codec-payload-1" * 50, [("h", b"x")]),
+        (1700000000500, None, b"codec-payload-2", []),
     ]
     plain = encode_record_batch(7, items)
-    gz = encode_record_batch(7, items, compression="gzip")
-    assert gz != plain
-    assert len(gz) < len(plain)  # the repeated payload actually compressed
-    assert decode_record_batches(gz) == decode_record_batches(plain)
+    for codec in ("gzip", "snappy", "lz4"):
+        comp = encode_record_batch(7, items, compression=codec)
+        assert comp != plain
+        assert len(comp) < len(plain), codec  # repeated payload compressed
+        assert decode_record_batches(comp) == decode_record_batches(plain), codec
 
-    # flip the codec bits to snappy(2)/lz4(3)/zstd(4): named refusal.
+    # flip the codec bits to zstd(4): named refusal.
     # attributes live right after baseOffset(8)+length(4)+leaderEpoch(4)+
     # magic(1)+crc(4) = offset 21; re-CRC so the codec check is reached.
     from nifi_minifi_cpp_spark.sources.kafka_wire import crc32c as _crc
 
-    for codec, name in ((2, "snappy"), (3, "lz4"), (4, "zstd")):
-        forged = bytearray(plain)
-        forged[21:23] = _s16(codec)
-        import struct as _struct
+    forged = bytearray(plain)
+    forged[21:23] = _s16(4)
+    import struct as _struct
 
-        forged[17:21] = _struct.pack(">I", _crc(bytes(forged[21:])))
-        with pytest.raises(UnsupportedKafkaCodecError, match=name):
-            decode_record_batches(bytes(forged))
+    forged[17:21] = _struct.pack(">I", _crc(bytes(forged[21:])))
+    with pytest.raises(UnsupportedKafkaCodecError, match="zstd"):
+        decode_record_batches(bytes(forged))
 
 
 def test_gzip_broker_wire_consume(spark, broker_gzip, tmpdir):
@@ -525,3 +525,63 @@ def test_gzip_produce_path(broker):
     cli.close()
     assert hw == 4
     assert [r["value"] for r in recs] == [b"zpayload-%d" % i * 30 for i in range(4)]
+
+
+@pytest.mark.parametrize("codec", ["snappy", "lz4"])
+def test_snappy_lz4_broker_wire_consume(spark, tmpdir, codec):
+    """r10 (VERDICT r9 missing #2): a snappy/lz4-serving broker streams
+    through the kafkawire source — the remaining in-container codecs a
+    real broker serves (zstd stays the named connector-path error)."""
+    broker = MiniKafkaBroker(compression=codec).start()
+    try:
+        broker.append(
+            f"{codec}topic",
+            0,
+            [(1700000000000 + i, b"k%d" % i, b"%s-%d" % (codec.encode(), i), []) for i in range(6)],
+        )
+        # wire-level first: fetch decodes the compressed record_set
+        cli = MiniKafkaClient(broker.bootstrap)
+        recs, hw = cli.fetch(f"{codec}topic", 0, 0)
+        cli.close()
+        assert hw == 6
+        assert [r["value"] for r in recs] == [b"%s-%d" % (codec.encode(), i) for i in range(6)]
+
+        register_kafkawire(spark)
+        stream = (
+            spark.readStream.format("kafkawire")
+            .option("kafka.bootstrap.servers", broker.bootstrap)
+            .option("subscribe", f"{codec}topic")
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(f"kw_{codec}")
+            .option("checkpointLocation", f"{tmpdir}/ckpt-{codec}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = spark.sql(f"select value from kw_{codec}").collect()
+        assert sorted(bytes(r["value"]) for r in rows) == [
+            b"%s-%d" % (codec.encode(), i) for i in range(6)
+        ]
+    finally:
+        broker.stop()
+
+
+@pytest.mark.parametrize("codec", ["snappy", "lz4"])
+def test_snappy_lz4_produce_path(broker, codec):
+    """r10: snappy/lz4-producing clients round-trip through the broker
+    (PublishKafka's compress.codec property, producer half)."""
+    cli = MiniKafkaClient(broker.bootstrap)
+    base = cli.produce(
+        f"cp-{codec}", 0,
+        [(1700000000000 + i, b"k%d" % i, b"cpayload-%d" % i * 30, []) for i in range(4)],
+        compression=codec,
+    )
+    assert base == 0
+    recs, hw = cli.fetch(f"cp-{codec}", 0, 0)
+    cli.close()
+    assert hw == 4
+    assert [r["value"] for r in recs] == [b"cpayload-%d" % i * 30 for i in range(4)]
