@@ -265,6 +265,65 @@ def deterministic_sample_pred(key: Column, fraction: float) -> Column:
     return F.substring(F.md5(key.cast("string")), 1, 4) < F.lit(format(threshold, "04x"))
 
 
+def char_entropy_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", decimals: int = 4
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (r10) — the classic
+    compressibility proxy for gibberish/boilerplate triage (natural
+    prose sits ~3.5-4.5 bits/char; base64 blobs and key-mash spam sit
+    high, repeated-template junk sits low; both tails get filtered or
+    down-weighted in crawl pipelines).
+
+    Computed per-row with HOFs only — distinct chars, a count per
+    distinct char via a nested lambda, then the algebraic form
+    ``H = log2(n) - sum(cnt*log2(cnt))/n`` (one pass over counts, no
+    per-char probability divisions). ZERO shuffle: a stateless
+    projection that scales as the scan does; the O(distinct x len)
+    per-row cost is bounded by the alphabet (~dozens of distinct chars
+    for text). Rounded to ``decimals`` because engines differ in libm
+    ulps and summation order — 1e-12-scale noise, far below 1e-4.
+
+    Staged arrays (chars column materialized before the lambdas index
+    it) keep Catalyst from inlining the split into every lambda body."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda x: x != F.lit(""))
+    staged = df.select(id_col, chars.alias("_chars")).select(
+        id_col,
+        "_chars",
+        F.array_distinct("_chars").alias("_uniq"),
+        F.size(F.col("_chars")).cast("double").alias("_n"),
+    )
+    counts = F.transform(
+        "_uniq",
+        lambda c: F.size(F.filter("_chars", lambda x: x == c)).cast("double"),
+    )
+    sum_clog = F.aggregate(counts, F.lit(0.0), lambda acc, k: acc + k * F.log2(k))
+    return staged.where(F.col("_n") > 0).select(
+        id_col,
+        F.round(F.log2("_n") - sum_clog / F.col("_n"), decimals).alias("char_entropy"),
+    )
+
+
+def quality_weighted_sample_pred(key: Column, weight: Column) -> Column:
+    """Per-row-probability deterministic sampler (r10): keep a row iff
+    its md5 16-bit bucket falls below ``floor(weight * 65536)`` — the
+    quality-weighted acceptance step training pipelines use to keep
+    high-quality documents at a higher rate than boilerplate while
+    staying REPRODUCIBLE (same rows selected by any engine, any
+    partitioning, any retry — rand() would change the corpus on every
+    run). ``weight`` is clamped to [0, 1]; weight 1 keeps everything.
+
+    Same engine-portable contract as :func:`deterministic_sample_pred`
+    but with a PER-ROW threshold: the hex compare happens between the
+    4-char bucket and the row's own 4-hex threshold (weight 1 short-
+    circuits — '10000' is 5 chars and would break the lexicographic
+    compare). Stateless per-row projection; zero shuffle at any scale."""
+    bucket = F.substring(F.md5(key.cast("string")), 1, 4)
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    thr = F.floor(w * 65536).cast("int")
+    thr_hex = F.lower(F.lpad(F.hex(thr), 4, "0"))
+    return (thr >= 65536) | (bucket < thr_hex)
+
+
 def deterministic_stratified_sample(
     df: DataFrame,
     group_col: str,

@@ -5720,6 +5720,145 @@ def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(docs, prefix_tokens=3)
 
 
+def _messy_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic messy-URL fixture: each document gets one of six
+    real-world URL variants (case, default port, fragment, tracking
+    params, trailing slash, mixed query) of a base resource shared by
+    every doc with the same (source, doc_id % 40) — so canonicalization
+    has genuine collisions to collapse. Mirrored verbatim in the
+    oracle's SQL CASE."""
+    k = (F.col("doc_id") % 40).cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    base = F.concat(F.lit("http://"), host, F.lit("/d/"), k)
+    url = (
+        F.when(F.col("doc_id") % 6 == 0, base)
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(F.lit("HTTP://"), F.upper(F.col("source")), F.lit(".EXAMPLE.COM:80/d/"), k),
+        )
+        .when(F.col("doc_id") % 6 == 2, F.concat(base, F.lit("/#section-2")))
+        .when(F.col("doc_id") % 6 == 3, F.concat(base, F.lit("?utm_source=feed&utm_campaign=x")))
+        .when(
+            F.col("doc_id") % 6 == 4,
+            F.concat(F.lit("https://"), host, F.lit(":443/d/"), k, F.lit("?gclid=abc123")),
+        )
+        .otherwise(F.concat(base, F.lit("?id="), k, F.lit("&utm_medium=em&ref=2")))
+    )
+    return docs.select(F.col("doc_id"), url.alias("url"))
+
+
+@_register(
+    "url_dedup_groups",
+    r"""
+    WITH urls AS (
+      SELECT doc_id,
+        CASE doc_id % 6
+          WHEN 0 THEN 'http://' || source || '.example.com/d/' || (doc_id % 40)
+          WHEN 1 THEN 'HTTP://' || upper(source) || '.EXAMPLE.COM:80/d/' || (doc_id % 40)
+          WHEN 2 THEN 'http://' || source || '.example.com/d/' || (doc_id % 40) || '/#section-2'
+          WHEN 3 THEN 'http://' || source || '.example.com/d/' || (doc_id % 40) || '?utm_source=feed&utm_campaign=x'
+          WHEN 4 THEN 'https://' || source || '.example.com:443/d/' || (doc_id % 40) || '?gclid=abc123'
+          ELSE 'http://' || source || '.example.com/d/' || (doc_id % 40) || '?id=' || (doc_id % 40) || '&utm_medium=em&ref=2'
+        END AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+        -- same normalization chain as analytics.web.canonicalize_url
+        (SELECT
+          regexp_replace(h2, '^(https://[^/?#:]*):443$', '\1')
+          || regexp_replace(regexp_replace(rest, '^(/[^?]*[^/?])/+(\?|$)', '\1\2'), '^/+(\?|$)', '/\1')
+         FROM (SELECT
+            regexp_replace(lower(regexp_extract(c4, '^([^:/?#]+://[^/?#]*)', 1)),
+                           '^(http://[^/?#:]*):80$', '\1') AS h2,
+            regexp_replace(c4, '^[^:/?#]+://[^/?#]*', '') AS rest
+           FROM (SELECT regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(url, '#.*$', ''),
+                         '(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid)=[^&#]*', '', 'g'),
+                       '\?&+', '?', 'g'),
+                     '&&+', '&', 'g'),
+                   '[?&]$', '') AS c4) t1) t2
+        ) AS canonical_url
+      FROM urls)
+    SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+           min(doc_id) AS representative_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def url_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (r10): six messy
+    real-world variants per resource (scheme/host case, default ports,
+    fragments, utm/gclid tracking params, trailing slashes, mixed
+    queries) collapse to canonical groups with counts and a min-id
+    representative. Pure regexp built-ins (whole-stage codegen, zero
+    Python); one slim-key groupBy — the stage crawl pipelines run
+    BEFORE content dedup. RFC 3986 §6 normalization subset; the oracle
+    mirrors the chain verbatim."""
+    from .analytics.web import url_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return url_dedup_groups(_messy_urls(docs))
+
+
+@_register(
+    "weighted_sample_ids",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+        least(greatest(n_chars / 400.0, 0.0), 1.0) AS weight,
+        substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+      FROM documents)
+    SELECT doc_id, round(weight, 6) AS weight, bucket
+    FROM w
+    WHERE CAST(floor(weight * 65536) AS INT) >= 65536
+       OR bucket < lower(lpad(hex(CAST(floor(weight * 65536) AS INT)), 4, '0'))
+    """,
+)
+def weighted_sample_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (r10): documents are
+    kept with probability proportional to a quality weight (here
+    length-based, ``min(n_chars/400, 1)``) via a per-row md5-bucket
+    threshold — reproducible across engines/partitionings/retries
+    where rand() is not, the acceptance-sampling shape used to upweight
+    high-quality text in training mixes. Stateless projection + filter;
+    zero shuffle at 100 TB."""
+    from .analytics.text_analysis import quality_weighted_sample_pred
+
+    docs = _t(spark, sf_dir, "documents")
+    weight = F.least(F.greatest(F.col("n_chars") / 400.0, F.lit(0.0)), F.lit(1.0))
+    return docs.filter(quality_weighted_sample_pred(F.col("doc_id"), weight)).select(
+        "doc_id",
+        F.round(weight, 6).alias("weight"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("bucket"),
+    )
+
+
+@_register(
+    "char_entropy_scores",
+    r"""
+    WITH ch AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ''), x -> x <> '')) AS c
+      FROM documents),
+    cnt AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k FROM ch GROUP BY doc_id, c),
+    agg AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n, sum(k * log2(k)) AS s
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id, round(log2(n) - s / n, 4) AS char_entropy
+    FROM agg WHERE n > 0
+    """,
+)
+def char_entropy_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality scoring (r10): the compressibility
+    proxy crawl pipelines use to drop gibberish (high tail) and
+    template junk (low tail). Pure per-row HOF arithmetic, zero
+    shuffle; the oracle recomputes via explode+groupBy (semantics
+    check, not plan parity)."""
+    from .analytics.text_analysis import char_entropy_scores
+
+    return char_entropy_scores(_t(spark, sf_dir, "documents"))
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
