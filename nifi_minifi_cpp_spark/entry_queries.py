@@ -5859,6 +5859,49 @@ def char_entropy_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_scores(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "warc_ingest_stats",
+    r"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(strlen(text)) AS BIGINT) AS n_octets
+    FROM documents GROUP BY source
+    """,
+)
+def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) round-trip (r10): the documents table is
+    written as member-per-record .warc.gz shards (one per partition,
+    executor-side — the Common Crawl layout), scanned back via
+    binaryFile + Arrow-batched parse, and aggregated per source from
+    the WARC-Target-URI. The oracle pins per-source page counts and
+    payload octets straight from the table — any header/member/length
+    corruption in the writer or reader breaks the match."""
+    import tempfile as _tf
+
+    from .sources.warc import read_warc, write_warc_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    frame = docs.select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".example/doc/"), F.col("doc_id")).alias("url"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    ).repartition(8)
+    with _tf.TemporaryDirectory(prefix="warc-ingest-") as tmp:
+        manifest = write_warc_shards(frame, tmp)
+        n_shards = manifest.count()  # force the executor-side writes
+        assert n_shards == 8, f"expected 8 shards, wrote {n_shards}"
+        parsed = read_warc(spark, f"{tmp}/*.warc.gz")
+        out = (
+            parsed.where(F.col("record_type") == "response")
+            .select(
+                F.regexp_extract("url", r"^http://([^.]+)\.example/", 1).alias("source"),
+                F.length("payload").alias("octets"),
+            )
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("octets").alias("n_octets"))
+        )
+        rows = out.collect()  # materialize before the tempdir vanishes
+    return spark.createDataFrame(rows, "source string, n_pages long, n_octets long")
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
