@@ -429,6 +429,26 @@ class MiniMqttBroker:
                                 if qos == 1:
                                     conn.send(_packet(PUBACK, 0, struct.pack(">H", pid)))
                                 broker._accept(topic, payload, props, retain)
+                        elif ptype == UNSUBSCRIBE:
+                            (pid,) = struct.unpack_from(">H", body, 0)
+                            pos = 2
+                            if level >= 5:
+                                plen, pos = _read_varint(body, pos)
+                                pos += plen
+                            removed = []
+                            while pos < len(body):
+                                (ln,) = struct.unpack_from(">H", body, pos)
+                                pos += 2
+                                removed.append(body[pos : pos + ln].decode())
+                                pos += ln
+                            with broker._subs_lock:
+                                conn.filters = [f for f in conn.filters if f not in removed]
+                            unsuback = struct.pack(">H", pid)
+                            if level >= 5:
+                                # v5: props byte + a 0x00 (success) reason
+                                # per filter; v4 UNSUBACK has no payload
+                                unsuback += b"\x00" + b"\x00" * len(removed)
+                            conn.send(_packet(UNSUBACK, 0, unsuback))
                         elif ptype == PUBREL:
                             (pid,) = struct.unpack_from(">H", body, 0)
                             conn.qos2_pending.discard(pid)
@@ -707,6 +727,19 @@ class MqttWireClient:
         code_at = 3 if self.level >= 5 else 2  # v5 SUBACK has a props byte
         if pkt is None or pkt[2][code_at] > 2:
             raise ConnectionError(f"MQTT SUBACK failure for {topic_filter!r}")
+
+    def unsubscribe(self, topic_filter: str) -> None:
+        """Remove one subscription (spec 3.10): UNSUBSCRIBE (flags
+        0x02, filters WITHOUT the QoS byte SUBSCRIBE carries) -> wait
+        UNSUBACK. Messages already in flight may still arrive after."""
+        self._pid += 1
+        body = struct.pack(">H", self._pid)
+        if self.level >= 5:
+            body += b"\x00"  # empty properties
+        body += _utf8(topic_filter)
+        self._send(_packet(UNSUBSCRIBE, 0x02, body))
+        if self._wait_for(UNSUBACK) is None:
+            raise ConnectionError(f"MQTT UNSUBACK missing for {topic_filter!r}")
 
     def publish(
         self,

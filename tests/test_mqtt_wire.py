@@ -508,3 +508,22 @@ def test_malformed_connect_closes_silently(broker, capfd):
     cli.publish("ok/topic", b"fine", qos=1)
     cli.disconnect()
     assert "Traceback" not in capfd.readouterr().err
+
+
+def test_unsubscribe_stops_delivery(broker):
+    """r10: UNSUBSCRIBE/UNSUBACK (spec 3.10) at both protocol levels —
+    delivery stops for the removed filter, other filters keep flowing."""
+    for level in (4, 5):
+        sub = MqttWireClient(broker.address, f"unsub{level}", protocol_level=level)
+        sub.subscribe("keep/topic")
+        sub.subscribe("drop/topic")
+        pub = MqttWireClient(broker.address, f"unpub{level}")
+        pub.publish("drop/topic", b"before", qos=1)
+        assert sub.recv_message(timeout=5) == ("drop/topic", b"before")
+        sub.unsubscribe("drop/topic")
+        pub.publish("drop/topic", b"after-unsub", qos=1)
+        pub.publish("keep/topic", b"still-here", qos=1)
+        assert sub.recv_message(timeout=5) == ("keep/topic", b"still-here")
+        assert sub.recv_message(timeout=0.3) is None
+        pub.disconnect()
+        sub.disconnect()
