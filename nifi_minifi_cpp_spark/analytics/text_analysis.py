@@ -320,6 +320,70 @@ def char_entropy_scores(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    decimals: int = 4,
+) -> DataFrame:
+    """Corpus-trained bigram LM scoring (r10) — the CCNet/KenLM-style
+    perplexity filter: train a Laplace-smoothed word-bigram model on
+    the corpus ITSELF, score every document's average per-bigram
+    negative log2-likelihood, and filter/bucket the tails (high =
+    unlike the corpus: gibberish, wrong language, boilerplate soup;
+    low = repetitive template text). avg_nll = -1/m * sum over doc
+    bigrams of log2((c(w1,w2)+alpha) / (c(w1)+alpha*V)), with c(w1)
+    summed from the bigram table (so the model is self-consistent) and
+    V the corpus vocabulary size.
+
+    100 TB shape: the model is TWO slim count tables built by one
+    explode+groupBy each ((w1,w2,count) and its w1 rollup — partial
+    aggregation map-side, ~20 bytes a row, no document text in the
+    shuffle) plus a 1-row vocab count that broadcast-joins. Scoring
+    re-explodes doc bigrams and equi-joins the count tables on their
+    natural keys; skew equals bigram frequency itself — the same
+    bounded-hot-key profile every word-count job has. Docs with <2
+    tokens have no bigrams and are excluded (m=0)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    n = F.size(F.col("_toks"))
+    staged = df.select(id_col, toks.alias("_toks")).where(F.size("_toks") >= 2)
+    pairs = staged.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                # both slices are length n-1 (a huge literal length
+                # overflows start+length inside Slice and yields nulls)
+                F.slice("_toks", 1, n - 1),
+                F.slice("_toks", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    lefts = bigrams.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    vocab = (
+        df.select(F.explode(toks).alias("w")).agg(F.count_distinct("w").alias("v"))
+    )
+    scored = (
+        pairs.join(bigrams, ["w1", "w2"])
+        .join(lefts, "w1")
+        .crossJoin(F.broadcast(vocab))  # 1-row corpus stat
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(
+                F.log2((F.col("cb") + F.lit(alpha)) / (F.col("cw") + F.lit(alpha) * F.col("v")))
+            ).alias("s"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("m").alias("n_bigrams"),
+        F.round(-F.col("s") / F.col("m"), decimals).alias("avg_nll"),
+    )
+
+
 def quality_weighted_sample_pred(key: Column, weight: Column) -> Column:
     """Per-row-probability deterministic sampler (r10): keep a row iff
     its md5 16-bit bucket falls below ``floor(weight * 65536)`` — the

@@ -5902,6 +5902,43 @@ def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "source string, n_pages long, n_octets long")
 
 
+@_register(
+    "bigram_lm_scores",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    p2 AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+      FROM (SELECT doc_id,
+              unnest(list_transform(range(1, len(t)),
+                                    i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS bg
+            FROM toks WHERE len(t) >= 2)),
+    big AS (SELECT w1, w2, count(*) AS cb FROM p2 GROUP BY w1, w2),
+    lefts AS (SELECT w1, sum(cb) AS cw FROM big GROUP BY w1),
+    voc AS (SELECT count(DISTINCT w) AS v
+            FROM (SELECT unnest(t) AS w FROM toks)),
+    sc AS (
+      SELECT doc_id, count(*) AS m,
+             sum(log2((cb + 1.0) / (CAST(cw AS DOUBLE) + 1.0 * v))) AS s
+      FROM p2 JOIN big USING (w1, w2) JOIN lefts USING (w1) CROSS JOIN voc
+      GROUP BY doc_id)
+    SELECT doc_id, CAST(m AS BIGINT) AS n_bigrams, round(-s / m, 4) AS avg_nll
+    FROM sc
+    """,
+)
+def bigram_lm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM perplexity scoring (r10): the
+    CCNet/KenLM-style quality filter — Laplace-smoothed word-bigram
+    model trained on the corpus itself, per-document average negative
+    log2-likelihood. Two slim count tables + one scoring join; the
+    oracle recomputes the identical model in SQL."""
+    from .analytics.text_analysis import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
