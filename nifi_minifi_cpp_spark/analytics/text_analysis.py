@@ -384,6 +384,50 @@ def bigram_lm_scores(
     )
 
 
+def encode_token_ids(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary token-id encoding (r10) — the tokenize step between
+    raw text and :func:`sequence_packing`: build the top-``vocab_size``
+    frequency vocabulary over the corpus (deterministic ties: count
+    desc, token asc; ids are 1-based ranks, 0 = UNK) and emit one
+    (doc, position, token_id) row per token.
+
+    100 TB shape: the frequency table is vocab-bounded (one slim
+    groupBy with map-side partial counts); the top-k is a DISTRIBUTED
+    TakeOrderedAndProject (never a global sort of the corpus); the
+    final rank window runs over vocab_size rows only; the id lookup is
+    a BROADCAST left join against those vocab_size rows — the token
+    stream itself never shuffles. Output is exploded scalar rows (not
+    arrays) so any engine compares results directly."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    flat = df.select(id_col, toks.alias("_toks")).select(
+        id_col, F.posexplode("_toks").alias("pos", "w")
+    )
+    top = (
+        flat.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(vocab_size)
+    )
+    vocab = top.select(
+        "w",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("w")))
+        .alias("token_id"),
+    )
+    return flat.join(F.broadcast(vocab), "w", "left").select(
+        id_col,
+        "pos",
+        F.coalesce("token_id", F.lit(0)).alias("token_id"),
+    )
+
+
 def quality_weighted_sample_pred(key: Column, weight: Column) -> Column:
     """Per-row-probability deterministic sampler (r10): keep a row iff
     its md5 16-bit bucket falls below ``floor(weight * 65536)`` — the

@@ -5939,6 +5939,36 @@ def bigram_lm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "token_ids_encode",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    flat AS (
+      SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS pos FROM toks),
+    freq AS (SELECT w, count(*) AS c FROM flat GROUP BY w),
+    vocab AS (
+      SELECT w, row_number() OVER (ORDER BY c DESC, w) AS token_id
+      FROM freq ORDER BY c DESC, w LIMIT 1000)
+    SELECT f.doc_id, CAST(f.pos AS INT) AS pos,
+           CAST(coalesce(v.token_id, 0) AS INT) AS token_id
+    FROM flat f LEFT JOIN vocab v USING (w)
+    """,
+)
+def token_ids_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary token-id encoding (r10): top-1000 frequency vocab
+    (count desc, token asc; 0 = UNK), one (doc, pos, token_id) row per
+    token — the tokenize stage feeding sequence_packing. Distributed
+    top-k + broadcast id lookup; the token stream never shuffles."""
+    from .analytics.text_analysis import encode_token_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    out = encode_token_ids(docs, vocab_size=1000)
+    return out.select("doc_id", F.col("pos").cast("int"), F.col("token_id").cast("int"))
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
