@@ -5969,6 +5969,80 @@ def token_ids_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("pos").cast("int"), F.col("token_id").cast("int"))
 
 
+@_register(
+    "audio_energy_features",
+    r"""
+    WITH clip AS (SELECT unnest(range(24)) AS mid),
+    par AS (SELECT mid, 4000 + (mid % 5) * 800 AS n FROM clip),
+    s AS (SELECT mid, n, unnest(range(n)) AS i FROM par),
+    v AS (SELECT mid, n,
+                 (((i * 37 + mid * 11) % 2000) - 1000) / 32768.0 AS x
+          FROM s),
+    agg AS (SELECT mid, max(n) AS n, sum(x * x) AS ss FROM v GROUP BY mid)
+    SELECT CAST(mid AS VARCHAR) AS media_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples, round(n / 8000.0, 4) AS duration_s,
+           round(sqrt(ss / n), 4) AS rms
+    FROM agg
+    """,
+)
+def audio_energy_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio path, driver-graded (r10): 24 deterministic
+    integer-sawtooth PCM clips are ENCODED to real RIFF/WAV bytes
+    executor-side, then decoded back through the production
+    extract_audio_features path (codecs.decode_wav: RIFF chunk walk,
+    16-bit PCM, mono fold) — sample rate, counts, duration and RMS all
+    pinned by the oracle recomputing the same samples arithmetically.
+    Any header/layout/normalization bug in the WAV codec breaks the
+    match. The payload is opaque binary through Spark — the multimodal
+    column contract — and the parse is Arrow-batched mapInPandas."""
+    import struct as st
+
+    import pandas as pd
+
+    from .analytics.multimodal import extract_audio_features
+
+    configure(spark)
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"media_id": [], "payload": []}
+            for mid in pdf["mid"]:
+                mid = int(mid)
+                n = 4000 + (mid % 5) * 800
+                i = np.arange(n, dtype=np.int64)
+                s = ((i * 37 + mid * 11) % 2000 - 1000).astype("<i2")
+                data = s.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + st.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + st.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data"
+                    + st.pack("<I", len(data))
+                )
+                rows["media_id"].append(str(mid))
+                rows["payload"].append(hdr + data)
+            yield pd.DataFrame(rows)
+
+    clips = (
+        spark.range(24)
+        .select(F.col("id").alias("mid"))
+        .repartition(4)
+        .mapInPandas(gen, "media_id string, payload binary")
+    )
+    feats = extract_audio_features(clips)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
