@@ -135,6 +135,16 @@ def snappy_decompress(buf: bytes) -> bytes:
 
 
 def _snappy_raw_decompress(buf: bytes) -> bytes:
+    # IndexError/struct.error from truncated tag tails must surface as
+    # the typed decode error, matching every other malformed-input path
+    # (hypothesis-locked in tests/test_fuzz_codecs.py)
+    try:
+        return _snappy_raw_decompress_inner(buf)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"snappy: truncated tag stream: {e}") from e
+
+
+def _snappy_raw_decompress_inner(buf: bytes) -> bytes:
     total, pos = _uvarint(buf, 0)
     out = bytearray()
     while pos < len(buf):
@@ -231,6 +241,13 @@ _LZ4_MAGIC = 0x184D2204
 
 
 def _lz4_block_decompress(buf: bytes, out: bytearray) -> None:
+    try:
+        _lz4_block_decompress_inner(buf, out)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"lz4: truncated block: {e}") from e
+
+
+def _lz4_block_decompress_inner(buf: bytes, out: bytearray) -> None:
     pos = 0
     n = len(buf)
     while pos < n:
@@ -341,6 +358,13 @@ def lz4_frame_compress(data: bytes, block_compress: bool = True) -> bytes:
 
 
 def lz4_frame_decompress(buf: bytes) -> bytes:
+    try:
+        return _lz4_frame_decompress_inner(buf)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"lz4: truncated frame: {e}") from e
+
+
+def _lz4_frame_decompress_inner(buf: bytes) -> bytes:
     (magic,) = struct.unpack_from("<I", buf, 0)
     if magic != _LZ4_MAGIC:
         raise ValueError(f"lz4: bad frame magic 0x{magic:08x}")
