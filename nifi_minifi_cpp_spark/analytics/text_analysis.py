@@ -428,6 +428,32 @@ def encode_token_ids(
     )
 
 
+def normalize_text(col: Column) -> Column:
+    """Pre-fingerprint text normalization (r10) — the cleanup stage
+    every dedup/quality pipeline runs BEFORE hashing, so byte-level
+    noise (smart quotes, control characters, whitespace runs) doesn't
+    defeat exact dedup: map typographic quotes/dashes/ellipsis to
+    ASCII, strip C0/C1 control characters, collapse all whitespace
+    runs to single spaces, and trim. Pure built-in string/regexp
+    functions — stateless per-row projection, whole-stage codegen,
+    zero shuffle at any scale; the oracle mirrors each step verbatim."""
+    c = col
+    for src, dst in (
+        ("‘", "'"),
+        ("’", "'"),
+        ("“", '"'),
+        ("”", '"'),
+        ("–", "-"),
+        ("—", "-"),
+        ("…", "..."),
+        (" ", " "),
+    ):
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
 def quality_weighted_sample_pred(key: Column, weight: Column) -> Column:
     """Per-row-probability deterministic sampler (r10): keep a row iff
     its md5 16-bit bucket falls below ``floor(weight * 65536)`` — the

@@ -6043,6 +6043,117 @@ def audio_energy_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "normalize_text_dedup_keys",
+    r"""
+    WITH messy AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN text
+          WHEN 1 THEN '  ' || replace(text, ' ', '   ') || chr(9) || chr(10)
+          WHEN 2 THEN chr(1) || replace(replace(text, 'e', '’'), 'a', '—') || chr(127)
+          ELSE '“' || text || '”' || chr(160) || '…'
+        END AS t
+      FROM documents),
+    norm AS (
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(
+          replace(replace(replace(replace(replace(replace(replace(replace(t,
+            '‘', ''''), '’', ''''), '“', '"'), '”', '"'),
+            '–', '-'), '—', '-'), '…', '...'), chr(160), ' '),
+          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+          '\s+', ' ', 'g')) AS cleaned
+      FROM messy)
+    SELECT doc_id, cleaned, strlen(cleaned) AS n_octets,
+           substr(md5(cleaned), 1, 16) AS fingerprint
+    FROM norm
+    """,
+)
+def normalize_text_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization before fingerprinting (r10): four messiness
+    classes injected deterministically (whitespace inflation + trailing
+    tab/newline; control chars + smart quote/dash substitution;
+    typographic wrapping + NBSP + ellipsis) are normalized back by
+    analytics.text_analysis.normalize_text, and the dedup fingerprint
+    is taken over the CLEANED text — the step that stops byte-level
+    noise defeating exact dedup. The oracle mirrors both the mess and
+    the cleanup verbatim."""
+    from .analytics.text_analysis import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = (
+        F.when(F.col("doc_id") % 4 == 0, F.col("text"))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("  "), F.replace("text", F.lit(" "), F.lit("   ")), F.lit("\t\n")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("\x01"),
+                F.replace(F.replace("text", F.lit("e"), F.lit("’")), F.lit("a"), F.lit("—")),
+                F.lit("\x7f"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("“"), F.col("text"), F.lit("” …")))
+    )
+    cleaned = normalize_text(messy)
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.octet_length(cleaned).cast("long").alias("n_octets"),
+        F.substring(F.md5(cleaned), 1, 16).alias("fingerprint"),
+    )
+
+
+@_register(
+    "countmin_user_frequencies",
+    r"""
+    WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    cells AS (
+      SELECT r.row, substr(md5(r.row || ':' || k), 1, 3) AS bucket,
+             count(*) AS n
+      FROM keys, (SELECT unnest(range(1, 5)) AS row) r
+      GROUP BY r.row, bucket),
+    probes AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k
+               FROM events WHERE user_id % 7 = 0),
+    pcells AS (
+      SELECT p.k, r.row, substr(md5(r.row || ':' || p.k), 1, 3) AS bucket
+      FROM probes p, (SELECT unnest(range(1, 5)) AS row) r),
+    est AS (
+      SELECT pc.k, min(coalesce(c.n, 0)) AS est
+      FROM pcells pc LEFT JOIN cells c USING (row, bucket)
+      GROUP BY pc.k),
+    truth AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS true_n
+              FROM events GROUP BY user_id)
+    SELECT e.k AS user_id, CAST(e.est AS BIGINT) AS est,
+           CAST(t.true_n AS BIGINT) AS true_n
+    FROM est e JOIN truth t USING (k)
+    """,
+)
+def countmin_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (r10): a depth-4,
+    width-4096 CMS over events.user_id built as ONE explode+groupBy
+    (bounded d x 16^3 cells regardless of input size, mergeable across
+    shards by construction), probed for every user_id % 7 == 0, with
+    the exact count joined alongside — the oracle rebuilds the
+    identical sketch (md5-hex bucketing is engine-portable) so every
+    cell, estimate and collision overshoot is pinned. CMS never
+    under-counts; the est >= true_n invariant is additionally
+    test-locked."""
+    from .analytics.sketches import countmin_build, countmin_estimate
+
+    events = _t(spark, sf_dir, "events")
+    sketch = countmin_build(events, "user_id")
+    probes = events.where(F.col("user_id") % 7 == 0).select("user_id")
+    est = countmin_estimate(sketch, probes, "user_id")
+    truth = (
+        events.groupBy(F.col("user_id").cast("string").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return est.join(truth, "user_id").select("user_id", "est", "true_n")
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

@@ -1513,3 +1513,55 @@ def test_boilerplate_prefix_clusters(spark):
         for r in boilerplate_prefix_clusters(df, prefix_len=3, min_docs=2).collect()
     ]
     assert rows == [("terms of service", 2, 10, 11)]
+
+
+def test_countmin_never_undercounts_and_merges(spark):
+    """r10: CMS upper-bound invariant (est >= true for every key) and
+    mergeability (shard sketches sum cell-wise to the full sketch)."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.sketches import countmin_build, countmin_estimate
+
+    df = spark.createDataFrame(
+        [(i % 50,) for i in range(3000)] + [(999,)] * 40, "k long"
+    )
+    sketch = countmin_build(df, "k")
+    assert sketch.count() <= 4 * 4096
+    est = countmin_estimate(sketch, df.select("k").distinct(), "k")
+    truth = df.groupBy(F.col("k").cast("string").alias("k")).count()
+    joined = est.join(truth, "k").select("k", "est", "count").collect()
+    assert len(joined) == 51
+    assert all(r["est"] >= r["count"] for r in joined)  # never under-counts
+    hot = [r for r in joined if r["k"] == "999"][0]
+    assert hot["est"] >= 40
+    # mergeability: shard sketches sum to the whole-corpus sketch
+    a, b = df.where("k < 25"), df.where("k >= 25")
+    merged = (
+        countmin_build(a, "k")
+        .unionAll(countmin_build(b, "k"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    assert merged.exceptAll(sketch).count() == 0
+    assert sketch.exceptAll(merged).count() == 0
+
+
+def test_normalize_text_unifies_noise_variants(spark):
+    """r10: the four messiness classes of one text normalize to the
+    SAME string, so their dedup fingerprints collide as intended."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.text_analysis import normalize_text
+
+    base = "the quick 'brown' fox - runs"
+    variants = [
+        base,
+        "  " + base.replace(" ", "   ") + "\t\n",
+        "\x01" + base.replace("'", "’") + "\x7f",
+        "“" + base + "” …",
+    ]
+    df = spark.createDataFrame([(v,) for v in variants], "t string")
+    got = [r[0] for r in df.select(normalize_text(F.col("t"))).collect()]
+    assert got[0] == got[1] == base
+    assert got[2] == "the quick 'brown' fox - runs"
+    assert got[3] == '"' + base + '" ...'
