@@ -6154,6 +6154,63 @@ def countmin_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(truth, "user_id").select("user_id", "est", "true_n")
 
 
+@_register(
+    "training_corpus_pipeline",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, source,
+        trim(regexp_replace(regexp_replace(
+          replace(replace(replace(replace(replace(replace(replace(replace(text,
+            '‘', ''''), '’', ''''), '“', '"'), '”', '"'),
+            '–', '-'), '—', '-'), '…', '...'), chr(160), ' '),
+          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+          '\s+', ' ', 'g')) AS c
+      FROM documents),
+    fp AS (SELECT doc_id, source, c, md5(c) AS fp FROM norm),
+    reps AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    kept AS (SELECT f.doc_id, f.source, f.c FROM fp f JOIN reps USING (fp, doc_id)),
+    tok AS (SELECT doc_id, source,
+              len(list_filter(string_split_regex(c, '\s+'), x -> x <> '')) AS n_tokens
+            FROM kept),
+    filt AS (SELECT * FROM tok
+             WHERE n_tokens >= 20
+               AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM filt GROUP BY source
+    """,
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation (r10 flagship composition): the
+    stages a real 100 TB training-data run chains — (1) text
+    normalization (analytics.normalize_text), (2) exact dedup on the
+    md5 fingerprint of the CLEANED text (slim-key groupBy + left-semi,
+    min-id representative), (3) an integer quality gate (>= 20 tokens
+    — integer thresholds only: a float boundary could flip a doc
+    between engines), (4) the deterministic 50% md5 sample, (5)
+    per-source corpus accounting. Every stage is the already-graded
+    primitive; this pins their COMPOSITION. Shuffles: one fingerprint
+    groupBy, one semi-join, one final stats groupBy — text never
+    shuffles except the slim fingerprint pass."""
+    from .analytics.text_analysis import deterministic_sample_pred, normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", normalize_text(F.col("text")).alias("c")
+    ).withColumn("fp", F.md5("c"))
+    reps = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = base.join(reps, ["fp", "doc_id"], "left_semi")
+    toks = F.size(F.filter(F.split(F.col("c"), r"\s+"), lambda x: x != F.lit("")))
+    filt = (
+        kept.withColumn("n_tokens", toks)
+        .where(F.col("n_tokens") >= 20)
+        .where(deterministic_sample_pred(F.col("doc_id"), 0.5))
+    )
+    return filt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
