@@ -447,9 +447,18 @@ def normalize_text(col: Column) -> Column:
         ("—", "-"),
         ("…", "..."),
         (" ", " "),
+        # NEL and the Unicode line/paragraph separators are LINE BREAKS
+        # -- they become spaces (Java/RE2 \s is ASCII-only and misses
+        # them); the remaining C1 controls are deleted by the regex.
+        ("\u0085", " "),
+        ("\u2028", " "),
+        ("\u2029", " "),
     ):
         c = F.replace(c, F.lit(src), F.lit(dst))
-    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    # C0 (minus \t\n\r, handled by the \s collapse) + DEL + C1
+    # (U+0080-U+009F — NEL/Windows-1252 mojibake survivors that would
+    # otherwise split dedup fingerprints; r10 review finding)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", "")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
 

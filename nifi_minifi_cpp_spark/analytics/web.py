@@ -22,8 +22,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # query keys stripped during canonicalization: the cross-site tracking
-# params that vary per click without changing the resource
-_TRACKING_RE = r"(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid)=[^&#]*"
+# params that vary per click without changing the resource. Anchored to
+# a ?/& boundary (kept via the capture) so substrings of LONGER keys
+# (pgclid=, my_fbclid=) are never clipped — unanchored, two distinct
+# resources could merge into one canonical group (r10 review finding).
+_TRACKING_RE = r"([?&])(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid)=[^&#]*"
 
 
 def canonicalize_url(url: Column) -> Column:
@@ -39,7 +42,7 @@ def canonicalize_url(url: Column) -> Column:
     u = F.regexp_replace(url, r"#.*$", "")
     # 2. tracking params, then separator tidy-up:
     #    'a?utm_x=1&b=2' -> 'a?&b=2' -> 'a?b=2'; 'a?utm_x=1' -> 'a?' -> 'a'
-    u = F.regexp_replace(u, _TRACKING_RE, "")
+    u = F.regexp_replace(u, _TRACKING_RE, r"$1")
     u = F.regexp_replace(u, r"\?&+", "?")
     u = F.regexp_replace(u, r"&&+", "&")
     u = F.regexp_replace(u, r"[?&]$", "")

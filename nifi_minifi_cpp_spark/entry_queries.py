@@ -5776,7 +5776,7 @@ def _messy_urls(docs: DataFrame) -> DataFrame:
                      regexp_replace(
                        regexp_replace(
                          regexp_replace(url, '#.*$', ''),
-                         '(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid)=[^&#]*', '', 'g'),
+                         '([?&])(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid)=[^&#]*', '\1', 'g'),
                        '\?&+', '?', 'g'),
                      '&&+', '&', 'g'),
                    '[?&]$', '') AS c4) t1) t2
@@ -6058,10 +6058,11 @@ def audio_energy_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm AS (
       SELECT doc_id,
         trim(regexp_replace(regexp_replace(
-          replace(replace(replace(replace(replace(replace(replace(replace(t,
+          replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(t,
             '‘', ''''), '’', ''''), '“', '"'), '”', '"'),
             '–', '-'), '—', '-'), '…', '...'), chr(160), ' '),
-          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+            chr(133), ' '), chr(8232), ' '), chr(8233), ' '),
+          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g'),
           '\s+', ' ', 'g')) AS cleaned
       FROM messy)
     SELECT doc_id, cleaned, strlen(cleaned) AS n_octets,
@@ -6160,10 +6161,11 @@ def countmin_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH norm AS (
       SELECT doc_id, source,
         trim(regexp_replace(regexp_replace(
-          replace(replace(replace(replace(replace(replace(replace(replace(text,
+          replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(text,
             '‘', ''''), '’', ''''), '“', '"'), '”', '"'),
             '–', '-'), '—', '-'), '…', '...'), chr(160), ' '),
-          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+            chr(133), ' '), chr(8232), ' '), chr(8233), ' '),
+          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g'),
           '\s+', ' ', 'g')) AS c
       FROM documents),
     fp AS (SELECT doc_id, source, c, md5(c) AS fp FROM norm),

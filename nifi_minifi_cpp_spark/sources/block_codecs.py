@@ -177,11 +177,14 @@ def _snappy_raw_decompress_inner(buf: bytes) -> bytes:
             pos += 4
         if off == 0 or off > len(out):
             raise ValueError("snappy: copy offset out of range")
-        # overlapping copies are the RLE idiom: copy byte-wise when the
-        # match length exceeds the back-reference distance
         start = len(out) - off
-        for i in range(ln):
-            out.append(out[start + i])
+        if off >= ln:
+            out += out[start : start + ln]  # non-overlap: one slice copy
+        else:
+            # overlapping copies are the RLE idiom: byte-wise when the
+            # match length exceeds the back-reference distance
+            for i in range(ln):
+                out.append(out[start + i])
     if len(out) != total:
         raise ValueError(f"snappy: expected {total} bytes, produced {len(out)}")
     return bytes(out)
@@ -261,6 +264,8 @@ def _lz4_block_decompress_inner(buf: bytes, out: bytearray) -> None:
                 lit += b
                 if b != 255:
                     break
+        if pos + lit > n:
+            raise ValueError("lz4: literal run overruns block")
         out += buf[pos : pos + lit]
         pos += lit
         if pos >= n:
@@ -279,8 +284,11 @@ def _lz4_block_decompress_inner(buf: bytes, out: bytearray) -> None:
                     break
         mlen += 4
         start = len(out) - off
-        for i in range(mlen):  # overlap-safe byte-wise copy
-            out.append(out[start + i])
+        if off >= mlen:
+            out += out[start : start + mlen]  # non-overlap: one slice copy
+        else:
+            for i in range(mlen):  # overlap (RLE): byte-wise
+                out.append(out[start + i])
 
 
 def _lz4_block_compress(data: bytes) -> bytes:

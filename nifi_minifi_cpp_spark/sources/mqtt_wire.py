@@ -360,8 +360,12 @@ class MiniMqttBroker:
                     broker._next_id += 1
                     my_id = broker._next_id
                     broker._subs[my_id] = conn
-                conn.send(_packet(CONNACK, 0, connack))
+                # CONNACK send sits INSIDE the try: a peer that RSTs
+                # right after CONNECT must still hit the finally (conn
+                # deregistered, Last Will published) instead of leaking
+                # a dead _Conn in broker._subs (r10 review finding).
                 try:
+                    conn.send(_packet(CONNACK, 0, connack))
                     while True:
                         pkt = _read_packet(sock)
                         if pkt is None:
@@ -460,6 +464,11 @@ class MiniMqttBroker:
                             return
                 except (MqttProtocolError, struct.error, IndexError, UnicodeDecodeError):
                     return  # spec: close the connection on malformed packets
+                except OSError:
+                    # peer vanished mid-handshake (CONNACK/SUBACK/ack
+                    # send on a reset socket): abnormal close — the
+                    # finally fires the will; no socketserver traceback
+                    return
                 finally:
                     with broker._subs_lock:
                         broker._subs.pop(my_id, None)

@@ -124,9 +124,24 @@ def write_warc_shards(
     partition, executor-side (no driver collect). Returns the manifest
     (shard path, record count, byte size) — a small frame (one row per
     partition). Record ids are content-addressed (md5 of url+payload)
-    so shard bytes are deterministic for a given partitioning."""
+    so shard bytes are deterministic for a given partitioning.
+
+    PATH SCOPE: shards are written with executor-local file IO, so
+    ``out_dir`` must be a filesystem path VISIBLE TO EVERY EXECUTOR
+    (local[*], NFS/Lustre, a FUSE-mounted object store). URI schemes
+    (hdfs://, s3a://) are rejected up front — executors have no py4j
+    bridge to the Hadoop FS API, and silently writing to a local
+    directory literally named 'hdfs:/...' is the failure mode this
+    guard exists to prevent; on such clusters write to the mount
+    point instead."""
     import hashlib
     import os
+
+    if "://" in out_dir:
+        raise ValueError(
+            f"write_warc_shards writes via executor-local file IO; got URI "
+            f"{out_dir!r} — use a mounted path visible to every executor"
+        )
 
     def _write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext

@@ -1565,3 +1565,17 @@ def test_normalize_text_unifies_noise_variants(spark):
     assert got[0] == got[1] == base
     assert got[2] == "the quick 'brown' fox - runs"
     assert got[3] == '"' + base + '" ...'
+
+
+def test_normalize_text_strips_c1_controls(spark):
+    """r10 review finding: C1 controls (NEL U+0085, U+009D mojibake)
+    must not split dedup fingerprints."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.text_analysis import normalize_text
+
+    df = spark.createDataFrame(
+        [("plain text",), ("plain\u0085text",), ("plain \u009dtext",)], "t string"
+    )
+    got = {r[0] for r in df.select(normalize_text(F.col("t"))).collect()}
+    assert got == {"plain text"}

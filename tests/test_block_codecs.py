@@ -105,3 +105,14 @@ def test_lz4_stored_block_path():
     (bsize,) = struct.unpack_from("<I", f, 7)
     assert bsize & 0x80000000  # stored, not compressed
     assert lz4_frame_decompress(f) == d
+
+
+def test_lz4_truncated_literal_run_is_typed_error():
+    """r10 review finding: a block token declaring more literals than
+    the block supplies must raise, not silently return a prefix."""
+    desc = bytes([0x60, 0x40])
+    hdr = struct.pack("<I", 0x184D2204) + desc + bytes([(xxh32(desc) >> 8) & 0xFF])
+    block = bytes([10 << 4]) + b"abcd"  # token claims 10 literals, ships 4
+    frame = hdr + struct.pack("<I", len(block)) + block + struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="literal run"):
+        lz4_frame_decompress(frame)

@@ -527,3 +527,25 @@ def test_unsubscribe_stops_delivery(broker):
         assert sub.recv_message(timeout=0.3) is None
         pub.disconnect()
         sub.disconnect()
+
+
+def test_will_fires_when_peer_dies_before_connack_read(broker):
+    """r10 review finding: a peer that RSTs right after CONNECT (never
+    reading CONNACK) must still be deregistered and its will fired —
+    the CONNACK send now sits inside the handler's try/finally."""
+    import socket as _socket
+    import struct as _st
+
+    from nifi_minifi_cpp_spark.sources.mqtt_wire import CONNECT, _packet, _utf8
+
+    sub = MqttWireClient(broker.address, "sub")
+    sub.subscribe("wills/#")
+    s = _socket.create_connection((broker.host, broker.port), timeout=5)
+    will = _utf8("wills/early") + _st.pack(">H", 4) + b"dead"
+    body = _utf8("MQTT") + b"\x04" + bytes([0x02 | 0x04]) + _st.pack(">H", 60) + _utf8("early") + will
+    s.sendall(_packet(CONNECT, 0, body))
+    # hard RST without ever reading the CONNACK
+    s.setsockopt(_socket.SOL_SOCKET, _socket.SO_LINGER, _st.pack("ii", 1, 0))
+    s.close()
+    assert sub.recv_message(timeout=5) == ("wills/early", b"dead")
+    sub.disconnect()

@@ -60,3 +60,24 @@ def test_url_dedup_groups_counts(spark):
         "http://a.example/x": (3, 1),
         "https://a.example/x": (1, 4),
     }
+
+
+def test_tracking_strip_requires_param_boundary(spark):
+    """r10 review finding: keys that merely CONTAIN a tracking-key
+    substring (pgclid, my_fbclid, last_utm_source) must survive —
+    unanchored stripping merged distinct resources into one group."""
+    got = _canon(
+        spark,
+        [
+            "http://a.com/?pgclid=7&b=2",
+            "http://a.com/?pgclid=8&b=2",
+            "http://a.com/?my_fbclid=x",
+            "http://a.com/?last_utm_source=y&gclid=z",
+        ],
+    )
+    assert got == [
+        "http://a.com/?pgclid=7&b=2",
+        "http://a.com/?pgclid=8&b=2",
+        "http://a.com/?my_fbclid=x",
+        "http://a.com/?last_utm_source=y",
+    ]
