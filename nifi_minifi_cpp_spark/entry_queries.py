@@ -6213,6 +6213,111 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "leakage_safe_split",
+    r"""
+    WITH urls AS (
+      SELECT doc_id,
+        CASE doc_id % 6
+          WHEN 0 THEN 'http://' || source || '.example.com/d/' || (doc_id % 40)
+          WHEN 1 THEN 'HTTP://' || upper(source) || '.EXAMPLE.COM:80/d/' || (doc_id % 40)
+          WHEN 2 THEN 'http://' || source || '.example.com/d/' || (doc_id % 40) || '/#section-2'
+          WHEN 3 THEN 'http://' || source || '.example.com/d/' || (doc_id % 40) || '?utm_source=feed&utm_campaign=x'
+          WHEN 4 THEN 'https://' || source || '.example.com:443/d/' || (doc_id % 40) || '?gclid=abc123'
+          ELSE 'http://' || source || '.example.com/d/' || (doc_id % 40) || '?id=' || (doc_id % 40) || '&utm_medium=em&ref=2'
+        END AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+        (SELECT
+          regexp_replace(h2, '^(https://[^/?#:]*):443$', '\1')
+          || regexp_replace(regexp_replace(rest, '^(/[^?]*[^/?])/+(\?|$)', '\1\2'), '^/+(\?|$)', '/\1')
+         FROM (SELECT
+            regexp_replace(lower(regexp_extract(c4, '^([^:/?#]+://[^/?#]*)', 1)),
+                           '^(http://[^/?#:]*):80$', '\1') AS h2,
+            regexp_replace(c4, '^[^:/?#]+://[^/?#]*', '') AS rest
+           FROM (SELECT regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(url, '#.*$', ''),
+                         '([?&])(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid)=[^&#]*', '\1', 'g'),
+                       '\?&+', '?', 'g'),
+                     '&&+', '&', 'g'),
+                   '[?&]$', '') AS c4) t1) t2
+        ) AS g
+      FROM urls),
+    assigned AS (
+      SELECT doc_id, g,
+        CASE WHEN substr(md5(g), 1, 4) < 'c000' THEN 'train'
+             WHEN substr(md5(g), 1, 4) < 'e000' THEN 'val'
+             ELSE 'test' END AS split
+      FROM canon)
+    SELECT split, CAST(count(DISTINCT g) AS BIGINT) AS n_groups,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY split
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split (r10): documents are assigned
+    to splits by the md5 bucket of their CANONICAL URL, not their own
+    id — every URL-level duplicate (scheme case, tracking params,
+    trailing slash) lands in the SAME split, the guard that stops
+    near-duplicates leaking from train into eval (the md5-per-doc
+    split in dataset_split cannot give this). 75/12.5/12.5 buckets,
+    deterministic across engines/partitionings. One stateless
+    projection + one stats groupBy."""
+    from .analytics.web import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    g = canonicalize_url(F.col("url"))
+    bucket = F.substring(F.md5(g), 1, 4)
+    split = (
+        F.when(bucket < "c000", "train").when(bucket < "e000", "val").otherwise("test")
+    )
+    return (
+        _messy_urls(docs)
+        .select(F.col("doc_id"), g.alias("g"), split.alias("split"))
+        .groupBy("split")
+        .agg(F.count_distinct("g").alias("n_groups"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_register(
+    "token_quantiles_by_source",
+    r"""
+    WITH t AS (
+      SELECT source,
+             len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n
+      FROM documents)
+    SELECT source,
+           round(quantile_cont(n, 0.25), 4) AS p25,
+           round(quantile_cont(n, 0.5), 4) AS p50,
+           round(quantile_cont(n, 0.9), 4) AS p90,
+           CAST(max(n) AS BIGINT) AS p_max
+    FROM t GROUP BY source
+    """,
+)
+def token_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-count quantiles per source (r10): the corpus-ops
+    report that sizes packing windows and spots degenerate feeds.
+    EXACT percentile (both engines use the same linear interpolation,
+    verified R-7 semantics), not approx_percentile — approx sketches
+    differ per engine and per run. Per-group sort is bounded by group
+    size; at fleet scale swap in approx_percentile and drop the
+    oracle."""
+    from .analytics.text_analysis import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("source", token_count(F.col("text")).alias("n"))
+    return t.groupBy("source").agg(
+        F.round(F.percentile("n", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n", F.lit(0.9)), 4).alias("p90"),
+        F.max("n").cast("long").alias("p_max"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
