@@ -360,6 +360,12 @@ def bigram_lm_scores(
             )
         ).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # the pair stream feeds BOTH the model build and the scoring join;
+    # without a barrier Catalyst re-runs the split/zip/explode lineage
+    # twice (A/B at sf0.1: ~1.5s -> ~1.1s settled with the barrier)
+    from ..util import reliable_barrier
+
+    pairs = reliable_barrier(pairs)
     bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     lefts = bigrams.groupBy("w1").agg(F.sum("cb").alias("cw"))
     vocab = (
