@@ -469,6 +469,59 @@ def normalize_text(col: Column) -> Column:
     return F.trim(c)
 
 
+def skipgram_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Skip-gram co-occurrence counts (r10) — the (center, context)
+    pair table word2vec-style embedding training consumes (Mikolov et
+    al. 2013): for every token, every neighbor within ``window``
+    positions (symmetric, excluding self) contributes one pair; the
+    global counts are returned top-``top_k`` (count desc, then pair
+    asc — deterministic).
+
+    100 TB shape: pairs are built PER ROW with HOFs (flatten over a
+    staged token array — no join, no self-join), so the only shuffle
+    is the slim (w1, w2) count groupBy with map-side combine, and the
+    top-k is a distributed TakeOrderedAndProject, never a global
+    sort."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    staged = df.select(toks.alias("_toks")).where(F.size("_toks") >= 2)
+    t = F.col("_toks")
+    n = F.size(t)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(
+                        F.greatest(i - window, F.lit(1)), F.least(i + window, n)
+                    ),
+                    lambda j: F.when(
+                        j != i,
+                        F.struct(
+                            F.element_at(t, i).alias("w1"),
+                            F.element_at(t, j).alias("w2"),
+                        ),
+                    ),
+                ),
+                lambda p: p.isNotNull(),
+            ),
+        )
+    )
+    flat = staged.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    return (
+        flat.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .orderBy(F.col("n_cooc").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+
+
 def quality_weighted_sample_pred(key: Column, weight: Column) -> Column:
     """Per-row-probability deterministic sampler (r10): keep a row iff
     its md5 16-bit bucket falls below ``floor(weight * 65536)`` — the

@@ -6318,6 +6318,34 @@ def token_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "skipgram_top_pairs",
+    r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    pairs AS (
+      SELECT p.w1, p.w2
+      FROM (SELECT unnest(flatten(list_transform(range(1, len(t) + 1),
+              i -> [struct_pack(w1 := t[i], w2 := t[j])
+                    for j in range(greatest(i - 2, 1), least(i + 2, len(t)) + 1)
+                    if j != i]))) AS p
+            FROM toks WHERE len(t) >= 2)),
+    counts AS (SELECT w1, w2, count(*) AS n_cooc FROM pairs GROUP BY w1, w2)
+    SELECT w1, w2, CAST(n_cooc AS BIGINT) AS n_cooc
+    FROM counts ORDER BY n_cooc DESC, w1, w2 LIMIT 100
+    """,
+)
+def skipgram_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence (r10): symmetric +/-2 window (center,
+    context) pairs built per-row with HOFs (no self-join), slim-pair
+    count groupBy, distributed top-100. The word2vec training-pair
+    stage; the oracle rebuilds the identical window arithmetic."""
+    from .analytics.text_analysis import skipgram_pairs
+
+    return skipgram_pairs(_t(spark, sf_dir, "documents"), window=2, top_k=100)
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
