@@ -6346,6 +6346,42 @@ def skipgram_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(_t(spark, sf_dir, "documents"), window=2, top_k=100)
 
 
+@_register(
+    "containment_dedup_ids",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             'WRAPPER HEADER :: ' || text || ' :: WRAPPER FOOTER' AS text
+      FROM documents WHERE doc_id < 30)
+    SELECT DISTINCT a.doc_id
+    FROM corpus a JOIN corpus b
+      ON (strlen(b.text) > strlen(a.text)
+          OR (strlen(b.text) = strlen(a.text) AND b.doc_id > a.doc_id))
+     AND position(a.text IN b.text) > 0
+    """,
+)
+def containment_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-containment dedup (r10): the corpus plus 30
+    boilerplate-wrapped copies; every original whose full text sits
+    inside a wrapper is flagged. Candidates come from the min-k-gram
+    probe join (sound: a substring's minimum k-gram hash must appear
+    in the container's k-gram set), verified with exact contains. The
+    oracle does the quadratic truth join — the distributed plan must
+    reproduce it exactly."""
+    from .analytics.dedup import containment_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("WRAPPER HEADER :: "), F.col("text"), F.lit(" :: WRAPPER FOOTER")
+        ).alias("text"),
+    )
+    return containment_dedup(docs.unionAll(wrapped))
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

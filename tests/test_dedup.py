@@ -124,3 +124,25 @@ def test_source_overlap_matrix(spark):
     ]
     # 2-token prefix 'shared text' is one distinct fingerprint per source
     assert pre == [("A", "B", 1), ("A", "C", 1), ("B", "C", 1)]
+
+
+def test_containment_dedup_finds_wrapped_and_short_docs(spark):
+    """r10: substring-containment dedup — wrapped full-text copies,
+    short-doc (< k chars) fallback, and no false positives."""
+    from nifi_minifi_cpp_spark.analytics.dedup import containment_dedup
+
+    body = "the quick brown fox jumps over the lazy dog again and again tonight"
+    df = spark.createDataFrame(
+        [
+            (1, body),
+            (2, "HEADER :: " + body + " :: FOOTER"),          # contains 1
+            (3, "totally unrelated content that stands completely alone here"),
+            (4, "quick brown fox"),                             # short: inside 1 and 2
+            (5, body),                                          # exact dup of 1: one side flagged
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in containment_dedup(df).collect())
+    # 1 and 5 (both copies of body) are inside 2; 4 is inside 1/2/5.
+    # Only the containers (2) and the unrelated doc (3) survive.
+    assert got == [1, 4, 5]
