@@ -71,3 +71,62 @@ def countmin_estimate(
         .agg(F.min(F.coalesce("n", F.lit(0))).alias("est"))
         .select(F.col("_k").alias(key_col), "est")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007), the same
+# engine-portable md5 construction as the count-min sketch above: the
+# cardinality answer to "how many distinct keys in 100 TB" in O(m)
+# memory. Reference parity: the reference's metrics pipeline exposes
+# per-key rollups (ProcFsMonitor / metrics counters); at corpus scale
+# the distinct-user / distinct-url questions need a mergeable sketch.
+#
+# Construction (m = 64 registers, p = 6):
+# - bucket  = first 8 md5 bits mod 64 (256/64 exact, so unbiased)
+# - witness = md5 bits 33..64 as a 32-bit integer v (disjoint bits)
+# - rho     = leading-zero count of v in a 32-bit window, + 1
+#           = 33 - length(bin(v)) for v > 0, else 33
+#   (length(bin(v)) == floor(log2(v)) + 1 exactly, in BOTH Spark and
+#   DuckDB, so rho is integer-exact cross-engine — no float log2)
+# - register M_j = max(rho) per bucket — mergeable by cell-wise max,
+#   which is what lets 1000 executors sketch shards independently.
+# - estimate = alpha_64 * m^2 / sum_j 2^(-M_j), empty buckets counting
+#   2^0 = 1. Every 2^(-M_j) is a single bit in a 33-bit binary span,
+#   so the 64-term sum is EXACT in double regardless of summation
+#   order — the estimate is bit-deterministic across engines, which is
+#   what makes a DuckDB oracle possible for a cardinality sketch.
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers (p = 6)
+HLL_ALPHA = 0.709  # standard alpha for m = 64
+
+
+def hll_registers(df: DataFrame, key_col: str, group_cols: list[str] | None = None) -> DataFrame:
+    """-> register table (group_cols..., bucket int, m int): at most
+    64 rows per group regardless of input size. One slim groupBy with
+    map-side partial max; merge sketches by cell-wise max."""
+    groups = list(group_cols or [])
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M).alias("bucket")
+    v = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    rho = F.when(v > 0, F.lit(33) - F.length(F.bin(v))).otherwise(F.lit(33))
+    return (
+        df.select(*groups, bucket, rho.cast("int").alias("rho"))
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Fold a register table to (group_cols..., buckets_used,
+    hll_estimate). The raw HLL estimator (no small/large-range
+    corrections — those use ln(), whose last-ulp differs across
+    engines; the raw form is exact-deterministic)."""
+    groups = list(group_cols or [])
+    agg = registers.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("buckets_used"),
+        F.sum(F.pow(F.lit(0.5), F.col("m"))).alias("_present_inv"),
+    )
+    sum_inv = F.col("_present_inv") + (F.lit(HLL_M) - F.col("buckets_used"))
+    est = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / sum_inv
+    return agg.select(*groups, "buckets_used", est.alias("hll_estimate"))

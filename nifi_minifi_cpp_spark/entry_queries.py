@@ -6382,6 +6382,61 @@ def containment_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_dedup(docs.unionAll(wrapped))
 
 
+@_register(
+    "hll_distinct_users",
+    r"""
+    WITH h AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+    b AS (
+      SELECT event_type,
+             CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 64 AS bucket,
+             CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) AS v
+      FROM h),
+    r AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN v > 0 THEN 33 - length(bin(v)) ELSE 33 END) AS m
+      FROM b GROUP BY event_type, bucket),
+    a AS (
+      SELECT event_type, count(*) AS buckets_used,
+             sum(power(0.5, m)) AS present_inv
+      FROM r GROUP BY event_type),
+    x AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type)
+    SELECT a.event_type,
+           CAST(x.exact_users AS BIGINT) AS exact_users,
+           CAST(a.buckets_used AS BIGINT) AS buckets_used,
+           0.709 * 4096.0 / (present_inv + (64 - buckets_used)) AS hll_estimate
+    FROM a JOIN x USING (event_type)
+    """,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type (r10), next to
+    the exact count the oracle can still afford at this SF. 64 md5-hex
+    registers, leading-zero rank via length(bin(v)) — integer-exact in
+    both engines, and every 2^(-M) term is a single bit in a 33-bit
+    span so the 64-term sum (and hence the estimate) is bit-
+    deterministic across engines. Build is one slim groupBy with
+    map-side partial max; registers merge cell-wise (test-locked), the
+    property that lets 1000 executors sketch 100 TB independently. The
+    raw estimator only — range corrections use ln(), whose last ulp is
+    engine-specific."""
+    from .analytics.sketches import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ["event_type"])
+    est = hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_users",
+        F.col("buckets_used").cast("long").alias("buckets_used"),
+        "hll_estimate",
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

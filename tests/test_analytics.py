@@ -1579,3 +1579,39 @@ def test_normalize_text_strips_c1_controls(spark):
     )
     got = {r[0] for r in df.select(normalize_text(F.col("t"))).collect()}
     assert got == {"plain text"}
+
+
+def test_hll_estimates_within_error_and_merges(spark):
+    """r10 continuation: HLL raw-estimator accuracy (within the
+    ~1.04/sqrt(64) = 13% standard error band, generously 3x) and
+    mergeability (shard registers max cell-wise to the full sketch)."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.sketches import hll_estimate, hll_registers
+
+    df = spark.createDataFrame(
+        [(i % 400,) for i in range(3000)], "k long"
+    )
+    regs = hll_registers(df, "k")
+    assert regs.count() <= 64
+    est = hll_estimate(regs).collect()[0]["hll_estimate"]
+    assert abs(est - 400) / 400 < 0.4  # 3x the 13% standard error
+    # mergeability: per-shard registers max cell-wise to the whole sketch
+    a, b = df.where("k < 200"), df.where("k >= 200")
+    merged = (
+        hll_registers(a, "k")
+        .unionAll(hll_registers(b, "k"))
+        .groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    assert merged.exceptAll(regs).count() == 0
+    assert regs.exceptAll(merged).count() == 0
+    # grouped form: one register set per group, independent estimates
+    g = df.withColumn("g", (F.col("k") % 2).cast("string"))
+    gests = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_estimate(hll_registers(g, "k", ["g"]), ["g"]).collect()
+    }
+    assert set(gests) == {"0", "1"}
+    for v in gests.values():
+        assert abs(v - 200) / 200 < 0.5
