@@ -1166,3 +1166,91 @@ def source_overlap_matrix(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy(F.col("n_shared").desc(), "source_a", "source_b")
     )
+
+
+def allpairs_jaccard_join(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    ngram: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join (r10 continuation): every pair of
+    documents whose token-set Jaccard is >= ``threshold``, with NO
+    false negatives — the AllPairs/PPJoin prefix-filtering principle
+    (Bayardo et al., WWW 2007; Xiao et al., WWW 2008). The exact
+    complement to the LSH families above: MinHash banding trades recall
+    for speed; this join is exhaustive, and gets its speed from pruning
+    instead of sampling.
+
+    Prefix filter: order every doc's distinct tokens by GLOBAL rarity
+    (document frequency asc, token asc). If J(x, y) >= t, the overlap
+    is at least ceil(t * |x|), so x and y must share at least one token
+    among each one's first ``|x| - ceil(t*|x|) + 1`` rarest tokens.
+    Only those prefix tokens are indexed AND probed — and because the
+    prefix holds each doc's globally RAREST tokens, posting lists are
+    naturally short: the head of the Zipf curve never enters the index,
+    which is what keeps the candidate join skew-free at 100 TB (no cap
+    needed — unlike the LSH buckets, shortness here is a theorem of the
+    frequency ordering, not a tuning knob). The ceiling is computed as
+    ``ceil(t*|x| - 1e-9)``: a last-ulp-high double product can only
+    LENGTHEN the prefix (safe direction), never shorten it.
+
+    Shape: one vocab-bounded token->df count table (broadcast), one
+    window rank per doc (shuffle by id), a prefix-postings equi-join on
+    token, then exact verify via array_intersect on the two (bounded)
+    token-set arrays. Returns (id_a, id_b, overlap, size_a, size_b,
+    jaccard) with id_a < id_b."""
+    sets_expr = (
+        word_shingles(F.col(content_col), ngram)
+        if ngram > 1
+        else F.array_distinct(F.array_remove(words(F.col(content_col)), ""))
+    )
+    toks = (
+        df.select(F.col(id_col).alias("_id"), F.explode(sets_expr).alias("_w"))
+        .distinct()
+    )
+    freq = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        toks.join(F.broadcast(freq), "_w")
+        .withColumn(
+            "_rank",
+            F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_w")),
+        )
+        .withColumn("_size", F.count(F.lit(1)).over(Window.partitionBy("_id")))
+    )
+    prefix_len = (
+        F.col("_size")
+        - F.ceil(F.lit(threshold) * F.col("_size") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    prefix = ranked.where(F.col("_rank") <= prefix_len).select("_id", "_w", "_size")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "_w")
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("_ida"),
+            F.col("b._id").alias("_idb"),
+        )
+        .distinct()
+    )
+    sets = toks.groupBy("_id").agg(F.sort_array(F.collect_set("_w")).alias("_s"))
+    out = (
+        cand.join(sets.select(F.col("_id").alias("_ida"), F.col("_s").alias("_sa")), "_ida")
+        .join(sets.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb")), "_idb")
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("overlap"),
+            F.size("_sa").cast("long").alias("size_a"),
+            F.size("_sb").cast("long").alias("size_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("overlap")
+            / (F.col("size_a") + F.col("size_b") - F.col("overlap")).cast("double"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+    return out

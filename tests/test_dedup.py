@@ -146,3 +146,46 @@ def test_containment_dedup_finds_wrapped_and_short_docs(spark):
     # 1 and 5 (both copies of body) are inside 2; 4 is inside 1/2/5.
     # Only the containers (2) and the unrelated doc (3) survive.
     assert got == [1, 4, 5]
+
+
+def test_allpairs_jaccard_exact_no_false_negatives(spark):
+    """r10 continuation: prefix-filtered AllPairs must equal the full
+    quadratic truth join — including a pair sitting EXACTLY at the
+    threshold and one just below it."""
+    from nifi_minifi_cpp_spark.analytics.dedup import allpairs_jaccard_join
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),          # tokens {a..e}
+        (2, "alpha beta gamma delta zeta"),              # J(1,2)=4/6=0.667
+        (3, "alpha beta gamma"),                         # J(1,3)=3/5=0.6 exact
+        (4, "omega psi chi phi"),                        # disjoint
+        (5, "alpha beta gamma delta epsilon"),           # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in allpairs_jaccard_join(df, threshold=0.6, ngram=1).collect()
+    }
+    # quadratic truth at t=0.6 over token sets
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                un = len(sets[i] | sets[j])
+                jac = inter / un
+                if jac >= 0.6:
+                    want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
+    assert (1, 3) in got  # the exactly-at-threshold pair survived
+    assert (1, 5) in got and got[(1, 5)] == 1.0
+    # shingle mode: exact dup pair is found with 3-gram shingles too
+    got3 = {
+        (r["id_a"], r["id_b"])
+        for r in allpairs_jaccard_join(df, threshold=0.9, ngram=3).collect()
+    }
+    assert (1, 5) in got3
