@@ -130,3 +130,70 @@ def hll_estimate(registers: DataFrame, group_cols: list[str] | None = None) -> D
     sum_inv = F.col("_present_inv") + (F.lit(HLL_M) - F.col("buckets_used"))
     est = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / sum_inv
     return agg.select(*groups, "buckets_used", est.alias("hll_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970), same engine-portable md5 construction:
+# the decontamination primitive at corpus scale — ship a bounded
+# position table (equivalently a ~64 KB bitset) to every executor
+# instead of shuffle-joining 100 TB of corpus shingles against the
+# benchmark shingle table. One-sided error: NEVER misses a true member
+# (the decontamination guarantee), false-positives at
+# (1 - e^(-kn/m))^k — flagged docs go to the exact verify join, whose
+# input the filter has already shrunk by orders of magnitude.
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, depth: int = 4, prefix_hex: int = 4
+) -> DataFrame:
+    """-> set-bit table (row int, pos string): the distinct md5-prefix
+    positions of every key, one per hash row; at most
+    depth * 16^prefix_hex rows (k=4, m=65536 by default). Mergeable by
+    union+distinct — shards build independently."""
+    rows = F.explode(F.sequence(F.lit(1), F.lit(depth))).alias("row")
+    return (
+        df.select(F.col(key_col).cast("string").alias("_k"))
+        .select("_k", rows)
+        .select(
+            "row",
+            F.substring(
+                F.md5(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("_k"))),
+                1,
+                prefix_hex,
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    prefix_hex: int = 4,
+) -> DataFrame:
+    """Probe keys against a bloom position table: -> (probe columns...,
+    maybe boolean). ``maybe`` is true iff ALL depth positions are set —
+    false means DEFINITELY absent. The bloom side is bounded, so it
+    broadcasts; the probe side never shuffles."""
+    cols = probes.columns
+    p = probes.select(
+        *cols, F.explode(F.sequence(F.lit(1), F.lit(depth))).alias("row")
+    ).select(
+        *cols,
+        "row",
+        F.substring(
+            F.md5(
+                F.concat(F.col("row").cast("string"), F.lit(":"), F.col(key_col).cast("string"))
+            ),
+            1,
+            prefix_hex,
+        ).alias("pos"),
+    )
+    hit = p.join(F.broadcast(bloom.withColumn("_set", F.lit(1))), ["row", "pos"], "left")
+    return (
+        hit.groupBy(*cols)
+        .agg((F.count("_set") == F.lit(depth)).alias("maybe"))
+    )

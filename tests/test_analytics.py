@@ -1615,3 +1615,29 @@ def test_hll_estimates_within_error_and_merges(spark):
     assert set(gests) == {"0", "1"}
     for v in gests.values():
         assert abs(v - 200) / 200 < 0.5
+
+
+def test_bloom_one_sided_error_and_merges(spark):
+    """r10 continuation: bloom NEVER misses a true member (maybe=True
+    for every inserted key), definite-absent is trustworthy, and shard
+    filters merge by union+distinct."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.sketches import bloom_build, bloom_maybe_contains
+
+    members = spark.createDataFrame([(f"key-{i}",) for i in range(200)], "k string")
+    bloom = bloom_build(members, "k")
+    assert bloom.count() <= 4 * 65536
+    probes = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(300)], "k string"  # 200 members + 100 absent
+    )
+    got = {r["k"]: r["maybe"] for r in bloom_maybe_contains(bloom, probes, "k").collect()}
+    assert all(got[f"key-{i}"] for i in range(200))  # no false negatives, ever
+    false_pos = sum(got[f"key-{i}"] for i in range(200, 300))
+    assert false_pos <= 2  # fp rate at n=200, m=65536, k=4 is ~2e-9
+    # mergeability: shard blooms union+distinct to the full filter
+    a = spark.createDataFrame([(f"key-{i}",) for i in range(100)], "k string")
+    b = spark.createDataFrame([(f"key-{i}",) for i in range(100, 200)], "k string")
+    merged = bloom_build(a, "k").unionAll(bloom_build(b, "k")).distinct()
+    assert merged.exceptAll(bloom).count() == 0
+    assert bloom.exceptAll(merged).count() == 0
