@@ -1401,3 +1401,122 @@ def boilerplate_prefix_clusters(
         .where(F.col("n_docs") >= min_docs)
         .orderBy(F.col("n_docs").desc(), F.col("prefix").asc())
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_terms: int = 50,
+    postings_cap: int = 15,
+) -> DataFrame:
+    """Posting-list construction (r10 continuation): the IR-engine
+    build stage behind BM25 — per term, document frequency, total term
+    frequency, and the first ``postings_cap`` doc ids (ascending) as a
+    comma-joined string. Restricted to the ``top_terms`` highest-df
+    terms so the result is bounded for reporting; drop the limit to
+    materialize the full index.
+
+    100 TB shape: one explode -> (term, doc) count groupBy with
+    map-side combine (the classic MapReduce inverted-index shape), a
+    second slim groupBy per term whose payload is capped by
+    ``postings_cap`` (the full-index variant would sort postings
+    within Parquet row groups instead of collecting), and a
+    TakeOrderedAndProject top-k — no global sort."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")).alias(
+            "_term"
+        ),
+    )
+    per_doc = tok.groupBy("_term", "_id").agg(F.count(F.lit(1)).alias("_tf"))
+    per_term = per_doc.groupBy("_term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("_tf").cast("long").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("_id")), 1, postings_cap),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return (
+        per_term.orderBy(F.desc("doc_freq"), "_term")
+        .limit(top_terms)
+        .select(F.col("_term").alias("term"), "doc_freq", "total_tf", "postings")
+    )
+
+
+def collocation_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """PMI-ranked adjacent-word collocations (r10 continuation;
+    Church & Hanks 1990): the phrase-mining stage that upgrades a
+    token vocabulary to a phrase vocabulary ("new york"-style merges
+    before BPE training). PMI = log(p(xy)/(p(x)p(y))); since log is
+    monotone the ranking uses the RAW ratio
+    ``(n_xy * N * N) / (B * n_x * n_y)`` computed in double with a
+    fixed association order — bit-identical across engines, with no
+    engine-specific log ulps (the reason the score column is the
+    ratio, not the log).
+
+    Shape: one pass builds both streams per row (HOF bigrams + the
+    token array), two slim count tables; unigram counts are
+    vocab-bounded and BROADCAST back onto the pair table; the two
+    1-row totals ride a broadcast crossJoin; top-k is
+    TakeOrderedAndProject."""
+    toks = df.select(
+        F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "").alias("_l")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("_l") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_l") - 2),
+                    lambda i: F.struct(
+                        F.col("_l")[i].alias("w1"), F.col("_l")[i + 1].alias("w2")
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("_p")
+    ).select("_p.w1", "_p.w2")
+    unigrams = toks.select(F.explode("_l").alias("_w"))
+    pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    uni_counts = unigrams.groupBy("_w").agg(F.count(F.lit(1)).alias("_n"))
+    totals = unigrams.agg(F.count(F.lit(1)).alias("_nn")).crossJoin(
+        bigrams.agg(F.count(F.lit(1)).alias("_bb"))
+    )
+    scored = (
+        pair_counts.where(F.col("n_xy") >= min_count)
+        .join(
+            F.broadcast(uni_counts.select(F.col("_w").alias("w1"), F.col("_n").alias("n_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni_counts.select(F.col("_w").alias("w2"), F.col("_n").alias("n_y"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi_ratio",
+            (F.col("n_xy").cast("double") * F.col("_nn") * F.col("_nn"))
+            / (F.col("_bb").cast("double") * F.col("n_x") * F.col("n_y")),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .limit(top_k)
+        .select(
+            "w1",
+            "w2",
+            F.col("n_xy").cast("long").alias("n_xy"),
+            F.col("n_x").cast("long").alias("n_x"),
+            F.col("n_y").cast("long").alias("n_y"),
+            "pmi_ratio",
+        )
+    )

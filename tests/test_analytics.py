@@ -1641,3 +1641,41 @@ def test_bloom_one_sided_error_and_merges(spark):
     merged = bloom_build(a, "k").unionAll(bloom_build(b, "k")).distinct()
     assert merged.exceptAll(bloom).count() == 0
     assert bloom.exceptAll(merged).count() == 0
+
+
+def test_inverted_index_postings_shape(spark):
+    """r10 continuation: posting lists are ascending, capped, and df/tf
+    count exactly."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import inverted_index
+
+    df = spark.createDataFrame(
+        [(3, "apple banana apple"), (1, "apple cherry"), (2, "banana apple")],
+        "doc_id long, text string",
+    )
+    rows = {r["term"]: r for r in inverted_index(df, top_terms=10, postings_cap=2).collect()}
+    assert rows["apple"]["doc_freq"] == 3
+    assert rows["apple"]["total_tf"] == 4  # doc 3 has it twice
+    assert rows["apple"]["postings"] == "1,2"  # ascending, capped at 2
+    assert rows["banana"]["postings"] == "2,3"
+    assert rows["cherry"]["doc_freq"] == 1
+
+
+def test_collocation_pmi_ranks_exclusive_pairs_first(spark):
+    """r10 continuation: a pair that ALWAYS co-occurs outranks a pair
+    of independently-frequent words."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import collocation_pmi
+
+    rows = [
+        # "hong kong" always adjacent; "the" precedes four DIFFERENT
+        # words, so none of its pairs is exclusive
+        (i, "the cat hong kong the dog the fish the bird hong kong")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocation_pmi(df, min_count=5, top_k=10).collect()
+    scores = {(r["w1"], r["w2"]): r["pmi_ratio"] for r in out}
+    hk = [r for r in out if (r["w1"], r["w2"]) == ("hong", "kong")][0]
+    assert hk["n_xy"] == 10 and hk["n_x"] == 10 and hk["n_y"] == 10
+    # the exclusive pair beats every pair involving the frequent "the"
+    the_pairs = [v for (a, b), v in scores.items() if a == "the" or b == "the"]
+    assert the_pairs and all(scores[("hong", "kong")] > v for v in the_pairs)
