@@ -6617,6 +6617,61 @@ def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocation_pmi(_t(spark, sf_dir, "documents"), min_count=5, top_k=50)
 
 
+@_register(
+    "cohort_retention_daily",
+    r"""
+    WITH fs AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+                FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS period FROM events)
+    SELECT fs.cohort,
+           CAST(date_diff('second', fs.cohort, act.period) / 86400 AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+    FROM act JOIN fs USING (user_id)
+    GROUP BY fs.cohort, day_offset
+    """,
+)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix (r10 continuation): users bucketed
+    by first-event day; per day-offset, distinct returning users. Slim
+    (user, min ts) cohort agg + distinct (user, day) activity pairs +
+    one equi-join — all-integer, no float aggregation; the offsets are
+    exact day multiples so the cross-engine division is exact."""
+    from .operators.window import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), bucket="day")
+
+
+@_register(
+    "funnel_view_click_purchase",
+    r"""
+    WITH e AS (SELECT user_id, event_type, ts FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view'
+           GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase (r10 continuation),
+    first-touch anchored: each step counts users whose earliest
+    qualifying event falls strictly after their previous anchor. One
+    slim min-aggregate per step chained on user — no per-user history
+    arrays, so power users cannot blow a row at 100 TB."""
+    from .operators.window import funnel_conversion
+
+    return funnel_conversion(
+        _t(spark, sf_dir, "events"), steps=["view", "click", "purchase"]
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

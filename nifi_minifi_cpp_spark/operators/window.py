@@ -121,3 +121,90 @@ def session_window_agg(
     manually (SURVEY §2.10 session windows row)."""
     aggs = aggs or [F.count(F.lit(1)).alias("n")]
     return df.groupBy(F.session_window(F.col(ts_col), gap), *(group_by or [])).agg(*aggs)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Cohort retention matrix (r10 continuation): users grouped by the
+    period of their FIRST event; for each later period offset, how many
+    of that cohort came back — the standard engagement rollup every
+    product-analytics stack ships (Mixpanel/Amplitude shape).
+
+    Scale shape: first-seen is a slim (user, min ts) aggregate; the
+    activity set is distinct (user, period) pairs; one equi-join on
+    user (AQE broadcasts the cohort side when it fits) and a final
+    count per (cohort, offset) cell. Everything is timestamps and
+    integer counts — no float aggregation anywhere. At 100 TB the
+    (user, period) distinct is the only wide shuffle, and it's the
+    minimal one: the matrix itself is bounded by periods^2."""
+    first_seen = df.groupBy(user_col).agg(
+        F.date_trunc(bucket, F.min(ts_col)).alias("_cohort")
+    )
+    active = df.select(
+        F.col(user_col), F.date_trunc(bucket, F.col(ts_col)).alias("_period")
+    ).distinct()
+    unit = {"day": 86400, "hour": 3600, "week": 604800}[bucket]
+    return (
+        active.join(first_seen, user_col)
+        .select(
+            "_cohort",
+            ((F.unix_timestamp("_period") - F.unix_timestamp("_cohort")) / unit)
+            .cast("long")
+            .alias("day_offset"),
+            F.col(user_col),
+        )
+        .groupBy("_cohort", "day_offset")
+        .agg(F.count_distinct(user_col).cast("long").alias("n_users"))
+        .select(F.col("_cohort").alias("cohort"), "day_offset", "n_users")
+    )
+
+
+def funnel_conversion(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel conversion (r10 continuation): how many users
+    performed step1, then step2 STRICTLY AFTER their first step1, then
+    step3 after that, ... — the product-analytics sequence query
+    (first-touch semantics: each step anchors at the EARLIEST
+    qualifying occurrence, the standard funnel definition).
+
+    Scale shape: one slim (user, ts) min-aggregate per step, chained by
+    equi-joins on user — len(steps) skinny shuffles, never a per-user
+    event array in memory (the HOF-over-collect_list alternative holds
+    a user's whole history in one row; power users break that at
+    100 TB). Returns (step_index, step, n_users)."""
+    slim = df.select(F.col(user_col).alias("_u"), F.col(type_col).alias("_t"), F.col(ts_col).alias("_ts"))
+    reached = None
+    counts = []
+    for i, step in enumerate(steps):
+        ev = slim.where(F.col("_t") == step)
+        if reached is None:
+            cur = ev.groupBy("_u").agg(F.min("_ts").alias("_anchor"))
+        else:
+            cur = (
+                ev.join(reached, "_u")
+                .where(F.col("_ts") > F.col("_anchor"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_next"))
+                .withColumnRenamed("_next", "_anchor")
+            )
+        reached = cur
+        counts.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(i + 1).cast("long").alias("step_index"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out

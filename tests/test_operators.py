@@ -565,3 +565,51 @@ def test_sliding_and_session_windows(spark, tables):
     sess = session_window_agg(ev, gap="10 minutes", group_by=["user_id"])
     total = sess.agg(F.sum("n")).first()[0]
     assert total == n
+
+
+def test_cohort_retention_matrix(spark):
+    """r10 continuation: first-seen day buckets users; later-day
+    activity lands in the right (cohort, day_offset) cell."""
+    import datetime as dt
+
+    from nifi_minifi_cpp_spark.operators.window import cohort_retention
+
+    d0 = dt.datetime(2024, 1, 1, 9, 0)
+    d1 = dt.datetime(2024, 1, 2, 9, 0)
+    d2 = dt.datetime(2024, 1, 3, 9, 0)
+    rows = [
+        (1, d0), (1, d1), (1, d2),   # day-0 cohort, back on days 1 and 2
+        (2, d0), (2, d2),            # day-0 cohort, back on day 2
+        (3, d1),                     # day-1 cohort, never back
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort"].day, r["day_offset"]): r["n_users"]
+        for r in cohort_retention(df, bucket="day").collect()
+    }
+    assert got[(1, 0)] == 2 and got[(1, 1)] == 1 and got[(1, 2)] == 2
+    assert got[(2, 0)] == 1 and (2, 1) not in got
+
+
+def test_funnel_conversion_strict_order(spark):
+    """r10 continuation: funnel counts only users whose steps occur in
+    strict first-touch order."""
+    import datetime as dt
+
+    from nifi_minifi_cpp_spark.operators.window import funnel_conversion
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # user 2: clicked BEFORE first view, never clicked after -> stops at view
+        (2, "click", t(0)), (2, "view", t(1)), (2, "purchase", t(2)),
+        # user 3: view+click, no purchase
+        (3, "view", t(0)), (3, "click", t(5)),
+        # user 4: purchase before click -> stops at click
+        (4, "view", t(0)), (4, "purchase", t(1)), (4, "click", t(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["step"]: r["n_users"] for r in
+           funnel_conversion(df, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 4, "click": 3, "purchase": 1}

@@ -661,3 +661,38 @@ def test_bin_packer_property_random_vs_model():
             assert state.exists and list(state.get[0]) == want_buf, trial
         else:
             assert not state.exists, trial
+
+
+def test_streaming_hll_registers_match_batch(spark, tmpdir):
+    """r10 continuation: the HLL registers are a plain max-aggregate,
+    so the SAME sketch builds under Structured Streaming (complete
+    mode) as in batch — streaming distinct-count estimation without
+    keeping the distinct set in state."""
+    from nifi_minifi_cpp_spark.analytics.sketches import hll_estimate, hll_registers
+
+    src = os.path.join(tmpdir, "hll_in")
+    rows = [(i, f"user-{i % 300}") for i in range(2000)]
+    batch_df = spark.createDataFrame(rows, "id long, user string")
+    batch_df.coalesce(2).write.parquet(src)
+
+    stream = st.file_stream(spark, src, "id long, user string", "parquet")
+    q = (
+        hll_registers(stream, "user")
+        .writeStream.format("memory")
+        .queryName("hll_regs_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmpdir, "ck_hll"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql("SELECT bucket, m FROM hll_regs_stream")
+    ref = hll_registers(batch_df, "user")
+    assert streamed.exceptAll(ref).count() == 0
+    assert ref.exceptAll(streamed).count() == 0
+    s_est = hll_estimate(streamed).collect()[0]["hll_estimate"]
+    b_est = hll_estimate(ref).collect()[0]["hll_estimate"]
+    assert s_est == b_est
+    assert abs(s_est - 300) / 300 < 0.4

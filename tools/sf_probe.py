@@ -93,6 +93,13 @@ PROBE_QUERIES = [
     "boilerplate_prefix_clusters",
     "incremental_dedup_ledger",
     "source_overlap_matrix",
+    # r10 continuation additions
+    "hll_distinct_users",
+    "allpairs_jaccard_pairs",
+    "bloom_decontamination_counts",
+    "inverted_index_top_terms",
+    "collocation_pmi_top",
+    "containment_dedup_ids",
 ]
 
 # targeted re-probe: SF_PROBE_ONLY=a,b,c probes just those queries and
