@@ -1236,6 +1236,12 @@ def allpairs_jaccard_join(
         .distinct()
     )
     sets = toks.groupBy("_id").agg(F.sort_array(F.collect_set("_w")).alias("_s"))
+    # the candidate frame is two longs per row — AQE coalesces its
+    # shuffle to 1-2 partitions by byte size, then the array_intersect
+    # verify (the compute-heavy stage) runs nearly serial; the explicit
+    # numbered repartition is exempt from coalescing (same fix as the
+    # LSH verifies)
+    cand = _spread_pairs(cand, "_ida")
     out = (
         cand.join(sets.select(F.col("_id").alias("_ida"), F.col("_s").alias("_sa")), "_ida")
         .join(sets.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb")), "_idb")
