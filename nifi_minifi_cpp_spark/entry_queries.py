@@ -6672,6 +6672,70 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "skew_report_event_users",
+    r"""
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value, count(*) AS n_rows
+               FROM events GROUP BY user_id),
+    t AS (SELECT sum(n_rows) AS total FROM c)
+    SELECT key_value, CAST(n_rows AS BIGINT) AS n_rows,
+           n_rows / CAST(t.total AS DOUBLE) AS row_fraction,
+           CAST(greatest(1, ceil(n_rows * 32 / CAST(t.total AS DOUBLE))) AS BIGINT)
+             AS suggested_salt
+    FROM c CROSS JOIN t
+    ORDER BY n_rows DESC, key_value LIMIT 20
+    """,
+)
+def skew_report_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew diagnostic over events.user_id (r10
+    continuation): the top-20 hottest keys with row fraction and the
+    salt-bucket count that would flatten each to an average reducer's
+    share at 32 shuffle partitions. The report every 100 TB groupBy
+    should run first; one slim count agg + broadcast total."""
+    from .scale import skew_diagnostic
+
+    return skew_diagnostic(_t(spark, sf_dir, "events"), "user_id", top_k=20, partitions=32)
+
+
+@_register(
+    "doc_length_histogram",
+    r"""
+    WITH b AS (
+      SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 14) AS bucket, n_chars
+      FROM documents)
+    SELECT bucket,
+           CAST(bucket * 100 AS BIGINT) AS lo_chars,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM b GROUP BY bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in 100-char buckets, 15th bucket
+    open-ended (r10 continuation): the first profiling query on any
+    new corpus feed. Pure integer bucket arithmetic (engine-portable,
+    no width_bucket variance), one partial-agg groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 100).cast("long"), F.lit(14))
+    return (
+        docs.select(bucket.alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 100).cast("long").alias("lo_chars"),
+            "n_docs",
+            "min_chars",
+            "max_chars",
+        )
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

@@ -69,3 +69,40 @@ def partitions_for_bytes(total_bytes: int, target_mb: int = 128) -> int:
     """Shuffle-partition sizing rule: one partition per ~target_mb of
     shuffle data, floor 8 (spill-aware sizing at 100 TB)."""
     return max(8, total_bytes // (target_mb * 1024 * 1024))
+
+
+def skew_diagnostic(
+    df: DataFrame, key: str, top_k: int = 20, partitions: int | None = None
+) -> DataFrame:
+    """Pre-shuffle skew report (r10 continuation): the operational
+    question before any 100 TB groupBy/join — "which keys are hot, and
+    how many salt buckets would flatten them?". One slim count
+    aggregate, a 1-row total broadcast, a TakeOrderedAndProject top-k.
+
+    Returns (key value, n_rows, row_fraction, suggested_salt):
+    suggested_salt = ceil(n_rows / (total / partitions)) — the number
+    of buckets that splits the hot key down to an average reducer's
+    share (1 for keys already at or below the mean)."""
+    p = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    counts = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key_value",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col("n_rows") / F.col("_total").cast("double")).alias("row_fraction"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("n_rows") * F.lit(p) / F.col("_total").cast("double")),
+            )
+            .cast("long")
+            .alias("suggested_salt"),
+        )
+        .orderBy(F.desc("n_rows"), "key_value")
+        .limit(top_k)
+    )

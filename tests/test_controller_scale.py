@@ -108,3 +108,19 @@ def test_salted_rejects_non_algebraic(spark, tables):
 def test_partitions_for_bytes():
     assert partitions_for_bytes(10 * 1024**3) == 80
     assert partitions_for_bytes(1) == 8
+
+
+def test_skew_diagnostic_flags_hot_key(spark):
+    """r10 continuation: a key holding half the rows gets a salt
+    suggestion ~ partitions/2; uniform keys get 1."""
+    from nifi_minifi_cpp_spark.scale import skew_diagnostic
+
+    rows = [(0,)] * 500 + [(k,) for k in range(1, 101) for _ in range(5)]
+    df = spark.createDataFrame(rows, "k long")
+    out = {r["key_value"]: r for r in skew_diagnostic(df, "k", top_k=5, partitions=32).collect()}
+    hot = out["0"]
+    assert hot["n_rows"] == 500
+    assert hot["suggested_salt"] == 16  # 500 * 32 / 1000
+    assert abs(hot["row_fraction"] - 0.5) < 1e-12
+    cold = [r for k, r in out.items() if k != "0"]
+    assert all(r["suggested_salt"] == 1 for r in cold)
