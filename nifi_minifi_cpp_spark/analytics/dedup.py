@@ -965,8 +965,6 @@ def containment_dedup(
     contains-probe (they are tiny by definition)."""
     from pyspark.sql import Window
 
-    from .text_analysis import winnowing_fingerprints
-
     w = 16
     min_long = k + w - 1
     # ONE barrier up front: base feeds four branches (probe build,
@@ -981,8 +979,35 @@ def containment_dedup(
         )
     )
     long_docs = base.where(F.col("_len") >= min_long)
-    staged = long_docs.select(
-        id_col, "_len", winnowing_fingerprints(F.col("_t"), k=k, window=w).alias("_g")
+    # winnowing fingerprints built STAGED, projection by projection —
+    # NOT via the single-expression winnowing_fingerprints helper: a
+    # lambda that references an enclosing HOF expression re-evaluates
+    # it per element, so the window-min pass over an inline k-gram
+    # array recomputes all n xxhash64(substring) calls for each of the
+    # m windows — O(n*m) per doc, the measured 490s-vs-1s Catalyst
+    # inlining trap (see repetition_features). Staged, the min pass is
+    # O(n*w). No empty-array guards needed: long_docs guarantees
+    # n >= w. Barriered: three consumers below (probe build, exploded
+    # index, fingerprint-set pre-filter) must not re-run the hashing.
+    kg = long_docs.select(
+        id_col,
+        "_len",
+        F.transform(
+            F.sequence(F.lit(0), F.col("_len") - k),
+            lambda i: F.xxhash64(F.substring(F.col("_t"), i + 1, F.lit(k))),
+        ).alias("_kg"),
+    )
+    staged = reliable_barrier(
+        kg.select(
+            id_col,
+            "_len",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_kg") - w),
+                    lambda i: F.array_min(F.slice(F.col("_kg"), i + 1, w)),
+                )
+            ).alias("_g"),
+        )
     )
     probes = staged.select(
         F.col(id_col).alias("_pid"),
@@ -1008,8 +1033,29 @@ def containment_dedup(
         | ((F.col("_ilen") == F.col("_plen")) & (F.col("_iid") > F.col("_pid")))
     )
     cand = cand.select("_pid", "_iid").distinct()
+    # two-longs-per-row pair frame: exempt it from AQE's byte-size
+    # coalescing before the compute-heavy stages (same fix as the LSH
+    # verifies) — on a saturated vocabulary the min-fingerprint probe
+    # degenerates (most docs share one hottest min hash, the capped
+    # bucket yields ~n*cap candidates) and the stages below must not
+    # run on 1-2 runtime partitions
+    cand = _spread_pairs(cand, "_pid")
+    # sound fingerprint-set pre-filter BEFORE any text moves: when A is
+    # a substring of B, every window of A's k-gram array is a window of
+    # B's (the slice is contiguous), so EVERY winnowed fingerprint of A
+    # appears in B's winnowed set — array_except(Wa, Wb) is empty for
+    # all true containments. False candidates (which share only the one
+    # probed min hash) die here on ~16-byte/elem arrays instead of
+    # surviving into the full-text contains join.
+    fps = staged.select(F.col(id_col), F.col("_g"))
+    pre = (
+        cand.join(fps.select(F.col(id_col).alias("_pid"), F.col("_g").alias("_ga")), "_pid")
+        .join(fps.select(F.col(id_col).alias("_iid"), F.col("_g").alias("_gb")), "_iid")
+        .where(F.size(F.array_except("_ga", "_gb")) == 0)
+        .select("_pid", "_iid")
+    )
     verified = (
-        cand.join(base.select(F.col(id_col).alias("_pid"), F.col("_t").alias("_pt")), "_pid")
+        pre.join(base.select(F.col(id_col).alias("_pid"), F.col("_t").alias("_pt")), "_pid")
         .join(base.select(F.col(id_col).alias("_iid"), F.col("_t").alias("_it")), "_iid")
         .where(F.contains("_it", "_pt"))
         .select(F.col("_pid").alias(id_col))

@@ -98,6 +98,13 @@ def fingerprint64(col: Column, normalize: bool = True) -> Column:
 def winnowing_fingerprints(col: Column, k: int = 7, window: int = 4) -> Column:
     """Winnowing fingerprint set (Schleimer et al. 2003): k-gram
     hashes, min per sliding window, distinct mins. array<bigint>.
+
+    WARNING — single-expression form, small inputs only: the window-min
+    lambda references the enclosing k-gram transform, which Catalyst
+    re-evaluates per window (O(n*m) per doc — the repetition_features
+    inlining trap). For corpus-scale text, stage the k-gram array as
+    its own projection first (see containment_dedup) or use
+    winnowing_fingerprint_rows.
     """
     n = F.length(col) - (k - 1)
     kgram_hashes = F.transform(

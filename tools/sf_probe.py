@@ -204,6 +204,7 @@ def time_queries(spark, qs, sf_dir: str) -> dict[str, float]:
         # polluted session)
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+        print(f"# probing {name} at {sf_dir}", file=sys.stderr, flush=True)
         start = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
