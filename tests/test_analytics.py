@@ -1679,3 +1679,54 @@ def test_collocation_pmi_ranks_exclusive_pairs_first(spark):
     # the exclusive pair beats every pair involving the frequent "the"
     the_pairs = [v for (a, b), v in scores.items() if a == "the" or b == "the"]
     assert the_pairs and all(scores[("hong", "kong")] > v for v in the_pairs)
+
+
+def test_codec_bmp_variant_invariance_and_ahash():
+    """The three byte-level BMP encodings the image_phash_dedup fixture
+    emits (bottom-up 24bpp, top-down 24bpp, bottom-up 32bpp with junk
+    alpha) must decode to the IDENTICAL RGB array, and average_hash must
+    be invariant across them while discriminating content classes."""
+    import struct
+
+    import numpy as np
+
+    from nifi_minifi_cpp_spark.analytics.codecs import average_hash, decode_bmp
+
+    w, h = 16, 12
+
+    def make_rgb(cid):
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        r = (3 * x + 7 * y + (cid + 2) * x * y) % 256
+        g = (5 * x + 2 * y + (cid + 1) * (x * x + y)) % 256
+        b = (x + y + cid * (x + 3 * y)) % 256
+        return np.stack(
+            [np.broadcast_to(c, (h, w)) for c in (r, g, b)], axis=-1
+        ).astype(np.uint8)
+
+    def encode(rgb, variant):
+        bgr = rgb[:, :, ::-1]
+        if variant == 2:
+            px = np.concatenate([bgr, np.full((h, w, 1), 0xAB, np.uint8)], -1)
+        else:
+            px = bgr
+        stride = (w * px.shape[2] + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * px.shape[2]] = px.reshape(h, -1)
+        hdr_h = -h if variant == 1 else h
+        body = rows.tobytes() if variant == 1 else rows[::-1].tobytes()
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, hdr_h, 1, px.shape[2] * 8, 0, len(body), 2835, 2835, 0, 0
+        )
+        return b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54) + info + body
+
+    hashes = set()
+    for cid in (0, 3, 5):
+        rgb = make_rgb(cid)
+        decoded = [decode_bmp(encode(rgb, v)) for v in (0, 1, 2)]
+        for d in decoded:
+            assert np.array_equal(d, rgb)
+        hs = {average_hash(d) for d in decoded}
+        assert len(hs) == 1
+        hashes |= hs
+    assert len(hashes) == 3  # content classes stay distinct
