@@ -439,3 +439,56 @@ def matryoshka_energy_report(
     return staged.select(id_col, F.explode(rows).alias("_r")).select(
         id_col, "_r.dim", "_r.prefix_norm", "_r.energy"
     )
+
+
+def gram_matrix_quantized(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact distributed Gram matrix X^T X over a quantized copy of the
+    embedding column — the one-pass sufficient statistic behind PCA /
+    whitening / ridge regression at corpus scale (the covariance is an
+    affine function of it). Returns the upper triangle as
+    (i, j, gram) with i <= j, d*(d+1)/2 rows.
+
+    Quantization makes the result ENGINE-EXACT: q = floor(v*scale+0.5)
+    per component (round-half-up, identical in every engine — numpy's
+    round() is banker's and float sums are order-dependent, so the
+    unquantized float Gram can differ in the last ulp between engines);
+    all sums are then int64 arithmetic with no float path at all.
+
+    100 TB shape: the map side computes ONE d x d partial Gram per
+    partition with a single Arrow-batched numpy matmul (the classic
+    tree-aggregated gramian: shuffle volume is partitions * d^2 slim
+    (i, j, partial) rows, independent of row count); the reduce is a
+    plain groupBy sum. With d=1024 and 10k partitions that is ~5 GB of
+    partials — trivial next to the 100 TB scan it summarizes."""
+    import numpy as np
+    import pandas as pd
+
+    from ..util import spread_for_cpu
+
+    def partial_gram(batches):
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy())
+            Q = np.floor(V.astype(np.float64) * scale + 0.5).astype(np.int64)
+            G = Q.T @ Q
+            acc = G if acc is None else acc + G
+        if acc is not None:
+            iu, ju = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {"i": iu.astype("int32"), "j": ju.astype("int32"), "partial": acc[iu, ju]}
+            )
+
+    partials = spread_for_cpu(df.select(vec_col)).mapInPandas(
+        partial_gram, "i int, j int, partial long"
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("partial").cast("long").alias("gram"))
+    )

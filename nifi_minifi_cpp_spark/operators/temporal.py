@@ -254,3 +254,80 @@ def stream_interval_join(
     for k in keys:  # drop EVERY right-side key copy, not just the first
         joined = joined.drop(rw[k])
     return joined
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    lookback: int = 20,
+    threshold: float = 3.0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: per key, each value is scored
+    against the mean/sample-stddev of the ``lookback`` PRECEDING
+    observations (the current row excluded — no self-masking), and rows
+    with |z| > ``threshold`` are flagged. The classic streaming
+    outlier rule (control-chart / 3-sigma), expressed as ONE window
+    pass.
+
+    Returns the anomalous rows with ``zscore`` (rounded to 4 places)
+    attached. Rows whose history has fewer than 2 points or zero
+    variance are never flagged (z undefined).
+
+    100 TB shape: one shuffle on the key, one sort per partition, each
+    row touched once — the window frame is size-bounded so state is
+    O(lookback) per key regardless of history length. Deterministic
+    total order: pass ``tiebreak_col`` (e.g. the event id) when ts can
+    tie, otherwise equal-ts rows make the frame engine-dependent."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(*[F.col(c) for c in key_cols])
+        .orderBy(*order)
+        .rowsBetween(-lookback, -1)
+    )
+    mu = F.mean(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = (F.col(value_col) - mu) / sd
+    return (
+        df.withColumn("_z", F.when((n >= 2) & (sd > 0), z))
+        .where(F.abs(F.col("_z")) > threshold)
+        .withColumn("zscore", F.round("_z", 4))
+        .drop("_z")
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tracked_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build (Kimball): from a
+    raw change feed, keep only rows where any tracked attribute
+    DIFFERS from the key's previous observation, then stamp each
+    surviving version with ``valid_from`` (its own ts), ``valid_to``
+    (the next version's ts, null while current) and ``is_current``.
+    The CDC-compaction step every incremental lakehouse table needs.
+
+    100 TB shape: two window passes over the SAME (key, ts) sort —
+    Catalyst reuses one shuffle+sort for both lag and lead (same
+    partitioning and ordering), so the whole build is one exchange.
+    Change detection uses null-safe equality (``eqNullSafe``) so
+    NULL -> value and value -> NULL transitions count as changes."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    changed = F.lit(False)
+    for c in tracked_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.row_number().over(w) == 1
+    versions = df.withColumn("_chg", first | changed).where(F.col("_chg")).drop("_chg")
+    w2 = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    return (
+        versions.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

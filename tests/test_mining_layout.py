@@ -1,0 +1,145 @@
+"""Unit tests for the r10 mining / layout / temporal-analytics batch:
+association rules, blocked entity resolution, Z-order keys, SCD2
+history, rolling z-score anomalies, quantized Gram matrix."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_association_rules_counts_and_lift(spark):
+    from nifi_minifi_cpp_spark.analytics.mining import association_rules
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"), (4, "b"),  # duplicate item in a basket collapses
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(df, "basket", "item", min_pair_count=2).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["n_pair"] == 2
+    assert ab["support"] == pytest.approx(0.5)  # 2 of 4 baskets
+    assert ab["conf_a_b"] == pytest.approx(round(2 / 3, 4))
+    assert ab["conf_b_a"] == pytest.approx(round(2 / 3, 4))
+    assert ab["lift"] == pytest.approx(round(2 * 4 / (3 * 3), 4))
+    assert ("a", "c") in out  # 2 baskets
+    assert ("b", "c") not in out  # only 1 basket — under min_pair_count
+
+
+def test_entity_resolution_multi_pass_blocking(spark):
+    from nifi_minifi_cpp_spark.analytics.mining import entity_resolution_blocked
+
+    rows = [
+        (1, "ABCDEFGHIJKLMNOPQR"),
+        (2, "ABCDEFGHIJKLMNOPQX"),   # typo in SUFFIX zone — prefix block pairs it
+        (3, "XBCDEFGHIJKLMNOPQR"),   # typo in PREFIX zone — suffix block pairs it
+        (4, "completely different"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in entity_resolution_blocked(df, "id", "name", max_edit_distance=2).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 1
+    # 2 vs 3 differ in both zones (distance 2) but share NO block key —
+    # blocking is a recall dial, documented
+    assert all(4 not in pair for pair in got)
+
+
+def test_zorder_key_interleave_and_layout(spark):
+    from nifi_minifi_cpp_spark.plans.layout import zorder_key, zorder_repartition
+
+    df = spark.createDataFrame([(3, 5), (0, 0), (65535, 65535)], "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    # x occupies even bits, y odd: x=3 (bits 0,2 -> z bits 0,2),
+    # y=5 (bits 0,2 -> z bits 1,5) -> 0b100111 = 39
+    assert got[(3, 5)] == (1 << 0 | 1 << 2) | (1 << 1 | 1 << 5)
+    assert got[(0, 0)] == 0
+    assert got[(65535, 65535)] == (1 << 32) - 1
+    laid = zorder_repartition(
+        spark.range(100).select(
+            (F.col("id") % 10).alias("x"), (F.col("id") % 7).alias("y")
+        ),
+        F.col("x"), F.col("y"), num_partitions=4,
+    )
+    # sorted within partitions by _zkey
+    parts = laid.select("_zkey").rdd.glom().collect()
+    for p in parts:
+        keys = [r["_zkey"] for r in p]
+        assert keys == sorted(keys)
+
+
+def test_zorder_sql_matches_catalyst(spark):
+    """zorder_key_sql must agree with the Catalyst zorder_key on every
+    key — the oracle depends on it."""
+    import duckdb
+
+    from nifi_minifi_cpp_spark.plans.layout import zorder_key, zorder_key_sql
+
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 1, 2, 255, 65535) for y in (0, 3, 128, 65535)],
+        "x long, y long",
+    )
+    catalyst = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    expr = zorder_key_sql("x", "y")
+    for (x, y), z in catalyst.items():
+        sql_z = duckdb.sql(f"SELECT {expr} FROM (SELECT {x}::BIGINT AS x, {y}::BIGINT AS y)").fetchone()[0]
+        assert sql_z == z, (x, y)
+
+
+def test_scd2_history_versions(spark):
+    from nifi_minifi_cpp_spark.operators.temporal import scd2_history
+
+    rows = [
+        (1, 1, "A"), (1, 2, "A"), (1, 3, "B"), (1, 4, "B"), (1, 5, "A"),
+        (2, 1, None), (2, 2, "X"), (2, 3, None),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, attr string")
+    out = scd2_history(df, ["k"], "t", ["attr"]).orderBy("k", "t").collect()
+    k1 = [(r["t"], r["attr"], r["valid_to"], r["is_current"]) for r in out if r["k"] == 1]
+    assert k1 == [(1, "A", 3, False), (3, "B", 5, False), (5, "A", None, True)]
+    # null-safe: NULL -> X -> NULL are all changes
+    k2 = [(r["t"], r["attr"]) for r in out if r["k"] == 2]
+    assert k2 == [(1, None), (2, "X"), (3, None)]
+
+
+def test_rolling_zscore_flags_spike_only(spark):
+    from nifi_minifi_cpp_spark.operators.temporal import rolling_zscore_anomalies
+
+    vals = [10.0, 11.0, 10.5, 9.5, 10.2, 10.8, 9.9, 10.1, 500.0, 10.3]
+    rows = [(1, t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    out = rolling_zscore_anomalies(df, ["k"], "t", "v", lookback=20, threshold=3.0)
+    got = [(r["t"], r["zscore"]) for r in out.collect()]
+    assert len(got) == 1 and got[0][0] == 8 and got[0][1] > 100
+    # constant history: sd == 0 -> never flagged, no division blowup
+    const = spark.createDataFrame([(1, t, 5.0) for t in range(5)], "k int, t int, v double")
+    assert rolling_zscore_anomalies(const, ["k"], "t", "v").count() == 0
+
+
+def test_gram_matrix_quantized_exact(spark):
+    from nifi_minifi_cpp_spark.analytics.similarity import gram_matrix_quantized
+
+    vecs = [np.array([0.1, -0.2, 0.3]), np.array([0.4, 0.5, -0.6]), np.array([0.0005, 0.0, 1.0])]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r["i"], r["j"]): r["gram"] for r in gram_matrix_quantized(df, "embedding").collect()}
+    Q = np.floor(np.stack([v.astype(np.float32).astype(np.float64) for v in vecs]) * 1000 + 0.5).astype(np.int64)
+    G = Q.T @ Q
+    assert len(out) == 6  # upper triangle of 3x3
+    for (i, j), g in out.items():
+        assert g == G[i, j]
