@@ -7095,6 +7095,125 @@ def rolling_zscore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "zscore")
 
 
+@_register(
+    "window_function_pack",
+    r"""
+    SELECT user_id, event_id,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           nth_value(value, 3) OVER wfull AS nth3,
+           min(value) OVER wrun AS run_min,
+           max(value) OVER wrun AS run_max
+    FROM events WHERE user_id < 100
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           wfull AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           wrun AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function surface in one pass (r10): ntile,
+    percent_rank, cume_dist, nth_value over the full-partition frame,
+    and running min/max — all six share ONE (user_id, ts, event_id)
+    sort, so Catalyst plans a single exchange + sort. percent_rank /
+    cume_dist are exact rank ratios (deterministic doubles); the
+    event_id tie-break makes every frame engine-stable."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("value", 3).over(wfull).alias("nth3"),
+        F.min("value").over(wrun).alias("run_min"),
+        F.max("value").over(wrun).alias("run_max"),
+    )
+
+
+@_register(
+    "resample_forward_fill",
+    r"""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS mn,
+             date_trunc('hour', max(ts)) AS mx
+      FROM events WHERE user_id < 20 GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS ts
+      FROM bounds),
+    obs AS (SELECT user_id, ts, value FROM events WHERE user_id < 20)
+    SELECT g.user_id, g.ts, o.value AS filled_value
+    FROM grid g ASOF LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.ts >= o.ts
+    """,
+)
+def resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill (r10): each user's
+    irregular event stream is projected onto an hourly grid, every grid
+    point carrying the LATEST observation at or before it — the
+    gap-filling step before any fixed-step model. Built as the existing
+    asof_join operator (union + sort + last-non-null: one shuffle, one
+    sort, no per-row scans) over an exploded per-user
+    sequence() grid; the oracle uses DuckDB's NATIVE ASOF JOIN, so two
+    independent as-of implementations must agree on every boundary
+    (equal-timestamp ties included)."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("_mn"),
+        F.date_trunc("hour", F.max("ts")).alias("_mx"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.expr("interval 1 hour"))
+        ).alias("ts"),
+    )
+    obs = ev.select("user_id", "ts", "value")
+    out = asof_join(grid, obs, on="user_id", right_prefix="right_")
+    return out.select("user_id", "ts", F.col("right_value").alias("filled_value"))
+
+
+@_register(
+    "quality_percentile_by_source",
+    r"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6) AS pr
+      FROM documents)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, pr
+    FROM ranked WHERE pr >= 0.75
+    """,
+)
+def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration (r10): rank documents WITHIN
+    their source and keep the top quartile — the mixture-balancing
+    selection rule (a global threshold over-prunes weak sources;
+    per-source percentiles keep every source represented). percent_rank
+    ties collapse identically in both engines (rank-based, exact
+    rational), so the >= 0.75 gate is deterministic. One window pass,
+    one shuffle on source."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+    return ranked.where(F.col("pr") >= 0.75)
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
