@@ -115,3 +115,64 @@ def dedup_by_components(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    barrier_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration PageRank (Page et al. 1999) as DataFrame joins —
+    the second iterative-algorithm class next to connected_components.
+    Returns (node, rank) after ``iterations`` synchronous updates from
+    a uniform start: rank = (1-d)/N + d * sum(in-neighbor rank / its
+    out-degree).
+
+    Dangling nodes (out-degree 0) keep their rank mass out of play —
+    the caller symmetrizes the edge set when that matters (an
+    undirected graph has none by construction).
+
+    100 TB shape: each iteration is ONE equi-join of the slim
+    (node, rank) table onto the edge list plus a groupBy sum — the
+    classic map-reduce PageRank; the edge table and degree table are
+    computed once and reused (barrier), and the rank lineage is cut
+    every ``barrier_every`` iterations so long runs do not stack
+    unbounded plan depth."""
+    from ..util import reliable_barrier
+
+    e = reliable_barrier(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    )
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = reliable_barrier(
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    n_total = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
+    ranks = nodes.crossJoin(n_total).select("node", (F.lit(1.0) / F.col("_n")).alias("rank"))
+    weighted = e.join(deg, "_s")  # (src, dst, out-degree), static per run
+    for i in range(iterations):
+        contribs = (
+            weighted.join(ranks.withColumnRenamed("node", "_s"), "_s")
+            .select(F.col("_d").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(n_total)
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % barrier_every == 0 and i + 1 < iterations:
+            ranks = reliable_barrier(ranks)
+    return ranks

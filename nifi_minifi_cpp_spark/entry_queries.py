@@ -7214,6 +7214,120 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("pr") >= 0.75)
 
 
+@_register(
+    "pagerank_supplier_parts",
+    r"""
+    WITH e AS (
+      SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem
+      UNION
+      SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem),
+    nodes AS (SELECT DISTINCT src AS n FROM e),
+    nn AS (SELECT count(*) AS total FROM nodes),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT n, 1.0::DOUBLE / total AS r FROM nodes CROSS JOIN nn),
+    it1 AS (SELECT e.dst AS n, sum(r0.r / deg.d) AS s
+            FROM e JOIN r0 ON r0.n = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst),
+    r1 AS (SELECT nodes.n, 0.15::DOUBLE / nn.total + 0.85::DOUBLE * coalesce(it1.s, 0) AS r
+           FROM nodes CROSS JOIN nn LEFT JOIN it1 ON it1.n = nodes.n),
+    it2 AS (SELECT e.dst AS n, sum(r1.r / deg.d) AS s
+            FROM e JOIN r1 ON r1.n = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst),
+    r2 AS (SELECT nodes.n, 0.15::DOUBLE / nn.total + 0.85::DOUBLE * coalesce(it2.s, 0) AS r
+           FROM nodes CROSS JOIN nn LEFT JOIN it2 ON it2.n = nodes.n),
+    it3 AS (SELECT e.dst AS n, sum(r2.r / deg.d) AS s
+            FROM e JOIN r2 ON r2.n = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst),
+    r3 AS (SELECT nodes.n, 0.15::DOUBLE / nn.total + 0.85::DOUBLE * coalesce(it3.s, 0) AS r
+           FROM nodes CROSS JOIN nn LEFT JOIN it3 ON it3.n = nodes.n)
+    SELECT n AS node, round(r, 6) AS rank FROM r3
+    """,
+)
+def pagerank_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the supplier-part bipartite graph
+    (r10): the second iterative-algorithm class next to connected
+    components (analytics/graph.pagerank — slim (node, rank) joins,
+    one shuffle per iteration, lineage cut every few rounds). Three
+    synchronous iterations, damping 0.85, symmetrized edges (no
+    dangling mass). The oracle unrolls the same three iterations as
+    chained CTEs — both engines must agree on every node's rank to 6
+    places."""
+    from .analytics.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    out = pagerank(edges, iterations=3, damping=0.85)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", False),
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {f'CAST(floor(epoch(min({c}))) AS DOUBLE)' if kind == 'ts' else (f'CAST(min({c}) AS DOUBLE)' if kind else 'CAST(NULL AS DOUBLE)')} AS min_num,
+       {f'CAST(floor(epoch(max({c}))) AS DOUBLE)' if kind == 'ts' else (f'CAST(max({c}) AS DOUBLE)' if kind else 'CAST(NULL AS DOUBLE)')} AS max_num
+    FROM orders"""
+    for c, kind in _PROFILE_COLS
+)
+
+
+@_register("table_profile_orders", _PROFILE_ORACLE)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pack (r10): the ANALYZE-TABLE statistics sweep —
+    per column: row count, null count, exact distinct count, numeric
+    min/max (timestamps as floored epoch seconds, strings numeric-
+    null) — in ONE aggregate pass (Catalyst plans the multi-distinct
+    via a single expand + partial aggregation; no per-column scans).
+    The profile every ingestion pipeline runs before schema-on-read
+    commitments."""
+    orders = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if kind == "ts":
+            aggs.append(F.floor(F.min(c).cast("double")).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.floor(F.max(c).cast("double")).cast("double").alias(f"mx_{c}"))
+        elif kind:
+            aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+    one = orders.agg(F.count(F.lit(1)).alias("nr"), *aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("nr").cast("long").alias("n_rows"),
+                F.col(f"nn_{c}").cast("long").alias("n_nulls"),
+                F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+                (
+                    F.col(f"mn_{c}") if kind else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"mx_{c}") if kind else F.lit(None).cast("double")
+                ).alias("max_num"),
+            )
+            for c, kind in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("_r")).select(
+        "_r.column_name", "_r.n_rows", "_r.n_nulls", "_r.n_distinct",
+        "_r.min_num", "_r.max_num",
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

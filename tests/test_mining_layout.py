@@ -143,3 +143,19 @@ def test_gram_matrix_quantized_exact(spark):
     assert len(out) == 6  # upper triangle of 3x3
     for (i, j), g in out.items():
         assert g == G[i, j]
+
+
+def test_pagerank_star_graph(spark):
+    from nifi_minifi_cpp_spark.analytics.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=1).collect()}
+    # N=3, uniform 1/3 start, deg(a)=2 deg(b)=deg(c)=1:
+    # r(a) = 0.15/3 + 0.85*(1/3 + 1/3); r(b) = r(c) = 0.15/3 + 0.85*(1/3)/2
+    assert got["a"] == pytest.approx(0.05 + 0.85 * 2 / 3)
+    assert got["b"] == pytest.approx(0.05 + 0.85 / 6)
+    assert got["c"] == pytest.approx(got["b"])
+    # probability mass conserved on a graph with no dangling nodes
+    assert sum(got.values()) == pytest.approx(1.0)
