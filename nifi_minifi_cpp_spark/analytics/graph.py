@@ -176,3 +176,55 @@ def pagerank(
         if (i + 1) % barrier_every == 0 and i + 1 < iterations:
             ranks = reliable_barrier(ranks)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, "Near
+    linear time algorithm to detect community structures") — the
+    third iterative-algorithm class next to connected_components and
+    pagerank. Every node starts labeled with itself; each round it
+    adopts the MOST FREQUENT label among its neighbors, ties broken
+    by the smallest label (the deterministic variant — the paper's
+    random tie-break is unreproducible across engines). Returns
+    (node, label) after ``iterations`` synchronous rounds.
+
+    Unlike min-label propagation (connected_components), mode-label
+    updates can split a connected graph into communities: a label
+    only spreads while it keeps winning local majorities.
+
+    100 TB shape: each round is ONE equi-join of the slim
+    (node, label) frame onto the symmetrized edge list, a
+    (node, label) count aggregation, and a per-node top-1 window —
+    two shuffles a round on 16-byte rows; the edge list is computed
+    once behind a barrier and reused every round.
+    """
+    from pyspark.sql import Window
+
+    from ..util import reliable_barrier
+
+    sym = reliable_barrier(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    top1 = Window.partitionBy("a").orderBy(F.desc("_c"), F.asc("label"))
+    for _ in range(iterations):
+        counted = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        labels = (
+            counted.withColumn("_rn", F.row_number().over(top1))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("a").alias("node"), "label")
+        )
+    return labels

@@ -45,6 +45,7 @@ from .operators import (
     merge_content_defragment,
     replace_text,
     route_on_attribute,
+    sliding_window_agg,
     split_text,
     tumbling_window_agg,
 )
@@ -7387,7 +7388,9 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return raw.select(
             "event_id",
             "event_type",
-            (F.col("ts") / F.lit(1_000_000_000)).cast("timestamp").alias("ts_ts"),
+            # ts read as long is µs epoch — exact integer conversion,
+            # so the 1-hour watermark horizon is real event time
+            F.timestamp_micros(F.col("ts")).alias("ts_ts"),
         )
 
     doubled = leg().unionAll(leg())
@@ -7409,6 +7412,206 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.sql(f"SELECT event_type, n FROM {view}")
+
+
+@_register(
+    "sliding_window_counts",
+    r"""
+    SELECT wstart, event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM (SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS wstart,
+                 event_type, value
+          FROM events CROSS JOIN (VALUES (0), (1)) AS offs(o))
+    GROUP BY wstart, event_type
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (r10): window(ts, '2 hours',
+    '1 hour') — every event lands in duration/slide = 2 overlapping
+    hour-aligned windows (SURVEY §2.10's sliding upgrade over
+    AttributeRollingWindow's per-record window). Catalyst plans the
+    window expansion as one generator + one aggregation; the oracle
+    materializes the same two window memberships per event with an
+    explicit 2-row offset cross join."""
+    ev = _t(spark, sf_dir, "events")
+    agg = sliding_window_agg(
+        ev,
+        ts_col="ts",
+        duration="2 hours",
+        slide="1 hour",
+        group_by=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        ],
+    )
+    return agg.select(F.col("window.start").alias("wstart"), "event_type", "n", "total")
+
+
+@_register(
+    "stream_interval_join_pairs",
+    r"""
+    SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    """,
+)
+def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (r10): purchases paired with the
+    same user's clicks at most one hour older, executed NATIVELY by
+    Structured Streaming — two watermarked file streams over the same
+    events file, inner-joined on the equi-key plus the event-time
+    bound (operators/temporal.stream_interval_join). Watermarks on
+    BOTH sides let the engine evict click state older than the join
+    horizon, so state stays bounded on an unbounded stream; inner
+    matches emit as they arrive (no flush wait). The emitted pairs are
+    then aggregated in batch from the sink — the final per-user pair
+    counts must equal the batch range-join the oracle runs."""
+    import uuid as _uuid
+
+    configure(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = _stream_events_stage(spark, sf_dir)
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+    def leg(event_type: str, ts_name: str):
+        raw = spark.readStream.schema(schema).parquet(stage)
+        # ts read as long is µs epoch (empirical: 1.70e15 for 2024) —
+        # timestamp_micros is the exact integer conversion, no
+        # floating-point rounding at the 1-hour join boundary
+        return raw.filter(F.col("event_type") == event_type).select(
+            "user_id",
+            F.timestamp_micros(F.col("ts")).alias(ts_name),
+        )
+
+    from .operators import stream_interval_join
+
+    purchases = leg("purchase", "ts")
+    clicks = leg("click", "ts").withColumnRenamed("ts", "c_ts")
+    joined = stream_interval_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        upper="1 hour",
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+    )
+    view = f"stream_ij_{_uuid.uuid4().hex[:8]}"
+    with _pinned_shuffle(spark, 4):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs FROM {view} GROUP BY user_id"
+    )
+
+
+@_register(
+    "label_propagation_communities",
+    r"""
+    WITH f AS (SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+               FROM lineitem),
+    e AS (SELECT src AS a, dst AS b FROM f UNION SELECT dst, src FROM f),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+    c1 AS (SELECT e.a AS node, l0.label, count(*) AS c
+           FROM e JOIN l0 ON l0.node = e.b GROUP BY 1, 2),
+    l1 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label ASC) AS rn
+             FROM c1) WHERE rn = 1),
+    c2 AS (SELECT e.a AS node, l1.label, count(*) AS c
+           FROM e JOIN l1 ON l1.node = e.b GROUP BY 1, 2),
+    l2 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label ASC) AS rn
+             FROM c2) WHERE rn = 1)
+    SELECT node, label FROM l2
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation communities (r10): the third
+    iterative-algorithm class next to connected components and
+    PageRank (analytics/graph.label_propagation — Raghavan et al.
+    2007, deterministic min-label tie-break). Two synchronous rounds
+    over the supplier-part bipartite graph; unlike min-label
+    propagation, mode-label updates only spread a label while it keeps
+    winning local majorities, so communities — not components — come
+    out. The oracle unrolls both rounds as chained CTEs with the same
+    (count DESC, label ASC) top-1 rule."""
+    from .analytics.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return label_propagation(edges, iterations=2)
+
+
+@_register(
+    "orders_reconciliation_diff",
+    r"""
+    WITH r AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT -o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 89 = 0
+    )
+    SELECT CASE WHEN r.o_orderkey IS NULL THEN 'only_left'
+                WHEN l.o_orderkey IS NULL THEN 'only_right'
+                WHEN (l.o_orderstatus IS DISTINCT FROM r.o_orderstatus)
+                  OR (l.o_totalprice IS DISTINCT FROM r.o_totalprice)
+                THEN 'changed' ELSE 'equal' END AS status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+    GROUP BY 1
+    """,
+)
+def orders_reconciliation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (r10): the post-migration/backfill
+    data-validation sweep — orders vs a deterministically mutated
+    second snapshot (keys % 97 deleted, totalprice bumped on % 101,
+    negated-key inserts on % 89), classified per key as equal /
+    changed / only_left / only_right with NULL-safe column compares
+    (operators/reconcile.reconcile_summary). ONE full-outer equi-join
+    on the key plus a codegen projection; the 4-row summary is
+    map-side combined. Pre-bucketed snapshots co-locate and skip the
+    exchange at 100 TB."""
+    from .operators.reconcile import reconcile_summary
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    right = (
+        o.filter(key % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 101 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(o.filter(key % 89 == 0).withColumn("o_orderkey", -key))
+    )
+    return reconcile_summary(
+        o, right, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )
 
 
 # The driver grades exactly the FIRST 50 registrations in queries()

@@ -159,3 +159,71 @@ def test_pagerank_star_graph(spark):
     assert got["c"] == pytest.approx(got["b"])
     # probability mass conserved on a graph with no dangling nodes
     assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_label_propagation_two_communities(spark):
+    from nifi_minifi_cpp_spark.analytics.graph import label_propagation
+
+    # two triangles bridged by one edge: LPA must keep them as two
+    # communities (min-label CC would merge everything into one)
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+        ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+        ("a3", "b1"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=3).collect()}
+    a_labels = {got["a1"], got["a2"], got["a3"]}
+    b_labels = {got["b1"], got["b2"], got["b3"]}
+    # each triangle converges to ONE label, and the two communities
+    # stay apart — mode-label updates never merge across the bridge
+    # (min-label CC would collapse all six nodes onto 'a1')
+    assert len(a_labels) == 1
+    assert len(b_labels) == 1
+    assert a_labels != b_labels
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    from nifi_minifi_cpp_spark.analytics.graph import label_propagation
+
+    # node x has one neighbor with each label: tie -> smallest label
+    df = spark.createDataFrame(
+        [("x", "m"), ("x", "z")], "src string, dst string"
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=1).collect()}
+    assert got["x"] == "m"
+
+
+def test_reconcile_tables_statuses(spark):
+    from nifi_minifi_cpp_spark.operators.reconcile import (
+        reconcile_summary,
+        reconcile_tables,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, None, 3.0), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    per_key = {r["k"]: r["status"] for r in reconcile_tables(left, right, ["k"]).collect()}
+    assert per_key == {
+        1: "equal",
+        2: "changed",
+        3: "equal",  # NULL <=> NULL is equal (NULL-safe compare)
+        4: "only_left",
+        5: "only_right",
+    }
+    summary = {r["status"]: r["n"] for r in reconcile_summary(left, right, ["k"]).collect()}
+    assert summary == {"equal": 2, "changed": 1, "only_left": 1, "only_right": 1}
+
+
+def test_reconcile_tables_null_vs_value_is_changed(spark):
+    from nifi_minifi_cpp_spark.operators.reconcile import reconcile_tables
+
+    left = spark.createDataFrame([(1, "a")], "k long, s string")
+    right = spark.createDataFrame([(1, None)], "k long, s string")
+    got = reconcile_tables(left, right, ["k"]).collect()
+    assert got[0]["status"] == "changed"
