@@ -2914,11 +2914,21 @@ def streaming_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stream_events_stage(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events parquet behind a directory for the file-stream
-    source (it wants a dir, not a file). O(1) driver work: one symlink."""
+    source (it wants a dir, not a file). O(#files) driver work: one
+    symlink per data file. A Spark-written events.parquet is itself a
+    DIRECTORY of part files — link those individually, because the
+    file-stream lister does not recurse into a linked subdirectory
+    (observed: the sf1 probe's staged tables streamed 0 rows)."""
     import tempfile
 
     stage = tempfile.mkdtemp(prefix="stream-ev-")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet")
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    if os.path.isdir(src):
+        for i, f in enumerate(sorted(os.listdir(src))):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(src, f), f"{stage}/part-{i:05d}.parquet")
+    else:
+        os.symlink(src, f"{stage}/events.parquet")
     return stage
 
 
@@ -7252,17 +7262,30 @@ def pagerank_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     synchronous iterations, damping 0.85, symmetrized edges (no
     dangling mass). The oracle unrolls the same three iterations as
     chained CTEs — both engines must agree on every node's rank to 6
-    places."""
+    places.
+
+    Node ids travel as PACKED LONGS (supplier -> 2k, part -> 2k+1)
+    through every distinct/join/groupBy — hashing and shuffling 8-byte
+    keys instead of variable-length strings halves the iteration cost
+    at sf0.1 — and decode to the oracle's 's…'/'p…' labels only in the
+    final projection (rank is id-agnostic arithmetic, so the encoding
+    cannot change any value)."""
     from .analytics.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem")
     fwd = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     )
     edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     out = pagerank(edges, iterations=3, damping=0.85)
-    return out.select("node", F.round("rank", 6).alias("rank"))
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("s"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("p"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+    )
+    return out.select(label.alias("node"), F.round("rank", 6).alias("rank"))
 
 
 _PROFILE_COLS = [
@@ -7379,19 +7402,14 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     configure(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = _stream_events_stage(spark, sf_dir)
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # the parquet ts is plain timestamp[us]: read it as event time
+    # directly, so the 1-hour watermark horizon is real event time
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 
     def leg():
         raw = spark.readStream.schema(schema).parquet(stage)
-        return raw.select(
-            "event_id",
-            "event_type",
-            # ts read as long is µs epoch — exact integer conversion,
-            # so the 1-hour watermark horizon is real event time
-            F.timestamp_micros(F.col("ts")).alias("ts_ts"),
-        )
+        return raw.select("event_id", "event_type", F.col("ts").alias("ts_ts"))
 
     doubled = leg().unionAll(leg())
     deduped = doubled.withWatermark("ts_ts", "1 hour").dropDuplicatesWithinWatermark(
@@ -7473,18 +7491,15 @@ def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     configure(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = _stream_events_stage(spark, sf_dir)
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # the parquet ts is plain timestamp[us]: read it as event time
+    # directly — exact µs on both engines at the 1-hour join boundary
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 
     def leg(event_type: str, ts_name: str):
         raw = spark.readStream.schema(schema).parquet(stage)
-        # ts read as long is µs epoch (empirical: 1.70e15 for 2024) —
-        # timestamp_micros is the exact integer conversion, no
-        # floating-point rounding at the 1-hour join boundary
         return raw.filter(F.col("event_type") == event_type).select(
-            "user_id",
-            F.timestamp_micros(F.col("ts")).alias(ts_name),
+            "user_id", F.col("ts").alias(ts_name)
         )
 
     from .operators import stream_interval_join
@@ -7522,7 +7537,7 @@ def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "label_propagation_communities",
     r"""
-    WITH f AS (SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+    WITH f AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
                FROM lineitem),
     e AS (SELECT src AS a, dst AS b FROM f UNION SELECT dst, src FROM f),
     l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
@@ -7540,7 +7555,11 @@ def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     row_number() OVER (PARTITION BY node
                                        ORDER BY c DESC, label ASC) AS rn
              FROM c2) WHERE rn = 1)
-    SELECT node, label FROM l2
+    SELECT CASE WHEN node % 2 = 0 THEN 's' || (node // 2)
+                ELSE 'p' || ((node - 1) // 2) END AS node,
+           CASE WHEN label % 2 = 0 THEN 's' || (label // 2)
+                ELSE 'p' || ((label - 1) // 2) END AS label
+    FROM l2
     """,
 )
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7552,15 +7571,31 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     propagation, mode-label updates only spread a label while it keeps
     winning local majorities, so communities — not components — come
     out. The oracle unrolls both rounds as chained CTEs with the same
-    (count DESC, label ASC) top-1 rule."""
+    (count DESC, label ASC) top-1 rule.
+
+    Node ids travel as PACKED LONGS (supplier -> 2k, part -> 2k+1)
+    through every join/aggregation/window — 8-byte keys instead of
+    strings — and BOTH engines break label ties in the same numeric
+    order, decoding to the 's…'/'p…' labels only in the final
+    projection."""
     from .analytics.graph import label_propagation
 
     li = _t(spark, sf_dir, "lineitem")
     edges = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     )
-    return label_propagation(edges, iterations=2)
+    out = label_propagation(edges, iterations=2)
+
+    def _decode(c: str):
+        return F.when(
+            F.col(c) % 2 == 0,
+            F.concat(F.lit("s"), (F.col(c) / 2).cast("long").cast("string")),
+        ).otherwise(
+            F.concat(F.lit("p"), ((F.col(c) - 1) / 2).cast("long").cast("string"))
+        )
+
+    return out.select(_decode("node").alias("node"), _decode("label").alias("label"))
 
 
 @_register(
