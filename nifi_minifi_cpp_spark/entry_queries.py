@@ -7649,6 +7649,120 @@ def orders_reconciliation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "salted_join_segment_revenue",
+    r"""
+    SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (r10): events enriched with the customer
+    market segment through scale.salted_join — the big side salted
+    into 16 buckets, the dimension replicated per bucket, the join key
+    widened to (user_id, salt) so a hot user's rows spread over 16
+    reducers instead of one straggler task (the explicit fallback for
+    when AQE's skew split can't fire). Row semantics are provably
+    identical to the plain join — the oracle IS the plain join."""
+    from .scale import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev.select("user_id", "value"), dim, on="user_id", salt_buckets=16)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@_register(
+    "stream_static_enrichment_counts",
+    r"""
+    SELECT e.event_type, c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrichment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (r10): the canonical streaming
+    lookup — an unbounded event stream inner-joined per micro-batch to
+    a BROADCAST static dimension (customer segment), then aggregated
+    in complete mode. No watermark needed on a stream-static inner
+    join (no cross-stream state); the dimension re-broadcasts per
+    batch, so at 100 TB/day the stream side never shuffles for the
+    join at all."""
+    import uuid as _uuid
+
+    configure(spark)
+    stage = _stream_events_stage(spark, sf_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = spark.readStream.schema(schema).parquet(stage).select("user_id", "event_type")
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment"))
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id", "inner")
+    agg = enriched.groupBy("event_type", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    view = f"stream_enrich_{_uuid.uuid4().hex[:8]}"
+    with _pinned_shuffle(spark, 4):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT event_type, segment, n FROM {view}")
+
+
+@_register(
+    "winsorized_value_stats",
+    r"""
+    WITH p AS (SELECT event_type,
+                      quantile_cont(value, 0.05) AS lo,
+                      quantile_cont(value, 0.95) AS hi
+               FROM events GROUP BY 1),
+    c AS (SELECT e.event_type, least(greatest(e.value, p.lo), p.hi) AS v
+          FROM events e JOIN p USING (event_type))
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(avg(v), 4) AS mean_w, round(stddev_samp(v), 4) AS std_w
+    FROM c GROUP BY event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics (r10): per-type p05/p95 clamping
+    before the mean/stddev — the outlier-trimming pass quality
+    pipelines run before thresholding on distribution stats. EXACT
+    percentiles (R-7 interpolation, same on both engines — approx
+    sketches differ per engine); the per-group bounds come back as ONE
+    tiny broadcast joined map-side, so the events table is scanned
+    twice but never shuffled for the clamp itself."""
+    ev = _t(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("v"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("v"), 4).alias("mean_w"),
+        F.round(F.stddev_samp("v"), 4).alias("std_w"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

@@ -46,6 +46,42 @@ def salted_groupby_agg(
     return partial.groupBy(*keys).agg(*final_aggs)
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-spreading equi-join: the classic salting pattern for when
+    the BIG side's join key is hot (one user/tenant owns 30% of rows)
+    and the small side is too large to broadcast outright.
+
+    The big side gets a random salt in [0, salt_buckets); the small
+    side is replicated once per bucket (explode of a literal range —
+    pure codegen, no shuffle added to the small side beyond the join's
+    own). The join key becomes (keys..., salt), so a hot key's rows
+    spread over ``salt_buckets`` reducers instead of one straggler
+    task. Row-level semantics are IDENTICAL to the plain join for
+    ``inner`` and ``left``: each big row carries exactly one salt and
+    the small side covers every salt value. (``right``/``full`` would
+    multiply unmatched small rows — rejected.)
+
+    Prefer AQE's skew-join splitting when it fires (it needs
+    sort-merge + statistics); salting is the explicit fallback that
+    also works through broadcast-hash plans and stays deterministic in
+    shape.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join preserves semantics only for inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    b = big.withColumn("_salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return b.join(s, [*keys, "_salt"], how).drop("_salt")
+
+
 def skew_hint(df: DataFrame, key: str, hot_values: list) -> DataFrame:
     """Explicit skew-join preparation: replicate-free alternative —
     split hot keys out so AQE (or the caller) joins them broadcast

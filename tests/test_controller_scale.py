@@ -124,3 +124,46 @@ def test_skew_diagnostic_flags_hot_key(spark):
     assert abs(hot["row_fraction"] - 0.5) < 1e-12
     cold = [r for k, r in out.items() if k != "0"]
     assert all(r["suggested_salt"] == 1 for r in cold)
+
+
+def test_salted_join_matches_plain_inner(spark, tables):
+    from nifi_minifi_cpp_spark.scale import salted_join
+
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    orders = tables["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = {
+        (r["o_orderpriority"],): (r["n"], round(r["qty"], 6))
+        for r in li.join(orders, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
+        .collect()
+    }
+    salted = {
+        (r["o_orderpriority"],): (r["n"], round(r["qty"], 6))
+        for r in salted_join(li, orders, on="l_orderkey", salt_buckets=8)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    from nifi_minifi_cpp_spark.scale import salted_join
+
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    small = spark.createDataFrame([(1, "X")], "k long, w string")
+    out = salted_join(big, small, on="k", salt_buckets=4, how="left").collect()
+    assert len(out) == 3  # each unmatched big row exactly once
+    by_k = {r["k"]: r["w"] for r in out}
+    assert by_k == {1: "X", 2: None, 3: None}
+
+
+def test_salted_join_rejects_right_full(spark):
+    from nifi_minifi_cpp_spark.scale import salted_join
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, on="k", how="full")
