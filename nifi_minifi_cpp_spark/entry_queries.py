@@ -7763,6 +7763,47 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "triangle_count_coorder_parts",
+    r"""
+    WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS a, b.p AS b
+          FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p)
+    SELECT (SELECT count(*) FROM (SELECT a FROM e UNION SELECT b FROM e)) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*) FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def triangle_count_coorder_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-order part graph (r10): parts are
+    linked when some order contains both; triangles are cliques of
+    three mutually co-ordered parts — the clustering-structure metric
+    (analytics/graph.triangle_count, compact-forward wedge-join-close,
+    every triangle counted once via a<b<c). Per-order pair explosion
+    is basket-size-bounded (TPC-H orders hold ≤7 lines; heavy baskets
+    get the association-rules cap). The oracle runs the identical
+    wedge closure in SQL."""
+    from .analytics.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    pp = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    edges = (
+        pp.alias("x")
+        .join(pp.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    out = triangle_count(edges)
+    return out.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

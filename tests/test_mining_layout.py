@@ -227,3 +227,19 @@ def test_reconcile_tables_null_vs_value_is_changed(spark):
     right = spark.createDataFrame([(1, None)], "k long, s string")
     got = reconcile_tables(left, right, ["k"]).collect()
     assert got[0]["status"] == "changed"
+
+
+def test_triangle_count_known_graphs(spark):
+    from nifi_minifi_cpp_spark.analytics.graph import triangle_count
+
+    # K4 = 4 triangles; edges given in mixed orientation with dups and
+    # a self-loop, which normalization must absorb
+    k4 = [(1, 2), (2, 1), (1, 3), (1, 4), (3, 2), (2, 4), (3, 4), (3, 3)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+
+    # a path has no triangles
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    row = triangle_count(path).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 3, 0)
