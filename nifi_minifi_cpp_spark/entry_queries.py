@@ -7804,6 +7804,66 @@ def triangle_count_coorder_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "data_quality_checks",
+    r"""
+    SELECT 'completeness:o_custkey' AS check_name,
+           round(CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS metric,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'uniqueness:o_orderkey',
+           round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6),
+           count(DISTINCT o_orderkey) = count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'domain:o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus IS NULL
+                         OR o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END) AS DOUBLE),
+           sum(CASE WHEN o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O', 'F', 'P')
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'non_negative:o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                    THEN 1 ELSE 0 END) AS DOUBLE),
+           sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'referential:o_custkey', CAST(count(*) AS DOUBLE), count(*) = 0
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality assertion suite (r10): the Deequ-style validation
+    pass before promoting a snapshot (operators/dq.dq_report) —
+    completeness, key uniqueness, accepted domain, non-negativity, and
+    referential integrity against the customer dimension. The four
+    local checks compile into ONE aggregation pass (stack-melted to
+    audit rows — a single scan however many checks); the referential
+    check is one broadcast-able left-anti join. Output is the long
+    (check, metric, passed) audit form the oracle mirrors with
+    per-check aggregates."""
+    from .operators.dq import dq_report
+
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rep = dq_report(
+        o,
+        completeness=["o_custkey"],
+        unique=["o_orderkey"],
+        domain={"o_orderstatus": ["O", "F", "P"]},
+        non_negative=["o_totalprice"],
+        references=[("o_custkey", cust, "c_custkey")],
+    )
+    return rep.select(F.col("check").alias("check_name"), "metric", "passed")
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

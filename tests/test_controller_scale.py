@@ -167,3 +167,42 @@ def test_salted_join_rejects_right_full(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(df, df, on="k", how="full")
+
+
+def test_dq_report_detects_violations(spark):
+    from nifi_minifi_cpp_spark.operators.dq import dq_report
+
+    df = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "O", -5.0), (2, None, 3.0), (4, "Z", None)],
+        "k long, status string, price double",
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    rep = {
+        r["check"]: (r["metric"], r["passed"])
+        for r in dq_report(
+            df,
+            completeness=["status"],
+            unique=["k"],
+            domain={"status": ["O", "F", "P"]},
+            non_negative=["price"],
+            references=[("k", dim, "k")],
+        ).collect()
+    }
+    assert rep["completeness:status"] == (0.25, False)
+    assert rep["uniqueness:k"] == (0.75, False)  # 3 distinct of 4 rows
+    assert rep["domain:status"] == (2.0, False)  # NULL + 'Z'
+    assert rep["non_negative:price"] == (2.0, False)  # -5.0 + NULL
+    assert rep["referential:k"] == (1.0, False)  # k=4 orphan (dup k=2 joins)
+
+
+def test_dq_report_all_green_single_scan(spark):
+    from nifi_minifi_cpp_spark.operators.dq import dq_report
+
+    df = spark.createDataFrame([(1, "O"), (2, "F")], "k long, status string")
+    rep = dq_report(
+        df, completeness=["status"], unique=["k"], domain={"status": ["O", "F"]}
+    )
+    assert all(r["passed"] for r in rep.collect())
+    # the local checks must compile to ONE aggregation over one scan
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
