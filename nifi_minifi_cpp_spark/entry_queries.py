@@ -7864,6 +7864,63 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.select(F.col("check").alias("check_name"), "metric", "passed")
 
 
+@_register(
+    "term_distribution_divergence",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    sc AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+    stot AS (SELECT source, sum(c) AS t FROM sc GROUP BY 1),
+    gl AS (SELECT term, sum(c) AS g FROM sc GROUP BY 1),
+    gtot AS (SELECT sum(g) AS gt FROM gl)
+    SELECT sc.source,
+           round(sum((sc.c / stot.t) * ln((sc.c / stot.t) / (gl.g / gtot.gt))), 6)
+             AS kl_vs_global,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM sc JOIN stot USING (source) JOIN gl USING (term) CROSS JOIN gtot
+    GROUP BY 1
+    """,
+)
+def term_distribution_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus drift (r10): KL(source term distribution ||
+    global term distribution) — the distribution-shift monitor a
+    training pipeline runs per feed to catch a source going off-topic
+    or degenerate (high KL = the source's unigram mix diverges from
+    the pool). Every source term appears in the global distribution by
+    construction, so the divergence is finite without smoothing.
+
+    One tokenize pass -> (source, term) counts; source totals come
+    back as a tiny broadcast; the global term marginal is one
+    re-aggregation of the SAME counts frame (no second scan of the
+    text). All log/ratio arithmetic is double on both engines, rounded
+    to 6 places."""
+    from .analytics.text_analysis import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    counts = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    stot = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    gl = counts.groupBy("term").agg(F.sum("c").alias("g"))
+    gtot = gl.agg(F.sum("g").alias("gt"))
+    p = F.col("c") / F.col("t")
+    q = F.col("g") / F.col("gt")
+    return (
+        counts.join(F.broadcast(stot), "source")
+        .join(gl, "term")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_global"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
