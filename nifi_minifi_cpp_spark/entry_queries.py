@@ -7921,6 +7921,88 @@ def term_distribution_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "streaming_upsert_totals",
+    r"""
+    SELECT event_type, CAST(2 * count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert sink (r10): the CDC-apply pattern — an
+    UPDATE-mode streaming aggregation feeding a foreachBatch handler
+    that MERGES each micro-batch's changed keys into a keyed parquet
+    snapshot (read current -> anti-join out the changed keys -> union
+    the new values -> atomic rename). The fixture forces TWO real
+    micro-batches (the events file staged twice, maxFilesPerTrigger=1),
+    so the second batch genuinely overwrites the first's totals; the
+    final snapshot must equal the doubled batch counts. Update mode
+    emits only changed groups per batch — at 100 TB/day the sink
+    writes deltas, not the world; swap the rename-snapshot for
+    MERGE INTO on a transactional table on a real lake."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    configure(spark)
+    stage = tempfile.mkdtemp(prefix="stream-upsert-")
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    if os.path.isdir(src):
+        names = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        for i, f in enumerate(names):
+            os.symlink(os.path.join(src, f), f"{stage}/a-{i:05d}.parquet")
+            os.symlink(os.path.join(src, f), f"{stage}/b-{i:05d}.parquet")
+        per_trigger = max(1, len(names))
+    else:
+        os.symlink(src, f"{stage}/a.parquet")
+        os.symlink(src, f"{stage}/b.parquet")
+        per_trigger = 1
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", per_trigger)
+        .parquet(stage)
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    state_dir = os.path.join(tempfile.mkdtemp(prefix="upsert-state-"), "snapshot")
+
+    def upsert(batch_df, batch_id):
+        # update-mode rows are RUNNING totals for keys that changed
+        # this batch: override those keys in the snapshot, keep the rest
+        batch_df = batch_df.persist()
+        try:
+            if os.path.exists(state_dir):
+                cur = batch_df.sparkSession.read.parquet(state_dir)
+                kept = cur.join(batch_df.select("event_type"), "event_type", "left_anti")
+                merged = kept.unionByName(batch_df)
+            else:
+                merged = batch_df
+            tmp = f"{state_dir}.tmp-{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(state_dir):
+                shutil.rmtree(state_dir)
+            os.rename(tmp, state_dir)
+        finally:
+            batch_df.unpersist()
+
+    ckpt = tempfile.mkdtemp(prefix="upsert-ckpt-")
+    with _pinned_shuffle(spark, 4):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"upsert_{_uuid.uuid4().hex[:8]}")
+            .start()
+        )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.read.parquet(state_dir).select("event_type", "n")
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

@@ -696,3 +696,56 @@ def test_streaming_hll_registers_match_batch(spark, tmpdir):
     b_est = hll_estimate(ref).collect()[0]["hll_estimate"]
     assert s_est == b_est
     assert abs(s_est - 300) / 300 < 0.4
+
+
+def test_streaming_upsert_processes_two_microbatches(spark, tmp_path):
+    """The upsert entry's contract: maxFilesPerTrigger=1 over two
+    staged files yields TWO micro-batches, and the foreachBatch merge
+    leaves the snapshot at the doubled totals (update-mode rows are
+    running totals, so the second batch OVERRIDES the first's keys)."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+    part = [f for f in os.listdir(str(tmp_path / "one")) if f.endswith(".parquet")][0]
+    os.symlink(str(tmp_path / "one" / part), f"{src}/f1.parquet")
+    os.symlink(str(tmp_path / "one" / part), f"{src}/f2.parquet")
+
+    state_dir = str(tmp_path / "state" / "snapshot")
+    os.makedirs(os.path.dirname(state_dir))
+    batches: list[int] = []
+
+    def upsert(batch_df, batch_id):
+        batches.append(batch_id)
+        batch_df = batch_df.persist()
+        try:
+            if os.path.exists(state_dir):
+                cur = batch_df.sparkSession.read.parquet(state_dir)
+                kept = cur.join(batch_df.select("k"), "k", "left_anti")
+                merged = kept.unionByName(batch_df)
+            else:
+                merged = batch_df
+            tmp = f"{state_dir}.tmp-{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(state_dir):
+                shutil.rmtree(state_dir)
+            os.rename(tmp, state_dir)
+        finally:
+            batch_df.unpersist()
+
+    stream = spark.readStream.schema("k string").option("maxFilesPerTrigger", 1).parquet(src)
+    agg = stream.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    assert len(batches) == 2, batches
+    got = {r["k"]: r["n"] for r in spark.read.parquet(state_dir).collect()}
+    assert got == {"a": 4, "b": 2}
