@@ -8003,6 +8003,46 @@ def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(state_dir).select("event_type", "n")
 
 
+@_register(
+    "benford_digit_profile",
+    r"""
+    WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                               1, 1) AS BIGINT) AS digit
+               FROM orders WHERE o_totalprice >= 1)
+    SELECT digit, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / (SELECT count(*) FROM d), 6) AS observed,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford
+    FROM d GROUP BY digit
+    """,
+)
+def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit forensics (r10): the fraud/synthetic-data
+    screen — observed leading-digit frequencies of o_totalprice next
+    to the Benford expectation log10(1 + 1/d). (On TPC-H's uniform
+    price model digits 1-4 dominate — exactly the deviation the check
+    exists to surface.) floor() before the integer cast on BOTH
+    engines: Spark's double->long truncates while DuckDB's CAST
+    rounds, and a 9999.5 rounding up would flip its leading digit.
+    One aggregation plus a broadcast 1-row total; at 100 TB this is a
+    map-side digit histogram."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(F.floor("o_totalprice").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    total = d.agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("observed"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford"),
+        )
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
