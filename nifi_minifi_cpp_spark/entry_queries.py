@@ -8043,6 +8043,43 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "event_transition_matrix",
+    r"""
+    WITH s AS (SELECT user_id, event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+               FROM events)
+    SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
+    FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (r10): for every user
+    timeline, the next-event estimate P(dst | src) from consecutive
+    event pairs — the sequence-mining primitive behind next-action
+    prediction and anomalous-flow detection (funnels fix the pattern;
+    association rules ignore order; this is the full empirical chain).
+    ONE sort per user partition (lead window), one aggregation, one
+    25-row normalizing window — the timeline sort shuffles each user's
+    rows to one partition, the same per-key locality every sessionizer
+    here uses. Ties broken by event_id so both engines see one
+    deterministic sequence."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    counts = s.groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    norm = Window.partitionBy("src")
+    return counts.select(
+        "src", "dst", "n", F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p")
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

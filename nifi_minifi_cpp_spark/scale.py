@@ -75,6 +75,8 @@ def salted_join(
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(f"salted_join preserves semantics only for inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError("salted_join reserves the column name '_salt'")
     b = big.withColumn("_salt", (F.rand(seed=7) * salt_buckets).cast("int"))
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
