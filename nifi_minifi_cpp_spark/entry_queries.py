@@ -8080,6 +8080,87 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "time_weighted_value_avg",
+    r"""
+    WITH s AS (SELECT user_id, value,
+                      epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id))
+                        - epoch_us(ts) AS dt
+               FROM events WHERE value IS NOT NULL)
+    SELECT user_id, round(sum(value * dt) / sum(dt), 6) AS twa,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM s WHERE dt IS NOT NULL AND dt > 0 GROUP BY 1
+    """,
+)
+def time_weighted_value_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (r10): the TSDB primitive for irregularly
+    sampled series — each reading weighted by how long it was current
+    (value_i × Δt to the next reading, over the per-user timeline), so
+    a burst of samples can't drown a long-held value the way a plain
+    mean does. One lead-window sort per user partition; Δt computed as
+    EXACT integer µs on both engines (no interval->float conversion),
+    deterministic event_id tie-break."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dt"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    return s.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias("twa"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )
+
+
+@_register(
+    "chi2_type_segment_independence",
+    r"""
+    WITH j AS (SELECT e.event_type AS et, c.c_mktsegment AS seg
+               FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+    o AS (SELECT et, seg, count(*) AS obs FROM j GROUP BY 1, 2),
+    r AS (SELECT et, sum(obs) AS rt FROM o GROUP BY 1),
+    cc AS (SELECT seg, sum(obs) AS ct FROM o GROUP BY 1),
+    t AS (SELECT sum(obs) AS tt FROM o)
+    SELECT round(sum(pow(obs - rt * ct / tt, 2) / (rt * ct / tt)), 6) AS chi2,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM o JOIN r USING (et) JOIN cc USING (seg) CROSS JOIN t
+    """,
+)
+def chi2_type_segment_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (r10): is event type independent
+    of the customer's market segment? — the categorical-drift test a
+    feature pipeline runs before trusting a segmentation. Observed
+    contingency cells vs the rank-1 expectation (row total × column
+    total / grand total), summed into the chi-square statistic. The
+    cells frame is tiny after the first aggregation, so the marginals
+    are broadcast joins; everything upstream is one enrichment join +
+    one count aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("seg")
+    )
+    o = (
+        ev.join(cust, "user_id")
+        .groupBy(F.col("event_type").alias("et"), "seg")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    r = o.groupBy("et").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("seg").agg(F.sum("obs").alias("ct"))
+    t = o.agg(F.sum("obs").alias("tt"))
+    exp = F.col("rt") * F.col("ct") / F.col("tt")
+    return (
+        o.join(F.broadcast(r), "et")
+        .join(F.broadcast(c), "seg")
+        .crossJoin(F.broadcast(t))
+        .agg(
+            F.round(F.sum(F.pow(F.col("obs") - exp, F.lit(2)) / exp), 6).alias("chi2"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
