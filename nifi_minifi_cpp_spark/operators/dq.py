@@ -50,19 +50,40 @@ def dq_report(
         metas.append((name, alias))
         aggs.append(col.alias(alias))
 
+    # coalesce(sum, 0) and nullif(n, 0): an EMPTY table has no
+    # violations and passes every check (ratio checks read as 0/1
+    # rather than NULL)
     for c in completeness or []:
         add(
             f"completeness:{c}",
-            F.round(F.sum(F.col(c).isNull().cast("int")).cast("double") / n, 6),
+            F.coalesce(
+                F.round(
+                    F.sum(F.col(c).isNull().cast("int")).cast("double")
+                    / F.nullif(n, F.lit(0)),
+                    6,
+                ),
+                F.lit(0.0),
+            ),
         )
     for c in unique or []:
-        add(f"uniqueness:{c}", F.round(F.count_distinct(F.col(c)).cast("double") / n, 6))
+        add(
+            f"uniqueness:{c}",
+            F.coalesce(
+                F.round(
+                    F.count_distinct(F.col(c)).cast("double") / F.nullif(n, F.lit(0)), 6
+                ),
+                F.lit(1.0),
+            ),
+        )
     for c, allowed in (domain or {}).items():
         bad = ~F.col(c).isin(allowed) | F.col(c).isNull()
-        add(f"domain:{c}", F.sum(bad.cast("int")).cast("double"))
+        add(f"domain:{c}", F.coalesce(F.sum(bad.cast("int")).cast("double"), F.lit(0.0)))
     for c in non_negative or []:
         bad = (F.col(c) <= 0) | F.col(c).isNull()
-        add(f"non_negative:{c}", F.sum(bad.cast("int")).cast("double"))
+        add(
+            f"non_negative:{c}",
+            F.coalesce(F.sum(bad.cast("int")).cast("double"), F.lit(0.0)),
+        )
 
     parts: list[DataFrame] = []
     if metas:

@@ -38,6 +38,10 @@ def reconcile_tables(
     """
     if not keys:
         raise ValueError("reconcile_tables needs at least one key column")
+    reserved = {"_l_present", "_r_present"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"reconcile_tables reserves column names {sorted(clash)}")
     if compare_cols is None:
         shared = [c for c in left.columns if c in set(right.columns)]
         compare_cols = [c for c in shared if c not in set(keys)]

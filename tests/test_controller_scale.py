@@ -206,3 +206,18 @@ def test_dq_report_all_green_single_scan(spark):
     # the local checks must compile to ONE aggregation over one scan
     plan = rep._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") == 1
+
+
+def test_dq_report_empty_table_passes(spark):
+    from nifi_minifi_cpp_spark.operators.dq import dq_report
+
+    df = spark.createDataFrame([], "k long, status string")
+    rep = {
+        r["check"]: (r["metric"], r["passed"])
+        for r in dq_report(
+            df, completeness=["status"], unique=["k"], domain={"status": ["O"]}
+        ).collect()
+    }
+    assert rep["completeness:status"] == (0.0, True)
+    assert rep["uniqueness:k"] == (1.0, True)
+    assert rep["domain:status"] == (0.0, True)
