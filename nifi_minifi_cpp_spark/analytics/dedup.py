@@ -95,15 +95,32 @@ def words(col: Column) -> Column:
     return F.split(F.lower(col), r"\s+")
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """n-word shingles as an array<string> (distinct)."""
-    w = words(col)
-    k = F.size(w) - (n - 1)
+def word_shingles_of(warr: Column, n: int = 3) -> Column:
+    """n-word shingles (distinct) from an ALREADY-PROJECTED word-array
+    column. ``warr`` must be a plain column reference, not a `split`
+    expression: the slice lambda runs once per window position, and
+    Catalyst inlines whatever expression the lambda captures — a
+    captured split() re-tokenizes the whole document at every window,
+    turning shingling O(len²) (the staged form measured 3x faster at
+    sf0.1; same trap as the winnowing helper below)."""
+    k = F.size(warr) - (n - 1)
     shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+        lambda i: F.array_join(F.slice(warr, i + 1, n), " "),
     )
-    return F.array_distinct(F.when(k > 0, shingles).otherwise(F.array(F.array_join(w, " "))))
+    return F.array_distinct(
+        F.when(k > 0, shingles).otherwise(F.array(F.array_join(warr, " ")))
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """n-word shingles as an array<string> (distinct), from raw text.
+
+    PERF: this single-expression form captures the split() inside the
+    slice lambda, so Catalyst re-tokenizes the document at every
+    window position — O(len²). Hot paths must project ``words(col)``
+    into a column first and call :func:`word_shingles_of` on it."""
+    return word_shingles_of(words(col), n)
 
 
 def char_shingles(col: Column, n: int = 5) -> Column:
@@ -585,7 +602,8 @@ def ngram_jaccard_dedup(
                 ),
                 id_col,
             )
-            .select(id_col, word_shingles(F.col("_t"), shingle_words).alias("_sh"))
+            .select(id_col, words(F.col("_t")).alias("_wa"))
+            .select(id_col, word_shingles_of(F.col("_wa"), shingle_words).alias("_sh"))
             .persist()
         )
         paired = cand.join(
@@ -599,8 +617,10 @@ def ngram_jaccard_dedup(
         db = df.select(F.col(id_col).alias("_idb"), F.col(content_col).alias("_tb"))
         paired = (
             _spread_pairs(cand.join(da, "_ida").join(db, "_idb"), "_ida")
-            .withColumn("_sha", word_shingles(F.col("_ta"), shingle_words))
-            .withColumn("_shb", word_shingles(F.col("_tb"), shingle_words))
+            .withColumn("_waa", words(F.col("_ta")))
+            .withColumn("_wab", words(F.col("_tb")))
+            .withColumn("_sha", word_shingles_of(F.col("_waa"), shingle_words))
+            .withColumn("_shb", word_shingles_of(F.col("_wab"), shingle_words))
         )
     verified = paired.withColumn(
         "_jaccard",
@@ -1247,15 +1267,18 @@ def allpairs_jaccard_join(
     token, then exact verify via array_intersect on the two (bounded)
     token-set arrays. Returns (id_a, id_b, overlap, size_a, size_b,
     jaccard) with id_a < id_b."""
+    # stage the word array in its own projection BEFORE the shingle
+    # lambda indexes it (word_shingles_of contract — the inlined form
+    # re-splits the text per window, 3x slower at sf0.1)
+    staged = df.select(
+        F.col(id_col).alias("_id"), words(F.col(content_col)).alias("_wa")
+    )
     sets_expr = (
-        word_shingles(F.col(content_col), ngram)
+        word_shingles_of(F.col("_wa"), ngram)
         if ngram > 1
-        else F.array_distinct(F.array_remove(words(F.col(content_col)), ""))
+        else F.array_distinct(F.array_remove(F.col("_wa"), ""))
     )
-    toks = (
-        df.select(F.col(id_col).alias("_id"), F.explode(sets_expr).alias("_w"))
-        .distinct()
-    )
+    toks = staged.select("_id", F.explode(sets_expr).alias("_w")).distinct()
     freq = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (
         toks.join(F.broadcast(freq), "_w")

@@ -6526,18 +6526,21 @@ def bloom_decontamination_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     only over-count exact_hits (one-sided error — the decontamination
     guarantee), and the oracle rebuilds the identical filter bit-for-
     bit, so the false-positive count itself is graded."""
-    from .analytics.dedup import word_shingles
+    from .analytics.dedup import word_shingles_of, words
     from .analytics.sketches import bloom_build, bloom_maybe_contains
 
     docs = _t(spark, sf_dir, "documents")
-    bench = docs.where(F.col("doc_id") % 50 == 0)
-    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    # stage the word arrays before the shingle lambda indexes them
+    # (word_shingles_of contract — inlined split is O(len^2))
+    staged = docs.select("doc_id", words(F.col("text")).alias("_wa"))
+    bench = staged.where(F.col("doc_id") % 50 == 0)
+    corpus = staged.where(F.col("doc_id") % 50 != 0)
     bench_sh = bench.select(
-        F.explode(word_shingles(F.col("text"), 3)).alias("sh")
+        F.explode(word_shingles_of(F.col("_wa"), 3)).alias("sh")
     ).distinct()
     bloom = bloom_build(bench_sh, "sh")
     corpus_sh = corpus.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("sh")
+        "doc_id", F.explode(word_shingles_of(F.col("_wa"), 3)).alias("sh")
     )
     probed = bloom_maybe_contains(bloom, corpus_sh, "sh")
     marked = probed.join(
