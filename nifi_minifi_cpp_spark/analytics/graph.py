@@ -199,12 +199,12 @@ def label_propagation(
 
     100 TB shape: each round is ONE equi-join of the slim
     (node, label) frame onto the symmetrized edge list, a
-    (node, label) count aggregation, and a per-node top-1 window —
-    two shuffles a round on 16-byte rows; the edge list is computed
-    once behind a barrier and reused every round.
+    (node, label) count aggregation, and a per-node top-1 picked by a
+    min_by HASH aggregate (map-side combined) rather than a
+    sort-window — two shuffles a round on 16-byte rows, no per-round
+    sort; the edge list is computed once behind a barrier and reused
+    every round.
     """
-    from pyspark.sql import Window
-
     from ..util import reliable_barrier
 
     sym = reliable_barrier(
@@ -215,18 +215,22 @@ def label_propagation(
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    top1 = Window.partitionBy("a").orderBy(F.desc("_c"), F.asc("label"))
     for _ in range(iterations):
         counted = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy("a", "label")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
-        labels = (
-            counted.withColumn("_rn", F.row_number().over(top1))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("a").alias("node"), "label")
-        )
+        # top-1 via min_by over the (-count, label) struct — lexical
+        # struct ordering IS the (count DESC, label ASC) rule — a hash
+        # aggregate with map-side combine instead of a full sort-window
+        # per round
+        labels = counted.groupBy("a").agg(
+            F.min_by(
+                "label",
+                F.struct((-F.col("_c")).alias("_k1"), F.col("label").alias("_k2")),
+            ).alias("label")
+        ).select(F.col("a").alias("node"), "label")
     return labels
 
 
