@@ -1294,10 +1294,25 @@ def allpairs_jaccard_join(
         + F.lit(1)
     )
     prefix = ranked.where(F.col("_rank") <= prefix_len).select("_id", "_w", "_size")
+    # length filter (AllPairs Fig.2): J(x,y) >= t forces
+    # min(|x|,|y|) >= t * max(|x|,|y|) — overlap can never exceed the
+    # smaller set. Applied IN the posting join, before the distinct and
+    # long before any token array is fetched; sound for the same
+    # reason as the prefix bound, so recall stays exact.
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "_w")
-        .where(F.col("a._id") < F.col("b._id"))
+        .where(
+            (F.col("a._id") < F.col("b._id"))
+            & (
+                # -1e-9: a last-ulp-high t*max may only ADMIT a
+                # boundary pair (safe direction — exact verify decides)
+                F.least(F.col("a._size"), F.col("b._size")).cast("double")
+                >= F.lit(threshold)
+                * F.greatest(F.col("a._size"), F.col("b._size")).cast("double")
+                - F.lit(1e-9)
+            )
+        )
         .select(
             F.col("a._id").alias("_ida"),
             F.col("b._id").alias("_idb"),
