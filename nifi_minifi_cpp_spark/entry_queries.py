@@ -8164,6 +8164,53 @@ def chi2_type_segment_independence(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@_register(
+    "session_window_stats",
+    r"""
+    WITH s AS (SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                 THEN 1 ELSE 0 END AS brk
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (SELECT user_id, ts, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-native session windows (r10): session_window(ts, gap)
+    — the dynamic-gap sibling of the fixed tumbling/sliding windows
+    and the streaming-capable upgrade of the lag/cumsum sessionizer
+    (sessionize_users): state merges sessions incrementally instead of
+    re-sorting timelines, so an unbounded stream sessionizes with
+    watermark-bounded state. Spark's session end is EXCLUSIVE
+    (last_event + gap; an event landing exactly on the boundary starts
+    a NEW session), so the oracle's break condition is dt >= gap, not
+    dt > gap. Batch-mode plan: one aggregation keyed by the session
+    window expression — no window-function sort."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
