@@ -7402,6 +7402,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator the reference's DetectDuplicate maps to in stream mode
     (hash-cache TTL == watermark horizon); state is bounded by the
     watermark, so a 100 TB/day stream holds only the horizon's ids."""
+    import shutil as _shutil
     import uuid as _uuid
 
     configure(spark)
@@ -7432,6 +7433,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(120)
     finally:
         q.stop()
+        _shutil.rmtree(stage, ignore_errors=True)  # memory sink owns the rows now
     return spark.sql(f"SELECT event_type, n FROM {view}")
 
 
@@ -7491,6 +7493,7 @@ def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches emit as they arrive (no flush wait). The emitted pairs are
     then aggregated in batch from the sink — the final per-user pair
     counts must equal the batch range-join the oracle runs."""
+    import shutil as _shutil
     import uuid as _uuid
 
     configure(spark)
@@ -7532,6 +7535,7 @@ def stream_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(120)
     finally:
         q.stop()
+        _shutil.rmtree(stage, ignore_errors=True)  # memory sink owns the rows now
     return spark.sql(
         f"SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs FROM {view} GROUP BY user_id"
     )
@@ -7698,6 +7702,7 @@ def stream_static_enrichment_counts(spark: SparkSession, sf_dir: str) -> DataFra
     join (no cross-stream state); the dimension re-broadcasts per
     batch, so at 100 TB/day the stream side never shuffles for the
     join at all."""
+    import shutil as _shutil
     import uuid as _uuid
 
     configure(spark)
@@ -7725,6 +7730,7 @@ def stream_static_enrichment_counts(spark: SparkSession, sf_dir: str) -> DataFra
         q.awaitTermination(120)
     finally:
         q.stop()
+        _shutil.rmtree(stage, ignore_errors=True)  # memory sink owns the rows now
     return spark.sql(f"SELECT event_type, segment, n FROM {view}")
 
 
@@ -8003,7 +8009,14 @@ def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(120)
     finally:
         q.stop()
-    return spark.read.parquet(state_dir).select("event_type", "n")
+    # materialize the (type-cardinality-bounded) snapshot so every
+    # fixture dir can be removed before returning
+    snap = spark.read.parquet(state_dir).select("event_type", "n")
+    rows = snap.collect()
+    out = spark.createDataFrame(rows, snap.schema)
+    for d in (stage, os.path.dirname(state_dir), ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 @_register(
