@@ -221,3 +221,34 @@ def test_dq_report_empty_table_passes(spark):
     assert rep["completeness:status"] == (0.0, True)
     assert rep["uniqueness:k"] == (1.0, True)
     assert rep["domain:status"] == (0.0, True)
+
+
+def test_reconcile_statuses_partition_the_key_universe(spark):
+    """Property: every key from either side appears exactly once in the
+    per-key diff, and the summary counts sum to the key-universe size —
+    for a randomized pair of snapshots."""
+    import random
+
+    from nifi_minifi_cpp_spark.operators.reconcile import (
+        reconcile_summary,
+        reconcile_tables,
+    )
+
+    rng = random.Random(11)
+    left_rows = [(k, rng.choice(["a", "b", None]), float(rng.randint(0, 3))) for k in range(60)]
+    right_rows = [
+        (k, rng.choice(["a", "b", None]), float(rng.randint(0, 3)))
+        for k in range(30, 90)
+    ]
+    left = spark.createDataFrame(left_rows, "k long, s string, v double")
+    right = spark.createDataFrame(right_rows, "k long, s string, v double")
+    per_key = reconcile_tables(left, right, ["k"]).collect()
+    keys = [r["k"] for r in per_key]
+    assert sorted(keys) == list(range(90))  # exactly once each
+    summary = {r["status"]: r["n"] for r in reconcile_summary(left, right, ["k"]).collect()}
+    assert sum(summary.values()) == 90
+    assert summary["only_left"] == 30 and summary["only_right"] == 30
+    # statuses agree between the two APIs
+    from collections import Counter
+
+    assert Counter(r["status"] for r in per_key) == Counter(summary)

@@ -243,3 +243,37 @@ def test_triangle_count_known_graphs(spark):
     path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     row = triangle_count(path).collect()[0]
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 3, 0)
+
+
+def test_graph_ops_invariant_to_input_order(spark):
+    """The driver hash-compares results, so the iterative graph ops
+    must be deterministic under partitioning and row order. Synchronous
+    LPA/PageRank/triangle-census are order-free by construction — lock
+    it by feeding the same graph shuffled and repartitioned."""
+    import random
+
+    from nifi_minifi_cpp_spark.analytics.graph import (
+        label_propagation,
+        pagerank,
+        triangle_count,
+    )
+
+    edges = [(i, (i * 7 + 3) % 40) for i in range(1, 40)] + [(2, 39), (5, 17)]
+    edges = [(a, b) for a, b in edges if a != b]
+    rng = random.Random(7)
+    shuffled = edges[:]
+    rng.shuffle(shuffled)
+    df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    df2 = spark.createDataFrame(shuffled, "src long, dst long").repartition(13)
+
+    lpa1 = sorted(map(tuple, label_propagation(df1, iterations=2).collect()))
+    lpa2 = sorted(map(tuple, label_propagation(df2, iterations=2).collect()))
+    assert lpa1 == lpa2
+
+    pr1 = {r["node"]: round(r["rank"], 9) for r in pagerank(df1, iterations=2).collect()}
+    pr2 = {r["node"]: round(r["rank"], 9) for r in pagerank(df2, iterations=2).collect()}
+    assert pr1 == pr2
+
+    t1 = triangle_count(df1).collect()[0]
+    t2 = triangle_count(df2).collect()[0]
+    assert tuple(t1) == tuple(t2)
