@@ -22,59 +22,60 @@ from nifi_minifi_cpp_spark import entry_queries
 # Every SURVEY §2 operator family and every LLM-pipeline operator must
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
-    # r10 rotation: the 6 never-driver-graded r9 registrations FIRST,
-    # then the r7-green breadth block (2 rounds stale at r10).
-    # route_relationship_counts / embedding_norms_by_label defer to r11.
-    "document_chunks_rag",
-    "ngram_census_top20",
-    "oov_rate_scores",
-    "boilerplate_prefix_clusters",
-    "incremental_dedup_ledger",
-    "source_overlap_matrix",
-    "el_scalar_pack",
-    "el_encode_pack",
-    "route_error_events",
-    "route_text_merge_lines",
-    "json_path_extract",
-    "extract_first_word",
-    "hash_content_sha256",
-    "replace_text_hashed",
-    "apply_template_events",
-    "archive_roundtrip",
-    "split_fragment_counts",
-    "split_merge_roundtrip",
-    "record_transform_upper",
-    "rolling_window_count10",
-    "tumbling_hourly_by_type",
-    "sessionize_users",
-    "incremental_scan_tail",
-    "invoke_http_route_counts",
-    "s2s_port_roundtrip",
-    "param_context_resolution",
-    "connection_edge_semantics",
-    "streaming_route_counts",
-    "syslog_parse",
-    "tailfile_ingest",
-    "exact_dedup_representatives",
-    "span_dedup_rebuild",
-    "span_dedup_overlap_rebuild",
-    "contamination_flags",
-    "domain_mixture_plan",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "q20_promo_part_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "top3_orders_per_customer",
-    "range_join_purchase_after_error",
-    "rollup_orders_priority",
-    "asof_error_prior_click",
-    "cube_lineitem_status",
-    "pivot_event_counts",
-    "knn_exact_10x3",
+    # r11 rotation: the 40 never-driver-graded r10 continuation
+    # registrations FIRST, then the first 10 of the 13 earlier r10
+    # registrations. leakage_safe_split / token_quantiles_by_source /
+    # skipgram_top_pairs and the 2 deferred r7 entries queue for r12.
+    "containment_dedup_ids",
+    "hll_distinct_users",
+    "allpairs_jaccard_pairs",
+    "bloom_decontamination_counts",
+    "inverted_index_top_terms",
+    "collocation_pmi_top",
+    "cohort_retention_daily",
+    "funnel_view_click_purchase",
+    "skew_report_event_users",
+    "doc_length_histogram",
+    "image_phash_dedup",
+    "event_type_association_rules",
+    "customer_entity_matches",
+    "zorder_layout_buckets",
+    "embedding_gram_upper",
+    "scd2_event_type_history",
+    "rolling_zscore_flags",
+    "window_function_pack",
+    "resample_forward_fill",
+    "quality_percentile_by_source",
+    "pagerank_supplier_parts",
+    "table_profile_orders",
+    "grouping_sets_revenue",
+    "streaming_dedup_counts",
+    "sliding_window_counts",
+    "stream_interval_join_pairs",
+    "label_propagation_communities",
+    "orders_reconciliation_diff",
+    "salted_join_segment_revenue",
+    "stream_static_enrichment_counts",
+    "winsorized_value_stats",
+    "triangle_count_coorder_parts",
+    "data_quality_checks",
+    "term_distribution_divergence",
+    "streaming_upsert_totals",
+    "benford_digit_profile",
+    "event_transition_matrix",
+    "time_weighted_value_avg",
+    "chi2_type_segment_independence",
+    "session_window_stats",
+    "url_dedup_groups",
+    "weighted_sample_ids",
+    "char_entropy_scores",
+    "warc_ingest_stats",
+    "bigram_lm_scores",
+    "token_ids_encode",
+    "audio_energy_features",
+    "normalize_text_dedup_keys",
+    "countmin_user_frequencies",
+    "training_corpus_pipeline",
 }
 
 def test_must_grade_queries_inside_window():
