@@ -23,10 +23,16 @@ from pyspark.sql import functions as F
 
 # query keys stripped during canonicalization: the cross-site tracking
 # params that vary per click without changing the resource. Anchored to
-# a ?/& boundary (kept via the capture) so substrings of LONGER keys
-# (pgclid=, my_fbclid=) are never clipped — unanchored, two distinct
-# resources could merge into one canonical group (r10 review finding).
-_TRACKING_RE = r"([?&])(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid)=[^&#]*"
+# the query start or an & boundary (kept via the capture) so substrings
+# of LONGER keys (pgclid=, my_fbclid=) are never clipped — unanchored,
+# two distinct resources could merge into one canonical group (r10
+# review finding). The pattern is applied to the QUERY COMPONENT only
+# (r11, caught by the RFC 3986 property model): '&gclid=...' is legal
+# inside a path segment (RFC 3986 §3.3 pchar includes sub-delims), and
+# a literal '?' inside the query is data, not a parameter boundary —
+# so the anchor is ^? (the component's first char) or &, never a
+# mid-query '?'.
+_TRACKING_RE = r"(^\?|&)(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid)=[^&]*"
 
 
 def canonicalize_url(url: Column) -> Column:
@@ -37,15 +43,22 @@ def canonicalize_url(url: Column) -> Column:
     trailing slash from non-root paths. Scheme and non-default ports
     stay significant (http vs https are different resources).
 
-    Pure built-ins — Catalyst keeps the whole chain in codegen."""
-    # 1. fragment
+    Pure built-ins — Catalyst keeps the whole chain in codegen.
+    Cross-checked against a parse-based pure-Python RFC 3986 model
+    (tests/test_corpus_properties.py) per the oracle-mirror caveat."""
+    # 1. fragment ('#' is reserved for the fragment in every component)
     u = F.regexp_replace(url, r"#.*$", "")
-    # 2. tracking params, then separator tidy-up:
-    #    'a?utm_x=1&b=2' -> 'a?&b=2' -> 'a?b=2'; 'a?utm_x=1' -> 'a?' -> 'a'
-    u = F.regexp_replace(u, _TRACKING_RE, r"$1")
-    u = F.regexp_replace(u, r"\?&+", "?")
-    u = F.regexp_replace(u, r"&&+", "&")
-    u = F.regexp_replace(u, r"[?&]$", "")
+    # 2. split at the FIRST '?' — everything before is scheme/authority/
+    #    path and must not see the tracking strip
+    pre = F.regexp_extract(u, r"^([^?]*)", 1)
+    qry = F.regexp_replace(u, r"^[^?]*", "")
+    # 3. tracking params within the query, then separator tidy-up:
+    #    '?utm_x=1&b=2' -> '?&b=2' -> '?b=2'; '?utm_x=1' -> '?' -> ''
+    qry = F.regexp_replace(qry, _TRACKING_RE, r"$1")
+    qry = F.regexp_replace(qry, r"^\?&+", "?")
+    qry = F.regexp_replace(qry, r"&&+", "&")
+    qry = F.regexp_replace(qry, r"[?&]$", "")
+    u = F.concat(pre, qry)
     # 3. lowercase scheme://authority, keep path/query case
     head = F.lower(F.regexp_extract(u, r"^([^:/?#]+://[^/?#]*)", 1))
     rest = F.regexp_replace(u, r"^[^:/?#]+://[^/?#]*", "")

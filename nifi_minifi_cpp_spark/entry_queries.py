@@ -5782,15 +5782,18 @@ def _messy_urls(docs: DataFrame) -> DataFrame:
             regexp_replace(lower(regexp_extract(c4, '^([^:/?#]+://[^/?#]*)', 1)),
                            '^(http://[^/?#:]*):80$', '\1') AS h2,
             regexp_replace(c4, '^[^:/?#]+://[^/?#]*', '') AS rest
-           FROM (SELECT regexp_replace(
+           FROM (SELECT pre || regexp_replace(
                    regexp_replace(
                      regexp_replace(
-                       regexp_replace(
-                         regexp_replace(url, '#.*$', ''),
-                         '([?&])(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid)=[^&#]*', '\1', 'g'),
-                       '\?&+', '?', 'g'),
+                       regexp_replace(qry,
+                         '(^\?|&)(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid)=[^&]*', '\1', 'g'),
+                       '^\?&+', '?'),
                      '&&+', '&', 'g'),
-                   '[?&]$', '') AS c4) t1) t2
+                   '[?&]$', '') AS c4
+            FROM (SELECT
+                regexp_extract(regexp_replace(url, '#.*$', ''), '^([^?]*)', 1) AS pre,
+                regexp_replace(regexp_replace(url, '#.*$', ''), '^[^?]*', '') AS qry)
+           ) t1) t2
         ) AS canonical_url
       FROM urls)
     SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
@@ -6247,15 +6250,18 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             regexp_replace(lower(regexp_extract(c4, '^([^:/?#]+://[^/?#]*)', 1)),
                            '^(http://[^/?#:]*):80$', '\1') AS h2,
             regexp_replace(c4, '^[^:/?#]+://[^/?#]*', '') AS rest
-           FROM (SELECT regexp_replace(
+           FROM (SELECT pre || regexp_replace(
                    regexp_replace(
                      regexp_replace(
-                       regexp_replace(
-                         regexp_replace(url, '#.*$', ''),
-                         '([?&])(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid)=[^&#]*', '\1', 'g'),
-                       '\?&+', '?', 'g'),
+                       regexp_replace(qry,
+                         '(^\?|&)(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid)=[^&]*', '\1', 'g'),
+                       '^\?&+', '?'),
                      '&&+', '&', 'g'),
-                   '[?&]$', '') AS c4) t1) t2
+                   '[?&]$', '') AS c4
+            FROM (SELECT
+                regexp_extract(regexp_replace(url, '#.*$', ''), '^([^?]*)', 1) AS pre,
+                regexp_replace(regexp_replace(url, '#.*$', ''), '^[^?]*', '') AS qry)
+           ) t1) t2
         ) AS g
       FROM urls),
     assigned AS (

@@ -273,3 +273,149 @@ def test_bpe_train_matches_python_model(docs):
         for r in bpe_train(df, num_merges=4).collect()
     ]
     assert got == _model_bpe(texts, 4)
+
+
+def _model_canonicalize_url(url: str) -> str:
+    """Parse-based pure-Python RFC 3986 model (VERDICT r10 #5): split
+    into components FIRST (fragment, then first-'?' query boundary),
+    filter the query's '&'-separated parameters as a LIST, and
+    reassemble — no shared regex with the engine, so boundary-anchoring
+    bugs (pgclid=, path '&gclid=', mid-query '?') surface as
+    mismatches instead of surviving in both."""
+    import re
+
+    u = url.split("#", 1)[0]
+    pre, sep, query = u.partition("?")
+    if sep:
+        parts = [
+            p
+            for p in query.split("&")
+            if p != ""
+            and not re.match(r"^(utm_[A-Za-z0-9]+|gclid|fbclid|msclkid)=", p)
+        ]
+        qry = "?" + "&".join(parts) if parts else ""
+    else:
+        qry = ""
+    m = re.match(r"^([^:/?#]+)://([^/?#]*)(.*)$", pre, re.S)
+    if m:
+        scheme, auth, path = m.group(1).lower(), m.group(2).lower(), m.group(3)
+        host, psep, port = auth.rpartition(":")
+        if psep and ":" not in host:
+            if (scheme, port) in (("http", "80"), ("https", "443")):
+                auth = host
+        head = f"{scheme}://{auth}"
+    else:
+        head, path = "", pre
+    if path.startswith("/"):
+        stripped = path.rstrip("/")
+        path = stripped if stripped else "/"
+    return head + path + qry
+
+
+canon_host = st.sampled_from(
+    ["Example.COM", "example.com", "EXAMPLE.com:80", "example.com:443",
+     "example.com:8080", "a.b.example.com"]
+)
+canon_scheme = st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp"])
+canon_seg = st.sampled_from(
+    ["d", "D7", "a&gclid=1", "my_fbclid=2", "x;y", "p q", "utm_source=feed"]
+)
+canon_key = st.sampled_from(
+    ["utm_source", "utm_x", "gclid", "pgclid", "my_fbclid", "fbclid",
+     "msclkid", "id", "ref", "q?gclid"]
+)
+canon_val = st.sampled_from(["", "1", "abc123", "a?b", "x%20y"])
+canon_param = st.one_of(
+    st.tuples(canon_key, canon_val).map(lambda kv: f"{kv[0]}={kv[1]}"),
+    st.sampled_from(["gclid", "bare", ""]),  # no '=' at all / empty segment
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            canon_scheme,
+            canon_host,
+            st.lists(canon_seg, min_size=0, max_size=3),
+            st.integers(min_value=0, max_value=3),  # trailing slashes
+            st.lists(canon_param, min_size=0, max_size=4),
+            st.sampled_from(["", "#frag", "#a?b&c"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_canonicalize_url_matches_rfc3986_model(specs):
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.web import canonicalize_url
+
+    spark = _spark()
+    urls = []
+    for scheme, host, segs, slashes, params, frag in specs:
+        path = "".join("/" + s for s in segs) + "/" * slashes
+        q = "?" + "&".join(params) if params else ""
+        urls.append(f"{scheme}://{host}{path}{q}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [_model_canonicalize_url(u) for u in urls]
+
+
+def _model_normalize_text(s: str) -> str:
+    """Pure-Python model of normalize_text: typographic map, control
+    deletion by codepoint range, ASCII-whitespace collapse (Java \\s is
+    ASCII-only — Unicode spaces like U+2000 must SURVIVE), space trim."""
+    import re
+
+    for a, b in (
+        ("\u2018", "'"), ("\u2019", "'"), ("\u201c", '"'), ("\u201d", '"'),
+        ("\u2013", "-"), ("\u2014", "-"), ("\u2026", "..."), ("\u00a0", " "),
+        ("\u0085", " "), ("\u2028", " "), ("\u2029", " "),
+    ):
+        s = s.replace(a, b)
+    s = "".join(
+        ch
+        for ch in s
+        if not (
+            ord(ch) <= 8
+            or ord(ch) in (0x0B, 0x0C)
+            or 0x0E <= ord(ch) <= 0x1F
+            or 0x7F <= ord(ch) <= 0x9F
+        )
+    )
+    s = re.sub(r"[ \t\n\r]+", " ", s)
+    return s.strip(" ")
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.one_of(
+                st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+                st.sampled_from(
+                    "\u2018\u2019\u201c\u201d\u2013\u2014\u2026\u00a0"
+                    "\u0085\u2028\u2029\t\n\r\x0b\x0c\x00\x07\x1f\x7f\x80\x9f"
+                    "\u2000\u3000\u200b\u00e9\u4e2d"
+                ),
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_normalize_text_matches_python_model(texts):
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.text_analysis import normalize_text
+
+    spark = _spark()
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["c"] for r in df.select(normalize_text(F.col("text")).alias("c")).collect()]
+    assert got == [_model_normalize_text(t) for t in texts]

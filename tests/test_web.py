@@ -81,3 +81,28 @@ def test_tracking_strip_requires_param_boundary(spark):
         "http://a.com/?my_fbclid=x",
         "http://a.com/?last_utm_source=y",
     ]
+
+
+def test_tracking_strip_is_query_scoped(spark):
+    """r11 (caught by the RFC 3986 property model): '&gclid=' inside a
+    PATH segment is data (RFC 3986 §3.3), and a '?' inside the query is
+    data too — neither may trigger the tracking strip."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.web import canonicalize_url
+
+    cases = {
+        # path segment containing &gclid= survives untouched
+        "http://h.com/a&gclid=1/b?c=2": "http://h.com/a&gclid=1/b?c=2",
+        # mid-query '?' is not a parameter boundary
+        "http://h.com/p?a=b?gclid=1": "http://h.com/p?a=b?gclid=1",
+        # real tracking param at the query start still strips
+        "http://h.com/p?gclid=1&a=2": "http://h.com/p?a=2",
+        # longer keys never clipped (r10 finding stays locked)
+        "http://h.com/p?pgclid=1&my_fbclid=2": "http://h.com/p?pgclid=1&my_fbclid=2",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = dict(
+        zip(cases, [r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()])
+    )
+    assert got == cases
