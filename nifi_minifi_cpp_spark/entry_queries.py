@@ -7944,20 +7944,27 @@ def term_distribution_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming upsert sink (r10): the CDC-apply pattern — an
-    UPDATE-mode streaming aggregation feeding a foreachBatch handler
-    that MERGES each micro-batch's changed keys into a keyed parquet
-    snapshot (read current -> anti-join out the changed keys -> union
-    the new values -> atomic rename). The fixture forces TWO real
-    micro-batches (the events file staged twice, maxFilesPerTrigger=1),
-    so the second batch genuinely overwrites the first's totals; the
-    final snapshot must equal the doubled batch counts. Update mode
-    emits only changed groups per batch — at 100 TB/day the sink
-    writes deltas, not the world; swap the rename-snapshot for
-    MERGE INTO on a transactional table on a real lake."""
+    """Streaming upsert sink (r10; r11 partition-pruned per VERDICT
+    r10 #6): the CDC-apply pattern — an UPDATE-mode streaming
+    aggregation feeding a foreachBatch handler that MERGES each
+    micro-batch's changed keys into a KEY-BUCKET-PARTITIONED parquet
+    snapshot via ``streaming.upsert.merge_upsert_partitioned``: the
+    anti-join reads only the partitions the batch's keys hash into
+    (PartitionFilters), and dynamic partition overwrite rewrites only
+    those directories — untouched partitions are physically untouched
+    (pinned by mtime in tests/test_streaming.py). The fixture forces
+    TWO real micro-batches (the events file staged twice,
+    maxFilesPerTrigger=1), so the second batch genuinely overwrites
+    the first's totals; the final snapshot must equal the doubled
+    batch counts. Update mode emits only changed groups per batch —
+    at 100 TB/day the sink writes ~batch-sized state, not the world;
+    swap the partition rewrite for MERGE INTO on a transactional
+    lake table."""
     import shutil
     import tempfile
     import uuid as _uuid
+
+    from .streaming.upsert import merge_upsert_partitioned, partition_bucket
 
     configure(spark)
     stage = tempfile.mkdtemp(prefix="stream-upsert-")
@@ -7984,22 +7991,16 @@ def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def upsert(batch_df, batch_id):
         # update-mode rows are RUNNING totals for keys that changed
-        # this batch: override those keys in the snapshot, keep the rest
-        batch_df = batch_df.persist()
-        try:
-            if os.path.exists(state_dir):
-                cur = batch_df.sparkSession.read.parquet(state_dir)
-                kept = cur.join(batch_df.select("event_type"), "event_type", "left_anti")
-                merged = kept.unionByName(batch_df)
-            else:
-                merged = batch_df
-            tmp = f"{state_dir}.tmp-{batch_id}"
-            merged.write.mode("overwrite").parquet(tmp)
-            if os.path.exists(state_dir):
-                shutil.rmtree(state_dir)
-            os.rename(tmp, state_dir)
-        finally:
-            batch_df.unpersist()
+        # this batch: override those keys' partitions, leave the rest
+        # of the snapshot physically untouched
+        merge_upsert_partitioned(
+            batch_df.withColumn(
+                "part", partition_bucket(F.col("event_type"), 8)
+            ),
+            state_dir,
+            ["event_type"],
+            "part",
+        )
 
     ckpt = tempfile.mkdtemp(prefix="upsert-ckpt-")
     with _pinned_shuffle(spark, 4):

@@ -749,3 +749,71 @@ def test_streaming_upsert_processes_two_microbatches(spark, tmp_path):
     assert len(batches) == 2, batches
     got = {r["k"]: r["n"] for r in spark.read.parquet(state_dir).collect()}
     assert got == {"a": 4, "b": 2}
+
+
+def test_partitioned_upsert_leaves_untouched_partitions_alone(spark, tmp_path):
+    """VERDICT r10 #6: the MERGE-INTO stand-in must be partition-
+    pruned — a batch touching one bucket may not rewrite (or even
+    read) the others. Pinned physically: untouched partition files
+    keep their names, sizes, and mtimes across the merge."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.streaming.upsert import (
+        merge_upsert_partitioned,
+        partition_bucket,
+    )
+
+    snap = str(tmp_path / "snapshot")
+    base = spark.createDataFrame(
+        [("alpha", 1), ("beta", 2), ("gamma", 3), ("delta", 4)], "k string, n int"
+    ).withColumn("part", partition_bucket(F.col("k"), 4))
+    merge_upsert_partitioned(base, snap, ["k"], "part")
+    parts = {r["k"]: r["part"] for r in base.collect()}
+
+    # pick a key and a partition that no other key shares
+    from collections import Counter
+
+    counts = Counter(parts.values())
+    solo = [k for k, p in parts.items() if counts[p] == 1]
+    assert solo, f"fixture needs a solo bucket, got {parts}"
+    target = solo[0]
+    untouched_dirs = [
+        d
+        for d in os.listdir(snap)
+        if d.startswith("part=") and d != f"part={parts[target]}"
+    ]
+    assert untouched_dirs
+
+    def fingerprint(d):
+        out = {}
+        for f in os.listdir(os.path.join(snap, d)):
+            st = os.stat(os.path.join(snap, d, f))
+            out[f] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = {d: fingerprint(d) for d in untouched_dirs}
+
+    batch = spark.createDataFrame(
+        [(target, 99), ("epsilon", 50)], "k string, n int"
+    ).withColumn("part", partition_bucket(F.col("k"), 4))
+    merge_upsert_partitioned(batch, snap, ["k"], "part")
+
+    after = {d: fingerprint(d) for d in untouched_dirs if d in os.listdir(snap)}
+    # files in partitions the batch didn't touch are PHYSICALLY the
+    # same files — not rewritten copies (unless epsilon landed there)
+    eps_part = f"part={batch.collect()[1]['part']}"
+    for d in untouched_dirs:
+        if d == eps_part:
+            continue
+        assert after[d] == before[d], f"partition {d} was rewritten"
+
+    got = {
+        (r["k"], r["n"])
+        for r in spark.read.parquet(snap).select("k", "n").collect()
+    }
+    expected = {("alpha", 1), ("beta", 2), ("gamma", 3), ("delta", 4)}
+    expected = {(k, n) for k, n in expected if k != target}
+    expected |= {(target, 99), ("epsilon", 50)}
+    assert got == expected
