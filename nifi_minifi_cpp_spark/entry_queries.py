@@ -8307,6 +8307,71 @@ def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, num_merges=8)
 
 
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled-CTE DuckDB oracle for ``kmeans_quantized`` — long-form
+    (vec_id, dim, x) joins instead of the engine's array HOFs: the
+    distance is a dim-join GROUP BY sum, the argmin a row_number
+    window, the centroid update a floor-divided per-(cluster, dim)
+    aggregate. Exact integer arithmetic end-to-end, so summation
+    order cannot flip a single assignment."""
+    parts = [
+        r"""
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    e AS (SELECT vec_id, generate_subscripts(qv, 1) AS dim, unnest(qv) AS x
+          FROM q),
+    seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c
+      FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT """
+        + str(k)
+        + r""")),
+    c0 AS (SELECT s.c, e.dim, e.x FROM e JOIN seeds s ON e.vec_id = s.vec_id)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    , d{i} AS (
+      SELECT e.vec_id, c.c, CAST(sum((e.x - c.x) * (e.x - c.x)) AS BIGINT) AS dist
+      FROM e JOIN c{i - 1} c ON e.dim = c.dim GROUP BY e.vec_id, c.c)
+    , a{i} AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+        FROM d{i}) WHERE rn = 1)
+    , c{i} AS (
+      SELECT a.c, e.dim,
+             CAST(floor(CAST(sum(e.x) AS BIGINT) / count(*)) AS BIGINT) AS x
+      FROM e JOIN a{i} a ON e.vec_id = a.vec_id GROUP BY a.c, e.dim)"""
+        )
+    parts.append(
+        f"""
+    SELECT s.cluster_id, s.n_members, ck.centroid_sum FROM
+      (SELECT c AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       FROM a{iters} GROUP BY c) s
+      JOIN
+      (SELECT c AS cluster_id, CAST(sum(x) AS BIGINT) AS centroid_sum
+       FROM c{iters} GROUP BY c) ck USING (cluster_id)
+    ORDER BY cluster_id"""
+    )
+    return "".join(parts)
+
+
+@_register("kmeans_embedding_clusters", _kmeans_oracle_sql(4, 3))
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer-quantized Lloyd k-means over the
+    embeddings table (r11) — k=4 seeds from the smallest vec_ids, 3
+    rounds, exact integer distances/argmin so assignments are
+    bit-identical across engines and partitionings; see
+    ``analytics.clustering.kmeans_quantized`` for the broadcast-
+    centroid / model-sized-collect scale shape (MLlib's Lloyd)."""
+    from .analytics.clustering import kmeans_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_quantized(emb, k=4, iterations=3)
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

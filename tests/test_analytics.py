@@ -1761,3 +1761,26 @@ def test_bpe_segment_applies_merge_table(spark):
     # applying [(l,o), (lo,w), (low,</w>)] folds 'low' to one token
     assert tuple(["low</w>"] * 5) in toks
     assert tuple(["low", "e", "r", "</w>"] * 2) in toks
+
+
+def test_kmeans_quantized_known_clusters_and_order_invariance(spark):
+    """Two tight integer blobs -> k=2 recovers them exactly; shuffled /
+    repartitioned input yields the identical model (the determinism
+    claim the quantization exists for)."""
+    from nifi_minifi_cpp_spark.analytics.clustering import kmeans_quantized
+
+    pts = [
+        (0, [0.0, 0.0]), (1, [10.0, 10.0]),          # seeds: one per blob
+        (2, [0.001, 0.002]), (3, [0.002, -0.001]),
+        (4, [10.001, 9.999]), (5, [9.998, 10.002]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    rows = kmeans_quantized(df, k=2, iterations=2).collect()
+    got = {r["cluster_id"]: (r["n_members"], r["centroid_sum"]) for r in rows}
+    # blob A: (0,0),(1,2),(2,-1) -> centroid floor-avg (1, 0) -> sum 1
+    # blob B: (10000,10000),(10001,9999),(9998,10002) -> (9999, 10000)
+    assert got == {0: (3, 1), 1: (3, 19999)}
+
+    shuffled = spark.createDataFrame(list(reversed(pts)), "vec_id long, embedding array<float>").repartition(7)
+    rows2 = kmeans_quantized(shuffled, k=2, iterations=2).collect()
+    assert {r["cluster_id"]: (r["n_members"], r["centroid_sum"]) for r in rows2} == got
