@@ -357,3 +357,45 @@ def triangle_count(
         )
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    iterations: int = 3,
+) -> DataFrame:
+    """Multi-source BFS hop distances (r11) — the frontier-relaxation
+    sibling of ``connected_components``: starting from ``seeds`` at
+    hop 0, each synchronous round relaxes
+    ``dist'(v) = min(dist(v), min over in-edges dist(u) + 1)`` and the
+    result is every node reachable within ``iterations`` hops with its
+    exact minimum hop count. Pure integer arithmetic — deterministic
+    on any engine and partitioning.
+
+    100 TB shape: one slim (node, hop) frame; each round is ONE
+    equi-join of the edge list against it plus a min-aggregate (the
+    same slim-pair/barrier-per-round discipline as the other iterative
+    operators — no frontier ever re-materializes prior rounds through
+    lineage). Rounds shuffle O(m) join rows and O(n) aggregate rows.
+    """
+    from ..util import reliable_barrier
+
+    e = reliable_barrier(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    )
+    nd = reliable_barrier(
+        seeds.select(F.col(node).alias("_n")).distinct().select(
+            "_n", F.lit(0).cast("int").alias("_h")
+        )
+    )
+    for _ in range(iterations):
+        prop = e.join(nd, e["_s"] == nd["_n"]).select(
+            F.col("_d").alias("_n"), (F.col("_h") + F.lit(1)).alias("_h")
+        )
+        nd = reliable_barrier(
+            nd.unionByName(prop).groupBy("_n").agg(F.min("_h").alias("_h"))
+        )
+    return nd.select(F.col("_n").alias(node), F.col("_h").alias("hop"))

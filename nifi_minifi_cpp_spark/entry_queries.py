@@ -8372,6 +8372,62 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_quantized(emb, k=4, iterations=3)
 
 
+@_register(
+    "bfs_hop_histogram",
+    r"""
+    WITH e AS (
+      SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d FROM lineitem
+      UNION
+      SELECT DISTINCT 'p' || l_partkey AS s, 's' || l_suppkey AS d FROM lineitem),
+    n0 AS (SELECT DISTINCT 's' || l_suppkey AS n, 0 AS h
+           FROM lineitem WHERE l_suppkey <= 10),
+    n1 AS (SELECT n, min(h) AS h FROM (
+             SELECT n, h FROM n0
+             UNION ALL
+             SELECT e.d AS n, n0.h + 1 AS h FROM e JOIN n0 ON e.s = n0.n
+           ) GROUP BY n),
+    n2 AS (SELECT n, min(h) AS h FROM (
+             SELECT n, h FROM n1
+             UNION ALL
+             SELECT e.d AS n, n1.h + 1 AS h FROM e JOIN n1 ON e.s = n1.n
+           ) GROUP BY n),
+    n3 AS (SELECT n, min(h) AS h FROM (
+             SELECT n, h FROM n2
+             UNION ALL
+             SELECT e.d AS n, n2.h + 1 AS h FROM e JOIN n2 ON e.s = n2.n
+           ) GROUP BY n)
+    SELECT h AS hop, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM n3 GROUP BY h
+    """,
+)
+def bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the supplier-part bipartite graph (r11,
+    the seventh iterative-algorithm class): suppliers 1-10 seed hop 0;
+    three synchronous frontier relaxations later, every node within 3
+    hops carries its exact minimum hop count and the query returns the
+    (hop, n_nodes) histogram. Pure integer arithmetic — deterministic
+    on any partitioning. Same packed-long node encoding as
+    ``pagerank_supplier_parts`` (hop counts are id-agnostic). Oracle =
+    three unrolled union/min CTE rounds."""
+    from .analytics.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        li.filter(F.col("l_suppkey") <= 10)
+        .select((F.col("l_suppkey") * 2).alias("node"))
+        .distinct()
+    )
+    hops = bfs_hops(edges, seeds, iterations=3)
+    return hops.groupBy("hop").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

@@ -341,3 +341,20 @@ def test_triangle_count_degree_orientation(spark):
     for bc in (True, False):
         row = triangle_count(k4, broadcast=bc, orient="degree").collect()[0]
         assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+
+
+def test_bfs_hops_known_graph(spark):
+    """Path 1-2-3-4-5 plus a branch 2-6: seed {1} gives exact hop
+    counts; unreachable node 9 (isolated edge 8-9... absent) never
+    appears; 3 iterations reach exactly hop 3."""
+    from nifi_minifi_cpp_spark.analytics.graph import bfs_hops
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (7, 8)]
+    sym = edges + [(b, a) for a, b in edges]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(e, seeds, iterations=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 6: 2, 4: 3}
+    # one more round reaches node 5; 7/8 stay unreachable
+    got4 = {r["node"]: r["hop"] for r in bfs_hops(e, seeds, iterations=4).collect()}
+    assert got4 == {1: 0, 2: 1, 3: 2, 6: 2, 4: 3, 5: 4}
