@@ -8428,6 +8428,40 @@ def bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hops.groupBy("hop").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
 
 
+@_register(
+    "ewma_anomaly_scores",
+    r"""
+    WITH s AS (
+      SELECT user_id,
+             list(struct_pack(t := ts, o := event_id, v := CAST(value AS DOUBLE))
+                  ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id),
+    v AS (SELECT user_id, list_transform(seq, e -> e.v) AS vals FROM s)
+    SELECT user_id,
+      CAST(len(vals) AS BIGINT) AS n_events,
+      CAST(len(list_filter(range(2, len(vals) + 1),
+         i -> abs(vals[i] - list_reduce(vals[1:i-1],
+                    (acc, x) -> 0.25*x + 0.75*acc)) > 100.0)) AS BIGINT)
+        AS n_anomalies,
+      round(list_reduce(vals, (acc, x) -> 0.25*x + 0.75*acc), 6) AS final_ewma
+    FROM v
+    """,
+)
+def ewma_anomaly_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing + deviation anomalies (r11): each
+    user's timeline is totally ordered by (ts, event_id) and folded
+    left-to-right with alpha=0.25 (an exact binary fraction, so every
+    intermediate double is bit-identical across engines); an event is
+    anomalous when it deviates more than 100 from the smoothed prior.
+    The oracle re-derives each prefix EWMA with an independent nested
+    list_reduce (O(n^2) per key — fine for an oracle; the engine's
+    fold is O(n)). See operators/temporal.ewma_anomaly_scores."""
+    from .operators.temporal import ewma_anomaly_scores
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_anomaly_scores(ev, alpha=0.25, threshold=100.0)
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

@@ -331,3 +331,81 @@ def scd2_history(
         .withColumn("valid_to", F.lead(ts_col).over(w2))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def ewma_anomaly_scores(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.25,
+    threshold: float = 100.0,
+) -> DataFrame:
+    """Per-key EWMA smoothing with deviation flags (r11) — the
+    recursive sibling of ``rolling_zscore_anomalies``: windowed stats
+    look back a fixed count, an exponentially weighted moving average
+    folds the WHOLE history (s_i = a*x_i + (1-a)*s_{i-1}, s_0 = x_0),
+    the standard low-cost smoother for telemetry/queue-depth streams
+    (reference parity: the rolling-window mean family of
+    AttributeRollingWindow,
+    /root/reference/extensions/standard-processors/processors/
+    AttributeRollingWindow.cpp — EWMA is its unbounded-memory-free
+    upgrade). An event is anomalous when |x_i - s_{i-1}| > threshold
+    (deviation from the smoothed PRIOR, so a level shift flags once
+    and re-converges).
+
+    Determinism: the per-key sequence is totally ordered by
+    (ts, order_col) via array_sort on structs, and the fold is a
+    single left-to-right ``aggregate`` — with ``alpha`` an exact
+    binary fraction (0.25 default) every intermediate double is
+    bit-identical on any engine or partitioning.
+
+    Returns (key, n_events, n_anomalies, final_ewma). 100 TB shape:
+    one groupBy collecting each key's timeline (same per-key-bounded
+    contract as the sessionizer; keys are independent and the fold is
+    whole-stage codegen — no Python, no window sort)."""
+    seq = (
+        df.select(
+            F.col(key_col),
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(order_col).alias("o"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("_e"),
+        )
+        .groupBy(key_col)
+        .agg(F.array_sort(F.collect_list("_e")).alias("_seq"))
+    )
+    vals = seq.select(
+        key_col, F.transform("_seq", lambda e: e["v"]).alias("_vals")
+    )
+    a = F.lit(float(alpha))
+    one_minus = F.lit(1.0 - float(alpha))
+    thr = F.lit(float(threshold))
+    folded = F.aggregate(
+        F.col("_vals"),
+        F.struct(
+            F.lit(None).cast("double").alias("s"),
+            F.lit(0).cast("long").alias("anom"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(acc["s"].isNull(), x)
+            .otherwise(a * x + one_minus * acc["s"])
+            .alias("s"),
+            (
+                acc["anom"]
+                + F.when(
+                    acc["s"].isNotNull() & (F.abs(x - acc["s"]) > thr), 1
+                )
+                .otherwise(0)
+                .cast("long")
+            ).alias("anom"),
+        ),
+    )
+    return vals.select(
+        key_col,
+        F.size("_vals").cast("long").alias("n_events"),
+        folded["anom"].alias("n_anomalies"),
+        F.round(folded["s"], 6).alias("final_ewma"),
+    )

@@ -347,3 +347,30 @@ def test_range_join_explicit_width_broadcast_guard(spark, monkeypatch):
         temporal.range_join(points, ranges, "x", "lo", "hi", bin_width=1.0, max_bins_per_range=8)
     # auto width stays lazy and fine on the same data
     assert temporal.range_join(points, ranges, "x", "lo", "hi").count() == 2
+
+
+def test_ewma_anomaly_scores_hand_computed(spark):
+    """x = [10, 10, 200, 10] with alpha=0.25, threshold=50: s1=10,
+    s2=10, dev3=|200-10|=190 -> anomaly, s3=57.5, dev4=|10-57.5|=47.5
+    -> not; final s4 = 0.25*10 + 0.75*57.5 = 45.625."""
+    import datetime as dt
+
+    from nifi_minifi_cpp_spark.operators.temporal import ewma_anomaly_scores
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(minutes=i), i, x)
+        for i, x in enumerate([10.0, 10.0, 200.0, 10.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = ewma_anomaly_scores(df, threshold=50.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_events"], r["n_anomalies"], r["final_ewma"]) == (4, 1, 45.625)
+
+    # order invariance: shuffled input, same totals
+    df2 = spark.createDataFrame(list(reversed(rows)), df.schema).repartition(5)
+    r2 = ewma_anomaly_scores(df2, threshold=50.0).collect()[0]
+    assert (r2["n_events"], r2["n_anomalies"], r2["final_ewma"]) == (4, 1, 45.625)
