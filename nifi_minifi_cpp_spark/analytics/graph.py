@@ -399,3 +399,53 @@ def bfs_hops(
             nd.unionByName(prop).groupBy("_n").agg(F.min("_h").alias("_h"))
         )
     return nd.select(F.col("_n").alias(node), F.col("_h").alias("hop"))
+
+
+def k_core_peel(
+    edges: DataFrame,
+    k: int = 3,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core peeling (r11) — the eighth iterative-algorithm class:
+    each round drops every node whose CURRENT degree is below ``k``
+    (and the edges touching it), the standard densest-region filter
+    (Seidman 1983, "Network structure and minimum degree") used to
+    trim low-signal periphery before community/triangle analysis.
+    Runs ``iterations`` fixed synchronous rounds (a fixpoint loop in
+    production; fixed rounds here so the SQL oracle can unroll) and
+    returns ONE row: (n_nodes, n_edges) of the surviving subgraph.
+
+    100 TB shape: per round ONE degree aggregate over the symmetric
+    edge list plus two left-semi joins against the (typically much
+    smaller) survivor set — slim integer keys only, barriered per
+    round like the other iterative operators. Peeling cascades:
+    survivors shrink monotonically, so later rounds cost less.
+    """
+    from ..util import reliable_barrier
+
+    sym = reliable_barrier(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+        )
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    for _ in range(iterations):
+        keep = reliable_barrier(
+            sym.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("_s")
+        )
+        sym = reliable_barrier(
+            sym.join(keep, "_s", "left_semi").join(
+                keep.withColumnRenamed("_s", "_d"), "_d", "left_semi"
+            )
+        )
+    return sym.agg(
+        F.countDistinct("_s").cast("long").alias("n_nodes"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+    )

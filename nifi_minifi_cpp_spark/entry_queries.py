@@ -8462,6 +8462,41 @@ def ewma_anomaly_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_anomaly_scores(ev, alpha=0.25, threshold=100.0)
 
 
+@_register(
+    "kcore_supplier_parts",
+    r"""
+    WITH e0 AS (
+      SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d FROM lineitem
+      UNION
+      SELECT DISTINCT 'p' || l_partkey AS s, 's' || l_suppkey AS d FROM lineitem),
+    k1 AS (SELECT s FROM (SELECT s, count(*) AS c FROM e0 GROUP BY s) WHERE c >= 5),
+    e1 AS (SELECT e.s, e.d FROM e0 e JOIN k1 a ON e.s = a.s JOIN k1 b ON e.d = b.s),
+    k2 AS (SELECT s FROM (SELECT s, count(*) AS c FROM e1 GROUP BY s) WHERE c >= 5),
+    e2 AS (SELECT e.s, e.d FROM e1 e JOIN k2 a ON e.s = a.s JOIN k2 b ON e.d = b.s),
+    k3 AS (SELECT s FROM (SELECT s, count(*) AS c FROM e2 GROUP BY s) WHERE c >= 5),
+    e3 AS (SELECT e.s, e.d FROM e2 e JOIN k3 a ON e.s = a.s JOIN k3 b ON e.d = b.s)
+    SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_nodes,
+           CAST(count(*) // 2 AS BIGINT) AS n_edges
+    FROM e3
+    """,
+)
+def kcore_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling on the supplier-part graph (r11, eighth
+    iterative-algorithm class; analytics/graph.k_core_peel, Seidman
+    1983): three rounds dropping nodes of degree < 5, returning the
+    surviving subgraph's size. Slim integer-key degree aggregate +
+    two semi-joins per round; same packed-long encoding as the other
+    graph entries. Oracle = three unrolled filter/join CTE rounds."""
+    from .analytics.graph import k_core_peel
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    return k_core_peel(fwd, k=5, iterations=3)
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

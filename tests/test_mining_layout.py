@@ -358,3 +358,19 @@ def test_bfs_hops_known_graph(spark):
     # one more round reaches node 5; 7/8 stay unreachable
     got4 = {r["node"]: r["hop"] for r in bfs_hops(e, seeds, iterations=4).collect()}
     assert got4 == {1: 0, 2: 1, 3: 2, 6: 2, 4: 3, 5: 4}
+
+
+def test_k_core_peel_known_graph(spark):
+    """K4 plus a pendant chain: 2-core keeps exactly the K4 (pendant
+    path peels over two cascading rounds)."""
+    from nifi_minifi_cpp_spark.analytics.graph import k_core_peel
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6)]  # 6 peels round 1, 5 peels round 2
+    df = spark.createDataFrame(k4 + chain, "src long, dst long")
+    row = k_core_peel(df, k=2, iterations=3).collect()[0]
+    assert (row["n_nodes"], row["n_edges"]) == (4, 6)
+
+    # k above the max degree empties the graph
+    row0 = k_core_peel(df, k=10, iterations=2).collect()[0]
+    assert (row0["n_nodes"], row0["n_edges"]) == (0, 0)
