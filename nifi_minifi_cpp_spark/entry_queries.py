@@ -8497,6 +8497,113 @@ def kcore_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core_peel(fwd, k=5, iterations=3)
 
 
+def _bpe_tokenize_oracle_sql(n: int) -> str:
+    """Oracle for ``bpe_tokenized_counts``: the same unrolled merge
+    rounds as ``_bpe_oracle_sql`` but carrying the WORD through every
+    round, so the final vocabulary maps word -> subword count and a
+    join against per-(source, word) occurrence counts yields the
+    corpus accounting. The rewrite fold is the oracle's independent
+    string-fold construction, not the engine's array fold."""
+    fold = r"""string_split(
+        list_reduce(syms, (acc, x) -> CASE
+          WHEN x = b.r AND (acc = b.l OR (length(acc) > length(b.l)
+                AND substr(acc, length(acc) - length(b.l), length(b.l) + 1)
+                    = chr(31) || b.l))
+          THEN CASE WHEN length(acc) = length(b.l) THEN b.l || b.r
+               ELSE substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r END
+          ELSE acc || chr(31) || x END),
+        chr(31))"""
+    parts = [
+        r"""
+    WITH sw AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' AND NOT contains(word, chr(31))
+      GROUP BY source, word),
+    v0 AS (
+      SELECT word, CAST(sum(cnt) AS BIGINT) AS freq,
+             list_append(string_split(word, ''), '</w>') AS syms
+      FROM sw GROUP BY word)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"""
+    , p{i} AS (
+      SELECT unnest(list_transform(range(1, len(syms)),
+               j -> syms[j] || chr(31) || syms[j+1])) AS pr, freq
+      FROM v{i - 1} WHERE len(syms) >= 2)
+    , b{i} AS (
+      SELECT string_split(pr, chr(31))[1] AS l,
+             string_split(pr, chr(31))[2] AS r
+      FROM p{i} GROUP BY pr
+      ORDER BY CAST(sum(freq) AS BIGINT) DESC, l ASC, r ASC LIMIT 1)
+    , v{i} AS (
+      SELECT word, freq, {fold} AS syms
+      FROM v{i - 1}, b{i} b)"""
+        )
+    parts.append(
+        f"""
+    , nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY source)
+    SELECT nd.source, nd.n_docs, coalesce(tt.total_bpe_tokens, 0) AS total_bpe_tokens
+    FROM nd LEFT JOIN (
+      SELECT sw.source,
+             CAST(sum(sw.cnt * len(v{n}.syms)) AS BIGINT) AS total_bpe_tokens
+      FROM sw JOIN v{n} ON sw.word = v{n}.word
+      GROUP BY sw.source) tt ON nd.source = tt.source"""
+    )
+    return "".join(parts)
+
+
+@_register("bpe_tokenized_counts", _bpe_tokenize_oracle_sql(8))
+def bpe_tokenized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train -> apply -> account, end to end (r11): train 8 merges
+    on the documents corpus (``bpe_train``), tokenize the DISTINCT
+    VOCABULARY with the learned table (``bpe_segment`` — 8 chained
+    codegen folds over vocab-sized rows, NOT the corpus: a first cut
+    segmented every document and probed 6.2x at 10x; tokenizing the
+    vocabulary and joining per-(source, word) counts is scale-free in
+    corpus size, the same reason bpe_train itself is vocab-local),
+    and report per-source document and subword token totals — the
+    tokenizer-budgeting number every corpus plan needs. The 8-row
+    merge table is the only driver-side artifact (model-sized, like
+    the k-means centroids). Oracle re-trains with the same unrolled
+    CTE rounds carrying the word through, then joins per-(source,
+    word) counts against the final vocabulary."""
+    from .analytics.text_analysis import bpe_segment, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_train(docs, num_merges=8).collect()
+    ]
+    sw = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter((F.col("word") != "") & (~F.col("word").contains("\x1f")))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab_tok = bpe_segment(
+        sw.select("word").distinct(), merges, text_col="word", out_col="toks"
+    ).select("word", F.size("toks").alias("n_tok"))
+    totals = (
+        sw.join(vocab_tok, "word")
+        .groupBy("source")
+        .agg(F.sum(F.col("cnt") * F.col("n_tok")).cast("long").alias("total_bpe_tokens"))
+    )
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return nd.join(totals, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("total_bpe_tokens", F.lit(0).cast("long")).alias(
+            "total_bpe_tokens"
+        ),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
