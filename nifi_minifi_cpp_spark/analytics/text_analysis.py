@@ -1696,3 +1696,54 @@ def collocation_pmi(
             "pmi_ratio",
         )
     )
+
+
+def phrase_match_counts(
+    df: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional phrase search (r11) — the exact-phrase upgrade of
+    the term inverted index (Lucene/Elasticsearch's phrase query,
+    built the way they build it): explode tokens WITH positions,
+    prune the posting table to only the phrases' vocabulary at the
+    scan (pushed filter), and for each phrase chain semi-joins on
+    (doc, position - offset) so a row survives exactly when every
+    phrase word appears at consecutive positions. Returns
+    (phrase, n_docs).
+
+    100 TB shape: the posting table is built ONCE for the union
+    vocabulary (pushdown keeps it a tiny fraction of the corpus),
+    barriered, and each phrase costs k-1 slim (id, pos) semi-joins —
+    no full-text rescans per phrase, no regex over content. The SQL
+    oracle deliberately uses the OTHER mechanism (boundary-padded
+    LIKE scans) so the two constructions check each other."""
+    from ..util import reliable_barrier
+
+    all_words = sorted({w for p in phrases for w in p.split(" ")})
+    pos = reliable_barrier(
+        df.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_w"),
+        ).filter(F.col("_w").isin(all_words))
+    )
+    outs = []
+    for phrase in phrases:
+        ws = phrase.split(" ")
+        cur = pos.filter(F.col("_w") == ws[0]).select(id_col, F.col("_pos").alias("_p"))
+        for i, w in enumerate(ws[1:], start=1):
+            nxt = pos.filter(F.col("_w") == w).select(
+                F.col(id_col), (F.col("_pos") - i).alias("_p")
+            )
+            cur = cur.join(nxt, [id_col, "_p"], "left_semi")
+        outs.append(
+            cur.select(id_col)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .select(F.lit(phrase).alias("phrase"), "n_docs")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("phrase")

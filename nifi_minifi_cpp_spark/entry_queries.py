@@ -8604,6 +8604,68 @@ def bpe_tokenized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "m4_downsample_hourly",
+    r"""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+           min(value) AS v_min, max(value) AS v_max,
+           first(value ORDER BY ts, event_id) AS v_first,
+           last(value ORDER BY ts, event_id) AS v_last,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM events GROUP BY bucket_start
+    """,
+)
+def m4_downsample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al. 2014) of the events value series
+    into hourly buckets: min/max/first/last + count per bucket — the
+    pixel-perfect series reduction (operators/window.m4_downsample).
+    One hash aggregate, no sort; first/last tie-break on
+    (ts, event_id) — the engine uses min_by/max_by struct keys, the
+    oracle DuckDB's ordered first()/last() aggregates (independent
+    mechanisms for the same selection)."""
+    from .operators.window import m4_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    return m4_downsample(ev, bucket="1 hour")
+
+
+@_register(
+    "phrase_match_doc_counts",
+    r"""
+    SELECT phrase, CAST(n AS BIGINT) AS n_docs FROM (
+      SELECT 'table hash' AS phrase,
+             count(*) FILTER (' ' || text || ' ' LIKE '% table hash %') AS n
+      FROM documents
+      UNION ALL
+      SELECT 'customer join',
+             count(*) FILTER (' ' || text || ' ' LIKE '% customer join %')
+      FROM documents
+      UNION ALL
+      SELECT 'big order',
+             count(*) FILTER (' ' || text || ' ' LIKE '% big order %')
+      FROM documents
+      UNION ALL
+      SELECT 'stream table hash',
+             count(*) FILTER (' ' || text || ' ' LIKE '% stream table hash %')
+      FROM documents)
+    ORDER BY phrase
+    """,
+)
+def phrase_match_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase document search (r11) over two bigrams and a
+    trigram: the engine runs the Lucene-style positional-posting
+    chain (analytics/text_analysis.phrase_match_counts — one pruned
+    posting build + k-1 slim semi-joins per phrase); the oracle scans
+    with boundary-padded LIKE — two independent mechanisms that must
+    agree on every count."""
+    from .analytics.text_analysis import phrase_match_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_match_counts(
+        docs, ["table hash", "customer join", "big order", "stream table hash"]
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

@@ -208,3 +208,43 @@ def funnel_conversion(
     for c in counts[1:]:
         out = out.unionAll(c)
     return out
+
+
+def m4_downsample(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    bucket: str = "1 hour",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al. 2014, "M4: A
+    Visualization-Oriented Time Series Data Aggregation", VLDB) — per
+    time bucket keep exactly the four values a pixel column can show:
+    min, max, first, last (plus the point count). The canonical
+    lossless-for-rendering reduction of an arbitrarily dense series
+    before it leaves the cluster (the reference's rolling-window
+    attribute family feeds dashboards the same way).
+
+    first/last tie-break deterministically on (ts, order_col) via
+    min_by/max_by over a struct ordering key. One hash aggregate —
+    map-side partial, no sort, no window function; output is
+    4+1 values per bucket per key regardless of input density."""
+    ks = list(keys or [])
+    ordk = F.struct(F.col(ts_col).alias("t"), F.col(order_col).alias("o"))
+    agg = df.groupBy(F.window(ts_col, bucket).alias("_w"), *ks).agg(
+        F.min(value_col).alias("v_min"),
+        F.max(value_col).alias("v_max"),
+        F.min_by(F.col(value_col), ordk).alias("v_first"),
+        F.max_by(F.col(value_col), ordk).alias("v_last"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )
+    return agg.select(
+        F.col("_w.start").alias("bucket_start"),
+        *ks,
+        "v_min",
+        "v_max",
+        "v_first",
+        "v_last",
+        "n_points",
+    )

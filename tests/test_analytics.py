@@ -1784,3 +1784,25 @@ def test_kmeans_quantized_known_clusters_and_order_invariance(spark):
     shuffled = spark.createDataFrame(list(reversed(pts)), "vec_id long, embedding array<float>").repartition(7)
     rows2 = kmeans_quantized(shuffled, k=2, iterations=2).collect()
     assert {r["cluster_id"]: (r["n_members"], r["centroid_sum"]) for r in rows2} == got
+
+
+def test_phrase_match_counts_positions(spark):
+    """Positional semantics: 'b c' matches only consecutive positions;
+    'a c' (words present, not adjacent) does not match; repeated words
+    and overlapping phrase instances count the doc once."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import phrase_match_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "b a c"),
+            (3, "x b c b c"),
+            (4, "c b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["phrase"]: r["n_docs"]
+        for r in phrase_match_counts(df, ["b c", "a c", "b c b"]).collect()
+    }
+    assert got == {"b c": 2, "a c": 1, "b c b": 1}

@@ -374,3 +374,25 @@ def test_ewma_anomaly_scores_hand_computed(spark):
     df2 = spark.createDataFrame(list(reversed(rows)), df.schema).repartition(5)
     r2 = ewma_anomaly_scores(df2, threshold=50.0).collect()[0]
     assert (r2["n_events"], r2["n_anomalies"], r2["final_ewma"]) == (4, 1, 45.625)
+
+
+def test_m4_downsample_hand_computed(spark):
+    import datetime as dt
+
+    from nifi_minifi_cpp_spark.operators.window import m4_downsample
+
+    b = dt.datetime(2026, 1, 1, 10, 0)
+    rows = [
+        (1, b + dt.timedelta(minutes=1), 1, 5.0),
+        (2, b + dt.timedelta(minutes=2), 2, 1.0),
+        (3, b + dt.timedelta(minutes=3), 3, 9.0),
+        (4, b + dt.timedelta(minutes=50), 4, 3.0),
+        (5, b + dt.timedelta(minutes=70), 5, 7.0),  # next hour
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    got = {
+        r["bucket_start"]: (r["v_min"], r["v_max"], r["v_first"], r["v_last"], r["n_points"])
+        for r in m4_downsample(df).collect()
+    }
+    assert got[b] == (1.0, 9.0, 5.0, 3.0, 4)
+    assert got[b + dt.timedelta(hours=1)] == (7.0, 7.0, 7.0, 7.0, 1)
