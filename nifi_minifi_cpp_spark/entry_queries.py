@@ -8666,6 +8666,79 @@ def phrase_match_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "streaming_session_stats",
+    r"""
+    WITH s AS (SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                 THEN 1 ELSE 0 END AS brk
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (SELECT user_id, ts, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows (r11): the same session_window(ts,
+    30 min) aggregation as the batch entry (session_window_stats),
+    executed by Structured Streaming over a watermarked file stream —
+    the stateful operator merges sessions incrementally as events
+    arrive, which is the property the Catalyst-native sessionizer
+    exists for (the lag/cumsum formulation cannot run on a stream).
+    Complete-mode memory sink so the fixture's final state is read
+    without the append-mode watermark-flush trap; on an unbounded
+    production stream the same query runs append-mode with state
+    evicted at the watermark. Oracle = the batch sessionizer SQL —
+    streaming and batch must agree exactly on every session."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    configure(spark)
+    stage = _stream_events_stage(spark, sf_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    raw = spark.readStream.schema(schema).parquet(stage)
+    agg = (
+        raw.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+    view = f"stream_sess_{_uuid.uuid4().hex[:8]}"
+    with _pinned_shuffle(spark, 4):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+        _shutil.rmtree(stage, ignore_errors=True)
+    return spark.sql(
+        f"SELECT user_id, session_start, session_end, n_events, total_value FROM {view}"
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
