@@ -8739,6 +8739,92 @@ def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "hourly_value_percentiles",
+    r"""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY hour_start
+    """,
+)
+def hourly_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact latency-band percentiles per hour (r11) — the P50/P95/P99
+    dashboard aggregation, computed EXACTLY (Catalyst `percentile`,
+    sort-based linear interpolation) rather than approx_percentile,
+    whose t-digest is engine-specific and not oracle-comparable.
+    Both engines interpolate (1-f)*lo + f*hi over the same sorted
+    doubles, so the values match bit-for-bit (probed before rounding).
+    One hash aggregate; at fleet scale swap in approx_percentile and
+    lose the oracle, or keep exact per-hour sorts — hour shards are
+    independently sized and parallel."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def _hilbert_oracle_sql() -> str:
+    from .plans.layout import hilbert_key_sql_ctes
+
+    ctes = hilbert_key_sql_ctes(
+        # epoch_us // 1e6 floors like Spark's unix_timestamp;
+        # epoch(ts)::BIGINT would ROUND sub-second fractions (the
+        # DuckDB float-cast trap) and shift ~half the keys by one
+        "(SELECT user_id, (user_id & 255) AS bx,"
+        " ((epoch_us(ts) // 1000000) & 255) AS by FROM events)",
+        ["user_id"],
+        "bx",
+        "by",
+        bits=8,
+    )
+    return f"""
+    WITH {ctes}
+    SELECT CAST(hd >> 10 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(hd) AS BIGINT) AS min_h,
+           CAST(max(hd) AS BIGINT) AS max_h
+    FROM h_out GROUP BY 1
+    """
+
+
+@_register("hilbert_layout_buckets", _hilbert_oracle_sql())
+def hilbert_layout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys (r11) — the better-locality sibling
+    of zorder_layout_buckets: consecutive keys are ALWAYS adjacent
+    cells (unit-step continuity is test-locked), so range-partitioned
+    files get strictly tighter bounding boxes than Morton order under
+    min/max pruning. plans/layout.hilbert_key_frame stages the
+    state-carrying reflect+swap unroll as named columns; the oracle
+    runs the identical staged unroll as chained CTEs, and a
+    pure-Python xy2d model locks the construction in tests (the
+    oracle mirrors the unroll, so the model is the independent
+    check)."""
+    configure(spark)
+    from .plans.layout import hilbert_key_frame
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("bx"),
+        F.unix_timestamp("ts").bitwiseAND(F.lit(255)).alias("by"),
+    )
+    keyed = hilbert_key_frame(ev, F.col("bx"), F.col("by"), bits=8, out="hd")
+    return keyed.groupBy(
+        F.shiftright("hd", 10).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min("hd").cast("long").alias("min_h"),
+        F.max("hd").cast("long").alias("max_h"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

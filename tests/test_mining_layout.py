@@ -374,3 +374,37 @@ def test_k_core_peel_known_graph(spark):
     # k above the max degree empties the graph
     row0 = k_core_peel(df, k=10, iterations=2).collect()[0]
     assert (row0["n_nodes"], row0["n_edges"]) == (0, 0)
+
+
+def test_hilbert_key_matches_model_and_is_continuous(spark):
+    """hilbert_key_frame == the reference xy2d algorithm on the full
+    16x16 grid; keys are a bijection and consecutive keys are ALWAYS
+    manhattan-adjacent cells (the locality property Morton lacks —
+    and the reason the layout family has both)."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.plans.layout import hilbert_key_frame
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = hilbert_key_frame(df, F.col("x"), F.col("y"), bits=4).collect()
+    assert all(r["hkey"] == xy2d(16, r["x"], r["y"]) for r in out)
+    m = {r["hkey"]: (r["x"], r["y"]) for r in out}
+    assert len(m) == 256
+    assert all(
+        abs(m[i][0] - m[i + 1][0]) + abs(m[i][1] - m[i + 1][1]) == 1
+        for i in range(255)
+    )
