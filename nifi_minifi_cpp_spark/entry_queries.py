@@ -8891,6 +8891,119 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "embedding_dim_robust_stats",
+    r"""
+    WITH e AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    med AS (SELECT dim, quantile_cont(x, 0.5) AS m FROM e GROUP BY dim),
+    mad AS (SELECT e.dim, quantile_cont(abs(e.x - med.m), 0.5) AS d
+            FROM e JOIN med ON e.dim = med.dim GROUP BY e.dim)
+    SELECT med.dim AS dim, round(med.m, 6) AS dim_median,
+           round(mad.d, 6) AS dim_mad
+    FROM med JOIN mad ON med.dim = mad.dim
+    """,
+)
+def embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension robust scaling statistics (r11): exact median and
+    MAD (median absolute deviation) for every embedding dimension —
+    the outlier-immune normalization a curation pipeline fits before
+    robust-scaling vectors (mean/std is one corrupt shard away from
+    garbage). Shape: posexplode to (dim, x) — the standard columnar-
+    stats layout — one exact percentile per dim, broadcast the 64-row
+    median table back, second percentile over |x - med|. Exact
+    sort-based percentile interpolation is bit-identical across
+    engines (probed for the hourly bands); dims are independent and
+    parallel at any scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode("embedding").alias("dim0", "xf")
+    ).select((F.col("dim0") + 1).alias("dim"), F.col("xf").cast("double").alias("x"))
+    med = e.groupBy("dim").agg(F.percentile("x", F.lit(0.5)).alias("m"))
+    mad = (
+        e.join(F.broadcast(med), "dim")
+        .groupBy("dim")
+        .agg(F.percentile(F.abs(F.col("x") - F.col("m")), F.lit(0.5)).alias("d"))
+    )
+    return (
+        med.join(mad, "dim")
+        .select("dim", F.round("m", 6).alias("dim_median"), F.round("d", 6).alias("dim_mad"))
+    )
+
+
+@_register(
+    "streaming_ewma_scores",
+    r"""
+    WITH s AS (
+      SELECT user_id,
+             list(struct_pack(t := ts, o := event_id, v := CAST(value AS DOUBLE))
+                  ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id),
+    v AS (SELECT user_id, list_transform(seq, e -> e.v) AS vals FROM s)
+    SELECT user_id,
+      CAST(len(vals) AS BIGINT) AS n_events,
+      CAST(len(list_filter(range(2, len(vals) + 1),
+         i -> abs(vals[i] - list_reduce(vals[1:i-1],
+                    (acc, x) -> 0.25*x + 0.75*acc)) > 100.0)) AS BIGINT)
+        AS n_anomalies,
+      round(list_reduce(vals, (acc, x) -> 0.25*x + 0.75*acc), 6) AS final_ewma
+    FROM v
+    """,
+)
+def streaming_ewma_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EWMA anomaly scoring (r11): the recursive per-key
+    fold of ewma_anomaly_scores executed as a CUSTOM STATEFUL
+    operator (applyInPandasWithState — numeric state class, next to
+    the bin packer's list state and the defragmenter's buffer state):
+    one O(1) (smoothed, anomalies, count) state row per key survives
+    across micro-batches, which is how an unbounded telemetry stream
+    gets EWMA at all (the batch array_sort fold needs the whole
+    timeline). Oracle = the same independent nested-list_reduce SQL
+    as the batch entry — streaming and batch must agree on every
+    user's totals and final smoothed value to the bit."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from .streaming.stateful import ewma_scores_stream
+
+    configure(spark)
+    stage = _stream_events_stage(spark, sf_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    raw = spark.readStream.schema(schema).parquet(stage)
+    scored = ewma_scores_stream(raw, key_col="user_id")
+    view = f"stream_ewma_{_uuid.uuid4().hex[:8]}"
+    with _pinned_shuffle(spark, 4):
+        q = (
+            scored.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+        _shutil.rmtree(stage, ignore_errors=True)
+    # one emission per key per micro-batch: keep each key's LAST row
+    # (max n_events), then round Catalyst-side (HALF_UP, not Python's
+    # banker's round)
+    emitted = spark.sql(f"SELECT * FROM {view}")
+    final = emitted.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("n_events", "n_anomalies", "final_ewma"), F.col("n_events")
+        ).alias("_r")
+    )
+    return final.select(
+        "user_id",
+        F.col("_r.n_events").alias("n_events"),
+        F.col("_r.n_anomalies").alias("n_anomalies"),
+        F.round(F.col("_r.final_ewma"), 6).alias("final_ewma"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

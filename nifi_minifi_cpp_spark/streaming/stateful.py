@@ -344,3 +344,64 @@ def merge_content_bin_packing_tws(
     return df.groupBy(correlation_col).transformWithStateInPandas(
         BinPacker(), MERGED_SCHEMA, "append", "ProcessingTime"
     )
+
+
+EWMA_OUT_SCHEMA = "user_id long, n_events long, n_anomalies long, final_ewma double"
+_EWMA_STATE_SCHEMA = "s double, anom long, n long"
+
+
+def make_ewma_scorer(alpha: float = 0.25, threshold: float = 100.0):
+    """Build the applyInPandasWithState function for streaming EWMA
+    anomaly scoring — the third custom-stateful operator class next to
+    the bin packer (list state) and the defragmenter (buffer state):
+    NUMERIC recursive state, the (smoothed, anomalies, count) triple
+    the batch ``ewma_anomaly_scores`` fold carries, persisted across
+    micro-batches so an unbounded per-key telemetry stream keeps one
+    O(1) state row per key. Rows are folded in (ts, event_id) order
+    within each batch; cross-batch order is the source's contract
+    (same per-key-timeline assumption as the sessionizer).
+
+    Returns (func, output_schema, state_schema). The emitted
+    final_ewma is the RAW double — rounding happens Catalyst-side so
+    the engine's HALF_UP rule applies, not Python's banker's round.
+    """
+
+    def score(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        user = key[0]
+        s, anom, n = state.get if state.exists else (None, 0, 0)
+        frames = [pdf[["ts", "event_id", "value"]] for pdf in pdf_iter]
+        if frames:
+            batch = pd.concat(frames).sort_values(["ts", "event_id"])
+            for x in batch["value"]:
+                x = float(x)
+                if s is not None and abs(x - s) > threshold:
+                    anom += 1
+                s = x if s is None else alpha * x + (1.0 - alpha) * s
+                n += 1
+        state.update((float(s) if s is not None else None, int(anom), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [user],
+                "n_events": [n],
+                "n_anomalies": [anom],
+                "final_ewma": [s],
+            }
+        )
+
+    return score, EWMA_OUT_SCHEMA, _EWMA_STATE_SCHEMA
+
+
+def ewma_scores_stream(
+    df: DataFrame,
+    key_col: str = "user_id",
+    alpha: float = 0.25,
+    threshold: float = 100.0,
+) -> DataFrame:
+    """Wire the EWMA scorer onto a streaming frame: one state row per
+    key, update-mode emissions each micro-batch."""
+    func, out_schema, state_schema = make_ewma_scorer(alpha, threshold)
+    return df.groupBy(key_col).applyInPandasWithState(
+        func, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

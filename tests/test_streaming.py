@@ -817,3 +817,73 @@ def test_partitioned_upsert_leaves_untouched_partitions_alone(spark, tmp_path):
     expected = {(k, n) for k, n in expected if k != target}
     expected |= {(target, 99), ("epsilon", 50)}
     assert got == expected
+
+
+def test_streaming_ewma_state_carries_across_batches(spark, tmp_path):
+    """Two micro-batches in timeline order: the numeric state triple
+    must carry across the batch boundary so the final totals equal
+    the batch fold over the full sequence (10,10,200,10 with
+    threshold 50 -> 1 anomaly, final 45.625 — the hand-computed
+    ewma_anomaly_scores case split across two files)."""
+    import datetime as dt
+
+    from nifi_minifi_cpp_spark.streaming.stateful import ewma_scores_stream
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(minutes=i), i, x)
+        for i, x in enumerate([10.0, 10.0, 200.0, 10.0])
+    ]
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    spark.createDataFrame(rows[:2], schema).coalesce(1).write.parquet(
+        str(stage / "a")
+    )
+    spark.createDataFrame(rows[2:], schema).coalesce(1).write.parquet(
+        str(stage / "b")
+    )
+    import os
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import time as _time
+
+    now = _time.time()
+    for i, sub in enumerate(["a", "b"]):
+        for f in os.listdir(stage / sub):
+            if f.endswith(".parquet"):
+                dst = flat / f"{sub}-{f}"
+                shutil.copy(stage / sub / f, dst)
+                # FileStreamSource orders batches by modification time:
+                # pin mtimes so batch a precedes batch b
+                os.utime(dst, (now - 100 + i * 50, now - 100 + i * 50))
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    scored = ewma_scores_stream(raw, key_col="user_id", threshold=50.0)
+    import uuid
+
+    view = f"ewma_t_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(view)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    rows_out = spark.sql(
+        f"SELECT * FROM {view} ORDER BY n_events"
+    ).collect()
+    # two emissions for user 1 (one per batch); the last carries the
+    # cross-batch totals
+    assert [r["n_events"] for r in rows_out] == [2, 4]
+    last = rows_out[-1]
+    assert (last["n_anomalies"], round(last["final_ewma"], 6)) == (1, 45.625)
