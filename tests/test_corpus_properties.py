@@ -419,3 +419,65 @@ def test_normalize_text_matches_python_model(texts):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [r["c"] for r in df.select(normalize_text(F.col("text")).alias("c")).collect()]
     assert got == [_model_normalize_text(t) for t in texts]
+
+
+def _model_bfs(edges, seeds, iterations):
+    """Pure-Python frontier relaxation."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    for _ in range(iterations):
+        new = dict(dist)
+        for u, d in dist.items():
+            for v in adj.get(u, ()):
+                if v not in new or d + 1 < new[v]:
+                    new[v] = d + 1
+        dist = new
+    return dist
+
+
+def _model_kcore(edges, k, iterations):
+    """Pure-Python fixed-round peeling on the simple undirected graph."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    for _ in range(iterations):
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        es = {e for e in es if e[0] in keep and e[1] in keep}
+    nodes = {n for e in es for n in e}
+    return len(nodes), len(es)
+
+
+graph_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(graph_edges, st.sets(st.integers(0, 12), min_size=1, max_size=3))
+def test_bfs_hops_matches_python_model(edges, seeds):
+    from nifi_minifi_cpp_spark.analytics.graph import bfs_hops
+
+    spark = _spark()
+    sym = edges + [(b, a) for a, b in edges]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(e, sdf, iterations=3).collect()}
+    assert got == _model_bfs(edges, seeds, 3)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(graph_edges, st.integers(1, 4))
+def test_k_core_matches_python_model(edges, k):
+    from nifi_minifi_cpp_spark.analytics.graph import k_core_peel
+
+    spark = _spark()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = k_core_peel(df, k=k, iterations=3).collect()[0]
+    assert (row["n_nodes"], row["n_edges"]) == _model_kcore(edges, k, 3)
