@@ -7282,12 +7282,7 @@ def pagerank_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem")
-    fwd = li.select(
-        (F.col("l_suppkey") * 2).alias("src"),
-        (F.col("l_partkey") * 2 + 1).alias("dst"),
-    )
-    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    out = pagerank(edges, iterations=3, damping=0.85)
+    out = pagerank(_supplier_part_edges(li), iterations=3, damping=0.85)
     label = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("s"), (F.col("node") / 2).cast("long").cast("string")),
@@ -7594,11 +7589,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     from .analytics.graph import label_propagation
 
     li = _t(spark, sf_dir, "lineitem")
-    edges = li.select(
-        (F.col("l_suppkey") * 2).alias("src"),
-        (F.col("l_partkey") * 2 + 1).alias("dst"),
-    )
-    out = label_propagation(edges, iterations=2)
+    out = label_propagation(_supplier_part_edges(li, symmetric=False), iterations=2)
 
     def _decode(c: str):
         return F.when(
@@ -8231,6 +8222,22 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _supplier_part_edges(li, symmetric: bool = True):
+    """Packed-long supplier-part bipartite edges shared by the graph
+    entries (supplier -> 2k, part -> 2k+1 — 8-byte keys through every
+    shuffle; decode to 's…'/'p…' labels only in final projections)."""
+    fwd = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    if not symmetric:
+        return fwd
+    return fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 def _bpe_oracle_sql(n: int) -> str:
     """Unrolled-CTE DuckDB oracle for ``bpe_train`` — the
     ``pagerank_supplier_parts`` pattern: one (pair-census p{i}, argmax
@@ -8412,13 +8419,7 @@ def bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics.graph import bfs_hops
 
     li = _t(spark, sf_dir, "lineitem")
-    fwd = li.select(
-        (F.col("l_suppkey") * 2).alias("src"),
-        (F.col("l_partkey") * 2 + 1).alias("dst"),
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _supplier_part_edges(li)
     seeds = (
         li.filter(F.col("l_suppkey") <= 10)
         .select((F.col("l_suppkey") * 2).alias("node"))
@@ -8490,11 +8491,7 @@ def kcore_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics.graph import k_core_peel
 
     li = _t(spark, sf_dir, "lineitem")
-    fwd = li.select(
-        (F.col("l_suppkey") * 2).alias("src"),
-        (F.col("l_partkey") * 2 + 1).alias("dst"),
-    )
-    return k_core_peel(fwd, k=5, iterations=3)
+    return k_core_peel(_supplier_part_edges(li, symmetric=False), k=5, iterations=3)
 
 
 def _bpe_tokenize_oracle_sql(n: int) -> str:
