@@ -9087,6 +9087,98 @@ def retention_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "timeline_gap_report",
+    r"""
+    WITH s AS (
+      SELECT user_id, ts, lag(ts) OVER w AS prev
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           CAST(count(*) FILTER (prev IS NOT NULL
+                AND epoch_us(ts) - epoch_us(prev) > 21600000000) AS BIGINT)
+             AS n_gaps,
+           CAST(coalesce(max(CASE WHEN prev IS NOT NULL
+                THEN (epoch_us(ts) - epoch_us(prev)) // 1000000 END), 0)
+             AS BIGINT) AS max_gap_seconds
+    FROM s GROUP BY user_id
+    """,
+)
+def timeline_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key timeline gap detection (r11) — the COMPLEMENT of
+    sessionization: sessions group activity, this reports the silent
+    intervals (sensor outage / feed-lapse detection, the monitoring
+    half of the reference's telemetry sources — ProcFsMonitor etc.
+    report values; a pipeline also needs to notice when they STOP).
+    One lag window per key ordered (ts, event_id); gaps over 6 hours
+    counted, plus the worst gap in whole seconds (integer floor —
+    microsecond-exact in both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev"),
+    )
+    gap_us = F.unix_micros("ts") - F.unix_micros("prev")
+    return s.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("prev").isNotNull() & (gap_us > 21_600_000_000), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_gaps"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("prev").isNotNull(), F.floor(gap_us / 1_000_000)
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_gap_seconds"),
+    )
+
+
+@_register(
+    "copurchase_supplier_pairs",
+    r"""
+    WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    pairs AS (
+      SELECT a.s AS supp_a, b.s AS supp_b, count(*) AS shared_parts
+      FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s)
+    SELECT supp_a, supp_b, CAST(shared_parts AS BIGINT) AS shared_parts
+    FROM pairs
+    ORDER BY shared_parts DESC, supp_a ASC, supp_b ASC LIMIT 20
+    """,
+)
+def copurchase_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite co-occurrence projection (r11) — the recommender
+    primitive: project the part-supplier graph onto suppliers with
+    edge weight = number of shared parts, top 20 pairs. This is the
+    wedge join the triangle census deliberately avoids — legitimate
+    HERE because the projection IS the product (co-occurrence mining),
+    and per-part supplier degrees are bounded (each part has a handful
+    of suppliers), so the wedge count is sum(deg^2) over SMALL
+    degrees, not hub-quadratic. One self-equi-join on the shared side
+    + partial-agg count + TakeOrdered top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a = e.select("p", F.col("s").alias("supp_a"))
+    b = e.select("p", F.col("s").alias("supp_b"))
+    pairs = (
+        a.join(b, "p")
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_parts"))
+    )
+    return pairs.orderBy(
+        F.col("shared_parts").desc(), F.col("supp_a").asc(), F.col("supp_b").asc()
+    ).limit(20)
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
