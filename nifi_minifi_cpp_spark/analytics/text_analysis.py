@@ -1707,15 +1707,19 @@ def phrase_match_counts(
     """Positional phrase search (r11) — the exact-phrase upgrade of
     the term inverted index (Lucene/Elasticsearch's phrase query,
     built the way they build it): explode tokens WITH positions,
-    prune the posting table to only the phrases' vocabulary at the
-    scan (pushed filter), and for each phrase chain semi-joins on
-    (doc, position - offset) so a row survives exactly when every
-    phrase word appears at consecutive positions. Returns
+    prune the exploded postings to only the phrases' vocabulary (the
+    isin filter runs inside the generate stage's codegen, BEFORE
+    anything materializes — the parquet scan itself still reads the
+    text column, as any index BUILD must), and for each phrase chain
+    semi-joins on (doc, position - offset) so a row survives exactly
+    when every phrase word appears at consecutive positions. Returns
     (phrase, n_docs).
 
     100 TB shape: the posting table is built ONCE for the union
-    vocabulary (pushdown keeps it a tiny fraction of the corpus),
-    barriered, and each phrase costs k-1 slim (id, pos) semi-joins —
+    vocabulary (the codegen filter keeps the MATERIALIZED postings a
+    tiny fraction of the corpus; with a persisted positional index
+    the build pass disappears entirely), barriered, and each phrase
+    costs k-1 slim (id, pos) semi-joins —
     no full-text rescans per phrase, no regex over content. The SQL
     oracle deliberately uses the OTHER mechanism (boundary-padded
     LIKE scans) so the two constructions check each other."""
