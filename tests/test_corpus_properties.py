@@ -481,3 +481,65 @@ def test_k_core_matches_python_model(edges, k):
     df = spark.createDataFrame(edges, "src long, dst long")
     row = k_core_peel(df, k=k, iterations=3).collect()[0]
     assert (row["n_nodes"], row["n_edges"]) == _model_kcore(edges, k, 3)
+
+
+def _model_kmeans(pts, k, iterations):
+    """Pure-Python integer-quantized Lloyd reference: quantize,
+    seed from the k smallest ids, exact integer distances, argmin
+    ties to the smaller cluster, floor-div centroid update, emptied
+    clusters drop."""
+    import math
+
+    def half_up(y):  # Spark/DuckDB round: half away from zero (not banker's)
+        return math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)
+
+    q = {i: [half_up(x * 1000.0) for x in v] for i, v in pts}
+    seeds = sorted(q)[:k]
+    cents = {c: q[i][:] for c, i in enumerate(seeds)}
+    assign = {}
+    for _ in range(iterations):
+        assign = {}
+        for i, v in q.items():
+            best = min(
+                cents.items(),
+                key=lambda cv: (sum((a - b) ** 2 for a, b in zip(v, cv[1])), cv[0]),
+            )[0]
+            assign[i] = best
+        new = {}
+        for c in set(assign.values()):
+            members = [q[i] for i in q if assign[i] == c]
+            new[c] = [
+                sum(col) // len(members) for col in zip(*members)
+            ]  # python // floors like the engine
+        cents = new
+    sizes = {}
+    for c in assign.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    return {c: (sizes[c], sum(cents[c])) for c in cents}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-2.0, 2.0, allow_nan=False, allow_infinity=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=4,
+        max_size=15,
+    )
+)
+def test_kmeans_quantized_matches_python_model(vecs):
+    from nifi_minifi_cpp_spark.analytics.clustering import kmeans_quantized
+
+    spark = _spark()
+    pts = list(enumerate(vecs))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["cluster_id"]: (r["n_members"], r["centroid_sum"])
+        for r in kmeans_quantized(df, k=2, iterations=2).collect()
+    }
+    assert got == _model_kmeans(pts, 2, 2)
