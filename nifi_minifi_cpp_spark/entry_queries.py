@@ -9179,6 +9179,61 @@ def copurchase_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+@_register(
+    "first_touch_attribution",
+    r"""
+    WITH c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS pid, ts AS pts FROM events
+          WHERE event_type = 'purchase'),
+    f AS (SELECT p.user_id, p.pid, p.pts, min(c.cts) AS fct
+          FROM p JOIN c ON c.user_id = p.user_id
+            AND c.cts >= p.pts - INTERVAL 24 HOUR AND c.cts < p.pts
+          GROUP BY p.user_id, p.pid, p.pts)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_attributed,
+           round(avg((epoch_us(pts) - epoch_us(fct)) // 1000000), 2)
+             AS avg_lead_seconds
+    FROM f GROUP BY user_id
+    """,
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution (r11) — the fourth temporal-join
+    flavor: the as-of join answers "the LATEST event before"; this
+    answers "the EARLIEST event within a bounded look-back" (the
+    marketing-attribution primitive). Each purchase joins its user's
+    clicks in the strict 24h window via the binned
+    ``operators.temporal.range_join`` (hash equi-join on
+    (user, bin) + exact containment — no inequality scan), then
+    min(click_ts) per purchase and per-user rollup: attributed
+    purchase count + average lead seconds (integer floor —
+    microsecond-exact, so the avg divides exact integer sums)."""
+    from .operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        (F.col("ts") - F.expr("INTERVAL 24 HOURS")).alias("w_start"),
+    )
+    j = range_join(
+        clicks,
+        purch,
+        point_col="cts",
+        start_col="w_start",
+        end_col="pts",
+        on="user_id",
+    )
+    first = j.groupBy("user_id", "pid", "pts").agg(F.min("cts").alias("fct"))
+    lead_s = F.floor((F.unix_micros("pts") - F.unix_micros("fct")) / 1_000_000)
+    return first.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_attributed"),
+        F.round(F.avg(lead_s), 2).alias("avg_lead_seconds"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
