@@ -9234,6 +9234,68 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "inference_length_buckets",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok
+      FROM documents),
+    b AS (
+      SELECT doc_id, n_tok,
+             CAST(CASE WHEN n_tok <= 1 THEN 1
+                  ELSE (1::BIGINT << length(bin(n_tok - 1))) END AS BIGINT)
+               AS bucket_cap
+      FROM t)
+    SELECT bucket_cap,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(bucket_cap - n_tok) AS BIGINT) AS padding_waste
+    FROM b GROUP BY bucket_cap
+    """,
+)
+def inference_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference batch length-bucketing (r11): assign every document
+    to the next power-of-two token-length bucket and account the
+    padding waste per bucket — the serving-side batching report that
+    decides bucket boundaries (padding dominates GPU cost when
+    batches mix lengths; power-of-two bucketing is the standard
+    compromise). Integer arithmetic end-to-end: the bucket cap is
+    1 << bit_length(n-1) computed on exact token counts via bin()
+    string length — no float log2 whose libm rounding could flip an
+    exact-power boundary — so both engines agree bit-for-bit. One projection + one hash aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    t = docs.select("doc_id", n_tok.alias("n_tok"))
+    # exact integer next-power-of-two: 1 << bit_length(n-1) — float
+    # log2/ceil could flip at exact-power boundaries depending on the
+    # engine's libm, bin() string length cannot
+    cap = (
+        F.when(F.col("n_tok") <= 1, F.lit(1).cast("long"))
+        .otherwise(
+            # shiftleft's wrapper demands a Python-int bit count; the
+            # SQL function takes a Column fine (verify-skill gotcha)
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.length(F.bin(F.col("n_tok") - 1)),
+            )
+        )
+        .cast("long")
+    )
+    return (
+        t.select("doc_id", "n_tok", cap.alias("bucket_cap"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(F.col("bucket_cap") - F.col("n_tok")).cast("long").alias(
+                "padding_waste"
+            ),
+        )
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
