@@ -9296,6 +9296,249 @@ def inference_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "referential_integrity_audit",
+    r"""
+    SELECT 'lineitem->orders' AS edge,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+           (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan_rows
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(DISTINCT l_partkey) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(DISTINCT l_suppkey) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(DISTINCT o_custkey) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(DISTINCT c_nationkey) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(DISTINCT s_nationkey) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)),
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(DISTINCT n_regionkey) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)),
+           (SELECT count(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-wide FK sweep (r11) — the promotion gate run over the
+    WHOLE warehouse before a snapshot goes live: every FK edge of the
+    TPC-H-ish schema audited in one result (child volume, orphan key
+    count, orphan row count per edge). Complements ``dq_report``
+    (per-table checks) and ``orders_reconciliation_diff`` (two
+    snapshots of ONE table). Each edge collapses the child to a slim
+    (key, cnt) aggregate before probing the parent's distinct keys —
+    orphan ROWS are recovered as sum(cnt), so the child is scanned
+    once per edge and the join carries key-cardinality rows only.
+    The oracle is an independent NOT-EXISTS construction (the engine
+    runs per-key LEFT joins). Fixture FKs are clean, so the audit's
+    substance is the per-edge child/key accounting."""
+    from .operators.dq import referential_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return referential_audit(
+        [
+            ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+            ("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
+            ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+            ("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+            ("supplier->nation", supp, "s_nationkey", nation, "n_nationkey"),
+            ("nation->region", nation, "n_regionkey", region, "r_regionkey"),
+        ]
+    )
+
+
+@_register(
+    "fd_profile_candidates",
+    r"""
+    WITH g1 AS (SELECT o_custkey,
+                       count(DISTINCT o_orderpriority)
+                       + max(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nd
+                FROM orders GROUP BY o_custkey),
+    g2 AS (SELECT o_orderkey,
+                  count(DISTINCT o_orderstatus)
+                  + max(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nd
+           FROM orders GROUP BY o_orderkey),
+    g3 AS (SELECT l_orderkey,
+                  count(DISTINCT l_linestatus)
+                  + max(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS nd
+           FROM lineitem GROUP BY l_orderkey),
+    g4 AS (SELECT l_orderkey, l_linenumber,
+                  count(DISTINCT l_returnflag)
+                  + max(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nd
+           FROM lineitem GROUP BY l_orderkey, l_linenumber),
+    g5 AS (SELECT source,
+                  count(DISTINCT lang)
+                  + max(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nd
+           FROM documents GROUP BY source)
+    SELECT 'orders:o_custkey->o_orderpriority' AS fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+           CAST(max(nd) AS BIGINT) AS max_consequents,
+           max(nd) <= 1 AS holds
+    FROM g1
+    UNION ALL
+    SELECT 'orders:o_orderkey->o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(max(nd) AS BIGINT), max(nd) <= 1 FROM g2
+    UNION ALL
+    SELECT 'lineitem:l_orderkey->l_linestatus', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(max(nd) AS BIGINT), max(nd) <= 1 FROM g3
+    UNION ALL
+    SELECT 'lineitem:l_orderkey,l_linenumber->l_returnflag', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(max(nd) AS BIGINT), max(nd) <= 1 FROM g4
+    UNION ALL
+    SELECT 'documents:source->lang', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(max(nd) AS BIGINT), max(nd) <= 1 FROM g5
+    """,
+)
+def fd_profile_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency candidate profiling (r11) — the
+    TANE-style single-pass FD check (Huhtala et al. 1999's validation
+    step, not the lattice search): for each candidate
+    antecedent->consequent, how many antecedent groups exist, how many
+    violate (>1 distinct consequent), and the worst group's consequent
+    count. The schema-discovery primitive behind ``dq_report``'s
+    uniqueness checks — run when deciding whether a column is
+    derivable (and hence droppable/normalizable) from another. Five
+    candidates spanning holds-by-key, composite-key, and genuinely
+    violating shapes; each is one expand-based hash aggregate plus a
+    tiny rollup. NULL consequents count as one extra distinct value
+    (flag-folded, no value set materialized)."""
+    from .operators.dq import fd_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    docs = _t(spark, sf_dir, "documents")
+    return fd_profile(
+        [
+            (
+                "orders:o_custkey->o_orderpriority",
+                orders,
+                ["o_custkey"],
+                "o_orderpriority",
+            ),
+            (
+                "orders:o_orderkey->o_orderstatus",
+                orders,
+                ["o_orderkey"],
+                "o_orderstatus",
+            ),
+            (
+                "lineitem:l_orderkey->l_linestatus",
+                li,
+                ["l_orderkey"],
+                "l_linestatus",
+            ),
+            (
+                "lineitem:l_orderkey,l_linenumber->l_returnflag",
+                li,
+                ["l_orderkey", "l_linenumber"],
+                "l_returnflag",
+            ),
+            ("documents:source->lang", docs, ["source"], "lang"),
+        ]
+    )
+
+
+@_register(
+    "unattributed_purchases",
+    r"""
+    WITH p AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    u AS (SELECT * FROM p WHERE NOT EXISTS (
+            SELECT 1 FROM events c WHERE c.event_type = 'click'
+              AND c.user_id = p.user_id
+              AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts))
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_unattributed,
+           round(sum(value), 2) AS unattributed_value
+    FROM u GROUP BY user_id
+    """,
+)
+def unattributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed temporal ANTI join (r11) — the complement of
+    ``first_touch_attribution``: purchases with NO click from the same
+    user in the strict prior-24h window (the "organic conversions /
+    broken-tracking" report; more generally the did-NOT-happen-within-
+    window monitoring primitive the reference's users build with
+    RouteOnAttribute + expiry). Matches come from the binned
+    ``range_join`` (hash equi-join + containment); the anti set is a
+    LEFT ANTI on purchase id against the matched ids — no inequality
+    scan anywhere. Oracle = NOT EXISTS on the raw inequality.
+    Per-user rollup: count + revenue at risk (rounded sum)."""
+    from .operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        "value",
+        (F.col("ts") - F.expr("INTERVAL 24 HOURS")).alias("w_start"),
+    )
+    matched = (
+        range_join(
+            clicks,
+            purch,
+            point_col="cts",
+            start_col="w_start",
+            end_col="pts",
+            on="user_id",
+        )
+        .select("pid")
+        .distinct()
+    )
+    un = purch.join(matched, "pid", "left_anti")
+    return un.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unattributed"),
+        F.round(F.sum("value"), 2).alias("unattributed_value"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

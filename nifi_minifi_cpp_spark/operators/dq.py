@@ -120,3 +120,101 @@ def dq_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def referential_audit(
+    edges: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table foreign-key sweep: one row per FK edge with child
+    volume and orphan accounting — the promotion gate a warehouse runs
+    over a whole snapshot (vs ``dq_report``'s per-table checks).
+
+    ``edges`` is ``(name, child_df, fk_col, parent_df, pk_col)``.
+    Returns ``(edge, n_child, n_orphan_keys, n_orphan_rows)``.
+
+    100 TB shape: each edge first collapses the child to a slim
+    (key, cnt) aggregate — the per-key count table is bounded by key
+    cardinality, not child volume, and the count is map-side combined
+    — then LEFT-joins the parent's distinct keys; AQE broadcasts the
+    parent side for dimension tables. The row-level orphan count is
+    recovered as sum(cnt) over unmatched keys, so no second scan of
+    the child ever happens. NULL fks count as orphans (a NULL FK
+    violates the reference)."""
+    parts = []
+    for name, child, fk, parent, pk in edges:
+        keyed = child.groupBy(F.col(fk).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        pkeys = parent.select(F.col(pk).alias("_k")).distinct().withColumn(
+            "_hit", F.lit(1)
+        )
+        j = keyed.join(pkeys, "_k", "left")
+        orphan = F.col("_hit").isNull()
+        parts.append(
+            j.agg(
+                F.lit(name).alias("edge"),
+                F.sum("_cnt").cast("long").alias("n_child"),
+                F.sum(F.when(orphan, 1).otherwise(0)).cast("long").alias(
+                    "n_orphan_keys"
+                ),
+                F.coalesce(
+                    F.sum(F.when(orphan, F.col("_cnt"))), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_orphan_rows"),
+            )
+        )
+    if not parts:
+        raise ValueError("referential_audit needs at least one edge")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def fd_profile(
+    candidates: list[tuple[str, DataFrame, list[str], str]],
+) -> DataFrame:
+    """Functional-dependency candidate profiling: for each candidate
+    FD ``antecedent -> consequent``, report how close the data comes
+    to satisfying it — the schema-discovery primitive (TANE-style
+    single-pass check) a pipeline runs before trusting a column as a
+    derivable attribute.
+
+    ``candidates`` is ``(name, df, antecedent_cols, consequent_col)``.
+    Returns ``(fd, n_groups, n_violating_groups, max_consequents,
+    holds)`` where a violating group has >1 distinct consequent.
+
+    100 TB shape: one hash aggregate per candidate on the antecedent
+    (map-side combined count-distinct via Catalyst's expand), then a
+    second tiny aggregate over the per-group table — group counts are
+    bounded by antecedent cardinality. NULL consequents count as a
+    distinct value (NULL != value for FD purposes)."""
+    parts = []
+    for name, df, ante, cons in candidates:
+        # count-distinct rides Catalyst's expand (no value set is ever
+        # materialized per group); NULL is folded back in as one extra
+        # distinct value via a max flag
+        per_group = df.groupBy(*[F.col(c) for c in ante]).agg(
+            (
+                F.countDistinct(F.col(cons))
+                + F.max(F.when(F.col(cons).isNull(), 1).otherwise(0))
+            ).alias("_nd")
+        )
+        parts.append(
+            per_group.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating_groups"),
+                F.max("_nd").cast("long").alias("max_consequents"),
+                (F.max("_nd") <= 1).alias("holds"),
+            )
+        )
+    if not parts:
+        raise ValueError("fd_profile needs at least one candidate")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -252,3 +252,52 @@ def test_reconcile_statuses_partition_the_key_universe(spark):
     from collections import Counter
 
     assert Counter(r["status"] for r in per_key) == Counter(summary)
+
+
+def test_referential_audit_counts_orphans_and_null_fks(spark):
+    from nifi_minifi_cpp_spark.operators.dq import referential_audit
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (9,), (9,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    rows = referential_audit([("c->p", child, "fk", parent, "pk")]).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    # orphan keys: 9 and NULL; orphan rows: three 9s + one NULL
+    assert r == {
+        "edge": "c->p",
+        "n_child": 7,
+        "n_orphan_keys": 2,
+        "n_orphan_rows": 4,
+    }
+
+
+def test_fd_profile_null_is_a_distinct_consequent(spark):
+    from nifi_minifi_cpp_spark.operators.dq import fd_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, None), (2, "b"), (2, "b"), (3, None)],
+        "k long, v string",
+    )
+    rows = {
+        r["fd"]: r.asDict()
+        for r in fd_profile([("k->v", df, ["k"], "v")]).collect()
+    }
+    r = rows["k->v"]
+    # group 1 has {a, NULL} = 2 consequents (violates); 2 has {b};
+    # 3 has {NULL} = 1 consequent (holds)
+    assert r["n_groups"] == 3
+    assert r["n_violating_groups"] == 1
+    assert r["max_consequents"] == 2
+    assert r["holds"] is False
+
+
+def test_fd_profile_composite_key_holds(spark):
+    from nifi_minifi_cpp_spark.operators.dq import fd_profile
+
+    df = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "y"), (2, 1, "x")], "a long, b long, v string"
+    )
+    rows = fd_profile([("ab->v", df, ["a", "b"], "v")]).collect()
+    assert rows[0]["holds"] is True and rows[0]["n_violating_groups"] == 0
