@@ -9539,6 +9539,221 @@ def unattributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "event_motif_counts",
+    r"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(left(event_type, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id),
+    m AS (SELECT unnest(['vcp', 'ee', 'se']) AS motif),
+    occ AS (
+      SELECT m.motif, seq.user_id,
+             (length(s) - length(replace(s, m.motif, ''))) // length(m.motif)
+               AS n
+      FROM seq, m)
+    SELECT motif,
+           CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_occurrences
+    FROM occ GROUP BY motif
+    """,
+)
+def event_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-motif mining (r11) — MATCH_RECOGNIZE-lite: each user's
+    event history becomes an ordered initial-string (v/c/p/e/s per
+    event, ordered ts then event_id) and motifs are counted as
+    non-overlapping substring occurrences — 'vcp' (browse-to-buy),
+    'ee' (repeated errors), 'se' (signup straight into error). The
+    pattern-over-sequence primitive funnels can't express (funnels
+    test EXISTENCE of an ordered subsequence; motifs count ADJACENT
+    runs). One groupBy builds the per-user string via
+    array_sort(collect_list(struct)) — per-user state is bounded by
+    per-user activity, the axis the sf-probe model holds constant at
+    scale — then a literal-motif explode and the
+    length-difference count; substring counting stays in codegen
+    (replace/length), no regex engine in the hot path."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring(F.col("event_type"), 1, 1).alias("ini"),
+                        )
+                    )
+                ),
+                lambda x: x["ini"],
+            ),
+            "",
+        ).alias("s")
+    )
+    motifs = F.explode(F.array(F.lit("vcp"), F.lit("ee"), F.lit("se"))).alias(
+        "motif"
+    )
+    occ = seq.select("user_id", "s", motifs).select(
+        "motif",
+        (
+            (
+                F.length("s")
+                - F.length(F.replace(F.col("s"), F.col("motif"), F.lit("")))
+            )
+            / F.length("motif")
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    return occ.groupBy("motif").agg(
+        F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_occurrences"),
+    )
+
+
+@_register(
+    "corr_event_type_hours",
+    r"""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS v,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS p,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS e,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE) AS s
+      FROM events GROUP BY 1)
+    SELECT 'view~click' AS pair, round(corr(v, c), 4) AS pearson FROM h
+    UNION ALL SELECT 'view~purchase', round(corr(v, p), 4) FROM h
+    UNION ALL SELECT 'view~error', round(corr(v, e), 4) FROM h
+    UNION ALL SELECT 'view~signup', round(corr(v, s), 4) FROM h
+    UNION ALL SELECT 'click~purchase', round(corr(c, p), 4) FROM h
+    UNION ALL SELECT 'click~error', round(corr(c, e), 4) FROM h
+    UNION ALL SELECT 'click~signup', round(corr(c, s), 4) FROM h
+    UNION ALL SELECT 'purchase~error', round(corr(p, e), 4) FROM h
+    UNION ALL SELECT 'purchase~signup', round(corr(p, s), 4) FROM h
+    UNION ALL SELECT 'error~signup', round(corr(e, s), 4) FROM h
+    """,
+)
+def corr_event_type_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly metric cross-correlation (r11) — the observability
+    primitive behind "do errors spike with traffic?": per-hour counts
+    of each event type (one conditional-sum aggregate, no pivot
+    machinery) correlated pairwise (Pearson) across all 10 type
+    pairs. The hourly table is bounded by the time range (one row per
+    hour regardless of event volume — the aggregate does the data
+    reduction map-side), so the corr pass runs over a slim frame; the
+    10 pairs melt through one stack. Rounded to 4 — corr is a ratio
+    of centered sums, agreed across engines at this precision."""
+    ev = _t(spark, sf_dir, "events")
+    types = {"v": "view", "c": "click", "p": "purchase", "e": "error", "s": "signup"}
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == full, 1).otherwise(0))
+            .cast("double")
+            .alias(short)
+            for short, full in types.items()
+        ]
+    )
+    pairs = [
+        ("view~click", "v", "c"),
+        ("view~purchase", "v", "p"),
+        ("view~error", "v", "e"),
+        ("view~signup", "v", "s"),
+        ("click~purchase", "c", "p"),
+        ("click~error", "c", "e"),
+        ("click~signup", "c", "s"),
+        ("purchase~error", "p", "e"),
+        ("purchase~signup", "p", "s"),
+        ("error~signup", "e", "s"),
+    ]
+    wide = h.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"_c{i}")
+            for i, (_, a, b) in enumerate(pairs)
+        ]
+    )
+    stack_args: list = []
+    for i, (name, _, _) in enumerate(pairs):
+        stack_args.extend([F.lit(name), F.col(f"_c{i}")])
+    return wide.select(
+        F.stack(F.lit(len(pairs)), *stack_args).alias("pair", "pearson")
+    )
+
+
+@_register(
+    "seasonal_dow_profile",
+    r"""
+    WITH c AS (SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_type = 'click'),
+    g AS (SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                 CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+                 count(*) AS n, sum(cents) AS sc
+          FROM c GROUP BY 1, 2),
+    tot AS (SELECT sum(cents) AS gsc, count(*) AS gn FROM c),
+    d AS (SELECT dow, hour_of_day, n, sc,
+                 sc * gn - gsc * n AS dnum, n * gn AS dden
+          FROM g, tot)
+    SELECT dow, hour_of_day, CAST(n AS BIGINT) AS n_events,
+           CAST((2 * sc + n) // (2 * n) AS BIGINT) AS avg_value_cents,
+           CAST(CASE WHEN dnum >= 0 THEN (2 * dnum + dden) // (2 * dden)
+                ELSE -((2 * (-dnum) + dden) // (2 * dden)) END AS BIGINT)
+             AS deviation_cents
+    FROM d
+    """,
+)
+def seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour seasonal profile (r11) — the calendar-shaped
+    baseline the EWMA/z-score anomaly entries deliberately lack: click
+    volume and value averaged into the 168 weekly buckets, each with
+    its deviation from the global mean (the profile a seasonal anomaly
+    detector subtracts before thresholding). ISO day numbering on both
+    engines (Spark weekday()+1 = DuckDB isodow — Sunday-first
+    dayofweek() disagrees between them, a cross-engine trap). The
+    whole result is INTEGER CENTS end-to-end: double round(.,2) at a
+    half-cent boundary splits engines twice over (hit live here —
+    addition order first, then Spark's BigDecimal-on-shortest-string
+    round vs DuckDB's raw-double round on exactly 65.225), so the
+    averages are rounded rationally in integer space
+    ((2*num + den) DIV (2*den), sign-handled) and never touch a
+    double. The bucket table is fixed-size (<=168 rows) whatever the
+    event volume; the global mean rides a broadcast one-row frame,
+    not a whole-table window."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = c.groupBy(
+        (F.weekday(F.col("ts")) + F.lit(1)).cast("long").alias("dow"),
+        F.hour(F.col("ts")).cast("long").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").alias("sc"),
+    )
+    tot = c.agg(F.sum("cents").alias("gsc"), F.count(F.lit(1)).alias("gn"))
+    d = g.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour_of_day",
+        "n_events",
+        "sc",
+        (F.col("sc") * F.col("gn") - F.col("gsc") * F.col("n_events")).alias(
+            "dnum"
+        ),
+        (F.col("n_events") * F.col("gn")).alias("dden"),
+    )
+    # rational half-up rounding in pure integer space: (2n + d) DIV 2d
+    avg_cents = F.expr("(2 * sc + n_events) DIV (2 * n_events)")
+    dev_cents = F.when(
+        F.col("dnum") >= 0, F.expr("(2 * dnum + dden) DIV (2 * dden)")
+    ).otherwise(-F.expr("(2 * (-dnum) + dden) DIV (2 * dden)"))
+    return d.select(
+        "dow",
+        "hour_of_day",
+        "n_events",
+        avg_cents.cast("long").alias("avg_value_cents"),
+        dev_cents.cast("long").alias("deviation_cents"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
