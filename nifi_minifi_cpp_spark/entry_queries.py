@@ -9754,6 +9754,184 @@ def seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "prefix_cache_savings",
+    r"""
+    WITH s AS (
+      SELECT source, text,
+             lag(text) OVER (PARTITION BY source ORDER BY text, doc_id) AS prev
+      FROM documents),
+    l AS (
+      SELECT source,
+             CASE WHEN prev IS NULL THEN 0
+                  ELSE least(
+                    len(list_filter(range(1, 65),
+                        i -> substr(text, 1, i) = substr(prev, 1, i))),
+                    length(text), length(prev)) END AS lcp
+      FROM s)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(lcp) AS BIGINT) AS total_lcp_chars,
+           CAST(max(lcp) AS BIGINT) AS max_lcp
+    FROM l GROUP BY source
+    """,
+)
+def prefix_cache_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV-cache prefix-reuse accounting (r11) — the serving-side
+    scheduling report: when requests are served in sorted order within
+    a shard, each request reuses the KV cache of its predecessor up to
+    their longest common prefix. Sorted-neighbor LCP (capped at a
+    64-char probe window) per source shard, rolled up to chars
+    reusable per shard — the number that decides whether prefix-aware
+    request routing is worth deploying. The LCP stays in codegen: a
+    64-element sequence filtered on substr equality (prefix equality
+    is contiguous, so the filter size IS the LCP; the least() clamp
+    handles the equal-strings case where both substrs saturate).
+    Per-source sort is one range-partitioned window — sorted serving
+    order is the semantics, not an implementation accident."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("text", "doc_id")
+    s = docs.select(
+        "source", "text", F.lag("text").over(w).alias("prev")
+    )
+    lcp_raw = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.substring(F.col("text"), F.lit(1), i)
+            == F.substring(F.col("prev"), F.lit(1), i),
+        )
+    )
+    lcp = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+        F.least(lcp_raw, F.length("text"), F.length("prev"))
+    )
+    return (
+        s.select("source", lcp.alias("lcp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("lcp").cast("long").alias("total_lcp_chars"),
+            F.max("lcp").cast("long").alias("max_lcp"),
+        )
+    )
+
+
+@_register(
+    "cdc_apply_snapshot",
+    r"""
+    WITH ch AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+             o_totalprice + 100 AS price, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 21 = 0
+      UNION ALL
+      SELECT o_orderkey + 3000000, 2, 'I', 1.0, 'N'
+      FROM orders WHERE o_orderkey % 50 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'U', o_totalprice + 200, o_orderstatus
+      FROM orders WHERE o_orderkey % 7 = 3),
+    last AS (
+      SELECT k, op, price, status FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM ch) WHERE rn = 1),
+    base AS (SELECT o_orderkey AS k, o_totalprice AS price,
+                    o_orderstatus AS status FROM orders),
+    merged AS (
+      SELECT coalesce(b.k, l.k) AS k,
+             CASE WHEN l.op IS NULL THEN b.price ELSE l.price END AS price,
+             CASE WHEN l.op IS NULL THEN b.status ELSE l.status END AS status,
+             coalesce(l.op, 'K') AS op
+      FROM base b FULL OUTER JOIN last l ON b.k = l.k
+      WHERE coalesce(l.op, 'K') <> 'D')
+    SELECT k AS orderkey, status,
+           CAST(round(price * 100) AS BIGINT) AS price_cents, op AS last_op
+    FROM merged WHERE k % 97 = 0
+    """,
+)
+def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (r11) — MERGE INTO semantics as a batch
+    op: a deterministic changelog (updates at seq 1 and 3, deletes
+    and inserts at seq 2, all derived from the orders table itself so
+    both engines build the identical log) collapses to
+    last-op-per-key via one row_number window, then applies over the
+    base snapshot with a FULL OUTER join: D drops the row, U/I
+    replace values, untouched base rows pass through. This is the
+    order-sensitive half the streaming upsert entry (aggregation
+    merge) doesn't exercise — op sequencing, delete semantics, and
+    insert-of-new-keys in one pass. Result graded on a deterministic
+    key sample (k % 97 = 0) with exact integer cents."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    ch = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 100).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 21 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("price"),
+                F.lit(None).cast("string").alias("status"),
+            )
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 50 == 0).select(
+                (F.col("o_orderkey") + 3000000).alias("k"),
+                F.lit(2).alias("seq"),
+                F.lit("I").alias("op"),
+                F.lit(1.0).alias("price"),
+                F.lit("N").alias("status"),
+            )
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 7 == 3).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(3).alias("seq"),
+                F.lit("U").alias("op"),
+                (F.col("o_totalprice") + 200).alias("price"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    last = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("k", "op", "price", "status")
+    )
+    merged = (
+        base.alias("b")
+        .join(last.alias("l"), F.col("b.k") == F.col("l.k"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.k"), F.col("l.k")).alias("k"),
+            F.when(F.col("l.op").isNull(), F.col("b.price"))
+            .otherwise(F.col("l.price"))
+            .alias("price"),
+            F.when(F.col("l.op").isNull(), F.col("b.status"))
+            .otherwise(F.col("l.status"))
+            .alias("status"),
+            F.coalesce(F.col("l.op"), F.lit("K")).alias("op"),
+        )
+        .where(F.col("op") != "D")
+    )
+    return merged.where(F.col("k") % 97 == 0).select(
+        F.col("k").alias("orderkey"),
+        "status",
+        F.round(F.col("price") * 100).cast("long").alias("price_cents"),
+        F.col("op").alias("last_op"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
