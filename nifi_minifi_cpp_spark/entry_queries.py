@@ -8365,6 +8365,41 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
     return "".join(parts)
 
 
+def _kmeans_quality_oracle_sql(k: int, iters: int) -> str:
+    """Quality-report twin of ``_kmeans_oracle_sql``: identical
+    unrolled Lloyd CTEs, then cohesion = last-round members' exact
+    squared distances to the FINAL (post-update) centroids, and
+    separation = each final centroid's squared distance to its
+    nearest other final centroid — all BIGINT."""
+    base = _kmeans_oracle_sql(k, iters)
+    prefix = base[: base.rindex("\n    SELECT s.cluster_id")]
+    return (
+        prefix
+        + f"""
+    , dfin AS (
+      SELECT e.vec_id, a.c,
+             CAST(sum((e.x - c.x) * (e.x - c.x)) AS BIGINT) AS dist
+      FROM e JOIN a{iters} a ON e.vec_id = a.vec_id
+             JOIN c{iters} c ON c.c = a.c AND c.dim = e.dim
+      GROUP BY e.vec_id, a.c)
+    , percluster AS (
+      SELECT c AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(dist) AS BIGINT) AS sum_sq_dist
+      FROM dfin GROUP BY c)
+    , ic AS (
+      SELECT a.c AS ca, b.c AS cb,
+             CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d
+      FROM c{iters} a JOIN c{iters} b ON a.dim = b.dim AND a.c <> b.c
+      GROUP BY a.c, b.c)
+    , mi AS (SELECT ca AS cluster_id,
+                    CAST(min(d) AS BIGINT) AS min_intercentroid_sq
+             FROM ic GROUP BY ca)
+    SELECT p.cluster_id, p.n_members, p.sum_sq_dist, mi.min_intercentroid_sq
+    FROM percluster p JOIN mi USING (cluster_id)
+    ORDER BY p.cluster_id"""
+    )
+
+
 @_register("kmeans_embedding_clusters", _kmeans_oracle_sql(4, 3))
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic integer-quantized Lloyd k-means over the
@@ -9929,6 +9964,156 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         F.round(F.col("price") * 100).cast("long").alias("price_cents"),
         F.col("op").alias("last_op"),
+    )
+
+
+@_register("kmeans_cluster_quality", _kmeans_quality_oracle_sql(4, 3))
+def kmeans_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality report (r11) — the Davies-Bouldin-shaped model
+    eval run BEFORE a clustering feeds sampling decisions: per
+    cluster, exact integer cohesion (sum of squared quantized
+    distances of last-round members to the FINAL centroid) and
+    separation (squared distance to the nearest other final
+    centroid). Same fitted model as ``kmeans_embedding_clusters``
+    (shared ``_lloyd`` loop); the extra work is ONE more
+    broadcast-literal distance pass plus a k*k driver-side centroid
+    table — both model-sized. Everything BIGINT: no float ratio whose
+    rounding could split engines (the DB ratio itself is left to the
+    caller holding both terms)."""
+    from .analytics.clustering import kmeans_quality
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_quality(emb, k=4, iterations=3)
+
+
+@_register(
+    "hard_negative_mining",
+    r"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 3),
+    s AS (SELECT q.qid, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+                 list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sc
+          FROM embeddings e, q WHERE e.label <> q.qlabel)
+    SELECT qid, neighbor_id, neighbor_label, round(sc, 6) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                     ORDER BY sc DESC, neighbor_id) AS rn FROM s)
+    WHERE rn <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining (r11) — the embedding-training data
+    op: for each anchor (vec_id < 3), the 5 nearest neighbors that
+    carry a DIFFERENT label — maximally confusable negatives, the
+    pairs a contrastive fine-tune wants. Anchors broadcast (a bounded
+    literal frame, the documented kNN ground-truth plan); the
+    label-mismatch predicate rides the broadcast nested-loop join;
+    per-anchor top-5 is one window over anchor-partitioned scores.
+    For fleet-scale anchor sets, swap the broadcast for the IVF
+    bucket join (``ivf_topk_vec0``) — same scoring, banded
+    candidates."""
+    from .analytics.dedup import cosine
+    from .analytics.similarity import _as_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    pairs = emb.join(
+        F.broadcast(probes), F.col("label") != F.col("qlabel")
+    ).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        cosine(
+            _as_double(F.col("embedding")), _as_double(F.col("qv"))
+        ).alias("sc"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "qid",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(F.col("sc"), 6).alias("score"),
+        )
+    )
+
+
+@_register(
+    "filter_cascade_sweep",
+    r"""
+    WITH sig AS (
+      SELECT len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             length(text) AS n_char
+      FROM documents),
+    grid AS (SELECT mt.min_tok, dp.max_digit_pct
+             FROM (VALUES (5), (10), (20), (50)) mt(min_tok),
+                  (VALUES (1), (5), (10)) dp(max_digit_pct))
+    SELECT CAST(g.min_tok AS BIGINT) AS min_tok,
+           CAST(g.max_digit_pct AS BIGINT) AS max_digit_pct,
+           CAST(sum(CASE WHEN s.n_tok >= g.min_tok
+                     AND s.n_digit * 100 <= g.max_digit_pct * s.n_char
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           CAST(sum(CASE WHEN s.n_tok >= g.min_tok
+                     AND s.n_digit * 100 <= g.max_digit_pct * s.n_char
+                     THEN s.n_tok ELSE 0 END) AS BIGINT) AS surviving_tokens
+    FROM sig s, grid g
+    GROUP BY g.min_tok, g.max_digit_pct
+    """,
+)
+def filter_cascade_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-threshold sweep (r11) — cascade planning for a corpus
+    cleaning pipeline: before committing to quality thresholds, sweep
+    the (min-token, max-digit-ratio) grid and report survivor count
+    and surviving token volume per combination — the yield curve that
+    decides the operating point. One signal projection per document
+    (token count + digit count, computed once), a 12-point literal
+    grid exploded per row (bounded multiplier, no join), and a single
+    hash aggregate; the digit-ratio test is cross-multiplied integers
+    (n_digit*100 <= pct*n_char), never a float division."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(
+        F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias(
+            "n_tok"
+        ),
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).alias("n_digit"),
+        F.length(F.col("text")).alias("n_char"),
+    )
+    grid = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(mt).cast("long").alias("min_tok"),
+                    F.lit(dp).cast("long").alias("max_digit_pct"),
+                )
+                for mt in (5, 10, 20, 50)
+                for dp in (1, 5, 10)
+            ]
+        )
+    ).alias("g")
+    passes = (F.col("n_tok") >= F.col("g.min_tok")) & (
+        F.col("n_digit") * 100 <= F.col("g.max_digit_pct") * F.col("n_char")
+    )
+    return (
+        sig.select("n_tok", "n_digit", "n_char", grid)
+        .groupBy(
+            F.col("g.min_tok").alias("min_tok"),
+            F.col("g.max_digit_pct").alias("max_digit_pct"),
+        )
+        .agg(
+            F.sum(F.when(passes, 1).otherwise(0)).cast("long").alias("n_survivors"),
+            F.sum(F.when(passes, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("surviving_tokens"),
+        )
     )
 
 

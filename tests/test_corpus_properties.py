@@ -543,3 +543,76 @@ def test_kmeans_quantized_matches_python_model(vecs):
         for r in kmeans_quantized(df, k=2, iterations=2).collect()
     }
     assert got == _model_kmeans(pts, 2, 2)
+
+
+def _model_kmeans_quality(pts, k, iterations):
+    """Quality twin of _model_kmeans: final-round assignments scored
+    against the POST-update centroids (cohesion), plus each surviving
+    centroid's nearest-other squared distance (separation)."""
+    import math
+
+    def half_up(y):
+        return math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)
+
+    q = {i: [half_up(x * 1000.0) for x in v] for i, v in pts}
+    seeds = sorted(q)[:k]
+    cents = {c: q[i][:] for c, i in enumerate(seeds)}
+    assign = {}
+    for _ in range(iterations):
+        assign = {}
+        for i, v in q.items():
+            best = min(
+                cents.items(),
+                key=lambda cv: (sum((a - b) ** 2 for a, b in zip(v, cv[1])), cv[0]),
+            )[0]
+            assign[i] = best
+        new = {}
+        for c in set(assign.values()):
+            members = [q[i] for i in q if assign[i] == c]
+            new[c] = [sum(col) // len(members) for col in zip(*members)]
+        cents = new
+    out = {}
+    for c, cv in cents.items():
+        members = [q[i] for i in q if assign[i] == c]
+        coh = sum(sum((a - b) ** 2 for a, b in zip(v, cv)) for v in members)
+        sep = min(
+            sum((a - b) ** 2 for a, b in zip(cv, ov))
+            for oc, ov in cents.items()
+            if oc != c
+        ) if len(cents) > 1 else None
+        out[c] = (len(members), coh, sep)
+    return out
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-2.0, 2.0, allow_nan=False, allow_infinity=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=4,
+        max_size=15,
+    )
+)
+def test_kmeans_quality_matches_python_model(vecs):
+    from nifi_minifi_cpp_spark.analytics.clustering import kmeans_quality
+
+    spark = _spark()
+    pts = list(enumerate(vecs))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts], "vec_id long, embedding array<float>"
+    )
+    model = _model_kmeans_quality(pts, 2, 2)
+    if any(sep is None for _, _, sep in model.values()):
+        return  # single surviving cluster: separation undefined, skip
+    got = {
+        r["cluster_id"]: (
+            r["n_members"],
+            r["sum_sq_dist"],
+            r["min_intercentroid_sq"],
+        )
+        for r in kmeans_quality(df, k=2, iterations=2).collect()
+    }
+    assert got == model
