@@ -124,12 +124,21 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     barrier_every: int = 4,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank (Page et al. 1999) as DataFrame joins —
     the second iterative-algorithm class next to connected_components.
     Returns (node, rank) after ``iterations`` synchronous updates from
     a uniform start: rank = (1-d)/N + d * sum(in-neighbor rank / its
     out-degree).
+
+    ``teleport``: optional one-column (``node``) seed frame for
+    PERSONALIZED PageRank (Haveliwala 2002): the restart mass
+    (1-d) concentrates uniformly on the seed set instead of all
+    nodes, and the walk starts from the seeds — relevance-to-the-
+    seeds ranking, the data-selection primitive ("expand from these
+    known-good suppliers/domains"). The seed frame is joined once as
+    a flag onto the slim node table; per-iteration cost is unchanged.
 
     Dangling nodes (out-degree 0) keep their rank mass out of play —
     the caller symmetrizes the edge set when that matters (an
@@ -152,8 +161,21 @@ def pagerank(
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
     )
-    n_total = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
-    ranks = nodes.crossJoin(n_total).select("node", (F.lit(1.0) / F.col("_n")).alias("rank"))
+    if teleport is not None:
+        seeds = teleport.select(F.col("node")).distinct()
+        nodes = nodes.join(
+            seeds.withColumn("_seed", F.lit(1)), "node", "left"
+        ).select("node", F.coalesce(F.col("_seed"), F.lit(0)).alias("_seed"))
+        nodes = reliable_barrier(nodes)
+        n_total = F.broadcast(
+            nodes.agg(F.sum("_seed").cast("long").alias("_n"))
+        )  # |S|: the restart mass denominator
+        base = F.col("_seed") / F.col("_n")
+    else:
+        nodes = nodes.withColumn("_seed", F.lit(1))
+        n_total = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
+        base = F.lit(1.0) / F.col("_n")
+    ranks = nodes.crossJoin(n_total).select("node", base.alias("rank"))
     weighted = e.join(deg, "_s")  # (src, dst, out-degree), static per run
     for i in range(iterations):
         contribs = (
@@ -168,7 +190,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    (1.0 - damping) / F.col("_n")
+                    (1.0 - damping) * base
                     + damping * F.coalesce(F.col("_in"), F.lit(0.0))
                 ).alias("rank"),
             )

@@ -10268,6 +10268,136 @@ def partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "personalized_pagerank_seeds",
+    r"""
+    WITH e AS (
+      SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem
+      UNION
+      SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem),
+    nodes AS (SELECT DISTINCT src AS n FROM e),
+    sd AS (SELECT n, CASE WHEN n IN (
+             SELECT DISTINCT 's' || l_suppkey FROM lineitem WHERE l_suppkey <= 10)
+           THEN 1 ELSE 0 END AS seed FROM nodes),
+    nn AS (SELECT sum(seed) AS total FROM sd),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT n, seed::DOUBLE / total AS r FROM sd CROSS JOIN nn),
+    it1 AS (SELECT e.dst AS n, sum(r0.r / deg.d) AS s
+            FROM e JOIN r0 ON r0.n = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst),
+    r1 AS (SELECT sd.n, 0.15::DOUBLE * sd.seed / nn.total
+                  + 0.85::DOUBLE * coalesce(it1.s, 0) AS r
+           FROM sd CROSS JOIN nn LEFT JOIN it1 ON it1.n = sd.n),
+    it2 AS (SELECT e.dst AS n, sum(r1.r / deg.d) AS s
+            FROM e JOIN r1 ON r1.n = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst),
+    r2 AS (SELECT sd.n, 0.15::DOUBLE * sd.seed / nn.total
+                  + 0.85::DOUBLE * coalesce(it2.s, 0) AS r
+           FROM sd CROSS JOIN nn LEFT JOIN it2 ON it2.n = sd.n),
+    it3 AS (SELECT e.dst AS n, sum(r2.r / deg.d) AS s
+            FROM e JOIN r2 ON r2.n = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst),
+    r3 AS (SELECT sd.n, 0.15::DOUBLE * sd.seed / nn.total
+                  + 0.85::DOUBLE * coalesce(it3.s, 0) AS r
+           FROM sd CROSS JOIN nn LEFT JOIN it3 ON it3.n = sd.n)
+    SELECT n AS node, round(r, 6) AS rank FROM r3 WHERE round(r, 6) > 0
+    """,
+)
+def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (r11, Haveliwala 2002) — relevance to a
+    SEED SET rather than global importance: restart mass concentrates
+    on suppliers 1-10 and the walk expands over the symmetrized
+    supplier-part graph; the result ranks every node by proximity to
+    the seeds — the "expand from these known-good domains" selection
+    primitive for corpus curation. Same slim-join iteration shape as
+    ``pagerank_supplier_parts`` (the seed flag joins once onto the
+    node table; per-round cost unchanged); nodes unreached in 3 hops
+    round to 0 and are filtered on BOTH sides (their exact zero is
+    engine-trivial, the interesting surface is the reached mass)."""
+    from .analytics.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = (
+        li.where(F.col("l_suppkey") <= 10)
+        .select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("node"))
+        .distinct()
+    )
+    r = pagerank(edges, iterations=3, teleport=seeds)
+    return r.select("node", F.round(F.col("rank"), 6).alias("rank")).where(
+        F.col("rank") > 0
+    )
+
+
+@_register(
+    "hll_window_distinct",
+    r"""
+    WITH w AS (
+      SELECT epoch_us(ts) // 21600000000 AS bucket_id,
+             user_id, md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events),
+    b AS (
+      SELECT bucket_id, user_id,
+             CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 64 AS bucket,
+             CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) AS v
+      FROM w),
+    r AS (
+      SELECT bucket_id, bucket,
+             max(CASE WHEN v > 0 THEN 33 - length(bin(v)) ELSE 33 END) AS m
+      FROM b GROUP BY bucket_id, bucket),
+    a AS (
+      SELECT bucket_id, count(*) AS buckets_used,
+             sum(power(0.5, m)) AS pinv
+      FROM r GROUP BY bucket_id),
+    x AS (SELECT bucket_id, count(DISTINCT user_id) AS exact_distinct
+          FROM w GROUP BY bucket_id)
+    SELECT a.bucket_id,
+           CAST(a.buckets_used AS BIGINT) AS buckets_used,
+           round(0.709 * 4096.0 / (pinv + (64 - buckets_used)), 2)
+             AS hll_estimate,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+    FROM a JOIN x USING (bucket_id)
+    """,
+)
+def hll_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed HLL distinct-count (r11) — the sliding-dashboard
+    flavor of ``hll_distinct_users``: per 6-hour tumbling bucket
+    (integer epoch division — engine-portable, no window-struct
+    types in the result), the 64-register HLL estimate next to the
+    exact distinct for error accounting. The register table is
+    bounded at 64 rows PER WINDOW regardless of event volume and
+    merges by cell-wise max — the property that lets a streaming
+    dashboard keep one tiny sketch per window instead of a distinct
+    set. Register sums are powers of two (binary-exact doubles), so
+    the estimate is deterministic cross-engine."""
+    from .analytics.sketches import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    # integer DIV, not float division + cast: a double quotient can
+    # land a hair under the true integer and floor one bucket early
+    w = ev.select(
+        F.expr("unix_micros(ts) DIV 21600000000").alias("bucket_id"),
+        "user_id",
+    )
+    regs = hll_registers(w, "user_id", group_cols=["bucket_id"])
+    est = hll_estimate(regs, group_cols=["bucket_id"])
+    exact = w.groupBy("bucket_id").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "bucket_id").select(
+        "bucket_id",
+        F.col("buckets_used").cast("long").alias("buckets_used"),
+        F.round(F.col("hll_estimate"), 2).alias("hll_estimate"),
+        "exact_distinct",
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

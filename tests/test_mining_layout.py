@@ -161,6 +161,28 @@ def test_pagerank_star_graph(spark):
     assert sum(got.values()) == pytest.approx(1.0)
 
 
+def test_personalized_pagerank_path_graph(spark):
+    from nifi_minifi_cpp_spark.analytics.graph import pagerank
+
+    # undirected path a-b-c, teleport pinned to {a}: after 1 round
+    # r0 = (1,0,0); contribs: a sends 1 to b (deg 1); b,c send 0.
+    # r(a) = 0.15*1; r(b) = 0.85*1; r(c) = 0 — mass flows outward
+    # from the seed, non-seeds get no restart mass
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=1, teleport=seeds).collect()
+    }
+    assert got["a"] == pytest.approx(0.15)
+    assert got["b"] == pytest.approx(0.85)
+    assert got["c"] == pytest.approx(0.0)
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
 def test_label_propagation_two_communities(spark):
     from nifi_minifi_cpp_spark.analytics.graph import label_propagation
 
