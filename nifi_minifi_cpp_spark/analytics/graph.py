@@ -381,6 +381,77 @@ def triangle_count(
     )
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, "Authoritative
+    sources in a hyperlinked environment") — the ninth iterative-
+    algorithm class. On a DIRECTED graph, a good hub points at good
+    authorities and a good authority is pointed at by good hubs:
+    each synchronous round computes auth(v) = Σ hub(u) over in-edges
+    then hub(u) = Σ auth(v) over out-edges, L1-normalizing after each
+    half-step. L1 (sum) normalization replaces the textbook L2: it
+    keeps the same fixpoint direction (normalization only rescales)
+    while avoiding sqrt — every value stays a plain ratio, which is
+    what makes an unrolled-CTE oracle reproduce it bit-for-bit up to
+    summation order. Returns (node, hub, auth) after ``iterations``
+    rounds from a uniform hub start of 1.0; pure sinks keep hub 0 and
+    pure sources keep auth 0 — exact zeros, not epsilons.
+
+    100 TB shape: identical to ``pagerank`` — each half-step is ONE
+    equi-join of the slim (node, score) frame onto the edge list plus
+    a groupBy sum; the global L1 mass is a one-row broadcast scalar
+    (no second pass over nodes); edge and node tables are computed
+    once behind barriers; per-round lineage is cut by the barrier on
+    the hub frame.
+    """
+    from ..util import reliable_barrier
+
+    e = reliable_barrier(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    )
+    nodes = reliable_barrier(
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auths = nodes.select("node", F.lit(0.0).alias("auth"))
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("node", "_s"), "_s")
+            .groupBy("_d")
+            .agg(F.sum("hub").alias("_x"))
+        )
+        a_mass = F.broadcast(a_raw.agg(F.sum("_x").alias("_t")))
+        auths = (
+            nodes.join(a_raw.withColumnRenamed("_d", "node"), "node", "left")
+            .crossJoin(a_mass)
+            .select(
+                "node",
+                (F.coalesce(F.col("_x"), F.lit(0.0)) / F.col("_t")).alias("auth"),
+            )
+        )
+        h_raw = (
+            e.join(auths.withColumnRenamed("node", "_d"), "_d")
+            .groupBy("_s")
+            .agg(F.sum("auth").alias("_x"))
+        )
+        h_mass = F.broadcast(h_raw.agg(F.sum("_x").alias("_t")))
+        hubs = reliable_barrier(
+            nodes.join(h_raw.withColumnRenamed("_s", "node"), "node", "left")
+            .crossJoin(h_mass)
+            .select(
+                "node",
+                (F.coalesce(F.col("_x"), F.lit(0.0)) / F.col("_t")).alias("hub"),
+            )
+        )
+    return hubs.join(auths, "node").select("node", "hub", "auth")
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: DataFrame,

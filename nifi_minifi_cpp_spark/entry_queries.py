@@ -10398,6 +10398,217 @@ def hll_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "hits_hub_authority",
+    r"""
+    WITH e AS (
+      SELECT DISTINCT 'c' || o_custkey AS s, 's' || l_suppkey AS d
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    n AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    h0 AS (SELECT node, 1.0::DOUBLE AS hub FROM n),
+    ar1 AS (SELECT d, sum(h0.hub) AS x FROM e JOIN h0 ON h0.node = e.s GROUP BY d),
+    at1 AS (SELECT sum(x) AS t FROM ar1),
+    a1 AS (SELECT n.node, coalesce(ar1.x, 0) / at1.t AS auth
+           FROM n CROSS JOIN at1 LEFT JOIN ar1 ON ar1.d = n.node),
+    hr1 AS (SELECT s, sum(a1.auth) AS x FROM e JOIN a1 ON a1.node = e.d GROUP BY s),
+    ht1 AS (SELECT sum(x) AS t FROM hr1),
+    h1 AS (SELECT n.node, coalesce(hr1.x, 0) / ht1.t AS hub
+           FROM n CROSS JOIN ht1 LEFT JOIN hr1 ON hr1.s = n.node),
+    ar2 AS (SELECT d, sum(h1.hub) AS x FROM e JOIN h1 ON h1.node = e.s GROUP BY d),
+    at2 AS (SELECT sum(x) AS t FROM ar2),
+    a2 AS (SELECT n.node, coalesce(ar2.x, 0) / at2.t AS auth
+           FROM n CROSS JOIN at2 LEFT JOIN ar2 ON ar2.d = n.node),
+    hr2 AS (SELECT s, sum(a2.auth) AS x FROM e JOIN a2 ON a2.node = e.d GROUP BY s),
+    ht2 AS (SELECT sum(x) AS t FROM hr2),
+    h2 AS (SELECT n.node, coalesce(hr2.x, 0) / ht2.t AS hub
+           FROM n CROSS JOIN ht2 LEFT JOIN hr2 ON hr2.s = n.node)
+    SELECT h2.node, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth
+    FROM h2 JOIN a2 ON a2.node = h2.node
+    """,
+)
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (r11, Kleinberg 1999) — the ninth
+    iterative-algorithm class, graded over the directed
+    customer->supplier purchase graph (orders x lineitem): hub score
+    ranks customers by how broadly they buy from authoritative
+    suppliers, authority ranks suppliers by the hubs buying from
+    them — the mutual-reinforcement ranking PageRank's single score
+    can't express on a bipartite graph. Two synchronous rounds,
+    L1-normalized half-steps (see ``analytics.graph.hits`` — L1
+    keeps every value a plain ratio so the unrolled-CTE oracle is an
+    independent reconstruction); customers keep auth = 0 and
+    suppliers hub = 0 EXACTLY (no in-/out-edges), both sides emit
+    them unfiltered."""
+    from .analytics.graph import hits
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    r = hits(edges, iterations=2)
+    return r.select(
+        "node",
+        F.round(F.col("hub"), 6).alias("hub"),
+        F.round(F.col("auth"), 6).alias("auth"),
+    )
+
+
+@_register(
+    "quantile_sketch_merge",
+    r"""
+    WITH vals AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             l_orderkey % 2 AS half
+      FROM lineitem WHERE l_extendedprice > 0),
+    b AS (SELECT v, half, length(bin(v)) AS p FROM vals),
+    k AS (SELECT v, half,
+            CASE WHEN v < 8 THEN v
+                 ELSE (p - 4) * 8 + (v >> (p - 4)) END AS bucket,
+            CASE WHEN v < 8 THEN v
+                 ELSE ((v >> (p - 4)) << (p - 4)) END AS lo,
+            CASE WHEN v < 8 THEN v
+                 ELSE ((((v >> (p - 4)) + 1) << (p - 4)) - 1) END AS hi
+          FROM b),
+    hist AS (SELECT bucket, lo, hi, count(*) AS n FROM k GROUP BY 1, 2, 3),
+    halves AS (SELECT half, bucket, lo, hi, count(*) AS n FROM k GROUP BY 1, 2, 3, 4),
+    merged AS (SELECT bucket, lo, hi, sum(n) AS n FROM halves GROUP BY 1, 2, 3),
+    qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+           AS t(q, num, den)),
+    cf AS (SELECT bucket, (lo + hi) // 2 AS mid,
+                  sum(n) OVER (ORDER BY bucket) AS cum, sum(n) OVER () AS nt
+           FROM hist),
+    cm AS (SELECT bucket, (lo + hi) // 2 AS mid,
+                  sum(n) OVER (ORDER BY bucket) AS cum, sum(n) OVER () AS nt
+           FROM merged),
+    fe AS (SELECT qs.q, max(cf.nt) AS n_total,
+                  arg_min(cf.mid, cf.bucket) AS sketch_est
+           FROM qs JOIN cf ON cf.cum >= (cf.nt * qs.num + qs.den - 1) // qs.den
+           GROUP BY qs.q),
+    me AS (SELECT qs.q, arg_min(cm.mid, cm.bucket) AS merged_est
+           FROM qs JOIN cm ON cm.cum >= (cm.nt * qs.num + qs.den - 1) // qs.den
+           GROUP BY qs.q),
+    rn AS (SELECT v, row_number() OVER (ORDER BY v) AS r, count(*) OVER () AS nt
+           FROM vals),
+    ex AS (SELECT qs.q, min(rn.v) AS exact_cents
+           FROM qs JOIN rn ON rn.r = (rn.nt * qs.num + qs.den - 1) // qs.den
+           GROUP BY qs.q)
+    SELECT fe.q AS quantile,
+           CAST(fe.n_total AS BIGINT) AS n_total,
+           CAST(fe.sketch_est AS BIGINT) AS sketch_est,
+           CAST(me.merged_est AS BIGINT) AS merged_est,
+           CAST(ex.exact_cents AS BIGINT) AS exact_cents,
+           CAST(abs(fe.sketch_est - ex.exact_cents) * 1000 // ex.exact_cents
+                AS BIGINT) AS err_permille
+    FROM fe JOIN me ON me.q = fe.q JOIN ex ON ex.q = fe.q
+    """,
+)
+def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-bucket quantile sketch (r11) — the quantile
+    member of the sketch family next to HLL (cardinality), count-min
+    (frequency), and bloom (membership): p50/p90/p99 of lineitem
+    price cents from a DDSketch-flavored histogram
+    (``analytics.sketches.logbucket_histogram`` — 8 integer-exact
+    sub-buckets per octave, bit-length bucketing, never a float log)
+    with THREE legs per quantile: the full-scan sketch estimate, the
+    estimate from two per-half sketches MERGED by summing bucket
+    counts (must equal the full sketch — the 1000-executor
+    no-coordination property, demonstrated not assumed), and the
+    exact nearest-rank order statistic with the error in integer
+    permille. The exact leg is the eval-only global sort; the sketch
+    IS the 100 TB path (a ≤488-row table per shard)."""
+    from pyspark.sql import Window
+
+    from .analytics.sketches import logbucket_histogram
+
+    vals = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_extendedprice") > 0)
+        .select(
+            _cents(F.col("l_extendedprice")).alias("v"),
+            (F.col("l_orderkey") % 2).alias("half"),
+        )
+    )
+    # ONE histogram build reused by all three quantiles (the sketch is
+    # ~488 rows, so the per-quantile extraction below is a broadcast
+    # NLJ of a 3-row literal frame against a bounded table — the
+    # lineitem scan happens once for the full sketch, once for the
+    # halves, once for the exact eval leg; never per quantile)
+    qs = F.broadcast(
+        spark.createDataFrame(
+            [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+            "quantile string, num int, den int",
+        )
+    )
+    hist = logbucket_histogram(vals, "v")
+    merged = (
+        logbucket_histogram(vals, "v", group_cols=["half"])
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.sum("n").alias("n"))
+    )
+
+    def _cum(h: DataFrame) -> DataFrame:
+        w = Window.partitionBy(F.lit(1)).orderBy("bucket")
+        return h.select(
+            "bucket",
+            ((F.col("lo") + F.col("hi")) / 2).cast("long").alias("mid"),
+            F.sum("n").over(w).alias("cum"),
+            F.sum("n").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("nt"),
+        )
+
+    rank = F.expr("(nt * num + den - 1) DIV den")
+    fe = (
+        _cum(hist)
+        .join(qs, F.col("cum") >= rank)
+        .groupBy("quantile")
+        .agg(
+            F.max("nt").cast("long").alias("n_total"),
+            F.min_by("mid", "bucket").cast("long").alias("sketch_est"),
+        )
+    )
+    me = (
+        _cum(merged)
+        .join(qs, F.col("cum") >= rank)
+        .groupBy("quantile")
+        .agg(F.min_by("mid", "bucket").cast("long").alias("merged_est"))
+    )
+    rn = vals.select(
+        "v",
+        F.row_number().over(Window.orderBy("v")).alias("r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nt"),
+    )
+    ex = (
+        rn.join(qs, F.col("r") == rank)
+        .groupBy("quantile")
+        .agg(F.min("v").cast("long").alias("exact_cents"))
+    )
+    return (
+        fe.join(me, "quantile")
+        .join(ex, "quantile")
+        .select(
+            "quantile",
+            "n_total",
+            "sketch_est",
+            "merged_est",
+            "exact_cents",
+            F.expr("abs(sketch_est - exact_cents) * 1000 DIV exact_cents")
+            .cast("long")
+            .alias("err_permille"),
+        )
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

@@ -1617,6 +1617,44 @@ def test_hll_estimates_within_error_and_merges(spark):
         assert abs(v - 200) / 200 < 0.5
 
 
+def test_logbucket_quantile_bounds_and_merges(spark):
+    """r11: log-bucket quantile sketch — exact bucket geometry on
+    known values, nearest-rank estimate within the 1/8 relative-error
+    bound, and shard histograms summing cell-wise to the full one."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.sketches import (
+        logbucket_histogram,
+        logbucket_quantile,
+    )
+
+    known = spark.createDataFrame([(5,), (100,)], "v long")
+    rows = {
+        r["bucket"]: (r["lo"], r["hi"])
+        for r in logbucket_histogram(known, "v").collect()
+    }
+    assert rows[5] == (5, 5)  # v < 8: exact width-1 bucket
+    # 100 = 0b1100100, p=7, top4 = 100>>3 = 12: [96, 103], id 3*8+12
+    assert rows[36] == (96, 103)
+
+    df = spark.createDataFrame([(i,) for i in range(1, 1001)], "v long")
+    hist = logbucket_histogram(df, "v")
+    got = logbucket_quantile(hist, 1, 2).collect()[0]
+    assert got["n_total"] == 1000
+    # rank 500 -> bucket [480, 511], midpoint 495; true p50 = 500
+    assert got["est"] == 495
+    assert abs(got["est"] - 500) / 500 <= 0.125
+    p99 = logbucket_quantile(hist, 99, 100).collect()[0]["est"]
+    assert abs(p99 - 990) / 990 <= 0.125
+    # mergeability: per-shard histograms sum cell-wise to the full one
+    shards = logbucket_histogram(
+        df.withColumn("h", F.col("v") % 2), "v", group_cols=["h"]
+    )
+    merged = shards.groupBy("bucket", "lo", "hi").agg(F.sum("n").alias("n"))
+    assert merged.exceptAll(hist).count() == 0
+    assert hist.exceptAll(merged).count() == 0
+
+
 def test_bloom_one_sided_error_and_merges(spark):
     """r10 continuation: bloom NEVER misses a true member (maybe=True
     for every inserted key), definite-absent is trustworthy, and shard

@@ -183,6 +183,27 @@ def test_personalized_pagerank_path_graph(spark):
     assert sum(got.values()) == pytest.approx(1.0)
 
 
+def test_hits_closed_form(spark):
+    from nifi_minifi_cpp_spark.analytics.graph import hits
+
+    # a->x, b->x, b->y; one round from hub=1:
+    # auth raw: x=2, y=1, sum 3 -> auth x=2/3, y=1/3, a=b=0 (exact)
+    # hub raw: a=2/3, b=2/3+1/3=1, sum 5/3 -> hub a=0.4, b=0.6, x=y=0
+    edges = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("b", "y")], "src string, dst string"
+    )
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(edges, iterations=1).collect()
+    }
+    assert got["a"] == (pytest.approx(0.4), 0.0)
+    assert got["b"] == (pytest.approx(0.6), 0.0)
+    assert got["x"][0] == 0.0 and got["x"][1] == pytest.approx(2 / 3)
+    assert got["y"][0] == 0.0 and got["y"][1] == pytest.approx(1 / 3)
+    assert sum(h for h, _ in got.values()) == pytest.approx(1.0)
+    assert sum(a for _, a in got.values()) == pytest.approx(1.0)
+
+
 def test_label_propagation_two_communities(spark):
     from nifi_minifi_cpp_spark.analytics.graph import label_propagation
 
