@@ -10795,6 +10795,168 @@ def edit_distance_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("dist") <= 2)
 
 
+@_register(
+    "hourly_trend_by_type",
+    r"""
+    WITH h AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS eh FROM events),
+    mn AS (SELECT min(eh) AS m FROM h),
+    c AS (SELECT event_type, eh - m AS x, count(*) AS y
+          FROM h CROSS JOIN mn GROUP BY 1, 2),
+    s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM c GROUP BY 1),
+    d AS (SELECT event_type, n, sy,
+                 n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+          FROM s WHERE n >= 2)
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           CAST(sy AS BIGINT) AS total_events,
+           CAST(CASE WHEN num >= 0
+                THEN (2 * num * 1000000 + den) // (2 * den)
+                ELSE -((2 * (-num) * 1000000 + den) // (2 * den)) END
+                AS BIGINT) AS slope_micro
+    FROM d
+    """,
+)
+def hourly_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key OLS trend (r11) — "is this event type growing or
+    decaying, and how fast": least-squares slope of the hourly count
+    series per event type, computed ENTIRELY from the five
+    sufficient-statistic sums (n, Σx, Σy, Σx², Σxy) so the whole
+    regression is one hash aggregate per key — the sums partial-
+    aggregate map-side; no per-key series ever materializes (the
+    mergeability that makes per-key regression free at 100 TB).
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) emitted in integer
+    MICRO-units via the repo's rational half-up rounding
+    ((2·num·10⁶ + den) DIV (2·den), sign-handled) — never a raw
+    double round, the seasonal_dow_profile cross-engine trap. Hour
+    indexes are re-based to the global minimum so every product stays
+    far inside BIGINT (bound documented: |num·2·10⁶| < 2⁶³ up to
+    ~100× this fixture's hourly volume; past that, lift num/den to
+    DECIMAL(38,0))."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("eh")
+    )
+    mn = F.broadcast(h.groupBy().agg(F.min("eh").alias("m")))
+    c = (
+        h.crossJoin(mn)
+        .select("event_type", (F.col("eh") - F.col("m")).alias("x"))
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = s.where(F.col("n") >= 2).select(
+        "event_type",
+        "n",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    slope = F.when(
+        F.col("num") >= 0, F.expr("(2 * num * 1000000 + den) DIV (2 * den)")
+    ).otherwise(-F.expr("(2 * (-num) * 1000000 + den) DIV (2 * den)"))
+    return d.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("sy").cast("long").alias("total_events"),
+        slope.cast("long").alias("slope_micro"),
+    )
+
+
+@_register(
+    "streaming_hll_window",
+    r"""
+    WITH w AS (
+      SELECT epoch_us(ts) // 21600000000 AS bucket_id,
+             md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events),
+    b AS (
+      SELECT bucket_id,
+             CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 64 AS bucket,
+             CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) AS v
+      FROM w),
+    r AS (
+      SELECT bucket_id, bucket,
+             max(CASE WHEN v > 0 THEN 33 - length(bin(v)) ELSE 33 END) AS m
+      FROM b GROUP BY bucket_id, bucket)
+    SELECT bucket_id, CAST(count(*) AS BIGINT) AS buckets_used,
+           round(0.709 * 4096.0 / (sum(power(0.5, m)) + (64 - count(*))), 2)
+             AS hll_estimate
+    FROM r GROUP BY bucket_id
+    """,
+)
+def streaming_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING windowed HLL (r11) — the follow-through on the batch
+    entry's claim (``hll_window_distinct``: "one tiny sketch per
+    window instead of a distinct set"): Structured Streaming maintains
+    the 64-register HLL PER 6-HOUR EVENT-TIME WINDOW as its streaming
+    state — groupBy(window, register-bucket) max(rho) is an ordinary
+    streaming aggregation whose state is bounded at 64 rows per
+    window regardless of event volume (a streaming countDistinct
+    would hold every user id). The memory sink holds exactly that
+    register state; the finalize (sum of exact powers of two →
+    estimate) folds the sink batch-side, mirroring a dashboard read.
+    Oracle = the same md5 register construction in DuckDB SQL — the
+    estimate is bit-deterministic (every 2^-m is a single binary
+    digit, summation order irrelevant), so streaming state, batch
+    query, and oracle must agree to the cent."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from .analytics.sketches import hll_estimate
+
+    configure(spark)
+    stage = _stream_events_stage(spark, sf_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    raw = spark.readStream.schema(schema).parquet(stage)
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % 64).alias("bucket")
+    v = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    rho = (
+        F.when(v > 0, F.lit(33) - F.length(F.bin(v)))
+        .otherwise(F.lit(33))
+        .cast("int")
+        .alias("rho")
+    )
+    regs = (
+        raw.withWatermark("ts", "1 hour")
+        .select(F.window("ts", "6 hours").alias("win"), bucket, rho)
+        .groupBy("win", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    view = f"stream_hll_{_uuid.uuid4().hex[:8]}"
+    with _pinned_shuffle(spark, 4):
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+        _shutil.rmtree(stage, ignore_errors=True)
+    state = spark.table(view).select(
+        F.expr("unix_micros(win.start) DIV 21600000000").alias("bucket_id"),
+        "bucket",
+        "m",
+    )
+    return hll_estimate(state, group_cols=["bucket_id"]).select(
+        "bucket_id",
+        F.col("buckets_used").cast("long").alias("buckets_used"),
+        F.round(F.col("hll_estimate"), 2).alias("hll_estimate"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
