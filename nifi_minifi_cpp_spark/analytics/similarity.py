@@ -348,6 +348,7 @@ def quantize_embeddings_int8(
     df: DataFrame,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
+    return_scales: bool = False,
 ) -> DataFrame:
     """Per-dimension symmetric int8 quantization (the standard
     vector-index compression: FAISS SQ8 / Milvus-style): one corpus
@@ -391,7 +392,13 @@ def quantize_embeddings_int8(
     norm = F.sqrt(
         F.aggregate("_v", F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return joined.select(F.col(id_col), qvec.alias("qvec"), norm.alias("norm"))
+    cols = [F.col(id_col), qvec.alias("qvec"), norm.alias("norm")]
+    if return_scales:
+        # the per-dimension scale array (one broadcast row already in
+        # the plan) — callers that dequantize (recall eval, rescaled
+        # search) need it next to the codes
+        cols.append(F.col("_scales").alias("scales"))
+    return joined.select(*cols)
 
 
 def matryoshka_energy_report(

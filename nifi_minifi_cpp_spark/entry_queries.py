@@ -10957,6 +10957,131 @@ def streaming_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "int8_recall_eval",
+    r"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT i AS pos, abs(v[CAST(i + 1 AS INT)]) AS a
+          FROM v, (SELECT unnest(range(64)) AS i) ix),
+    sc AS (SELECT pos, CASE WHEN max(a) > 0 THEN max(a) / 127.0 ELSE 1.0 END AS s
+           FROM d GROUP BY pos),
+    sarr AS (SELECT list(s ORDER BY pos) AS arr FROM sc),
+    r AS (SELECT vec_id,
+            list_transform(range(1, 65),
+              i -> CAST(greatest(-127, least(127,
+                     CAST(round(v[CAST(i AS INT)] / arr[CAST(i AS INT)]) AS INT)))
+                   AS DOUBLE) * arr[CAST(i AS INT)]) AS rv
+          FROM v, sarr),
+    rn AS (SELECT vec_id, rv,
+             sqrt(list_reduce(list_transform(rv, x -> x * x), (a, b) -> a + b)) AS nrm
+           FROM r),
+    qp AS (SELECT a.vec_id AS query_id, b.vec_id AS nid,
+             list_reduce(list_transform(range(1, 65),
+               i -> a.rv[CAST(i AS INT)] * b.rv[CAST(i AS INT)]), (x, y) -> x + y)
+               / (a.nrm * b.nrm) AS s
+           FROM rn a JOIN rn b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+    qr AS (SELECT query_id, nid FROM (
+             SELECT query_id, nid,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, nid) AS rk
+             FROM qp) WHERE rk <= 10),
+    ex AS (SELECT query_id, nid FROM (
+             SELECT a.vec_id AS query_id, b.vec_id AS nid,
+                    row_number() OVER (
+                      PARTITION BY a.vec_id
+                      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                                      b.embedding::DOUBLE[]) DESC,
+                               b.vec_id) AS rk
+             FROM embeddings a, embeddings b
+             WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id) WHERE rk <= 10),
+    ov AS (SELECT ex.query_id, count(*) AS n
+           FROM ex JOIN qr ON qr.query_id = ex.query_id AND qr.nid = ex.nid
+           GROUP BY 1),
+    qs AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 20)
+    SELECT qs.query_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(ov.n, 0) * 10 AS BIGINT) AS recall_pct
+    FROM qs LEFT JOIN ov USING (query_id)
+    """,
+)
+def int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-retrieval recall accounting (r11) — the eval that
+    decides whether the int8 index (embedding_quantize_int8 /
+    embedding_gram_upper) is allowed to replace float search:
+    recall@10 per query (vec_id < 20) of DEQUANTIZED-int8 cosine
+    top-10 against exact float cosine top-10. Dequantized score =
+    leftfold(Σ (qa_i·s_i)(qb_i·s_i)) / (|ra||rb|) — every term is the
+    same IEEE sequence in both engines (explicit left folds, sqrt is
+    correctly-rounded), so the quantized ranking is deterministic and
+    the recall integers are exact, not tolerance-compared. 100 TB
+    shape: the query side broadcasts (bounded query set — recall
+    evals sample queries, never all-pairs); corpus-side cost is one
+    pass per leg + a per-query top-k window; the scale array is the
+    quantizer's existing one-row broadcast."""
+    from pyspark.sql import Window
+
+    from .analytics.similarity import knn_join_exact, quantize_embeddings_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = knn_join_exact(emb.filter(F.col("vec_id") < 20), emb, k=10).select(
+        "query_id", F.col("neighbor_id").alias("nid")
+    )
+    deq = quantize_embeddings_int8(emb, return_scales=True).select(
+        "vec_id",
+        F.zip_with(
+            F.col("qvec"), F.col("scales"), lambda qd, s: qd.cast("double") * s
+        ).alias("rv"),
+    )
+    deq = deq.select(
+        "vec_id",
+        "rv",
+        F.sqrt(
+            F.aggregate(
+                F.transform("rv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("nrm"),
+    )
+    qa = F.broadcast(
+        deq.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("rv").alias("ra"),
+            F.col("nrm").alias("na"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ra"), F.col("rv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        deq.crossJoin(qa)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nid"),
+            F.try_divide(dot, F.col("na") * F.col("nrm")).alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("nid"))
+    quant = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "nid")
+    )
+    ov = (
+        exact.join(quant, ["query_id", "nid"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id")
+    ).distinct()
+    return qs.join(ov, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_overlap"),
+        (F.coalesce(F.col("n"), F.lit(0)) * 10).cast("long").alias("recall_pct"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
