@@ -11082,6 +11082,125 @@ def int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "nearest_event_alignment",
+    r"""
+    WITH c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS pid, ts AS pts
+          FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT p.pid, p.user_id, p.pts, c.cts,
+            abs(epoch_us(c.cts) - epoch_us(p.pts)) AS d
+          FROM p JOIN c ON c.user_id = p.user_id
+            AND c.cts >= p.pts - INTERVAL 1 HOUR
+            AND c.cts < p.pts + INTERVAL 1 HOUR),
+    m AS (SELECT pid, user_id, pts, cts, d FROM (
+            SELECT pid, user_id, pts, cts, d,
+                   row_number() OVER (PARTITION BY pid ORDER BY d, cts) AS rn
+            FROM j) WHERE rn = 1)
+    SELECT pid, user_id, CAST(d AS BIGINT) AS delta_us,
+           CASE WHEN cts < pts THEN 'before'
+                WHEN cts > pts THEN 'after' ELSE 'same' END AS direction
+    FROM m
+    """,
+)
+def nearest_event_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join (r11) — the FIFTH temporal-join flavor
+    (as-of = latest prior; first-touch = earliest in look-back;
+    range = exists-within; interval = stream pairs; this = CLOSEST in
+    EITHER direction): each purchase aligns to its user's nearest
+    click within ±1 hour — the sensor/log alignment primitive
+    ("match each reading to the closest calibration event"). Runs on
+    the same binned ``range_join`` scale path (hash equi-join on
+    (user, bin) + exact containment — no inequality scan), then ONE
+    min_by hash aggregate picks the (|Δ|, ts)-minimal click per
+    purchase — map-side combinable, no per-purchase sort-window. The
+    |Δt| is integer microseconds (exact); ties at equal distance
+    break to the earlier click deterministically."""
+    from .operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    j = range_join(
+        clicks,
+        purch,
+        point_col="cts",
+        start_col="w_start",
+        end_col="w_end",
+        on="user_id",
+    ).select(
+        "pid",
+        "user_id",
+        "pts",
+        "cts",
+        F.abs(F.unix_micros("cts") - F.unix_micros("pts")).alias("d"),
+    )
+    win = j.groupBy("pid", "user_id", "pts").agg(
+        F.min_by(
+            F.struct(F.col("cts"), F.col("d")),
+            F.struct(F.col("d"), F.col("cts")),
+        ).alias("w")
+    )
+    return win.select(
+        "pid",
+        "user_id",
+        F.col("w.d").cast("long").alias("delta_us"),
+        F.when(F.col("w.cts") < F.col("pts"), F.lit("before"))
+        .when(F.col("w.cts") > F.col("pts"), F.lit("after"))
+        .otherwise(F.lit("same"))
+        .alias("direction"),
+    )
+
+
+@_register(
+    "k_anonymity_audit",
+    r"""
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS sz
+      FROM customer GROUP BY 1, 2)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(min(sz) AS BIGINT) AS min_group_size
+    FROM g GROUP BY c_mktsegment
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (r11; Sweeney 2002) — the release-gating
+    governance check next to the GDPR delete-plan and retention
+    entries: group the table by its quasi-identifier tuple
+    (market segment × nation — the kind of columns that re-identify
+    when a group is small), and report per segment how many QI
+    groups fall below k = 10 and how many ROWS sit in those
+    re-identifiable groups (the suppression work list). Two hash
+    aggregates, both map-side combinable; the QI group table is the
+    only shuffle and is bounded by QI-combination cardinality, not
+    row count."""
+    cust = _t(spark, sf_dir, "customer")
+    g = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return g.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("sz") < 10).cast("long")).cast("long").alias("n_small_groups"),
+        F.sum(F.when(F.col("sz") < 10, F.col("sz")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("sz").cast("long").alias("min_group_size"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
