@@ -11201,6 +11201,177 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "zonemap_pruning_eval",
+    r"""
+    WITH zm AS (
+      SELECT source, min(n_chars) AS mn, max(n_chars) AS mx,
+             count(*) AS n_docs
+      FROM documents GROUP BY source),
+    preds AS (SELECT * FROM (VALUES
+        ('chars_lt_200', 0, 199),
+        ('chars_500_1000', 500, 1000),
+        ('chars_gt_2000', 2001, 9223372036854775807))
+      AS t(predicate, lo, hi)),
+    sk AS (
+      SELECT p.predicate, zm.n_docs,
+             CASE WHEN zm.mx < p.lo OR zm.mn > p.hi THEN 1 ELSE 0 END AS skip
+      FROM zm CROSS JOIN preds p),
+    agg AS (
+      SELECT predicate,
+             CAST(count(*) AS BIGINT) AS n_shards,
+             CAST(sum(skip) AS BIGINT) AS n_shards_skipped,
+             CAST(sum(CASE WHEN skip = 1 THEN n_docs ELSE 0 END) AS BIGINT)
+               AS rows_skipped,
+             CAST(sum(CASE WHEN skip = 0 THEN n_docs ELSE 0 END) AS BIGINT)
+               AS rows_scanned
+      FROM sk GROUP BY predicate),
+    hits AS (
+      SELECT p.predicate, CAST(count(*) FILTER (
+               d.n_chars >= p.lo AND d.n_chars <= p.hi) AS BIGINT) AS n_matching
+      FROM documents d CROSS JOIN preds p GROUP BY p.predicate)
+    SELECT agg.predicate, n_shards, n_shards_skipped, rows_skipped,
+           rows_scanned, n_matching
+    FROM agg JOIN hits ON hits.predicate = agg.predicate
+    """,
+)
+def zonemap_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning evaluation (r11) — closes the loop the
+    zonemap_stats_report opened (stats COLLECTION): given the
+    per-shard [min, max] zone maps on n_chars, evaluate a predicate
+    set the way a lake planner would — a shard is SKIPPED iff its
+    zone is disjoint from the predicate range (max < lo or min > hi,
+    the Parquet row-group / Iceberg manifest pruning rule) — and
+    report per predicate the shards skipped, rows avoided, rows
+    scanned, and the true matching rows (scan amplification =
+    rows_scanned vs n_matching is exactly what Z-order/Hilbert
+    clustering improves; this eval is how you'd prove it on real
+    data). The zone-map table is bounded by shard count, so the
+    predicate join is a broadcast of a 3-row literal frame; the
+    true-hit leg is one slim-column pass with per-predicate
+    conditional sums."""
+    docs = _t(spark, sf_dir, "documents")
+    preds = F.broadcast(
+        spark.createDataFrame(
+            [
+                ("chars_lt_200", 0, 199),
+                ("chars_500_1000", 500, 1000),
+                ("chars_gt_2000", 2001, 9223372036854775807),
+            ],
+            "predicate string, lo long, hi long",
+        )
+    )
+    zm = docs.groupBy("source").agg(
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    sk = zm.crossJoin(preds).select(
+        "predicate",
+        "n_docs",
+        F.when((F.col("mx") < F.col("lo")) | (F.col("mn") > F.col("hi")), 1)
+        .otherwise(0)
+        .alias("skip"),
+    )
+    agg = sk.groupBy("predicate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.sum("skip").cast("long").alias("n_shards_skipped"),
+        F.sum(F.when(F.col("skip") == 1, F.col("n_docs")).otherwise(0))
+        .cast("long")
+        .alias("rows_skipped"),
+        F.sum(F.when(F.col("skip") == 0, F.col("n_docs")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+    )
+    hits = (
+        docs.select("n_chars")
+        .crossJoin(preds)
+        .groupBy("predicate")
+        .agg(
+            F.sum(
+                ((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_matching")
+        )
+    )
+    return agg.join(hits, "predicate")
+
+
+@_register(
+    "user_activity_coverage",
+    r"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events),
+    m AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv),
+    g AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m),
+    isl AS (
+      SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+      FROM g GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(i_end - i_start) AS BIGINT) AS covered_us,
+           CAST(max(i_end) - min(i_start) AS BIGINT) AS span_us
+    FROM isl GROUP BY user_id
+    """,
+)
+def user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage (r11) — the islands complement of
+    timeline_gap_report's gaps: treat each event as a 5-minute
+    activity interval [ts, ts+5m), merge overlaps per user
+    (gaps-and-islands: a new island starts when an interval's start
+    clears the running max of prior ends), and report per user the
+    merged island count, total COVERED microseconds (the union
+    measure — overlaps counted once, the billing/engagement
+    primitive), and the first-to-last span. Integer microseconds
+    end-to-end. One window pass (running max + island cumsum) + two
+    hash aggregates, all partitioned by user — at 100 TB the window
+    shuffles each user's slim (s, e) pairs once; no self-join, no
+    interval explosion."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 300_000_000).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    m = iv.withColumn(
+        "prev_max",
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    g = m.withColumn(
+        "island",
+        F.sum(
+            (
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max"))
+            ).cast("int")
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    isl = g.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    return isl.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).cast("long").alias("covered_us"),
+        (F.max("i_end") - F.min("i_start")).cast("long").alias("span_us"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
