@@ -11372,6 +11372,128 @@ def user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "streaming_late_event_drops",
+    r"""
+    WITH f AS (
+      SELECT epoch_us(ts) AS tus, event_id % 4 AS b FROM events),
+    mx AS (SELECT b, max(tus) AS bmax FROM f GROUP BY b),
+    wm AS (SELECT b,
+             max(bmax) OVER (ORDER BY b
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               - 3600000000 AS wmk
+           FROM mx),
+    k AS (SELECT f.tus // 21600000000 AS w,
+                 CASE WHEN wm.wmk IS NULL
+                      OR (f.tus // 21600000000 + 1) * 21600000000 > wm.wmk
+                 THEN 1 ELSE 0 END AS kept
+          FROM f JOIN wm USING (b))
+    SELECT w AS bucket_id,
+           CAST(sum(kept) AS BIGINT) AS n_final,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(count(*) - sum(kept) AS BIGINT) AS n_late_dropped
+    FROM k GROUP BY w
+    """,
+)
+def streaming_late_event_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting under a real watermark (r11) — the
+    streaming-semantics entry that DEMONSTRATES what the watermark
+    actually drops instead of assuming it: the events table replays
+    as FOUR deterministic micro-batches (file k = event_id % 4,
+    maxFilesPerTrigger=1, strictly increasing mtimes pin the replay
+    order), each spanning the full month, so every batch after the
+    first arrives mostly BELOW the watermark and its old-window rows
+    are dropped by the stateful 6h-window aggregation. The memory
+    sink runs UPDATE mode (complete mode never drops late rows — the
+    first trap this entry pins down); per-window counts are monotone,
+    so the final state is max(count) per window.
+
+    The ORACLE simulates the watermark protocol in SQL and must
+    reproduce the surviving count per window EXACTLY — which pinned
+    the second trap LIVE: Spark filters late input rows with
+    ``eventTimeWatermarkForLateEvents``, the watermark as of the
+    PREVIOUS batch (state EVICTION uses the current one), so the late
+    filter applied in batch N reflects event time only through batch
+    N-2. A naive one-batch-lag simulation kept half as many rows as
+    the engine; the committed oracle uses the two-batches-back
+    running max (``2 PRECEDING``) and matches every window exactly
+    and deterministically (4 repeat runs, both SFs, hostile config).
+    The staging pass is a bounded fixture builder; on a real stream
+    the same query runs unchanged."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+    import uuid as _uuid
+
+    configure(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    stage = _tempfile.mkdtemp(prefix="stream-late-")
+    try:
+        now = _time.time()
+        for k in range(4):
+            tmp = f"{stage}/_build{k}"
+            ev.where(F.col("event_id") % 4 == k).coalesce(1).write.parquet(tmp)
+            part = next(
+                f for f in _os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = f"{stage}/batch-{k:02d}.parquet"
+            _os.rename(f"{tmp}/{part}", dst)
+            _shutil.rmtree(tmp)
+            # distinct, strictly increasing mtimes: the file source
+            # orders its initial listing by modification time
+            _os.utime(dst, (now + k, now + k))
+        raw = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        agg = (
+            raw.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "6 hours").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        view = f"stream_late_{_uuid.uuid4().hex[:8]}"
+        with _pinned_shuffle(spark, 4):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(view)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+        final = (
+            spark.table(view)
+            .select(
+                F.expr("unix_micros(win.start) DIV 21600000000").alias("bucket_id"),
+                "n",
+            )
+            .groupBy("bucket_id")
+            .agg(F.max("n").alias("n_final"))
+        )
+        truth = (
+            ev.select(F.expr("unix_micros(ts) DIV 21600000000").alias("bucket_id"))
+            .groupBy("bucket_id")
+            .agg(F.count(F.lit(1)).alias("n_batch"))
+        )
+        # the memory sink table outlives the staged files; truth reads
+        # the source parquet — safe to clean the stage in `finally`
+        return truth.join(final, "bucket_id", "left").select(
+            "bucket_id",
+            F.coalesce(F.col("n_final"), F.lit(0)).cast("long").alias("n_final"),
+            F.col("n_batch").cast("long").alias("n_batch"),
+            (F.col("n_batch") - F.coalesce(F.col("n_final"), F.lit(0)))
+            .cast("long")
+            .alias("n_late_dropped"),
+        )
+    finally:
+        _shutil.rmtree(stage, ignore_errors=True)
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
