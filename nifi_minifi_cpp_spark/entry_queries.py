@@ -11638,6 +11638,91 @@ def hll_rollup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "cluster_representative_policy",
+    r"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+      FROM documents WHERE doc_id % 4 = 0),
+    t AS (
+      SELECT doc_id,
+        CASE WHEN len(l) - 2 > 0 THEN
+          list_distinct(list_transform(range(1, CAST(len(l) - 2 AS BIGINT) + 1),
+            i -> array_to_string(list_slice(l, i, i + 2), ' ')))
+        ELSE [array_to_string(l, ' ')] END AS s
+      FROM w),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) /
+            CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+            >= 0.8),
+    e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+    reach(n, l) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT e.d, reach.l FROM e JOIN reach ON e.s = reach.n),
+    comp AS (SELECT n, min(l) AS c FROM reach GROUP BY n),
+    q AS (SELECT comp.n, comp.c, d.n_chars,
+                 row_number() OVER (PARTITION BY comp.c
+                                    ORDER BY d.n_chars DESC, comp.n ASC) AS rk
+          FROM comp JOIN documents d ON d.doc_id = comp.n)
+    SELECT c AS cluster_id,
+           CAST(count(*) AS BIGINT) AS size,
+           CAST(min(n) AS BIGINT) AS rep_minid,
+           CAST(min(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS rep_maxchars,
+           CAST(CASE WHEN min(n) <> min(CASE WHEN rk = 1 THEN n END)
+                THEN 1 ELSE 0 END AS BIGINT) AS policy_differs
+    FROM q GROUP BY c
+    """,
+)
+def cluster_representative_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-representative POLICY eval (r11) — the follow-through on
+    dedup_cluster_size_histogram's closing note ("the skew signal
+    that decides dedup-representative policies"): for every
+    near-duplicate cluster (exact AllPairs Jaccard >= 0.8 pairs fed
+    through connected components, same quarter-sample), compare the
+    two standard keep policies — min-id (what every *_dedup_kept
+    entry does: cheap, deterministic, content-blind) vs
+    KEEP-LONGEST (max n_chars, ties to min id — the quality-keeping
+    policy corpus curation actually wants) — and flag the clusters
+    where they disagree, i.e. where min-id dedup throws away the
+    longest copy. The quality pick is ONE max_by hash aggregate over
+    a (n_chars, -id) struct — no per-cluster sort; the oracle picks
+    its winner with an independent window row_number over the
+    recursive-CTE closure."""
+    from .analytics.dedup import allpairs_jaccard_join
+    from .analytics.graph import connected_components
+
+    configure(spark)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    pairs = allpairs_jaccard_join(docs, threshold=0.8, ngram=3).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    j = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    agg = j.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("size"),
+        F.min("node").cast("long").alias("rep_minid"),
+        F.max_by(
+            "node", F.struct(F.col("n_chars").alias("_q"), (-F.col("node")).alias("_t"))
+        )
+        .cast("long")
+        .alias("rep_maxchars"),
+    )
+    return agg.select(
+        F.col("component").cast("long").alias("cluster_id"),
+        "size",
+        "rep_minid",
+        "rep_maxchars",
+        (F.col("rep_minid") != F.col("rep_maxchars"))
+        .cast("long")
+        .alias("policy_differs"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
