@@ -11723,6 +11723,131 @@ def cluster_representative_policy(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_register(
+    "eval_quota_allocation",
+    r"""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT sum(n) AS t, count(*) AS k FROM c),
+    base AS (
+      SELECT source, n,
+             (n * 1000) // t AS floor_q,
+             (n * 1000) % t AS remainder
+      FROM c CROSS JOIN tot),
+    short AS (SELECT 1000 - sum(floor_q) AS missing FROM base),
+    rk AS (SELECT source, n, floor_q, remainder,
+                  row_number() OVER (ORDER BY remainder DESC, source ASC) AS r
+           FROM base)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(floor_q + CASE WHEN r <= missing THEN 1 ELSE 0 END AS BIGINT)
+             AS quota
+    FROM rk CROSS JOIN short
+    """,
+)
+def eval_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder quota allocation (r11; Hamilton
+    apportionment) — the eval-set construction primitive the
+    stratified samplers don't give you: allocate EXACTLY 1000 eval
+    slots across sources proportional to their document counts, with
+    integer quotas that provably sum to the target (floor quotas,
+    then the remaining slots go to the largest fractional
+    remainders, ties by source name). Everything is integer
+    arithmetic on (count × 1000) DIV/MOD total — no float shares
+    whose rounding could over- or under-allocate. The per-source
+    count table is the only shuffle; the apportionment runs on the
+    bounded stratum table (a window over #sources rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.broadcast(c.agg(F.sum("n").alias("t")))
+    base = c.crossJoin(tot).select(
+        "source",
+        "n",
+        F.expr("(n * 1000) DIV t").alias("floor_q"),
+        ((F.col("n") * 1000) % F.col("t")).alias("remainder"),
+    )
+    short = F.broadcast(
+        base.agg((F.lit(1000) - F.sum("floor_q")).alias("missing"))
+    )
+    rk = base.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy(
+                F.desc("remainder"), F.asc("source")
+            )
+        ),
+    )
+    return rk.crossJoin(short).select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        (
+            F.col("floor_q")
+            + F.when(F.col("r") <= F.col("missing"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+
+
+@_register(
+    "token_budget_selection",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tok,
+             n_chars
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT lang,
+           CAST(count(*) FILTER (cum <= 50000) AS BIGINT) AS n_selected,
+           CAST(coalesce(sum(n_tok) FILTER (cum <= 50000), 0) AS BIGINT)
+             AS tokens_used,
+           CAST(50000 - coalesce(sum(n_tok) FILTER (cum <= 50000), 0) AS BIGINT)
+             AS budget_left
+    FROM r GROUP BY lang
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy selection under a token budget (r11) — the curation
+    move after scoring: per language, rank documents by the quality
+    proxy (n_chars desc, ties by doc_id) and keep the prefix whose
+    cumulative token count fits the 50k-token budget — the
+    "best-data-first until the budget runs out" knapsack greedy that
+    corpus builders actually run (exact knapsack is NP and pointless
+    at corpus scale). One window cumsum per language partition over
+    exact integer token counts; the budget test is a filter on the
+    running sum, so selection is deterministic and
+    oracle-reproducible to the row."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    t = docs.select("doc_id", "lang", n_tok.alias("n_tok"), "n_chars")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    r = t.withColumn("cum", F.sum("n_tok").over(w))
+    sel = F.col("cum") <= 50000
+    return r.groupBy("lang").agg(
+        F.sum(sel.cast("long")).cast("long").alias("n_selected"),
+        F.coalesce(F.sum(F.when(sel, F.col("n_tok"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_used"),
+        (
+            F.lit(50000)
+            - F.coalesce(F.sum(F.when(sel, F.col("n_tok"))), F.lit(0))
+        )
+        .cast("long")
+        .alias("budget_left"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
