@@ -11848,6 +11848,75 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "scd2_pointintime_join",
+    r"""
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn
+      FROM events WHERE user_id < 300
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    v AS (SELECT user_id, event_type, ts AS valid_from,
+                 lead(ts) OVER w2 AS valid_to
+          FROM (SELECT * FROM s WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    p AS (SELECT user_id, event_id AS pid, ts AS pts
+          FROM events WHERE user_id < 300 AND event_type = 'purchase')
+    SELECT p.pid, p.user_id, v.event_type AS version_type,
+           v.valid_from AS version_from
+    FROM p JOIN v ON v.user_id = p.user_id
+      AND v.valid_from <= p.pts
+      AND (v.valid_to IS NULL OR p.pts < v.valid_to)
+    """,
+)
+def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension lookup (r11) — the reason SCD2
+    histories exist, demonstrated end to end: build the per-user
+    event_type version history (the scd2_event_type_history
+    machinery), then enrich every purchase with the version VALID AT
+    its timestamp — the join that prevents time-travel leakage when
+    a model joins training events to mutable dimensions (today's
+    attributes must never describe last month's event). The engine
+    composes ``scd2_history`` with the AS-OF join (latest
+    valid_from <= ts — versions partition each user's timeline, so
+    as-of and interval-containment agree BY CONSTRUCTION); the
+    oracle verifies exactly that equivalence by taking the interval-
+    containment route (valid_from <= ts < valid_to) over its own
+    window-built history — two different join mechanisms that must
+    produce identical enrichment rows."""
+    from .operators.temporal import asof_join, scd2_history
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 300)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    hist = scd2_history(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak_col="event_id"
+    ).select(
+        "user_id",
+        F.col("event_type").alias("vtype"),
+        F.col("valid_from").alias("vfrom"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    j = asof_join(
+        purch,
+        hist,
+        on="user_id",
+        left_ts="pts",
+        right_ts="vfrom",
+    )
+    return j.select(
+        "pid",
+        "user_id",
+        F.col("right_vtype").alias("version_type"),
+        F.col("right_vfrom").alias("version_from"),
+    ).where(F.col("version_type").isNotNull())
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
