@@ -10311,26 +10311,30 @@ def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seeds — the "expand from these known-good domains" selection
     primitive for corpus curation. Same slim-join iteration shape as
     ``pagerank_supplier_parts`` (the seed flag joins once onto the
-    node table; per-round cost unchanged); nodes unreached in 3 hops
+    node table; per-round cost unchanged) and the same PACKED-LONG
+    node ids through every shuffle (the r11 bench caught the first
+    cut shipping 's…'/'p…' STRINGS through three iterations: 28.6s
+    vs the global entry's 8.3s — labels now decode only in the final
+    projection; rank arithmetic is id-agnostic, so no value
+    changes); nodes unreached in 3 hops
     round to 0 and are filtered on BOTH sides (their exact zero is
     engine-trivial, the interesting surface is the reached mass)."""
     from .analytics.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem")
-    fwd = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
-    ).distinct()
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
     seeds = (
         li.where(F.col("l_suppkey") <= 10)
-        .select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("node"))
+        .select((F.col("l_suppkey") * 2).alias("node"))
         .distinct()
     )
-    r = pagerank(edges, iterations=3, teleport=seeds)
-    return r.select("node", F.round(F.col("rank"), 6).alias("rank")).where(
+    r = pagerank(_supplier_part_edges(li), iterations=3, teleport=seeds)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("s"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("p"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+    )
+    return r.select(label.alias("node"), F.round(F.col("rank"), 6).alias("rank")).where(
         F.col("rank") > 0
     )
 
@@ -10438,7 +10442,10 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps every value a plain ratio so the unrolled-CTE oracle is an
     independent reconstruction); customers keep auth = 0 and
     suppliers hub = 0 EXACTLY (no in-/out-edges), both sides emit
-    them unfiltered."""
+    them unfiltered. Node ids travel as packed longs (customer -> 2k,
+    supplier -> 2k+1) through the iteration shuffles — the same
+    encoding discipline as the other graph entries — and decode to
+    the oracle's 'c…'/'s…' labels in the final projection only."""
     from .analytics.graph import hits
 
     o = _t(spark, sf_dir, "orders")
@@ -10446,14 +10453,20 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     r = hits(edges, iterations=2)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+    )
     return r.select(
-        "node",
+        label.alias("node"),
         F.round(F.col("hub"), 6).alias("hub"),
         F.round(F.col("auth"), 6).alias("auth"),
     )
