@@ -11930,6 +11930,177 @@ def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("version_type").isNotNull())
 
 
+@_register(
+    "position_attribution_credits",
+    r"""
+    WITH c AS (SELECT user_id, event_id AS cid, ts AS cts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS pid, ts AS pts
+          FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT p.pid, c.cid, c.cts,
+                 row_number() OVER (PARTITION BY p.pid
+                                    ORDER BY c.cts, c.cid) AS rn,
+                 count(*) OVER (PARTITION BY p.pid) AS m
+          FROM p JOIN c ON c.user_id = p.user_id
+            AND c.cts >= p.pts - INTERVAL 24 HOUR AND c.cts < p.pts)
+    SELECT pid, cid,
+           CASE WHEN m = 1 THEN 'only'
+                WHEN rn = 1 THEN 'first'
+                WHEN rn = m THEN 'last'
+                ELSE 'middle' END AS position,
+           CAST(CASE WHEN m = 1 THEN 10000
+                WHEN m = 2 THEN 5000
+                WHEN rn = 1 OR rn = m THEN 4000
+                ELSE 2000 // (m - 2)
+                     + CASE WHEN rn - 1 <= 2000 % (m - 2) THEN 1 ELSE 0 END
+                END AS BIGINT) AS credit_bp
+    FROM j
+    """,
+)
+def position_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution (r11) — the
+    credit-splitting step after first_touch_attribution picked one
+    winner: every click in a purchase's strict 24h look-back gets a
+    share of EXACTLY 10000 basis points — 40/20/40 (first/middles/
+    last), 50/50 for two touches, 100% for one — with the middle pool
+    divided in INTEGER basis points and the remainder going to the
+    earliest middles (largest-remainder again), so per-purchase
+    credits provably sum to 10000 with no float leakage. Candidate
+    generation is the same binned range_join scale path; ranking is
+    one (pid)-partitioned window. The oracle builds the same credits
+    from a raw inequality join + its own windows."""
+    from pyspark.sql import Window
+
+    from .operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        (F.col("ts") - F.expr("INTERVAL 24 HOURS")).alias("w_start"),
+    )
+    j = range_join(
+        clicks, purch, point_col="cts", start_col="w_start", end_col="pts",
+        on="user_id",
+    )
+    w = Window.partitionBy("pid")
+    ranked = j.select(
+        "pid",
+        "cid",
+        F.row_number().over(w.orderBy("cts", "cid")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("m"),
+    )
+    m, rn = F.col("m"), F.col("rn")
+    credit = (
+        F.when(m == 1, F.lit(10000))
+        .when(m == 2, F.lit(5000))
+        .when((rn == 1) | (rn == m), F.lit(4000))
+        .otherwise(
+            F.expr("2000 DIV (m - 2)")
+            + F.when(rn - 1 <= (2000 % (m - 2)), 1).otherwise(0)
+        )
+    )
+    pos = (
+        F.when(m == 1, F.lit("only"))
+        .when(rn == 1, F.lit("first"))
+        .when(rn == m, F.lit("last"))
+        .otherwise(F.lit("middle"))
+    )
+    return ranked.select(
+        "pid", "cid", pos.alias("position"), credit.cast("long").alias("credit_bp")
+    )
+
+
+@_register(
+    "hll_intersection_estimate",
+    r"""
+    WITH w AS (
+      SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    b AS (
+      SELECT event_type,
+             CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 64 AS bucket,
+             CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) AS v
+      FROM w),
+    r AS (SELECT event_type, bucket,
+                 max(CASE WHEN v > 0 THEN 33 - length(bin(v)) ELSE 33 END) AS m
+          FROM b GROUP BY event_type, bucket),
+    ru AS (SELECT bucket, max(m) AS m FROM r GROUP BY bucket),
+    est AS (
+      SELECT event_type AS scope,
+             0.709 * 4096.0 / (sum(power(0.5, m)) + (64 - count(*))) AS e
+      FROM r GROUP BY event_type
+      UNION ALL
+      SELECT 'union',
+             0.709 * 4096.0 / (sum(power(0.5, m)) + (64 - count(*)))
+      FROM ru),
+    piv AS (SELECT
+              max(CASE WHEN scope = 'click' THEN e END) AS ec,
+              max(CASE WHEN scope = 'purchase' THEN e END) AS ep,
+              max(CASE WHEN scope = 'union' THEN e END) AS eu
+            FROM est),
+    ex AS (SELECT count(*) AS exact_both FROM (
+             SELECT user_id FROM events WHERE event_type = 'click'
+             INTERSECT
+             SELECT user_id FROM events WHERE event_type = 'purchase'))
+    SELECT round(ec, 2) AS est_click, round(ep, 2) AS est_purchase,
+           round(eu, 2) AS est_union,
+           round(ec + ep - eu, 2) AS est_intersection,
+           CAST(ex.exact_both AS BIGINT) AS exact_intersection
+    FROM piv CROSS JOIN ex
+    """,
+)
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set-INTERSECTION estimate (r11) — the composition HLL
+    doesn't natively support, recovered by inclusion-exclusion:
+    |click ∩ purchase| ≈ est(A) + est(B) − est(A∪B), where the union
+    sketch is the cell-wise max merge (exact for union) — the
+    overlap question ("how many users both click and buy") answered
+    from three bounded sketches with NO distinct set materialized.
+    Inclusion-exclusion inherits the raw estimator's error on three
+    terms (documented caveat: it can even go negative on tiny
+    overlaps — the exact intersection sits alongside to show the
+    real error); every term is bit-deterministic, so the oracle
+    pins all five numbers."""
+    from .analytics.sketches import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    regs = hll_registers(ev, "user_id", group_cols=["event_type"])
+    per = hll_estimate(regs, group_cols=["event_type"]).select(
+        "event_type", F.col("hll_estimate").alias("e")
+    )
+    ru = regs.groupBy("bucket").agg(F.max("m").alias("m"))
+    eu = hll_estimate(ru).select(F.col("hll_estimate").alias("eu"))
+    piv = per.groupBy().pivot("event_type", ["click", "purchase"]).agg(
+        F.first("e")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    ex = (
+        clicks.intersect(buys)
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    return (
+        piv.crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.round(F.col("click"), 2).alias("est_click"),
+            F.round(F.col("purchase"), 2).alias("est_purchase"),
+            F.round(F.col("eu"), 2).alias("est_union"),
+            F.round(F.col("click") + F.col("purchase") - F.col("eu"), 2).alias(
+                "est_intersection"
+            ),
+            F.col("exact_both").cast("long").alias("exact_intersection"),
+        )
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
