@@ -272,6 +272,53 @@ def deterministic_sample_pred(key: Column, fraction: float) -> Column:
     return F.substring(F.md5(key.cast("string")), 1, 4) < F.lit(format(threshold, "04x"))
 
 
+def largest_remainder_quota(
+    counts: DataFrame, total: int, key_col: str = "source", n_col: str = "n"
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: allocate EXACTLY
+    ``total`` integer slots across the strata of ``counts`` (one row
+    per stratum with its weight ``n_col``), proportionally. Floor
+    quotas first ((n*total) DIV sum — pure integer arithmetic, no
+    float share), then the leftover slots go to the largest
+    fractional remainders, ties broken by ``key_col`` ascending.
+    Invariants (property-tested): quotas sum to ``total``; every
+    quota is the floor or ceil of its exact proportional share.
+
+    100 TB shape: runs on the BOUNDED stratum table (one row per
+    group — the upstream count aggregate is the only data-scale
+    work); the ranking window costs #strata rows.
+    """
+    from pyspark.sql import Window
+
+    tot = F.broadcast(counts.agg(F.sum(n_col).alias("t")))
+    base = counts.crossJoin(tot).select(
+        key_col,
+        F.col(n_col).alias("n"),
+        F.expr(f"(cast({n_col} as bigint) * {int(total)}) DIV t").alias("floor_q"),
+        ((F.col(n_col).cast("long") * int(total)) % F.col("t")).alias("remainder"),
+    )
+    short = F.broadcast(
+        base.agg((F.lit(int(total)) - F.sum("floor_q")).alias("missing"))
+    )
+    rk = base.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy(
+                F.desc("remainder"), F.asc(key_col)
+            )
+        ),
+    )
+    return rk.crossJoin(short).select(
+        key_col,
+        "n",
+        (
+            F.col("floor_q") + F.when(F.col("r") <= F.col("missing"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+
+
 def char_entropy_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", decimals: int = 4
 ) -> DataFrame:

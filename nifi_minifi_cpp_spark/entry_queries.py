@@ -11767,38 +11767,18 @@ def eval_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on (count × 1000) DIV/MOD total — no float shares
     whose rounding could over- or under-allocate. The per-source
     count table is the only shuffle; the apportionment runs on the
-    bounded stratum table (a window over #sources rows)."""
-    docs = _t(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    bounded stratum table (a window over #sources rows) —
+    ``analytics.text_analysis.largest_remainder_quota``, whose
+    sum/floor-or-ceil invariants are hypothesis-tested against a
+    pure-Python model."""
+    from .analytics.text_analysis import largest_remainder_quota
 
+    docs = _t(spark, sf_dir, "documents")
     c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    tot = F.broadcast(c.agg(F.sum("n").alias("t")))
-    base = c.crossJoin(tot).select(
-        "source",
-        "n",
-        F.expr("(n * 1000) DIV t").alias("floor_q"),
-        ((F.col("n") * 1000) % F.col("t")).alias("remainder"),
-    )
-    short = F.broadcast(
-        base.agg((F.lit(1000) - F.sum("floor_q")).alias("missing"))
-    )
-    rk = base.withColumn(
-        "r",
-        F.row_number().over(
-            Window.partitionBy(F.lit(1)).orderBy(
-                F.desc("remainder"), F.asc("source")
-            )
-        ),
-    )
-    return rk.crossJoin(short).select(
+    return largest_remainder_quota(c, 1000, key_col="source").select(
         "source",
         F.col("n").cast("long").alias("n_docs"),
-        (
-            F.col("floor_q")
-            + F.when(F.col("r") <= F.col("missing"), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("quota"),
+        "quota",
     )
 
 
