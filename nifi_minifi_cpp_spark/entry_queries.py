@@ -12233,6 +12233,206 @@ def future_purchase_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "theilsen_trend_by_type",
+    r"""
+    WITH h AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS eh FROM events),
+    mn AS (SELECT min(eh) AS m FROM h),
+    c AS (SELECT event_type, eh - m AS x, count(*) AS y
+          FROM h CROSS JOIN mn GROUP BY 1, 2),
+    pr AS (SELECT a.event_type,
+                  b.y - a.y AS num, b.x - a.x AS den,
+                  CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS v
+           FROM c a JOIN c b
+             ON b.event_type = a.event_type AND a.x < b.x),
+    rk AS (SELECT event_type, num, den,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY v, num, den) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM pr)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN num >= 0
+                THEN (2 * num * 1000000 + den) // (2 * den)
+                ELSE -((2 * (-num) * 1000000 + den) // (2 * den)) END
+                AS BIGINT) AS slope_micro
+    FROM rk WHERE rn = (n + 1) // 2
+    """,
+)
+def theilsen_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend (r11; Sen 1968) — the outlier-immune
+    sibling of hourly_trend_by_type's OLS: per event type, the slope
+    is the MEDIAN of all pairwise (Δy/Δx) slopes over the hourly
+    count series, so a burst hour that drags the least-squares line
+    barely moves this one (up to ~29% contamination). The median is
+    the nearest-rank element at (n+1) DIV 2 under (value, num, den)
+    ordering — the selected slope stays an exact integer FRACTION and
+    is emitted in micro-units via the repo's rational rounding (the
+    double `v` is used only as a sort key; both engines compute the
+    identical IEEE quotient). Pair generation is a per-type self-join
+    bounded by the time range squared — ~260k pairs per type at a
+    month of hours, independent of row volume (at fleet scale the
+    standard move is the same join over a sampled pair set)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("eh")
+    )
+    mn = F.broadcast(h.groupBy().agg(F.min("eh").alias("m")))
+    c = (
+        h.crossJoin(mn)
+        .select("event_type", (F.col("eh") - F.col("m")).alias("x"))
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a = c.select("event_type", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = c.select(
+        F.col("event_type").alias("et2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    pr = a.join(
+        b, (a["event_type"] == b["et2"]) & (a["x1"] < b["x2"])
+    ).select(
+        "event_type",
+        (F.col("y2") - F.col("y1")).alias("num"),
+        (F.col("x2") - F.col("x1")).alias("den"),
+        (
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("x2") - F.col("x1")).cast("double")
+        ).alias("v"),
+    )
+    w = Window.partitionBy("event_type")
+    rk = pr.select(
+        "event_type",
+        "num",
+        "den",
+        F.row_number().over(w.orderBy("v", "num", "den")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    slope = F.when(
+        F.col("num") >= 0, F.expr("(2 * num * 1000000 + den) DIV (2 * den)")
+    ).otherwise(-F.expr("(2 * (-num) * 1000000 + den) DIV (2 * den)"))
+    return rk.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        slope.cast("long").alias("slope_micro"),
+    )
+
+
+@_register(
+    "quantile_sketch_by_source",
+    r"""
+    WITH vals AS (SELECT source, n_chars AS v FROM documents WHERE n_chars >= 1),
+    b AS (SELECT source, v, length(bin(v)) AS p FROM vals),
+    k AS (SELECT source, v,
+            CASE WHEN v < 8 THEN v
+                 ELSE (p - 4) * 8 + (v >> (p - 4)) END AS bucket,
+            CASE WHEN v < 8 THEN v
+                 ELSE ((v >> (p - 4)) << (p - 4)) END AS lo,
+            CASE WHEN v < 8 THEN v
+                 ELSE ((((v >> (p - 4)) + 1) << (p - 4)) - 1) END AS hi
+          FROM b),
+    hs AS (SELECT source, bucket, lo, hi, count(*) AS n
+           FROM k GROUP BY 1, 2, 3, 4),
+    hg AS (SELECT bucket, lo, hi, sum(n) AS n FROM hs GROUP BY 1, 2, 3),
+    cs AS (SELECT source AS scope, bucket, (lo + hi) // 2 AS mid,
+                  sum(n) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+                  sum(n) OVER (PARTITION BY source) AS nt
+           FROM hs),
+    cg AS (SELECT '__all__' AS scope, bucket, (lo + hi) // 2 AS mid,
+                  sum(n) OVER (ORDER BY bucket) AS cum, sum(n) OVER () AS nt
+           FROM hg),
+    cu AS (SELECT * FROM cs UNION ALL SELECT * FROM cg),
+    es AS (SELECT scope, max(nt) AS n_total,
+                  arg_min(mid, bucket) AS p50_est
+           FROM cu WHERE cum >= (nt + 1) // 2 GROUP BY scope),
+    rs AS (SELECT source AS scope, v,
+                  row_number() OVER (PARTITION BY source ORDER BY v) AS r,
+                  count(*) OVER (PARTITION BY source) AS nt
+           FROM vals),
+    rg AS (SELECT '__all__' AS scope, v,
+                  row_number() OVER (ORDER BY v) AS r, count(*) OVER () AS nt
+           FROM vals),
+    ru AS (SELECT * FROM rs UNION ALL SELECT * FROM rg),
+    ex AS (SELECT scope, min(v) AS exact_p50 FROM ru
+           WHERE r = (nt + 1) // 2 GROUP BY scope)
+    SELECT es.scope, CAST(es.n_total AS BIGINT) AS n_total,
+           CAST(es.p50_est AS BIGINT) AS p50_est,
+           CAST(ex.exact_p50 AS BIGINT) AS exact_p50
+    FROM es JOIN ex ON ex.scope = es.scope
+    """,
+)
+def quantile_sketch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped + hierarchy-rolled quantile sketch (r11) — the
+    quantile twin of hll_rollup_sources: one log-bucket histogram per
+    source answers each source's median document length, and the
+    GLOBAL median comes from summing those bounded histograms —
+    never re-scanning the corpus (the metadata-layer property; a lake
+    keeps one ≤488-row histogram per shard and answers any rollup's
+    quantiles from merges). Exact nearest-rank medians per scope sit
+    alongside for error accounting. Same integer-exact bucket
+    geometry as quantile_sketch_merge (bit-length + top-4-bits,
+    never a float log)."""
+    from pyspark.sql import Window
+
+    from .analytics.sketches import logbucket_histogram, logbucket_quantile
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") >= 1)
+    vals = docs.select("source", F.col("n_chars").alias("v"))
+    hs = logbucket_histogram(vals, "v", group_cols=["source"])
+    per = logbucket_quantile(hs, 1, 2, group_cols=["source"]).select(
+        F.col("source").alias("scope"),
+        F.col("n_total"),
+        F.col("est").alias("p50_est"),
+    )
+    hg = hs.groupBy("bucket", "lo", "hi").agg(F.sum("n").alias("n"))
+    glob = logbucket_quantile(hg, 1, 2).select(
+        F.lit("__all__").alias("scope"),
+        F.col("n_total"),
+        F.col("est").alias("p50_est"),
+    )
+    est = per.unionByName(glob)
+    ws = Window.partitionBy("source").orderBy("v")
+    rs = vals.select(
+        F.col("source").alias("scope"),
+        "v",
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy("source").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("nt"),
+    )
+    rg = vals.select(
+        F.lit("__all__").alias("scope"),
+        "v",
+        F.row_number().over(Window.orderBy("v")).alias("r"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("nt"),
+    )
+    exact = (
+        rs.unionByName(rg)
+        .where(F.col("r") == F.expr("(nt + 1) DIV 2"))
+        .groupBy("scope")
+        .agg(F.min("v").alias("exact_p50"))
+    )
+    return est.join(exact, "scope").select(
+        "scope",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("p50_est").cast("long").alias("p50_est"),
+        F.col("exact_p50").cast("long").alias("exact_p50"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
