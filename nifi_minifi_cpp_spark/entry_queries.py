@@ -12629,6 +12629,162 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "item_similarity_topk",
+    r"""
+    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    deg AS (SELECT p, count(*) AS d FROM e GROUP BY p),
+    co AS (SELECT a.p AS pa, b.p AS pb, count(*) AS c
+           FROM e a JOIN e b ON b.o = a.o AND a.p < b.p
+           GROUP BY 1, 2),
+    sym AS (SELECT pa AS src, pb AS dst, c FROM co
+            UNION ALL SELECT pb, pa, c FROM co),
+    sc AS (SELECT sym.src, sym.dst, sym.c,
+                  sym.c / sqrt(CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE)) AS s
+           FROM sym JOIN deg da ON da.p = sym.src
+                    JOIN deg db ON db.p = sym.dst),
+    rk AS (SELECT src, dst, c, s,
+                  row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS r
+           FROM sc)
+    SELECT src AS part_id, dst AS similar_part, CAST(c AS BIGINT) AS shared_orders,
+           round(s, 6) AS cosine_sim, CAST(r AS BIGINT) AS rank
+    FROM rk WHERE r <= 3
+    """,
+)
+def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (r11; the Amazon
+    item-to-item recipe, Linden et al. 2003) — the recommender
+    primitive the co-occurrence entries stop short of: per part, the
+    top-3 most similar parts by co-occurrence COSINE
+    c_ij / sqrt(c_i·c_j), where c_ij counts orders containing both
+    and c_i the part's order degree — normalization that stops
+    popular items from dominating every neighbor list (raw
+    co-purchase counts do). Candidate pairs come from the self-join
+    on the order key — bounded by per-order basket size squared, the
+    legitimate wedge (the projection IS the product); one degree
+    join, one per-src top-k window. Cosine = one sqrt + one divide
+    over exact integers — deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    a = e.select("o", F.col("p").alias("pa"))
+    b = e.select("o", F.col("p").alias("pb"))
+    co = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sym = co.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "c"
+    ).unionByName(co.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "c"))
+    sc = (
+        sym.join(deg.select(F.col("p").alias("src"), F.col("d").alias("da")), "src")
+        .join(deg.select(F.col("p").alias("dst"), F.col("d").alias("db")), "dst")
+        .select(
+            "src",
+            "dst",
+            "c",
+            (
+                F.col("c") / F.sqrt(F.col("da").cast("double") * F.col("db").cast("double"))
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+    return (
+        sc.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 3)
+        .select(
+            F.col("src").alias("part_id"),
+            F.col("dst").alias("similar_part"),
+            F.col("c").cast("long").alias("shared_orders"),
+            F.round("s", 6).alias("cosine_sim"),
+            F.col("r").cast("long").alias("rank"),
+        )
+    )
+
+
+@_register(
+    "markov_stationary_distribution",
+    r"""
+    WITH s AS (SELECT user_id, event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+               FROM events),
+    t AS (SELECT event_type AS src, nxt AS dst,
+                 CAST(count(*) AS DOUBLE)
+                   / sum(count(*)) OVER (PARTITION BY event_type) AS p
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    st AS (SELECT DISTINCT src AS state FROM t),
+    n AS (SELECT count(*) AS k FROM st),
+    p0 AS (SELECT state, 1.0::DOUBLE / k AS pi FROM st CROSS JOIN n),
+    p1 AS (SELECT st.state, coalesce(x.v, 0) AS pi FROM st LEFT JOIN
+           (SELECT t.dst AS state, sum(p0.pi * t.p) AS v
+            FROM t JOIN p0 ON p0.state = t.src GROUP BY t.dst) x
+           ON x.state = st.state),
+    p2 AS (SELECT st.state, coalesce(x.v, 0) AS pi FROM st LEFT JOIN
+           (SELECT t.dst AS state, sum(p1.pi * t.p) AS v
+            FROM t JOIN p1 ON p1.state = t.src GROUP BY t.dst) x
+           ON x.state = st.state),
+    p3 AS (SELECT st.state, coalesce(x.v, 0) AS pi FROM st LEFT JOIN
+           (SELECT t.dst AS state, sum(p2.pi * t.p) AS v
+            FROM t JOIN p2 ON p2.state = t.src GROUP BY t.dst) x
+           ON x.state = st.state),
+    p4 AS (SELECT st.state, coalesce(x.v, 0) AS pi FROM st LEFT JOIN
+           (SELECT t.dst AS state, sum(p3.pi * t.p) AS v
+            FROM t JOIN p3 ON p3.state = t.src GROUP BY t.dst) x
+           ON x.state = st.state)
+    SELECT state, round(pi, 6) AS pi FROM p4
+    """,
+)
+def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov stationary distribution (r11) — the tenth iterative
+    class, closing the chain the transition matrix opened: four
+    synchronous power iterations π ← πP from a uniform start over
+    the empirical event-type chain — the long-run "where does a user
+    session settle" distribution that next-event counts alone don't
+    give (it weights states by their steady-state mass, not their
+    raw frequency). Each iteration is ONE equi-join of the slim
+    (state, π) frame onto the transition edges plus a groupBy sum —
+    the weighted-graph PageRank shape without damping; transition
+    probabilities are single exact divisions, so only summation-
+    order ulps separate engines and round(,6) absorbs them. The
+    oracle unrolls the same four rounds as chained CTEs."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("event_type", F.lead("event_type").over(w).alias("nxt")).filter(
+        F.col("nxt").isNotNull()
+    )
+    counts = s.groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = counts.select(
+        "src",
+        "dst",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("src"))
+        ).alias("p"),
+    )
+    st = t.select(F.col("src").alias("state")).distinct()
+    k = F.broadcast(st.agg(F.count(F.lit(1)).alias("k")))
+    pi = st.crossJoin(k).select("state", (F.lit(1.0) / F.col("k")).alias("pi"))
+    for _ in range(4):
+        nxt = (
+            t.join(pi.withColumnRenamed("state", "src"), "src")
+            .groupBy(F.col("dst").alias("state"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("v"))
+        )
+        pi = st.join(nxt, "state", "left").select(
+            "state", F.coalesce(F.col("v"), F.lit(0.0)).alias("pi")
+        )
+    return pi.select("state", F.round("pi", 6).alias("pi"))
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
