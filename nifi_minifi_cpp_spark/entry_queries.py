@@ -12785,6 +12785,89 @@ def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     return pi.select("state", F.round("pi", 6).alias("pi"))
 
 
+@_register(
+    "power_iteration_top_component",
+    r"""
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings),
+    v0 AS (SELECT DISTINCT pos, 0.125::DOUBLE AS vp FROM e),
+    xv1 AS (SELECT e.vec_id, sum(e.val * v0.vp) AS s
+            FROM e JOIN v0 USING (pos) GROUP BY e.vec_id),
+    w1 AS (SELECT e.pos, sum(e.val * xv1.s) AS w
+           FROM e JOIN xv1 ON xv1.vec_id = e.vec_id GROUP BY e.pos),
+    n1 AS (SELECT sqrt(sum(w * w)) AS nm FROM w1),
+    v1 AS (SELECT pos, w / nm AS vp FROM w1 CROSS JOIN n1),
+    xv2 AS (SELECT e.vec_id, sum(e.val * v1.vp) AS s
+            FROM e JOIN v1 USING (pos) GROUP BY e.vec_id),
+    w2 AS (SELECT e.pos, sum(e.val * xv2.s) AS w
+           FROM e JOIN xv2 ON xv2.vec_id = e.vec_id GROUP BY e.pos),
+    n2 AS (SELECT sqrt(sum(w * w)) AS nm FROM w2),
+    v2 AS (SELECT pos, w / nm AS vp FROM w2 CROSS JOIN n2),
+    xv3 AS (SELECT e.vec_id, sum(e.val * v2.vp) AS s
+            FROM e JOIN v2 USING (pos) GROUP BY e.vec_id),
+    w3 AS (SELECT e.pos, sum(e.val * xv3.s) AS w
+           FROM e JOIN xv3 ON xv3.vec_id = e.vec_id GROUP BY e.pos),
+    n3 AS (SELECT sqrt(sum(w * w)) AS nm FROM w3),
+    v3 AS (SELECT pos, w / nm AS vp FROM w3 CROSS JOIN n3),
+    xv4 AS (SELECT e.vec_id, sum(e.val * v3.vp) AS s
+            FROM e JOIN v3 USING (pos) GROUP BY e.vec_id),
+    w4 AS (SELECT e.pos, sum(e.val * xv4.s) AS w
+           FROM e JOIN xv4 ON xv4.vec_id = e.vec_id GROUP BY e.pos),
+    n4 AS (SELECT sqrt(sum(w * w)) AS nm FROM w4),
+    v4 AS (SELECT pos, w / nm AS vp FROM w4 CROSS JOIN n4)
+    SELECT CAST(v4.pos - 1 AS BIGINT) AS pos, round(v4.vp, 6) AS loading,
+           round(n4.nm, 4) AS eigenvalue
+    FROM v4 CROSS JOIN n4
+    """,
+)
+def power_iteration_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction by MATRIX-FREE power iteration
+    (r11) — the eleventh iterative class, and the spectral primitive
+    behind PCA whitening / spectral embedding init: four rounds of
+    v ← normalize(Xᵀ(Xv)) over the embedding matrix WITHOUT ever
+    materializing the d×d Gram — each round is two slim equi-joins +
+    groupBy sums on the posexploded (vec, pos, val) rows (first
+    contract to n scores, then back to d loadings), which is the
+    shape that survives d too large to broadcast and n too large to
+    collect. Start v₀ = 1/8 exactly (1/√64 is a binary power — exact
+    start, deterministic sign); normalization sqrt is correctly
+    rounded; only groupBy summation order separates engines and
+    round(,6) absorbs it. The Rayleigh estimate ‖Xᵀ(Xv)‖ after the
+    last round is the eigenvalue column. Oracle = the same four
+    rounds unrolled as CTEs."""
+    ev = _t(spark, sf_dir, "embeddings")
+    e = ev.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos0", "val")
+    ).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("val").cast("double").alias("val")
+    )
+    from .util import reliable_barrier
+
+    e = reliable_barrier(e)
+    v = e.select("pos").distinct().select("pos", F.lit(0.125).alias("vp"))
+    nm = None
+    for _ in range(4):
+        xv = (
+            e.join(v, "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("val") * F.col("vp")).alias("s"))
+        )
+        w = (
+            e.join(xv, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("val") * F.col("s")).alias("w"))
+        )
+        nm = F.broadcast(w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm")))
+        v = w.crossJoin(nm).select("pos", (F.col("w") / F.col("nm")).alias("vp"))
+    return v.crossJoin(nm).select(
+        (F.col("pos") - 1).cast("long").alias("pos"),
+        F.round("vp", 6).alias("loading"),
+        F.round("nm", 4).alias("eigenvalue"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
