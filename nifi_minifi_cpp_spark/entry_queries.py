@@ -12868,6 +12868,235 @@ def power_iteration_top_component(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_register(
+    "gini_value_by_type",
+    r"""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y
+      FROM events WHERE value >= 0),
+    r AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY y) AS i
+      FROM v),
+    s AS (
+      SELECT event_type, count(*) AS n, sum(y) AS sy, sum(i * y) AS siy
+      FROM r GROUP BY event_type),
+    d AS (
+      SELECT event_type, n, sy,
+             2 * siy - (n + 1) * sy AS num, n * sy AS den
+      FROM s WHERE sy > 0)
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           CAST(sy AS BIGINT) AS total_cents,
+           CAST(CASE WHEN num >= 0
+                THEN (2 * num * 1000 + den) // (2 * den)
+                ELSE -((2 * (-num) * 1000 + den) // (2 * den)) END
+                AS BIGINT) AS gini_milli
+    FROM d
+    """,
+)
+def gini_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration per event type (r11) — the
+    inequality profile of the value distribution ("is purchase
+    revenue spread evenly or carried by a few whales"), computed as
+    ONE exact rational G = (2Σi·yᵢ − (n+1)Σy) / (nΣy) over the
+    rank-sorted integer-cent values and emitted in integer MILLI
+    units via the repo's rational rounding (milli, not micro — the
+    2·num·scale product must clear BIGINT at 100× this volume; bound
+    documented). One sort-window per type partition + one hash
+    aggregate; ties in y need no tie-break (any rank order of equal
+    values leaves Σi·yᵢ unchanged — the estimator is
+    permutation-invariant within ties, so both engines agree without
+    a deterministic sort)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value") >= 0)
+    v = ev.select("event_type", _cents(F.col("value")).alias("y"))
+    r = v.select(
+        "event_type",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("y"))
+        .alias("i"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("i") * F.col("y")).alias("siy"),
+    )
+    d = s.where(F.col("sy") > 0).select(
+        "event_type",
+        "n",
+        "sy",
+        (2 * F.col("siy") - (F.col("n") + 1) * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sy")).alias("den"),
+    )
+    gini = F.when(
+        F.col("num") >= 0, F.expr("(2 * num * 1000 + den) DIV (2 * den)")
+    ).otherwise(-F.expr("(2 * (-num) * 1000 + den) DIV (2 * den)"))
+    return d.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("sy").cast("long").alias("total_cents"),
+        gini.cast("long").alias("gini_milli"),
+    )
+
+
+@_register(
+    "streaming_outer_join_timeouts",
+    r"""
+    WITH f AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+             event_id % 4 AS b
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    mx AS (
+      SELECT b,
+        max(CASE WHEN event_type = 'click' THEN tus END) AS mc,
+        max(CASE WHEN event_type = 'purchase' THEN tus END) AS mp
+      FROM f GROUP BY b),
+    wseries AS (  -- W(x) = min over the two streams of running max - 1h
+      SELECT b,
+        least(max(mc) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING),
+              max(mp) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING))
+          - 3600000000 AS w
+      FROM mx),
+    wm AS (  -- per batch: late filter uses W(b-2), eviction W(b-1)
+      SELECT bb.b,
+        (SELECT max(w) FROM wseries WHERE wseries.b <= bb.b - 2) AS wlate,
+        (SELECT max(w) FROM wseries WHERE wseries.b <= bb.b - 1) AS wevict
+      FROM (SELECT DISTINCT b FROM f) bb),
+    c AS (SELECT f.event_id AS cid, f.user_id, f.tus AS cts, f.b AS bc
+          FROM f JOIN wm ON wm.b = f.b
+          WHERE f.event_type = 'click'
+            AND (wm.wlate IS NULL OR f.tus >= wm.wlate)),
+    p AS (SELECT f.event_id AS pid, f.user_id, f.tus AS pts, f.b AS bp
+          FROM f JOIN wm ON wm.b = f.b
+          WHERE f.event_type = 'purchase'
+            AND (wm.wlate IS NULL OR f.tus >= wm.wlate)),
+    pairs AS (
+      SELECT p.pid, p.bp, p.pts, c.cid, c.bc, c.cts
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND c.cts >= p.pts - 1800000000 AND c.cts <= p.pts),
+    emitted AS (
+      SELECT pairs.* FROM pairs
+      LEFT JOIN wm ON wm.b = greatest(pairs.bp, pairs.bc) - 1
+      WHERE pairs.bp = pairs.bc
+         OR wm.wevict IS NULL
+         OR (pairs.bc < pairs.bp AND pairs.cts + 1800000000 >= wm.wevict)
+         OR (pairs.bp < pairs.bc AND pairs.pts >= wm.wevict)),
+    matched AS (
+      SELECT pid, count(*) AS n_matches FROM emitted GROUP BY pid),
+    wlast AS (SELECT max(w) AS wend FROM wseries),
+    timeouts AS (
+      SELECT p.pid FROM p CROSS JOIN wlast
+      WHERE p.pts < wlast.wend
+        AND NOT EXISTS (SELECT 1 FROM matched WHERE matched.pid = p.pid))
+    SELECT pid, CAST(n_matches AS BIGINT) AS n_matches,
+           CAST(0 AS BIGINT) AS timed_out
+    FROM matched
+    UNION ALL
+    SELECT pid, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM timeouts
+    """,
+)
+def streaming_outer_join_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermark timeout
+    (r11) — the outer half the inner interval-join entry leaves
+    untested, and the hardest piece of streaming-join semantics:
+    purchases join their user's clicks in [pts−30m, pts]; a purchase
+    whose join state EXPIRES unmatched emits exactly one null-click
+    row. Replayed over the same deterministic 4-batch staging as
+    streaming_late_event_drops, the final sink content is decided by
+    THREE interacting watermark rules, all simulated by the oracle:
+    (1) late-row filtering uses the PREVIOUS batch's watermark
+    (W(b−2) — the two-batch lag pinned by the late-drops entry),
+    (2) state eviction uses the current one (W(b−1)): a click
+    survives to a later batch iff cts+30m ≥ that watermark, a
+    purchase iff pts ≥ it, (3) the global watermark is the MIN over
+    both streams' event-time maxima. A purchase emits its timeout
+    null only if it is evicted BEFORE the stream ends (pts < final
+    watermark) — otherwise it sits in state forever and never
+    appears, the flush trap append-mode sinks inherit. Output is
+    per-purchase (n_matches, timed_out); every number must match the
+    simulation exactly."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+    import uuid as _uuid
+
+    configure(spark)
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "ts", "user_id", "event_type")
+    stage = _tempfile.mkdtemp(prefix="stream-oj-")
+    try:
+        now = _time.time()
+        for k in range(4):
+            tmp = f"{stage}/_build{k}"
+            ev.where(F.col("event_id") % 4 == k).coalesce(1).write.parquet(tmp)
+            part = next(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
+            dst = f"{stage}/batch-{k:02d}.parquet"
+            _os.rename(f"{tmp}/{part}", dst)
+            _shutil.rmtree(tmp)
+            _os.utime(dst, (now + k, now + k))
+        schema = "event_id long, ts timestamp, user_id long, event_type string"
+        raw1 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        raw2 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        purch = (
+            raw1.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("pid"),
+                F.col("user_id").alias("pu"),
+                F.col("ts").alias("pts"),
+            )
+            .withWatermark("pts", "1 hour")
+        )
+        clicks = (
+            raw2.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("cid"),
+                F.col("user_id").alias("cu"),
+                F.col("ts").alias("cts"),
+            )
+            .withWatermark("cts", "1 hour")
+        )
+        j = purch.join(
+            clicks,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("cts") <= F.col("pts")),
+            "left_outer",
+        )
+        view = f"stream_oj_{_uuid.uuid4().hex[:8]}"
+        with _pinned_shuffle(spark, 4):
+            q = (
+                j.select("pid", "cid")
+                .writeStream.format("memory")
+                .queryName(view)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        try:
+            q.awaitTermination(240)
+        finally:
+            q.stop()
+        sink = spark.table(view)
+        return sink.groupBy("pid").agg(
+            F.count("cid").cast("long").alias("n_matches"),
+            F.max(F.col("cid").isNull().cast("int")).cast("long").alias("timed_out"),
+        )
+    finally:
+        _shutil.rmtree(stage, ignore_errors=True)
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
