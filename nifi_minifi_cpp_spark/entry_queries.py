@@ -13097,6 +13097,95 @@ def streaming_outer_join_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame
         _shutil.rmtree(stage, ignore_errors=True)
 
 
+@_register(
+    "pointintime_feature_matrix",
+    r"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    w AS (
+      SELECT user_id, event_id, event_type, tus,
+        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY tus
+                RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+          AS clicks_24h,
+        sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY tus
+                RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+          AS purch_cents_7d,
+        last_value(CASE WHEN event_type = 'click' THEN cents END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY tus, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS last_click_cents
+      FROM e)
+    SELECT event_id AS pid, user_id,
+           CAST(coalesce(clicks_24h, 0) AS BIGINT) AS trailing_clicks_24h,
+           CAST(coalesce(purch_cents_7d, 0) AS BIGINT)
+             AS trailing_purchase_cents_7d,
+           CAST(last_click_cents AS BIGINT) AS last_click_value_cents
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def pointintime_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature-matrix assembly (r11) — the feature-store
+    read path: for every purchase, THREE training features computed
+    AS OF strictly before the event (trailing 24h click count,
+    trailing 7d purchase spend in exact cents, last click's value) —
+    in ONE window pass over each user's timeline. This is the shape
+    that matters at 100 TB: the naive build is one join per feature
+    (three shuffles of the fact table); here every feature is a
+    frame over the SAME (user, time) sort, so Catalyst reuses one
+    exchange+sort for all of them. Time-valued RANGE frames end at
+    1 PRECEDING (strictly before — no same-microsecond leakage);
+    the as-of feature uses a ROWS frame with the event_id tie-break.
+    Pairs with future_purchase_labels: features strictly past,
+    labels strictly future — the leakage discipline end to end."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("tus")
+    w24 = wr.rangeBetween(-86_400_000_000, -1)
+    w7d = wr.rangeBetween(-604_800_000_000, -1)
+    wlast = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feat = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.sum((F.col("event_type") == "click").cast("long")).over(w24).alias("c24"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0)
+        )
+        .over(w7d)
+        .alias("p7d"),
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("cents")), ignorenulls=True
+        )
+        .over(wlast)
+        .alias("lc"),
+    )
+    return feat.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.coalesce(F.col("c24"), F.lit(0)).cast("long").alias("trailing_clicks_24h"),
+        F.coalesce(F.col("p7d"), F.lit(0))
+        .cast("long")
+        .alias("trailing_purchase_cents_7d"),
+        F.col("lc").cast("long").alias("last_click_value_cents"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
