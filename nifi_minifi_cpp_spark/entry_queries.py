@@ -13186,6 +13186,99 @@ def pointintime_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "histogram_drift_by_type",
+    r"""
+    WITH vals AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) < 1705276800000000 THEN 0 ELSE 1 END AS half,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value >= 0.01),
+    b AS (SELECT event_type, half, v, length(bin(v)) AS p FROM vals),
+    k AS (SELECT event_type, half,
+            CASE WHEN v < 8 THEN v
+                 ELSE (p - 4) * 8 + (v >> (p - 4)) END AS bucket
+          FROM b),
+    h AS (SELECT event_type, half, bucket, count(*) AS n
+          FROM k GROUP BY 1, 2, 3),
+    tot AS (SELECT event_type, half, sum(n) AS nt FROM h GROUP BY 1, 2),
+    piv AS (
+      SELECT coalesce(a.event_type, c.event_type) AS event_type,
+             coalesce(a.bucket, c.bucket) AS bucket,
+             coalesce(a.n, 0) AS n1, coalesce(c.n, 0) AS n2
+      FROM (SELECT * FROM h WHERE half = 0) a
+      FULL OUTER JOIN (SELECT * FROM h WHERE half = 1) c
+        ON c.event_type = a.event_type AND c.bucket = a.bucket),
+    j AS (
+      SELECT piv.event_type, piv.bucket, piv.n1, piv.n2, t1.nt AS m1, t2.nt AS m2
+      FROM piv
+      JOIN (SELECT event_type, nt FROM tot WHERE half = 0) t1
+        ON t1.event_type = piv.event_type
+      JOIN (SELECT event_type, nt FROM tot WHERE half = 1) t2
+        ON t2.event_type = piv.event_type)
+    SELECT event_type,
+           CAST(max(m1) AS BIGINT) AS n_first_half,
+           CAST(max(m2) AS BIGINT) AS n_second_half,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST((sum(abs(n1 * m2 - n2 * m1)) * 1000)
+                // (2 * max(m1) * max(m2)) AS BIGINT) AS tv_permille
+    FROM j GROUP BY event_type
+    """,
+)
+def histogram_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift on SKETCHES (r11) — the monitoring use the
+    log-bucket histogram family exists for: per event type, the
+    total-variation distance between the first and second half of the
+    month's value distributions, computed ENTIRELY from two bounded
+    histograms (TV = ½Σ|p_i − q_i| over the ≤488 shared buckets —
+    never the raw rows twice; a fleet stores one histogram per
+    shard-and-window and answers "did the distribution move" from
+    merges). Exact integer arithmetic end to end: the rational
+    ½Σ|n1_i·N2 − n2_i·N1| / (N1·N2) is emitted in integer permille —
+    no float probabilities whose rounding could flap a drift alert
+    at the threshold. The KL entry (term_distribution_divergence)
+    needs logs and tolerance; TV is the metric you can compute
+    exactly."""
+    from .analytics.sketches import logbucket_histogram
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value") >= 0.01)
+    vals = ev.select(
+        "event_type",
+        F.when(F.unix_micros("ts") < 1705276800000000, 0).otherwise(1).alias("half"),
+        _cents(F.col("value")).alias("v"),
+    )
+    h = logbucket_histogram(vals, "v", group_cols=["event_type", "half"]).select(
+        "event_type", "half", "bucket", "n"
+    )
+    a = h.where(F.col("half") == 0).select(
+        "event_type", "bucket", F.col("n").alias("n1")
+    )
+    c = h.where(F.col("half") == 1).select(
+        "event_type", "bucket", F.col("n").alias("n2")
+    )
+    piv = (
+        a.join(c, ["event_type", "bucket"], "full_outer")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+        )
+    )
+    tot = h.groupBy("event_type", "half").agg(F.sum("n").alias("nt"))
+    t1 = tot.where(F.col("half") == 0).select("event_type", F.col("nt").alias("m1"))
+    t2 = tot.where(F.col("half") == 1).select("event_type", F.col("nt").alias("m2"))
+    j = piv.join(t1, "event_type").join(t2, "event_type")
+    return j.groupBy("event_type").agg(
+        F.max("m1").cast("long").alias("n_first_half"),
+        F.max("m2").cast("long").alias("n_second_half"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.expr(
+            "CAST(sum(abs(n1 * m2 - n2 * m1)) * 1000 DIV (2 * max(m1) * max(m2)) AS BIGINT)"
+        ).alias("tv_permille"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
