@@ -13279,6 +13279,115 @@ def histogram_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "seasonal_anomaly_flags",
+    r"""
+    WITH e AS (
+      SELECT event_type, isodow(ts) AS dow, hour(ts) AS hr,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events),
+    g AS (SELECT event_type, dow, hr, count(*) AS cnt, sum(y) AS sy
+          FROM e GROUP BY 1, 2, 3),
+    r AS (
+      SELECT e.event_type, e.y * g.cnt - g.sy AS num, g.cnt AS den
+      FROM e JOIN g ON g.event_type = e.event_type
+        AND g.dow = e.dow AND g.hr = e.hr),
+    rk AS (
+      SELECT event_type, abs(num) AS anum, den,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(abs(num) AS DOUBLE) / CAST(den AS DOUBLE),
+                        abs(num), den) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM r),
+    mad AS (SELECT event_type, anum AS mnum, den AS mden
+            FROM rk WHERE rn = (n + 1) // 2),
+    fl AS (
+      SELECT r.event_type,
+             CASE WHEN abs(r.num) * mad.mden > 3 * mad.mnum * r.den
+                  THEN 1 ELSE 0 END AS f
+      FROM r JOIN mad ON mad.event_type = r.event_type)
+    SELECT fl.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(f) AS BIGINT) AS n_anomalies,
+           CAST(CASE WHEN mad.mnum >= 0
+                THEN (2 * mad.mnum * 1000 + mad.mden) // (2 * mad.mden)
+                ELSE 0 END AS BIGINT) AS mad_milli
+    FROM fl JOIN mad ON mad.event_type = fl.event_type
+    GROUP BY fl.event_type, mad.mnum, mad.mden
+    """,
+)
+def seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection, EXACT (r11) — the
+    composition the seasonal profile and robust-stats entries build
+    toward: each event's value is residualized against its
+    (type, day-of-week, hour) seasonal mean, the per-type MAD of
+    residuals is the robust scale, and an event flags anomalous iff
+    |residual| > 3·MAD — with every comparison in cross-multiplied
+    INTEGER arithmetic (residual = (y·cnt − Σy)/cnt stays a fraction;
+    |num|·den_mad > 3·num_mad·den needs no float), so the flag COUNT
+    is exact where a float pipeline would flap at the 3σ boundary.
+    The median-of-|residual| pick orders by the double quotient
+    (identical IEEE both engines) with the fraction as tie-break.
+    One seasonal aggregate (bounded at type×7×24 rows, broadcast
+    back), one per-type median window, one flag pass."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr("weekday(ts) + 1").alias("dow"),
+        F.hour("ts").alias("hr"),
+        _cents(F.col("value")).alias("y"),
+    )
+    g = e.groupBy("event_type", "dow", "hr").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("sy")
+    )
+    r = e.join(F.broadcast(g), ["event_type", "dow", "hr"]).select(
+        "event_type",
+        (F.col("y") * F.col("cnt") - F.col("sy")).alias("num"),
+        F.col("cnt").alias("den"),
+    )
+    w = Window.partitionBy("event_type")
+    rk = r.select(
+        "event_type",
+        F.abs("num").alias("anum"),
+        "den",
+        F.row_number()
+        .over(
+            w.orderBy(
+                (F.abs("num").cast("double") / F.col("den").cast("double")),
+                F.abs("num"),
+                "den",
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mad = rk.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type", F.col("anum").alias("mnum"), F.col("den").alias("mden")
+    )
+    fl = r.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "mnum",
+        "mden",
+        (F.abs("num") * F.col("mden") > 3 * F.col("mnum") * F.col("den"))
+        .cast("long")
+        .alias("f"),
+    )
+    return fl.groupBy("event_type", "mnum", "mden").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("f").cast("long").alias("n_anomalies"),
+    ).select(
+        "event_type",
+        "n_events",
+        "n_anomalies",
+        F.expr("(2 * mnum * 1000 + mden) DIV (2 * mden)")
+        .cast("long")
+        .alias("mad_milli"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
