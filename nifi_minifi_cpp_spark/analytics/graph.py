@@ -200,6 +200,73 @@ def pagerank(
     return ranks
 
 
+def pagerank_grouped(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    grp: str = "grp",
+    node: str = "node",
+) -> DataFrame:
+    """BATCHED personalized PageRank — one walk per SEED GROUP in a
+    single pass (multi-tenant scoring: "expand from each customer's
+    own trust set" without re-running the engine per tenant).
+    ``seeds`` is a (grp, node) frame; each group's restart mass
+    (1-d) spreads uniformly over ITS seeds, exactly
+    ``pagerank(teleport=...)`` semantics per group. Returns
+    (grp, node, rank) for nodes with non-zero mass.
+
+    100 TB shape: the edge list, out-degrees, and barriers are built
+    ONCE and shared by every group — the per-iteration join carries
+    the slim (grp, node, rank) frame against the same weighted edge
+    table, so g tenants cost one pass over g·|reached| rank rows
+    instead of g engine runs re-scanning the graph. Nodes outside a
+    group's reach simply never materialize (sparse frames, not a
+    dense nodes×groups grid)."""
+    from ..util import reliable_barrier
+
+    e = reliable_barrier(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    )
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    weighted = reliable_barrier(e.join(deg, "_s"))
+    sd = seeds.select(F.col(grp).alias("_g"), F.col(node).alias("_n")).distinct()
+    sizes = sd.groupBy("_g").agg(F.count(F.lit(1)).alias("_k"))
+    base = reliable_barrier(
+        sd.join(F.broadcast(sizes), "_g").select(
+            "_g", "_n", (F.lit(1.0) / F.col("_k")).alias("_b")
+        )
+    )
+    ranks = base.select("_g", "_n", F.col("_b").alias("_r"))
+    for i in range(iterations):
+        contribs = (
+            weighted.join(
+                ranks.withColumnRenamed("_n", "_s"), "_s"
+            )
+            .select("_g", F.col("_d").alias("_n"), (F.col("_r") / F.col("_deg")).alias("_c"))
+            .groupBy("_g", "_n")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            contribs.join(base, ["_g", "_n"], "full_outer")
+            .select(
+                "_g",
+                "_n",
+                (
+                    F.lit(1.0 - damping) * F.coalesce(F.col("_b"), F.lit(0.0))
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("_r"),
+            )
+        )
+        if i + 1 < iterations:
+            ranks = reliable_barrier(ranks)
+    return ranks.select(
+        F.col("_g").alias(grp), F.col("_n").alias(node), F.col("_r").alias("rank")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

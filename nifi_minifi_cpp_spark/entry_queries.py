@@ -13388,6 +13388,81 @@ def seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ppr_multi_seed_groups",
+    r"""
+    WITH e AS (
+      SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem
+      UNION
+      SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    sd AS (
+      SELECT DISTINCT 'g1' AS g, 's' || l_suppkey AS n FROM lineitem
+      WHERE l_suppkey BETWEEN 1 AND 5
+      UNION ALL
+      SELECT DISTINCT 'g2', 's' || l_suppkey FROM lineitem
+      WHERE l_suppkey BETWEEN 11 AND 15
+      UNION ALL
+      SELECT DISTINCT 'g3', 's' || l_suppkey FROM lineitem
+      WHERE l_suppkey BETWEEN 21 AND 25),
+    sz AS (SELECT g, count(*) AS k FROM sd GROUP BY g),
+    b AS (SELECT sd.g, sd.n, 1.0::DOUBLE / sz.k AS bb
+          FROM sd JOIN sz ON sz.g = sd.g),
+    r0 AS (SELECT g, n, bb AS r FROM b),
+    it1 AS (SELECT r0.g, e.dst AS n, sum(r0.r / deg.d) AS s
+            FROM e JOIN r0 ON r0.n = e.src JOIN deg ON deg.src = e.src
+            GROUP BY r0.g, e.dst),
+    r1 AS (SELECT coalesce(it1.g, b.g) AS g, coalesce(it1.n, b.n) AS n,
+                  0.15::DOUBLE * coalesce(b.bb, 0) + 0.85::DOUBLE * coalesce(it1.s, 0) AS r
+           FROM it1 FULL OUTER JOIN b ON b.g = it1.g AND b.n = it1.n),
+    it2 AS (SELECT r1.g, e.dst AS n, sum(r1.r / deg.d) AS s
+            FROM e JOIN r1 ON r1.n = e.src JOIN deg ON deg.src = e.src
+            GROUP BY r1.g, e.dst),
+    r2 AS (SELECT coalesce(it2.g, b.g) AS g, coalesce(it2.n, b.n) AS n,
+                  0.15::DOUBLE * coalesce(b.bb, 0) + 0.85::DOUBLE * coalesce(it2.s, 0) AS r
+           FROM it2 FULL OUTER JOIN b ON b.g = it2.g AND b.n = it2.n)
+    SELECT g AS grp, n AS node, round(r, 6) AS rank
+    FROM r2 WHERE round(r, 6) > 0
+    """,
+)
+def ppr_multi_seed_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED personalized PageRank (r11) — multi-tenant scoring in
+    one pass: three seed groups (suppliers 1-5, 11-15, 21-25) each
+    get their own restart distribution, and
+    ``graph.pagerank_grouped`` runs all three walks over ONE shared
+    edge/degree build — the per-iteration join carries the slim
+    (grp, node, rank) frame, so g tenants cost one graph pass instead
+    of g engine runs (nodes outside a group's reach never
+    materialize — sparse frames, not a dense nodes×groups grid).
+    Packed-long ids through the shuffles, labels decoded at the end;
+    two iterations, oracle = the same two rounds unrolled with the
+    group dimension in every CTE."""
+    from .analytics.graph import pagerank_grouped
+
+    li = _t(spark, sf_dir, "lineitem")
+    seeds = None
+    for gname, lo, hi in (("g1", 1, 5), ("g2", 11, 15), ("g3", 21, 25)):
+        s = (
+            li.where(F.col("l_suppkey").between(lo, hi))
+            .select(
+                F.lit(gname).alias("grp"),
+                (F.col("l_suppkey") * 2).alias("node"),
+            )
+            .distinct()
+        )
+        seeds = s if seeds is None else seeds.unionByName(s)
+    r = pagerank_grouped(_supplier_part_edges(li), seeds, iterations=2)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("s"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("p"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+    )
+    return r.select(
+        "grp", label.alias("node"), F.round("rank", 6).alias("rank")
+    ).where(F.round(F.col("rank"), 6) > 0)
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
