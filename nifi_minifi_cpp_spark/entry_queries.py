@@ -13463,6 +13463,104 @@ def ppr_multi_seed_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.round(F.col("rank"), 6) > 0)
 
 
+@_register(
+    "forecast_baseline_wape",
+    r"""
+    WITH c AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS y
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, h, y,
+             lag(y, 1) OVER (PARTITION BY event_type ORDER BY h) AS naive1,
+             lag(y, 168) OVER (PARTITION BY event_type ORDER BY h) AS seas168
+      FROM c),
+    m AS (SELECT event_type, count(*) AS n, sum(y) AS s FROM c GROUP BY 1),
+    b1 AS (
+      SELECT event_type, 'naive_1h' AS baseline,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(abs(y - naive1)) * 1000 // sum(y) AS BIGINT)
+               AS wape_permille
+      FROM l WHERE naive1 IS NOT NULL GROUP BY 1),
+    b2 AS (
+      SELECT event_type, 'seasonal_168h' AS baseline,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(abs(y - seas168)) * 1000 // sum(y) AS BIGINT)
+               AS wape_permille
+      FROM l WHERE seas168 IS NOT NULL GROUP BY 1),
+    b3 AS (
+      SELECT c.event_type, 'mean' AS baseline,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(abs(c.y * m.n - m.s)) * 1000 // (m.n * m.s) AS BIGINT)
+               AS wape_permille
+      FROM c JOIN m ON m.event_type = c.event_type
+      GROUP BY c.event_type, m.n, m.s)
+    SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+    """,
+)
+def forecast_baseline_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline error accounting (r11) — the eval that must
+    exist BEFORE anyone ships a demand model: per event type, the
+    weighted absolute percentage error (WAPE = Σ|y−ŷ| / Σy, the
+    scale-free metric that, unlike MAPE, never divides by a zero
+    hour) of the three standard baselines any real model has to
+    beat — last hour (naive), same hour last week (seasonal naive),
+    and the per-type mean. All three are EXACT integer permille:
+    lag predictions subtract integer counts, and the mean baseline
+    clears fractions by Σ|y·n − S| / (n·S) — no float error metric
+    that itself has error. One hourly aggregate + one lag window per
+    type; the mean leg is a one-row-per-type broadcast join."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.select("event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    l = c.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("naive1"),
+        F.lag("y", 168).over(w).alias("seas168"),
+    )
+
+    def leg(col: str, name: str) -> DataFrame:
+        return (
+            l.where(F.col(col).isNotNull())
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_hours"),
+                F.expr(f"sum(abs(y - {col})) * 1000 DIV sum(y)")
+                .cast("long")
+                .alias("wape_permille"),
+            )
+            .select(
+                "event_type", F.lit(name).alias("baseline"), "n_hours", "wape_permille"
+            )
+        )
+
+    m = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    b3 = (
+        c.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.expr("sum(abs(y * n - s)) * 1000 DIV (n * s)")
+            .cast("long")
+            .alias("wape_permille"),
+        )
+        .select(
+            "event_type", F.lit("mean").alias("baseline"), "n_hours", "wape_permille"
+        )
+    )
+    return leg("naive1", "naive_1h").unionByName(
+        leg("seas168", "seasonal_168h")
+    ).unionByName(b3)
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
