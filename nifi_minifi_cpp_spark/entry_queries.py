@@ -13713,6 +13713,124 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "vocab_pruning_plan",
+    r"""
+    WITH tk AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS w
+      FROM documents),
+    f AS (SELECT w, count(*) AS n FROM tk GROUP BY w),
+    tot AS (SELECT sum(n) AS t FROM f),
+    r AS (SELECT n,
+                 row_number() OVER (ORDER BY n DESC, w ASC) AS rn,
+                 sum(n) OVER (ORDER BY n DESC, w ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM f),
+    th AS (SELECT * FROM (VALUES (90), (95), (99)) AS x(pct)),
+    pick AS (
+      SELECT th.pct, min(r.rn) AS vocab_kept,
+             arg_min(r.cum, r.rn) AS tokens_covered
+      FROM th JOIN r CROSS JOIN tot ON r.cum * 100 >= th.pct * tot.t
+      GROUP BY th.pct)
+    SELECT CAST(pct AS BIGINT) AS coverage_target_pct,
+           CAST(vocab_kept AS BIGINT) AS vocab_kept,
+           CAST(tokens_covered AS BIGINT) AS tokens_covered,
+           CAST(tot.t - tokens_covered AS BIGINT) AS oov_tokens
+    FROM pick CROSS JOIN tot
+    """,
+)
+def vocab_pruning_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pruning plan (r11) — the Zipf-head cutoff every
+    fixed-size tokenizer/embedding table needs: for coverage targets
+    90/95/99%, the SMALLEST frequency-ranked vocabulary prefix whose
+    cumulative token mass reaches the target, plus the exact OOV
+    token count left behind. The coverage test is integer
+    cross-multiplication (cum·100 ≥ pct·total — a float share at the
+    cutoff could keep or drop one extra token per engine); the pick
+    is the same bounded cum-table + min_by shape as the quantile
+    sketch extraction. One explode→count pass (map-side partials,
+    ≤|vocab| rows shuffled), one window over the vocab table."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        ).alias("w")
+    )
+    f = tk.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.broadcast(f.agg(F.sum("n").alias("t")))
+    w = Window.orderBy(F.desc("n"), F.asc("w"))
+    r = f.select(
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    th = F.broadcast(
+        spark.createDataFrame([(90,), (95,), (99,)], "pct int")
+    )
+    pick = (
+        r.crossJoin(tot)
+        .join(th, F.col("cum") * 100 >= F.col("pct") * F.col("t"))
+        .groupBy("pct")
+        .agg(
+            F.min("rn").alias("vocab_kept"),
+            F.min_by("cum", "rn").alias("tokens_covered"),
+        )
+    )
+    return pick.crossJoin(tot).select(
+        F.col("pct").cast("long").alias("coverage_target_pct"),
+        F.col("vocab_kept").cast("long").alias("vocab_kept"),
+        F.col("tokens_covered").cast("long").alias("tokens_covered"),
+        (F.col("t") - F.col("tokens_covered")).cast("long").alias("oov_tokens"),
+    )
+
+
+@_register(
+    "curriculum_interleave_order",
+    r"""
+    WITH r AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents),
+    k AS (SELECT * FROM r WHERE rk <= 12)
+    SELECT row_number() OVER (ORDER BY rk, lang) AS position,
+           lang, doc_id, CAST(rk AS BIGINT) AS rank_in_lang
+    FROM k
+    """,
+)
+def curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced curriculum interleave (r11) — the ORDERING primitive
+    after mixing proportions are decided (domain_mixture_plan) and
+    budgets set (token_budget_selection): round-robin the top
+    documents of every language — quality rank 1 of every lang, then
+    rank 2 of every lang, … — so no early training window is
+    single-language. Deterministic: per-lang rank by (quality proxy,
+    doc_id), global position by (rank, lang); the global window runs
+    only on the top-k-per-lang survivors (bounded — never a global
+    sort of the corpus)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.select(
+        "lang",
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rk"),
+    ).where(F.col("rk") <= 12)
+    return r.select(
+        F.row_number().over(Window.orderBy("rk", "lang")).alias("position"),
+        "lang",
+        "doc_id",
+        F.col("rk").cast("long").alias("rank_in_lang"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
