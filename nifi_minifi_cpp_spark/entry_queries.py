@@ -13883,6 +13883,133 @@ def fixed_size_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "session_entry_exit_matrix",
+    r"""
+    WITH s AS (SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                 THEN 1 ELSE 0 END AS brk
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (SELECT user_id, ts, event_id, event_type,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s),
+    se AS (SELECT user_id, sid,
+                  first(event_type ORDER BY ts, event_id) AS entry_type,
+                  last(event_type ORDER BY ts, event_id) AS exit_type,
+                  count(*) AS n_events
+           FROM g GROUP BY user_id, sid)
+    SELECT entry_type, exit_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS total_events
+    FROM se GROUP BY entry_type, exit_type
+    """,
+)
+def session_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit flow matrix (r11) — the product-analytics
+    rollup the sessionizer feeds: for every 30-minute-gap session,
+    which event type OPENED it and which CLOSED it, aggregated to the
+    (entry, exit) matrix — where journeys start and die, the
+    complement of the step-by-step transition matrix. Same
+    lag/cumsum sessionization as sessionize_users (one sort per user
+    partition shared by break detection and the ordered
+    first/last picks via min_by/max_by struct keys — no second
+    sort); ties broken by event_id so both engines read one
+    deterministic sequence."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    g = s.withColumn(
+        "sid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    key = F.struct(F.col("ts").alias("_t"), F.col("event_id").alias("_e"))
+    se = g.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", key).alias("entry_type"),
+        F.max_by("event_type", key).alias("exit_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return se.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+
+
+@_register(
+    "interevent_gap_median",
+    r"""
+    WITH p AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+      FROM events),
+    gaps AS (
+      SELECT event_type,
+             tus - lag(tus) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY tus, event_id) AS gap_us
+      FROM p),
+    gc AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+    rk AS (SELECT event_type, gap_us,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY gap_us) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM gc)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_gaps,
+           CAST(gap_us // 1000000 AS BIGINT) AS median_gap_seconds
+    FROM rk WHERE rn = (n + 1) // 2
+    """,
+)
+def interevent_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap median per type (r11) — the recurrence-cadence
+    metric behind retention and capacity planning ("how often does a
+    user purchase vs click"): per event type, the MEDIAN gap between
+    a user's consecutive events of that type — nearest-rank over
+    exact integer microseconds, because medians resist the whale
+    gaps that wreck the mean (the exact sibling of what a t-digest
+    would approximate). One lag window per (user, type) for gaps,
+    one median window over the per-type gap sets; reported in whole
+    seconds (integer floor division)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus"), "event_id"
+    )
+    wg = Window.partitionBy("user_id", "event_type").orderBy("tus", "event_id")
+    gaps = p.select(
+        "event_type", (F.col("tus") - F.lag("tus").over(wg)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    wr = Window.partitionBy("event_type")
+    rk = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr.orderBy("gap_us")).alias("rn"),
+        F.count(F.lit(1)).over(wr).alias("n"),
+    )
+    return rk.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.expr("gap_us DIV 1000000").cast("long").alias("median_gap_seconds"),
+    )
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY
