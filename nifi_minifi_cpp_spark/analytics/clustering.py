@@ -52,7 +52,19 @@ def _lloyd(
             ).alias("qv"),
         )
     )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iterations < 1:
+        # with zero rounds there is no assignment frame to return and
+        # callers would crash later on assigned=None — fail up front
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     seed_rows = q.orderBy(id_col).limit(k).collect()  # k rows — model-sized
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"k={k} clusters requested but the frame has only "
+            f"{len(seed_rows)} rows; a silent fit of fewer clusters "
+            "would misreport every downstream cluster id"
+        )
     centroids: dict[int, list[int]] = {
         i: list(r["qv"]) for i, r in enumerate(seed_rows)
     }

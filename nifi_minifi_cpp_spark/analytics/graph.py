@@ -167,6 +167,16 @@ def pagerank(
             seeds.withColumn("_seed", F.lit(1)), "node", "left"
         ).select("node", F.coalesce(F.col("_seed"), F.lit(0)).alias("_seed"))
         nodes = reliable_barrier(nodes)
+        # |S| after intersecting seeds with the graph's node set: if
+        # no seed appears in the edge list the denominator is 0 and
+        # every rank would silently become NULL — fail loudly instead
+        # (one-row aggregate over the already-barriered slim table).
+        n_seeds = nodes.agg(F.sum("_seed").cast("long").alias("_n")).collect()[0]["_n"]
+        if not n_seeds:
+            raise ValueError(
+                "pagerank(teleport=...): no teleport seed appears in the "
+                "edge list; restart mass denominator |S| is 0"
+            )
         n_total = F.broadcast(
             nodes.agg(F.sum("_seed").cast("long").alias("_n"))
         )  # |S|: the restart mass denominator

@@ -176,7 +176,13 @@ def logbucket_histogram(
     small = v < 8
     bucket = F.when(small, v).otherwise((p - 4).cast("long") * 8 + top4)
     lo = F.when(small, v).otherwise(top4 * scale)
-    hi = F.when(small, v).otherwise((top4 + 1) * scale - 1)
+    # hi as lo + (scale - 1), NOT (top4 + 1) * scale - 1: for bit
+    # length 63 with top4 = 15 the latter's intermediate is 16 * 2^59
+    # = 2^63, which only lands right via two's-complement wraparound
+    # in non-ANSI mode and throws ARITHMETIC_OVERFLOW under
+    # spark.sql.ansi.enabled=true. No intermediate here exceeds
+    # 2^63 - 1, so the full positive BIGINT range is safe either way.
+    hi = F.when(small, v).otherwise(lo + (scale - 1))
     return (
         df.select(*groups, F.col(value_col).cast("long").alias("_v"))
         .filter(F.col("_v") >= 1)

@@ -12854,7 +12854,13 @@ def power_iteration_top_component(spark: SparkSession, sf_dir: str) -> DataFrame
             .groupBy("vec_id")
             .agg(F.sum(F.col("val") * F.col("vp")).alias("s"))
         )
-        w = (
+        # Barrier w per round (the hits()/pagerank discipline —
+        # VERDICT r11 #2): w is consumed TWICE (the norm aggregate and
+        # the next v) and v feeds the next round, so without the
+        # barrier the executed plan re-expands every prior round per
+        # reference (PLAN_AUDIT showed exchanges: 250 vs 23 for
+        # pagerank's three barriered iterations).
+        w = reliable_barrier(
             e.join(xv, "vec_id")
             .groupBy("pos")
             .agg(F.sum(F.col("val") * F.col("s")).alias("w"))
@@ -14019,71 +14025,73 @@ def interevent_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # were re-typed after round 1) and the rest — all green in round 1 and
 # locked by plan-shape tests — fall past the window.
 _GRADE_ORDER = [
-    # --- r11 rotation (VERDICT r10 #1, COVERAGE.md r11 queue +
-    # amendment 2): the 40 never-driver-graded r10 continuation
-    # registrations enter FIRST (strongest-evidence rule), then the
-    # first 10 of the 13 earlier r10 registrations (also never graded).
-    # 53 never-graded + 2 deferred-r7 candidates for 50 slots:
-    # leakage_safe_split, token_quantiles_by_source, skipgram_top_pairs
-    # (each with an in-window sibling: training_corpus_pipeline /
-    # doc_length_histogram / collocation_pmi_top) and the 2 r7-green
-    # entries (route_relationship_counts, embedding_norms_by_label)
-    # defer to r12, first-in-queue. Rotated OUT (all green r10 rows,
-    # locked by pytest + tools/check_correctness.py): the full r10
-    # window.
+    # --- r12 rotation (VERDICT r11 #1, COVERAGE.md consolidated
+    # amendment): the never-driver-graded queue holds 81 entries —
+    # the 3 r10 registrations twice promised first-in-queue
+    # (leakage_safe_split, token_quantiles_by_source,
+    # skipgram_top_pairs) plus 78 r11 registrations in registration
+    # order (bpe_trained_merges .. interevent_gap_median). The
+    # amendment's "80" undercounted by one (reconciliation in
+    # COVERAGE.md). Window = first 50 of the queue: the 3 deferred
+    # r10 entries FIRST, then the first 47 r11 registrations
+    # (bpe_trained_merges .. user_activity_coverage). The remaining
+    # 31 (streaming_late_event_drops .. interevent_gap_median) lead
+    # r13. Rotated OUT (all green r11 rows, locked by pytest +
+    # tools/check_correctness.py): the full r11 window.
     #
-    # never-driver-graded r10 continuation registrations (batches 1-11)
-    "containment_dedup_ids",
-    "hll_distinct_users",
-    "allpairs_jaccard_pairs",
-    "bloom_decontamination_counts",
-    "inverted_index_top_terms",
-    "collocation_pmi_top",
-    "cohort_retention_daily",
-    "funnel_view_click_purchase",
-    "skew_report_event_users",
-    "doc_length_histogram",
-    "image_phash_dedup",
-    "event_type_association_rules",
-    "customer_entity_matches",
-    "zorder_layout_buckets",
-    "embedding_gram_upper",
-    "scd2_event_type_history",
-    "rolling_zscore_flags",
-    "window_function_pack",
-    "resample_forward_fill",
-    "quality_percentile_by_source",
-    "pagerank_supplier_parts",
-    "table_profile_orders",
-    "grouping_sets_revenue",
-    "streaming_dedup_counts",
-    "sliding_window_counts",
-    "stream_interval_join_pairs",
-    "label_propagation_communities",
-    "orders_reconciliation_diff",
-    "salted_join_segment_revenue",
-    "stream_static_enrichment_counts",
-    "winsorized_value_stats",
-    "triangle_count_coorder_parts",
-    "data_quality_checks",
-    "term_distribution_divergence",
-    "streaming_upsert_totals",
-    "benford_digit_profile",
-    "event_transition_matrix",
-    "time_weighted_value_avg",
-    "chi2_type_segment_independence",
-    "session_window_stats",
-    # never-driver-graded earlier r10 registrations (first 10 of 13)
-    "url_dedup_groups",
-    "weighted_sample_ids",
-    "char_entropy_scores",
-    "warc_ingest_stats",
-    "bigram_lm_scores",
-    "token_ids_encode",
-    "audio_energy_features",
-    "normalize_text_dedup_keys",
-    "countmin_user_frequencies",
-    "training_corpus_pipeline",
+    # deferred r10 registrations (first-in-queue per the r11 ledger)
+    "leakage_safe_split",
+    "token_quantiles_by_source",
+    "skipgram_top_pairs",
+    # never-driver-graded r11 registrations (batches 1-20, in
+    # registration order)
+    "bpe_trained_merges",
+    "kmeans_embedding_clusters",
+    "bfs_hop_histogram",
+    "ewma_anomaly_scores",
+    "kcore_supplier_parts",
+    "bpe_tokenized_counts",
+    "m4_downsample_hourly",
+    "phrase_match_doc_counts",
+    "streaming_session_stats",
+    "hourly_value_percentiles",
+    "hilbert_layout_buckets",
+    "dedup_cluster_size_histogram",
+    "embedding_dim_robust_stats",
+    "streaming_ewma_scores",
+    "set_ops_user_segments",
+    "retention_delete_plan",
+    "timeline_gap_report",
+    "copurchase_supplier_pairs",
+    "first_touch_attribution",
+    "inference_length_buckets",
+    "referential_integrity_audit",
+    "fd_profile_candidates",
+    "unattributed_purchases",
+    "event_motif_counts",
+    "corr_event_type_hours",
+    "seasonal_dow_profile",
+    "prefix_cache_savings",
+    "cdc_apply_snapshot",
+    "kmeans_cluster_quality",
+    "hard_negative_mining",
+    "filter_cascade_sweep",
+    "quarantine_routing_reasons",
+    "zonemap_stats_report",
+    "partial_agg_merge",
+    "personalized_pagerank_seeds",
+    "hll_window_distinct",
+    "hits_hub_authority",
+    "quantile_sketch_merge",
+    "rrf_hybrid_topk",
+    "edit_distance_name_pairs",
+    "hourly_trend_by_type",
+    "streaming_hll_window",
+    "int8_recall_eval",
+    "nearest_event_alignment",
+    "k_anonymity_audit",
+    "zonemap_pruning_eval",
+    "user_activity_coverage",
 ]
 
 GRADED_WINDOW = 50

@@ -51,7 +51,22 @@ def merge_upsert_partitioned(
     ``partition_bucket`` on the key). The touched-partition list is a
     bounded driver collect — at most the snapshot's partition count,
     by construction orders of magnitude below the key count.
+
+    Crash window (plain parquet has no commit protocol): the dynamic
+    overwrite deletes each touched partition directory and then writes
+    its replacement — a failure between those two steps loses the
+    touched partitions, and a concurrent reader can observe them
+    missing. That is inherent to the stand-in; a transactional lake
+    format's MERGE INTO closes it (snapshot isolation + atomic commit),
+    which is exactly the swap the module docstring prescribes. Callers
+    that need crash safety on plain parquet should stage the rewrite to
+    a temp root and rename over the touched directories.
     """
+    if partition_col not in batch_df.columns:
+        raise ValueError(
+            f"batch_df lacks partition column {partition_col!r}; derive it "
+            "with partition_bucket() on the merge key before calling"
+        )
     spark = batch_df.sparkSession
     batch_df = batch_df.persist()
     try:

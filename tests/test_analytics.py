@@ -1655,6 +1655,74 @@ def test_logbucket_quantile_bounds_and_merges(spark):
     assert hist.exceptAll(merged).count() == 0
 
 
+def test_logbucket_full_bigint_range_ansi(spark):
+    """ADVICE r11: hi = (top4 + 1) * scale - 1 overflowed BIGINT for
+    bit-length-63 values (top4=15: 16 * 2^59 = 2^63) — right answer
+    only via two's-complement wraparound, ARITHMETIC_OVERFLOW under
+    ANSI mode. hi is now lo + (scale - 1); pin the top octave exact
+    under spark.sql.ansi.enabled=true."""
+    from nifi_minifi_cpp_spark.analytics.sketches import logbucket_histogram
+
+    big = (1 << 63) - 1  # bit length 63, top4 = 15
+    mid = 1 << 62  # bit length 63, top4 = 8
+    df = spark.createDataFrame([(big,), (mid,)], "v long")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = {
+            r["bucket"]: (r["lo"], r["hi"])
+            for r in logbucket_histogram(df, "v").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    scale = 1 << 59
+    assert rows[(63 - 4) * 8 + 15] == (15 * scale, 15 * scale + scale - 1)
+    assert rows[(63 - 4) * 8 + 8] == (8 * scale, 8 * scale + scale - 1)
+    assert 15 * scale + scale - 1 == big  # top bucket ends exactly at BIGINT max
+
+
+def test_pagerank_disjoint_seeds_fail_loudly(spark):
+    """ADVICE r11: teleport seeds absent from the edge list made
+    |S| = 0 and every rank silently NULL; now a ValueError."""
+    import pytest
+
+    from nifi_minifi_cpp_spark.analytics.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="no teleport seed"):
+        pagerank(edges, iterations=1, teleport=seeds)
+
+
+def test_kmeans_validates_k_and_iterations(spark):
+    """ADVICE r11: _lloyd silently fit fewer clusters when rows < k
+    and returned assigned=None for iterations=0; both now explicit."""
+    import pytest
+
+    from nifi_minifi_cpp_spark.analytics.clustering import kmeans_quantized
+
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="only 2 rows"):
+        kmeans_quantized(tiny, k=4, iterations=1)
+    with pytest.raises(ValueError, match="iterations"):
+        kmeans_quantized(tiny, k=2, iterations=0)
+
+
+def test_merge_upsert_requires_partition_col(spark, tmp_path):
+    """ADVICE r11: merge_upsert_partitioned fails fast when batch_df
+    lacks the partition column instead of writing an unpartitionable
+    snapshot."""
+    import pytest
+
+    from nifi_minifi_cpp_spark.streaming.upsert import merge_upsert_partitioned
+
+    batch = spark.createDataFrame([(1, 10)], "k long, v long")
+    with pytest.raises(ValueError, match="lacks partition column"):
+        merge_upsert_partitioned(batch, str(tmp_path / "snap"), keys=["k"])
+
+
 def test_bloom_one_sided_error_and_merges(spark):
     """r10 continuation: bloom NEVER misses a true member (maybe=True
     for every inserted key), definite-absent is trustworthy, and shard

@@ -22,60 +22,62 @@ from nifi_minifi_cpp_spark import entry_queries
 # Every SURVEY §2 operator family and every LLM-pipeline operator must
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
-    # r11 rotation: the 40 never-driver-graded r10 continuation
-    # registrations FIRST, then the first 10 of the 13 earlier r10
-    # registrations. leakage_safe_split / token_quantiles_by_source /
-    # skipgram_top_pairs and the 2 deferred r7 entries queue for r12.
-    "containment_dedup_ids",
-    "hll_distinct_users",
-    "allpairs_jaccard_pairs",
-    "bloom_decontamination_counts",
-    "inverted_index_top_terms",
-    "collocation_pmi_top",
-    "cohort_retention_daily",
-    "funnel_view_click_purchase",
-    "skew_report_event_users",
-    "doc_length_histogram",
-    "image_phash_dedup",
-    "event_type_association_rules",
-    "customer_entity_matches",
-    "zorder_layout_buckets",
-    "embedding_gram_upper",
-    "scd2_event_type_history",
-    "rolling_zscore_flags",
-    "window_function_pack",
-    "resample_forward_fill",
-    "quality_percentile_by_source",
-    "pagerank_supplier_parts",
-    "table_profile_orders",
-    "grouping_sets_revenue",
-    "streaming_dedup_counts",
-    "sliding_window_counts",
-    "stream_interval_join_pairs",
-    "label_propagation_communities",
-    "orders_reconciliation_diff",
-    "salted_join_segment_revenue",
-    "stream_static_enrichment_counts",
-    "winsorized_value_stats",
-    "triangle_count_coorder_parts",
-    "data_quality_checks",
-    "term_distribution_divergence",
-    "streaming_upsert_totals",
-    "benford_digit_profile",
-    "event_transition_matrix",
-    "time_weighted_value_avg",
-    "chi2_type_segment_independence",
-    "session_window_stats",
-    "url_dedup_groups",
-    "weighted_sample_ids",
-    "char_entropy_scores",
-    "warc_ingest_stats",
-    "bigram_lm_scores",
-    "token_ids_encode",
-    "audio_energy_features",
-    "normalize_text_dedup_keys",
-    "countmin_user_frequencies",
-    "training_corpus_pipeline",
+    # r12 rotation: the 3 deferred r10 registrations FIRST
+    # (leakage_safe_split / token_quantiles_by_source /
+    # skipgram_top_pairs — twice promised first-in-queue), then the
+    # first 47 never-driver-graded r11 registrations in registration
+    # order. The remaining 31 (streaming_late_event_drops ..
+    # interevent_gap_median) lead r13.
+    "leakage_safe_split",
+    "token_quantiles_by_source",
+    "skipgram_top_pairs",
+    "bpe_trained_merges",
+    "kmeans_embedding_clusters",
+    "bfs_hop_histogram",
+    "ewma_anomaly_scores",
+    "kcore_supplier_parts",
+    "bpe_tokenized_counts",
+    "m4_downsample_hourly",
+    "phrase_match_doc_counts",
+    "streaming_session_stats",
+    "hourly_value_percentiles",
+    "hilbert_layout_buckets",
+    "dedup_cluster_size_histogram",
+    "embedding_dim_robust_stats",
+    "streaming_ewma_scores",
+    "set_ops_user_segments",
+    "retention_delete_plan",
+    "timeline_gap_report",
+    "copurchase_supplier_pairs",
+    "first_touch_attribution",
+    "inference_length_buckets",
+    "referential_integrity_audit",
+    "fd_profile_candidates",
+    "unattributed_purchases",
+    "event_motif_counts",
+    "corr_event_type_hours",
+    "seasonal_dow_profile",
+    "prefix_cache_savings",
+    "cdc_apply_snapshot",
+    "kmeans_cluster_quality",
+    "hard_negative_mining",
+    "filter_cascade_sweep",
+    "quarantine_routing_reasons",
+    "zonemap_stats_report",
+    "partial_agg_merge",
+    "personalized_pagerank_seeds",
+    "hll_window_distinct",
+    "hits_hub_authority",
+    "quantile_sketch_merge",
+    "rrf_hybrid_topk",
+    "edit_distance_name_pairs",
+    "hourly_trend_by_type",
+    "streaming_hll_window",
+    "int8_recall_eval",
+    "nearest_event_alignment",
+    "k_anonymity_audit",
+    "zonemap_pruning_eval",
+    "user_activity_coverage",
 }
 
 def test_must_grade_queries_inside_window():
