@@ -83,6 +83,51 @@ def main():
     except Exception as exc:  # noqa: BLE001 — warmup must never fail the bench
         print(f"# stream warmup skipped: {type(exc).__name__}: {exc}", file=sys.stderr)
 
+    # File-stream + watermark machinery warmup (r12): the tcplisten
+    # warmup above covers the streaming planner and the stateful-agg
+    # state store, but NOT the parquet file-stream source, watermark
+    # tracking, or dropDuplicatesWithinWatermark. In the r11 bench the
+    # first file-stream entry in the run order
+    # (streaming_dedup_counts) absorbed that one-time init and was
+    # flagged as a 3.3x regression on byte-identical code (solo A/B:
+    # warm floor unchanged at ~2.4s vs the 2.39s prior —
+    # BENCH_DRIFT_r12.md). Warm it with a 3-row availableNow stream so
+    # whichever file-stream query runs first measures its own work.
+    try:
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from pyspark.sql import functions as F
+
+        _wdir = _tempfile.mkdtemp(prefix="bench-warm-fs-")
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00")], "id long, ts_s string"
+        ).selectExpr("id", "CAST(ts_s AS timestamp) AS ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_wdir)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            fq = (
+                spark.readStream.schema("id long, ts timestamp")
+                .parquet(_wdir)
+                .withWatermark("ts", "1 hour")
+                .dropDuplicatesWithinWatermark(["id"])
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .writeStream.format("memory")
+                .queryName("bench_warmup_filestream")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            fq.awaitTermination(60)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            _shutil.rmtree(_wdir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001 — warmup must never fail the bench
+        print(f"# file-stream warmup skipped: {type(exc).__name__}: {exc}", file=sys.stderr)
+
     qs = entry.queries()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
