@@ -1344,3 +1344,107 @@ def allpairs_jaccard_join(
         .where(F.col("jaccard") >= F.lit(threshold))
     )
     return out
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 3,
+    mask_mod: int = 8,
+) -> DataFrame:
+    """Content-defined chunking dedup accounting (r12; the LBFS/rsync
+    primitive — Muthitacharoen, Chen & Mazières, SOSP 2001): split
+    every document at positions where the rolling k-word window hash
+    satisfies ``h % mask_mod == 0`` (average chunk ~= mask_mod
+    windows; the last word always closes a chunk), then measure
+    chunk-level redundancy per group — the storage-savings estimate a
+    deduplicating store or a sub-document near-dup pass is justified
+    by. Unlike winnowing (which SAMPLES fingerprints to detect
+    overlap), CDC partitions the full content: boundaries are
+    content-anchored, so an insertion only reshapes the chunks it
+    touches — the property that makes chunk hashes stable under edits.
+
+    Hash = first 6 hex chars of md5 over the space-joined window —
+    the engine-portable construction the sketch family uses, so any
+    engine reproduces identical boundaries.
+
+    Returns one row per group: n_docs, n_chunks, n_distinct_chunks
+    (within group), dup_chars_saved = sum over duplicate chunk groups
+    of (count-1)*chars.
+
+    100 TB shape: chunking is per-document staged Catalyst HOFs (no
+    shuffle, no Python); only slim (group, chunk_hash, chars) rows
+    shuffle into one hash aggregate. Cites the reference's content
+    hashing surface (HashContent — minifi-api HashContent.cpp) as the
+    whole-content special case."""
+    from ..util import spread_for_cpu
+
+    staged = spread_for_cpu(df.select(group_col, id_col, text_col), id_col).select(
+        group_col, id_col, F.split(F.col(text_col), " ").alias("_w")
+    )
+    n = F.size("_w")
+    # boundary AFTER word i (0-based): window of the k words ending at
+    # i hashes to 0 mod mask_mod, or i is the last word
+    bnd = staged.select(
+        group_col,
+        id_col,
+        "_w",
+        F.filter(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: (i == n - 1)
+            | (
+                (i >= k - 1)
+                & (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.array_join(F.slice("_w", i - (k - 2), k), " ")),
+                            1,
+                            6,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % mask_mod
+                    == 0
+                )
+            ),
+        ).alias("_b"),
+    )
+    chunks = bnd.select(
+        group_col,
+        id_col,
+        "_w",
+        F.expr(
+            "transform(sequence(1, size(_b)), j -> struct("
+            "CASE WHEN j = 1 THEN 0 ELSE element_at(_b, j - 1) + 1 END AS s, "
+            "element_at(_b, j) AS e))"
+        ).alias("_rng"),
+    )
+    flat = chunks.select(
+        group_col,
+        id_col,
+        F.explode("_rng").alias("r"),
+        F.col("_w"),
+    ).select(
+        group_col,
+        F.array_join(
+            F.slice("_w", F.col("r.s") + 1, F.col("r.e") - F.col("r.s") + 1), " "
+        ).alias("_c"),
+    )
+    hashed = flat.select(
+        group_col,
+        F.md5("_c").alias("ch"),
+        F.length("_c").cast("long").alias("chars"),
+    )
+    g = hashed.groupBy(group_col, "ch", "chars").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = g.groupBy(group_col).agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        F.sum((F.col("cnt") - 1) * F.col("chars")).cast("long").alias("dup_chars_saved"),
+    )
+    nd = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return nd.join(stats, group_col).select(
+        group_col, "n_docs", "n_chunks", "n_distinct_chunks", "dup_chars_saved"
+    )

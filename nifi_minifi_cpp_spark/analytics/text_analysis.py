@@ -444,6 +444,81 @@ def bigram_lm_scores(
     )
 
 
+def kn_bigram_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    decimals: int = 4,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (r12) — the smoothing
+    the production LM quality filters actually use (KenLM's default;
+    Kneser & Ney 1995, Chen & Goodman 1999), next to the Laplace
+    sibling :func:`bigram_lm_scores`: absolute discounting plus a
+    CONTINUATION-count unigram backoff, so a word's backoff mass
+    reflects how many distinct contexts it follows ("Francisco" is
+    frequent but nearly always follows "San" — Laplace overweights it,
+    KN does not).
+
+        P(w2|w1) = (c(w1,w2) - D + D * N1+(w1,*) * N1+(*,w2) / B) / c(w1)
+
+    with D = 0.75 (exactly representable in binary — deterministic),
+    N1+(w1,*) / N1+(*,w2) the distinct-successor / distinct-predecessor
+    type counts, and B the total number of distinct bigram types.
+    Scoring is over the corpus the model was trained on, so every doc
+    bigram has c >= 1 and the discounted term is positive. Per doc:
+    avg_nll = -1/m * sum log2 P.
+
+    100 TB shape: same as the Laplace scorer — the model is THREE slim
+    count tables derived from ONE barriered (doc, w1, w2) pair stream
+    (the type counts n1w1/n1w2 are per-key row counts of the bigram
+    table itself, no extra corpus pass) plus a 1-row broadcast bigram-
+    type total; scoring equi-joins the count tables on their natural
+    keys. Only float op order separates engines; round(,4) absorbs it.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    n = F.size(F.col("_toks"))
+    staged = df.select(id_col, toks.alias("_toks")).where(F.size("_toks") >= 2)
+    pairs = staged.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("_toks", 1, n - 1),
+                F.slice("_toks", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    from ..util import reliable_barrier
+
+    pairs = reliable_barrier(pairs)
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    # one more barrier: the bigram TYPE table feeds four consumers
+    # (left rollup, both type counts, the scoring join)
+    bigrams = reliable_barrier(bigrams)
+    lefts = bigrams.groupBy("w1").agg(
+        F.sum("cb").alias("cw"), F.count(F.lit(1)).alias("n1w1")
+    )
+    rights = bigrams.groupBy("w2").agg(F.count(F.lit(1)).alias("n1w2"))
+    btypes = bigrams.agg(F.count(F.lit(1)).alias("b"))
+    d = F.lit(float(discount))
+    # same left-assoc shape as the oracle text: ((D*n1w1)*n1w2)/b
+    p = (F.col("cb") - d + d * F.col("n1w1") * F.col("n1w2") / F.col("b")) / F.col("cw")
+    scored = (
+        pairs.join(bigrams, ["w1", "w2"])
+        .join(lefts, "w1")
+        .join(rights, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("m"), F.sum(F.log2(p)).alias("s"))
+    )
+    return scored.select(
+        id_col,
+        F.col("m").alias("n_bigrams"),
+        F.round(-F.col("s") / F.col("m"), decimals).alias("avg_nll"),
+    )
+
+
 def encode_token_ids(
     df: DataFrame,
     vocab_size: int = 1000,

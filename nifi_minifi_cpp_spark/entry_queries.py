@@ -14016,6 +14016,258 @@ def interevent_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "kn_bigram_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    p2 AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+      FROM (SELECT doc_id,
+              unnest(list_transform(range(1, len(t)),
+                                    i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS bg
+            FROM toks WHERE len(t) >= 2)),
+    big AS (SELECT w1, w2, count(*) AS cb FROM p2 GROUP BY w1, w2),
+    lefts AS (SELECT w1, sum(cb) AS cw, count(*) AS n1w1 FROM big GROUP BY w1),
+    rights AS (SELECT w2, count(*) AS n1w2 FROM big GROUP BY w2),
+    bt AS (SELECT count(*) AS b FROM big),
+    sc AS (
+      SELECT doc_id, count(*) AS m,
+             sum(log2((cb - 0.75 + 0.75 * n1w1 * n1w2 / b) / cw)) AS s
+      FROM p2 JOIN big USING (w1, w2) JOIN lefts USING (w1)
+              JOIN rights USING (w2) CROSS JOIN bt
+      GROUP BY doc_id)
+    SELECT doc_id, CAST(m AS BIGINT) AS n_bigrams, round(-s / m, 4) AS avg_nll
+    FROM sc
+    """,
+)
+def kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity scoring (r12) — the
+    smoothing production LM quality filters actually use (KenLM's
+    default), next to the Laplace sibling ``bigram_lm_scores``:
+    absolute discounting (D = 0.75 exactly) with a continuation-count
+    backoff, so backoff mass follows distinct-context counts rather
+    than raw frequency. Model = three slim count tables from one
+    barriered pair stream; the oracle recomputes the identical model
+    with the identical left-assoc float expression, round(,4)
+    absorbing summation-order ulps."""
+    from .analytics.text_analysis import kn_bigram_scores
+
+    return kn_bigram_scores(_t(spark, sf_dir, "documents"))
+
+
+def _lttb_oracle_sql(k: int = 10) -> str:
+    """Unrolled LTTB oracle (the power-iteration pattern: one CTE
+    chain per sequential bucket step, since the pick in bucket j
+    depends on the pick in bucket j-1). Pure integer arithmetic —
+    the engine and DuckDB must agree bit-for-bit."""
+    steps = []
+    for j in range(k):
+        b_lo = f"1 + ({j} * (L - 2)) // {k}"
+        b_hi = f"1 + ({j + 1} * (L - 2)) // {k}"
+        b_hi2 = f"1 + ({j + 2} * (L - 2)) // {k}" if j + 1 < k else "L"
+        prev = f"s{j - 1}" if j else "s0i"
+        steps.append(
+            f"""
+    n{j} AS (
+      SELECT g, count(*) AS c, sum(t) AS nts, sum(y) AS nys
+      FROM idx JOIN lt USING (g)
+      WHERE i >= {b_hi} AND i < {b_hi2} GROUP BY g),
+    s{j} AS (
+      SELECT g, t, y FROM (
+        SELECT c.g, c.t, c.y,
+               row_number() OVER (PARTITION BY c.g ORDER BY
+                 abs(p.pt * (c.y * n.c - n.nys) + c.t * (n.nys - p.py * n.c)
+                     + n.nts * (p.py - c.y)) DESC, c.t) AS rn
+        FROM (SELECT g, t, y, i FROM idx JOIN lt USING (g)) c
+        JOIN (SELECT g, t AS pt, y AS py FROM {prev}) p USING (g)
+        JOIN n{j} n USING (g)
+        JOIN lt USING (g)
+        WHERE c.i >= {b_lo} AND c.i < {b_hi}
+      ) WHERE rn = 1)"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT g, {j + 1} AS o, t, y FROM s{j}" for j in range(k)
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type AS g, epoch_us(ts) // 3600000000 AS t,
+             sum(CAST(round(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT g, t, y, row_number() OVER (PARTITION BY g ORDER BY t) - 1 AS i
+      FROM h),
+    lt AS (SELECT g, count(*) AS L FROM idx GROUP BY g HAVING count(*) >= {k + 2}),
+    s0i AS (SELECT g, t, y FROM idx JOIN lt USING (g) WHERE i = 0),
+    slast AS (SELECT g, t, y FROM idx JOIN lt USING (g) WHERE i = L - 1),{",".join(steps)}
+    SELECT g AS event_type, CAST(o AS BIGINT) AS pick_order,
+           CAST(t AS BIGINT) AS t_hour, CAST(y AS BIGINT) AS y_cents
+    FROM (
+      SELECT g, 0 AS o, t, y FROM s0i
+      UNION ALL {unions}
+      UNION ALL SELECT g, {k + 1} AS o, t, y FROM slast)
+    """
+
+
+@_register("lttb_downsample_values", _lttb_oracle_sql())
+def lttb_downsample_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (r12; Steinarsson
+    2013 — the Grafana-default shape-preserving reduction, M4's
+    sibling): hourly integer-cent sums per event type reduced to 12
+    points — first, last, and per interior bucket the point forming
+    the largest triangle with the previous pick and the next bucket's
+    centroid. Engine = ONE Catalyst fold over staged series/bounds
+    arrays (zero shuffles past the rollup, no Python); oracle = the
+    sequential pick unrolled as 10 chained CTE steps. Areas are
+    next-bucket-count-scaled int64 cross products, so both engines
+    agree exactly; ties to the earlier point."""
+    from .operators.window import lttb_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    return lttb_downsample(ev, n_out=12)
+
+
+@_register(
+    "calibration_ece_bins",
+    r"""
+    WITH f AS (
+      SELECT user_id,
+             count(*) FILTER (event_type = 'click') AS s
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY user_id),
+    o AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND event_type = 'purchase'),
+    u AS (
+      SELECT f.user_id,
+             CASE WHEN f.s < 9 THEN f.s ELSE 9 END AS bin,
+             CASE WHEN o.user_id IS NULL THEN 0 ELSE 1 END AS pos
+      FROM f LEFT JOIN o ON f.user_id = o.user_id),
+    tr AS (
+      SELECT bin, count(*) AS n_train, sum(pos) AS pos_train
+      FROM u WHERE user_id % 2 = 0 GROUP BY bin),
+    te AS (
+      SELECT bin, count(*) AS n_test, sum(pos) AS pos_test
+      FROM u WHERE user_id % 2 = 1 GROUP BY bin)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_test AS BIGINT) AS n_test,
+           CAST((1000 * pos_train) // n_train AS BIGINT) AS pred_permille,
+           CAST((1000 * pos_test) // n_test AS BIGINT) AS obs_permille,
+           CAST(abs((1000 * pos_train) // n_train
+                    - (1000 * pos_test) // n_test) AS BIGINT) AS gap_permille
+    FROM tr JOIN te USING (bin)
+    """,
+)
+def calibration_ece_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned calibration / expected-calibration-error report (r12) —
+    the eval every propensity or quality model needs before its scores
+    gate anything (Naeini et al. 2015 ECE, here with the
+    train/test-split binning that makes it honest): score = first-half
+    click count per user (capped value bins 0..9 — NO global-sort
+    ntile, so the shape is one hash aggregate at any scale), outcome =
+    bought-in-second-half; even user_ids calibrate each bin's
+    predicted rate, odd user_ids measure the observed rate; the gap
+    column is the per-bin |pred - obs| in exact integer permille
+    (floor division — both engines identical). ECE = the
+    n_test-weighted mean of gap_permille, derivable by the reader;
+    bins present in only one split are dropped by the inner join."""
+    ev = _t(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    f = (
+        ev.where(F.col("ts") < t0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("s")
+        )
+    )
+    o = (
+        ev.where((F.col("ts") >= t0) & (F.col("event_type") == "purchase"))
+        .select("user_id")
+        .distinct()
+        .withColumn("_pos", F.lit(1))
+    )
+    u = f.join(o, "user_id", "left").select(
+        "user_id",
+        F.least(F.col("s"), F.lit(9)).alias("bin"),
+        F.coalesce(F.col("_pos"), F.lit(0)).alias("pos"),
+    )
+    tr = (
+        u.where(F.col("user_id") % 2 == 0)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_train"), F.sum("pos").alias("pos_train"))
+    )
+    te = (
+        u.where(F.col("user_id") % 2 == 1)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_test"), F.sum("pos").alias("pos_test"))
+    )
+    pred = F.floor(1000 * F.col("pos_train") / F.col("n_train")).cast("long")
+    obs = F.floor(1000 * F.col("pos_test") / F.col("n_test")).cast("long")
+    return tr.join(te, "bin").select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_test").cast("long").alias("n_test"),
+        pred.alias("pred_permille"),
+        obs.alias("obs_permille"),
+        F.abs(pred - obs).alias("gap_permille"),
+    )
+
+
+@_register(
+    "cdc_chunk_dedup_stats",
+    r"""
+    WITH w AS (
+      SELECT source, doc_id, string_split(text, ' ') AS ws FROM documents),
+    b AS (
+      SELECT source, doc_id, ws,
+             list_filter(range(0, len(ws)),
+               i -> i = len(ws) - 1 OR (i >= 2 AND
+                 CAST(('0x' || substr(md5(array_to_string(ws[i-1:i+1], ' ')), 1, 6))
+                      AS BIGINT) % 8 = 0)) AS bnd
+      FROM w),
+    c AS (
+      SELECT source, ws,
+             unnest(list_transform(range(1, len(bnd) + 1),
+               j -> struct_pack(s := CASE WHEN j = 1 THEN 0 ELSE bnd[j-1] + 1 END,
+                                e := bnd[j]))) AS ck
+      FROM b),
+    t AS (
+      SELECT source,
+             md5(array_to_string(ws[ck.s+1:ck.e+1], ' ')) AS ch,
+             length(array_to_string(ws[ck.s+1:ck.e+1], ' ')) AS chars
+      FROM c),
+    g AS (SELECT source, ch, chars, count(*) AS cnt FROM t GROUP BY 1, 2, 3),
+    st AS (
+      SELECT source, sum(cnt) AS n_chunks, count(*) AS n_distinct_chunks,
+             sum((cnt - 1) * chars) AS dup_chars_saved
+      FROM g GROUP BY source),
+    nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+    SELECT nd.source, CAST(nd.n_docs AS BIGINT) AS n_docs,
+           CAST(st.n_chunks AS BIGINT) AS n_chunks,
+           CAST(st.n_distinct_chunks AS BIGINT) AS n_distinct_chunks,
+           CAST(st.dup_chars_saved AS BIGINT) AS dup_chars_saved
+    FROM nd JOIN st USING (source)
+    """,
+)
+def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup accounting (r12; LBFS/rsync —
+    Muthitacharoen et al. SOSP 2001): documents split at
+    content-anchored boundaries (3-word rolling md5 window, boundary
+    where the first 6 hex chars mod 8 == 0, avg chunk ~8 words), then
+    per-source chunk-level redundancy: total/distinct chunk counts and
+    the exact characters a deduplicating store would save. The
+    partition-the-content complement of winnowing's sample-to-detect
+    fingerprints; boundaries are edit-stable by construction. Engine =
+    per-doc staged Catalyst HOFs + one slim hash aggregate; oracle =
+    the identical construction in DuckDB list comprehensions."""
+    from .analytics.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(_t(spark, sf_dir, "documents"))
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

@@ -248,3 +248,119 @@ def m4_downsample(
         "v_last",
         "n_points",
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str = "event_type",
+    n_out: int = 12,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (r12; Steinarsson
+    2013, the standard shape-preserving series reduction next to M4's
+    pixel-exact one — Grafana/Influx default): keep the first and last
+    point, split the interior into ``n_out - 2`` buckets, and in each
+    bucket keep the point forming the LARGEST triangle with the
+    previously kept point and the NEXT bucket's centroid.
+
+    Exactness: the series is the per-hour integer-cent sum (per-value
+    round to cents, then integer sums), and the triangle comparison is
+    the cross-product area scaled by the next-bucket count — pure
+    int64 arithmetic, so the argmax is bit-deterministic on any
+    engine; ties break toward the earlier point.
+
+    100 TB shape: ONE hash aggregate to the hourly rollup, ONE
+    per-group sorted-array agg (bounded by hours-in-retention, not by
+    input rows), then the whole sequential LTTB loop is a single
+    Catalyst fold (``F.aggregate`` over the bucket index) — map-side,
+    zero extra shuffles, no Python. The series/bounds arrays are
+    staged as columns BEFORE the lambdas index them (the HOF-inlining
+    rule: inlined array-building expressions get re-expanded per
+    lambda reference).
+    """
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+    k = n_out - 2
+    hourly = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.expr(f"unix_micros({ts_col}) DIV 3600000000").alias("t"),
+            F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        )
+        .groupBy("g", "t")
+        .agg(F.sum("cents").alias("y"))
+    )
+    ser = (
+        hourly.groupBy("g")
+        .agg(F.array_sort(F.collect_list(F.struct("t", "y"))).alias("arr"))
+        .select("g", "arr", F.size("arr").cast("long").alias("L"))
+        .where(F.col("L") >= n_out)
+    )
+    # stage bucket boundaries: bounds[i] = 1 + floor(i*(L-2)/k) for
+    # i in 0..k (bounds[k] = L-1), plus the sentinel L so the "next
+    # anchor" of the last interior bucket is exactly the last point
+    staged = ser.select(
+        "g",
+        "arr",
+        "L",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k)),
+                lambda i: (
+                    F.lit(1)
+                    + F.floor(i.cast("long") * (F.col("L") - 2) / F.lit(k)).cast("long")
+                ),
+            ),
+            F.array(F.col("L")),
+        ).alias("bounds"),
+    )
+
+    def _step(acc, i):
+        arr, bounds = F.col("arr"), F.col("bounds")
+        lo = F.element_at(bounds, i + 1)
+        hi = F.element_at(bounds, i + 2)
+        hi2 = F.element_at(bounds, i + 3)
+        cur = F.slice(arr, lo + 1, hi - lo)
+        nxt = F.slice(arr, hi + 1, hi2 - hi)
+        c = F.size(nxt).cast("long")
+        nts = F.aggregate(nxt, F.lit(0).cast("long"), lambda a, x: a + x["t"])
+        nys = F.aggregate(nxt, F.lit(0).cast("long"), lambda a, x: a + x["y"])
+        prev = F.element_at(acc, -1)
+        pt, py = prev["t"], prev["y"]
+        best = F.array_max(
+            F.transform(
+                cur,
+                lambda p: F.struct(
+                    F.abs(
+                        pt * (p["y"] * c - nys)
+                        + p["t"] * (nys - py * c)
+                        + nts * (py - p["y"])
+                    ).alias("a"),
+                    (-p["t"]).alias("negt"),
+                    p["y"].alias("y"),
+                ),
+            )
+        )
+        chosen = F.struct((-best["negt"]).alias("t"), best["y"].alias("y"))
+        return F.concat(acc, F.array(chosen))
+
+    picked = staged.select(
+        "g",
+        F.concat(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                F.array(F.element_at(F.col("arr"), 1)),
+                _step,
+            ),
+            F.array(F.element_at(F.col("arr"), F.col("L").cast("int"))),
+        ).alias("sel"),
+    )
+    return picked.select(
+        F.col("g").alias(group_col), F.posexplode("sel").alias("pick_order", "p")
+    ).select(
+        group_col,
+        F.col("pick_order").cast("long").alias("pick_order"),
+        F.col("p.t").alias("t_hour"),
+        F.col("p.y").alias("y_cents"),
+    )

@@ -1912,3 +1912,71 @@ def test_phrase_match_counts_positions(spark):
         for r in phrase_match_counts(df, ["b c", "a c", "b c b"]).collect()
     }
     assert got == {"b c": 2, "a c": 1, "b c b": 1}
+
+
+def test_kn_bigram_closed_form(spark):
+    """r12: interpolated Kneser-Ney on 'a b a c' — hand-computed:
+    P(b|a) = P(c|a) = (1-0.75 + 0.75*2*1/3)/2 = 0.375, P(a|b) = 0.5,
+    avg_nll = (2*1.4150374993 + 1)/3 = 1.2767."""
+    from nifi_minifi_cpp_spark.analytics.text_analysis import kn_bigram_scores
+
+    df = spark.createDataFrame([(1, "a b a c")], "doc_id long, text string")
+    row = kn_bigram_scores(df).collect()[0]
+    assert row["n_bigrams"] == 3
+    assert row["avg_nll"] == 1.2767
+
+
+def test_lttb_picks_peak(spark):
+    """r12: LTTB with n_out=3 over y=[0,1,10,2,0] must keep first,
+    the y=10 peak (largest triangle with first point and last-point
+    anchor), and last."""
+    from nifi_minifi_cpp_spark.operators.window import lttb_downsample
+
+    rows = [
+        ("x", f"2024-01-01 0{h}:00:00", float(y))
+        for h, y in enumerate([0, 1, 10, 2, 0])
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts_s string, value double")
+    df = df.selectExpr("event_type", "CAST(ts_s AS timestamp) AS ts", "value")
+    out = {
+        r["pick_order"]: (r["t_hour"], r["y_cents"])
+        for r in lttb_downsample(df, n_out=3).collect()
+    }
+    h0 = out[0][0]
+    assert out == {0: (h0, 0), 1: (h0 + 2, 1000), 2: (h0 + 4, 0)}
+    import pytest
+
+    with pytest.raises(ValueError, match="n_out"):
+        lttb_downsample(df, n_out=2)
+
+
+def test_cdc_chunks_detect_duplicates_and_survive_edits(spark):
+    """r12: content-defined chunking — an exact duplicate halves the
+    distinct-chunk count and its full chunk mass is 'saved'; a
+    one-word edit keeps most chunk hashes shared (boundaries are
+    content-anchored, so the edit only reshapes the chunks it
+    touches)."""
+    from nifi_minifi_cpp_spark.analytics.dedup import cdc_chunk_stats
+
+    # all-distinct words: within one doc every chunk is unique, so
+    # the duplicate-doc case gives exactly 2x chunks per distinct
+    words = " ".join(f"w{i}" for i in range(120))
+    dup = spark.createDataFrame(
+        [("s", 1, words), ("s", 2, words)], "source string, doc_id long, text string"
+    )
+    r = cdc_chunk_stats(dup).collect()[0]
+    assert r["n_chunks"] == 2 * r["n_distinct_chunks"]
+    assert r["dup_chars_saved"] > 0
+
+    edited = words.split()
+    edited[60] = "EDITED"
+    ed = spark.createDataFrame(
+        [("s", 1, words), ("s", 2, " ".join(edited))],
+        "source string, doc_id long, text string",
+    )
+    r2 = cdc_chunk_stats(ed).collect()[0]
+    # most chunks still dedup despite the edit
+    assert r2["n_distinct_chunks"] < r2["n_chunks"]
+    assert r2["dup_chars_saved"] > 0
+    # but strictly less than the exact-duplicate case
+    assert r2["dup_chars_saved"] < r["dup_chars_saved"]
