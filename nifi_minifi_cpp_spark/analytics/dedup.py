@@ -1412,6 +1412,14 @@ def cdc_chunk_stats(
             ),
         ).alias("_b"),
     )
+    # CollapseProject would otherwise inline the whole md5 boundary
+    # scan into EVERY element_at(_b, ...) lambda reference below
+    # (lambda refs bypass the expensive-expression duplication check),
+    # re-running the O(words) hash pass per chunk element — measured
+    # 47s -> ~2s at sf0.1. The barrier makes _w/_b real attributes.
+    from ..util import reliable_barrier
+
+    bnd = reliable_barrier(bnd)
     chunks = bnd.select(
         group_col,
         id_col,

@@ -409,3 +409,178 @@ def ewma_anomaly_scores(
         folded["anom"].alias("n_anomalies"),
         F.round(folded["s"], 6).alias("final_ewma"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-sided CUSUM level-shift detection over hourly series (r12;
+    Page 1954 — the classic sequential changepoint statistic, the
+    sustained-shift complement of the point-outlier flags in
+    ``seasonal_anomaly_flags`` / ``rolling_zscore_anomalies``): per
+    key, accumulate deviations of the hourly cent-sum from the
+    series mean and flag hours where the positive (upward shift) or
+    negative (downward shift) accumulator exceeds four mean-hours of
+    excess. Slack k = 25% of the mean absorbs noise; everything is
+    integer (floor) arithmetic, so both engines agree bit-exactly.
+
+    The recursion ``S_t = max(0, S_{t-1} + d_t)`` is ELIMINATED into
+    two window scans via the prefix-min identity
+
+        S_t = P_t - min(0, P_1, ..., P_t),   P_t = sum_{i<=t} d_i
+
+    (running sum minus running min) — so the whole detector is
+    hash-agg + two per-key window passes, no fold, no Python, and it
+    parallelizes per key at any scale. Returns one summary row per
+    key: hours observed, flag counts and maxima both directions, and
+    the first flagged hour each way (detection delay), NULL when the
+    direction never fires."""
+    hourly = (
+        df.select(
+            F.col(key_col).alias("g"),
+            F.expr(f"unix_micros({ts_col}) DIV 3600000000").alias("t"),
+            F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        )
+        .groupBy("g", "t")
+        .agg(F.sum("cents").alias("y"))
+    )
+    stats = hourly.groupBy("g").agg(
+        F.floor(F.sum("y") / F.count(F.lit(1))).cast("long").alias("tgt"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    j = hourly.join(F.broadcast(stats), "g")
+    k = (F.col("tgt") / 4).cast("long")  # 25% slack, floor
+    h = 4 * F.col("tgt")  # four average hours of cumulative excess
+    d_up = F.col("y") - F.col("tgt") - k
+    d_dn = F.col("tgt") - F.col("y") - k
+    w = Window.partitionBy("g").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # nesting window-over-window is not allowed; stage the prefix sums
+    # P first, then take the running min of the staged column
+    scored = (
+        j.withColumn("p_up", F.sum(d_up).over(w))
+        .withColumn("p_dn", F.sum(d_dn).over(w))
+        .select(
+            "g",
+            "t",
+            "n_hours",
+            h.alias("h"),
+            (F.col("p_up") - F.least(F.lit(0), F.min("p_up").over(w))).alias("s_up"),
+            (F.col("p_dn") - F.least(F.lit(0), F.min("p_dn").over(w))).alias("s_dn"),
+        )
+    )
+    return scored.groupBy("g", "n_hours").agg(
+        F.count(F.when(F.col("s_up") > F.col("h"), 1)).alias("n_up_flags"),
+        F.count(F.when(F.col("s_dn") > F.col("h"), 1)).alias("n_dn_flags"),
+        F.max("s_up").alias("max_s_up"),
+        F.max("s_dn").alias("max_s_dn"),
+        F.min(F.when(F.col("s_up") > F.col("h"), F.col("t"))).alias("first_up_hour"),
+        F.min(F.when(F.col("s_dn") > F.col("h"), F.col("t"))).alias("first_dn_hour"),
+    ).select(
+        F.col("g").alias(key_col),
+        "n_hours",
+        "n_up_flags",
+        "n_dn_flags",
+        "max_s_up",
+        "max_s_dn",
+        "first_up_hour",
+        "first_dn_hour",
+    )
+
+
+def holt_forecast_errors(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    horizon: int = 6,
+) -> DataFrame:
+    """Holt double-exponential smoothing backtest (r12; Holt 1957 —
+    level + trend, the simplest forecast that beats the seasonal-naive
+    baselines in ``forecast_baseline_wape`` on trending series): per
+    key, train on the hourly cent-sum series minus the last
+    ``horizon`` hours, then score the held-out tail.
+
+    Exactness: alpha = beta = 1/2 with explicit floor after each
+    halving, so the recursion
+
+        l_t = floor((y_t + l_{t-1} + b_{t-1}) / 2)
+        b_t = floor((l_t - l_{t-1} + b_{t-1}) / 2)
+
+    (init l_1 = y_1, b_1 = y_2 - y_1) stays in exact integers —
+    division by 2 of a < 2^52 integer is exact in binary, and floor
+    matches floor on any engine. Forecast at horizon s is
+    l_T + s * b_T.
+
+    100 TB shape: one hash aggregate to the hourly rollup, one
+    per-key bounded array (hours in retention, not input rows), and
+    the whole training recursion is ONE Catalyst fold
+    (``F.aggregate``) — map-side, zero extra shuffles, no Python.
+    The oracle runs the identical recursion as a DuckDB recursive
+    CTE. Returns per (key, horizon step): forecast, actual, error."""
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    hourly = (
+        df.select(
+            F.col(key_col).alias("g"),
+            F.expr(f"unix_micros({ts_col}) DIV 3600000000").alias("t"),
+            F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        )
+        .groupBy("g", "t")
+        .agg(F.sum("cents").alias("y"))
+    )
+    ser = (
+        hourly.groupBy("g")
+        .agg(F.array_sort(F.collect_list(F.struct("t", "y"))).alias("arr"))
+        .select(
+            "g",
+            F.transform("arr", lambda e: e["y"]).alias("ys"),
+            (F.size("arr") - F.lit(horizon)).cast("int").alias("T"),
+        )
+        .where(F.col("T") >= 2)
+    )
+    # stage the training slice BEFORE the fold indexes it (HOF rule)
+    ser = ser.select("g", "ys", "T", F.slice("ys", 1, F.col("T")).alias("train"))
+
+    def _upd(acc, y):
+        l2 = F.floor((y + acc["l"] + acc["b"]) / 2).cast("long")
+        return F.struct(
+            l2.alias("l"),
+            F.floor((l2 - acc["l"] + acc["b"]) / 2).cast("long").alias("b"),
+        )
+
+    init = F.struct(
+        F.element_at("train", 1).alias("l"),
+        (F.element_at("train", 2) - F.element_at("train", 1)).alias("b"),
+    )
+    fitted = ser.select(
+        "g",
+        "ys",
+        "T",
+        F.aggregate(
+            F.slice("train", 2, F.col("T") - 1), init, _upd
+        ).alias("st"),
+    )
+    steps = fitted.select(
+        "g",
+        "ys",
+        "T",
+        F.col("st.l").alias("l"),
+        F.col("st.b").alias("b"),
+        F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("s"),
+    )
+    return steps.select(
+        F.col("g").alias(key_col),
+        F.col("s").cast("long").alias("step"),
+        (F.col("l") + F.col("s") * F.col("b")).alias("forecast_cents"),
+        F.element_at("ys", (F.col("T") + F.col("s")).cast("int")).alias(
+            "actual_cents"
+        ),
+        (
+            F.col("l")
+            + F.col("s") * F.col("b")
+            - F.element_at("ys", (F.col("T") + F.col("s")).cast("int"))
+        ).alias("err_cents"),
+    )

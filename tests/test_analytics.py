@@ -1980,3 +1980,111 @@ def test_cdc_chunks_detect_duplicates_and_survive_edits(spark):
     assert r2["dup_chars_saved"] > 0
     # but strictly less than the exact-duplicate case
     assert r2["dup_chars_saved"] < r["dup_chars_saved"]
+
+
+def test_cusum_prefix_min_identity(spark):
+    """r12: CUSUM on a step series (8 hours at 100 cents, 8 at 1000)
+    — hand-computed: tgt=550, k=137, h=2200; the upward accumulator
+    first exceeds h at the 16th hour (S=2504) and the downward one at
+    the 8th (symmetric 2504)."""
+    from nifi_minifi_cpp_spark.operators.temporal import cusum_changepoints
+
+    rows = [
+        ("x", f"2024-01-0{1 + h // 24} {h % 24:02d}:30:00", 1.0 if h < 8 else 10.0)
+        for h in range(16)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts_s string, value double")
+    df = df.selectExpr("event_type", "CAST(ts_s AS timestamp) AS ts", "value")
+    r = cusum_changepoints(df).collect()[0]
+    assert r["n_hours"] == 16
+    assert (r["n_up_flags"], r["n_dn_flags"]) == (1, 1)
+    assert (r["max_s_up"], r["max_s_dn"]) == (2504, 2504)
+    assert r["first_up_hour"] == r["first_dn_hour"] + 8
+
+
+def test_holt_tracks_linear_series_exactly(spark):
+    """r12: on a perfect line (100, 200, ..., 1000 cents hourly) the
+    integer Holt recursion is exact — every held-out forecast equals
+    the actual, err_cents == 0."""
+    from nifi_minifi_cpp_spark.operators.temporal import holt_forecast_errors
+
+    rows = [
+        ("x", f"2024-01-01 {h:02d}:15:00", float(h + 1)) for h in range(10)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts_s string, value double")
+    df = df.selectExpr("event_type", "CAST(ts_s AS timestamp) AS ts", "value")
+    out = holt_forecast_errors(df, horizon=3).collect()
+    assert len(out) == 3
+    assert all(r["err_cents"] == 0 for r in out)
+    assert sorted(r["forecast_cents"] for r in out) == [800, 900, 1000]
+    import pytest
+
+    with pytest.raises(ValueError, match="horizon"):
+        holt_forecast_errors(df, horizon=0)
+
+
+def test_poisson_bootstrap_constant_degenerate(spark):
+    """r12: with a constant value column every replicate mean equals
+    the point mean exactly, so the bootstrap CI collapses to it; a
+    rerun is bit-identical (hash-deterministic weights)."""
+    from nifi_minifi_cpp_spark.analytics.sketches import poisson_bootstrap_mean_ci
+
+    rows = [("x", i, 2.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    r = poisson_bootstrap_mean_ci(df).collect()[0]
+    assert r["n_rows"] == 50
+    assert (
+        r["mean_millicents"]
+        == r["boot_lo_millicents"]
+        == r["boot_hi_millicents"]
+        == 200000
+    )
+    r2 = poisson_bootstrap_mean_ci(df).collect()[0]
+    assert r == r2
+    import pytest
+
+    with pytest.raises(ValueError, match="lo_rank"):
+        poisson_bootstrap_mean_ci(df, lo_rank=0)
+
+
+def test_roc_auc_matches_bruteforce(spark):
+    """r12: the Mann-Whitney AUC of the registry entry at sf0.001
+    equals the brute-force pairwise P(score_pos > score_neg) + ties/2
+    computed in Python over the same per-user scores."""
+    import itertools
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = entry.queries()["roc_auc_purchase_model"](spark, sf).collect()[0]
+
+    ev = load_table(spark, "events", sf)
+    t0 = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    t1 = F.lit("2024-01-17 00:00:00").cast("timestamp")
+    f = (
+        ev.where(F.col("ts") < t0)
+        .groupBy("user_id")
+        .agg(F.count(F.when(F.col("event_type") == "click", 1)).alias("s"))
+    )
+    buyers = {
+        r["user_id"]
+        for r in ev.where(
+            (F.col("ts") >= t0) & (F.col("ts") < t1) & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    scored = [(r["s"], r["user_id"] in buyers) for r in f.collect()]
+    pos = [s for s, p in scored if p]
+    neg = [s for s, p in scored if not p]
+    assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+    u2 = sum(
+        2 if sp > sn else (1 if sp == sn else 0)
+        for sp, sn in itertools.product(pos, neg)
+    )
+    assert got["u_times2"] == u2
+    assert got["auc_permyriad"] == (10000 * u2) // (2 * len(pos) * len(neg))
