@@ -14541,6 +14541,232 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_mean_ci(_t(spark, sf_dir, "events"))
 
 
+@_register(
+    "ndcg_mrr_retrieval_eval",
+    r"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT i AS pos, abs(v[CAST(i + 1 AS INT)]) AS a
+          FROM v, (SELECT unnest(range(64)) AS i) ix),
+    sc AS (SELECT pos, CASE WHEN max(a) > 0 THEN max(a) / 127.0 ELSE 1.0 END AS s
+           FROM d GROUP BY pos),
+    sarr AS (SELECT list(s ORDER BY pos) AS arr FROM sc),
+    r AS (SELECT vec_id,
+            list_transform(range(1, 65),
+              i -> CAST(greatest(-127, least(127,
+                     CAST(round(v[CAST(i AS INT)] / arr[CAST(i AS INT)]) AS INT)))
+                   AS DOUBLE) * arr[CAST(i AS INT)]) AS rv
+          FROM v, sarr),
+    rn AS (SELECT vec_id, rv,
+             sqrt(list_reduce(list_transform(rv, x -> x * x), (a, b) -> a + b)) AS nrm
+           FROM r),
+    qp AS (SELECT a.vec_id AS query_id, b.vec_id AS nid,
+             list_reduce(list_transform(range(1, 65),
+               i -> a.rv[CAST(i AS INT)] * b.rv[CAST(i AS INT)]), (x, y) -> x + y)
+               / (a.nrm * b.nrm) AS s
+           FROM rn a JOIN rn b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+    qr AS (SELECT query_id, nid, rk AS p FROM (
+             SELECT query_id, nid,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, nid) AS rk
+             FROM qp) WHERE rk <= 10),
+    ex AS (SELECT query_id, nid, rk FROM (
+             SELECT a.vec_id AS query_id, b.vec_id AS nid,
+                    row_number() OVER (
+                      PARTITION BY a.vec_id
+                      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                                      b.embedding::DOUBLE[]) DESC,
+                               b.vec_id) AS rk
+             FROM embeddings a, embeddings b
+             WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id) WHERE rk <= 10),
+    rl AS (SELECT qr.query_id, qr.p, coalesce(11 - ex.rk, 0) AS rel
+           FROM qr LEFT JOIN ex
+             ON ex.query_id = qr.query_id AND ex.nid = qr.nid),
+    ag AS (SELECT query_id,
+             list_sort(list(struct_pack(p := p, rel := rel))) AS arr,
+             min(CASE WHEN rel > 0 THEN p END) AS fh
+           FROM rl GROUP BY query_id),
+    dc AS (SELECT query_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(arr, e -> e.rel / log2(e.p + 1))),
+               (a, b) -> a + b) AS dcg,
+             fh
+           FROM ag),
+    ic AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 11), rr -> (11 - rr) / log2(rr + 1))),
+             (a, b) -> a + b) AS idcg)
+    SELECT query_id,
+           round(dcg / idcg, 4) AS ndcg10,
+           CAST(coalesce(fh, 0) AS BIGINT) AS first_hit_rank,
+           CAST(CASE WHEN fh IS NULL THEN 0
+                ELSE 10000 // fh END AS BIGINT) AS rr_permyriad
+    FROM dc CROSS JOIN ic
+    """,
+)
+def ndcg_mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 + reciprocal rank of the int8-quantized retrieval
+    (r12) — the POSITION-SENSITIVE, GRADED half of the eval family
+    whose set-overlap half is ``int8_recall_eval`` (same system, same
+    20 queries): exact float-cosine rank r earns graded relevance
+    11 - r (top exact hit worth 10, the 10th worth 1, misses 0), the
+    quantized list is scored by DCG = sum rel_p / log2(p + 1)
+    (Jarvelin & Kekalainen 2002), normalized by the ideal DCG; MRR's
+    per-query reciprocal rank is exact permyriad floor(10000 / p_1st).
+
+    Determinism: both DCG folds are explicit left-assoc sequential
+    folds over position-sorted arrays (Catalyst ``aggregate`` /
+    DuckDB ``list_reduce``), the same discipline as the KN log2
+    scoring; round(,4) absorbs the last ulp. IDCG is computed by the
+    IDENTICAL fold expression in both engines, never a pasted
+    constant. 100 TB shape: the query set is bounded (evals sample
+    queries), the corpus legs are one pass each + per-query top-k
+    windows, and the grading joins/folds run on 20 x 10 rows."""
+    from pyspark.sql import Window
+
+    from .analytics.similarity import knn_join_exact, quantize_embeddings_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rel = knn_join_exact(emb.filter(F.col("vec_id") < 20), emb, k=10).select(
+        "query_id",
+        F.col("neighbor_id").alias("nid"),
+        (11 - F.col("rank")).alias("rel"),
+    )
+    deq = quantize_embeddings_int8(emb, return_scales=True).select(
+        "vec_id",
+        F.zip_with(
+            F.col("qvec"), F.col("scales"), lambda qd, s: qd.cast("double") * s
+        ).alias("rv"),
+    )
+    deq = deq.select(
+        "vec_id",
+        "rv",
+        F.sqrt(
+            F.aggregate(
+                F.transform("rv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("nrm"),
+    )
+    qa = F.broadcast(
+        deq.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("rv").alias("ra"),
+            F.col("nrm").alias("na"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ra"), F.col("rv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        deq.crossJoin(qa)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nid"),
+            F.try_divide(dot, F.col("na") * F.col("nrm")).alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("nid"))
+    retrieved = (
+        scored.withColumn("p", F.row_number().over(w))
+        .filter(F.col("p") <= 10)
+        .select("query_id", "nid", "p")
+    )
+    graded = retrieved.join(rel, ["query_id", "nid"], "left").select(
+        "query_id", "p", F.coalesce(F.col("rel"), F.lit(0)).alias("rel")
+    )
+    ag = graded.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("p").alias("p"), F.col("rel").alias("rel")))
+        ).alias("arr"),
+        F.min(F.when(F.col("rel") > 0, F.col("p"))).alias("fh"),
+    )
+    dcg = F.aggregate(
+        F.col("arr"), F.lit(0.0), lambda a, e: a + e["rel"] / F.log2(e["p"] + 1)
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.lit(10)),
+        F.lit(0.0),
+        lambda a, r: a + (11 - r) / F.log2(r.cast("double") + 1),
+    )
+    return ag.select(
+        "query_id",
+        F.round(dcg / idcg, 4).alias("ndcg10"),
+        F.coalesce(F.col("fh"), F.lit(0)).cast("long").alias("first_hit_rank"),
+        F.when(F.col("fh").isNull(), F.lit(0))
+        .otherwise(F.floor(10000 / F.col("fh")))
+        .cast("long")
+        .alias("rr_permyriad"),
+    )
+
+
+@_register(
+    "kaplan_meier_conversion",
+    r"""
+    WITH RECURSIVE b AS (
+      SELECT user_id AS u, event_type AS et,
+             epoch_us(ts) // 3600000000 AS h, epoch_us(ts) AS t_us
+      FROM events),
+    f AS (
+      SELECT u,
+             (min(struct_pack(t_us := t_us, h := h, et := et))).et AS cohort,
+             (min(struct_pack(t_us := t_us, h := h, et := et))).h AS h0,
+             (min(struct_pack(t_us := t_us, h := h, et := et))).t_us AS t0_us
+      FROM b GROUP BY u),
+    dth AS (
+      SELECT b.u, min(b.h) AS hd
+      FROM b JOIN f ON f.u = b.u
+      WHERE b.et = 'purchase' AND b.t_us > f.t0_us
+      GROUP BY b.u),
+    cm AS (SELECT max(h) AS hmax FROM b),
+    subj AS (
+      SELECT f.cohort,
+             coalesce(dth.hd - f.h0, cm.hmax - f.h0) AS dur,
+             CASE WHEN dth.hd IS NULL THEN 0 ELSE 1 END AS died
+      FROM f LEFT JOIN dth ON dth.u = f.u CROSS JOIN cm),
+    pd AS (
+      SELECT cohort, dur, count(*) AS cnt, sum(died) AS d
+      FROM subj GROUP BY cohort, dur),
+    rk AS (
+      SELECT cohort, dur, d,
+             sum(cnt) OVER (PARTITION BY cohort ORDER BY dur DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n
+      FROM pd),
+    idx AS (
+      SELECT cohort, dur, n, d,
+             row_number() OVER (PARTITION BY cohort ORDER BY dur) AS i
+      FROM rk WHERE d > 0),
+    r AS (
+      SELECT cohort, i, dur, n, d, (1000000 * (n - d)) // n AS s
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT x.cohort, x.i, x.dur, x.n, x.d, (r.s * (x.n - x.d)) // x.n
+      FROM r JOIN idx x ON x.cohort = r.cohort AND x.i = r.i + 1)
+    SELECT cohort, CAST(dur AS BIGINT) AS t_hours,
+           CAST(n AS BIGINT) AS n_at_risk, CAST(d AS BIGINT) AS d_deaths,
+           CAST(s AS BIGINT) AS survival_ppm
+    FROM r
+    """,
+)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curves with right-censoring
+    (r12; Kaplan & Meier 1958): users enroll at their first event
+    (cohort = that event's type), convert at their first purchase
+    strictly after enrollment, and are censored at the end of
+    observation otherwise — the estimator that keeps unconverted
+    users in the risk set instead of dropping them (the bias in naive
+    conversion-delay averages). Survival in exact parts-per-million
+    via the integer product-limit recursion S_i = (S_{i-1} *
+    (n_i - d_i)) DIV n_i; engine = one Catalyst fold over the bounded
+    per-cohort death-time array, oracle = the identical recursion as
+    a DuckDB recursive CTE. See operators/temporal.kaplan_meier_survival."""
+    from .operators.temporal import kaplan_meier_survival
+
+    configure(spark)
+    return kaplan_meier_survival(_t(spark, sf_dir, "events"))
+
+
 # The driver grades exactly the FIRST 50 registrations in queries()
 # order (round-1 observed behavior: entries 51+ got no correctness row).
 # Definition order above groups by theme, so re-rank here: every SURVEY

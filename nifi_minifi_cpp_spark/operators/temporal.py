@@ -584,3 +584,130 @@ def holt_forecast_errors(
             - F.element_at("ys", (F.col("T") + F.col("s")).cast("int"))
         ).alias("err_cents"),
     )
+
+
+def kaplan_meier_survival(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    event_of_interest: str = "purchase",
+) -> DataFrame:
+    """Kaplan-Meier survival curve with right-censoring (r12; Kaplan &
+    Meier 1958 — the product-limit estimator, the correct way to
+    measure time-to-conversion when many subjects have NOT converted
+    yet): each user enrolls at their first event (cohort = that
+    event's type), "dies" at their first ``event_of_interest``
+    strictly after enrollment, and is right-CENSORED at the global end
+    of observation otherwise — dropping the unconverted (what naive
+    conversion-delay averages do) biases the curve optimistic; KM
+    keeps them in the risk set exactly as long as they were observed.
+
+    Exactness: durations are integer hours; the risk set n_i at each
+    distinct death time is a per-cohort running count (one window
+    scan, descending); survival is the integer recursion
+
+        S_i = (S_{i-1} * (n_i - d_i)) DIV n_i,   S_0 = 1_000_000
+
+    in exact parts-per-million (integral DIV keeps it exact where a
+    double product would lose bits past 2^52 at n ~ 1e9). The
+    censored-at-t convention is the standard one: censoring happens
+    AFTER deaths at t, so duration >= t keeps the subject at risk.
+
+    100 TB shape: two hash aggregates to per-user rows, one per-cohort
+    window over distinct durations (bounded by the observation window
+    in hours, not by users), and the product-limit fold runs over the
+    bounded per-cohort death-time array. Returns one row per (cohort,
+    death time): n_at_risk, d_deaths, survival_ppm."""
+    hour = F.expr(f"unix_micros({ts_col}) DIV 3600000000")
+    us = F.expr(f"unix_micros({ts_col})")
+    base = df.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        hour.alias("h"),
+        us.alias("t_us"),
+    )
+    first = base.groupBy("u").agg(
+        F.min(F.struct("t_us", "h", "et")).alias("f"),
+    )
+    first = first.select(
+        "u",
+        F.col("f.et").alias("cohort"),
+        F.col("f.h").alias("h0"),
+        F.col("f.t_us").alias("t0_us"),
+    )
+    deaths = (
+        base.where(F.col("et") == event_of_interest)
+        .join(first, "u")
+        .where(F.col("t_us") > F.col("t0_us"))
+        .groupBy("u")
+        .agg(F.min("h").alias("hd"))
+    )
+    cmax = base.agg(F.max("h").alias("hmax"))
+    subj = (
+        first.join(deaths, "u", "left")
+        .crossJoin(F.broadcast(cmax))
+        .select(
+            "cohort",
+            F.coalesce(F.col("hd") - F.col("h0"), F.col("hmax") - F.col("h0")).alias(
+                "dur"
+            ),
+            F.col("hd").isNotNull().cast("long").alias("died"),
+        )
+    )
+    per_dur = subj.groupBy("cohort", "dur").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("died").alias("d")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = per_dur.withColumn("n", F.sum("cnt").over(w)).where(F.col("d") > 0)
+    ser = risk.groupBy("cohort").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dur").alias("t"), F.col("n"), F.col("d")))
+        ).alias("arr")
+    )
+    def _step(acc, e):
+        x = acc["s"] * (e["n"] - e["d"])
+        # exact integral division: x is a long, x - x % n is an exact
+        # multiple of n <= ~1e15 < 2^53, so the double division is
+        # exact where a raw floor(x / n) could mis-round past 2^52
+        s2 = ((x - x % e["n"]) / e["n"]).cast("long")
+        return F.struct(
+            s2.alias("s"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        e["t"].cast("long").alias("t"),
+                        e["n"].cast("long").alias("n"),
+                        e["d"].cast("long").alias("d"),
+                        s2.alias("surv"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = ser.select(
+        "cohort",
+        F.aggregate(
+            F.col("arr"),
+            F.struct(
+                F.lit(1_000_000).cast("long").alias("s"),
+                F.expr(
+                    "CAST(array() AS ARRAY<STRUCT<t BIGINT, n BIGINT,"
+                    " d BIGINT, surv BIGINT>>)"
+                ).alias("out"),
+            ),
+            _step,
+        )["out"].alias("km"),
+    )
+    return folded.select("cohort", F.explode("km").alias("e")).select(
+        "cohort",
+        F.col("e.t").alias("t_hours"),
+        F.col("e.n").alias("n_at_risk"),
+        F.col("e.d").alias("d_deaths"),
+        F.col("e.surv").alias("survival_ppm"),
+    )

@@ -2088,3 +2088,45 @@ def test_roc_auc_matches_bruteforce(spark):
     )
     assert got["u_times2"] == u2
     assert got["auc_permyriad"] == (10000 * u2) // (2 * len(pos) * len(neg))
+
+
+def test_kaplan_meier_closed_form(spark):
+    """r12: 4 users enroll together; two convert at +2h, one at +5h,
+    one never (censored at the +5h observation end). KM: S(2) =
+    1e6*(4-2)/4 = 500000 with n=4; S(5) = 500000*(2-1)//2 = 250000
+    with n=2 (the censored user still at risk at 5)."""
+    from nifi_minifi_cpp_spark.operators.temporal import kaplan_meier_survival
+
+    rows = [(u, "signup", "2024-01-01 00:00:00") for u in (1, 2, 3, 4)]
+    rows += [
+        (1, "purchase", "2024-01-01 02:30:00"),
+        (2, "purchase", "2024-01-01 02:45:00"),
+        (3, "purchase", "2024-01-01 05:10:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_s string")
+    df = df.selectExpr("user_id", "event_type", "CAST(ts_s AS timestamp) AS ts")
+    got = {
+        r["t_hours"]: (r["n_at_risk"], r["d_deaths"], r["survival_ppm"])
+        for r in kaplan_meier_survival(df).collect()
+    }
+    assert got == {2: (4, 2, 500000), 5: (2, 1, 250000)}
+
+
+def test_ndcg_mrr_invariants(spark):
+    """r12: nDCG@10 of the int8 retrieval at sf0.001 — 20 query rows,
+    each nDCG in (0, 1], and rr_permyriad is exactly
+    floor(10000 / first_hit_rank) (0 when nothing relevant)."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["ndcg_mrr_retrieval_eval"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 <= r["ndcg10"] <= 1.0
+        assert 0 <= r["first_hit_rank"] <= 10
+        if r["first_hit_rank"] == 0:
+            assert r["rr_permyriad"] == 0 and r["ndcg10"] == 0.0
+        else:
+            assert r["rr_permyriad"] == 10000 // r["first_hit_rank"]
+            assert r["ndcg10"] > 0.0
