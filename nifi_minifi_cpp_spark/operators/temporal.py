@@ -452,7 +452,7 @@ def cusum_changepoints(
         F.count(F.lit(1)).cast("long").alias("n_hours"),
     )
     j = hourly.join(F.broadcast(stats), "g")
-    k = (F.col("tgt") / 4).cast("long")  # 25% slack, floor
+    k = F.floor(F.col("tgt") / 4).cast("long")  # 25% slack, floor (matches // for negative means too)
     h = 4 * F.col("tgt")  # four average hours of cumulative excess
     d_up = F.col("y") - F.col("tgt") - k
     d_dn = F.col("tgt") - F.col("y") - k
