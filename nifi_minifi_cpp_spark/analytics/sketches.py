@@ -395,7 +395,15 @@ def poisson_bootstrap_mean_ci(
                 *[
                     F.struct(
                         ((F.col("b") - 1) * 5 + lane + 1).alias("j"),
-                        F.floor(1000 * F.col(f"swc{lane}") / F.col(f"nw{lane}"))
+                        # try_divide: a zero replicate weight-sum
+                        # (possible only for near-empty groups) must
+                        # yield a NULL replicate (dropped from the
+                        # collect_list), not an ANSI-mode crash
+                        F.floor(
+                            F.try_divide(
+                                1000 * F.col(f"swc{lane}"), F.col(f"nw{lane}")
+                            )
+                        )
                         .cast("long")
                         .alias("rm"),
                     )
@@ -413,6 +421,9 @@ def poisson_bootstrap_mean_ci(
         F.col("g").alias(group_col),
         "n_rows",
         "mean_millicents",
-        F.element_at("means", lo_rank).alias("boot_lo_millicents"),
-        F.element_at("means", hi_rank).alias("boot_hi_millicents"),
+        # try_element_at: NULL replicates (zero weight-sum groups)
+        # shrink the means array; out-of-range ranks must yield NULL
+        # (DuckDB list-index semantics), not an ANSI-mode crash
+        F.try_element_at("means", F.lit(lo_rank)).alias("boot_lo_millicents"),
+        F.try_element_at("means", F.lit(hi_rank)).alias("boot_hi_millicents"),
     )

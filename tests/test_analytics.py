@@ -2130,3 +2130,25 @@ def test_ndcg_mrr_invariants(spark):
         else:
             assert r["rr_permyriad"] == 10000 // r["first_hit_rank"]
             assert r["ndcg10"] > 0.0
+
+
+def test_poisson_bootstrap_tiny_group_ansi_safe(spark):
+    """r12: a 1-row group produces zero-weight replicates; under ANSI
+    mode the division must yield NULL replicates (dropped) and
+    out-of-range CI ranks must come back NULL — never a crash."""
+    from nifi_minifi_cpp_spark.analytics.sketches import poisson_bootstrap_mean_ci
+
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [("x", 1, 3.0)], "event_type string, event_id long, value double"
+        )
+        r = poisson_bootstrap_mean_ci(df).collect()[0]
+        assert r["n_rows"] == 1 and r["mean_millicents"] == 300000
+        # every non-NULL replicate mean of a single 300-cent row is
+        # exactly 300000; the ranks may or may not be in range
+        for v in (r["boot_lo_millicents"], r["boot_hi_millicents"]):
+            assert v is None or v == 300000
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
