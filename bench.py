@@ -123,6 +123,10 @@ def main():
             )
             fq.awaitTermination(60)
         finally:
+            try:
+                fq.stop()  # awaitTermination(60) may time out: never rmtree under a live query
+            except Exception:  # noqa: BLE001
+                pass
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
             _shutil.rmtree(_wdir, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001 — warmup must never fail the bench

@@ -139,6 +139,9 @@ def pagerank(
     seeds ranking, the data-selection primitive ("expand from these
     known-good suppliers/domains"). The seed frame is joined once as
     a flag onto the slim node table; per-iteration cost is unchanged.
+    NOTE: validating |S| > 0 runs one eager one-row aggregate at
+    plan-construction time when ``teleport`` is given (the only eager
+    action in this builder; the no-teleport path stays fully lazy).
 
     Dangling nodes (out-degree 0) keep their rank mass out of play —
     the caller symmetrizes the edge set when that matters (an
@@ -177,9 +180,11 @@ def pagerank(
                 "pagerank(teleport=...): no teleport seed appears in the "
                 "edge list; restart mass denominator |S| is 0"
             )
+        # |S| is already on the driver — reuse it as a literal rather
+        # than re-running the identical aggregate as a second job.
         n_total = F.broadcast(
-            nodes.agg(F.sum("_seed").cast("long").alias("_n"))
-        )  # |S|: the restart mass denominator
+            nodes.sparkSession.range(1).select(F.lit(int(n_seeds)).alias("_n"))
+        )
         base = F.col("_seed") / F.col("_n")
     else:
         nodes = nodes.withColumn("_seed", F.lit(1))

@@ -63,16 +63,6 @@ def _with_provider(spark, provider: str):
     return _cm()
 
 
-def _drain(spark, q, view: str, expected: int, timeout_s: float = 90.0) -> list:
-    deadline = time.time() + timeout_s
-    while time.time() < deadline:
-        if q.exception():
-            raise AssertionError(str(q.exception()))
-        rows = spark.sql(f"SELECT * FROM {view}").collect()
-        if len(rows) >= expected:
-            return rows
-        time.sleep(0.5)
-    return spark.sql(f"SELECT * FROM {view}").collect()
 
 
 def _canon(rows) -> list[tuple]:
