@@ -56,10 +56,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
+# Registration (definition) order, captured at decoration time. The
+# rotation rule is defined over this order: the grade window takes the
+# never-driver-graded queue oldest-registration-first, and backfill
+# slots go to the stalest previously-graded entries (oldest driver
+# round first, registration order within a round). The ledger contract
+# test asserts _GRADE_ORDER against this list + CORRECTNESS_r*.json.
+_REGISTRATION_ORDER: list[str] = []
+
 
 def _register(name: str, oracle: str | None):
     def deco(fn: QueryFn):
+        if name in _REGISTRY:
+            raise RuntimeError(f"duplicate query registration: {name}")
         _REGISTRY[name] = (fn, oracle)
+        _REGISTRATION_ORDER.append(name)
         return fn
 
     return deco
@@ -14776,76 +14787,88 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # were re-typed after round 1) and the rest — all green in round 1 and
 # locked by plan-shape tests — fall past the window.
 _GRADE_ORDER = [
-    # --- r12 rotation (VERDICT r11 #1, COVERAGE.md consolidated
-    # amendment): the never-driver-graded queue holds 81 entries —
-    # the 3 r10 registrations twice promised first-in-queue
-    # (leakage_safe_split, token_quantiles_by_source,
-    # skipgram_top_pairs) plus 78 r11 registrations in registration
-    # order (bpe_trained_merges .. interevent_gap_median). The
-    # amendment's "80" undercounted by one (reconciliation in
-    # COVERAGE.md). Window = first 50 of the queue: the 3 deferred
-    # r10 entries FIRST, then the first 47 r11 registrations
-    # (bpe_trained_merges .. user_activity_coverage). The remaining
-    # 31 (streaming_late_event_drops .. interevent_gap_median) lead
-    # r13. Rotated OUT (all green r11 rows, locked by pytest +
-    # tools/check_correctness.py): the full r11 window.
+    # --- r13 rotation (VERDICT r12 #1/#2): window = the ENTIRE
+    # never-driver-graded queue — 31 carried r11 registrations
+    # (streaming_late_event_drops .. interevent_gap_median) + the
+    # 10 r12 registrations (kn_bigram_perplexity ..
+    # kaplan_meier_conversion) in registration order — plus 9
+    # backfill picks chosen by the CODIFIED staleness rule
+    # (tests/test_registry_contract.py::test_backfill_picks_are_oldest_first):
+    # backfill slots always go to the stalest previously-graded
+    # entries, oldest driver round first, registration order within
+    # a round. That puts the two r7-green entries
+    # (route_relationship_counts, embedding_norms_by_label — thrice
+    # deferred, 5 rounds stale) at picks #1-2 and the first seven
+    # r8-green entries after them. After this window grades, every
+    # registered query holds a driver row (first time since r7) and
+    # the oldest row in the ledger moves r7 -> r8.
     #
-    # deferred r10 registrations (first-in-queue per the r11 ledger)
-    "leakage_safe_split",
-    "token_quantiles_by_source",
-    "skipgram_top_pairs",
-    # never-driver-graded r11 registrations (batches 1-20, in
-    # registration order)
-    "bpe_trained_merges",
-    "kmeans_embedding_clusters",
-    "bfs_hop_histogram",
-    "ewma_anomaly_scores",
-    "kcore_supplier_parts",
-    "bpe_tokenized_counts",
-    "m4_downsample_hourly",
-    "phrase_match_doc_counts",
-    "streaming_session_stats",
-    "hourly_value_percentiles",
-    "hilbert_layout_buckets",
-    "dedup_cluster_size_histogram",
-    "embedding_dim_robust_stats",
-    "streaming_ewma_scores",
-    "set_ops_user_segments",
-    "retention_delete_plan",
-    "timeline_gap_report",
-    "copurchase_supplier_pairs",
-    "first_touch_attribution",
-    "inference_length_buckets",
-    "referential_integrity_audit",
-    "fd_profile_candidates",
-    "unattributed_purchases",
-    "event_motif_counts",
-    "corr_event_type_hours",
-    "seasonal_dow_profile",
-    "prefix_cache_savings",
-    "cdc_apply_snapshot",
-    "kmeans_cluster_quality",
-    "hard_negative_mining",
-    "filter_cascade_sweep",
-    "quarantine_routing_reasons",
-    "zonemap_stats_report",
-    "partial_agg_merge",
-    "personalized_pagerank_seeds",
-    "hll_window_distinct",
-    "hits_hub_authority",
-    "quantile_sketch_merge",
-    "rrf_hybrid_topk",
-    "edit_distance_name_pairs",
-    "hourly_trend_by_type",
-    "streaming_hll_window",
-    "int8_recall_eval",
-    "nearest_event_alignment",
-    "k_anonymity_audit",
-    "zonemap_pruning_eval",
-    "user_activity_coverage",
+    # never-driver-graded queue (registration order)
+    "streaming_late_event_drops",
+    "join_size_estimate_cm",
+    "hll_rollup_sources",
+    "cluster_representative_policy",
+    "eval_quota_allocation",
+    "token_budget_selection",
+    "scd2_pointintime_join",
+    "position_attribution_credits",
+    "hll_intersection_estimate",
+    "linear_interpolation_fill",
+    "future_purchase_labels",
+    "theilsen_trend_by_type",
+    "quantile_sketch_by_source",
+    "minhash_estimate_error",
+    "item_similarity_topk",
+    "markov_stationary_distribution",
+    "power_iteration_top_component",
+    "gini_value_by_type",
+    "streaming_outer_join_timeouts",
+    "pointintime_feature_matrix",
+    "histogram_drift_by_type",
+    "seasonal_anomaly_flags",
+    "ppr_multi_seed_groups",
+    "forecast_baseline_wape",
+    "bloom_join_prefilter_counts",
+    "dedup_threshold_sweep",
+    "vocab_pruning_plan",
+    "curriculum_interleave_order",
+    "fixed_size_stratified_sample",
+    "session_entry_exit_matrix",
+    "interevent_gap_median",
+    "kn_bigram_perplexity",
+    "lttb_downsample_values",
+    "calibration_ece_bins",
+    "cdc_chunk_dedup_stats",
+    "roc_auc_purchase_model",
+    "cusum_value_changepoints",
+    "holt_forecast_backtest",
+    "poisson_bootstrap_ci",
+    "ndcg_mrr_retrieval_eval",
+    "kaplan_meier_conversion",
+    # backfill picks (oldest-first rule; r7 pair then oldest r8s)
+    "route_relationship_counts",
+    "embedding_norms_by_label",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "region_rollup",
+    "top10_orders",
+    "distinct_parts_per_order",
+    "customers_without_orders",
+    "customers_with_big_orders",
 ]
 
 GRADED_WINDOW = 50
+
+# The driver-round ledger snapshot this window was computed against:
+# _GRADE_ORDER above = never-graded queue (registration order) +
+# oldest-first backfill picks, both derived from CORRECTNESS_r01..
+# CORRECTNESS_r{ROTATION_LEDGER_ROUND}.json. The registry contract
+# tests re-derive the window from those files and fail if the picks
+# ever deviate from the staleness rule (no entry can starve: backfill
+# slots always go to the oldest driver rows first), and fail if this
+# snapshot falls more than one driver round behind the newest ledger
+# file (a skipped rotation goes red in that round's own pytest run).
+ROTATION_LEDGER_ROUND = 12
 
 
 def _apply_grade_order() -> None:

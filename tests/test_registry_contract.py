@@ -22,62 +22,62 @@ from nifi_minifi_cpp_spark import entry_queries
 # Every SURVEY §2 operator family and every LLM-pipeline operator must
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
-    # r12 rotation: the 3 deferred r10 registrations FIRST
-    # (leakage_safe_split / token_quantiles_by_source /
-    # skipgram_top_pairs — twice promised first-in-queue), then the
-    # first 47 never-driver-graded r11 registrations in registration
-    # order. The remaining 31 (streaming_late_event_drops ..
-    # interevent_gap_median) lead r13.
-    "leakage_safe_split",
-    "token_quantiles_by_source",
-    "skipgram_top_pairs",
-    "bpe_trained_merges",
-    "kmeans_embedding_clusters",
-    "bfs_hop_histogram",
-    "ewma_anomaly_scores",
-    "kcore_supplier_parts",
-    "bpe_tokenized_counts",
-    "m4_downsample_hourly",
-    "phrase_match_doc_counts",
-    "streaming_session_stats",
-    "hourly_value_percentiles",
-    "hilbert_layout_buckets",
-    "dedup_cluster_size_histogram",
-    "embedding_dim_robust_stats",
-    "streaming_ewma_scores",
-    "set_ops_user_segments",
-    "retention_delete_plan",
-    "timeline_gap_report",
-    "copurchase_supplier_pairs",
-    "first_touch_attribution",
-    "inference_length_buckets",
-    "referential_integrity_audit",
-    "fd_profile_candidates",
-    "unattributed_purchases",
-    "event_motif_counts",
-    "corr_event_type_hours",
-    "seasonal_dow_profile",
-    "prefix_cache_savings",
-    "cdc_apply_snapshot",
-    "kmeans_cluster_quality",
-    "hard_negative_mining",
-    "filter_cascade_sweep",
-    "quarantine_routing_reasons",
-    "zonemap_stats_report",
-    "partial_agg_merge",
-    "personalized_pagerank_seeds",
-    "hll_window_distinct",
-    "hits_hub_authority",
-    "quantile_sketch_merge",
-    "rrf_hybrid_topk",
-    "edit_distance_name_pairs",
-    "hourly_trend_by_type",
-    "streaming_hll_window",
-    "int8_recall_eval",
-    "nearest_event_alignment",
-    "k_anonymity_audit",
-    "zonemap_pruning_eval",
-    "user_activity_coverage",
+    # r13 rotation: the ENTIRE never-driver-graded queue (31 carried
+    # r11 registrations + 10 r12 registrations, registration order)
+    # plus the 9 backfill picks mandated by the oldest-first staleness
+    # rule (test_backfill_picks_are_oldest_first below): the two
+    # r7-stale entries first, then the seven oldest r8 entries. After
+    # this window grades, the never-graded queue is EMPTY.
+    "streaming_late_event_drops",
+    "join_size_estimate_cm",
+    "hll_rollup_sources",
+    "cluster_representative_policy",
+    "eval_quota_allocation",
+    "token_budget_selection",
+    "scd2_pointintime_join",
+    "position_attribution_credits",
+    "hll_intersection_estimate",
+    "linear_interpolation_fill",
+    "future_purchase_labels",
+    "theilsen_trend_by_type",
+    "quantile_sketch_by_source",
+    "minhash_estimate_error",
+    "item_similarity_topk",
+    "markov_stationary_distribution",
+    "power_iteration_top_component",
+    "gini_value_by_type",
+    "streaming_outer_join_timeouts",
+    "pointintime_feature_matrix",
+    "histogram_drift_by_type",
+    "seasonal_anomaly_flags",
+    "ppr_multi_seed_groups",
+    "forecast_baseline_wape",
+    "bloom_join_prefilter_counts",
+    "dedup_threshold_sweep",
+    "vocab_pruning_plan",
+    "curriculum_interleave_order",
+    "fixed_size_stratified_sample",
+    "session_entry_exit_matrix",
+    "interevent_gap_median",
+    "kn_bigram_perplexity",
+    "lttb_downsample_values",
+    "calibration_ece_bins",
+    "cdc_chunk_dedup_stats",
+    "roc_auc_purchase_model",
+    "cusum_value_changepoints",
+    "holt_forecast_backtest",
+    "poisson_bootstrap_ci",
+    "ndcg_mrr_retrieval_eval",
+    "kaplan_meier_conversion",
+    "route_relationship_counts",
+    "embedding_norms_by_label",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "region_rollup",
+    "top10_orders",
+    "distinct_parts_per_order",
+    "customers_without_orders",
+    "customers_with_big_orders",
 }
 
 def test_must_grade_queries_inside_window():
@@ -117,3 +117,85 @@ def test_canon_is_type_strict():
     assert cc.canon(a) != cc.canon(b)
     # but identical frames still match
     assert cc.canon(a) == cc.canon(a.copy())
+
+
+# ---------------------------------------------------------------------------
+# Rotation staleness bound (VERDICT r12 #2) — the rule is code, not memo.
+# ---------------------------------------------------------------------------
+
+_REPO = Path(__file__).resolve().parents[1]
+
+
+def _driver_ledger(max_round: int | None = None) -> dict[str, int]:
+    """last driver-graded round per query, from CORRECTNESS_r*.json."""
+    import json
+    import re
+
+    last: dict[str, int] = {}
+    for f in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f.stem).group(1))
+        if max_round is not None and rnd > max_round:
+            continue
+        for name in json.loads(f.read_text()):
+            last[name] = max(rnd, last.get(name, 0))
+    return last
+
+
+def test_backfill_picks_are_oldest_first():
+    """Starvation bound: whenever the grade window has slots beyond the
+    never-driver-graded queue, those backfill slots MUST go to the
+    stalest previously-graded entries — oldest driver round first,
+    registration order within a round. route_relationship_counts /
+    embedding_norms_by_label reached 5 rounds stale (r7 green, thrice
+    deferred r10-r12) before this rule was codified; under it, an entry
+    can only wait behind strictly staler entries, so unbounded deferral
+    is structurally impossible."""
+    eq = entry_queries
+    last = _driver_ledger(eq.ROTATION_LEDGER_ROUND)
+    reg = eq._REGISTRATION_ORDER
+    assert len(reg) == len(set(reg))
+    unknown = set(last) - set(reg)
+    assert not unknown, f"ledger rows for unregistered queries: {sorted(unknown)}"
+    idx = {n: i for i, n in enumerate(reg)}
+
+    window = eq._GRADE_ORDER
+    assert len(window) == min(eq.GRADED_WINDOW, len(reg))
+
+    never = [n for n in reg if n not in last]
+    queue_head = never[: eq.GRADED_WINDOW]
+    missing_queue = set(queue_head) - set(window)
+    assert not missing_queue, (
+        f"never-driver-graded entries left out of the window: {sorted(missing_queue)}"
+    )
+
+    slots = len(window) - len(queue_head)
+    backfill = [n for n in window if n in last]
+    expected = sorted((n for n in reg if n in last), key=lambda n: (last[n], idx[n]))[:slots]
+    assert sorted(backfill) == sorted(expected), (
+        "backfill picks violate the oldest-first staleness rule:\n"
+        f"  picked   = {sorted(backfill)}\n"
+        f"  required = {sorted(expected)}"
+    )
+
+
+def test_rotation_ledger_round_is_current():
+    """The window must be recomputed every driver round: the pinned
+    ledger snapshot may trail the newest CORRECTNESS file by at most
+    one round (the round whose grading is in flight). A skipped
+    rotation therefore fails in that round's own pytest run instead of
+    waiting for a judge read."""
+    import re
+
+    rounds = [
+        int(re.search(r"r(\d+)", f.stem).group(1))
+        for f in _REPO.glob("CORRECTNESS_r*.json")
+    ]
+    assert rounds, "no CORRECTNESS ledger files found"
+    newest = max(rounds)
+    pinned = entry_queries.ROTATION_LEDGER_ROUND
+    assert pinned <= newest <= pinned + 1, (
+        f"rotation not executed: window computed against r{pinned} ledger "
+        f"but CORRECTNESS_r{newest:02d}.json exists — recompute _GRADE_ORDER "
+        f"(never-graded queue + oldest-first backfill) and bump "
+        f"ROTATION_LEDGER_ROUND"
+    )
