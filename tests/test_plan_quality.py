@@ -610,3 +610,53 @@ def test_iterative_entries_exchange_ceiling():
         "iterative entry plan re-expands prior rounds (missed "
         f"reliable_barrier?): {over} (audited exchanges, ceiling)"
     )
+
+
+def test_slowest_entries_exchange_ceiling():
+    """Exchange-count regression lock for the 20 slowest bench entries
+    (VERDICT r12 #5) — the non-iterative complement of
+    test_iterative_entries_exchange_ceiling. The r12
+    cdc_chunk_dedup_stats incident (CollapseProject re-inlined an
+    O(words) md5 scan into every chunk-lambda reference: 2.2 s -> 51 s
+    at sf0.1 with the SAME exchange-free relational shape but a blown
+    projection) was caught by a manual 10x probe; this lock makes the
+    plan-shape half of that class fail in pytest. Ceilings = the r12
+    audited exchange count + 2 slack; cdc_chunk_dedup_stats rides
+    along explicitly as the incident's own entry."""
+    import json
+    from pathlib import Path
+
+    ceilings = {
+        "allpairs_jaccard_pairs": 17,
+        "poisson_bootstrap_ci": 6,
+        "streaming_outer_join_timeouts": 3,
+        "bpe_tokenized_counts": 8,
+        "triangle_count_coorder_parts": 12,
+        "ngram_jaccard_dedup_kept": 11,
+        "containment_dedup_ids": 12,
+        "copurchase_supplier_pairs": 6,
+        "item_similarity_topk": 17,
+        "streaming_ewma_scores": 3,
+        "streaming_late_event_drops": 5,
+        "stream_interval_join_pairs": 3,
+        "split_merge_roundtrip": 3,
+        "kmeans_cluster_quality": 5,
+        "winnowing_dedup_kept": 4,
+        "mqtt_wire_consume": 2,
+        "bloom_decontamination_counts": 9,
+        "mqtt_consume_counts": 2,
+        "cluster_representative_policy": 4,
+        "kafka_wire_consume": 3,
+        "cdc_chunk_dedup_stats": 6,
+    }
+    audit_path = Path(__file__).resolve().parents[1] / "PLAN_AUDIT.json"
+    audit = json.loads(audit_path.read_text())["queries"]
+    over = {
+        name: (audit[name]["exchanges"], cap)
+        for name, cap in ceilings.items()
+        if audit[name].get("exchanges", 0) > cap
+    }
+    assert not over, (
+        "slow-entry plan grew extra shuffles (audited exchanges, "
+        f"ceiling): {over}"
+    )
