@@ -381,9 +381,26 @@ def poisson_bootstrap_mean_ci(
     ).withColumn(
         "_h", F.md5(F.concat(F.col("_id"), F.lit(":"), F.col("b").cast("string")))
     )
+    # lane extraction (r13 profile-driven rework): three conv() parses
+    # instead of five — conv is the second-costliest per-row op after
+    # md5, and a 12-hex-char parse carries TWO 24-bit lanes recovered
+    # by shift/mask, so lanes 0-3 cost two parses and lane 4 one. Lane
+    # values are bit-identical to the per-lane substring parse (the
+    # oracle's layout), measured ~10% off the whole query at sf0.1
+    # (close 7.6 -> 6.8 s, warm 5.2 -> 4.8 s; BENCH_SF1_NOTES.md has
+    # the floor attribution).
+    v01 = F.conv(F.substring(F.col("_h"), 1, 12), 16, 10).cast("long")
+    v23 = F.conv(F.substring(F.col("_h"), 13, 12), 16, 10).cast("long")
+    v4 = F.conv(F.substring(F.col("_h"), 25, 6), 16, 10).cast("long")
+    lanes = [
+        F.shiftright(v01, 24),
+        v01.bitwiseAND(F.lit(0xFFFFFF)),
+        F.shiftright(v23, 24),
+        v23.bitwiseAND(F.lit(0xFFFFFF)),
+        v4,
+    ]
     aggs = []
-    for lane in range(5):
-        u = F.conv(F.substring(F.col("_h"), 6 * lane + 1, 6), 16, 10).cast("long")
+    for lane, u in enumerate(lanes):
         w = sum((u >= F.lit(t)).cast("long") for t in POISSON1_CDF_24BIT)
         aggs.append(F.sum(w).alias(f"nw{lane}"))
         aggs.append(F.sum(w * F.col("cents")).alias(f"swc{lane}"))
