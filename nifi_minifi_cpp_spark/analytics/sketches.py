@@ -444,3 +444,83 @@ def poisson_bootstrap_mean_ci(
         F.try_element_at("means", F.lit(lo_rank)).alias("boot_lo_millicents"),
         F.try_element_at("means", F.lit(hi_rank)).alias("boot_hi_millicents"),
     )
+
+
+def welch_ttest_ab(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    variant_col: str = "user_id",
+    crit: float = 1.96,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test per group (r13;
+    Welch 1947 — THE A/B-test statistic, the mean-difference
+    significance complement of the rank-based ``roc_auc`` Mann-Whitney
+    entry and the ``chi2`` independence test): variant A = even
+    ``variant_col``, B = odd, the repo's standing deterministic A/B
+    split. Reports the t statistic, the Welch-Satterthwaite effective
+    degrees of freedom, and a significance flag against ``crit``
+    (1.96 ~ two-sided 5%).
+
+    Everything derives from six exact integer sufficient statistics
+    per group (n, sum cents, sum cents^2 per variant) folded in ONE
+    hash aggregate — the same mergeable-sums shape as
+    ``hourly_trend_by_type``'s OLS, so the test costs one map-side
+    combinable pass at any scale (no per-row state, no sort). The
+    float tail (variance -> t -> df) is an identical expression tree
+    in Spark and DuckDB over those integers, so IEEE doubles agree
+    bit-for-bit and round(,6) is stable. At SFs far beyond the test
+    data the integer squares would need DECIMAL(38) sums (documented,
+    not needed at driver scale).
+
+    Returns one row per group: n_a, n_b, exact integer millicent
+    means, t_stat, welch_df, significant."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    is_a = (F.col(variant_col) % 2 == 0)
+    agg = df.select(F.col(group_col).alias("g"), cents.alias("c"), is_a.alias("a")).groupBy(
+        "g"
+    ).agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("a"), 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("a"), F.col("c")).otherwise(0)).alias("s1a"),
+        F.sum(F.when(~F.col("a"), F.col("c")).otherwise(0)).alias("s1b"),
+        F.sum(F.when(F.col("a"), F.col("c") * F.col("c")).otherwise(0)).alias("s2a"),
+        F.sum(F.when(~F.col("a"), F.col("c") * F.col("c")).otherwise(0)).alias("s2b"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    # try_divide everywhere a degenerate group (n <= 1, or two
+    # constant variants making se2 = 0) would zero a denominator:
+    # ANSI sessions must get NULL statistics, not a crash — the
+    # poisson_bootstrap near-empty-group discipline. The oracle
+    # mirrors with x / nullif(den, 0).
+    va = F.try_divide(
+        na * F.col("s2a") - F.col("s1a") * F.col("s1a"), na * (na - F.lit(1))
+    )
+    vb = F.try_divide(
+        nb * F.col("s2b") - F.col("s1b") * F.col("s1b"), nb * (nb - F.lit(1))
+    )
+    staged = agg.select(
+        "g", "na", "nb", "s1a", "s1b",
+        F.try_divide(va, na).alias("sea"),
+        F.try_divide(vb, nb).alias("seb"),
+    )
+    se2 = F.col("sea") + F.col("seb")
+    t = F.try_divide(
+        F.try_divide(F.col("s1a"), na) - F.try_divide(F.col("s1b"), nb),
+        F.sqrt(se2),
+    )
+    dfree = F.try_divide(
+        se2 * se2,
+        F.try_divide(F.col("sea") * F.col("sea"), na - F.lit(1))
+        + F.try_divide(F.col("seb") * F.col("seb"), nb - F.lit(1)),
+    )
+    return staged.select(
+        F.col("g").alias(group_col),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.floor(F.try_divide(1000 * F.col("s1a"), na)).cast("long").alias("mean_a_millicents"),
+        F.floor(F.try_divide(1000 * F.col("s1b"), nb)).cast("long").alias("mean_b_millicents"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfree, 3).alias("welch_df"),
+        (F.abs(t) > F.lit(crit)).alias("significant"),
+    )

@@ -1437,3 +1437,118 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure(spark)
     return kaplan_meier_survival(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "welch_ttest_ab_values",
+    """
+    WITH s AS (
+      SELECT event_type AS g,
+             count(*) FILTER (user_id % 2 = 0) AS na,
+             count(*) FILTER (user_id % 2 <> 0) AS nb,
+             CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  FILTER (user_id % 2 = 0) AS BIGINT) AS s1a,
+             CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  FILTER (user_id % 2 <> 0) AS BIGINT) AS s1b,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT))
+                  FILTER (user_id % 2 = 0) AS BIGINT) AS s2a,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT))
+                  FILTER (user_id % 2 <> 0) AS BIGINT) AS s2b
+      FROM events GROUP BY 1),
+    v AS (
+      SELECT g, na, nb, s1a, s1b,
+             (na * s2a - s1a * s1a) / nullif(na * (na - 1), 0) / na AS sea,
+             (nb * s2b - s1b * s1b) / nullif(nb * (nb - 1), 0) / nb AS seb
+      FROM s),
+    e AS (
+      SELECT *, (sea + seb) AS se2 FROM v)
+    SELECT g AS event_type,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(floor(1000 * s1a / nullif(na, 0)) AS BIGINT) AS mean_a_millicents,
+           CAST(floor(1000 * s1b / nullif(nb, 0)) AS BIGINT) AS mean_b_millicents,
+           round((s1a / nullif(na, 0) - s1b / nullif(nb, 0))
+                 / nullif(sqrt(se2), 0), 6) AS t_stat,
+           round((se2 * se2) / nullif(sea * sea / (na - 1)
+                                      + seb * seb / (nb - 1), 0), 3)
+             AS welch_df,
+           abs((s1a / nullif(na, 0) - s1b / nullif(nb, 0))
+               / nullif(sqrt(se2), 0)) > 1.96 AS significant
+    FROM e
+    """,
+)
+def welch_ttest_ab_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test per event type (r13;
+    Welch 1947) over the standing deterministic A/B split (variant =
+    user_id parity): THE A/B-test statistic — the mean-difference
+    significance complement of the rank-based roc_auc_purchase_model
+    (Mann-Whitney) and chi2_type_segment_independence entries. Six
+    exact integer sufficient sums per group in one map-side-combinable
+    hash aggregate (the hourly_trend_by_type OLS discipline — no
+    per-row state at any scale); the float tail (variance -> t ->
+    Welch-Satterthwaite df) is the identical expression tree in both
+    engines over those integers. See analytics/sketches.welch_ttest_ab."""
+    from ..analytics.sketches import welch_ttest_ab
+
+    configure(spark)
+    return welch_ttest_ab(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "acf_hourly_by_type",
+    """
+    WITH h AS (
+      SELECT event_type AS g, epoch_us(ts) // 3600000000 AS t,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT g, min(t) AS mn, max(t) AS mx FROM h GROUP BY g),
+    grid AS (SELECT g, unnest(range(mn, mx + 1)) AS t FROM b),
+    dense AS (
+      SELECT grid.g, grid.t, COALESCE(h.y, 0) AS y
+      FROM grid LEFT JOIN h USING (g, t)),
+    lagged AS (
+      SELECT g, y,
+             lag(y, 1) OVER w AS x1, lag(y, 2) OVER w AS x2,
+             lag(y, 3) OVER w AS x3, lag(y, 6) OVER w AS x6,
+             lag(y, 12) OVER w AS x12, lag(y, 24) OVER w AS x24
+      FROM dense WINDOW w AS (PARTITION BY g ORDER BY t)),
+    pairs AS (
+      SELECT g, u.lag, u.x, y FROM lagged,
+      unnest([struct_pack(lag := 1, x := x1),
+              struct_pack(lag := 2, x := x2),
+              struct_pack(lag := 3, x := x3),
+              struct_pack(lag := 6, x := x6),
+              struct_pack(lag := 12, x := x12),
+              struct_pack(lag := 24, x := x24)]) AS t(u)
+      WHERE u.x IS NOT NULL),
+    a AS (
+      SELECT g, lag, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY 1, 2)
+    SELECT g AS event_type, CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt(n * sxx - sx * sx)
+                          * sqrt(n * syy - sy * sy), 0), 6) AS acf_r
+    FROM a
+    """,
+)
+def acf_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly value series per event
+    type at lags 1/2/3/6/12/24 (r13; Box & Jenkins) — the
+    lag-structure diagnostic the seasonal/trend entries assume
+    (seasonal_dow_profile fixes a 24h/7d cycle; holt_forecast fixes
+    level+trend; the ACF is what tells a user WHICH lags carry
+    signal). Dense hour grid with silent hours as 0, one window pass
+    materializes every lag, each (key, lag) correlation folds to six
+    exact integer sums map-side; the single float quotient is the
+    identical expression both engines, NULL (nullif) on constant
+    series. See operators/temporal.acf_by_key."""
+    from ..operators.temporal import acf_by_key
+
+    configure(spark)
+    return acf_by_key(_t(spark, sf_dir, "events"))

@@ -711,3 +711,88 @@ def kaplan_meier_survival(
         F.col("e.d").alias("d_deaths"),
         F.col("e.surv").alias("survival_ppm"),
     )
+
+
+def acf_by_key(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lags: tuple[int, ...] = (1, 2, 3, 6, 12, 24),
+) -> DataFrame:
+    """Autocorrelation function of the hourly series per key (r13;
+    Box & Jenkins — the lag-structure diagnostic the seasonal/trend
+    entries assume: seasonal_dow_profile fixes a 24h/7d cycle,
+    holt_forecast_backtest fixes level+trend; the ACF is what tells a
+    user WHICH lags carry signal). Per key: hourly cent-sums on the
+    DENSE hour grid [min_hour, max_hour] with silent hours as 0 (the
+    signal-processing semantics for event series — a missing hour is
+    a zero observation, not a gap to skip), then Pearson r between the
+    series and its L-hour shift for each requested lag.
+
+    100 TB shape: the dense grid is |keys| x hours — slim regardless
+    of row count (the raw scan reduces map-side to hourly sums
+    first); ONE window pass per key materializes all lags via literal
+    lag() offsets (no self-join per lag), and each (key, lag)
+    correlation folds to six integer sufficient sums in one hash
+    aggregate — the mergeable-sums discipline of hourly_trend_by_type.
+    All sums stay in exact int64 at driver scale (hourly cent-sums
+    squared; DECIMAL(38) territory only far beyond it). The float
+    tail (one quotient of square roots) is the identical expression
+    in both engines; constant series yield NULL via nullif, not a
+    division error."""
+    hourly = (
+        df.select(
+            F.col(key_col).alias("g"),
+            F.expr(f"unix_micros({ts_col}) DIV 3600000000").alias("t"),
+            F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        )
+        .groupBy("g", "t")
+        .agg(F.sum("cents").alias("y"))
+    )
+    bounds = hourly.groupBy("g").agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+    dense = (
+        bounds.select("g", F.explode(F.sequence("mn", "mx")).alias("t"))
+        .join(hourly, ["g", "t"], "left")
+        .select("g", "t", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    w = Window.partitionBy("g").orderBy("t")
+    # window expressions may not appear inside a generator: stage the
+    # lag columns in one window pass, then explode plain references
+    lagged = dense.select(
+        "g",
+        "y",
+        *[F.lag("y", lag).over(w).alias(f"_x{lag}") for lag in lags],
+    )
+    pairs = lagged.select(
+        "g",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(lag).alias("lag"), F.col(f"_x{lag}").alias("x"))
+                    for lag in lags
+                ]
+            )
+        ).alias("p"),
+    ).select("g", F.col("p.lag").alias("lag"), F.col("p.x").alias("x"), "y").where(
+        F.col("x").isNotNull()
+    )
+    agg = pairs.groupBy("g", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return agg.select(
+        F.col("g").alias(key_col),
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf_r"),
+    )

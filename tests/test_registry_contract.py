@@ -162,13 +162,19 @@ def test_backfill_picks_are_oldest_first():
     assert len(window) == min(eq.GRADED_WINDOW, len(reg))
 
     never = [n for n in reg if n not in last]
-    queue_head = never[: eq.GRADED_WINDOW]
-    missing_queue = set(queue_head) - set(window)
-    assert not missing_queue, (
-        f"never-driver-graded entries left out of the window: {sorted(missing_queue)}"
+    # The window's never-graded entries must be a PREFIX of the
+    # never-graded queue in registration order: an older never-graded
+    # entry can never be skipped in favor of a newer one, while entries
+    # registered AFTER the rotation (mid-round) legitimately wait for
+    # the next window.
+    window_never = [n for n in reg if n in set(window) and n not in last]
+    assert window_never == never[: len(window_never)], (
+        "window skips older never-driver-graded entries:\n"
+        f"  in window = {window_never}\n"
+        f"  queue     = {never[: len(window_never)]}"
     )
 
-    slots = len(window) - len(queue_head)
+    slots = len(window) - len(window_never)
     backfill = [n for n in window if n in last]
     expected = sorted((n for n in reg if n in last), key=lambda n: (last[n], idx[n]))[:slots]
     assert sorted(backfill) == sorted(expected), (

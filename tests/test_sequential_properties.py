@@ -136,3 +136,82 @@ def test_kaplan_meier_matches_product_limit(subjects):
         s = (s * (n - dd)) // n
         want[t] = (n, dd, s)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.lists(st.integers(min_value=-500, max_value=5000), min_size=3, max_size=40),
+    b=st.lists(st.integers(min_value=-500, max_value=5000), min_size=3, max_size=40),
+)
+def test_welch_ttest_matches_textbook_formula(a, b):
+    """The sufficient-sums Welch t must equal the textbook two-sample
+    formula computed from per-variant sample means and n-1 variances
+    (r13) — including negative values and unequal group sizes."""
+    from nifi_minifi_cpp_spark.analytics.sketches import welch_ttest_ab
+
+    spark = _spark()
+    rows = [("x", 2 * i, c / 100.0) for i, c in enumerate(a)]
+    rows += [("x", 2 * i + 1, c / 100.0) for i, c in enumerate(b)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    got = welch_ttest_ab(df).collect()[0]
+
+    def mean(xs):
+        return sum(xs) / len(xs)
+
+    def var(xs):
+        m = mean(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    ma, mb, va, vb = mean(a), mean(b), var(a), var(b)
+    na, nb = len(a), len(b)
+    assert got["n_a"] == na and got["n_b"] == nb
+    if va == 0 and vb == 0:
+        return  # zero-variance groups: t is inf/NaN territory, skip
+    se2 = va / na + vb / nb
+    t = (ma - mb) / se2**0.5
+    dfree = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert got["t_stat"] is not None and abs(got["t_stat"] - t) < 1e-4
+    assert abs(got["welch_df"] - dfree) < 1e-2
+    assert got["significant"] == (abs(t) > 1.96)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    cents=st.lists(st.integers(min_value=0, max_value=5000), min_size=4, max_size=60),
+    gap_at=st.integers(min_value=1, max_value=50),
+)
+def test_acf_matches_textbook_pearson(cents, gap_at):
+    """acf_by_key must equal the plain Pearson correlation of the
+    dense zero-filled hourly series with its L-shift — including a
+    silent hour injected mid-series (the dense-grid semantics)."""
+    from nifi_minifi_cpp_spark.operators.temporal import acf_by_key
+
+    spark = _spark()
+    # drop one hour to create a gap the dense grid must re-fill with 0
+    hours = [i for i in range(len(cents) + 1) if i != min(gap_at, len(cents) - 1)][
+        : len(cents)
+    ]
+    rows = [("x", _hour_ts(h), c / 100.0) for h, c in zip(hours, cents)]
+    df = spark.createDataFrame(rows, "event_type string, ts_s string, value double")
+    df = df.selectExpr("event_type", "CAST(ts_s AS timestamp) AS ts", "value")
+    got = {r["lag"]: r for r in acf_by_key(df, lags=(1, 2, 3)).collect()}
+
+    series = {h: c for h, c in zip(hours, cents)}
+    lo, hi = min(hours), max(hours)
+    y = [series.get(t, 0) for t in range(lo, hi + 1)]
+    for lag in (1, 2, 3):
+        if len(y) <= lag:
+            assert lag not in got or got[lag]["n_pairs"] == 0
+            continue
+        xs, ys = y[:-lag], y[lag:]
+        n = len(xs)
+        assert got[lag]["n_pairs"] == n
+        num = n * sum(p * q for p, q in zip(xs, ys)) - sum(xs) * sum(ys)
+        den = (
+            (n * sum(p * p for p in xs) - sum(xs) ** 2) ** 0.5
+            * (n * sum(q * q for q in ys) - sum(ys) ** 2) ** 0.5
+        )
+        if den == 0:
+            assert got[lag]["acf_r"] is None
+        else:
+            assert abs(got[lag]["acf_r"] - num / den) < 1e-4
