@@ -2,7 +2,7 @@
 
 entry(spark): flagship query (TPC-H Q1 shape through the engine) on
 sf0.001. queries()/oracle_sql(): the SURVEY §2 capability registry —
-see nifi_minifi_cpp_spark/entry_queries.py for the implementations and
+see the nifi_minifi_cpp_spark/entry_queries package for the implementations and
 their DuckDB oracles.
 """
 
