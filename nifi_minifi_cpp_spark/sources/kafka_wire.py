@@ -179,21 +179,20 @@ _CODEC_NAMES = {_CODEC_SNAPPY: "snappy", _CODEC_LZ4: "lz4", _CODEC_ZSTD: "zstd"}
 class UnsupportedKafkaCodecError(ValueError):
     """A fetched RecordBatch uses a compression codec this stdlib-only
     client cannot decode. r10: gzip (zlib), snappy and lz4 (pure-Python
-    block codecs, sources/block_codecs.py) are all decoded in-process;
-    only zstd remains — its FSE/huffman entropy stages genuinely need a
-    native lib and Python 3.11 has no stdlib zstd. Real brokers serve
-    zstd topics transparently through librdkafka (ConsumeKafka.cpp:370)
-    — front them with the connector path on clusters that have the
-    jars."""
+    block codecs, sources/block_codecs.py); r13: zstd (pure-Python
+    RFC 8878 decoder, sources/zstd_codec.py) — every Kafka RecordBatch
+    codec now decodes in-process, so this error fires only on
+    attribute bit patterns outside the protocol's codec set (corrupt
+    or future batches)."""
 
     def __init__(self, codec: int):
         self.codec = codec
         name = _CODEC_NAMES.get(codec, f"codec-{codec}")
         super().__init__(
             f"RecordBatch compressed with {name} (attributes bits {codec}); "
-            "this stdlib wire client decodes none/gzip/snappy/lz4 — consume "
-            "this topic via the Spark Kafka connector (librdkafka-equivalent "
-            "path)"
+            "this stdlib wire client decodes none/gzip/snappy/lz4/zstd — "
+            "attribute bits outside that set are corrupt or from a newer "
+            "protocol revision"
         )
 
 
@@ -253,6 +252,11 @@ def encode_record_batch(
 
         attrs = _CODEC_LZ4
         rec_bytes = lz4_frame_compress(bytes(recs))
+    elif compression == "zstd":
+        from .zstd_codec import zstd_compress
+
+        attrs = _CODEC_ZSTD
+        rec_bytes = zstd_compress(bytes(recs))
     else:
         raise ValueError(f"unsupported producer compression {compression!r}")
     after_crc = (
@@ -318,6 +322,12 @@ def decode_record_batches(buf: bytes) -> list[dict]:
             from .block_codecs import lz4_frame_decompress
 
             rdata = lz4_frame_decompress(buf[r.pos : end])
+        elif codec == _CODEC_ZSTD:
+            from .zstd_codec import zstd_decompress
+
+            # r13: pure-Python RFC 8878 decoder (zstd_codec.py) — the
+            # last codec gap; real-librdkafka interop note in module doc
+            rdata = zstd_decompress(buf[r.pos : end])
         else:
             raise UnsupportedKafkaCodecError(codec)
         p = 0

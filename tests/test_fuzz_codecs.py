@@ -99,3 +99,29 @@ def test_lz4_decoder_never_hangs_on_garbage(garbage):
         lz4_frame_decompress(garbage)
     except ValueError:
         pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(_payloads)
+def test_zstd_roundtrip_identity(data):
+    from nifi_minifi_cpp_spark.sources.zstd_codec import zstd_compress, zstd_decompress
+
+    assert zstd_decompress(zstd_compress(data)) == data
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_zstd_decoder_never_hangs_on_garbage(garbage):
+    """Arbitrary bytes either decode (vacuously, if they happen to be
+    a valid frame) or raise the typed ZstdError / a bounds error —
+    never loop or corrupt state. Includes garbage behind a valid
+    magic+header prefix to reach the block/entropy layers."""
+    from nifi_minifi_cpp_spark.sources.zstd_codec import ZstdError, zstd_decompress
+
+    for blob in (garbage, bytes.fromhex("28b52ffd2400") + garbage):
+        try:
+            zstd_decompress(blob)
+        except ZstdError:
+            pass
+        except (IndexError, KeyError) as e:  # pragma: no cover
+            raise AssertionError(f"untyped decoder failure: {e!r}") from e

@@ -383,10 +383,11 @@ connections:
 
 
 def test_compressed_batch_roundtrips_and_named_zstd_error():
-    """r9 gzip + r10 snappy/lz4: compressed RecordBatches decode for
-    every codec the reference consumes except zstd
-    (ConsumeKafka.cpp:370); zstd raises a NAMED error listing the codec
-    instead of a generic refusal (it genuinely needs a native lib)."""
+    """r9 gzip + r10 snappy/lz4 + r13 zstd (pure-Python RFC 8878
+    decoder): every codec the reference consumes
+    (ConsumeKafka.cpp:370) now decodes in-process; attribute bits
+    outside the protocol's codec set raise a NAMED error listing the
+    bits instead of a generic refusal."""
     from nifi_minifi_cpp_spark.sources.kafka_wire import (
         UnsupportedKafkaCodecError,
         _s16,
@@ -397,23 +398,24 @@ def test_compressed_batch_roundtrips_and_named_zstd_error():
         (1700000000500, None, b"codec-payload-2", []),
     ]
     plain = encode_record_batch(7, items)
-    for codec in ("gzip", "snappy", "lz4"):
+    for codec in ("gzip", "snappy", "lz4", "zstd"):
         comp = encode_record_batch(7, items, compression=codec)
         assert comp != plain
         assert len(comp) < len(plain), codec  # repeated payload compressed
         assert decode_record_batches(comp) == decode_record_batches(plain), codec
 
-    # flip the codec bits to zstd(4): named refusal.
-    # attributes live right after baseOffset(8)+length(4)+leaderEpoch(4)+
-    # magic(1)+crc(4) = offset 21; re-CRC so the codec check is reached.
+    # flip the codec bits to 5 (outside the protocol codec set):
+    # named refusal. attributes live right after baseOffset(8)+
+    # length(4)+leaderEpoch(4)+magic(1)+crc(4) = offset 21; re-CRC so
+    # the codec check is reached.
     from nifi_minifi_cpp_spark.sources.kafka_wire import crc32c as _crc
 
     forged = bytearray(plain)
-    forged[21:23] = _s16(4)
+    forged[21:23] = _s16(5)
     import struct as _struct
 
     forged[17:21] = _struct.pack(">I", _crc(bytes(forged[21:])))
-    with pytest.raises(UnsupportedKafkaCodecError, match="zstd"):
+    with pytest.raises(UnsupportedKafkaCodecError, match="codec-5"):
         decode_record_batches(bytes(forged))
 
 
@@ -527,11 +529,11 @@ def test_gzip_produce_path(broker):
     assert [r["value"] for r in recs] == [b"zpayload-%d" % i * 30 for i in range(4)]
 
 
-@pytest.mark.parametrize("codec", ["snappy", "lz4"])
+@pytest.mark.parametrize("codec", ["snappy", "lz4", "zstd"])
 def test_snappy_lz4_broker_wire_consume(spark, tmpdir, codec):
-    """r10 (VERDICT r9 missing #2): a snappy/lz4-serving broker streams
-    through the kafkawire source — the remaining in-container codecs a
-    real broker serves (zstd stays the named connector-path error)."""
+    """r10 (VERDICT r9 missing #2) + r13 zstd: a compressed-serving
+    broker streams through the kafkawire source for every RecordBatch
+    codec the protocol defines."""
     broker = MiniKafkaBroker(compression=codec).start()
     try:
         broker.append(
@@ -570,7 +572,7 @@ def test_snappy_lz4_broker_wire_consume(spark, tmpdir, codec):
         broker.stop()
 
 
-@pytest.mark.parametrize("codec", ["snappy", "lz4"])
+@pytest.mark.parametrize("codec", ["snappy", "lz4", "zstd"])
 def test_snappy_lz4_produce_path(broker, codec):
     """r10: snappy/lz4-producing clients round-trip through the broker
     (PublishKafka's compress.codec property, producer half)."""
