@@ -778,6 +778,12 @@ def _zstd_decompress_inner(buf: bytes) -> bytes:
             raise ZstdError("reserved frame-header bit set")
         has_checksum = bool(fhd & 0x04)
         did_flag = fhd & 3
+        if did_flag:
+            did = int.from_bytes(buf[pos + (0 if single_segment else 1) :][: (0, 1, 2, 4)[did_flag]], "little")
+            if did:
+                # decoding a dictionary frame without its dictionary
+                # would produce silently wrong output — refuse loudly
+                raise ZstdError(f"frame references dictionary {did}; dictionaries unsupported")
         if not single_segment:
             pos += 1  # window descriptor (we keep the whole frame in memory)
         pos += (0, 1, 2, 4)[did_flag]

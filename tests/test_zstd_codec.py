@@ -445,3 +445,18 @@ def test_kafka_batch_zstd_roundtrip():
     comp = encode_record_batch(3, items, compression="zstd")
     assert len(comp) < len(plain)
     assert decode_record_batches(comp) == decode_record_batches(plain)
+
+
+def test_dictionary_frames_are_refused():
+    """A frame referencing a dictionary must refuse loudly — decoding
+    without the dictionary would produce silently wrong output. A
+    dictionary id of 0 (explicitly written) means no dictionary."""
+    data = b"hi"
+    base = struct.pack("<I", z.ZSTD_MAGIC)
+    # FHD: single-segment + 1-byte FCS + did_flag 1; dict id 7
+    frame = base + bytes([0x21, 7, len(data)]) + bytes([(len(data) << 3) | 1, 0, 0]) + data
+    with pytest.raises(z.ZstdError, match="dictionary 7"):
+        z.zstd_decompress(frame)
+    # same layout, dict id 0: decodes
+    frame0 = base + bytes([0x21, 0, len(data)]) + bytes([(len(data) << 3) | 1, 0, 0]) + data
+    assert z.zstd_decompress(frame0) == data
