@@ -18,9 +18,10 @@ topics through the Spark Kafka connector (librdkafka-equivalent,
 parity /root/reference/extensions/kafka/ConsumeKafka.cpp:370); this
 removes the named-error gap for in-container wire consumption.
 
-zstd stays a named UnsupportedKafkaCodecError in kafka_wire.py: its
-format genuinely needs a native lib (FSE/huffman entropy stages), and
-Python 3.11 has no stdlib zstd.
+zstd lives in its own module (zstd_codec.py, r13): a pure-Python
+RFC 8878 codec — FSE and Huffman entropy stages included — since this
+container has no zstd lib and Python 3.11 predates stdlib
+``compression.zstd``.
 """
 
 from __future__ import annotations

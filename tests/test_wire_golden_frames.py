@@ -15,7 +15,9 @@ spec layouts —
   same wire format via librdkafka);
 - MQTT 3.1.1 control packets: OASIS mqtt-v3.1.1 §3.1/3.3/3.6/3.8
   (CONNECT, PUBLISH, PUBREL, SUBSCRIBE fixed+variable header layouts;
-  reference ConsumeMQTT.cpp:149 / PublishMQTT semantics).
+  reference ConsumeMQTT.cpp:149 / PublishMQTT semantics), plus the
+  MQTT 5.0 property-block layouts (OASIS mqtt-v5.0: CONNECT session
+  expiry, SUBSCRIBE empty properties, PUBLISH user properties).
 
 The client runs against a scripted fake socket, so the asserted bytes
 are exactly what would reach a REAL broker. Real-broker interop stays
@@ -335,3 +337,40 @@ def test_mqtt_311_qos1_and_retain_golden_bytes(monkeypatch):
     # QoS1 + retain: fixed header 0x33 (type 3, QoS bits 01, retain 1)
     publish = bytes([0x33, 6]) + b"\x00\x01t\x00\x01x"
     assert bytes(sock.sent) == connect + publish
+
+
+def test_mqtt_50_connect_properties_golden_bytes(monkeypatch):
+    """MQTT 5.0 layouts (OASIS mqtt-v5.0 §3.1/3.3/3.8): CONNECT with a
+    session-expiry property, SUBSCRIBE with its empty property block,
+    and PUBLISH carrying a user property — all hand-assembled."""
+    canned = (
+        b"\x20\x03\x00\x00\x00"  # CONNACK v5: flags, reason 0, no props
+        + b"\x90\x04\x00\x01\x00\x01"  # SUBACK v5 pid=1, props 0, granted 1
+        + b"\x40\x02\x00\x02"  # PUBACK pid=2
+    )
+    sock = _ScriptedSock(canned)
+    monkeypatch.setattr(mw.socket, "create_connection", lambda *a, **k: sock)
+    client = mw.MqttWireClient(
+        "tcp://127.0.0.1:1883",
+        client_id="golden",
+        protocol_level=5,
+        keepalive=60,
+        session_expiry=120,
+    )
+    client.subscribe("sensors/#", qos=1)
+    client.publish("t", b"x", qos=1, user_properties={"k": "v"})
+
+    # §3.1: variable header "MQTT" 5, flags 0x02, keepalive, property
+    # block (0x11 session expiry interval, four-byte int), client id
+    connect = bytes([0x10, 24]) + (
+        b"\x00\x04MQTT\x05\x02\x00\x3c"
+        + b"\x05\x11\x00\x00\x00\x78"  # props len 5: session expiry 120
+        + b"\x00\x06golden"
+    )
+    # §3.8: pid, empty property block, (filter, options) pairs
+    subscribe = bytes([0x82, 15]) + b"\x00\x01\x00\x00\x09sensors/#\x01"
+    # §3.3: topic, pid, property block (0x26 user property k/v), payload
+    publish = bytes([0x32, 14]) + (
+        b"\x00\x01t\x00\x02" + b"\x07\x26\x00\x01k\x00\x01v" + b"x"
+    )
+    assert bytes(sock.sent) == connect + subscribe + publish
