@@ -460,3 +460,38 @@ def test_dictionary_frames_are_refused():
     # same layout, dict id 0: decodes
     frame0 = base + bytes([0x21, 0, len(data)]) + bytes([(len(data) << 3) | 1, 0, 0]) + data
     assert z.zstd_decompress(frame0) == data
+
+
+def test_predefined_tables_match_rfc_expanded_appendix():
+    """RFC 8878 publishes the fully-expanded default decoding tables
+    for the three sequence alphabets. Pin the leading rows of each —
+    an independent, spec-published anchor for the FSE table builder
+    (the one construction both encoder and decoder share, so a
+    systematic spread/count-up bug lands here, not just in
+    round-trips). (state, symbol, nb_bits, baseline) per the RFC's
+    Literals_Length / Match_Length / Offset default tables."""
+    ll = z.FseTable(z.LL_DEFAULT_DIST, z.LL_DEFAULT_LOG)
+    expect_ll = [
+        (0, 0, 4, 0), (1, 0, 4, 16), (2, 1, 5, 32), (3, 3, 5, 0),
+        (4, 4, 5, 0), (5, 6, 5, 0), (6, 7, 5, 0), (7, 9, 5, 0),
+        (8, 10, 5, 0), (9, 12, 5, 0), (10, 14, 6, 0), (11, 16, 5, 0),
+        (12, 18, 5, 0), (13, 19, 5, 0), (14, 21, 5, 0), (15, 22, 5, 0),
+    ]
+    for st, sym, nb, base in expect_ll:
+        assert (ll.symbol[st], ll.nb_bits[st], ll.baseline[st]) == (sym, nb, base), st
+
+    ml = z.FseTable(z.ML_DEFAULT_DIST, z.ML_DEFAULT_LOG)
+    expect_ml = [
+        (0, 0, 6, 0), (1, 1, 4, 0), (2, 2, 5, 32), (3, 3, 5, 0),
+        (4, 5, 5, 0), (5, 6, 5, 0), (6, 8, 5, 0), (7, 10, 6, 0),
+    ]
+    for st, sym, nb, base in expect_ml:
+        assert (ml.symbol[st], ml.nb_bits[st], ml.baseline[st]) == (sym, nb, base), st
+
+    of = z.FseTable(z.OF_DEFAULT_DIST, z.OF_DEFAULT_LOG)
+    expect_of = [
+        (0, 0, 5, 0), (1, 6, 4, 0), (2, 9, 5, 0), (3, 15, 5, 0),
+        (4, 21, 5, 0), (5, 3, 5, 0), (6, 7, 4, 0), (7, 12, 5, 0),
+    ]
+    for st, sym, nb, base in expect_of:
+        assert (of.symbol[st], of.nb_bits[st], of.baseline[st]) == (sym, nb, base), st
