@@ -424,6 +424,11 @@ class HufTable:
             idx = stream.peek(mb)
             out[i] = self.symbol[idx]
             stream.skip(self.length[idx])
+        if stream.overflowed or not stream.exhausted():
+            # a valid stream is EXACTLY consumed by its literal count;
+            # anything else is corruption that would otherwise yield
+            # silently wrong bytes in a checksum-less frame
+            raise ZstdError("Huffman literal stream not exactly consumed")
         return bytes(out)
 
     def codes(self) -> dict[int, tuple[int, int]]:
@@ -676,6 +681,8 @@ def decode_sequences_section(
             ll_s.update(stream)
             ml_s.update(stream)
             of_s.update(stream)
+    if stream.overflowed or not stream.exhausted():
+        raise ZstdError("sequence bitstream not exactly consumed")
     return out
 
 
@@ -803,9 +810,13 @@ def _zstd_decompress_inner(buf: bytes) -> bytes:
             btype = (header >> 1) & 3
             bsize = header >> 3
             if btype == 0:
+                if pos + bsize > len(buf):
+                    raise ZstdError("truncated raw block")
                 out += buf[pos : pos + bsize]
                 pos += bsize
             elif btype == 1:
+                if pos >= len(buf):
+                    raise ZstdError("truncated RLE block")
                 out += bytes([buf[pos]]) * bsize
                 pos += 1
             elif btype == 2:
@@ -951,8 +962,6 @@ def _encode_huffman_literals(lits: bytes) -> bytes | None:
         return None
     max_len = max(lengths.values())
     last_sym = max(lengths)
-    if last_sym > 127 + 1 and len([s for s in range(last_sym)]) > 255:
-        return None
     weights_full = [0] * (last_sym + 1)
     for sym, ln in lengths.items():
         weights_full[sym] = max_len + 1 - ln
@@ -1065,7 +1074,8 @@ def _encode_sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
     elif n < 0x7F00:
         head = bytes([128 + (n >> 8), n & 0xFF])
     else:
-        head = bytes([255, n & 0xFF, (n >> 8) & 0xFF])
+        m = n - 0x7F00  # 3-byte form encodes n - 0x7F00 (decoder adds it back)
+        head = bytes([255, m & 0xFF, (m >> 8) & 0xFF])
     modes = 0  # predefined tables for LL, OF, ML
     pll, pml, pof = _predefined_tables()
     ll_parts, ml_parts, of_parts = [], [], []
@@ -1099,6 +1109,8 @@ def _encode_sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
 def zstd_compress(data: bytes, checksum: bool = True, block_size: int = 1 << 16) -> bytes:
     """Compress into a single zstd frame (single-segment, frame
     content size always present) using the encoder subset."""
+    if not 1 <= block_size <= MAX_BLOCK_SIZE:
+        raise ValueError(f"block_size must be in [1, {MAX_BLOCK_SIZE}], got {block_size}")
     out = bytearray(struct.pack("<I", ZSTD_MAGIC))
     n = len(data)
     fhd = 0x20 | (0x04 if checksum else 0)

@@ -396,3 +396,29 @@ def test_m4_downsample_hand_computed(spark):
     }
     assert got[b] == (1.0, 9.0, 5.0, 3.0, 4)
     assert got[b + dt.timedelta(hours=1)] == (7.0, 7.0, 7.0, 7.0, 1)
+
+
+def test_hour_bucketing_floors_pre_epoch_timestamps(spark):
+    """r13 review fix: hour buckets must FLOOR (matching every DuckDB
+    oracle's // semantics), not truncate toward zero — an event at
+    1969-12-31 23:30 belongs to hour -1, not hour 0. All 13 bucketing
+    sites share the (x - pmod(x, d)) DIV d form; pin it through one
+    operator each from temporal.py and window.py."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.operators.temporal import acf_by_key
+
+    df = spark.createDataFrame(
+        [("x", "1969-12-31 23:30:00", 1.0), ("x", "1970-01-01 00:30:00", 2.0)],
+        "event_type string, ts_s string, value double",
+    ).selectExpr("event_type", "CAST(ts_s AS timestamp) AS ts", "value")
+    hours = sorted(
+        r["t"]
+        for r in df.select(
+            F.expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000").alias("t")
+        ).collect()
+    )
+    assert hours == [-1, 0]
+    # and the operator built on it produces the adjacent-hour pair
+    row = {r["lag"]: r for r in acf_by_key(df, lags=(1,)).collect()}[1]
+    assert row["n_pairs"] == 1
