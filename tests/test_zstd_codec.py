@@ -495,3 +495,35 @@ def test_predefined_tables_match_rfc_expanded_appendix():
     ]
     for st, sym, nb, base in expect_of:
         assert (of.symbol[st], of.nb_bits[st], of.baseline[st]) == (sym, nb, base), st
+
+
+def test_four_stream_huffman_literals_roundtrip():
+    """Force the 4-stream Huffman literals path (regenerated size >
+    1023 after the LZ parse): many distinct low-entropy words give few
+    matches and large compressible literals."""
+    import random
+
+    rng = random.Random(3)
+    words = [
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(rng.randrange(3, 10)))
+        for _ in range(4000)
+    ]
+    data = (" ".join(words)).encode()
+    lits_sections = []
+    orig = z._encode_huffman_literals
+
+    def spy(lits):
+        out = orig(lits)
+        if out is not None:
+            lits_sections.append((len(lits), out[0] & 3, (out[0] >> 2) & 3))
+        return out
+
+    z._encode_huffman_literals = spy
+    try:
+        frame = z.zstd_compress(data)
+    finally:
+        z._encode_huffman_literals = orig
+    assert z.zstd_decompress(frame) == data
+    assert len(frame) < 0.75 * len(data)
+    # at least one compressed-literals section used the 4-stream form
+    assert any(t == 2 and sf in (1, 2, 3) and n > 1023 for n, t, sf in lits_sections)
