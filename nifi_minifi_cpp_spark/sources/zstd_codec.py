@@ -713,7 +713,7 @@ def _apply_offset(value: int, reps: list[int], ll: int) -> int:
 
 
 def _execute_sequences(
-    out: bytearray, literals: bytes, seqs: list[tuple[int, int, int]]
+    out: bytearray, literals: bytes, seqs: list[tuple[int, int, int]], frame_start: int
 ) -> None:
     lpos = 0
     for ll, ml, offset in seqs:
@@ -721,8 +721,12 @@ def _execute_sequences(
             raise ZstdError("sequence consumes more literals than present")
         out += literals[lpos : lpos + ll]
         lpos += ll
-        if offset > len(out):
-            raise ZstdError(f"match offset {offset} beyond window ({len(out)} bytes)")
+        # the window resets per FRAME: a match may reach back across
+        # blocks of the same frame, never into a previous frame's output
+        if offset > len(out) - frame_start:
+            raise ZstdError(
+                f"match offset {offset} beyond frame window ({len(out) - frame_start} bytes)"
+            )
         if offset >= ml:
             start = len(out) - offset
             out += out[start : start + ml]
@@ -746,10 +750,12 @@ class _FrameState:
         self.rep_offsets = [1, 4, 8]
 
 
-def _decode_block(block: bytes, frame: _FrameState, out: bytearray) -> None:
+def _decode_block(
+    block: bytes, frame: _FrameState, out: bytearray, frame_start: int
+) -> None:
     literals, pos = decode_literals(block, 0, frame)
     seqs = decode_sequences_section(block, pos, frame)
-    _execute_sequences(out, literals, seqs)
+    _execute_sequences(out, literals, seqs, frame_start)
 
 
 def zstd_decompress(buf: bytes) -> bytes:
@@ -822,7 +828,7 @@ def _zstd_decompress_inner(buf: bytes) -> bytes:
             elif btype == 2:
                 if bsize > MAX_BLOCK_SIZE:
                     raise ZstdError(f"compressed block {bsize} > 128 KiB")
-                _decode_block(buf[pos : pos + bsize], frame, out)
+                _decode_block(buf[pos : pos + bsize], frame, out, frame_start)
                 pos += bsize
             else:
                 raise ZstdError("reserved block type")

@@ -527,3 +527,15 @@ def test_four_stream_huffman_literals_roundtrip():
     assert len(frame) < 0.75 * len(data)
     # at least one compressed-literals section used the 4-stream form
     assert any(t == 2 and sf in (1, 2, 3) and n > 1023 for n, t, sf in lits_sections)
+
+
+def test_match_offset_cannot_cross_frame_boundary():
+    """The window resets per frame: a sequence in frame 2 whose offset
+    reaches into frame 1's output must raise, not silently copy."""
+    lit_sec = z._encode_literals_section(b"abcd")
+    # one sequence: ll=4, ml=4, offset=8 — only 4 bytes exist in THIS frame
+    seq_sec = _seq_section_rle_mode([(4, 4, 8)], 4, 3, 1)
+    bad = _frame_of_blocks([lit_sec + seq_sec], 8)
+    good_prefix = z.zstd_compress(b"12345678")
+    with pytest.raises(z.ZstdError, match="frame window"):
+        z.zstd_decompress(good_prefix + bad)
