@@ -23,16 +23,19 @@ walk over the decode table; Huffman codes fall out of the canonical
 table ranges the same way). That keeps one normative table-building
 path for both directions.
 
-Validation honesty: the decoder is pinned by spec-vector unit tests
-(the well-known 13-byte empty frame with checksum, FSE spread/predef
-table goldens, canonical-Huffman ranking) and by encoder round-trips
-over randomized and adversarial inputs — but the encoder shares the
-table builder, so round-trips alone cannot catch a systematic
-table-order bug; the spec vectors are what anchor it. Interop against
-REAL zstd output (librdkafka producer) is the dated cluster-side first
-action, exactly like the Kafka/MQTT broker interop notes
-(re-checked 2026-08-16: no zstd wheel, no network, stdlib zstd lands
-in Python 3.14).
+Validation: spec-vector unit tests (the canonical 13-byte empty
+frame, the RFC's expanded predefined-table rows, canonical-Huffman
+ranking, hand-assembled decoder-path fixtures), encoder round-trips
+over randomized and adversarial inputs, corruption fuzz (typed errors
+only) — and REAL interop: the reference `zstd` binary turned out to
+live on this box's PATH (discovered r13, /root/miniconda/bin/zstd
+v1.5.7; the earlier env probes only checked Python wheels), so the
+suite decodes reference-produced frames across levels 1/3/19 with and
+without checksums and long mode, feeds our frames back through
+`zstd -d`, and decodes a RecordBatch whose records section was
+compressed by the real binary. The librdkafka-broker end-to-end run
+remains cluster-side, but codec conformance is no longer
+self-referential in either direction.
 """
 
 from __future__ import annotations
@@ -234,6 +237,8 @@ def fse_read_distribution(
             while True:
                 rep = br.read(2)
                 probs.extend([0] * rep)
+                if len(probs) > max_symbol + 1:
+                    raise ZstdError("FSE zero-repeat overruns the alphabet")
                 if rep != 3:
                     break
     if remaining != 1:
@@ -641,6 +646,8 @@ def decode_sequences_section(
     b0 = block[pos]
     pos += 1
     if b0 == 0:
+        if pos != len(block):
+            raise ZstdError("trailing bytes after a zero-sequence block")
         return []
     if b0 < 128:
         n = b0
@@ -713,12 +720,22 @@ def _apply_offset(value: int, reps: list[int], ll: int) -> int:
 
 
 def _execute_sequences(
-    out: bytearray, literals: bytes, seqs: list[tuple[int, int, int]], frame_start: int
+    out: bytearray,
+    literals: bytes,
+    seqs: list[tuple[int, int, int]],
+    frame_start: int,
+    block_start: int,
 ) -> None:
+    # Block_Maximum_Size bounds a block's REGENERATED size too —
+    # checked incrementally so a few crafted KiB cannot balloon into
+    # GiB (decompression bomb) before an end-of-block check would run
+    budget_end = block_start + MAX_BLOCK_SIZE
     lpos = 0
     for ll, ml, offset in seqs:
         if lpos + ll > len(literals):
             raise ZstdError("sequence consumes more literals than present")
+        if len(out) + ll + ml > budget_end:
+            raise ZstdError("block regenerates more than the 128 KiB maximum")
         out += literals[lpos : lpos + ll]
         lpos += ll
         # the window resets per FRAME: a match may reach back across
@@ -733,6 +750,8 @@ def _execute_sequences(
         else:
             for _ in range(ml):  # overlapping copy, byte at a time
                 out.append(out[-offset])
+    if len(out) + (len(literals) - lpos) > budget_end:
+        raise ZstdError("block regenerates more than the 128 KiB maximum")
     out += literals[lpos:]
 
 
@@ -753,9 +772,10 @@ class _FrameState:
 def _decode_block(
     block: bytes, frame: _FrameState, out: bytearray, frame_start: int
 ) -> None:
+    block_start = len(out)
     literals, pos = decode_literals(block, 0, frame)
     seqs = decode_sequences_section(block, pos, frame)
-    _execute_sequences(out, literals, seqs, frame_start)
+    _execute_sequences(out, literals, seqs, frame_start, block_start)
 
 
 def zstd_decompress(buf: bytes) -> bytes:
@@ -777,7 +797,11 @@ def _zstd_decompress_inner(buf: bytes) -> bytes:
             raise ZstdError("truncated frame magic")
         (magic,) = struct.unpack_from("<I", buf, pos)
         if SKIPPABLE_MAGIC_MIN <= magic <= SKIPPABLE_MAGIC_MAX:
+            if pos + 8 > len(buf):
+                raise ZstdError("truncated skippable frame header")
             (size,) = struct.unpack_from("<I", buf, pos + 4)
+            if pos + 8 + size > len(buf):
+                raise ZstdError("skippable frame overruns input")
             pos += 8 + size
             continue
         if magic != ZSTD_MAGIC:
@@ -815,6 +839,10 @@ def _zstd_decompress_inner(buf: bytes) -> bytes:
             last = header & 1
             btype = (header >> 1) & 3
             bsize = header >> 3
+            if btype in (0, 1) and bsize > MAX_BLOCK_SIZE:
+                # Block_Maximum_Size applies to every block type; the
+                # 21-bit size field can claim up to 2 MiB-1
+                raise ZstdError(f"block size {bsize} > 128 KiB maximum")
             if btype == 0:
                 if pos + bsize > len(buf):
                     raise ZstdError("truncated raw block")
@@ -841,7 +869,11 @@ def _zstd_decompress_inner(buf: bytes) -> bytes:
         if has_checksum:
             (want,) = struct.unpack_from("<I", buf, pos)
             pos += 4
-            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            view = memoryview(out)[frame_start:]
+            try:
+                got = xxh64(view) & 0xFFFFFFFF
+            finally:
+                view.release()
             if got != want:
                 raise ZstdError(f"content checksum mismatch {got:08x} != {want:08x}")
     return bytes(out)
@@ -1051,10 +1083,10 @@ def _find_sequences(data: bytes) -> tuple[list[tuple[int, int, int]], bytes]:
     i = 0
     anchor = 0
     while i + 4 <= n:
-        key = bytes(data[i : i + 4])
+        key = data[i : i + 4]
         cand = table.get(key)
         table[key] = i
-        if cand is not None and data[cand : cand + 4] == key:
+        if cand is not None:
             ml = 4
             while i + ml < n and data[cand + ml] == data[i + ml]:
                 ml += 1
