@@ -116,3 +116,50 @@ def test_lz4_truncated_literal_run_is_typed_error():
     frame = hdr + struct.pack("<I", len(block)) + block + struct.pack("<I", 0)
     with pytest.raises(ValueError, match="literal run"):
         lz4_frame_decompress(frame)
+
+
+# ---------------------------------------------------------------------------
+# REAL lz4 interop (the CLI was discovered on PATH in r13 alongside
+# zstd — closes the self-referential gap for the LZ4 frame codec)
+# ---------------------------------------------------------------------------
+
+_LZ4_BIN = __import__("shutil").which("lz4")
+
+
+@pytest.mark.skipif(_LZ4_BIN is None, reason="no lz4 binary on PATH")
+def test_real_lz4_frames_decode():
+    import random
+    import subprocess
+
+    from nifi_minifi_cpp_spark.sources.block_codecs import lz4_frame_decompress
+
+    rng = random.Random(5)
+    payloads = [
+        b"",
+        b"hello lz4",
+        bytes(rng.randrange(256) for _ in range(5000)),
+        b"the quick brown fox " * 3000,
+        bytes(rng.choice(b"aab") for _ in range(60000)),
+    ]
+    for lvl in ("-1", "-9"):
+        for i, p in enumerate(payloads):
+            frame = subprocess.run(
+                [_LZ4_BIN, lvl, "-c"], input=p, capture_output=True, check=True
+            ).stdout
+            assert lz4_frame_decompress(frame) == p, (lvl, i)
+
+
+@pytest.mark.skipif(_LZ4_BIN is None, reason="no lz4 binary on PATH")
+def test_real_lz4_accepts_our_frames():
+    import random
+    import subprocess
+
+    from nifi_minifi_cpp_spark.sources.block_codecs import lz4_frame_compress
+
+    rng = random.Random(5)
+    for p in (b"", b"x" * 40000, bytes(rng.randrange(256) for _ in range(3000))):
+        frame = lz4_frame_compress(p)
+        got = subprocess.run(
+            [_LZ4_BIN, "-d", "-c"], input=frame, capture_output=True, check=True
+        ).stdout
+        assert got == p
