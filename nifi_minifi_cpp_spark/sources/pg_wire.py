@@ -1,0 +1,262 @@
+"""PostgreSQL v3 wire-protocol client — real-database interop for the
+SQL processors (ExecuteSQL / QueryDatabaseTable / PutSQL).
+
+The reference's SQL extension talks to real databases through
+SOCI/ODBC (/root/reference/extensions/sql/processors/ExecuteSQL.cpp:41,
+QueryDatabaseTable.cpp, PutSQL.cpp:37). This container ships actual
+PostgreSQL server binaries (initdb/pg_ctl/postgres) but no Python
+driver and no JDBC jar — so, exactly like the Kafka and MQTT wire
+clients (kafka_wire.py, mqtt_wire.py), the engine speaks the PUBLIC
+protocol directly over TCP: the PostgreSQL frontend/backend protocol
+v3 (documented in the PostgreSQL manual, "Frontend/Backend Protocol"),
+simple-query flavor with text-format results.
+
+Scope (documented, single-node ingest edge): trust/local
+authentication (the md5/SCRAM handshakes are refused with a named
+error, not mis-negotiated), simple query mode, text results decoded by
+type OID for the common scalar types. On a real cluster with a JDBC
+jar, ``spark.read.jdbc`` remains the scale path for partitioned scans;
+this client is the reference-parity edge for rowset ingest and batch
+DML, and the executor-side PutSQL path opens one connection per
+partition (``put_sql_pg``), so writes distribute.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+from collections.abc import Callable, Iterable
+
+# text-format decoders by type OID (PostgreSQL catalog pg_type)
+_OID_BOOL = 16
+_OID_INT8, _OID_INT2, _OID_INT4 = 20, 21, 23
+_OID_FLOAT4, _OID_FLOAT8 = 700, 701
+_OID_NUMERIC = 1700
+_OID_TEXT, _OID_VARCHAR, _OID_BPCHAR, _OID_NAME = 25, 1043, 1042, 19
+_OID_TIMESTAMP, _OID_TIMESTAMPTZ, _OID_DATE = 1114, 1184, 1082
+
+
+class PgWireError(RuntimeError):
+    """Protocol or server error ('E' message) surfaced with the
+    server's SQLSTATE and message text."""
+
+
+def _decode(oid: int, text: str):
+    if oid in (_OID_INT2, _OID_INT4, _OID_INT8):
+        return int(text)
+    if oid in (_OID_FLOAT4, _OID_FLOAT8):
+        return float(text)
+    if oid == _OID_BOOL:
+        return text == "t"
+    # numeric stays a string: exact, caller casts (float would drift)
+    return text
+
+
+class PgWireClient:
+    """Minimal v3 frontend: startup (trust), simple Query, typed text
+    rows. One connection, synchronous — the reference's SOCI session
+    model."""
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 5432,
+        user: str = "postgres",
+        database: str = "postgres",
+        timeout: float = 10.0,
+    ):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        body = b"".join(
+            [
+                struct.pack(">i", 196608),  # protocol 3.0
+                b"user\x00", user.encode(), b"\x00",
+                b"database\x00", database.encode(), b"\x00",
+                b"\x00",
+            ]
+        )
+        self._sock.sendall(struct.pack(">i", len(body) + 4) + body)
+        self._await_ready()
+
+    # -- framing -----------------------------------------------------------
+
+    def _read_exact(self, n: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < n:
+            c = self._sock.recv(n - len(buf))
+            if not c:
+                raise PgWireError("server closed the connection")
+            buf += c
+        return bytes(buf)
+
+    def _read_message(self) -> tuple[bytes, bytes]:
+        mtype = self._read_exact(1)
+        (mlen,) = struct.unpack(">i", self._read_exact(4))
+        return mtype, self._read_exact(mlen - 4)
+
+    @staticmethod
+    def _error_text(payload: bytes) -> str:
+        fields = {}
+        pos = 0
+        while pos < len(payload) and payload[pos] != 0:
+            code = chr(payload[pos])
+            end = payload.index(b"\x00", pos + 1)
+            fields[code] = payload[pos + 1 : end].decode(errors="replace")
+            pos = end + 1
+        return f"{fields.get('S', 'ERROR')} {fields.get('C', '?????')}: {fields.get('M', '')}"
+
+    def _await_ready(self) -> None:
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"R":
+                (auth,) = struct.unpack_from(">i", payload, 0)
+                if auth != 0:
+                    raise PgWireError(
+                        f"server demands authentication type {auth}; this client "
+                        "speaks trust/local auth only (documented scope)"
+                    )
+            elif mtype == b"E":
+                raise PgWireError(self._error_text(payload))
+            elif mtype == b"Z":
+                return
+            # 'S' ParameterStatus / 'K' BackendKeyData / 'N' notices: skip
+
+    # -- queries -----------------------------------------------------------
+
+    def query(self, sql: str) -> tuple[list[str], list[int], list[tuple]]:
+        """Simple-query a SELECT -> (column names, type OIDs, rows with
+        text values decoded per OID; NULL -> None)."""
+        q = sql.encode() + b"\x00"
+        self._sock.sendall(b"Q" + struct.pack(">i", len(q) + 4) + q)
+        cols: list[str] = []
+        oids: list[int] = []
+        rows: list[tuple] = []
+        error: str | None = None
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"T":
+                (nfields,) = struct.unpack_from(">h", payload, 0)
+                pos = 2
+                cols, oids = [], []
+                for _ in range(nfields):
+                    end = payload.index(b"\x00", pos)
+                    cols.append(payload[pos:end].decode())
+                    pos = end + 1
+                    _tbl, _att, oid, _len, _mod, _fmt = struct.unpack_from(">ihihih", payload, pos)
+                    oids.append(oid)
+                    pos += 18
+            elif mtype == b"D":
+                (ncols,) = struct.unpack_from(">h", payload, 0)
+                pos = 2
+                vals = []
+                for i in range(ncols):
+                    (vlen,) = struct.unpack_from(">i", payload, pos)
+                    pos += 4
+                    if vlen == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(_decode(oids[i], payload[pos : pos + vlen].decode()))
+                        pos += vlen
+                rows.append(tuple(vals))
+            elif mtype == b"E":
+                error = self._error_text(payload)
+            elif mtype == b"Z":
+                if error:
+                    raise PgWireError(error)
+                return cols, oids, rows
+            # 'C' CommandComplete / 'N' notices / 'I' empty: skip
+
+    def execute(self, sql: str) -> str:
+        """Run DDL/DML; -> the last CommandComplete tag (e.g.
+        'INSERT 0 3'). Multi-statement strings run atomically per the
+        simple-query protocol's implicit transaction."""
+        q = sql.encode() + b"\x00"
+        self._sock.sendall(b"Q" + struct.pack(">i", len(q) + 4) + q)
+        tag = ""
+        error: str | None = None
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"C":
+                tag = payload.rstrip(b"\x00").decode()
+            elif mtype == b"E":
+                error = self._error_text(payload)
+            elif mtype == b"Z":
+                if error:
+                    raise PgWireError(error)
+                return tag
+
+    def close(self) -> None:
+        try:
+            self._sock.sendall(b"X" + struct.pack(">i", 4))  # Terminate
+        except OSError:
+            pass
+        self._sock.close()
+
+
+def pg_literal(v) -> str:
+    """SQL literal for the INSERT batches (strings quote-doubled; no
+    driver-side parameter binding in simple-query mode)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def query_to_df(spark, client: PgWireClient, sql: str):
+    """ExecuteSQL's ingest edge: one rowset fetched over the wire into
+    a DataFrame (the reference's single-SOCI-session semantics —
+    QueryDatabaseTable/ExecuteSQL are edge processors, not distributed
+    scans; partitioned JDBC remains the cluster path)."""
+    cols, oids, rows = client.query(sql)
+
+    def spark_type(oid: int) -> str:
+        if oid in (_OID_INT2, _OID_INT4, _OID_INT8):
+            return "long"
+        if oid in (_OID_FLOAT4, _OID_FLOAT8):
+            return "double"
+        if oid == _OID_BOOL:
+            return "boolean"
+        return "string"
+
+    schema = ", ".join(f"`{c}` {spark_type(o)}" for c, o in zip(cols, oids))
+    return spark.createDataFrame(rows, schema)
+
+
+def put_sql_pg(
+    df,
+    client_factory: Callable[[], PgWireClient],
+    table: str,
+    batch_rows: int = 500,
+) -> None:
+    """PutSQL against a real PostgreSQL: executor-side foreachPartition
+    opens ONE wire connection per partition and ships multi-row INSERT
+    batches — the write distributes with the data, no driver collect
+    (PutSQL.cpp:37 batch semantics)."""
+    columns = list(df.columns)
+    col_sql = ", ".join(f'"{c}"' for c in columns)
+
+    def write_partition(rows: Iterable) -> None:
+        client = None
+        batch: list[str] = []
+
+        def flush() -> None:
+            if batch:
+                client.execute(
+                    f'INSERT INTO {table} ({col_sql}) VALUES ' + ", ".join(batch)
+                )
+                batch.clear()
+
+        for row in rows:
+            if client is None:
+                client = client_factory()
+            batch.append("(" + ", ".join(pg_literal(row[c]) for c in columns) + ")")
+            if len(batch) >= batch_rows:
+                flush()
+        if client is not None:
+            flush()
+            client.close()
+
+    df.foreachPartition(write_partition)

@@ -1,0 +1,163 @@
+"""Real-PostgreSQL interop for the SQL processors (r13).
+
+The container ships actual PostgreSQL server binaries (initdb /
+pg_ctl / postgres — discovered in the same r13 probe that found the
+zstd and lz4 CLIs) but no Python driver and no JDBC jar, so the engine
+speaks the public v3 frontend/backend protocol directly
+(sources/pg_wire.py), the kafka_wire/mqtt_wire pattern. These tests
+run against a REAL server the fixture boots: nothing here is an
+in-process fake — this is the reference implementation of the
+protocol, so the circularity the golden-frame suites address for
+Kafka/MQTT does not exist for this client at all.
+
+postgres refuses to run as root: the fixture runs initdb/pg_ctl as a
+dedicated non-root user (created if absent) and skips when that is
+impossible.
+"""
+
+from __future__ import annotations
+
+import shutil
+import socket
+import subprocess
+import sys
+import time
+import uuid
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from nifi_minifi_cpp_spark.sources.pg_wire import (
+    PgWireClient,
+    PgWireError,
+    pg_literal,
+    put_sql_pg,
+    query_to_df,
+)
+
+_PG_USER = "pgtest"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def pg_server():
+    if shutil.which("initdb") is None or shutil.which("pg_ctl") is None:
+        pytest.skip("no PostgreSQL binaries on PATH")
+    subprocess.run(["useradd", "-m", _PG_USER], capture_output=True)
+    if subprocess.run(["id", _PG_USER], capture_output=True).returncode != 0:
+        pytest.skip("cannot create a non-root user for postgres")
+    datadir = f"/tmp/pgwire-{uuid.uuid4().hex[:8]}"
+    port = _free_port()
+
+    def as_pg(cmd: str) -> subprocess.CompletedProcess:
+        return subprocess.run(["su", _PG_USER, "-c", cmd], capture_output=True, text=True)
+
+    r = as_pg(f"initdb -D {datadir} -A trust")
+    if r.returncode != 0:
+        pytest.skip(f"initdb failed: {r.stderr[-200:]}")
+    r = as_pg(
+        f"pg_ctl -D {datadir} -l {datadir}/log -o '-p {port} -k /tmp -c listen_addresses=127.0.0.1' start"
+    )
+    if r.returncode != 0:
+        pytest.skip(f"pg_ctl start failed: {r.stderr[-200:]}")
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        try:
+            socket.create_connection(("127.0.0.1", port), timeout=1).close()
+            break
+        except OSError:
+            time.sleep(0.3)
+    try:
+        yield {"port": port, "user": _PG_USER, "database": "postgres"}
+    finally:
+        as_pg(f"pg_ctl -D {datadir} -m fast stop")
+        shutil.rmtree(datadir, ignore_errors=True)
+
+
+def _client(pg_server) -> PgWireClient:
+    return PgWireClient(
+        port=pg_server["port"], user=pg_server["user"], database=pg_server["database"]
+    )
+
+
+def test_wire_client_ddl_dml_select_and_typed_errors(pg_server):
+    c = _client(pg_server)
+    try:
+        c.execute(
+            "DROP TABLE IF EXISTS t1; "
+            "CREATE TABLE t1 (id bigint, name text, v double precision, ok boolean)"
+        )
+        tag = c.execute(
+            "INSERT INTO t1 VALUES (1, 'a''b', 1.5, true), (2, NULL, NULL, false)"
+        )
+        assert tag == "INSERT 0 2"
+        cols, oids, rows = c.query("SELECT id, name, v, ok FROM t1 ORDER BY id")
+        assert cols == ["id", "name", "v", "ok"]
+        assert rows == [(1, "a'b", 1.5, True), (2, None, None, False)]
+        with pytest.raises(PgWireError, match="42703"):
+            c.query("SELECT nope FROM t1")
+        # the connection survives a server error (ReadyForQuery resync)
+        assert c.query("SELECT count(*) AS n FROM t1")[2] == [(1 + 1,)]
+    finally:
+        c.close()
+
+
+def test_pg_literal_quoting(pg_server):
+    c = _client(pg_server)
+    try:
+        c.execute("DROP TABLE IF EXISTS t2; CREATE TABLE t2 (s text)")
+        evil = "Robert'); DROP TABLE t2;--"
+        c.execute(f"INSERT INTO t2 VALUES ({pg_literal(evil)})")
+        assert c.query("SELECT s FROM t2")[2] == [(evil,)]
+        assert pg_literal(None) == "NULL" and pg_literal(True) == "TRUE"
+    finally:
+        c.close()
+
+
+def test_query_to_df_and_put_sql_pg_roundtrip(pg_server, spark, tables):
+    """ExecuteSQL ingest (wire rowset -> DataFrame) and PutSQL egress
+    (executor-side per-partition INSERT batches) against the REAL
+    server, fed from the driver testdata."""
+    c = _client(pg_server)
+    try:
+        c.execute(
+            "DROP TABLE IF EXISTS events_sink; "
+            "CREATE TABLE events_sink (event_id bigint, event_type text, value double precision)"
+        )
+    finally:
+        c.close()
+
+    ev = tables["events"].select("event_id", "event_type", "value").limit(500)
+    expected = {(r["event_id"], r["event_type"], round(r["value"], 6)) for r in ev.collect()}
+    port, user, db = pg_server["port"], pg_server["user"], pg_server["database"]
+    put_sql_pg(
+        ev.repartition(4),
+        lambda: PgWireClient(port=port, user=user, database=db),
+        "events_sink",
+        batch_rows=100,
+    )
+
+    c = _client(pg_server)
+    try:
+        df = query_to_df(
+            spark, c, "SELECT event_id, event_type, value FROM events_sink"
+        )
+        got = {(r["event_id"], r["event_type"], round(r["value"], 6)) for r in df.collect()}
+        assert got == expected
+        assert dict(df.dtypes) == {
+            "event_id": "bigint",
+            "event_type": "string",
+            "value": "double",
+        }
+        # and the reference's ExecuteSQL rowset aggregate shape runs on it
+        n = c.query("SELECT count(*) AS n FROM events_sink")[2][0][0]
+        assert n == len(expected)
+    finally:
+        c.close()
