@@ -471,7 +471,7 @@ def hll_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer DIV, not float division + cast: a double quotient can
     # land a hair under the true integer and floor one bucket early
     w = ev.select(
-        F.expr("(unix_micros(ts) - pmod(unix_micros(ts), 21600000000)) DIV 21600000000").alias("bucket_id"),
+        F.expr("unix_micros(ts) DIV 21600000000").alias("bucket_id"),
         "user_id",
     )
     regs = hll_registers(w, "user_id", group_cols=["bucket_id"])
@@ -934,7 +934,7 @@ def hourly_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0))."""
     ev = _t(spark, sf_dir, "events")
     h = ev.select(
-        "event_type", F.expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000").alias("eh")
+        "event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("eh")
     )
     mn = F.broadcast(h.groupBy().agg(F.min("eh").alias("m")))
     c = (
@@ -1044,7 +1044,7 @@ def streaming_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         _shutil.rmtree(stage, ignore_errors=True)
     state = spark.table(view).select(
-        F.expr("(unix_micros(win.start) - pmod(unix_micros(win.start), 21600000000)) DIV 21600000000").alias("bucket_id"),
+        F.expr("unix_micros(win.start) DIV 21600000000").alias("bucket_id"),
         "bucket",
         "m",
     )

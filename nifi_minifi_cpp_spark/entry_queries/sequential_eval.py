@@ -286,7 +286,7 @@ def forecast_baseline_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     c = (
-        ev.select("event_type", F.expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000").alias("h"))
+        ev.select("event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("h"))
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("y"))
     )

@@ -149,14 +149,14 @@ def streaming_late_event_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = (
             spark.table(view)
             .select(
-                F.expr("(unix_micros(win.start) - pmod(unix_micros(win.start), 21600000000)) DIV 21600000000").alias("bucket_id"),
+                F.expr("unix_micros(win.start) DIV 21600000000").alias("bucket_id"),
                 "n",
             )
             .groupBy("bucket_id")
             .agg(F.max("n").alias("n_final"))
         )
         truth = (
-            ev.select(F.expr("(unix_micros(ts) - pmod(unix_micros(ts), 21600000000)) DIV 21600000000").alias("bucket_id"))
+            ev.select(F.expr("unix_micros(ts) DIV 21600000000").alias("bucket_id"))
             .groupBy("bucket_id")
             .agg(F.count(F.lit(1)).alias("n_batch"))
         )
@@ -873,7 +873,7 @@ def future_purchase_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         ev.select(
             "user_id",
-            F.expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000").alias("day"),
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
             (F.col("event_type") == "purchase").cast("long").alias("is_p"),
         )
         .groupBy("user_id", "day")
@@ -944,7 +944,7 @@ def theilsen_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     h = ev.select(
-        "event_type", F.expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000").alias("eh")
+        "event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("eh")
     )
     mn = F.broadcast(h.groupBy().agg(F.min("eh").alias("m")))
     c = (

@@ -441,7 +441,7 @@ def cusum_changepoints(
     hourly = (
         df.select(
             F.col(key_col).alias("g"),
-            F.expr(f"(unix_micros({ts_col}) - pmod(unix_micros({ts_col}), 3600000000)) DIV 3600000000").alias("t"),
+            F.expr(f"unix_micros({ts_col}) DIV 3600000000").alias("t"),
             F.round(F.col(value_col) * 100).cast("long").alias("cents"),
         )
         .groupBy("g", "t")
@@ -525,7 +525,7 @@ def holt_forecast_errors(
     hourly = (
         df.select(
             F.col(key_col).alias("g"),
-            F.expr(f"(unix_micros({ts_col}) - pmod(unix_micros({ts_col}), 3600000000)) DIV 3600000000").alias("t"),
+            F.expr(f"unix_micros({ts_col}) DIV 3600000000").alias("t"),
             F.round(F.col(value_col) * 100).cast("long").alias("cents"),
         )
         .groupBy("g", "t")
@@ -619,7 +619,7 @@ def kaplan_meier_survival(
     in hours, not by users), and the product-limit fold runs over the
     bounded per-cohort death-time array. Returns one row per (cohort,
     death time): n_at_risk, d_deaths, survival_ppm."""
-    hour = F.expr(f"(unix_micros({ts_col}) - pmod(unix_micros({ts_col}), 3600000000)) DIV 3600000000")
+    hour = F.expr(f"unix_micros({ts_col}) DIV 3600000000")
     us = F.expr(f"unix_micros({ts_col})")
     base = df.select(
         F.col(user_col).alias("u"),
@@ -744,7 +744,7 @@ def acf_by_key(
     hourly = (
         df.select(
             F.col(key_col).alias("g"),
-            F.expr(f"(unix_micros({ts_col}) - pmod(unix_micros({ts_col}), 3600000000)) DIV 3600000000").alias("t"),
+            F.expr(f"unix_micros({ts_col}) DIV 3600000000").alias("t"),
             F.round(F.col(value_col) * 100).cast("long").alias("cents"),
         )
         .groupBy("g", "t")

@@ -285,7 +285,7 @@ def lttb_downsample(
     hourly = (
         df.select(
             F.col(group_col).alias("g"),
-            F.expr(f"(unix_micros({ts_col}) - pmod(unix_micros({ts_col}), 3600000000)) DIV 3600000000").alias("t"),
+            F.expr(f"unix_micros({ts_col}) DIV 3600000000").alias("t"),
             F.round(F.col(value_col) * 100).cast("long").alias("cents"),
         )
         .groupBy("g", "t")

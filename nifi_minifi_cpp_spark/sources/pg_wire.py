@@ -23,9 +23,28 @@ partition (``put_sql_pg``), so writes distribute.
 
 from __future__ import annotations
 
+import math
 import socket
 import struct
 from collections.abc import Callable, Iterable
+from contextlib import contextmanager
+
+
+@contextmanager
+def _parse_guard(what: str):
+    """Convert low-level parse failures on malformed server bytes
+    (missing NUL terminator -> ValueError from bytes.index, short
+    payload -> struct.error, non-UTF-8 text -> UnicodeDecodeError,
+    bad numeric text -> ValueError) into the module's single typed
+    error, mirroring zstd_decompress's wrapper so callers of this
+    client only ever catch PgWireError (the kafka_wire/zstd_codec
+    contract)."""
+    try:
+        yield
+    except PgWireError:
+        raise
+    except (IndexError, ValueError, struct.error) as e:
+        raise PgWireError(f"malformed {what} message from server: {e}") from e
 
 # text-format decoders by type OID (PostgreSQL catalog pg_type)
 _OID_BOOL = 16
@@ -95,20 +114,22 @@ class PgWireClient:
 
     @staticmethod
     def _error_text(payload: bytes) -> str:
-        fields = {}
-        pos = 0
-        while pos < len(payload) and payload[pos] != 0:
-            code = chr(payload[pos])
-            end = payload.index(b"\x00", pos + 1)
-            fields[code] = payload[pos + 1 : end].decode(errors="replace")
-            pos = end + 1
+        with _parse_guard("ErrorResponse"):
+            fields = {}
+            pos = 0
+            while pos < len(payload) and payload[pos] != 0:
+                code = chr(payload[pos])
+                end = payload.index(b"\x00", pos + 1)
+                fields[code] = payload[pos + 1 : end].decode(errors="replace")
+                pos = end + 1
         return f"{fields.get('S', 'ERROR')} {fields.get('C', '?????')}: {fields.get('M', '')}"
 
     def _await_ready(self) -> None:
         while True:
             mtype, payload = self._read_message()
             if mtype == b"R":
-                (auth,) = struct.unpack_from(">i", payload, 0)
+                with _parse_guard("Authentication"):
+                    (auth,) = struct.unpack_from(">i", payload, 0)
                 if auth != 0:
                     raise PgWireError(
                         f"server demands authentication type {auth}; this client "
@@ -134,29 +155,31 @@ class PgWireClient:
         while True:
             mtype, payload = self._read_message()
             if mtype == b"T":
-                (nfields,) = struct.unpack_from(">h", payload, 0)
-                pos = 2
-                cols, oids = [], []
-                for _ in range(nfields):
-                    end = payload.index(b"\x00", pos)
-                    cols.append(payload[pos:end].decode())
-                    pos = end + 1
-                    _tbl, _att, oid, _len, _mod, _fmt = struct.unpack_from(">ihihih", payload, pos)
-                    oids.append(oid)
-                    pos += 18
+                with _parse_guard("RowDescription"):
+                    (nfields,) = struct.unpack_from(">h", payload, 0)
+                    pos = 2
+                    cols, oids = [], []
+                    for _ in range(nfields):
+                        end = payload.index(b"\x00", pos)
+                        cols.append(payload[pos:end].decode())
+                        pos = end + 1
+                        _tbl, _att, oid, _len, _mod, _fmt = struct.unpack_from(">ihihih", payload, pos)
+                        oids.append(oid)
+                        pos += 18
             elif mtype == b"D":
-                (ncols,) = struct.unpack_from(">h", payload, 0)
-                pos = 2
-                vals = []
-                for i in range(ncols):
-                    (vlen,) = struct.unpack_from(">i", payload, pos)
-                    pos += 4
-                    if vlen == -1:
-                        vals.append(None)
-                    else:
-                        vals.append(_decode(oids[i], payload[pos : pos + vlen].decode()))
-                        pos += vlen
-                rows.append(tuple(vals))
+                with _parse_guard("DataRow"):
+                    (ncols,) = struct.unpack_from(">h", payload, 0)
+                    pos = 2
+                    vals = []
+                    for i in range(ncols):
+                        (vlen,) = struct.unpack_from(">i", payload, pos)
+                        pos += 4
+                        if vlen == -1:
+                            vals.append(None)
+                        else:
+                            vals.append(_decode(oids[i], payload[pos : pos + vlen].decode()))
+                            pos += vlen
+                    rows.append(tuple(vals))
             elif mtype == b"E":
                 error = self._error_text(payload)
             elif mtype == b"Z":
@@ -176,7 +199,8 @@ class PgWireClient:
         while True:
             mtype, payload = self._read_message()
             if mtype == b"C":
-                tag = payload.rstrip(b"\x00").decode()
+                with _parse_guard("CommandComplete"):
+                    tag = payload.rstrip(b"\x00").decode()
             elif mtype == b"E":
                 error = self._error_text(payload)
             elif mtype == b"Z":
@@ -199,7 +223,16 @@ def pg_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # non-finite floats must be QUOTED literals — bare nan/inf from
+        # repr() is a server-side syntax error (PostgreSQL accepts the
+        # quoted spellings 'NaN' / 'Infinity' / '-Infinity' for float8)
+        if math.isnan(v):
+            return "'NaN'"
+        if math.isinf(v):
+            return "'Infinity'" if v > 0 else "'-Infinity'"
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     s = str(v).replace("'", "''")
     return f"'{s}'"

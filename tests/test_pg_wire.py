@@ -121,6 +121,75 @@ def test_pg_literal_quoting(pg_server):
         c.close()
 
 
+def test_pg_literal_non_finite_floats(pg_server):
+    """r14 advice fix: repr() renders bare ``nan``/``inf`` which is a
+    server-side syntax error — the quoted spellings are the only valid
+    PostgreSQL literals for non-finite float8. Round-trip all three
+    through the REAL server."""
+    import math
+
+    assert pg_literal(float("nan")) == "'NaN'"
+    assert pg_literal(float("inf")) == "'Infinity'"
+    assert pg_literal(float("-inf")) == "'-Infinity'"
+    c = _client(pg_server)
+    try:
+        c.execute("DROP TABLE IF EXISTS t3; CREATE TABLE t3 (id bigint, v double precision)")
+        vals = [(1, float("nan")), (2, float("inf")), (3, float("-inf")), (4, 2.5)]
+        body = ", ".join(f"({i}, {pg_literal(v)})" for i, v in vals)
+        c.execute(f"INSERT INTO t3 VALUES {body}")
+        got = dict(c.query("SELECT id, v FROM t3 ORDER BY id")[2])
+        assert math.isnan(got[1])
+        assert got[2] == float("inf") and got[3] == float("-inf") and got[4] == 2.5
+    finally:
+        c.close()
+
+
+def _msg(t: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return t + struct.pack(">i", len(payload) + 4) + payload
+
+
+def _preloaded_client(server_bytes: bytes) -> PgWireClient:
+    """A client whose socket is one end of a socketpair pre-loaded with
+    raw server bytes — lets the parser see MALFORMED frames a real
+    server would never emit (the error-path complement of the live
+    fixture above)."""
+    import socket as socket_mod
+
+    a, b = socket_mod.socketpair()
+    b.sendall(server_bytes)
+    client = object.__new__(PgWireClient)
+    client._sock = a
+    client._test_far_end = b  # keep the far end alive so sends don't EPIPE
+    return client
+
+
+def test_malformed_data_row_raises_typed_error():
+    """r14 advice fix: malformed server bytes must surface as
+    PgWireError (the single-typed-error contract kafka_wire/zstd_codec
+    follow), not a raw UnicodeDecodeError/struct.error."""
+    import struct
+
+    rowdesc = struct.pack(">h", 1) + b"col\x00" + struct.pack(">ihihih", 0, 0, 25, -1, -1, 0)
+    bad_utf8_row = struct.pack(">h", 1) + struct.pack(">i", 2) + b"\xff\xfe"
+    c = _preloaded_client(_msg(b"T", rowdesc) + _msg(b"D", bad_utf8_row) + _msg(b"Z", b"I"))
+    with pytest.raises(PgWireError, match="DataRow"):
+        c.query("SELECT 1")
+
+    # short RowDescription payload (struct.error path)
+    c = _preloaded_client(_msg(b"T", struct.pack(">h", 2) + b"c\x00") + _msg(b"Z", b"I"))
+    with pytest.raises(PgWireError, match="RowDescription"):
+        c.query("SELECT 1")
+
+
+def test_malformed_error_response_raises_typed_error():
+    # ErrorResponse whose field lacks its NUL terminator: bytes.index
+    # raises ValueError; the guard re-types it
+    with pytest.raises(PgWireError, match="ErrorResponse"):
+        PgWireClient._error_text(b"Mno terminator here")
+
+
 def test_query_to_df_and_put_sql_pg_roundtrip(pg_server, spark, tables):
     """ExecuteSQL ingest (wire rowset -> DataFrame) and PutSQL egress
     (executor-side per-partition INSERT batches) against the REAL

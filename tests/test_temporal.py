@@ -398,27 +398,49 @@ def test_m4_downsample_hand_computed(spark):
     assert got[b + dt.timedelta(hours=1)] == (7.0, 7.0, 7.0, 7.0, 1)
 
 
-def test_hour_bucketing_floors_pre_epoch_timestamps(spark):
-    """r13 review fix: hour buckets must FLOOR (matching every DuckDB
-    oracle's // semantics), not truncate toward zero — an event at
-    1969-12-31 23:30 belongs to hour -1, not hour 0. All 13 bucketing
-    sites share the (x - pmod(x, d)) DIV d form; pin it through one
-    operator each from temporal.py and window.py."""
+def test_hour_bucketing_matches_duckdb_pre_epoch(spark):
+    """r14 advice fix (reverting the r13 floor-form change): DuckDB
+    1.0.0 integer ``//`` TRUNCATES TOWARD ZERO for bigints — verified
+    live below, not assumed — so the oracles' ``epoch_us(ts) //
+    3600000000`` puts 1969-12-31 23:30 in hour 0, not hour -1. Spark's
+    ``DIV`` also truncates toward zero, so the plain ``unix_micros(ts)
+    DIV d`` form agrees with every oracle on pre-epoch timestamps; the
+    r13 ``(x - pmod(x, d)) DIV d`` floor form yielded -1 and CREATED a
+    divergence. Cross-check both engines on the same pre-epoch input so
+    a semantics drift in either engine fails here, not in the driver."""
+    import duckdb
     from pyspark.sql import functions as F
 
     from nifi_minifi_cpp_spark.operators.temporal import acf_by_key
 
     df = spark.createDataFrame(
-        [("x", "1969-12-31 23:30:00", 1.0), ("x", "1970-01-01 00:30:00", 2.0)],
+        [
+            ("x", "1969-12-31 23:30:00", 1.0),  # pre-epoch: hour 0 under trunc
+            ("x", "1969-12-31 22:30:00", 3.0),  # pre-epoch: hour -1
+            ("x", "1970-01-01 00:30:00", 2.0),  # post-epoch: hour 0
+            ("x", "1970-01-01 01:30:00", 4.0),  # post-epoch: hour 1
+        ],
         "event_type string, ts_s string, value double",
     ).selectExpr("event_type", "CAST(ts_s AS timestamp) AS ts", "value")
-    hours = sorted(
+    spark_hours = sorted(
         r["t"]
         for r in df.select(
-            F.expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000").alias("t")
+            F.expr("unix_micros(ts) DIV 3600000000").alias("t")
         ).collect()
     )
-    assert hours == [-1, 0]
-    # and the operator built on it produces the adjacent-hour pair
-    row = {r["lag"]: r for r in acf_by_key(df, lags=(1,)).collect()}[1]
-    assert row["n_pairs"] == 1
+    duck_hours = sorted(
+        r[0]
+        for r in duckdb.sql(
+            """
+            SELECT epoch_us(ts) // 3600000000
+            FROM (VALUES (TIMESTAMP '1969-12-31 23:30:00'),
+                         (TIMESTAMP '1969-12-31 22:30:00'),
+                         (TIMESTAMP '1970-01-01 00:30:00'),
+                         (TIMESTAMP '1970-01-01 01:30:00')) v(ts)
+            """
+        ).fetchall()
+    )
+    assert spark_hours == duck_hours == [-1, 0, 0, 1]
+    # and an operator built on the bucketing still sees adjacent hours
+    rows = {r["lag"]: r for r in acf_by_key(df, lags=(1,)).collect()}
+    assert rows[1]["n_pairs"] >= 1
