@@ -693,6 +693,50 @@ def deterministic_stratified_sample(
     return df.withColumn("_srank", rank_col).filter(F.col("_srank") <= per_group).drop("_srank")
 
 
+def reservoir_sample(df: DataFrame, key: Column, k: int) -> DataFrame:
+    """Fixed-size uniform sample of the WHOLE input — classic reservoir
+    semantics (keep exactly k rows, each equally likely) — realized as
+    a deterministic bottom-k / KMV sketch: rank every row by the md5 of
+    its key and keep the k smallest. Same engine-portable contract as
+    :func:`deterministic_sample_pred` (any engine, any partitioning,
+    any retry selects the SAME rows — a mutable Vitter reservoir is
+    order-dependent and unreproducible), same global-k contract as a
+    streaming reservoir. Bottom-k is MERGEABLE: each partition keeps
+    its local k smallest and the merge keeps the global k smallest,
+    which is exactly Spark's sort+limit physical plan
+    (TakeOrderedAndProject — per-partition top-k, driver merge, NO
+    full shuffle), so the operator is one scan at any scale. The
+    sample is also prefix-stable: growing k later keeps the current
+    rows selected."""
+    return (
+        df.withColumn("_rk", F.md5(key.cast("string")))
+        .orderBy("_rk", key)
+        .limit(k)
+    )
+
+
+def decay_weighted_sample(df: DataFrame, key: Column, age: Column, k: int) -> DataFrame:
+    """Time-decayed fixed-size sample: weighted bottom-k where row
+    priority is the exact integer ``h48 * (1 + age)`` (h48 = the first
+    48 md5 bits of the key), i.e. weight w = 1/(1 + age) — newer rows
+    (small age) get proportionally smaller priorities and survive the
+    bottom-k cut more often, the recency bias training pipelines use
+    to refresh a corpus slice without dropping old data entirely.
+    Everything is INTEGER arithmetic, so any engine reproduces the
+    exact same sample: the textbook Efraimidis-Spirakis priority
+    u^(1/w) needs float pow/ln, which is not bit-stable across engines
+    and would make the selection boundary flap. ``age`` must be a
+    non-negative integer column bounded by ~2^14 (priority stays under
+    2^63). Same mergeable bottom-k physical plan as
+    :func:`reservoir_sample` — no shuffle at any scale."""
+    h48 = F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10).cast("long")
+    return (
+        df.withColumn("_prio", h48 * (F.lit(1).cast("long") + age.cast("long")))
+        .orderBy("_prio", key)
+        .limit(k)
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass document analysis: all features + language + quality +
     fingerprint as new columns."""

@@ -70,6 +70,7 @@ from .mining_quality import *  # noqa: F401,F403
 from .retrieval_audit import *  # noqa: F401,F403
 from .sketches_temporal import *  # noqa: F401,F403
 from .sequential_eval import *  # noqa: F401,F403
+from .sql_live import *  # noqa: F401,F403
 
 
 
@@ -82,74 +83,65 @@ from .sequential_eval import *  # noqa: F401,F403
 # were re-typed after round 1) and the rest — all green in round 1 and
 # locked by plan-shape tests — fall past the window.
 _GRADE_ORDER = [
-    # --- r13 rotation (VERDICT r12 #1/#2): window = the ENTIRE
-    # never-driver-graded queue — 31 carried r11 registrations
-    # (streaming_late_event_drops .. interevent_gap_median) + the
-    # 10 r12 registrations (kn_bigram_perplexity ..
-    # kaplan_meier_conversion) in registration order — plus 9
-    # backfill picks chosen by the CODIFIED staleness rule
-    # (tests/test_registry_contract.py::test_backfill_picks_are_oldest_first):
-    # backfill slots always go to the stalest previously-graded
-    # entries, oldest driver round first, registration order within
-    # a round. That puts the two r7-green entries
-    # (route_relationship_counts, embedding_norms_by_label — thrice
-    # deferred, 5 rounds stale) at picks #1-2 and the first seven
-    # r8-green entries after them. After this window grades, every
-    # registered query holds a driver row (first time since r7) and
-    # the oldest row in the ledger moves r7 -> r8.
+    # --- r14 rotation (VERDICT r13 #1): never-driver-graded queue
+    # first (the 2 mid-r13 registrations + the 4 r14 registrations,
+    # registration order), then 44 oldest-first backfill picks — the
+    # entire r8-stale block plus the first 4 r9 entries, as the
+    # codified staleness rule mandates
+    # (tests/test_registry_contract.py::test_backfill_picks_are_oldest_first).
     #
     # never-driver-graded queue (registration order)
-    "streaming_late_event_drops",
-    "join_size_estimate_cm",
-    "hll_rollup_sources",
-    "cluster_representative_policy",
-    "eval_quota_allocation",
-    "token_budget_selection",
-    "scd2_pointintime_join",
-    "position_attribution_credits",
-    "hll_intersection_estimate",
-    "linear_interpolation_fill",
-    "future_purchase_labels",
-    "theilsen_trend_by_type",
-    "quantile_sketch_by_source",
-    "minhash_estimate_error",
-    "item_similarity_topk",
-    "markov_stationary_distribution",
-    "power_iteration_top_component",
-    "gini_value_by_type",
-    "streaming_outer_join_timeouts",
-    "pointintime_feature_matrix",
-    "histogram_drift_by_type",
-    "seasonal_anomaly_flags",
-    "ppr_multi_seed_groups",
-    "forecast_baseline_wape",
-    "bloom_join_prefilter_counts",
-    "dedup_threshold_sweep",
-    "vocab_pruning_plan",
-    "curriculum_interleave_order",
-    "fixed_size_stratified_sample",
-    "session_entry_exit_matrix",
-    "interevent_gap_median",
-    "kn_bigram_perplexity",
-    "lttb_downsample_values",
-    "calibration_ece_bins",
-    "cdc_chunk_dedup_stats",
-    "roc_auc_purchase_model",
-    "cusum_value_changepoints",
-    "holt_forecast_backtest",
-    "poisson_bootstrap_ci",
-    "ndcg_mrr_retrieval_eval",
-    "kaplan_meier_conversion",
-    # backfill picks (oldest-first rule; r7 pair then oldest r8s)
-    "route_relationship_counts",
-    "embedding_norms_by_label",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "region_rollup",
-    "top10_orders",
-    "distinct_parts_per_order",
-    "customers_without_orders",
-    "customers_with_big_orders",
+    "welch_ttest_ab_values",
+    "acf_hourly_by_type",
+    "pg_incremental_two_polls",
+    "pg_cdc_updated_rows",
+    "reservoir_sample_events",
+    "decay_weighted_sample_events",
+    # backfill picks (oldest driver round first, registration order within)
+    "segment_set_ops",  # r8
+    "part_brand_revenue",  # r8
+    "supplier_nation_agg",  # r8
+    "q5_regional_supplier_revenue",  # r8
+    "q6_revenue_forecast",  # r8
+    "q11_valuable_parts",  # r8
+    "q12_priority_by_linestatus",  # r8
+    "q14_promo_revenue_pct",  # r8
+    "q18_large_quantity_orders",  # r8
+    "q19_disjunctive_predicates",  # r8
+    "q4_priority_order_exists",  # r8
+    "q10_returned_item_customers",  # r8
+    "q16_brand_size_supplier_counts",  # r8
+    "q2_min_cost_supplier",  # r8
+    "q15_top_supplier",  # r8
+    "split_record_fragments",  # r8
+    "text_quality_features",  # r8
+    "bpe_token_counts",  # r8
+    "normalized_fingerprint_dedup",  # r8
+    "cosine_topk_vec0",  # r8
+    "ivf_topk_vec0",  # r8
+    "jolt_shift_events",  # r8
+    "jolt_chain_events",  # r8
+    "segment_content_parity",  # r8
+    "split_json_elements",  # r8
+    "attributes_to_json_pack",  # r8
+    "execute_sql_rowsets",  # r8
+    "get_put_file_roundtrip",  # r8
+    "list_fetch_incremental",  # r8
+    "retry_flow_file_exhaustion",  # r8
+    "simhash_signatures",  # r8
+    "sequence_packing_manifest",  # r8
+    "bpe_pair_merge_counts",  # r8
+    "winnowing_fingerprint_rows",  # r8
+    "embedding_quantize_int8",  # r8
+    "winnowing_dedup_kept",  # r8
+    "dataset_split_counts",  # r8
+    "vocabulary_zipf_report",  # r8
+    "matryoshka_energy",  # r8
+    "language_id_distribution",  # r8
+    "dialect_flow_route_counts",  # r9
+    "el_multiattr_pack",  # r9
+    "replace_text_line_modes",  # r9
+    "object_store_crud_roundtrip",  # r9
 ]
 
 GRADED_WINDOW = 50
@@ -163,7 +155,7 @@ GRADED_WINDOW = 50
 # slots always go to the oldest driver rows first), and fail if this
 # snapshot falls more than one driver round behind the newest ledger
 # file (a skipped rotation goes red in that round's own pytest run).
-ROTATION_LEDGER_ROUND = 12
+ROTATION_LEDGER_ROUND = 13
 
 
 def _apply_grade_order() -> None:

@@ -1,0 +1,262 @@
+"""r14 registrations: QueryDatabaseTable incremental scans against a
+REAL PostgreSQL server (the v3-wire-protocol loop VERDICT r13 #2 asked
+to close) and the reservoir / time-decay sampling operators (r13 #7's
+capability-class gaps).
+
+New registrations live in a NEW module imported LAST from
+``entry_queries/__init__`` — the rotation contract treats the
+registration order as append-only (tests/test_registry_contract.py
+derives the never-graded queue from it), so mid-list insertions into
+the thematic modules would reorder the queue.
+
+Reference parity targets:
+- /root/reference/extensions/sql/processors/QueryDatabaseTable.cpp:35-166
+  (max-value watermark polls; the rendered ``WHERE maxcol > :state``)
+- /root/reference/extensions/sql/data/MaxCollector.h (per-column maxima
+  collected from the fetched rowset, persisted as processor state)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure, load_table
+from ._shared import _cents, _register, _t
+
+
+def _pg_poll_summary(df: DataFrame, poll: int, watermark_col: str) -> DataFrame:
+    """One summary row per poll: row count, id/type stats, exact-cent
+    value sum, and the stamped ``maxvalue.<col>`` watermark attribute
+    (cast back to bigint — proving the MaxCollector state landed on
+    the batch, QueryDatabaseTable.cpp:150-166)."""
+    return df.agg(
+        F.lit(poll).cast("long").alias("poll"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("event_id").alias("max_id"),
+        F.max(F.col(f"`maxvalue.{watermark_col}`").cast("long")).alias("watermark"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(_cents(F.col("value"))).alias("sum_cents"),
+    )
+
+
+@_register(
+    "pg_incremental_two_polls",
+    """
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS poll,
+             count(*) AS n_rows,
+             max(event_id) AS max_id,
+             max(event_id) AS watermark,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events WHERE event_id < 2000
+      HAVING count(*) > 0
+      UNION ALL
+      SELECT CAST(2 AS BIGINT),
+             count(*),
+             max(event_id),
+             max(event_id),
+             CAST(count(DISTINCT event_type) AS BIGINT),
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      FROM events WHERE event_id >= 2000 AND event_id < 4000
+      HAVING count(*) > 0
+    ) ORDER BY poll
+    """,
+)
+def pg_incremental_two_polls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryDatabaseTable against a REAL PostgreSQL the entry boots
+    (QueryDatabaseTable.cpp:35-166): two max-value watermark polls over
+    a growing table. Poll 1 sees the first batch (event_id < 2000) in
+    full and persists max(event_id); more rows are INSERTed; poll 2's
+    watermark predicate is rendered into the SERVER's WHERE clause
+    (``"event_id" > 1999`` — only new rows cross the wire, the O(new)
+    incremental contract) and returns exactly the second batch. Both
+    batches are stamped with the ``maxvalue.event_id`` attribute the
+    reference's MaxCollector writes; the oracle pins counts, maxima,
+    watermarks, type cardinality and exact cent sums per poll. The
+    writes land via executor-side per-partition wire connections
+    (put_sql_pg); the polls are driver-edge rowset fetches, the
+    reference's single-SOCI-session model."""
+    import tempfile
+
+    from ..sources.pg_wire import EphemeralPostgres, PgWireClient, pg_incremental_scan, put_sql_pg
+
+    configure(spark)
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    state = os.path.join(tempfile.mkdtemp(prefix="pgincrq_"), "state.json")
+    with EphemeralPostgres() as pg:
+        c = pg.client()
+        c.execute(
+            "CREATE TABLE events_inc "
+            "(event_id bigint, event_type text, value double precision)"
+        )
+        c.close()
+        port, user = pg.port, pg.user
+        factory = lambda: PgWireClient(port=port, user=user)  # noqa: E731
+        scan = pg_incremental_scan(factory, "events_inc", ["event_id"], state)
+
+        put_sql_pg(ev.filter(F.col("event_id") < 2000).repartition(4), factory, "events_inc")
+        p1 = scan.poll(spark)
+        out = _pg_poll_summary(p1, 1, "event_id")
+
+        put_sql_pg(
+            ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 4000)).repartition(4),
+            factory,
+            "events_inc",
+        )
+        p2 = scan.poll(spark)
+        if p2 is not None:
+            out = out.unionByName(_pg_poll_summary(p2, 2, "event_id"))
+    return out.orderBy("poll")
+
+
+@_register(
+    "pg_cdc_updated_rows",
+    """
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS poll,
+             count(*) AS n_rows,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             CAST(1 AS BIGINT) AS watermark
+      FROM events WHERE event_id < 1500
+      HAVING count(*) > 0
+      UNION ALL
+      SELECT CAST(2 AS BIGINT),
+             count(*),
+             CAST(sum(CAST(round((value + 1) * 100) AS BIGINT)) AS BIGINT),
+             CAST(2 AS BIGINT)
+      FROM events WHERE event_id < 1500 AND event_id % 5 = 0
+      HAVING count(*) > 0
+    ) ORDER BY poll
+    """,
+)
+def pg_cdc_updated_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poll-based CDC against the real PostgreSQL: the change-capture
+    shape QueryDatabaseTable supports when the watermark column is a
+    VERSION/updated_at column instead of an append-only id — UPDATEs
+    bump the version, so the next poll captures exactly the changed
+    rows (the reference's max-value semantics are column-agnostic,
+    QueryDatabaseTable.cpp:80-116). Poll 1 snapshots the table at
+    version 1; the server then UPDATEs every 5th row (version -> 2,
+    value -> value + 1, computed server-side in float8 — bit-identical
+    to the oracle's DuckDB double arithmetic); poll 2's server-side
+    ``WHERE "version" > 1`` fetches only the updated rows. The oracle
+    pins both poll summaries including the post-update cent sums."""
+    import tempfile
+
+    from ..sources.pg_wire import EphemeralPostgres, PgWireClient, pg_incremental_scan, put_sql_pg
+
+    configure(spark)
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_id", "event_type", "value")
+        .filter(F.col("event_id") < 1500)
+        .withColumn("version", F.lit(1).cast("long"))
+    )
+    state = os.path.join(tempfile.mkdtemp(prefix="pgcdcq_"), "state.json")
+    with EphemeralPostgres() as pg:
+        c = pg.client()
+        c.execute(
+            "CREATE TABLE cdc_src (event_id bigint, event_type text, "
+            "value double precision, version bigint)"
+        )
+        c.close()
+        port, user = pg.port, pg.user
+        factory = lambda: PgWireClient(port=port, user=user)  # noqa: E731
+        put_sql_pg(ev.repartition(4), factory, "cdc_src")
+        scan = pg_incremental_scan(factory, "cdc_src", ["version"], state)
+
+        def summary(df: DataFrame, poll: int) -> DataFrame:
+            return df.agg(
+                F.lit(poll).cast("long").alias("poll"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(_cents(F.col("value"))).alias("sum_cents"),
+                F.max(F.col("`maxvalue.version`").cast("long")).alias("watermark"),
+            )
+
+        out = summary(scan.poll(spark), 1)
+        c = pg.client()
+        c.execute("UPDATE cdc_src SET version = 2, value = value + 1 WHERE event_id % 5 = 0")
+        c.close()
+        p2 = scan.poll(spark)
+        if p2 is not None:
+            out = out.unionByName(summary(p2, 2))
+    return out.orderBy("poll")
+
+
+@_register(
+    "reservoir_sample_events",
+    """
+    WITH r AS (
+      SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS rk
+      FROM events ORDER BY rk, event_id LIMIT 200)
+    SELECT CAST(row_number() OVER (ORDER BY rk, event_id) AS BIGINT) AS pick_order,
+           event_id, rk
+    FROM r
+    """,
+)
+def reservoir_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reservoir sampling (r14): exactly k = 200 events, each equally
+    likely, as a deterministic bottom-k sketch over md5(event_id) —
+    the GLOBAL-k complement to the per-stratum quota sampler
+    (fixed_size_stratified_sample). Spark's physical plan is
+    TakeOrderedAndProject: each partition keeps its local 200 smallest
+    ranks and the driver merges — the mergeable-reservoir property,
+    no shuffle at any scale. pick_order makes the sample prefix-stable
+    (growing k later keeps these rows and their order)."""
+    from ..analytics import reservoir_sample
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    picked = reservoir_sample(ev, F.col("event_id"), 200)
+    return picked.select(
+        F.row_number().over(Window.orderBy("_rk", "event_id")).cast("long").alias("pick_order"),
+        "event_id",
+        F.col("_rk").alias("rk"),
+    )
+
+
+@_register(
+    "decay_weighted_sample_events",
+    """
+    WITH d AS (
+      SELECT event_id,
+             (SELECT max(epoch_us(ts)) // 86400000000 FROM events)
+               - epoch_us(ts) // 86400000000 AS age_days
+      FROM events),
+    p AS (
+      SELECT event_id, age_days,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+               * (1 + age_days) AS priority
+      FROM d ORDER BY priority, event_id LIMIT 200)
+    SELECT event_id, CAST(age_days AS BIGINT) AS age_days,
+           CAST(priority AS BIGINT) AS priority
+    FROM p
+    """,
+)
+def decay_weighted_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed fixed-size sampling (r14): k = 200 events under
+    recency weight w = 1/(1 + age_days) via exact-integer weighted
+    bottom-k (priority = h48 * (1 + age)) — newer events survive the
+    cut proportionally more often, and the all-integer priority makes
+    the selection engine-portable where Efraimidis-Spirakis float
+    u^(1/w) priorities would flap on pow/ln ulps. age is days behind
+    the corpus max day (one broadcast scalar); the bottom-k runs as
+    TakeOrderedAndProject — no shuffle at any scale."""
+    from ..analytics import decay_weighted_sample
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    )
+    max_day = ev.agg(F.max("day").alias("mx"))
+    aged = ev.crossJoin(F.broadcast(max_day)).select(
+        "event_id", (F.col("mx") - F.col("day")).alias("age_days")
+    )
+    picked = decay_weighted_sample(aged, F.col("event_id"), F.col("age_days"), 200)
+    return picked.select(
+        "event_id",
+        F.col("age_days").cast("long").alias("age_days"),
+        F.col("_prio").cast("long").alias("priority"),
+    )

@@ -69,6 +69,12 @@ class IncrementalTableScan:
         for col in self.max_value_columns:
             if col in state and state[col] is not None:
                 df = df.filter(F.col(col) > F.lit(state[col]))
+        return self._advance(df, state)
+
+    def _advance(self, df: DataFrame, state: dict[str, object]) -> DataFrame | None:
+        """MaxCollector semantics (extensions/sql/data/MaxCollector.h):
+        collect the per-column maxima of the already-filtered batch,
+        persist them, and stamp ``maxvalue.<col>`` attributes."""
         maxima = df.agg(
             *[F.max(c).alias(c) for c in self.max_value_columns]
         ).first()
@@ -84,6 +90,47 @@ class IncrementalTableScan:
         for c in self.max_value_columns:
             out = out.withColumn(f"maxvalue.{c}", F.lit(new_state[c]).cast("string"))
         return out
+
+
+class ServerFilteredTableScan(IncrementalTableScan):
+    """QueryDatabaseTable against a REMOTE SQL server where the
+    watermark predicate must land in the SERVER's WHERE clause — the
+    reference renders ``SELECT ... WHERE maxcol > :state`` into the
+    SOCI statement it ships to the database
+    (QueryDatabaseTable.cpp:120-166), so only new rows ever cross the
+    wire. ``query_fn(spark, where_sql)`` runs the table query with the
+    rendered WHERE fragment ('' on the first poll) and returns the
+    fetched DataFrame; ``literal_fn`` renders a persisted state value
+    as a server-dialect SQL literal (e.g. pg_wire.pg_literal)."""
+
+    def __init__(
+        self,
+        query_fn: Callable[[SparkSession, str], DataFrame],
+        max_value_columns: list[str],
+        state_path: str,
+        literal_fn: Callable[[object], str],
+        initial_max_values: dict[str, object] | None = None,
+    ):
+        super().__init__(
+            read_fn=lambda spark: (_ for _ in ()).throw(
+                RuntimeError("ServerFilteredTableScan reads via query_fn")
+            ),
+            max_value_columns=max_value_columns,
+            state_path=state_path,
+            initial_max_values=initial_max_values,
+        )
+        self.query_fn = query_fn
+        self.literal_fn = literal_fn
+
+    def poll(self, spark: SparkSession) -> DataFrame | None:
+        state = self.load_state()
+        conds = [
+            f'"{c}" > {self.literal_fn(state[c])}'
+            for c in self.max_value_columns
+            if state.get(c) is not None
+        ]
+        where = f" WHERE {' AND '.join(conds)}" if conds else ""
+        return self._advance(self.query_fn(spark, where), state)
 
 
 def parquet_table_reader(path: str) -> Callable[[SparkSession], DataFrame]:

@@ -190,6 +190,62 @@ def test_malformed_error_response_raises_typed_error():
         PgWireClient._error_text(b"Mno terminator here")
 
 
+def test_pg_incremental_scan_state_persists_across_scans(pg_server, spark, tmp_path):
+    """QueryDatabaseTable contract against the REAL server
+    (QueryDatabaseTable.cpp:35-166): the max-value watermark persists
+    across SCAN OBJECTS (the reference's StateManager survives
+    processor restarts), the watermark predicate lands in the SERVER's
+    WHERE clause (asserted on the rendered SQL — only new rows cross
+    the wire), and each batch carries the maxvalue.<col> attribute."""
+    from nifi_minifi_cpp_spark.sources.pg_wire import pg_incremental_scan, query_to_df
+
+    c = _client(pg_server)
+    try:
+        c.execute("DROP TABLE IF EXISTS inc_t; CREATE TABLE inc_t (id bigint, v text)")
+        c.execute("INSERT INTO inc_t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    finally:
+        c.close()
+    port, user, db = pg_server["port"], pg_server["user"], pg_server["database"]
+    factory = lambda: PgWireClient(port=port, user=user, database=db)  # noqa: E731
+    state = str(tmp_path / "state.json")
+    sent_sql = []
+
+    def make_scan():
+        scan = pg_incremental_scan(factory, "inc_t", ["id"], state)
+        inner = scan.query_fn
+
+        def recording(spark_, where_sql):
+            sent_sql.append(where_sql)
+            return inner(spark_, where_sql)
+
+        scan.query_fn = recording
+        return scan
+
+    p1 = make_scan().poll(spark)
+    rows1 = {r["id"] for r in p1.collect()}
+    assert rows1 == {1, 2, 3}
+    assert sent_sql[-1] == ""  # first poll: no watermark yet
+    assert p1.select("`maxvalue.id`").distinct().collect()[0][0] == "3"
+
+    c = _client(pg_server)
+    try:
+        c.execute("INSERT INTO inc_t VALUES (4, 'd'), (5, 'e')")
+    finally:
+        c.close()
+
+    # a FRESH scan object (processor restart) resumes from the file state
+    p2 = make_scan().poll(spark)
+    assert {r["id"] for r in p2.collect()} == {4, 5}
+    assert sent_sql[-1] == ' WHERE "id" > 3'  # predicate shipped to the server
+    assert p2.select("`maxvalue.id`").distinct().collect()[0][0] == "5"
+
+    # third poll with no new rows: None, state unchanged
+    assert make_scan().poll(spark) is None
+    import json
+
+    assert json.load(open(state)) == {"id": 5}
+
+
 def test_query_to_df_and_put_sql_pg_roundtrip(pg_server, spark, tables):
     """ExecuteSQL ingest (wire rowset -> DataFrame) and PutSQL egress
     (executor-side per-partition INSERT batches) against the REAL

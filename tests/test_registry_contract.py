@@ -22,62 +22,61 @@ from nifi_minifi_cpp_spark import entry_queries
 # Every SURVEY §2 operator family and every LLM-pipeline operator must
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
-    # r13 rotation: the ENTIRE never-driver-graded queue (31 carried
-    # r11 registrations + 10 r12 registrations, registration order)
-    # plus the 9 backfill picks mandated by the oldest-first staleness
-    # rule (test_backfill_picks_are_oldest_first below): the two
-    # r7-stale entries first, then the seven oldest r8 entries. After
-    # this window grades, the never-graded queue is EMPTY.
-    "streaming_late_event_drops",
-    "join_size_estimate_cm",
-    "hll_rollup_sources",
-    "cluster_representative_policy",
-    "eval_quota_allocation",
-    "token_budget_selection",
-    "scd2_pointintime_join",
-    "position_attribution_credits",
-    "hll_intersection_estimate",
-    "linear_interpolation_fill",
-    "future_purchase_labels",
-    "theilsen_trend_by_type",
-    "quantile_sketch_by_source",
-    "minhash_estimate_error",
-    "item_similarity_topk",
-    "markov_stationary_distribution",
-    "power_iteration_top_component",
-    "gini_value_by_type",
-    "streaming_outer_join_timeouts",
-    "pointintime_feature_matrix",
-    "histogram_drift_by_type",
-    "seasonal_anomaly_flags",
-    "ppr_multi_seed_groups",
-    "forecast_baseline_wape",
-    "bloom_join_prefilter_counts",
-    "dedup_threshold_sweep",
-    "vocab_pruning_plan",
-    "curriculum_interleave_order",
-    "fixed_size_stratified_sample",
-    "session_entry_exit_matrix",
-    "interevent_gap_median",
-    "kn_bigram_perplexity",
-    "lttb_downsample_values",
-    "calibration_ece_bins",
-    "cdc_chunk_dedup_stats",
-    "roc_auc_purchase_model",
-    "cusum_value_changepoints",
-    "holt_forecast_backtest",
-    "poisson_bootstrap_ci",
-    "ndcg_mrr_retrieval_eval",
-    "kaplan_meier_conversion",
-    "route_relationship_counts",
-    "embedding_norms_by_label",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "region_rollup",
-    "top10_orders",
-    "distinct_parts_per_order",
-    "customers_without_orders",
-    "customers_with_big_orders",
+    # r14 rotation: never-driver-graded queue (2 mid-r13 + 4 r14
+    # registrations) + 44 oldest-first backfill picks (the whole
+    # r8-stale block, then the 4 oldest r9 entries) per the
+    # staleness rule below. After this window grades, the oldest
+    # driver row in the ledger moves r8 -> r9.
+    "welch_ttest_ab_values",
+    "acf_hourly_by_type",
+    "pg_incremental_two_polls",
+    "pg_cdc_updated_rows",
+    "reservoir_sample_events",
+    "decay_weighted_sample_events",
+    "segment_set_ops",
+    "part_brand_revenue",
+    "supplier_nation_agg",
+    "q5_regional_supplier_revenue",
+    "q6_revenue_forecast",
+    "q11_valuable_parts",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue_pct",
+    "q18_large_quantity_orders",
+    "q19_disjunctive_predicates",
+    "q4_priority_order_exists",
+    "q10_returned_item_customers",
+    "q16_brand_size_supplier_counts",
+    "q2_min_cost_supplier",
+    "q15_top_supplier",
+    "split_record_fragments",
+    "text_quality_features",
+    "bpe_token_counts",
+    "normalized_fingerprint_dedup",
+    "cosine_topk_vec0",
+    "ivf_topk_vec0",
+    "jolt_shift_events",
+    "jolt_chain_events",
+    "segment_content_parity",
+    "split_json_elements",
+    "attributes_to_json_pack",
+    "execute_sql_rowsets",
+    "get_put_file_roundtrip",
+    "list_fetch_incremental",
+    "retry_flow_file_exhaustion",
+    "simhash_signatures",
+    "sequence_packing_manifest",
+    "bpe_pair_merge_counts",
+    "winnowing_fingerprint_rows",
+    "embedding_quantize_int8",
+    "winnowing_dedup_kept",
+    "dataset_split_counts",
+    "vocabulary_zipf_report",
+    "matryoshka_energy",
+    "language_id_distribution",
+    "dialect_flow_route_counts",
+    "el_multiattr_pack",
+    "replace_text_line_modes",
+    "object_store_crud_roundtrip",
 }
 
 def test_must_grade_queries_inside_window():
