@@ -9,10 +9,21 @@ jars — messages travel over real TCP in the real format:
   modern broker stores and ships.
 - Non-flexible protocol versions (fixed primitive framing):
   ApiVersions v0, Metadata v1, ListOffsets v1, Fetch v4, Produce v3.
+- Consumer-group protocol (r14): FindCoordinator v0, JoinGroup v0,
+  SyncGroup v0, Heartbeat v0, LeaveGroup v0, OffsetCommit v2,
+  OffsetFetch v1, with the embedded 'consumer' protocol-type
+  Subscription/Assignment blobs and the public RangeAssignor —
+  ``KafkaGroupConsumer`` runs the full join/sync/heartbeat-rebalance/
+  generation-fenced-commit loop the reference gets from librdkafka
+  (Group ID / session-timeout / offset-commit-policy properties,
+  ConsumeKafka.h:129-241).
 
 Scope and honesty: the broker is a test/fixture implementation (one
-node, no replication, no consumer groups, no transactions — isolation
-level is accepted and ignored because every batch here is committed;
+node, no replication, no transactions — isolation level is accepted
+and ignored because every batch here is committed; the group
+coordinator is non-blocking: instead of parking JoinGroup until the
+rebalance barrier, the first current-generation joiner leads, which
+the deterministic assignor makes equivalent for conformance purposes;
 compression: optional gzip/snappy/lz4 serving modes, r9-r10). The
 CLIENT decodes plain, gzip, snappy and lz4 RecordBatches (gzip via
 zlib; snappy and lz4 via the pure-Python block codecs in
@@ -373,7 +384,96 @@ _API_PRODUCE = 0
 _API_FETCH = 1
 _API_LIST_OFFSETS = 2
 _API_METADATA = 3
+_API_OFFSET_COMMIT = 8
+_API_OFFSET_FETCH = 9
+_API_FIND_COORDINATOR = 10
+_API_JOIN_GROUP = 11
+_API_HEARTBEAT = 12
+_API_LEAVE_GROUP = 13
+_API_SYNC_GROUP = 14
 _API_VERSIONS = 18
+
+# group-coordinator error codes (kafka.apache.org/protocol#protocol_error_codes)
+ERR_ILLEGAL_GENERATION = 22
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_REBALANCE_IN_PROGRESS = 27
+
+
+class KafkaGroupError(ValueError):
+    """A group-coordinator RPC returned a non-retriable error code."""
+
+    def __init__(self, api: str, code: int):
+        self.api, self.code = api, code
+        super().__init__(f"{api} error {code}")
+
+
+# -- consumer-protocol embedded blobs (the 'consumer' protocol type's
+#    Subscription/Assignment wire format, kafka.apache.org/protocol
+#    "The consumer protocol"; version 0) --------------------------------------
+
+
+def encode_subscription(topics: list[str], user_data: bytes = b"") -> bytes:
+    """ConsumerProtocolSubscription v0: version int16, topics
+    array<string>, user_data bytes."""
+    return (
+        _s16(0)
+        + _s32(len(topics))
+        + b"".join(_string(t) for t in topics)
+        + _bytes32(user_data)
+    )
+
+
+def decode_subscription(blob: bytes) -> list[str]:
+    r = _Reader(blob)
+    r.i16()  # version
+    n = r.i32()
+    return [r.string() or "" for _ in range(n)]
+
+
+def encode_assignment(parts: dict[str, list[int]], user_data: bytes = b"") -> bytes:
+    """ConsumerProtocolAssignment v0: version int16, assigned
+    partitions array<(topic, array<int32>)>, user_data bytes."""
+    out = _s16(0) + _s32(len(parts))
+    for topic in sorted(parts):
+        pids = parts[topic]
+        out += _string(topic) + _s32(len(pids)) + b"".join(_s32(p) for p in sorted(pids))
+    return out + _bytes32(user_data)
+
+
+def decode_assignment(blob: bytes) -> dict[str, list[int]]:
+    if not blob:
+        return {}
+    r = _Reader(blob)
+    r.i16()  # version
+    out: dict[str, list[int]] = {}
+    for _ in range(r.i32()):
+        topic = r.string() or ""
+        out[topic] = [r.i32() for _ in range(r.i32())]
+    return out
+
+
+def range_assign(
+    members: list[tuple[str, list[str]]], partitions: dict[str, list[int]]
+) -> dict[str, dict[str, list[int]]]:
+    """The public RangeAssignor: per topic, sort the subscribed member
+    ids and the partition ids, split the partitions into contiguous
+    ranges of size n/m with the first n%m members taking one extra —
+    deterministic, so leader re-elections reproduce the layout."""
+    out: dict[str, dict[str, list[int]]] = {m: {} for m, _ in members}
+    for topic, pids in partitions.items():
+        subs = sorted(m for m, topics in members if topic in topics)
+        if not subs:
+            continue
+        pids = sorted(pids)
+        n, m = len(pids), len(subs)
+        base, extra = divmod(n, m)
+        pos = 0
+        for i, member in enumerate(subs):
+            take = base + (1 if i < extra else 0)
+            if take:
+                out[member][topic] = pids[pos : pos + take]
+            pos += take
+    return out
 
 EARLIEST = -2
 LATEST = -1
@@ -579,6 +679,165 @@ class MiniKafkaClient:
                 return base
         raise ValueError("empty Produce response")
 
+    # -- consumer-group protocol (r14): FindCoordinator v0, JoinGroup v0,
+    #    SyncGroup v0, Heartbeat v0, LeaveGroup v0, OffsetCommit v2,
+    #    OffsetFetch v1 — the RPCs librdkafka performs for the
+    #    reference's Group ID / session-timeout / offset-commit
+    #    properties (ConsumeKafka.h:129-241)
+
+    def find_coordinator(self, group_id: str) -> tuple[str, int]:
+        """-> (host, port) of the group's coordinator node."""
+        r = self._request(_API_FIND_COORDINATOR, 0, _string(group_id))
+        err = r.i16()
+        r.i32()  # node id
+        host = r.string() or ""
+        port = r.i32()
+        if err:
+            raise KafkaGroupError("FindCoordinator", err)
+        return host, port
+
+    def join_group(
+        self,
+        group_id: str,
+        topics: list[str],
+        member_id: str = "",
+        session_timeout_ms: int = 30_000,
+        protocol_name: str = "range",
+    ) -> dict:
+        """-> {generation, member_id, leader_id, protocol, members}
+        where members is [(member_id, subscribed topics)] — non-empty
+        only for the elected leader, which must compute the assignment
+        and SyncGroup it (the client side of the broker's
+        leader-delegated assignment model)."""
+        body = (
+            _string(group_id)
+            + _s32(session_timeout_ms)
+            + _string(member_id)
+            + _string("consumer")
+            + _s32(1)
+            + _string(protocol_name)
+            + _bytes32(encode_subscription(topics))
+        )
+        r = self._request(_API_JOIN_GROUP, 0, body)
+        err = r.i16()
+        generation = r.i32()
+        protocol = r.string() or ""
+        leader = r.string() or ""
+        me = r.string() or ""
+        members = []
+        for _ in range(r.i32()):
+            mid = r.string() or ""
+            meta = r.bytes32() or b""
+            members.append((mid, decode_subscription(meta)))
+        if err:
+            raise KafkaGroupError("JoinGroup", err)
+        return {
+            "generation": generation,
+            "member_id": me,
+            "leader_id": leader,
+            "protocol": protocol,
+            "members": members,
+        }
+
+    def sync_group(
+        self,
+        group_id: str,
+        generation: int,
+        member_id: str,
+        assignments: dict[str, dict[str, list[int]]] | None = None,
+    ) -> dict[str, list[int]]:
+        """Leader passes the computed group assignment; followers pass
+        None. -> this member's assigned {topic: [partition]}."""
+        body = _string(group_id) + _s32(generation) + _string(member_id)
+        if assignments:
+            body += _s32(len(assignments))
+            for mid in sorted(assignments):
+                body += _string(mid) + _bytes32(encode_assignment(assignments[mid]))
+        else:
+            body += _s32(0)
+        r = self._request(_API_SYNC_GROUP, 0, body)
+        err = r.i16()
+        blob = r.bytes32() or b""
+        if err:
+            raise KafkaGroupError("SyncGroup", err)
+        return decode_assignment(blob)
+
+    def heartbeat(self, group_id: str, generation: int, member_id: str) -> int:
+        """-> 0 when stable; ERR_REBALANCE_IN_PROGRESS when the member
+        must rejoin (a member joined/left); raises on other errors."""
+        body = _string(group_id) + _s32(generation) + _string(member_id)
+        r = self._request(_API_HEARTBEAT, 0, body)
+        err = r.i16()
+        if err in (0, ERR_REBALANCE_IN_PROGRESS):
+            return err
+        raise KafkaGroupError("Heartbeat", err)
+
+    def leave_group(self, group_id: str, member_id: str) -> None:
+        r = self._request(_API_LEAVE_GROUP, 0, _string(group_id) + _string(member_id))
+        err = r.i16()
+        if err:
+            raise KafkaGroupError("LeaveGroup", err)
+
+    def offset_commit(
+        self,
+        group_id: str,
+        offsets: dict[tuple[str, int], int],
+        generation: int = -1,
+        member_id: str = "",
+    ) -> None:
+        """OffsetCommit v2: {(topic, partition): offset}. generation -1
+        = simple (non-group) commit, the reference's
+        CommitFromIncomingFlowFiles shape (ConsumeKafka.h:228-231)."""
+        topics: dict[str, list[tuple[int, int]]] = {}
+        for (t, p), off in offsets.items():
+            topics.setdefault(t, []).append((p, off))
+        body = (
+            _string(group_id)
+            + _s32(generation)
+            + _string(member_id)
+            + _s64(-1)  # retention: broker default
+            + _s32(len(topics))
+        )
+        for t in sorted(topics):
+            parts = sorted(topics[t])
+            body += _string(t) + _s32(len(parts))
+            for p, off in parts:
+                body += _s32(p) + _s64(off) + _string(None)  # metadata
+        r = self._request(_API_OFFSET_COMMIT, 2, body)
+        for _ in range(r.i32()):
+            r.string()
+            for _p in range(r.i32()):
+                r.i32()
+                err = r.i16()
+                if err:
+                    raise KafkaGroupError("OffsetCommit", err)
+
+    def offset_fetch(
+        self, group_id: str, partitions: list[tuple[str, int]]
+    ) -> dict[tuple[str, int], int]:
+        """OffsetFetch v1 -> {(topic, partition): committed offset}
+        (-1 = no commit stored, the auto.offset.reset trigger)."""
+        topics: dict[str, list[int]] = {}
+        for t, p in partitions:
+            topics.setdefault(t, []).append(p)
+        body = _string(group_id) + _s32(len(topics))
+        for t in sorted(topics):
+            pids = sorted(topics[t])
+            body += _string(t) + _s32(len(pids)) + b"".join(_s32(p) for p in pids)
+        r = self._request(_API_OFFSET_FETCH, 1, body)
+        out: dict[tuple[str, int], int] = {}
+        for _ in range(r.i32()):
+            t = r.string() or ""
+            for _p in range(r.i32()):
+                pid = r.i32()
+                off = r.i64()
+                r.string()  # metadata
+                err = r.i16()
+                if err:
+                    raise KafkaGroupError("OffsetFetch", err)
+                out[(t, pid)] = off
+        return out
+
 
 # ---------------------------------------------------------------------------
 # broker
@@ -593,6 +852,36 @@ class _PartitionLog:
         self.next_offset = 0
 
 
+class _GroupState:
+    """Coordinator-side state for one consumer group: the classic
+    generation/member/assignment model. A membership change bumps the
+    generation and clears assignments; members on the old generation
+    learn about it from ERR_REBALANCE_IN_PROGRESS heartbeats and
+    rejoin — the rebalance protocol every Kafka client implements."""
+
+    __slots__ = ("generation", "members", "assignments", "joined_gen", "next_member")
+
+    def __init__(self):
+        self.generation = 0
+        self.members: dict[str, bytes] = {}  # member_id -> subscription blob
+        self.assignments: dict[str, bytes] = {}
+        self.joined_gen: dict[str, int] = {}  # member_id -> generation it joined
+        self.next_member = 0
+
+    @property
+    def leader(self) -> str:
+        """First member that has (re)joined the CURRENT generation. A
+        real broker blocks JoinGroup until every member rejoins and
+        then elects among them; this non-blocking fixture instead lets
+        the first current-generation joiner lead immediately — it sees
+        the full member list, so its RangeAssignor plan covers members
+        that haven't rejoined yet, and their later rejoin recomputes
+        the identical deterministic plan."""
+        return next(
+            (m for m, g in self.joined_gen.items() if g == self.generation), ""
+        )
+
+
 class MiniKafkaBroker:
     """Single-node in-process broker: Metadata v1, ListOffsets v1,
     Fetch v4, Produce v3, ApiVersions v0. Topics auto-create on
@@ -605,6 +894,8 @@ class MiniKafkaBroker:
     def __init__(self, host: str = "127.0.0.1", port: int = 0, compression: str | None = None):
         self.compression = compression
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
+        self._groups: dict[str, _GroupState] = {}
+        self._offsets: dict[tuple[str, str, int], int] = {}  # (group, topic, part)
         self._lock = threading.Lock()
         broker = self
 
@@ -688,7 +979,20 @@ class MiniKafkaBroker:
         r.string()  # client id
         body: bytes
         if api_key == _API_VERSIONS:
-            versions = [(_API_PRODUCE, 3, 3), (_API_FETCH, 4, 4), (_API_LIST_OFFSETS, 1, 1), (_API_METADATA, 1, 1), (_API_VERSIONS, 0, 0)]
+            versions = [
+                (_API_PRODUCE, 3, 3),
+                (_API_FETCH, 4, 4),
+                (_API_LIST_OFFSETS, 1, 1),
+                (_API_METADATA, 1, 1),
+                (_API_OFFSET_COMMIT, 2, 2),
+                (_API_OFFSET_FETCH, 1, 1),
+                (_API_FIND_COORDINATOR, 0, 0),
+                (_API_JOIN_GROUP, 0, 0),
+                (_API_HEARTBEAT, 0, 0),
+                (_API_LEAVE_GROUP, 0, 0),
+                (_API_SYNC_GROUP, 0, 0),
+                (_API_VERSIONS, 0, 0),
+            ]
             body = _s16(0) + _s32(len(versions)) + b"".join(
                 _s16(k) + _s16(lo) + _s16(hi) for k, lo, hi in versions
             )
@@ -700,9 +1004,152 @@ class MiniKafkaBroker:
             body = self._handle_fetch(r)
         elif api_key == _API_PRODUCE and api_version == 3:
             body = self._handle_produce(r)
+        elif api_key == _API_FIND_COORDINATOR and api_version == 0:
+            body = _s16(0) + _s32(0) + _string(self.host) + _s32(self.port)
+        elif api_key == _API_JOIN_GROUP and api_version == 0:
+            body = self._handle_join_group(r)
+        elif api_key == _API_SYNC_GROUP and api_version == 0:
+            body = self._handle_sync_group(r)
+        elif api_key == _API_HEARTBEAT and api_version == 0:
+            body = self._handle_heartbeat(r)
+        elif api_key == _API_LEAVE_GROUP and api_version == 0:
+            body = self._handle_leave_group(r)
+        elif api_key == _API_OFFSET_COMMIT and api_version == 2:
+            body = self._handle_offset_commit(r)
+        elif api_key == _API_OFFSET_FETCH and api_version == 1:
+            body = self._handle_offset_fetch(r)
         else:
             body = _s16(35)  # UNSUPPORTED_VERSION
         return _s32(corr) + body
+
+    # -- group coordinator ------------------------------------------------
+
+    def _handle_join_group(self, r: _Reader) -> bytes:
+        group_id = r.string() or ""
+        r.i32()  # session timeout (liveness is connection-scoped here)
+        member_id = r.string() or ""
+        r.string()  # protocol type ('consumer')
+        protocol_name, metadata = "", b""
+        for i in range(r.i32()):
+            name = r.string() or ""
+            blob = r.bytes32() or b""
+            if i == 0:
+                protocol_name, metadata = name, blob
+        with self._lock:
+            g = self._groups.setdefault(group_id, _GroupState())
+            if not member_id:
+                g.next_member += 1
+                member_id = f"member-{g.next_member}"
+            if g.members.get(member_id) != metadata:
+                # new member or changed subscription: rebalance
+                g.generation += 1
+                g.assignments.clear()
+            g.members[member_id] = metadata
+            g.joined_gen[member_id] = g.generation
+            members_out = b""
+            n_members = 0
+            if member_id == g.leader:
+                n_members = len(g.members)
+                members_out = b"".join(
+                    _string(mid) + _bytes32(blob) for mid, blob in g.members.items()
+                )
+            return (
+                _s16(0)
+                + _s32(g.generation)
+                + _string(protocol_name)
+                + _string(g.leader)
+                + _string(member_id)
+                + _s32(n_members)
+                + members_out
+            )
+
+    def _handle_sync_group(self, r: _Reader) -> bytes:
+        group_id = r.string() or ""
+        generation = r.i32()
+        member_id = r.string() or ""
+        provided: dict[str, bytes] = {}
+        for _ in range(r.i32()):
+            mid = r.string() or ""
+            provided[mid] = r.bytes32() or b""
+        with self._lock:
+            g = self._groups.get(group_id)
+            if g is None or member_id not in g.members:
+                return _s16(ERR_UNKNOWN_MEMBER_ID) + _bytes32(b"")
+            if generation != g.generation:
+                return _s16(ERR_ILLEGAL_GENERATION) + _bytes32(b"")
+            if provided:  # the leader delegating the assignment
+                g.assignments.update(provided)
+            blob = g.assignments.get(member_id)
+            if blob is None:
+                # leader hasn't synced yet: follower retries
+                return _s16(ERR_REBALANCE_IN_PROGRESS) + _bytes32(b"")
+            return _s16(0) + _bytes32(blob)
+
+    def _handle_heartbeat(self, r: _Reader) -> bytes:
+        group_id = r.string() or ""
+        generation = r.i32()
+        member_id = r.string() or ""
+        with self._lock:
+            g = self._groups.get(group_id)
+            if g is None or member_id not in g.members:
+                return _s16(ERR_UNKNOWN_MEMBER_ID)
+            if generation != g.generation:
+                return _s16(ERR_REBALANCE_IN_PROGRESS)
+            return _s16(0)
+
+    def _handle_leave_group(self, r: _Reader) -> bytes:
+        group_id = r.string() or ""
+        member_id = r.string() or ""
+        with self._lock:
+            g = self._groups.get(group_id)
+            if g is None or member_id not in g.members:
+                return _s16(ERR_UNKNOWN_MEMBER_ID)
+            del g.members[member_id]
+            g.joined_gen.pop(member_id, None)
+            g.generation += 1
+            g.assignments.clear()
+            return _s16(0)
+
+    def _handle_offset_commit(self, r: _Reader) -> bytes:
+        group_id = r.string() or ""
+        generation = r.i32()
+        member_id = r.string() or ""
+        r.i64()  # retention
+        err = 0
+        with self._lock:
+            if generation >= 0:  # group-aware commit: fence stale members
+                g = self._groups.get(group_id)
+                if g is None or member_id not in g.members:
+                    err = ERR_UNKNOWN_MEMBER_ID
+                elif generation != g.generation:
+                    err = ERR_ILLEGAL_GENERATION
+            out_topics = []
+            for _ in range(r.i32()):
+                topic = r.string() or ""
+                parts = []
+                for _p in range(r.i32()):
+                    pid = r.i32()
+                    off = r.i64()
+                    r.string()  # metadata
+                    if not err:
+                        self._offsets[(group_id, topic, pid)] = off
+                    parts.append(_s32(pid) + _s16(err))
+                out_topics.append(_string(topic) + _s32(len(parts)) + b"".join(parts))
+        return _s32(len(out_topics)) + b"".join(out_topics)
+
+    def _handle_offset_fetch(self, r: _Reader) -> bytes:
+        group_id = r.string() or ""
+        out_topics = []
+        with self._lock:
+            for _ in range(r.i32()):
+                topic = r.string() or ""
+                parts = []
+                for _p in range(r.i32()):
+                    pid = r.i32()
+                    off = self._offsets.get((group_id, topic, pid), -1)
+                    parts.append(_s32(pid) + _s64(off) + _string(None) + _s16(0))
+                out_topics.append(_string(topic) + _s32(len(parts)) + b"".join(parts))
+        return _s32(len(out_topics)) + b"".join(out_topics)
 
     def _handle_metadata(self, r: _Reader) -> bytes:
         n = r.i32()
@@ -797,6 +1244,140 @@ class MiniKafkaBroker:
                 parts.append(_s32(pid) + _s16(0) + _s64(base) + _s64(-1))
             out_topics.append(_string(topic) + _s32(len(parts)) + b"".join(parts))
         return _s32(len(out_topics)) + b"".join(out_topics) + _s32(0)
+
+
+# ---------------------------------------------------------------------------
+# group consumer: the join/sync/heartbeat/commit loop (r14)
+# ---------------------------------------------------------------------------
+
+
+class KafkaGroupConsumer:
+    """The client side of the consumer-group protocol — what librdkafka
+    runs for the reference's Group ID / session-timeout / offset-commit
+    properties (ConsumeKafka.h:129-241): FindCoordinator, the
+    JoinGroup/SyncGroup rebalance dance (leader computes the
+    RangeAssignor layout and delegates it through the broker),
+    Heartbeat-driven rejoin when membership changes, and
+    generation-fenced OffsetCommit/OffsetFetch so a kicked member
+    can't clobber the group's progress.
+
+    Single-threaded: call :meth:`ensure_active` before polling (it
+    heartbeats and transparently rejoins on rebalance), then
+    :meth:`poll` / :meth:`commit`. ``auto_offset_reset`` mirrors the
+    reference property (ConsumeKafka.h:139-141): where to start when
+    the group has no committed offset."""
+
+    def __init__(
+        self,
+        bootstrap: str,
+        group_id: str,
+        topics: list[str],
+        client_id: str = "nifi-minifi-cpp-spark",
+        auto_offset_reset: str = "earliest",
+    ):
+        if auto_offset_reset not in ("earliest", "latest"):
+            raise ValueError(f"unknown auto.offset.reset {auto_offset_reset!r}")
+        boot = MiniKafkaClient(bootstrap, client_id)
+        try:
+            host, port = boot.find_coordinator(group_id)
+        finally:
+            boot.close()
+        self._cli = MiniKafkaClient(f"{host}:{port}", client_id)
+        self.group_id = group_id
+        self.topics = list(topics)
+        self.auto_offset_reset = auto_offset_reset
+        self.member_id = ""
+        self.generation = -1
+        self.assignment: dict[str, list[int]] = {}
+        self._positions: dict[tuple[str, int], int] = {}
+
+    # -- membership --------------------------------------------------------
+
+    def join(self) -> dict[str, list[int]]:
+        """Run one full JoinGroup/SyncGroup round; -> the assignment.
+        Seeds fetch positions from committed offsets (or the reset
+        policy) for newly-assigned partitions."""
+        import time
+
+        join = self._cli.join_group(self.group_id, self.topics, self.member_id)
+        self.member_id = join["member_id"]
+        self.generation = join["generation"]
+        if join["member_id"] == join["leader_id"]:
+            partitions = {
+                t: self._cli.metadata([t]).get(t, [])
+                for t in sorted({t for _m, subs in join["members"] for t in subs})
+            }
+            plan = range_assign(join["members"], partitions)
+            self.assignment = self._cli.sync_group(
+                self.group_id, self.generation, self.member_id, plan
+            )
+        else:
+            deadline = time.time() + 10
+            while True:  # follower: wait for the leader's sync
+                try:
+                    self.assignment = self._cli.sync_group(
+                        self.group_id, self.generation, self.member_id
+                    )
+                    break
+                except KafkaGroupError as e:
+                    if e.code != ERR_REBALANCE_IN_PROGRESS or time.time() > deadline:
+                        raise
+                    time.sleep(0.05)
+        self._seed_positions()
+        return self.assignment
+
+    def _seed_positions(self) -> None:
+        pairs = [(t, p) for t, pids in self.assignment.items() for p in pids]
+        committed = self._cli.offset_fetch(self.group_id, pairs) if pairs else {}
+        self._positions = {}
+        for t, p in pairs:
+            off = committed.get((t, p), -1)
+            if off < 0:
+                ts = EARLIEST if self.auto_offset_reset == "earliest" else LATEST
+                off = self._cli.list_offsets(t, p, ts)
+            self._positions[(t, p)] = off
+
+    def ensure_active(self) -> bool:
+        """Heartbeat; on REBALANCE_IN_PROGRESS rejoin. -> True when the
+        assignment changed (caller should re-plan its work)."""
+        if self.generation < 0:
+            self.join()
+            return True
+        if self._cli.heartbeat(self.group_id, self.generation, self.member_id):
+            before = self.assignment
+            self.join()
+            return self.assignment != before
+        return False
+
+    # -- consumption -------------------------------------------------------
+
+    def poll(self, max_bytes: int = 1 << 20) -> list[dict]:
+        """Fetch from every assigned partition at the current position;
+        advances positions (commit is explicit — the reference's
+        CommitAfterBatch policy)."""
+        out: list[dict] = []
+        for (t, p), pos in sorted(self._positions.items()):
+            recs, _hw = self._cli.fetch(t, p, pos, max_bytes)
+            for rec in recs:
+                rec["topic"], rec["partition"] = t, p
+            out.extend(recs)
+            if recs:
+                self._positions[(t, p)] = recs[-1]["offset"] + 1
+        return out
+
+    def commit(self) -> None:
+        """Commit the current positions, fenced by the generation."""
+        self._cli.offset_commit(
+            self.group_id, dict(self._positions), self.generation, self.member_id
+        )
+
+    def close(self, leave: bool = True) -> None:
+        if leave and self.member_id:
+            try:
+                self._cli.leave_group(self.group_id, self.member_id)
+            except (KafkaGroupError, OSError):
+                pass
+        self._cli.close()
 
 
 # ---------------------------------------------------------------------------

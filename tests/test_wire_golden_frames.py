@@ -374,3 +374,188 @@ def test_mqtt_50_connect_properties_golden_bytes(monkeypatch):
         b"\x00\x01t\x00\x02" + b"\x07\x26\x00\x01k\x00\x01v" + b"x"
     )
     assert bytes(sock.sent) == connect + subscribe + publish
+
+
+# ---------------------------------------------------------------------------
+# Kafka consumer-group protocol (r14, VERDICT r13 #3): FindCoordinator v0,
+# JoinGroup v0, SyncGroup v0, Heartbeat v0, LeaveGroup v0, OffsetCommit v2,
+# OffsetFetch v1 — request schemas and the embedded consumer-protocol
+# Subscription/Assignment blobs, hand-assembled from the protocol guide
+# (kafka.apache.org/protocol, "The consumer protocol" wiki layout).
+# ---------------------------------------------------------------------------
+
+
+def _req_frame(api_key: int, version: int, corr: int, client_id: str, body: bytes) -> bytes:
+    payload = (
+        struct.pack(">h", api_key)
+        + struct.pack(">h", version)
+        + struct.pack(">i", corr)
+        + _kstr(client_id)
+        + body
+    )
+    return struct.pack(">i", len(payload)) + payload
+
+
+def _ref_subscription(topics: list[str]) -> bytes:
+    """ConsumerProtocolSubscription v0: version, topics, user_data."""
+    return (
+        struct.pack(">h", 0)
+        + struct.pack(">i", len(topics))
+        + b"".join(_kstr(t) for t in topics)
+        + struct.pack(">i", 0)  # empty user_data bytes
+    )
+
+
+def _ref_assignment(topic: str, parts: list[int]) -> bytes:
+    """ConsumerProtocolAssignment v0: version, [(topic, [int32])], user_data."""
+    return (
+        struct.pack(">h", 0)
+        + struct.pack(">i", 1)
+        + _kstr(topic)
+        + struct.pack(">i", len(parts))
+        + b"".join(struct.pack(">i", p) for p in parts)
+        + struct.pack(">i", 0)
+    )
+
+
+def test_find_coordinator_v0_golden_bytes(monkeypatch):
+    resp = struct.pack(">h", 0) + struct.pack(">i", 0) + _kstr("10.0.0.7") + struct.pack(">i", 9093)
+    sock = _ScriptedSock(_kafka_response(1, resp))
+    monkeypatch.setattr(kw.socket, "create_connection", lambda *a, **k: sock)
+    client = kw.MiniKafkaClient("127.0.0.1:9092", client_id="golden")
+    host, port = client.find_coordinator("g1")
+    assert (host, port) == ("10.0.0.7", 9093)
+    # FindCoordinator v0 request body is just the coordinator key string
+    assert bytes(sock.sent) == _req_frame(10, 0, 1, "golden", _kstr("g1"))
+
+
+def test_join_group_v0_request_and_response_golden_bytes(monkeypatch):
+    sub = _ref_subscription(["events"])
+    resp = (
+        struct.pack(">h", 0)  # error
+        + struct.pack(">i", 3)  # generation
+        + _kstr("range")  # group protocol
+        + _kstr("member-1")  # leader
+        + _kstr("member-1")  # member id
+        + struct.pack(">i", 1)  # members array (leader view)
+        + _kstr("member-1")
+        + struct.pack(">i", len(sub))
+        + sub
+    )
+    sock = _ScriptedSock(_kafka_response(1, resp))
+    monkeypatch.setattr(kw.socket, "create_connection", lambda *a, **k: sock)
+    client = kw.MiniKafkaClient("127.0.0.1:9092", client_id="golden")
+    join = client.join_group("g1", ["events"], session_timeout_ms=30_000)
+
+    body = (
+        _kstr("g1")
+        + struct.pack(">i", 30_000)  # session_timeout_ms
+        + _kstr("")  # member_id (first join: empty)
+        + _kstr("consumer")  # protocol_type
+        + struct.pack(">i", 1)  # group protocols array
+        + _kstr("range")
+        + struct.pack(">i", len(sub))
+        + sub
+    )
+    assert bytes(sock.sent) == _req_frame(11, 0, 1, "golden", body)
+    assert join == {
+        "generation": 3,
+        "member_id": "member-1",
+        "leader_id": "member-1",
+        "protocol": "range",
+        "members": [("member-1", ["events"])],
+    }
+
+
+def test_sync_group_v0_request_and_response_golden_bytes(monkeypatch):
+    assign = _ref_assignment("events", [0, 1])
+    resp = struct.pack(">h", 0) + struct.pack(">i", len(assign)) + assign
+    sock = _ScriptedSock(_kafka_response(1, resp))
+    monkeypatch.setattr(kw.socket, "create_connection", lambda *a, **k: sock)
+    client = kw.MiniKafkaClient("127.0.0.1:9092", client_id="golden")
+    got = client.sync_group("g1", 3, "member-1", {"member-1": {"events": [0, 1]}})
+
+    body = (
+        _kstr("g1")
+        + struct.pack(">i", 3)  # generation
+        + _kstr("member-1")
+        + struct.pack(">i", 1)  # group assignment array
+        + _kstr("member-1")
+        + struct.pack(">i", len(assign))
+        + assign
+    )
+    assert bytes(sock.sent) == _req_frame(14, 0, 1, "golden", body)
+    assert got == {"events": [0, 1]}
+
+
+def test_heartbeat_v0_golden_bytes(monkeypatch):
+    sock = _ScriptedSock(_kafka_response(1, struct.pack(">h", 27)))
+    monkeypatch.setattr(kw.socket, "create_connection", lambda *a, **k: sock)
+    client = kw.MiniKafkaClient("127.0.0.1:9092", client_id="golden")
+    assert client.heartbeat("g1", 3, "member-1") == kw.ERR_REBALANCE_IN_PROGRESS
+    body = _kstr("g1") + struct.pack(">i", 3) + _kstr("member-1")
+    assert bytes(sock.sent) == _req_frame(12, 0, 1, "golden", body)
+
+
+def test_leave_group_v0_golden_bytes(monkeypatch):
+    sock = _ScriptedSock(_kafka_response(1, struct.pack(">h", 0)))
+    monkeypatch.setattr(kw.socket, "create_connection", lambda *a, **k: sock)
+    client = kw.MiniKafkaClient("127.0.0.1:9092", client_id="golden")
+    client.leave_group("g1", "member-1")
+    assert bytes(sock.sent) == _req_frame(13, 0, 1, "golden", _kstr("g1") + _kstr("member-1"))
+
+
+def test_offset_commit_v2_request_golden_bytes(monkeypatch):
+    resp = (
+        struct.pack(">i", 1)
+        + _kstr("events")
+        + struct.pack(">i", 1)
+        + struct.pack(">i", 0)  # partition
+        + struct.pack(">h", 0)  # error
+    )
+    sock = _ScriptedSock(_kafka_response(1, resp))
+    monkeypatch.setattr(kw.socket, "create_connection", lambda *a, **k: sock)
+    client = kw.MiniKafkaClient("127.0.0.1:9092", client_id="golden")
+    client.offset_commit("g1", {("events", 0): 42}, generation=3, member_id="member-1")
+
+    body = (
+        _kstr("g1")
+        + struct.pack(">i", 3)  # generation
+        + _kstr("member-1")
+        + struct.pack(">q", -1)  # retention_time_ms: broker default
+        + struct.pack(">i", 1)  # topics
+        + _kstr("events")
+        + struct.pack(">i", 1)  # partitions
+        + struct.pack(">i", 0)
+        + struct.pack(">q", 42)  # offset
+        + _kstr(None)  # metadata
+    )
+    assert bytes(sock.sent) == _req_frame(8, 2, 1, "golden", body)
+
+
+def test_offset_fetch_v1_golden_bytes(monkeypatch):
+    resp = (
+        struct.pack(">i", 1)
+        + _kstr("events")
+        + struct.pack(">i", 1)
+        + struct.pack(">i", 0)  # partition
+        + struct.pack(">q", 42)  # committed offset
+        + _kstr(None)  # metadata
+        + struct.pack(">h", 0)  # error
+    )
+    sock = _ScriptedSock(_kafka_response(1, resp))
+    monkeypatch.setattr(kw.socket, "create_connection", lambda *a, **k: sock)
+    client = kw.MiniKafkaClient("127.0.0.1:9092", client_id="golden")
+    got = client.offset_fetch("g1", [("events", 0)])
+    body = _kstr("g1") + struct.pack(">i", 1) + _kstr("events") + struct.pack(">i", 1) + struct.pack(">i", 0)
+    assert bytes(sock.sent) == _req_frame(9, 1, 1, "golden", body)
+    assert got == {("events", 0): 42}
+
+
+def test_consumer_protocol_blob_roundtrip_against_reference_layout():
+    """The production Subscription/Assignment codecs must emit exactly
+    the hand-assembled reference layout (and read it back)."""
+    assert kw.encode_subscription(["a", "bb"]) == _ref_subscription(["a", "bb"])
+    assert kw.decode_subscription(_ref_subscription(["x"])) == ["x"]
+    assert kw.encode_assignment({"t": [1, 0]}) == _ref_assignment("t", [0, 1])
+    assert kw.decode_assignment(_ref_assignment("t", [0, 1])) == {"t": [0, 1]}
