@@ -452,6 +452,7 @@ def welch_ttest_ab(
     group_col: str = "event_type",
     variant_col: str = "user_id",
     crit: float = 1.96,
+    escalate: bool | None = None,
 ) -> DataFrame:
     """Welch's unequal-variance two-sample t-test per group (r13;
     Welch 1947 — THE A/B-test statistic, the mean-difference
@@ -469,12 +470,17 @@ def welch_ttest_ab(
     combinable pass at any scale (no per-row state, no sort). The
     float tail (variance -> t -> df) is an identical expression tree
     in Spark and DuckDB over those integers, so IEEE doubles agree
-    bit-for-bit and round(,6) is stable. At SFs far beyond the test
-    data the integer squares would need DECIMAL(38) sums (documented,
-    not needed at driver scale).
+    bit-for-bit and round(,6) is stable. Past ~1e9 rows per group the
+    cents-squared sums would overflow int64: the sums run through
+    ``scale.exact_sum``, which switches them to DECIMAL(38,0) when
+    ``SPARK_GRAFT_EXPECTED_ROWS`` (or the ``escalate`` argument) says
+    the deployment is past the threshold — bit-equal results either
+    way (property-tested), oracle unchanged.
 
     Returns one row per group: n_a, n_b, exact integer millicent
     means, t_stat, welch_df, significant."""
+    from ..scale import exact_sum
+
     cents = F.round(F.col(value_col) * 100).cast("long")
     is_a = (F.col(variant_col) % 2 == 0)
     agg = df.select(F.col(group_col).alias("g"), cents.alias("c"), is_a.alias("a")).groupBy(
@@ -482,22 +488,27 @@ def welch_ttest_ab(
     ).agg(
         F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("na"),
         F.sum(F.when(~F.col("a"), 1).otherwise(0)).alias("nb"),
-        F.sum(F.when(F.col("a"), F.col("c")).otherwise(0)).alias("s1a"),
-        F.sum(F.when(~F.col("a"), F.col("c")).otherwise(0)).alias("s1b"),
-        F.sum(F.when(F.col("a"), F.col("c") * F.col("c")).otherwise(0)).alias("s2a"),
-        F.sum(F.when(~F.col("a"), F.col("c") * F.col("c")).otherwise(0)).alias("s2b"),
+        exact_sum(F.when(F.col("a"), F.col("c")).otherwise(0), escalate).alias("s1a"),
+        exact_sum(F.when(~F.col("a"), F.col("c")).otherwise(0), escalate).alias("s1b"),
+        exact_sum(F.when(F.col("a"), F.col("c") * F.col("c")).otherwise(0), escalate).alias("s2a"),
+        exact_sum(F.when(~F.col("a"), F.col("c") * F.col("c")).otherwise(0), escalate).alias("s2b"),
     )
     na, nb = F.col("na"), F.col("nb")
     # try_divide everywhere a degenerate group (n <= 1, or two
     # constant variants making se2 = 0) would zero a denominator:
     # ANSI sessions must get NULL statistics, not a crash — the
     # poisson_bootstrap near-empty-group discipline. The oracle
-    # mirrors with x / nullif(den, 0).
+    # mirrors with x / nullif(den, 0). Numerators are cast to double
+    # EXPLICITLY: on the DECIMAL(38,0) escalated path a decimal
+    # division would apply decimal scale rules instead of IEEE
+    # division and break bit-equality with the int64 path.
     va = F.try_divide(
-        na * F.col("s2a") - F.col("s1a") * F.col("s1a"), na * (na - F.lit(1))
+        (na * F.col("s2a") - F.col("s1a") * F.col("s1a")).cast("double"),
+        (na * (na - F.lit(1))).cast("double"),
     )
     vb = F.try_divide(
-        nb * F.col("s2b") - F.col("s1b") * F.col("s1b"), nb * (nb - F.lit(1))
+        (nb * F.col("s2b") - F.col("s1b") * F.col("s1b")).cast("double"),
+        (nb * (nb - F.lit(1))).cast("double"),
     )
     staged = agg.select(
         "g", "na", "nb", "s1a", "s1b",
@@ -518,8 +529,8 @@ def welch_ttest_ab(
         F.col("g").alias(group_col),
         na.cast("long").alias("n_a"),
         nb.cast("long").alias("n_b"),
-        F.floor(F.try_divide(1000 * F.col("s1a"), na)).cast("long").alias("mean_a_millicents"),
-        F.floor(F.try_divide(1000 * F.col("s1b"), nb)).cast("long").alias("mean_b_millicents"),
+        F.floor(F.try_divide((1000 * F.col("s1a")).cast("double"), na)).cast("long").alias("mean_a_millicents"),
+        F.floor(F.try_divide((1000 * F.col("s1b")).cast("double"), nb)).cast("long").alias("mean_b_millicents"),
         F.round(t, 6).alias("t_stat"),
         F.round(dfree, 3).alias("welch_df"),
         (F.abs(t) > F.lit(crit)).alias("significant"),

@@ -929,9 +929,14 @@ def hourly_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((2·num·10⁶ + den) DIV (2·den), sign-handled) — never a raw
     double round, the seasonal_dow_profile cross-engine trap. Hour
     indexes are re-based to the global minimum so every product stays
-    far inside BIGINT (bound documented: |num·2·10⁶| < 2⁶³ up to
-    ~100× this fixture's hourly volume; past that, lift num/den to
-    DECIMAL(38,0))."""
+    far inside BIGINT up to ~100× this fixture's hourly volume; past
+    that, ``scale.exact_sum`` lifts the sums (and therefore num/den —
+    Spark's decimal type inference propagates through the products)
+    to DECIMAL(38,0) when ``SPARK_GRAFT_EXPECTED_ROWS`` crosses the
+    escalation threshold, bit-equal either way (tests/test_scale.py),
+    oracle unchanged."""
+    from ..scale import exact_sum
+
     ev = _t(spark, sf_dir, "events")
     h = ev.select(
         "event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("eh")
@@ -945,10 +950,10 @@ def hourly_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = c.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        exact_sum(F.col("x")).alias("sx"),
+        exact_sum(F.col("y")).alias("sy"),
+        exact_sum(F.col("x") * F.col("x")).alias("sxx"),
+        exact_sum(F.col("x") * F.col("y")).alias("sxy"),
     )
     d = s.where(F.col("n") >= 2).select(
         "event_type",

@@ -719,6 +719,7 @@ def acf_by_key(
     ts_col: str = "ts",
     value_col: str = "value",
     lags: tuple[int, ...] = (1, 2, 3, 6, 12, 24),
+    escalate: bool | None = None,
 ) -> DataFrame:
     """Autocorrelation function of the hourly series per key (r13;
     Box & Jenkins — the lag-structure diagnostic the seasonal/trend
@@ -736,11 +737,14 @@ def acf_by_key(
     lag() offsets (no self-join per lag), and each (key, lag)
     correlation folds to six integer sufficient sums in one hash
     aggregate — the mergeable-sums discipline of hourly_trend_by_type.
-    All sums stay in exact int64 at driver scale (hourly cent-sums
-    squared; DECIMAL(38) territory only far beyond it). The float
-    tail (one quotient of square roots) is the identical expression
-    in both engines; constant series yield NULL via nullif, not a
-    division error."""
+    Sums run through ``scale.exact_sum``: exact int64 at driver scale,
+    DECIMAL(38,0) when ``SPARK_GRAFT_EXPECTED_ROWS`` (or ``escalate``)
+    marks the deployment as past the overflow threshold for squared
+    hourly cent-sums — bit-equal either way (property-tested), oracle
+    unchanged. The float tail (one quotient of square roots, operands
+    cast to double explicitly so decimal scale rules never apply) is
+    the identical expression in both engines; constant series yield
+    NULL via nullif, not a division error."""
     hourly = (
         df.select(
             F.col(key_col).alias("g"),
@@ -778,17 +782,19 @@ def acf_by_key(
     ).select("g", F.col("p.lag").alias("lag"), F.col("p.x").alias("x"), "y").where(
         F.col("x").isNotNull()
     )
+    from ..scale import exact_sum
+
     agg = pairs.groupBy("g", "lag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        exact_sum(F.col("x"), escalate).alias("sx"),
+        exact_sum(F.col("y"), escalate).alias("sy"),
+        exact_sum(F.col("x") * F.col("x"), escalate).alias("sxx"),
+        exact_sum(F.col("y") * F.col("y"), escalate).alias("syy"),
+        exact_sum(F.col("x") * F.col("y"), escalate).alias("sxy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
-        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
     return agg.select(
         F.col("g").alias(key_col),

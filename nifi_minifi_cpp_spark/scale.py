@@ -144,3 +144,53 @@ def skew_diagnostic(
         .orderBy(F.desc("n_rows"), "key_value")
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# DECIMAL(38) escalation for exact-integer sufficient-statistic sums (r14,
+# VERDICT r13 #6)
+# ---------------------------------------------------------------------------
+
+EXPECTED_ROWS_ENV = "SPARK_GRAFT_EXPECTED_ROWS"
+DECIMAL_ESCALATION_ROWS_ENV = "SPARK_GRAFT_DECIMAL_ESCALATION_ROWS"
+_DEFAULT_ESCALATION_ROWS = 50_000_000
+
+
+def escalate_exact_sums(expected_rows: int | None = None) -> bool:
+    """Should exact-integer sufficient-statistic sums (sum of cents,
+    sum of cents squared — the Welch/OLS/ACF building blocks) run in
+    DECIMAL(38,0) instead of int64?
+
+    int64 holds ~9.2e18: a cents-squared term (~1e10 for values up to
+    ~1e3 dollars) overflows the sum around 1e9 rows PER GROUP. The
+    escalation threshold is the configured expected per-group row
+    count: set ``SPARK_GRAFT_EXPECTED_ROWS`` at submit time on a big
+    cluster (the same place shuffle partitions are sized) and every
+    adopting operator switches its sums to DECIMAL(38,0) — exact to
+    1e38 — while the small-scale default keeps the faster int64 hash
+    aggregate. ``expected_rows`` overrides the env for direct callers.
+    The switch is BIT-SAFE: tests/test_scale.py property-tests that
+    both paths produce identical results on the same data."""
+    import os
+
+    rows = expected_rows
+    if rows is None:
+        rows = int(os.environ.get(EXPECTED_ROWS_ENV, "0"))
+    threshold = int(
+        os.environ.get(DECIMAL_ESCALATION_ROWS_ENV, str(_DEFAULT_ESCALATION_ROWS))
+    )
+    return rows > threshold
+
+
+def exact_sum(term: Column, escalate: bool | None = None) -> Column:
+    """SUM of an exact integer per-row term, as int64 (fast hash-agg
+    path) or DECIMAL(38,0) (overflow-proof path) per
+    :func:`escalate_exact_sums`. Downstream float tails must cast the
+    sums (or expressions over them) to double EXPLICITLY before
+    dividing — decimal division would introduce its own scale rules
+    and break the bit-equality contract between the two paths."""
+    if escalate is None:
+        escalate = escalate_exact_sums()
+    if escalate:
+        return F.sum(term.cast("decimal(38,0)"))
+    return F.sum(term)

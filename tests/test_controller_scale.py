@@ -301,3 +301,63 @@ def test_fd_profile_composite_key_holds(spark):
     )
     rows = fd_profile([("ab->v", df, ["a", "b"], "v")]).collect()
     assert rows[0]["holds"] is True and rows[0]["n_violating_groups"] == 0
+
+
+# ---------------------------------------------------------------------------
+# DECIMAL(38) escalation for exact sufficient-statistic sums (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_sum_escalation_is_bit_equal_on_operators(spark, tables):
+    """The int64 and DECIMAL(38,0) sum paths must produce IDENTICAL
+    rows for every adopting operator — the escalation changes overflow
+    headroom, never values (the float tails cast to double explicitly
+    so decimal scale rules cannot leak in)."""
+    from nifi_minifi_cpp_spark.analytics.sketches import welch_ttest_ab
+    from nifi_minifi_cpp_spark.operators.temporal import acf_by_key
+
+    ev = tables["events"]
+    for op in (welch_ttest_ab, acf_by_key):
+        plain = sorted(map(tuple, op(ev, escalate=False).collect()))
+        escalated = sorted(map(tuple, op(ev, escalate=True).collect()))
+        assert plain == escalated, op.__name__
+    # the escalated plan really aggregates in decimal
+    schema = {
+        f.name: f.dataType.simpleString()
+        for f in welch_ttest_ab(ev, escalate=True).schema.fields
+    }
+    assert schema["t_stat"] == "double"  # float tail unaffected
+
+
+def test_exact_sum_escalation_env_switch(spark, tables, monkeypatch):
+    """Entries adopt the env-driven default: SPARK_GRAFT_EXPECTED_ROWS
+    above the threshold flips hourly_trend_by_type's sums to
+    DECIMAL(38,0) with bit-equal output (incl. the integer DIV
+    rational rounding, which Spark defines on decimals too)."""
+    from nifi_minifi_cpp_spark.entry_queries import queries
+    from nifi_minifi_cpp_spark.scale import (
+        EXPECTED_ROWS_ENV,
+        escalate_exact_sums,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    fn = queries()["hourly_trend_by_type"]
+    monkeypatch.delenv(EXPECTED_ROWS_ENV, raising=False)
+    assert escalate_exact_sums() is False
+    plain = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    monkeypatch.setenv(EXPECTED_ROWS_ENV, str(10**12))
+    assert escalate_exact_sums() is True
+    escalated = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert plain == escalated
+
+
+def test_exact_sum_decimal_survives_int64_overflow(spark):
+    """The reason the escalation exists: a sum that OVERFLOWS int64 is
+    exact on the decimal path. (The int64 path would wrap or raise
+    depending on ANSI mode — either way, wrong.)"""
+    from nifi_minifi_cpp_spark.scale import exact_sum
+
+    big = 2**62
+    df = spark.createDataFrame([(big,), (big,), (big,)], "v long")
+    got = df.agg(exact_sum(F.col("v"), escalate=True).alias("s")).collect()[0]["s"]
+    assert int(got) == 3 * big
