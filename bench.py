@@ -132,6 +132,51 @@ def main():
     except Exception as exc:  # noqa: BLE001 — warmup must never fail the bench
         print(f"# file-stream warmup skipped: {type(exc).__name__}: {exc}", file=sys.stderr)
 
+    # Python-Data-Source NONEMPTY-batch warmup (r14, VERDICT r13 #5):
+    # the tcplisten warmup above never receives a row, so it warms the
+    # streaming planner but NOT the data-source partition-read path —
+    # the first Python data source that actually DELIVERS rows still
+    # pays worker/serializer spawn (measured: mqtt_consume_counts solo
+    # run1 13.1 s -> run2 3.0 s in one session; in-bench that cost
+    # lands on whichever Data-Source entry runs first and reads as
+    # drift — r12->r13 mqtt_consume_counts 3.44->5.23 s with zero code
+    # change, BENCH_DRIFT_r14.md). One 2-message fake-transport stream
+    # pre-pays it for everyone.
+    try:
+        import json as _json
+
+        from nifi_minifi_cpp_spark.sources.datasource import ConsumeMQTTDataSource
+
+        spark.dataSource.register(ConsumeMQTTDataSource)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        wq = None
+        try:
+            wq = (
+                spark.readStream.format("mqttlisten")
+                .option("topic", "warm/#")
+                .option("transport", "fake")
+                .option("fake.messages", _json.dumps([("warm/a", "1"), ("warm/b", "2")]))
+                .load()
+                .groupBy("sender")
+                .count()
+                .writeStream.format("memory")
+                .queryName("bench_warmup_pyds")
+                .outputMode("complete")
+                .start()
+            )
+            _deadline = time.time() + 60
+            while time.time() < _deadline:
+                if spark.sql("SELECT coalesce(sum(count), 0) FROM bench_warmup_pyds").first()[0] >= 2:
+                    break
+                time.sleep(0.2)
+        finally:
+            if wq is not None:
+                wq.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    except Exception as exc:  # noqa: BLE001 — warmup must never fail the bench
+        print(f"# python-datasource warmup skipped: {type(exc).__name__}: {exc}", file=sys.stderr)
+
     qs = entry.queries()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
