@@ -84,10 +84,9 @@ from .sql_live import *  # noqa: F401,F403
 # locked by plan-shape tests — fall past the window.
 _GRADE_ORDER = [
     # --- r14 rotation (VERDICT r13 #1): never-driver-graded queue
-    # first (the 2 mid-r13 registrations + the 4 r14 registrations,
-    # registration order), then 44 oldest-first backfill picks — the
-    # entire r8-stale block plus the first 4 r9 entries, as the
-    # codified staleness rule mandates
+    # first (the 2 mid-r13 registrations + the 5 r14 registrations,
+    # registration order), then 43 oldest-first backfill picks — the
+    # r8-stale block head, as the codified staleness rule mandates
     # (tests/test_registry_contract.py::test_backfill_picks_are_oldest_first).
     #
     # never-driver-graded queue (registration order)
@@ -97,6 +96,7 @@ _GRADE_ORDER = [
     "pg_cdc_updated_rows",
     "reservoir_sample_events",
     "decay_weighted_sample_events",
+    "kafka_group_consume",
     # backfill picks (oldest driver round first, registration order within)
     "segment_set_ops",  # r8
     "part_brand_revenue",  # r8
@@ -141,8 +141,8 @@ _GRADE_ORDER = [
     "dialect_flow_route_counts",  # r9
     "el_multiattr_pack",  # r9
     "replace_text_line_modes",  # r9
-    "object_store_crud_roundtrip",  # r9
 ]
+
 
 GRADED_WINDOW = 50
 

@@ -260,3 +260,91 @@ def decay_weighted_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("age_days").cast("long").alias("age_days"),
         F.col("_prio").cast("long").alias("priority"),
     )
+
+
+@_register(
+    "kafka_group_consume",
+    """
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS phase, event_type, count(*) AS n
+      FROM events WHERE event_id < 300 GROUP BY event_type
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), event_type, count(*)
+      FROM events WHERE event_id >= 300 AND event_id < 360 GROUP BY event_type
+    ) ORDER BY phase, event_type
+    """,
+)
+def kafka_group_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConsumeKafka with a GROUP ID (r14, the consumer-group protocol
+    parity row — ConsumeKafka.h:129-241): phase 1, a single member
+    joins the group over the wire (FindCoordinator/JoinGroup/SyncGroup),
+    is assigned all 3 partitions by the RangeAssignor, consumes 300
+    seeded records and COMMITS (CommitAfterBatch). A second member then
+    joins: the first member's heartbeat reports the rebalance, both
+    rejoin, and the partitions split disjointly. Phase 2 seeds 60 more
+    records; each member polls ONLY its assigned partitions, resuming
+    from the group's committed offsets — so phase 2 counts are exact
+    iff every record is consumed exactly once across the group (a
+    double-assigned or double-replayed partition doubles a count and
+    the oracle goes red)."""
+    from ..sources.kafka_wire import KafkaGroupConsumer, MiniKafkaBroker
+
+    configure(spark)
+    rows = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 360)
+        .select("event_id", "event_type")
+        .collect()
+    )
+
+    def seed(broker, lo: int, hi: int) -> None:
+        by_part: dict[int, list] = {0: [], 1: [], 2: []}
+        for r in rows:
+            if lo <= r["event_id"] < hi:
+                by_part[r["event_id"] % 3].append(
+                    (1_700_000_000_000 + r["event_id"], None, r["event_type"].encode(), [])
+                )
+        for p, items in by_part.items():
+            if items:
+                broker.append("events_g", p, items)
+
+    broker = MiniKafkaBroker().start()
+    out_rows: list[tuple[int, str, int]] = []
+    try:
+        broker.create_topic("events_g", 3)
+        seed(broker, 0, 300)
+        a = KafkaGroupConsumer(broker.bootstrap, "g_entry", ["events_g"])
+        if a.join() != {"events_g": [0, 1, 2]}:
+            raise RuntimeError(f"solo member must own every partition: {a.assignment}")
+        phase1 = a.poll()
+        a.commit()
+
+        b = KafkaGroupConsumer(broker.bootstrap, "g_entry", ["events_g"])
+        b.join()
+        if not a.ensure_active():  # heartbeat must detect the rebalance
+            raise RuntimeError("rebalance not detected by the incumbent")
+        pa = set(a.assignment.get("events_g", []))
+        pb = set(b.assignment.get("events_g", []))
+        if pa | pb != {0, 1, 2} or pa & pb:
+            raise RuntimeError(f"assignment not a disjoint cover: {pa} / {pb}")
+
+        seed(broker, 300, 360)
+        phase2 = a.poll() + b.poll()
+        a.close()
+        b.close()
+        counts1: dict[str, int] = {}
+        for rec in phase1:
+            t = rec["value"].decode()
+            counts1[t] = counts1.get(t, 0) + 1
+        counts2: dict[str, int] = {}
+        for rec in phase2:
+            t = rec["value"].decode()
+            counts2[t] = counts2.get(t, 0) + 1
+        out_rows = [(1, t, n) for t, n in counts1.items()] + [
+            (2, t, n) for t, n in counts2.items()
+        ]
+    finally:
+        broker.stop()
+    return spark.createDataFrame(out_rows, "phase long, event_type string, n long").orderBy(
+        "phase", "event_type"
+    )

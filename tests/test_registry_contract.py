@@ -22,17 +22,16 @@ from nifi_minifi_cpp_spark import entry_queries
 # Every SURVEY §2 operator family and every LLM-pipeline operator must
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
-    # r14 rotation: never-driver-graded queue (2 mid-r13 + 4 r14
-    # registrations) + 44 oldest-first backfill picks (the whole
-    # r8-stale block, then the 4 oldest r9 entries) per the
-    # staleness rule below. After this window grades, the oldest
-    # driver row in the ledger moves r8 -> r9.
+    # r14 rotation: never-driver-graded queue (2 mid-r13 + 5 r14
+    # registrations) + 43 oldest-first backfill picks (the r8-stale
+    # block head) per the staleness rule below.
     "welch_ttest_ab_values",
     "acf_hourly_by_type",
     "pg_incremental_two_polls",
     "pg_cdc_updated_rows",
     "reservoir_sample_events",
     "decay_weighted_sample_events",
+    "kafka_group_consume",
     "segment_set_ops",
     "part_brand_revenue",
     "supplier_nation_agg",
@@ -76,7 +75,6 @@ MUST_GRADE = {
     "dialect_flow_route_counts",
     "el_multiattr_pack",
     "replace_text_line_modes",
-    "object_store_crud_roundtrip",
 }
 
 def test_must_grade_queries_inside_window():
