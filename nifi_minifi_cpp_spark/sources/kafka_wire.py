@@ -1406,6 +1406,16 @@ def _register_kafkawire_impl():
             self.topics = [t.strip() for t in topics.split(",") if t.strip()]
             self.starting = options.get("startingoffsets", options.get("startingOffsets", "earliest"))
             self.max_records = int(options.get("maxoffsetspertrigger", "10000"))
+            # Group ID property (ConsumeKafka.h:129-132 -> kafka.group.id
+            # via consume_kafka_options): committed group offsets seed
+            # the start position (they beat auto.offset.reset, the
+            # librdkafka contract), and every batch commits its end
+            # offsets back (CommitAfterBatch, ConsumeKafka.h:228-231) so
+            # external lag monitors see the stream's progress. Spark's
+            # checkpoint remains the exactly-once source of truth —
+            # the group is coordination/observability, which is also
+            # how the real Spark Kafka connector treats kafka.group.id.
+            self.group_id = options.get("kafka.group.id") or options.get("group.id")
             self._client: MiniKafkaClient | None = None
 
         def _cli(self) -> MiniKafkaClient:
@@ -1441,8 +1451,13 @@ def _register_kafkawire_impl():
                             )
                         state[f"{t}\x00{p}"] = off
                     else:
-                        ts = EARLIEST if self.starting == "earliest" else LATEST
-                        state[f"{t}\x00{p}"] = cli.list_offsets(t, p, ts)
+                        off = -1
+                        if self.group_id:
+                            off = cli.offset_fetch(self.group_id, [(t, p)]).get((t, p), -1)
+                        if off < 0:  # no committed offset: the reset policy
+                            ts = EARLIEST if self.starting == "earliest" else LATEST
+                            off = cli.list_offsets(t, p, ts)
+                        state[f"{t}\x00{p}"] = off
             return {"offsets": json.dumps(state)}
 
         def _rows_between(self, state: dict[str, int], upto: dict[str, int] | None):
@@ -1487,6 +1502,20 @@ def _register_kafkawire_impl():
         def read(self, start: dict):
             state = {k: int(v) for k, v in json.loads(start.get("offsets", "{}")).items()}
             rows, new_state = self._rows_between(state, None)
+            if self.group_id and new_state != state:
+                # CommitAfterBatch: simple (generation -1) commit of the
+                # batch-end offsets; failures never fail the stream —
+                # the checkpoint, not the group, is the offset truth
+                try:
+                    self._cli().offset_commit(
+                        self.group_id,
+                        {
+                            (tp.partition("\x00")[0], int(tp.partition("\x00")[2])): off
+                            for tp, off in new_state.items()
+                        },
+                    )
+                except (KafkaGroupError, OSError, ValueError):
+                    pass
             return iter(rows), {"offsets": json.dumps(new_state)}
 
         def readBetweenOffsets(self, start: dict, end: dict):

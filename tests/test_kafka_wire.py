@@ -713,3 +713,49 @@ def test_range_assign_reference_layout():
     )
     # sorted member ids: m1 gets ceil(5/2)=3 of t, m2 gets 2; u only m2
     assert plan == {"m1": {"t": [0, 1, 2]}, "m2": {"t": [3, 4], "u": [0, 1]}}
+
+
+def test_kafkawire_stream_group_id_resume_and_commit(spark, tmp_path):
+    """Group ID wired into the streaming source (ConsumeKafka.h:129-132
+    + CommitAfterBatch :228-231): a committed group offset BEATS the
+    auto.offset.reset start position, and each processed batch commits
+    its end offsets back so external lag monitors see progress."""
+    import uuid
+
+    from nifi_minifi_cpp_spark.sources.kafka_wire import (
+        MiniKafkaBroker,
+        MiniKafkaClient,
+        register_kafkawire,
+    )
+
+    b = MiniKafkaBroker().start()
+    try:
+        topic = f"t_{uuid.uuid4().hex[:8]}"
+        b.append(topic, 0, [(1_000 + i, None, b"m%d" % i, []) for i in range(10)])
+        cli = MiniKafkaClient(b.bootstrap)
+        cli.offset_commit("g_stream", {(topic, 0): 4})  # pre-committed progress
+        register_kafkawire(spark)
+        view = f"kw_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("kafkawire")
+            .option("kafka.bootstrap.servers", b.bootstrap)
+            .option("subscribe", topic)
+            .option("startingOffsets", "earliest")  # group commit must win over this
+            .option("kafka.group.id", "g_stream")
+            .load()
+            .writeStream.format("memory")
+            .queryName(view)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(r["offset"] for r in spark.sql(f"SELECT offset FROM {view}").collect())
+            assert got == [4, 5, 6, 7, 8, 9]  # resumed AT the commit, not earliest
+        finally:
+            q.stop()
+        # CommitAfterBatch advanced the group's offset to the log end
+        assert cli.offset_fetch("g_stream", [(topic, 0)]) == {(topic, 0): 10}
+        cli.close()
+    finally:
+        b.stop()
