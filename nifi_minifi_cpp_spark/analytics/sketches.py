@@ -498,16 +498,24 @@ def welch_ttest_ab(
     # constant variants making se2 = 0) would zero a denominator:
     # ANSI sessions must get NULL statistics, not a crash — the
     # poisson_bootstrap near-empty-group discipline. The oracle
-    # mirrors with x / nullif(den, 0). Numerators are cast to double
-    # EXPLICITLY: on the DECIMAL(38,0) escalated path a decimal
-    # division would apply decimal scale rules instead of IEEE
-    # division and break bit-equality with the int64 path.
+    # mirrors with x / nullif(den, 0).
+    #
+    # The variance-numerator PRODUCTS (n*s2 and s1*s1) overflow int64
+    # orders of magnitude before the SUMS do (s1 ~ n * cents, so s1^2
+    # passes 2^63 around n*|cents| ~ 3e9 — r14 review finding), so
+    # they are ALWAYS computed in DECIMAL(38,0) regardless of the sum
+    # path: this runs per GROUP row (post-aggregation), so the decimal
+    # cost is O(|groups|), not O(rows). The result is then cast to
+    # double EXPLICITLY — a decimal division would apply decimal scale
+    # rules instead of IEEE division and break bit-equality between
+    # the int64-sum and decimal-sum paths.
+    dec = "decimal(38,0)"
     va = F.try_divide(
-        (na * F.col("s2a") - F.col("s1a") * F.col("s1a")).cast("double"),
+        (na.cast(dec) * F.col("s2a").cast(dec) - F.col("s1a").cast(dec) * F.col("s1a").cast(dec)).cast("double"),
         (na * (na - F.lit(1))).cast("double"),
     )
     vb = F.try_divide(
-        (nb * F.col("s2b") - F.col("s1b") * F.col("s1b")).cast("double"),
+        (nb.cast(dec) * F.col("s2b").cast(dec) - F.col("s1b").cast(dec) * F.col("s1b").cast(dec)).cast("double"),
         (nb * (nb - F.lit(1))).cast("double"),
     )
     staged = agg.select(
@@ -516,8 +524,13 @@ def welch_ttest_ab(
         F.try_divide(vb, nb).alias("seb"),
     )
     se2 = F.col("sea") + F.col("seb")
+    # means cast to double BEFORE dividing: on the decimal-sum path
+    # try_divide(decimal, long) yields decimal(38,6) — means rounded
+    # at 1e-6 — which shifts t near the significance boundary
+    # (r14 review finding)
     t = F.try_divide(
-        F.try_divide(F.col("s1a"), na) - F.try_divide(F.col("s1b"), nb),
+        F.try_divide(F.col("s1a").cast("double"), na)
+        - F.try_divide(F.col("s1b").cast("double"), nb),
         F.sqrt(se2),
     )
     dfree = F.try_divide(

@@ -955,12 +955,18 @@ def hourly_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum(F.col("x") * F.col("x")).alias("sxx"),
         exact_sum(F.col("x") * F.col("y")).alias("sxy"),
     )
+    # num/den PRODUCTS always in DECIMAL(38,0) — they overflow int64
+    # well before the sums (r14 review finding); O(groups) rows, and
+    # Spark's integer DIV is defined on decimals so the rational
+    # rounding below is unchanged (bit-equality pinned in
+    # tests/test_controller_scale.py)
+    dec = "decimal(38,0)"
     d = s.where(F.col("n") >= 2).select(
         "event_type",
         "n",
         "sy",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        (F.col("n").cast(dec) * F.col("sxy").cast(dec) - F.col("sx").cast(dec) * F.col("sy").cast(dec)).alias("num"),
+        (F.col("n").cast(dec) * F.col("sxx").cast(dec) - F.col("sx").cast(dec) * F.col("sx").cast(dec)).alias("den"),
     )
     slope = F.when(
         F.col("num") >= 0, F.expr("(2 * num * 1000000 + den) DIV (2 * den)")

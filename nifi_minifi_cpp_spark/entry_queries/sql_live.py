@@ -98,9 +98,13 @@ def pg_incremental_two_polls(spark: SparkSession, sf_dir: str) -> DataFrame:
         factory = lambda: PgWireClient(port=port, user=user)  # noqa: E731
         scan = pg_incremental_scan(factory, "events_inc", ["event_id"], state)
 
+        # poll() returns None for an empty batch (either poll can be
+        # empty at exotic SFs) — mirror the oracle's HAVING count(*)>0
+        summaries = []
         put_sql_pg(ev.filter(F.col("event_id") < 2000).repartition(4), factory, "events_inc")
         p1 = scan.poll(spark)
-        out = _pg_poll_summary(p1, 1, "event_id")
+        if p1 is not None:
+            summaries.append(_pg_poll_summary(p1, 1, "event_id"))
 
         put_sql_pg(
             ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 4000)).repartition(4),
@@ -109,7 +113,14 @@ def pg_incremental_two_polls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         p2 = scan.poll(spark)
         if p2 is not None:
-            out = out.unionByName(_pg_poll_summary(p2, 2, "event_id"))
+            summaries.append(_pg_poll_summary(p2, 2, "event_id"))
+    if not summaries:
+        return spark.createDataFrame(
+            [], "poll long, n_rows long, max_id long, watermark long, n_types long, sum_cents long"
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
     return out.orderBy("poll")
 
 
@@ -170,20 +181,29 @@ def pg_cdc_updated_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan = pg_incremental_scan(factory, "cdc_src", ["version"], state)
 
         def summary(df: DataFrame, poll: int) -> DataFrame:
-            return df.agg(
-                F.lit(poll).cast("long").alias("poll"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(_cents(F.col("value"))).alias("sum_cents"),
-                F.max(F.col("`maxvalue.version`").cast("long")).alias("watermark"),
+            # the shared poll summary, projected to the CDC columns
+            return _pg_poll_summary(df, poll, "version").select(
+                "poll", "n_rows", "sum_cents", "watermark"
             )
 
-        out = summary(scan.poll(spark), 1)
+        # either poll can be empty at exotic SFs (oracle: HAVING)
+        summaries = []
+        p1 = scan.poll(spark)
+        if p1 is not None:
+            summaries.append(summary(p1, 1))
         c = pg.client()
         c.execute("UPDATE cdc_src SET version = 2, value = value + 1 WHERE event_id % 5 = 0")
         c.close()
         p2 = scan.poll(spark)
         if p2 is not None:
-            out = out.unionByName(summary(p2, 2))
+            summaries.append(summary(p2, 2))
+    if not summaries:
+        return spark.createDataFrame(
+            [], "poll long, n_rows long, sum_cents long, watermark long"
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
     return out.orderBy("poll")
 
 

@@ -792,9 +792,19 @@ def acf_by_key(
         exact_sum(F.col("y") * F.col("y"), escalate).alias("syy"),
         exact_sum(F.col("x") * F.col("y"), escalate).alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # Pearson-numerator PRODUCTS always in DECIMAL(38,0): sx*sy and
+    # n*sxx overflow int64 long before the sums themselves do (r14
+    # review finding); this runs on the per-(key,lag) aggregate rows,
+    # so the decimal cost is O(groups). Cast to double only AFTER the
+    # exact subtraction.
+    dec = "decimal(38,0)"
+
+    def _d(c: str):
+        return F.col(c).cast(dec)
+
+    num = (_d("n") * _d("sxy") - _d("sx") * _d("sy")).cast("double")
+    den = F.sqrt((_d("n") * _d("sxx") - _d("sx") * _d("sx")).cast("double")) * F.sqrt(
+        (_d("n") * _d("syy") - _d("sy") * _d("sy")).cast("double")
     )
     return agg.select(
         F.col("g").alias(key_col),

@@ -1294,19 +1294,43 @@ class KafkaGroupConsumer:
     # -- membership --------------------------------------------------------
 
     def join(self) -> dict[str, list[int]]:
-        """Run one full JoinGroup/SyncGroup round; -> the assignment.
-        Seeds fetch positions from committed offsets (or the reset
-        policy) for newly-assigned partitions."""
+        """Run the JoinGroup/SyncGroup dance until it lands a stable
+        assignment; -> the assignment. Retriable coordinator errors
+        re-enter the dance the way every real client does: a member
+        joining CONCURRENTLY can bump the generation between our
+        JoinGroup and SyncGroup (ILLEGAL_GENERATION / REBALANCE_IN_
+        PROGRESS -> rejoin at the new generation), and a
+        coordinator-side eviction (UNKNOWN_MEMBER_ID) means rejoin as
+        a NEW member. Seeds fetch positions from committed offsets
+        (or the reset policy) once the assignment lands."""
+        import time
+
+        deadline = time.time() + 30
+        while True:
+            try:
+                self._join_once()
+                break
+            except KafkaGroupError as e:
+                retriable = (ERR_REBALANCE_IN_PROGRESS, ERR_ILLEGAL_GENERATION, ERR_UNKNOWN_MEMBER_ID)
+                if e.code not in retriable or time.time() > deadline:
+                    raise
+                if e.code == ERR_UNKNOWN_MEMBER_ID:
+                    self.member_id = ""  # evicted: come back as a new member
+                time.sleep(0.05)
+        self._seed_positions()
+        return self.assignment
+
+    def _join_once(self) -> None:
         import time
 
         join = self._cli.join_group(self.group_id, self.topics, self.member_id)
         self.member_id = join["member_id"]
         self.generation = join["generation"]
         if join["member_id"] == join["leader_id"]:
-            partitions = {
-                t: self._cli.metadata([t]).get(t, [])
-                for t in sorted({t for _m, subs in join["members"] for t in subs})
-            }
+            # one batched Metadata call for every subscribed topic
+            topics = sorted({t for _m, subs in join["members"] for t in subs})
+            meta = self._cli.metadata(topics) if topics else {}
+            partitions = {t: meta.get(t, []) for t in topics}
             plan = range_assign(join["members"], partitions)
             self.assignment = self._cli.sync_group(
                 self.group_id, self.generation, self.member_id, plan
@@ -1323,8 +1347,6 @@ class KafkaGroupConsumer:
                     if e.code != ERR_REBALANCE_IN_PROGRESS or time.time() > deadline:
                         raise
                     time.sleep(0.05)
-        self._seed_positions()
-        return self.assignment
 
     def _seed_positions(self) -> None:
         pairs = [(t, p) for t, pids in self.assignment.items() for p in pids]
@@ -1338,12 +1360,20 @@ class KafkaGroupConsumer:
             self._positions[(t, p)] = off
 
     def ensure_active(self) -> bool:
-        """Heartbeat; on REBALANCE_IN_PROGRESS rejoin. -> True when the
+        """Heartbeat; on REBALANCE_IN_PROGRESS (or a coordinator-side
+        eviction, UNKNOWN_MEMBER_ID) rejoin. -> True when the
         assignment changed (caller should re-plan its work)."""
         if self.generation < 0:
             self.join()
             return True
-        if self._cli.heartbeat(self.group_id, self.generation, self.member_id):
+        try:
+            stale = self._cli.heartbeat(self.group_id, self.generation, self.member_id)
+        except KafkaGroupError as e:
+            if e.code != ERR_UNKNOWN_MEMBER_ID:
+                raise
+            self.member_id = ""  # evicted: rejoin as a new member
+            stale = ERR_REBALANCE_IN_PROGRESS
+        if stale:
             before = self.assignment
             self.join()
             return self.assignment != before
@@ -1426,38 +1456,41 @@ def _register_kafkawire_impl():
         def initialOffset(self) -> dict:
             cli = self._cli()
             meta = cli.metadata(self.topics)
+            pairs = [(t, p) for t in self.topics for p in meta.get(t, [0])]
+            # ONE batched OffsetFetch for every (topic, partition) —
+            # not one RPC per partition (r14 review finding)
+            committed: dict[tuple[str, int], int] = {}
+            if self.group_id and not self.starting.lstrip().startswith("{"):
+                committed = cli.offset_fetch(self.group_id, pairs)
             state: dict[str, int] = {}
             explicit = None
             if self.starting.lstrip().startswith("{"):
                 explicit = json.loads(self.starting)
-            for t in self.topics:
-                for p in meta.get(t, [0]):
-                    if explicit is not None:
-                        off = int(explicit.get(t, {}).get(str(p), 0))
-                        # the connector contract's per-partition JSON
-                        # uses Kafka's sentinels: -2=earliest, -1=latest
-                        # (NOT literal offsets — a literal -1 would make
-                        # the fetch filter pass everything and silently
-                        # replay the whole log)
-                        if off == EARLIEST:
-                            off = cli.list_offsets(t, p, EARLIEST)
-                        elif off == LATEST:
-                            off = cli.list_offsets(t, p, LATEST)
-                        elif off < 0:
-                            raise ValueError(
-                                f"startingOffsets for {t}/{p} is {off}; only "
-                                "-2 (earliest), -1 (latest) or a non-negative "
-                                "offset are valid"
-                            )
-                        state[f"{t}\x00{p}"] = off
-                    else:
-                        off = -1
-                        if self.group_id:
-                            off = cli.offset_fetch(self.group_id, [(t, p)]).get((t, p), -1)
-                        if off < 0:  # no committed offset: the reset policy
-                            ts = EARLIEST if self.starting == "earliest" else LATEST
-                            off = cli.list_offsets(t, p, ts)
-                        state[f"{t}\x00{p}"] = off
+            for t, p in pairs:
+                if explicit is not None:
+                    off = int(explicit.get(t, {}).get(str(p), 0))
+                    # the connector contract's per-partition JSON
+                    # uses Kafka's sentinels: -2=earliest, -1=latest
+                    # (NOT literal offsets — a literal -1 would make
+                    # the fetch filter pass everything and silently
+                    # replay the whole log)
+                    if off == EARLIEST:
+                        off = cli.list_offsets(t, p, EARLIEST)
+                    elif off == LATEST:
+                        off = cli.list_offsets(t, p, LATEST)
+                    elif off < 0:
+                        raise ValueError(
+                            f"startingOffsets for {t}/{p} is {off}; only "
+                            "-2 (earliest), -1 (latest) or a non-negative "
+                            "offset are valid"
+                        )
+                    state[f"{t}\x00{p}"] = off
+                else:
+                    off = committed.get((t, p), -1)
+                    if off < 0:  # no committed offset: the reset policy
+                        ts = EARLIEST if self.starting == "earliest" else LATEST
+                        off = cli.list_offsets(t, p, ts)
+                    state[f"{t}\x00{p}"] = off
             return {"offsets": json.dumps(state)}
 
         def _rows_between(self, state: dict[str, int], upto: dict[str, int] | None):

@@ -320,23 +320,30 @@ class EphemeralPostgres:
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
             self.port = s.getsockname()[1]
-        r = self._as_pg(f"initdb -D {self._datadir} -A trust")
-        if r.returncode != 0:
-            raise PgWireError(f"initdb failed: {r.stderr[-200:]}")
-        r = self._as_pg(
-            f"pg_ctl -D {self._datadir} -l {self._datadir}/log "
-            f"-o '-p {self.port} -k /tmp -c listen_addresses=127.0.0.1' start"
-        )
-        if r.returncode != 0:
-            raise PgWireError(f"pg_ctl start failed: {r.stderr[-200:]}")
-        deadline = time.time() + self.timeout
-        while time.time() < deadline:
-            try:
-                socket.create_connection(("127.0.0.1", self.port), timeout=1).close()
-                return self
-            except OSError:
-                time.sleep(0.3)
-        raise PgWireError("postgres did not come up within the timeout")
+        # __exit__ never runs when __enter__ raises: every failure path
+        # below must stop the server and remove the datadir itself, or
+        # a slow CI box leaks an orphaned postgres per failed attempt
+        try:
+            r = self._as_pg(f"initdb -D {self._datadir} -A trust")
+            if r.returncode != 0:
+                raise PgWireError(f"initdb failed: {r.stderr[-200:]}")
+            r = self._as_pg(
+                f"pg_ctl -D {self._datadir} -l {self._datadir}/log "
+                f"-o '-p {self.port} -k /tmp -c listen_addresses=127.0.0.1' start"
+            )
+            if r.returncode != 0:
+                raise PgWireError(f"pg_ctl start failed: {r.stderr[-200:]}")
+            deadline = time.time() + self.timeout
+            while time.time() < deadline:
+                try:
+                    socket.create_connection(("127.0.0.1", self.port), timeout=1).close()
+                    return self
+                except OSError:
+                    time.sleep(0.3)
+            raise PgWireError("postgres did not come up within the timeout")
+        except BaseException:
+            self.__exit__()
+            raise
 
     def client(self, database: str = "postgres") -> PgWireClient:
         return PgWireClient(port=self.port, user=self.user, database=database)

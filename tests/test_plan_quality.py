@@ -660,3 +660,37 @@ def test_slowest_entries_exchange_ceiling():
         "slow-entry plan grew extra shuffles (audited exchanges, "
         f"ceiling): {over}"
     )
+
+
+def test_r14_entries_exchange_ceiling():
+    """Exchange-count lock for the r14 registrations (the
+    slowest-20 pattern extended to new entries at registration time,
+    so a future plan blowup fails in pytest before any bench sees
+    it). Ceilings = the r14 audited exchange count + 2 slack.
+    reservoir_sample_events is pinned EXACTLY at 0: the whole point
+    of the bottom-k design is that TakeOrderedAndProject needs no
+    shuffle — any exchange appearing means the plan degraded to a
+    global sort."""
+    import json
+    from pathlib import Path
+
+    ceilings = {
+        "pg_incremental_two_polls": 4,
+        "pg_cdc_updated_rows": 4,
+        "reservoir_sample_events": 0,
+        "decay_weighted_sample_events": 4,
+        "kafka_group_consume": 3,
+        "welch_ttest_ab_values": 3,
+        "acf_hourly_by_type": 5,
+    }
+    audit_path = Path(__file__).resolve().parents[1] / "PLAN_AUDIT.json"
+    audit = json.loads(audit_path.read_text())["queries"]
+    over = {
+        name: (audit[name]["exchanges"], cap)
+        for name, cap in ceilings.items()
+        if audit[name].get("exchanges", 0) > cap
+    }
+    assert not over, (
+        "r14 entry plan grew extra shuffles (audited exchanges, "
+        f"ceiling): {over}"
+    )
