@@ -201,23 +201,23 @@ def _stage_text_atomic(stage: str, build_df) -> None:
             raise
 
 
-def _stream_events_stage(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the events parquet behind a directory for the file-stream
+def _stream_events_stage(spark: SparkSession, sf_dir: str, table: str = "events") -> str:
+    """Stage a table's parquet behind a directory for the file-stream
     source (it wants a dir, not a file). O(#files) driver work: one
-    symlink per data file. A Spark-written events.parquet is itself a
+    symlink per data file. A Spark-written <table>.parquet is itself a
     DIRECTORY of part files — link those individually, because the
     file-stream lister does not recurse into a linked subdirectory
     (observed: the sf1 probe's staged tables streamed 0 rows)."""
     import tempfile
 
-    stage = tempfile.mkdtemp(prefix="stream-ev-")
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stage = tempfile.mkdtemp(prefix=f"stream-{table[:2]}-")
+    src = os.path.abspath(f"{sf_dir}/{table}.parquet")
     if os.path.isdir(src):
         for i, f in enumerate(sorted(os.listdir(src))):
             if f.endswith(".parquet"):
                 os.symlink(os.path.join(src, f), f"{stage}/part-{i:05d}.parquet")
     else:
-        os.symlink(src, f"{stage}/events.parquet")
+        os.symlink(src, f"{stage}/{table}.parquet")
     return stage
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import configure, load_table
-from ._shared import _cents, _register, _t
+from ._shared import _cents, _pinned_shuffle, _register, _stream_events_stage, _t
 
 
 def _pg_poll_summary(df: DataFrame, poll: int, watermark_col: str) -> DataFrame:
@@ -367,4 +367,66 @@ def kafka_group_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
         broker.stop()
     return spark.createDataFrame(out_rows, "phase long, event_type string, n long").orderBy(
         "phase", "event_type"
+    )
+
+
+@_register(
+    "streaming_reservoir_by_source",
+    r"""
+    WITH r AS (
+      SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT source, doc_id, rk FROM r WHERE rn <= 5
+    """,
+)
+def streaming_reservoir_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING reservoir sampling (r14): exactly k = 5 documents per
+    source maintained across an unbounded stream by a custom stateful
+    operator (applyInPandasWithState, O(k) bottom-k state per key —
+    next to the EWMA scorer's numeric state and the bin packer's list
+    state). The deterministic bottom-k selection makes streaming and
+    batch agree on the EXACT rows — the oracle is plain batch SQL over
+    the same table, so this grades the streaming engine's state
+    handling, not a weaker rows-only check. Update-mode re-emits each
+    key's reservoir every micro-batch; the monotonic n_seen counter
+    picks each key's final emission."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import reservoir_sample_stream
+
+    configure(spark)
+    stage = _stream_events_stage(spark, sf_dir, table="documents")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    raw = spark.readStream.schema(schema).parquet(stage)
+    sampled = reservoir_sample_stream(raw, "source", "doc_id", k=5)
+    view = f"stream_rsv_{_uuid.uuid4().hex[:8]}"
+    with _pinned_shuffle(spark, 4):
+        q = (
+            sampled.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+        _shutil.rmtree(stage, ignore_errors=True)
+    emitted = spark.table(view)
+    # keep each key's final emission: the one with the max n_seen
+    w = Window.partitionBy("key")
+    final = emitted.withColumn("_mx", F.max("n_seen").over(w)).where(
+        F.col("n_seen") == F.col("_mx")
+    )
+    return final.select(
+        F.col("key").alias("source"),
+        F.col("member").cast("long").alias("doc_id"),
+        "rk",
     )

@@ -405,3 +405,64 @@ def ewma_scores_stream(
     return df.groupBy(key_col).applyInPandasWithState(
         func, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming reservoir sampling (r14)
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_OUT_SCHEMA = "key string, member string, rk string, n_seen long"
+_RESERVOIR_STATE_SCHEMA = "members array<string>, rks array<string>, n_seen long"
+
+
+def make_reservoir_sampler(k: int):
+    """Per-key STREAMING reservoir: keep exactly ``k`` members per key
+    across an unbounded stream, every member equally likely — realized
+    as the deterministic bottom-k sketch (k smallest md5 ranks), the
+    same selection the batch :func:`~..analytics.reservoir_sample`
+    makes, so streaming and batch agree on the exact rows (a mutable
+    Vitter reservoir is arrival-order-dependent and unreproducible).
+    State per key is O(k): the current k (rank, member) pairs plus a
+    monotonic seen-counter (callers keep each key's emission with the
+    max ``n_seen`` — update-mode re-emits the reservoir every
+    micro-batch). Bottom-k state merges associatively, so the operator
+    is insensitive to batch boundaries."""
+    import hashlib
+
+    import pandas as pd
+
+    def sample(key, pdfs, state: GroupState):
+        if state.exists:
+            members, rks, n_seen = state.get
+            pairs = list(zip(list(rks), list(members)))
+        else:
+            pairs, n_seen = [], 0
+        for pdf in pdfs:
+            for m in pdf["member"]:
+                s = str(m)
+                pairs.append((hashlib.md5(s.encode()).hexdigest(), s))
+                n_seen += 1
+        pairs = sorted(set(pairs))[:k]
+        state.update(([m for _, m in pairs], [r for r, _ in pairs], int(n_seen)))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])] * len(pairs),
+                "member": [m for _, m in pairs],
+                "rk": [r for r, _ in pairs],
+                "n_seen": [int(n_seen)] * len(pairs),
+            }
+        )
+
+    return sample, _RESERVOIR_OUT_SCHEMA, _RESERVOIR_STATE_SCHEMA
+
+
+def reservoir_sample_stream(df: DataFrame, key_col: str, member_col, k: int) -> DataFrame:
+    """Wire the streaming reservoir onto a streaming frame: one O(k)
+    state row per key, update-mode emissions each micro-batch."""
+    from pyspark.sql import functions as F
+
+    func, out_schema, state_schema = make_reservoir_sampler(k)
+    staged = df.select(F.col(key_col).alias("key"), F.col(member_col).alias("member"))
+    return staged.groupBy("key").applyInPandasWithState(
+        func, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

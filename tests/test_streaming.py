@@ -887,3 +887,65 @@ def test_streaming_ewma_state_carries_across_batches(spark, tmp_path):
     assert [r["n_events"] for r in rows_out] == [2, 4]
     last = rows_out[-1]
     assert (last["n_anomalies"], round(last["final_ewma"], 6)) == (1, 45.625)
+
+
+def test_streaming_reservoir_merges_across_micro_batches(spark, tmp_path):
+    """r14 streaming reservoir: the per-key bottom-k state must merge
+    across REAL micro-batch boundaries — two file drops processed in
+    separate batches yield exactly the batch bottom-k of their union
+    (the deterministic-selection contract that lets the graded entry
+    use plain batch SQL as its oracle)."""
+    import hashlib
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.streaming.stateful import reservoir_sample_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [("a", i) for i in range(0, 20)] + [("b", i) for i in range(100, 110)]
+    rows2 = [("a", i) for i in range(20, 40)] + [("b", i) for i in range(110, 120)]
+    spark.createDataFrame(rows1, "source string, doc_id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = spark.readStream.schema("source string, doc_id long").parquet(str(src))
+    sampled = reservoir_sample_stream(stream, "source", "doc_id", k=3)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            sampled.writeStream.format("memory")
+            .queryName("rsv_merge")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(rows2, "source string, doc_id long").coalesce(
+                1
+            ).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    emitted = spark.table("rsv_merge")
+    final = (
+        emitted.withColumn("_mx", F.max("n_seen").over(Window.partitionBy("key")))
+        .where(F.col("n_seen") == F.col("_mx"))
+        .select("key", "member")
+    )
+    got = {(r["key"], int(r["member"])) for r in final.collect()}
+
+    def bottom_k(key, ids, k=3):
+        ranked = sorted((hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids)
+        return {(key, i) for _, i in ranked[:k]}
+
+    want = bottom_k("a", range(0, 40)) | bottom_k("b", range(100, 120))
+    assert got == want
+    # and the seen-counter is the full union count per key
+    seen = {r["key"]: r["n_seen"] for r in emitted.groupBy("key").agg(F.max("n_seen").alias("n_seen")).collect()}
+    assert seen == {"a": 40, "b": 20}
