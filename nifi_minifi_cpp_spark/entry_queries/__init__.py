@@ -84,8 +84,8 @@ from .sql_live import *  # noqa: F401,F403
 # locked by plan-shape tests — fall past the window.
 _GRADE_ORDER = [
     # --- r14 rotation (VERDICT r13 #1): never-driver-graded queue
-    # first (the 2 mid-r13 registrations + the 6 r14 registrations,
-    # registration order), then 42 oldest-first backfill picks — the
+    # first (the 2 mid-r13 registrations + the 7 r14 registrations,
+    # registration order), then 41 oldest-first backfill picks — the
     # r8-stale block head, as the codified staleness rule mandates
     # (tests/test_registry_contract.py::test_backfill_picks_are_oldest_first).
     #
@@ -98,6 +98,7 @@ _GRADE_ORDER = [
     "decay_weighted_sample_events",
     "kafka_group_consume",
     "streaming_reservoir_by_source",
+    "pg_cdc_stream_counts",
     # backfill picks (oldest driver round first, registration order within)
     "segment_set_ops",  # r8
     "part_brand_revenue",  # r8
@@ -140,8 +141,8 @@ _GRADE_ORDER = [
     "matryoshka_energy",  # r8
     "language_id_distribution",  # r8
     "dialect_flow_route_counts",  # r9
-    "el_multiattr_pack",  # r9
 ]
+
 
 
 

@@ -430,3 +430,99 @@ def streaming_reservoir_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("member").cast("long").alias("doc_id"),
         "rk",
     )
+
+
+@_register(
+    "pg_cdc_stream_counts",
+    """
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events WHERE event_id < 1200
+      HAVING count(*) > 0
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), count(*),
+             CAST(sum(CAST(round((value + 2) * 100) AS BIGINT)) AS BIGINT)
+      FROM events WHERE event_id < 1200 AND event_id % 7 = 0
+      HAVING count(*) > 0
+    ) ORDER BY version
+    """,
+)
+def pg_cdc_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC against the real PostgreSQL (r14, the streaming
+    flavor of pg_cdc_updated_rows): ``readStream.format('pgcdc')``
+    runs one incremental watermark poll per micro-batch with the
+    predicate rendered into the SERVER's WHERE clause. Micro-batch 1
+    snapshots the table at version 1 (events with event_id < 1200);
+    the server then UPDATEs every 7th row (version -> 2,
+    value -> value + 2, float8 server-side — bit-identical to the
+    oracle's DuckDB doubles); micro-batch 2 captures exactly the
+    updated rows. The streamed union is grouped by version: CDC
+    delivers each row once per version it passed through, so a
+    re-polled or lost batch skews a count and the oracle goes red."""
+    import uuid as _uuid
+
+    from ..sources.pg_wire import EphemeralPostgres, PgWireClient, put_sql_pg, register_pgcdc
+
+    configure(spark)
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_id", "event_type", "value")
+        .filter(F.col("event_id") < 1200)
+        .withColumn("version", F.lit(1).cast("long"))
+    )
+    with EphemeralPostgres() as pg:
+        c = pg.client()
+        c.execute(
+            "CREATE TABLE cdc_stream_src (event_id bigint, event_type text, "
+            "value double precision, version bigint)"
+        )
+        c.close()
+        port, user = pg.port, pg.user
+        put_sql_pg(
+            ev.repartition(4), lambda: PgWireClient(port=port, user=user), "cdc_stream_src"
+        )
+        register_pgcdc(spark)
+        view = f"pgcdc_{_uuid.uuid4().hex[:8]}"
+        stream = (
+            spark.readStream.format("pgcdc")
+            .option("port", str(port))
+            .option("user", user)
+            .option("table", "cdc_stream_src")
+            .option("watermark", "version")
+            .option("columns", "event_id,event_type,value,version")
+            .option("schema", "event_id long, event_type string, value double, version long")
+            .load()
+        )
+        with _pinned_shuffle(spark, 2):
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(view)
+                .outputMode("append")
+                .start()
+            )
+        try:
+            q.processAllAvailable()  # micro-batch 1: the v1 snapshot
+            c = pg.client()
+            c.execute(
+                "UPDATE cdc_stream_src SET version = 2, value = value + 2 "
+                "WHERE event_id % 7 = 0"
+            )
+            c.close()
+            q.processAllAvailable()  # micro-batch 2: the updated rows
+            out = (
+                spark.table(view)
+                .groupBy("version")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(_cents(F.col("value"))).alias("sum_cents"),
+                )
+                .orderBy("version")
+                .collect()
+            )
+        finally:
+            q.stop()
+    return spark.createDataFrame(
+        [(r["version"], r["n_rows"], r["sum_cents"]) for r in out],
+        "version long, n_rows long, sum_cents long",
+    )

@@ -287,6 +287,108 @@ def pg_incremental_scan(
     )
 
 
+def _register_pgcdc_impl():
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class PgCdcStreamReader(SimpleDataSourceStreamReader):
+        """Streaming CDC over the v3 wire protocol: every micro-batch
+        runs ONE QueryDatabaseTable-style incremental poll — the
+        max-value watermark predicate rendered into the SERVER's WHERE
+        clause (QueryDatabaseTable.cpp:120-166), so each batch fetches
+        only rows whose watermark advanced. With a version/updated_at
+        watermark this captures UPDATEs as new rows (the poll-based
+        CDC shape); with an append-only id it tails inserts. The
+        checkpointed offset is the watermark value itself, so crash
+        replay (readBetweenOffsets) re-fetches exactly the
+        (start, end] watermark range. Poll-based CDC caveat
+        (documented, inherent to the reference's model too): a row
+        updated AGAIN past the replayed range's end is seen at its
+        newer version in a later batch, not re-materialized at the
+        replayed one; deletes are invisible."""
+
+        def __init__(self, options):
+            self.host = options.get("host", "127.0.0.1")
+            self.port = int(options.get("port", "5432"))
+            self.user = options.get("user", "postgres")
+            self.database = options.get("database", "postgres")
+            self.table = options.get("table")
+            self.watermark = options.get("watermark")
+            self.columns = [c.strip() for c in options.get("columns", "").split(",") if c.strip()]
+            if not (self.table and self.watermark and self.columns):
+                raise ValueError("pgcdc source requires options 'table', 'watermark', 'columns'")
+
+        def _client(self) -> PgWireClient:
+            return PgWireClient(
+                host=self.host, port=self.port, user=self.user, database=self.database
+            )
+
+        def initialOffset(self) -> dict:
+            return {"wm": "null"}
+
+        def _fetch_range(self, client: PgWireClient, lo, hi) -> list[tuple]:
+            cols = ", ".join(f'"{c}"' for c in self.columns)
+            conds = []
+            if lo is not None:
+                conds.append(f'"{self.watermark}" > {pg_literal(lo)}')
+            if hi is not None:
+                conds.append(f'"{self.watermark}" <= {pg_literal(hi)}')
+            where = f" WHERE {' AND '.join(conds)}" if conds else ""
+            return client.query(f"SELECT {cols} FROM {self.table}{where}")[2]
+
+        def read(self, start: dict):
+            import json as _json
+
+            lo = _json.loads(start.get("wm", "null"))
+            client = self._client()
+            try:
+                # max watermark FIRST, then the bounded (lo, hi] fetch:
+                # a row landing between the two statements is simply
+                # next batch's work — the reverse order would record a
+                # watermark covering rows the fetch never saw (lost)
+                (hi,) = client.query(
+                    f'SELECT max("{self.watermark}") FROM {self.table}'
+                )[2][0]
+                if hi is None or hi == lo:
+                    return iter([]), {"wm": _json.dumps(lo)}
+                rows = self._fetch_range(client, lo, hi)
+            finally:
+                client.close()
+            return iter(rows), {"wm": _json.dumps(hi)}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            import json as _json
+
+            lo = _json.loads(start.get("wm", "null"))
+            hi = _json.loads(end.get("wm", "null"))
+            client = self._client()
+            try:
+                return iter(self._fetch_range(client, lo, hi))
+            finally:
+                client.close()
+
+    class PgCdcDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "pgcdc"
+
+        def schema(self):
+            s = self.options.get("schema")
+            if not s:
+                raise ValueError("pgcdc source requires option 'schema' (DDL string)")
+            return s
+
+        def simpleStreamReader(self, schema):
+            return PgCdcStreamReader(self.options)
+
+    return PgCdcDataSource
+
+
+def register_pgcdc(spark) -> None:
+    """Register readStream.format('pgcdc') — the streaming flavor of
+    QueryDatabaseTable against a real PostgreSQL."""
+    spark.dataSource.register(_register_pgcdc_impl())
+
+
 class EphemeralPostgres:
     """Boot a real PostgreSQL server (initdb + pg_ctl as a dedicated
     non-root user — postgres refuses root) for the interop tests and

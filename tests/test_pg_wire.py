@@ -286,3 +286,56 @@ def test_query_to_df_and_put_sql_pg_roundtrip(pg_server, spark, tables):
         assert n == len(expected)
     finally:
         c.close()
+
+
+def test_pgcdc_stream_reader_polls_and_replays(pg_server, spark):
+    """The pgcdc streaming source (r14): each read() is one
+    server-side incremental watermark poll; the checkpointed offset is
+    the watermark value, and readBetweenOffsets replays exactly the
+    (start, end] range — the crash-recovery contract."""
+    from nifi_minifi_cpp_spark.sources.pg_wire import _register_pgcdc_impl
+
+    c = _client(pg_server)
+    try:
+        c.execute(
+            "DROP TABLE IF EXISTS cdc_t; "
+            "CREATE TABLE cdc_t (id bigint, v double precision, ver bigint)"
+        )
+        c.execute("INSERT INTO cdc_t VALUES (1, 1.5, 1), (2, 2.5, 1)")
+    finally:
+        c.close()
+
+    reader = _register_pgcdc_impl()(
+        {
+            "port": str(pg_server["port"]),
+            "user": pg_server["user"],
+            "table": "cdc_t",
+            "watermark": "ver",
+            "columns": "id,v,ver",
+            "schema": "id long, v double, ver long",
+        }
+    ).simpleStreamReader(None)
+
+    start = reader.initialOffset()
+    rows1, off1 = reader.read(start)
+    assert sorted(rows1) == [(1, 1.5, 1), (2, 2.5, 1)]
+    # idle poll: no watermark movement, offset unchanged
+    rows_idle, off_idle = reader.read(off1)
+    assert list(rows_idle) == [] and off_idle == off1
+
+    c = _client(pg_server)
+    try:
+        c.execute("UPDATE cdc_t SET ver = 2, v = v + 1 WHERE id = 1")
+    finally:
+        c.close()
+    rows2, off2 = reader.read(off1)
+    assert sorted(rows2) == [(1, 2.5, 2)]  # only the updated row
+
+    # crash replay of batch 2: exactly the (off1, off2] range again
+    assert sorted(reader.readBetweenOffsets(off1, off2)) == [(1, 2.5, 2)]
+    # replay of batch 1 AFTER the update pins the documented poll-CDC
+    # caveat: row 1 now lives at ver=2, outside (null, 1], so only the
+    # un-updated row re-materializes — a replayed row updated past the
+    # range's end is seen at its newer version in that later range
+    # (inherent to poll-based CDC; the reference's model is the same)
+    assert sorted(reader.readBetweenOffsets(start, off1)) == [(2, 2.5, 1)]

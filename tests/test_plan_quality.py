@@ -683,6 +683,7 @@ def test_r14_entries_exchange_ceiling():
         "welch_ttest_ab_values": 3,
         "acf_hourly_by_type": 5,
         "streaming_reservoir_by_source": 4,
+        "pg_cdc_stream_counts": 4,
     }
     audit_path = Path(__file__).resolve().parents[1] / "PLAN_AUDIT.json"
     audit = json.loads(audit_path.read_text())["queries"]

@@ -22,8 +22,8 @@ from nifi_minifi_cpp_spark import entry_queries
 # Every SURVEY §2 operator family and every LLM-pipeline operator must
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
-    # r14 rotation: never-driver-graded queue (2 mid-r13 + 6 r14
-    # registrations) + 42 oldest-first backfill picks (the r8-stale
+    # r14 rotation: never-driver-graded queue (2 mid-r13 + 7 r14
+    # registrations) + 41 oldest-first backfill picks (the r8-stale
     # block head) per the staleness rule below.
     "welch_ttest_ab_values",
     "acf_hourly_by_type",
@@ -33,6 +33,7 @@ MUST_GRADE = {
     "decay_weighted_sample_events",
     "kafka_group_consume",
     "streaming_reservoir_by_source",
+    "pg_cdc_stream_counts",
     "segment_set_ops",
     "part_brand_revenue",
     "supplier_nation_agg",
@@ -74,7 +75,6 @@ MUST_GRADE = {
     "matryoshka_energy",
     "language_id_distribution",
     "dialect_flow_route_counts",
-    "el_multiattr_pack",
 }
 
 def test_must_grade_queries_inside_window():
