@@ -430,9 +430,16 @@ class MiniMqttBroker:
                                     broker._accept(topic, payload, props, retain)
                                 conn.send(_packet(PUBREC, 0, struct.pack(">H", pid)))
                             else:
+                                # accept BEFORE acking: PUBACK confirms
+                                # the broker has taken the message —
+                                # ack-first let a client observe its
+                                # acked publish as not-yet-delivered
+                                # (raced the fixture's published list
+                                # under load; real brokers persist
+                                # before acking for the same reason)
+                                broker._accept(topic, payload, props, retain)
                                 if qos == 1:
                                     conn.send(_packet(PUBACK, 0, struct.pack(">H", pid)))
-                                broker._accept(topic, payload, props, retain)
                         elif ptype == UNSUBSCRIBE:
                             (pid,) = struct.unpack_from(">H", body, 0)
                             pos = 2
