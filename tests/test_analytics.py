@@ -2152,3 +2152,36 @@ def test_poisson_bootstrap_tiny_group_ansi_safe(spark):
             assert v is None or v == 300000
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_reservoir_and_decay_samples_are_partition_invariant(spark):
+    """r14 samplers: the selection must be IDENTICAL under any
+    physical partitioning (the engine-portability contract that lets
+    the oracles be plain SQL) and prefix-stable (growing k keeps the
+    smaller sample's rows)."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics import decay_weighted_sample, reservoir_sample
+
+    base = spark.range(0, 5000).select(
+        F.col("id").alias("key"), (F.col("id") % 37).alias("age")
+    )
+
+    def ids(df, col="key"):
+        return sorted(r[col] for r in df.collect())
+
+    one = ids(reservoir_sample(base.repartition(1), F.col("key"), 50))
+    many = ids(reservoir_sample(base.repartition(16), F.col("key"), 50))
+    assert one == many and len(one) == 50
+    # prefix stability: k=20 is a subset of k=50
+    small = ids(reservoir_sample(base, F.col("key"), 20))
+    assert set(small) <= set(one)
+
+    d_one = ids(decay_weighted_sample(base.repartition(1), F.col("key"), F.col("age"), 50))
+    d_many = ids(decay_weighted_sample(base.repartition(16), F.col("key"), F.col("age"), 50))
+    assert d_one == d_many and len(d_one) == 50
+    # the recency bias is real: the decayed sample skews younger than
+    # the uniform one (mean age strictly below the population mean)
+    pop_mean = 36 / 2
+    decayed_ages = [r["age"] for r in decay_weighted_sample(base, F.col("key"), F.col("age"), 50).collect()]
+    assert sum(decayed_ages) / len(decayed_ages) < pop_mean
