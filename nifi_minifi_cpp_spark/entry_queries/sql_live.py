@@ -396,8 +396,6 @@ def streaming_reservoir_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     import shutil as _shutil
     import uuid as _uuid
 
-    from pyspark.sql import Window
-
     from ..streaming.stateful import reservoir_sample_stream
 
     configure(spark)
@@ -415,7 +413,8 @@ def streaming_reservoir_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
     try:
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):  # timeout => PARTIAL reservoir: fail loudly
+            raise RuntimeError("streaming reservoir did not finish within 120s")
     finally:
         q.stop()
         _shutil.rmtree(stage, ignore_errors=True)

@@ -438,9 +438,16 @@ def make_reservoir_sampler(k: int):
         else:
             pairs, n_seen = [], 0
         for pdf in pdfs:
+            # members arrive as Spark-cast STRINGS (see
+            # reservoir_sample_stream) — casting pandas-side would let
+            # a nullable int column widen to float64 and hash '123.0'
+            # instead of '123', silently diverging from the batch/SQL
+            # md5(CAST(... AS VARCHAR)) selection. NULL members are not
+            # sampleable and are not counted.
             for m in pdf["member"]:
-                s = str(m)
-                pairs.append((hashlib.md5(s.encode()).hexdigest(), s))
+                if m is None:
+                    continue
+                pairs.append((hashlib.md5(m.encode()).hexdigest(), m))
                 n_seen += 1
         pairs = sorted(set(pairs))[:k]
         state.update(([m for _, m in pairs], [r for r, _ in pairs], int(n_seen)))
@@ -458,11 +465,19 @@ def make_reservoir_sampler(k: int):
 
 def reservoir_sample_stream(df: DataFrame, key_col: str, member_col, k: int) -> DataFrame:
     """Wire the streaming reservoir onto a streaming frame: one O(k)
-    state row per key, update-mode emissions each micro-batch."""
+    state row per key, update-mode emissions each micro-batch. The
+    member is cast to string IN SPARK so the hashed text is exactly
+    ``CAST(member AS STRING)`` — Arrow would widen a nullable integer
+    column to pandas float64 and the Python-side str() would hash
+    '123.0', silently selecting a different sample than the batch/SQL
+    contract."""
     from pyspark.sql import functions as F
 
     func, out_schema, state_schema = make_reservoir_sampler(k)
-    staged = df.select(F.col(key_col).alias("key"), F.col(member_col).alias("member"))
+    staged = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(member_col).cast("string").alias("member"),
+    )
     return staged.groupBy("key").applyInPandasWithState(
         func, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
