@@ -707,12 +707,25 @@ def reservoir_sample(df: DataFrame, key: Column, k: int) -> DataFrame:
     (TakeOrderedAndProject — per-partition top-k, driver merge, NO
     full shuffle), so the operator is one scan at any scale. The
     sample is also prefix-stable: growing k later keeps the current
-    rows selected."""
+    rows selected.
+
+    NULL keys are NOT sampleable and are filtered out (r15): a NULL
+    key hashes to a NULL rank, and Spark's ascending NULLS FIRST would
+    otherwise deterministically crowd the head of the bottom-k — the
+    streaming reservoir (streaming/stateful.py make_reservoir_sampler)
+    already skips NULL members, so batch and streaming now agree on
+    the same data."""
     return (
-        df.withColumn("_rk", F.md5(key.cast("string")))
+        df.filter(key.isNotNull())
+        .withColumn("_rk", F.md5(key.cast("string")))
         .orderBy("_rk", key)
         .limit(k)
     )
+
+
+# h48 < 2^48, so priority h48*(1+age) stays under 2^63 iff
+# 1+age <= 2^15 — the exact int64-safety bound for the decay sampler.
+DECAY_AGE_LIMIT = (1 << 15) - 1
 
 
 def decay_weighted_sample(df: DataFrame, key: Column, age: Column, k: int) -> DataFrame:
@@ -726,12 +739,32 @@ def decay_weighted_sample(df: DataFrame, key: Column, age: Column, k: int) -> Da
     exact same sample: the textbook Efraimidis-Spirakis priority
     u^(1/w) needs float pow/ln, which is not bit-stable across engines
     and would make the selection boundary flap. ``age`` must be a
-    non-negative integer column bounded by ~2^14 (priority stays under
-    2^63). Same mergeable bottom-k physical plan as
+    non-negative integer column; the int64-safety precondition
+    (age <= DECAY_AGE_LIMIT = 2^15-1, so h48*(1+age) < 2^63) is
+    ENFORCED at runtime (r15): an out-of-contract age raises a typed
+    error in normal AND ANSI mode instead of silently wrapping the
+    priority negative and corrupting the selection. NULL key/age rows
+    are not sampleable and are filtered (same r15 contract as
+    :func:`reservoir_sample` — matches the streaming reservoir's
+    NULL-skip semantics). Same mergeable bottom-k physical plan as
     :func:`reservoir_sample` — no shuffle at any scale."""
     h48 = F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10).cast("long")
+    age_l = age.cast("long")
+    checked_age = F.when(
+        (age_l < 0) | (age_l > DECAY_AGE_LIMIT),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "decay_weighted_sample: age out of contract "
+                    f"[0, {DECAY_AGE_LIMIT}] (int64 priority would overflow): "
+                ),
+                age_l.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(age_l)
     return (
-        df.withColumn("_prio", h48 * (F.lit(1).cast("long") + age.cast("long")))
+        df.filter(key.isNotNull() & age.isNotNull())
+        .withColumn("_prio", h48 * (F.lit(1).cast("long") + checked_age))
         .orderBy("_prio", key)
         .limit(k)
     )

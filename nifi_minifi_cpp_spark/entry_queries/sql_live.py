@@ -212,7 +212,8 @@ def pg_cdc_updated_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH r AS (
       SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS rk
-      FROM events ORDER BY rk, event_id LIMIT 200)
+      FROM events WHERE event_id IS NOT NULL
+      ORDER BY rk, event_id LIMIT 200)
     SELECT CAST(row_number() OVER (ORDER BY rk, event_id) AS BIGINT) AS pick_order,
            event_id, rk
     FROM r
@@ -245,7 +246,7 @@ def reservoir_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id,
              (SELECT max(epoch_us(ts)) // 86400000000 FROM events)
                - epoch_us(ts) // 86400000000 AS age_days
-      FROM events),
+      FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL),
     p AS (
       SELECT event_id, age_days,
              ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT

@@ -24,6 +24,12 @@ and ignored because every batch here is committed; the group
 coordinator is non-blocking: instead of parking JoinGroup until the
 rebalance barrier, the first current-generation joiner leads, which
 the deterministic assignor makes equivalent for conformance purposes;
+the coordinator also has NO session-expiry liveness: session_timeout
+is read and ignored, so a member that dies without LeaveGroup keeps
+its RangeAssignor partitions forever and the group silently stops
+consuming them — a real broker evicts on missed heartbeats; fixture
+consumers must LeaveGroup (KafkaGroupConsumer.close does) or accept
+the stuck-partition behavior;
 compression: optional gzip/snappy/lz4 serving modes, r9-r10). The
 CLIENT decodes plain, gzip, snappy and lz4 RecordBatches (gzip via
 zlib; snappy and lz4 via the pure-Python block codecs in

@@ -390,34 +390,56 @@ def register_pgcdc(spark) -> None:
 
 
 class EphemeralPostgres:
-    """Boot a real PostgreSQL server (initdb + pg_ctl as a dedicated
-    non-root user — postgres refuses root) for the interop tests and
-    the graded QueryDatabaseTable entries; context manager tears it
-    down and removes the datadir. Raises PgWireError when the binaries
-    or a usable non-root user are absent, so callers can skip/gate."""
+    """Boot a real PostgreSQL server (initdb + pg_ctl as a non-root
+    user — postgres refuses root) for the interop tests and the graded
+    QueryDatabaseTable entries; context manager tears it down and
+    removes the datadir. Raises PgWireError when the binaries or a
+    usable non-root user are absent, so callers can skip/gate.
+
+    Host-state honesty (r15): when the process runs as a NON-root
+    user, no user is created at all — commands run directly as the
+    caller. Only when running as root does the fixture need a non-root
+    identity: it reuses ``user`` if that account already exists and
+    otherwise creates it ONCE with ``useradd -M`` (no home dir, the
+    smallest footprint useradd offers). That account persists across
+    runs — Linux has no scoped users, and deleting it on teardown
+    would race concurrent fixtures — so the side effect is one
+    idempotent system account, documented here rather than hidden."""
 
     def __init__(self, user: str = "pgtest", timeout: float = 20.0):
+        import os
+
         self.user = user
         self.timeout = timeout
         self.port: int | None = None
         self._datadir: str | None = None
+        self._direct = hasattr(os, "geteuid") and os.geteuid() != 0
 
     def _as_pg(self, cmd: str):
         import subprocess
 
+        if self._direct:
+            return subprocess.run(["sh", "-c", cmd], capture_output=True, text=True)
         return subprocess.run(["su", self.user, "-c", cmd], capture_output=True, text=True)
 
     def __enter__(self) -> "EphemeralPostgres":
-        import shutil
         import subprocess
         import time
         import uuid
 
+        import shutil
+
         if shutil.which("initdb") is None or shutil.which("pg_ctl") is None:
             raise PgWireError("no PostgreSQL binaries on PATH")
-        subprocess.run(["useradd", "-m", self.user], capture_output=True)
-        if subprocess.run(["id", self.user], capture_output=True).returncode != 0:
-            raise PgWireError("cannot create a non-root user for postgres")
+        if self._direct:
+            import getpass
+
+            self.user = getpass.getuser()
+        else:
+            if subprocess.run(["id", self.user], capture_output=True).returncode != 0:
+                subprocess.run(["useradd", "-M", self.user], capture_output=True)
+            if subprocess.run(["id", self.user], capture_output=True).returncode != 0:
+                raise PgWireError("cannot create a non-root user for postgres")
         self._datadir = f"/tmp/pgwire-{uuid.uuid4().hex[:8]}"
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))

