@@ -180,20 +180,35 @@ def main():
     qs = entry.queries()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    retimed: dict[str, list[float]] = {}
+    raw_runs: dict[str, list[float]] = {}
     regressed: dict[str, dict] = {}
     total = 0.0
 
-    # Prior round's per-query timings (if present): the re-time
-    # discipline below compares against them to catch POSITIONAL
-    # inflation — accumulated JVM/GC pressure landing on whoever runs
-    # after a heavy block (r6: retry_flow_file_exhaustion clocked 6.0s
-    # in-sequence vs 1.0-1.7s isolated, purely from sitting behind the
-    # 22-query TPC-H block).
+    # Per-query MEDIAN-of-N discipline (r15, VERDICT r14 #1): the rig
+    # has a ±15% day band and single-shot timings additionally carry
+    # positional inflation — accumulated JVM/GC pressure landing on
+    # whoever runs after a heavy block (r6: retry_flow_file_exhaustion
+    # clocked 6.0s in-sequence vs 1.0-1.7s isolated; r14: the committed
+    # single-shot detail was the slowest of four same-code runs and
+    # manufactured a false 1.23x headline that judge retimes disproved).
+    # Every query now runs N times back-to-back (default 3,
+    # $SPARK_GRAFT_BENCH_RUNS); the PUBLISHED number is the per-query
+    # median — robust to one GC/JIT outlier in either direction, unlike
+    # min (best-cases a real regression) or the old settle-and-retime
+    # (still a single sample). The raw runs ship alongside in `runs` so
+    # any round-over-round comparison can recompute its own statistic.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    # Prior round's per-query medians (if present) drive the
+    # `regressed` flag: median > 2x prior-median at >=1s.
     prior: dict[str, float] = {}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")) as f:
-            prior = json.load(f).get("queries", {}) or {}
+            _p = json.load(f)
+        # only a same-SF prior is comparable (an sf0.001 smoke run must
+        # not flag "regressions" against the sf0.1 round artifact)
+        if _p.get("sf") == sf:
+            prior = _p.get("queries", {}) or {}
     except Exception:
         pass
 
@@ -203,56 +218,57 @@ def main():
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - start, 3)
 
+    def median(vals: list[float]) -> float:
+        import statistics
+
+        return round(statistics.median(vals), 3)
+
     # FIXED alphabetical order, independent of the grading rotation:
     # queries() order follows _GRADE_ORDER, which rotates per round, so
     # iterating it aliased whichever queries moved to the front with
     # residual warm-up cost and broke round-over-round comparisons
     # (r4->r5: q1 0.48s->2.31s purely from moving to position 0).
+    # Local-iteration filter: SPARK_GRAFT_BENCH_ONLY=a,b,c times just
+    # those queries (and skips writing BENCH_DETAIL.json, so a partial
+    # sweep can never masquerade as the round artifact).
+    only = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
     for name in sorted(qs):
+        if only and name not in only:
+            continue
         fn = qs[name]
         # Fault-isolate each query: one regression must not destroy the
         # round's entire bench artifact (round 3 lost every timing to a
         # single AnalysisException).
         try:
-            elapsed = run_once(fn)
+            runs = [run_once(fn)]
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: FAILED {type(exc).__name__}", file=sys.stderr)
             continue
-        # Re-time discipline (r8, VERDICT r7 #3 + ADVICE): >2.0x the
-        # prior round at >=1s is almost always positional/GC cost, not
-        # a code regression (2.5x let a 2.39x phantom ship in r7).
-        # Settle the JVM (full GC + short drain) and run once more;
-        # report the SECOND (settled) number — min() would publish a
-        # genuine regression at its best-case — and keep both in
-        # `retimed`. If even the settled run stays >2.0x prior the
-        # entry lands in `regressed` so it can't hide in the detail.
-        if name in prior and elapsed >= 1.0 and elapsed > 2.0 * prior[name]:
+        # Repeats are best-effort: a fixture that can't re-run in the
+        # same session degrades this entry to fewer samples, never to a
+        # bench failure.
+        for _ in range(n_runs - 1):
             try:
-                spark._jvm.System.gc()
-                time.sleep(0.5)
-                second = run_once(fn)
-            except Exception:  # noqa: BLE001
-                second = elapsed
-            retimed[name] = [elapsed, second]
-            elapsed = second
-            if second > 2.0 * prior[name]:
-                regressed[name] = {"prior": prior[name], "settled": second}
-            print(
-                f"# {name}: re-timed {retimed[name][0]}s -> {second}s "
-                f"(prior {prior[name]}s)",
-                file=sys.stderr,
-            )
+                runs.append(run_once(fn))
+            except Exception as exc:  # noqa: BLE001
+                print(f"# {name}: repeat skipped {type(exc).__name__}", file=sys.stderr)
+                break
+        raw_runs[name] = runs
+        elapsed = median(runs)
+        if name in prior and elapsed >= 1.0 and elapsed > 2.0 * prior[name]:
+            regressed[name] = {"prior": prior[name], "median": elapsed, "runs": runs}
         timings[name] = elapsed
         total += elapsed
-        print(f"# {name}: {elapsed}s", file=sys.stderr)
+        print(f"# {name}: {elapsed}s (median of {runs})", file=sys.stderr)
 
     detail = {
         "metric": "engine_queries_total_runtime",
         "value": round(total, 3),
         "unit": "sec",
+        "aggregation": f"per-query median of {n_runs} back-to-back runs",
         "queries": timings,
-        "retimed": retimed,
+        "runs": raw_runs,
         "regressed": regressed,
         "errors": errors,
         "sf": sf,
@@ -261,8 +277,9 @@ def main():
     # stdout tail, and round 1's single 2.3KB JSON line was truncated
     # (BENCH_r01 "parsed": null). The LAST stdout line is a minimal
     # summary so any tail-capture parser wins.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail, f, indent=1)
+    if not only:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
     print(json.dumps(detail), file=sys.stderr)
     print(
         json.dumps(
