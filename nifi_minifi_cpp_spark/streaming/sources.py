@@ -244,6 +244,12 @@ def kafka_wire_source(spark: SparkSession, props: dict) -> DataFrame:
     )
     if "maxOffsetsPerTrigger" in opts:
         reader = reader.option("maxOffsetsPerTrigger", opts["maxOffsetsPerTrigger"])
+    if "kafka.group.id" in opts:
+        # Group ID (ConsumeKafka.h:129-132): committed group offsets
+        # seed the FIRST start (they beat Offset Reset) and every batch
+        # commits back — the checkpoint stays the offset truth on
+        # restart (r15; see KafkaWireStreamReader.initialOffset)
+        reader = reader.option("kafka.group.id", opts["kafka.group.id"])
     return reader.load()
 
 

@@ -759,3 +759,80 @@ def test_kafkawire_stream_group_id_resume_and_commit(spark, tmp_path):
         cli.close()
     finally:
         b.stop()
+
+
+def test_checkpoint_beats_group_commit(spark, tmp_path):
+    """Checkpoint-vs-group precedence (r15, VERDICT r14 #4): committed
+    group offsets seed only the FIRST start (no checkpoint yet); on
+    restart the Spark checkpoint is the offset truth — a group commit
+    REWOUND between runs must not replay already-processed records
+    (the same contract the real Spark Kafka connector documents for
+    kafka.group.id)."""
+    import uuid
+
+    from nifi_minifi_cpp_spark.sources.kafka_wire import (
+        MiniKafkaBroker,
+        MiniKafkaClient,
+        register_kafkawire,
+    )
+
+    b = MiniKafkaBroker().start()
+    try:
+        topic = f"t_{uuid.uuid4().hex[:8]}"
+        group = f"g_{uuid.uuid4().hex[:8]}"
+        b.append(topic, 0, [(1_000 + i, None, b"m%d" % i, []) for i in range(10)])
+        cli = MiniKafkaClient(b.bootstrap)
+        cli.offset_commit(group, {(topic, 0): 4})
+        register_kafkawire(spark)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+
+        def run_until(n_target, timeout=45):
+            q = (
+                spark.readStream.format("kafkawire")
+                .option("kafka.bootstrap.servers", b.bootstrap)
+                .option("subscribe", topic)
+                .option("startingOffsets", "earliest")
+                .option("kafka.group.id", group)
+                .load()
+                .selectExpr("offset", "CAST(value AS STRING) AS v")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            import time as _t
+
+            deadline = _t.time() + timeout
+            try:
+                while _t.time() < deadline:
+                    try:
+                        if spark.read.parquet(out).count() >= n_target:
+                            break
+                    except Exception:
+                        pass
+                    _t.sleep(0.5)
+            finally:
+                q.stop()
+
+        run_until(6)
+        got = sorted(r["offset"] for r in spark.read.parquet(out).collect())
+        assert got == [4, 5, 6, 7, 8, 9]  # run 1: group commit seeds the start
+
+        # REWIND the group between runs and append fresh records: a
+        # group-seeded restart would replay 0..9; the checkpoint must
+        # resume at 10 and deliver only the fresh tail.
+        cli.offset_commit(group, {(topic, 0): 0})
+        b.append(topic, 0, [(2_000 + i, None, b"f%d" % i, []) for i in range(5)])
+        run_until(11)
+        rows = spark.read.parquet(out).collect()
+        assert sorted(r["offset"] for r in rows) == [4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14]
+        assert sorted(r["v"] for r in rows if r["offset"] >= 10) == [
+            "f%d" % i for i in range(5)
+        ]
+        # ...and the stream's CommitAfterBatch re-advanced the group
+        # past the rewind, to the log end
+        assert cli.offset_fetch(group, [(topic, 0)]) == {(topic, 0): 15}
+        cli.close()
+    finally:
+        b.stop()
