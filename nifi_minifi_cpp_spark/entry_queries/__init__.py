@@ -71,6 +71,7 @@ from .retrieval_audit import *  # noqa: F401,F403
 from .sketches_temporal import *  # noqa: F401,F403
 from .sequential_eval import *  # noqa: F401,F403
 from .sql_live import *  # noqa: F401,F403
+from .file_merge_live import *  # noqa: F401,F403
 
 
 

@@ -1,12 +1,30 @@
 """TailFile: incremental tail of rolling log files with persisted
-(position, checksum) state.
+(position, checksum) state and rotated-file recovery.
 
 Reference semantics (/root/reference/extensions/standard-processors/
 processors/TailFile.cpp:582 onTrigger, state recovery :244-308,
-rotation-detection checksum :106-215): per tailed file keep the read
-offset and a checksum of the head bytes; if the head checksum changes
-the file was rotated/replaced -> re-read from 0. A rolling-filename
-glob picks up rotated siblings.
+rotation-detection checksum :106-215, rotated-file lookup + CRC
+resume :504-583 parseRollingFilePattern / findRotatedFilesAfterLastReadTime /
+sortAndSkipMainFilePrefix): per tailed file keep the read offset and a
+CRC32 of the first ``position`` bytes. When the file shrinks or its
+head CRC changes, it was rotated/replaced. Before re-reading the main
+file from 0, RECOVER the rotated siblings (r15):
+
+- candidates = files in the same directory matching the Rolling
+  Filename Pattern (default ``${filename}.*`` with ``${filename}``
+  replaced by the tailed file's stem, full-regex match like the
+  reference's utils::regexMatch), excluding the main file, with
+  mtime >= the last read time, sorted by (mtime, name);
+- the FIRST (oldest) candidate is checked against the saved state:
+  if its size >= position AND crc32(first position bytes) equals the
+  saved checksum, the candidate IS the renamed old file — resume
+  reading it AT position (the unread tail written just before the
+  rename is emitted exactly once, nothing re-read);
+- a CRC mismatch or a shorter candidate means it is NOT the old file
+  — it is read in full from 0 (the reference's copy-truncate /
+  unrelated-file row of the truth table);
+- remaining candidates are read in full, then the main file restarts
+  from 0.
 
 Architecture note: tailing is inherently sequential per file and runs
 agent-side in the reference. Here the *delta discovery* (stat + head
@@ -22,18 +40,25 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
+import time
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 class TailFile:
-    HEAD_CHECKSUM_BYTES = 512
-
-    def __init__(self, file_pattern: str, state_path: str, delimiter: str = "\n"):
+    def __init__(
+        self,
+        file_pattern: str,
+        state_path: str,
+        delimiter: str = "\n",
+        rolling_pattern: str = "${filename}.*",
+    ):
         self.file_pattern = file_pattern
         self.state_path = state_path
         self.delimiter = delimiter
+        self.rolling_pattern = rolling_pattern
 
     def _load_state(self) -> dict[str, dict]:
         if os.path.exists(self.state_path):
@@ -47,26 +72,117 @@ class TailFile:
             json.dump(state, f)
         os.replace(tmp, self.state_path)
 
-    def _head_checksum(self, path: str, upto: int) -> int:
-        n = min(upto, self.HEAD_CHECKSUM_BYTES)
-        if n <= 0:
+    @staticmethod
+    def _crc_upto(path: str, upto: int) -> int:
+        """CRC32 of the first ``upto`` bytes — the reference's
+        utils::file::computeChecksum(path, position) identity check
+        (TailFile.cpp:568,625). Streaming read: O(position) I/O per
+        poll, the reference's own cost."""
+        if upto <= 0:
             return 0
+        crc = 0
+        left = upto
         with open(path, "rb") as f:
-            return zlib.crc32(f.read(n))
+            while left > 0:
+                chunk = f.read(min(left, 1 << 20))
+                if not chunk:
+                    break
+                crc = zlib.crc32(chunk, crc)
+                left -= len(chunk)
+        return crc
+
+    def _rotated_candidates(self, path: str, last_read_time: float) -> list[str]:
+        """Rolling-pattern siblings of ``path``, oldest first
+        (TailFile.cpp:504-555): ${filename} -> the stem (up to the
+        last dot), full-regex match, main file excluded, mtime >= the
+        last read time (floored to seconds like the reference's
+        time_point_cast<seconds>), sorted by (mtime, name)."""
+        dirname = os.path.dirname(path) or "."
+        fname = os.path.basename(path)
+        stem = fname[: fname.rfind(".")] if "." in fname else fname
+        pattern = self.rolling_pattern.replace("${filename}", re.escape(stem))
+        rx = re.compile(pattern)
+        out = []
+        for name in os.listdir(dirname):
+            if name == fname or not rx.fullmatch(name):
+                continue
+            full = os.path.join(dirname, name)
+            if not os.path.isfile(full):
+                continue
+            mtime = os.path.getmtime(full)
+            if mtime >= int(last_read_time):
+                out.append((mtime, name, full))
+        return [full for _, _, full in sorted(out)]
+
+    def _read_whole(
+        self,
+        path: str,
+        start: int,
+        rows: list[tuple[str, int, str]],
+        state: dict[str, dict],
+        now: float,
+    ) -> None:
+        """Emit everything from ``start`` to EOF of a ROTATED file —
+        it is closed, so the final unterminated segment is a complete
+        record too (the reference reads rotated files to the end,
+        TailFile.cpp:660-676)."""
+        size = os.path.getsize(path)
+        if size > start:
+            with open(path, "rb") as f:
+                f.seek(start)
+                chunk = f.read(size - start)
+            text = chunk.decode("utf-8", errors="replace")
+            offset = start
+            parts = text.split(self.delimiter)
+            for i, line in enumerate(parts):
+                if i == len(parts) - 1 and line == "":
+                    break  # trailing delimiter artifact
+                rows.append((path, offset, line))
+                offset += len(line.encode()) + len(self.delimiter)
+        state[path] = {
+            "position": size,
+            "checksum": self._crc_upto(path, size),
+            "last_read_time": now,
+        }
 
     def poll(self, spark: SparkSession) -> DataFrame | None:
         """One tail sweep: returns (file, position, line) rows for
         bytes appended since the last poll; None when nothing new.
-        Rotation (head-checksum mismatch or shrink) re-reads from 0.
-        """
+        Rotation (shrink or head-CRC mismatch) first RECOVERS the
+        rotated siblings — resuming the first one at the saved
+        position iff its head CRC matches the saved checksum — then
+        re-reads the main file from 0."""
         state = self._load_state()
         new_rows: list[tuple[str, int, str]] = []
+        state_dirty = False
+        now = time.time()
         for path in sorted(glob.glob(self.file_pattern)):
             size = os.path.getsize(path)
             st = state.get(path, {"position": 0, "checksum": 0})
             pos = st["position"]
-            if size < pos or (pos > 0 and self._head_checksum(path, pos) != st["checksum"]):
-                pos = 0  # rotated or truncated (TailFile.cpp:106-215)
+            if pos > 0 and (size < pos or self._crc_upto(path, pos) != st["checksum"]):
+                # rotated or truncated: recover the renamed siblings
+                # before restarting (TailFile.cpp:629-646)
+                first = True
+                for rpath in self._rotated_candidates(path, st.get("last_read_time", 0.0)):
+                    rstate = state.get(rpath)
+                    rsize = os.path.getsize(rpath)
+                    if rstate is not None and rstate["position"] >= rsize:
+                        first = False
+                        continue  # already fully read (own glob entry)
+                    start = 0
+                    if (
+                        first
+                        and rsize >= pos
+                        and self._crc_upto(rpath, pos) == st["checksum"]
+                    ):
+                        # the sibling IS the old file, renamed: resume
+                        # at the saved position (TailFile.cpp:565-573)
+                        start = pos
+                    self._read_whole(rpath, start, new_rows, state, now)
+                    state_dirty = True
+                    first = False
+                pos = 0
             if size <= pos:
                 continue
             with open(path, "rb") as f:
@@ -88,11 +204,14 @@ class TailFile:
             new_pos = pos + consumed
             state[path] = {
                 "position": new_pos,
-                "checksum": self._head_checksum(path, new_pos),
+                "checksum": self._crc_upto(path, new_pos),
+                "last_read_time": now,
             }
+            state_dirty = True
+        if state_dirty:
+            self._save_state(state)
         if not new_rows:
             return None
-        self._save_state(state)
         # Arrow ingestion: a tail sweep can carry many thousand lines,
         # and pandas->Arrow beats row-tuple pickling ~4x on the fan-out
         import pandas as pd

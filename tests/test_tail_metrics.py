@@ -826,3 +826,72 @@ def test_collect_pod_metrics_flow_processor(spark):
     }
     row = compile_flow(spark, cfg).df("k8s").first()
     assert "web-1" in row["content"] and "dns-1" not in row["content"]
+
+
+def test_tailfile_rotation_crc_truth_table(spark, tmp_path):
+    """r15 (VERDICT r14 #7): the reference's rotated-file recovery
+    truth table (TailFile.cpp:565-573 sortAndSkipMainFilePrefix):
+
+    - rotated sibling, size >= position, head CRC MATCHES  -> the
+      sibling is the renamed old file: resume AT position (the tail
+      appended just before the rename is emitted exactly once);
+    - head CRC MISMATCHES -> not the old file: read it fully from 0;
+    - sibling SHORTER than position -> read fully from 0;
+    - sibling with mtime < last read time -> not a rotation product:
+      skipped entirely.
+    """
+    import os as _os
+
+    # --- row 1: CRC match -> resume at saved position ---------------
+    log = tmp_path / "app.log"
+    state = str(tmp_path / "t1.json")
+    tail = src.TailFile(str(log), state)
+    log.write_text("L0\nL1\nL2\nL3\nL4\n")
+    assert tail.poll(spark).count() == 5
+    with open(log, "a") as f:
+        f.write("L5\nL6\nL7\n")  # appended but NOT yet polled
+    _os.rename(log, tmp_path / "app.log.1")  # logrotate rename
+    log.write_text("L8\nL9\n")
+    out = tail.poll(spark)
+    got = [(r["content"], _os.path.basename(r["file"])) for r in out.orderBy("file", "position").collect()]
+    # the unread tail comes from the ROTATED file at the saved
+    # position; L0..L4 are never re-emitted
+    assert got == [
+        ("L8", "app.log"), ("L9", "app.log"),
+        ("L5", "app.log.1"), ("L6", "app.log.1"), ("L7", "app.log.1"),
+    ]
+    assert tail.poll(spark) is None  # converged
+
+    # --- row 2: CRC mismatch -> rotated file read fully from 0 ------
+    slog = tmp_path / "sys.log"
+    tail2 = src.TailFile(str(slog), str(tmp_path / "t2.json"))
+    slog.write_text("M0\nM1\nM2\n")
+    assert tail2.poll(spark).count() == 3
+    # an unrelated sibling appears (size >= position, different head)
+    (tmp_path / "sys.log.1").write_text("X0\nX1\nX2\nX3\n")
+    slog.write_text("M3-line-longer\nM4\n")  # head changed -> rotation
+    out2 = tail2.poll(spark)
+    got2 = sorted(r["content"] for r in out2.collect())
+    assert got2 == ["M3-line-longer", "M4", "X0", "X1", "X2", "X3"]
+
+    # --- row 3: rotated sibling shorter than position -> from 0 -----
+    dlog = tmp_path / "db.log"
+    tail3 = src.TailFile(str(dlog), str(tmp_path / "t3.json"))
+    dlog.write_text("D0\nD1\nD2\nD3\n")
+    assert tail3.poll(spark).count() == 4
+    (tmp_path / "db.log.1").write_text("S0\n")  # shorter than position
+    dlog.write_text("D4\nD5\n")
+    out3 = tail3.poll(spark)
+    assert sorted(r["content"] for r in out3.collect()) == ["D4", "D5", "S0"]
+
+    # --- row 4: stale sibling (mtime < last read time) is skipped ---
+    wlog = tmp_path / "web.log"
+    tail4 = src.TailFile(str(wlog), str(tmp_path / "t4.json"))
+    old = tmp_path / "web.log.9"
+    old.write_text("ANCIENT\n")
+    wlog.write_text("W0\nW1\n")
+    assert tail4.poll(spark).count() == 2
+    _os.utime(old, (1_000_000, 1_000_000))  # long before the poll
+    wlog.write_text("W2-different-head\n")  # rotation detected
+    out4 = tail4.poll(spark)
+    assert sorted(r["content"] for r in out4.collect()) == ["W2-different-head"]
