@@ -309,12 +309,61 @@ def _run_outer_join_timeout(spark, tmp_path, provider: str) -> list[tuple]:
     return out
 
 
+def _run_reservoir(spark, tmp_path, provider: str) -> list[tuple]:
+    """r15 (VERDICT r14 #5): the streaming reservoir's O(k) bottom-k
+    state rides the same provider matrix as the packer/EWMA — the
+    deterministic selection must be byte-identical under RocksDB and
+    HDFS state stores. Two source files force a multi-batch run so the
+    state actually round-trips through the store between batches."""
+    d = tmp_path / f"rs-{uuid.uuid4().hex[:6]}"
+    rows = [(f"s{i % 2}", i) for i in range(40)]
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], "source string, doc_id long").coalesce(1).write.parquet(
+        str(d / "src")
+    )
+    spark.createDataFrame(rows[half:], "source string, doc_id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d / "src"))
+    stream = (
+        spark.readStream.schema("source string, doc_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "src"))
+    )
+    sampled = st.reservoir_sample_stream(stream, "source", "doc_id", k=5)
+    view = f"mx_rs_{uuid.uuid4().hex[:8]}"
+    with _with_provider(spark, provider):
+        q = (
+            sampled.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("update")
+            .option("checkpointLocation", str(d / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    try:
+        q.awaitTermination(90)
+        # each key's FINAL emission (max n_seen) is the reservoir
+        out = _canon(
+            spark.sql(
+                f"""
+                SELECT key, member, rk FROM (
+                  SELECT *, max(n_seen) OVER (PARTITION BY key) AS mx
+                  FROM {view}) WHERE n_seen = mx
+                """
+            ).collect()
+        )
+    finally:
+        q.stop()
+    return out
+
+
 _SHAPES = {
     "bin_packer": _run_bin_packer,
     "defragmenter": _run_defragmenter,
     "ewma": _run_ewma,
     "dedup_agg": _run_dedup_agg,
     "outer_join_timeout": _run_outer_join_timeout,
+    "reservoir": _run_reservoir,
 }
 
 
@@ -353,3 +402,17 @@ def test_provider_independence(spark, tmp_path, shape):
             by_pid.setdefault(pid, []).append(cid)
         assert by_pid.get(1) == [100]  # matched pair
         assert by_pid.get(2) == [None]  # timeout null emitted
+    elif shape == "reservoir":
+        import hashlib
+
+        by_key = {}
+        for key, member, rk in results["rocksdb"]:
+            by_key.setdefault(key, []).append((rk, member))
+        # exactly k=5 per key, and the selection is the batch/SQL
+        # bottom-k over md5(member) — not an arbitrary 5
+        for key in ("s0", "s1"):
+            members = [i for i in range(40) if f"s{i % 2}" == key]
+            expect = sorted(
+                (hashlib.md5(str(m).encode()).hexdigest(), str(m)) for m in members
+            )[:5]
+            assert sorted(by_key[key]) == expect, key
