@@ -84,64 +84,64 @@ from .file_merge_live import *  # noqa: F401,F403
 # were re-typed after round 1) and the rest — all green in round 1 and
 # locked by plan-shape tests — fall past the window.
 _GRADE_ORDER = [
-    # --- r14 rotation (VERDICT r13 #1): never-driver-graded queue
-    # first (the 2 mid-r13 registrations + the 7 r14 registrations,
-    # registration order), then 41 oldest-first backfill picks — the
-    # r8-stale block head, as the codified staleness rule mandates
+    # --- r15 rotation (VERDICT r14 #2): never-driver-graded queue
+    # first (the 3 r15 registrations, registration order), then 47
+    # oldest-first backfill picks — the r9-stale block head (the
+    # r5-breadth cohort), as the codified staleness rule mandates
     # (tests/test_registry_contract.py::test_backfill_picks_are_oldest_first).
     #
     # never-driver-graded queue (registration order)
-    "welch_ttest_ab_values",
-    "acf_hourly_by_type",
-    "pg_incremental_two_polls",
-    "pg_cdc_updated_rows",
-    "reservoir_sample_events",
-    "decay_weighted_sample_events",
-    "kafka_group_consume",
-    "streaming_reservoir_by_source",
-    "pg_cdc_stream_counts",
+    "kafka_stream_group_resume",
+    "tailfile_rotation_recovery",
+    "merge_attr_strategies",
     # backfill picks (oldest driver round first, registration order within)
-    "segment_set_ops",  # r8
-    "part_brand_revenue",  # r8
-    "supplier_nation_agg",  # r8
-    "q5_regional_supplier_revenue",  # r8
-    "q6_revenue_forecast",  # r8
-    "q11_valuable_parts",  # r8
-    "q12_priority_by_linestatus",  # r8
-    "q14_promo_revenue_pct",  # r8
-    "q18_large_quantity_orders",  # r8
-    "q19_disjunctive_predicates",  # r8
-    "q4_priority_order_exists",  # r8
-    "q10_returned_item_customers",  # r8
-    "q16_brand_size_supplier_counts",  # r8
-    "q2_min_cost_supplier",  # r8
-    "q15_top_supplier",  # r8
-    "split_record_fragments",  # r8
-    "text_quality_features",  # r8
-    "bpe_token_counts",  # r8
-    "normalized_fingerprint_dedup",  # r8
-    "cosine_topk_vec0",  # r8
-    "ivf_topk_vec0",  # r8
-    "jolt_shift_events",  # r8
-    "jolt_chain_events",  # r8
-    "segment_content_parity",  # r8
-    "split_json_elements",  # r8
-    "attributes_to_json_pack",  # r8
-    "execute_sql_rowsets",  # r8
-    "get_put_file_roundtrip",  # r8
-    "list_fetch_incremental",  # r8
-    "retry_flow_file_exhaustion",  # r8
-    "simhash_signatures",  # r8
-    "sequence_packing_manifest",  # r8
-    "bpe_pair_merge_counts",  # r8
-    "winnowing_fingerprint_rows",  # r8
-    "embedding_quantize_int8",  # r8
-    "winnowing_dedup_kept",  # r8
-    "dataset_split_counts",  # r8
-    "vocabulary_zipf_report",  # r8
-    "matryoshka_energy",  # r8
-    "language_id_distribution",  # r8
-    "dialect_flow_route_counts",  # r9
+    "el_multiattr_pack",  # r9
+    "replace_text_line_modes",  # r9
+    "object_store_crud_roundtrip",  # r9
+    "mqtt_wire_consume",  # r9
+    "mqtt_consume_counts",  # r9
+    "journald_consume_syslog",  # r9
+    "execute_process_batched",  # r9
+    "put_sql_roundtrip",  # r9
+    "procfs_metrics_parse",  # r9
+    "opc_browse_lazy",  # r9
+    "kv_enrichment_route",  # r9
+    "remote_list_fetch",  # r9
+    "modbus_read_registers",  # r9
+    "k8s_pod_metrics_quantities",  # r9
+    "el_delineated_pack",  # r9
+    "llm_inference_fake",  # r9
+    "stateful_bin_packing_merge",  # r9
+    "stateful_defragment_reassembly",  # r9
+    "compress_roundtrip_gzip",  # r9
+    "defragment_messages",  # r9
+    "funnel_merge_counts",  # r9
+    "split_content_words",  # r9
+    "convert_record_xml_roundtrip",  # r9
+    "minhash_dedup_kept",  # r9
+    "ngram_jaccard_dedup_kept",  # r9
+    "multimodal_features_frames",  # r9
+    "embedding_dedup_kept",  # r9
+    "listen_tcp_ingest",  # r9
+    "kafka_wire_consume",  # r9
+    "kinesis_batch_plan",  # r9
+    "duplicate_components_chains",  # r9
+    "prometheus_exposition_pack",  # r9
+    "c2_operation_acks",  # r9
+    "el_date_pack",  # r9
+    "get_tcp_client_ingest",  # r9
+    "loki_batch_flush_counts",  # r9
+    "splunk_hec_url_pack",  # r9
+    "append_host_info_pack",  # r9
+    "es_bulk_validation_counts",  # r9
+    "stratified_sample_by_source",  # r9
+    "token_count_distribution",  # r9
+    "bm25_topk_docs",  # r9
+    "listen_http_ingest",  # r9
+    "put_tcp_roundtrip",  # r9
+    "semantic_dedup_kept",  # r9
+    "repetition_report",  # r9
+    "gopher_filter_counts",  # r9
 ]
 
 
@@ -158,7 +158,7 @@ GRADED_WINDOW = 50
 # slots always go to the oldest driver rows first), and fail if this
 # snapshot falls more than one driver round behind the newest ledger
 # file (a skipped rotation goes red in that round's own pytest run).
-ROTATION_LEDGER_ROUND = 13
+ROTATION_LEDGER_ROUND = 14
 
 
 def _apply_grade_order() -> None:

@@ -22,59 +22,59 @@ from nifi_minifi_cpp_spark import entry_queries
 # Every SURVEY §2 operator family and every LLM-pipeline operator must
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
-    # r14 rotation: never-driver-graded queue (2 mid-r13 + 7 r14
-    # registrations) + 41 oldest-first backfill picks (the r8-stale
+    # r15 rotation: never-driver-graded queue (the 3 r15
+    # registrations) + 47 oldest-first backfill picks (the r9-stale
     # block head) per the staleness rule below.
-    "welch_ttest_ab_values",
-    "acf_hourly_by_type",
-    "pg_incremental_two_polls",
-    "pg_cdc_updated_rows",
-    "reservoir_sample_events",
-    "decay_weighted_sample_events",
-    "kafka_group_consume",
-    "streaming_reservoir_by_source",
-    "pg_cdc_stream_counts",
-    "segment_set_ops",
-    "part_brand_revenue",
-    "supplier_nation_agg",
-    "q5_regional_supplier_revenue",
-    "q6_revenue_forecast",
-    "q11_valuable_parts",
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue_pct",
-    "q18_large_quantity_orders",
-    "q19_disjunctive_predicates",
-    "q4_priority_order_exists",
-    "q10_returned_item_customers",
-    "q16_brand_size_supplier_counts",
-    "q2_min_cost_supplier",
-    "q15_top_supplier",
-    "split_record_fragments",
-    "text_quality_features",
-    "bpe_token_counts",
-    "normalized_fingerprint_dedup",
-    "cosine_topk_vec0",
-    "ivf_topk_vec0",
-    "jolt_shift_events",
-    "jolt_chain_events",
-    "segment_content_parity",
-    "split_json_elements",
-    "attributes_to_json_pack",
-    "execute_sql_rowsets",
-    "get_put_file_roundtrip",
-    "list_fetch_incremental",
-    "retry_flow_file_exhaustion",
-    "simhash_signatures",
-    "sequence_packing_manifest",
-    "bpe_pair_merge_counts",
-    "winnowing_fingerprint_rows",
-    "embedding_quantize_int8",
-    "winnowing_dedup_kept",
-    "dataset_split_counts",
-    "vocabulary_zipf_report",
-    "matryoshka_energy",
-    "language_id_distribution",
-    "dialect_flow_route_counts",
+    "kafka_stream_group_resume",
+    "tailfile_rotation_recovery",
+    "merge_attr_strategies",
+    "el_multiattr_pack",
+    "replace_text_line_modes",
+    "object_store_crud_roundtrip",
+    "mqtt_wire_consume",
+    "mqtt_consume_counts",
+    "journald_consume_syslog",
+    "execute_process_batched",
+    "put_sql_roundtrip",
+    "procfs_metrics_parse",
+    "opc_browse_lazy",
+    "kv_enrichment_route",
+    "remote_list_fetch",
+    "modbus_read_registers",
+    "k8s_pod_metrics_quantities",
+    "el_delineated_pack",
+    "llm_inference_fake",
+    "stateful_bin_packing_merge",
+    "stateful_defragment_reassembly",
+    "compress_roundtrip_gzip",
+    "defragment_messages",
+    "funnel_merge_counts",
+    "split_content_words",
+    "convert_record_xml_roundtrip",
+    "minhash_dedup_kept",
+    "ngram_jaccard_dedup_kept",
+    "multimodal_features_frames",
+    "embedding_dedup_kept",
+    "listen_tcp_ingest",
+    "kafka_wire_consume",
+    "kinesis_batch_plan",
+    "duplicate_components_chains",
+    "prometheus_exposition_pack",
+    "c2_operation_acks",
+    "el_date_pack",
+    "get_tcp_client_ingest",
+    "loki_batch_flush_counts",
+    "splunk_hec_url_pack",
+    "append_host_info_pack",
+    "es_bulk_validation_counts",
+    "stratified_sample_by_source",
+    "token_count_distribution",
+    "bm25_topk_docs",
+    "listen_http_ingest",
+    "put_tcp_roundtrip",
+    "semantic_dedup_kept",
+    "repetition_report",
+    "gopher_filter_counts",
 }
 
 def test_must_grade_queries_inside_window():
