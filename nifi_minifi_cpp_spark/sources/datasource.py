@@ -46,27 +46,90 @@ def _head_checksum(path: str, upto: int) -> int:
 
 
 class TailFileStreamReader(SimpleDataSourceStreamReader):
+    """Streaming TailFile (r15: reference-parity rotated-file
+    recovery — TailFile.cpp:565-573, same truth table as the batch
+    poller in sources/tail_file.py). Per-file state:
+
+    - ``position``: next byte to read;
+    - ``checksum``: RUNNING CRC32 of the first ``position`` bytes,
+      maintained INCREMENTALLY (crc32(new_bytes, old_crc)) — O(new
+      bytes) per micro-batch, the reference's CRCStream design, used
+      to prove a rolling-pattern sibling is the renamed old file;
+    - ``head512``: capped head CRC for cheap per-batch
+      rotation/truncation detection;
+    - ``read_from``: where THIS batch's read started (rotation resets
+      and sibling resumes start elsewhere than the prior position) —
+      makes crash replay via readBetweenOffsets exact;
+    - ``last_read_time``: the reference's mtime gate for siblings.
+    """
+
     def __init__(self, options):
         self.pattern = options.get("pattern")
         if not self.pattern:
             raise ValueError("tailfile source requires option 'pattern'")
         self.delimiter = options.get("delimiter", "\n")
+        self.rolling_pattern = options.get("rollingpattern", "${filename}.*")
 
     def initialOffset(self) -> dict:
         return {"files": json.dumps({})}
 
+    def _emit_lines(self, path: str, start: int, data: bytes, rows: list) -> None:
+        text = data.decode("utf-8", errors="replace")
+        parts = text.split(self.delimiter)
+        if text.endswith(self.delimiter):
+            parts = parts[:-1]
+        offset = start
+        for line in parts:
+            rows.append((path, offset, line))
+            offset += len(line.encode()) + len(self.delimiter)
+
     def read(self, start: dict):
+        import time as _time
+
+        from .tail_file import crc_upto, rotated_candidates
+
         state: dict[str, dict] = json.loads(start.get("files", "{}"))
         rows: list[tuple[str, int, str]] = []
+        now = _time.time()
         for path in sorted(glob.glob(self.pattern)):
             try:
                 size = os.path.getsize(path)
             except OSError:
                 continue
-            st = state.get(path, {"position": 0, "checksum": 0})
-            pos = st["position"]
-            if size < pos or (pos > 0 and _head_checksum(path, pos) != st["checksum"]):
-                pos = 0  # rotation/truncation
+            st = state.get(path, {"position": 0, "checksum": 0, "head512": 0})
+            pos, run_crc = st["position"], st["checksum"]
+            if pos > 0 and (
+                size < pos or _head_checksum(path, pos) != st.get("head512", 0)
+            ):
+                # rotated/truncated: recover the renamed siblings
+                # before restarting (TailFile.cpp:629-646)
+                first = True
+                for rpath in rotated_candidates(
+                    path, st.get("last_read_time", 0.0), self.rolling_pattern
+                ):
+                    rst = state.get(rpath)
+                    rsize = os.path.getsize(rpath)
+                    if rst is not None and rst["position"] >= rsize:
+                        first = False
+                        continue  # already fully read (own glob entry)
+                    rstart, rcrc = 0, 0
+                    if first and rsize >= pos and crc_upto(rpath, pos) == run_crc:
+                        # the sibling IS the old file renamed: resume
+                        # at the saved position with the running CRC
+                        rstart, rcrc = pos, run_crc
+                    with open(rpath, "rb") as f:
+                        f.seek(rstart)
+                        data = f.read(rsize - rstart)
+                    self._emit_lines(rpath, rstart, data, rows)
+                    state[rpath] = {
+                        "position": rsize,
+                        "checksum": zlib.crc32(data, rcrc),
+                        "head512": _head_checksum(rpath, rsize),
+                        "read_from": rstart,
+                        "last_read_time": now,
+                    }
+                    first = False
+                pos, run_crc = 0, 0
             if size <= pos:
                 state[path] = st
                 continue
@@ -78,33 +141,61 @@ class TailFileStreamReader(SimpleDataSourceStreamReader):
                 state[path] = st
                 continue
             consumed = end + len(self.delimiter)
-            text = chunk[:consumed].decode("utf-8", errors="replace")
-            offset = pos
-            for line in text.split(self.delimiter)[:-1]:
-                rows.append((path, offset, line))
-                offset += len(line.encode()) + len(self.delimiter)
+            self._emit_lines(path, pos, chunk[:consumed], rows)
             new_pos = pos + consumed
-            state[path] = {"position": new_pos, "checksum": _head_checksum(path, new_pos)}
+            state[path] = {
+                "position": new_pos,
+                "checksum": zlib.crc32(chunk[:consumed], run_crc),
+                "head512": _head_checksum(path, new_pos),
+                "read_from": pos,
+                "last_read_time": now,
+            }
         return iter(rows), {"files": json.dumps(state)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # replay path after a crash: re-read the byte ranges between
-        # the two checkpointed offsets (deterministic for files)
+        # the two checkpointed offsets (deterministic for files).
+        # ``read_from`` records where the original batch started
+        # reading — after a rotation reset or a sibling resume that is
+        # NOT the start offset's position, so the replay follows it.
+        # If the path was ROTATED between the original read and the
+        # replay, the original bytes live in a rolling-pattern sibling
+        # now: the end offset's running CRC identifies which file
+        # still holds them (crc32 of the first ``position`` bytes must
+        # equal the checkpointed checksum).
+        from .tail_file import crc_upto, rotated_candidates
+
         s = json.loads(start.get("files", "{}"))
         e = json.loads(end.get("files", "{}"))
         rows: list[tuple[str, int, str]] = []
         for path, est in e.items():
-            spos = s.get(path, {}).get("position", 0)
             epos = est["position"]
-            if epos <= spos or not os.path.exists(path):
+            spos = s.get(path, {}).get("position")
+            if spos is not None and epos == spos:
+                continue  # nothing read in this batch
+            rf = est.get("read_from", spos if spos is not None else 0)
+            if epos <= rf:
                 continue
-            with open(path, "rb") as f:
-                f.seek(spos)
-                text = f.read(epos - spos).decode("utf-8", errors="replace")
-            offset = spos
-            for line in text.split(self.delimiter)[:-1]:
-                rows.append((path, offset, line))
-                offset += len(line.encode()) + len(self.delimiter)
+            src_path = None
+            if os.path.exists(path) and crc_upto(path, epos) == est.get("checksum"):
+                src_path = path
+            else:
+                for cand in rotated_candidates(path, 0.0, self.rolling_pattern):
+                    if os.path.getsize(cand) >= epos and crc_upto(cand, epos) == est.get(
+                        "checksum"
+                    ):
+                        src_path = cand
+                        break
+            if src_path is None:
+                if not os.path.exists(path):
+                    continue
+                src_path = path  # documented caveat: bytes mutated in place
+            with open(src_path, "rb") as f:
+                f.seek(rf)
+                data = f.read(epos - rf)
+            # rows keep the ORIGINAL path attribution — the replay
+            # must be byte-identical to the batch it re-creates
+            self._emit_lines(path, rf, data, rows)
         return iter(rows)
 
 

@@ -47,6 +47,48 @@ import zlib
 from pyspark.sql import DataFrame, SparkSession
 
 
+def crc_upto(path: str, upto: int) -> int:
+    """CRC32 of the first ``upto`` bytes — the reference's
+    utils::file::computeChecksum(path, position) identity check
+    (TailFile.cpp:568,625). Streaming read in 1 MiB chunks."""
+    if upto <= 0:
+        return 0
+    crc = 0
+    left = upto
+    with open(path, "rb") as f:
+        while left > 0:
+            chunk = f.read(min(left, 1 << 20))
+            if not chunk:
+                break
+            crc = zlib.crc32(chunk, crc)
+            left -= len(chunk)
+    return crc
+
+
+def rotated_candidates(path: str, last_read_time: float, rolling_pattern: str) -> list[str]:
+    """Rolling-pattern siblings of ``path``, oldest first
+    (TailFile.cpp:504-555): ${filename} -> the stem (up to the last
+    dot), full-regex match, main file excluded, mtime >= the last
+    read time (floored to seconds like the reference's
+    time_point_cast<seconds>), sorted by (mtime, name). Shared by the
+    batch poller and the ``tailfile`` streaming Data Source."""
+    dirname = os.path.dirname(path) or "."
+    fname = os.path.basename(path)
+    stem = fname[: fname.rfind(".")] if "." in fname else fname
+    rx = re.compile(rolling_pattern.replace("${filename}", re.escape(stem)))
+    out = []
+    for name in os.listdir(dirname):
+        if name == fname or not rx.fullmatch(name):
+            continue
+        full = os.path.join(dirname, name)
+        if not os.path.isfile(full):
+            continue
+        mtime = os.path.getmtime(full)
+        if mtime >= int(last_read_time):
+            out.append((mtime, name, full))
+    return [full for _, _, full in sorted(out)]
+
+
 class TailFile:
     def __init__(
         self,
@@ -72,47 +114,11 @@ class TailFile:
             json.dump(state, f)
         os.replace(tmp, self.state_path)
 
-    @staticmethod
-    def _crc_upto(path: str, upto: int) -> int:
-        """CRC32 of the first ``upto`` bytes — the reference's
-        utils::file::computeChecksum(path, position) identity check
-        (TailFile.cpp:568,625). Streaming read: O(position) I/O per
-        poll, the reference's own cost."""
-        if upto <= 0:
-            return 0
-        crc = 0
-        left = upto
-        with open(path, "rb") as f:
-            while left > 0:
-                chunk = f.read(min(left, 1 << 20))
-                if not chunk:
-                    break
-                crc = zlib.crc32(chunk, crc)
-                left -= len(chunk)
-        return crc
+    # module-level shared helpers (also used by the streaming source)
+    _crc_upto = staticmethod(crc_upto)
 
     def _rotated_candidates(self, path: str, last_read_time: float) -> list[str]:
-        """Rolling-pattern siblings of ``path``, oldest first
-        (TailFile.cpp:504-555): ${filename} -> the stem (up to the
-        last dot), full-regex match, main file excluded, mtime >= the
-        last read time (floored to seconds like the reference's
-        time_point_cast<seconds>), sorted by (mtime, name)."""
-        dirname = os.path.dirname(path) or "."
-        fname = os.path.basename(path)
-        stem = fname[: fname.rfind(".")] if "." in fname else fname
-        pattern = self.rolling_pattern.replace("${filename}", re.escape(stem))
-        rx = re.compile(pattern)
-        out = []
-        for name in os.listdir(dirname):
-            if name == fname or not rx.fullmatch(name):
-                continue
-            full = os.path.join(dirname, name)
-            if not os.path.isfile(full):
-                continue
-            mtime = os.path.getmtime(full)
-            if mtime >= int(last_read_time):
-                out.append((mtime, name, full))
-        return [full for _, _, full in sorted(out)]
+        return rotated_candidates(path, last_read_time, self.rolling_pattern)
 
     def _read_whole(
         self,

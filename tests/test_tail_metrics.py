@@ -895,3 +895,89 @@ def test_tailfile_rotation_crc_truth_table(spark, tmp_path):
     wlog.write_text("W2-different-head\n")  # rotation detected
     out4 = tail4.poll(spark)
     assert sorted(r["content"] for r in out4.collect()) == ["W2-different-head"]
+
+
+def test_tailfile_stream_rotation_recovery(spark, tmp_path):
+    """r15: the STREAMING tailfile source recovers a logrotate rename
+    exactly like the batch poller — the unread tail written just
+    before the rename is emitted once from the rotated sibling (the
+    running-CRC identity check), the fresh main file restarts at 0,
+    and nothing from before the rotation is re-emitted."""
+    import time
+
+    from nifi_minifi_cpp_spark.sources.datasource import register_tailfile
+
+    register_tailfile(spark)
+    log = tmp_path / "rot.log"
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    log.write_text("a1\na2\na3\n")
+
+    def run_until(n_target, timeout=40):
+        df = spark.readStream.format("tailfile").option("pattern", str(log)).load()
+        q = (
+            df.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck).start()
+        )
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= n_target:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        q.stop()
+        return sorted(r["content"] for r in spark.read.parquet(out).collect())
+
+    assert run_until(3) == ["a1", "a2", "a3"]
+    # while the query is DOWN: append unread lines, logrotate-rename,
+    # write a fresh main file
+    with open(log, "a") as f:
+        f.write("b1\nb2\n")
+    os.rename(log, tmp_path / "rot.log.1")
+    log.write_text("c1\nc2\n")
+    got = run_until(7)
+    # b1/b2 recovered from the SIBLING exactly once; a* never re-read
+    assert got == ["a1", "a2", "a3", "b1", "b2", "c1", "c2"]
+
+
+def test_tailfile_stream_replay_covers_rotation(spark, tmp_path):
+    """r15: readBetweenOffsets must replay the exact rows of a batch
+    that contained a rotation reset and a sibling resume — the
+    read_from marker makes the replay byte-exact instead of guessing
+    from the start offset's (now stale) position."""
+    import json as _json
+
+    from nifi_minifi_cpp_spark.sources.datasource import TailFileStreamReader
+
+    log = tmp_path / "app.log"
+    rdr = TailFileStreamReader({"pattern": str(log)})
+
+    log.write_text("L0\nL1\n")
+    off0 = rdr.initialOffset()
+    it1, off1 = rdr.read(off0)
+    rows1 = list(it1)
+    assert [r[2] for r in rows1] == ["L0", "L1"]
+
+    with open(log, "a") as f:
+        f.write("L2\n")  # unread tail
+    os.rename(log, tmp_path / "app.log.1")
+    log.write_text("L3\n")
+    it2, off2 = rdr.read(off1)
+    rows2 = list(it2)
+    assert sorted(r[2] for r in rows2) == ["L2", "L3"]
+
+    # crash replay of BOTH batches from the checkpointed offset pairs
+    replay1 = list(rdr.readBetweenOffsets(off0, off1))
+    replay2 = list(rdr.readBetweenOffsets(off1, off2))
+    assert sorted(r[2] for r in replay1) == ["L0", "L1"]
+    assert sorted(r[2] for r in replay2) == ["L2", "L3"]
+    # byte-exact: same (file, position, content) triples, not just text
+    assert sorted(replay2) == sorted(rows2)
+
+    # the replayed sibling rows carry the rotated path at the RESUMED
+    # position (no head re-read)
+    state2 = _json.loads(off2["files"])
+    sib = str(tmp_path / "app.log.1")
+    assert state2[sib]["read_from"] == _json.loads(off1["files"])[str(log)]["position"]
