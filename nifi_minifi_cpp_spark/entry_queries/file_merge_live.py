@@ -186,3 +186,86 @@ def merge_attr_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1]).orderBy("strategy", "bin", "key")
+
+
+@_register(
+    "tailfile_stream_rotation",
+    """
+    SELECT * FROM (
+      SELECT 'app.log' AS file,
+             count(*) AS n_lines,
+             min(event_id) AS min_id,
+             max(event_id) AS max_id,
+             CAST(sum(event_id) AS BIGINT) AS sum_ids
+      FROM events WHERE event_id < 200 OR (event_id >= 300 AND event_id < 400)
+      UNION ALL
+      SELECT 'app.log.1', count(*), min(event_id), max(event_id),
+             CAST(sum(event_id) AS BIGINT)
+      FROM events WHERE event_id >= 200 AND event_id < 300
+    ) ORDER BY file
+    """,
+)
+def tailfile_stream_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING TailFile across a live logrotate rename (r15 — the
+    streaming flavor of tailfile_rotation_recovery; TailFile.cpp:565-573
+    semantics inside a Python Data Source's offset state machine): the
+    stream consumes 200 lines from app.log, then — while the query is
+    RUNNING — 100 unread lines are appended, the file is renamed
+    app.log.1 and a fresh app.log gets 100 more. The next micro-batch
+    must detect the rotation (head-CRC change), recover the unread
+    tail from the SIBLING at the checkpointed position via the running
+    CRC identity check, and restart the main file at 0. The per-file
+    attribution is the proof: app.log carries exactly the pre-rotation
+    200 + fresh 100 rows (no re-read), app.log.1 exactly the 100
+    recovered rows (no loss, no duplication)."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.datasource import register_tailfile
+
+    configure(spark)
+    rows = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 400)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+        .collect()
+    )
+    lines = {r["event_id"]: f"{r['event_type']}|{r['event_id']}\n" for r in rows}
+    d = tempfile.mkdtemp(prefix="tailstream_")
+    log = os.path.join(d, "app.log")
+    register_tailfile(spark)
+    with open(log, "w") as f:
+        f.writelines(lines[i] for i in range(200) if i in lines)
+    view = f"tfs_{_uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.format("tailfile").option("pattern", log).load()
+    from ._shared import _pinned_shuffle, _poll_stream_rows
+
+    with _pinned_shuffle(spark, 2):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(view)
+            .outputMode("append")
+            .start()
+        )
+    try:
+        _poll_stream_rows(spark, q, view, expected=200)
+        # live rotation: append the unread tail, rename, fresh file
+        with open(log, "a") as f:
+            f.writelines(lines[i] for i in range(200, 300) if i in lines)
+        os.rename(log, log + ".1")
+        with open(log, "w") as f:
+            f.writelines(lines[i] for i in range(300, 400) if i in lines)
+        _poll_stream_rows(spark, q, view, expected=400)
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""
+        SELECT CASE WHEN file LIKE '%.1' THEN 'app.log.1' ELSE 'app.log' END AS file,
+               count(*) AS n_lines,
+               min(CAST(split_part(content, '|', 2) AS BIGINT)) AS min_id,
+               max(CAST(split_part(content, '|', 2) AS BIGINT)) AS max_id,
+               sum(CAST(split_part(content, '|', 2) AS BIGINT)) AS sum_ids
+        FROM {view} GROUP BY 1 ORDER BY 1
+        """
+    )
