@@ -191,12 +191,17 @@ def main():
     # clocked 6.0s in-sequence vs 1.0-1.7s isolated; r14: the committed
     # single-shot detail was the slowest of four same-code runs and
     # manufactured a false 1.23x headline that judge retimes disproved).
-    # Every query now runs N times back-to-back (default 3,
-    # $SPARK_GRAFT_BENCH_RUNS); the PUBLISHED number is the per-query
-    # median — robust to one GC/JIT outlier in either direction, unlike
-    # min (best-cases a real regression) or the old settle-and-retime
-    # (still a single sample). The raw runs ship alongside in `runs` so
-    # any round-over-round comparison can recompute its own statistic.
+    # The N samples (default 3, $SPARK_GRAFT_BENCH_RUNS) are taken in
+    # SEPARATE FULL SWEEPS of the query list, not back-to-back: the
+    # r15 shakedown showed the rig's noise is a ROAMING multi-minute
+    # load window (run 1 inflated the f-block 3-9x across all three
+    # back-to-back samples, run 2 the h-block — solo retimes clean
+    # both times), so back-to-back repeats all land inside the
+    # disturbance while sweep-spaced samples (~10 min apart) put at
+    # most ONE sample per query inside it and the median filters it.
+    # The PUBLISHED number is the per-query median; the raw per-sweep
+    # samples ship alongside in `runs` so any round-over-round
+    # comparison can recompute its own statistic.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     # Prior round's per-query medians (if present) drive the
@@ -232,29 +237,34 @@ def main():
     # those queries (and skips writing BENCH_DETAIL.json, so a partial
     # sweep can never masquerade as the round artifact).
     only = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
-    for name in sorted(qs):
-        if only and name not in only:
-            continue
-        fn = qs[name]
-        # Fault-isolate each query: one regression must not destroy the
-        # round's entire bench artifact (round 3 lost every timing to a
-        # single AnalysisException).
-        try:
-            runs = [run_once(fn)]
-        except Exception as exc:  # noqa: BLE001 — record and continue
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# {name}: FAILED {type(exc).__name__}", file=sys.stderr)
-            continue
-        # Repeats are best-effort: a fixture that can't re-run in the
-        # same session degrades this entry to fewer samples, never to a
-        # bench failure.
-        for _ in range(n_runs - 1):
+    names = [n for n in sorted(qs) if not only or n in only]
+    for sweep in range(n_runs):
+        for name in names:
+            if name in errors:
+                continue
+            fn = qs[name]
+            # Fault-isolate each query: one regression must not destroy
+            # the round's entire bench artifact (round 3 lost every
+            # timing to a single AnalysisException). Sweep-2+ failures
+            # are best-effort: a fixture that can't re-run in the same
+            # session degrades the entry to fewer samples.
             try:
-                runs.append(run_once(fn))
-            except Exception as exc:  # noqa: BLE001
-                print(f"# {name}: repeat skipped {type(exc).__name__}", file=sys.stderr)
-                break
-        raw_runs[name] = runs
+                elapsed = run_once(fn)
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                if sweep == 0:
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                    print(f"# {name}: FAILED {type(exc).__name__}", file=sys.stderr)
+                else:
+                    print(
+                        f"# {name}: sweep-{sweep + 1} sample skipped "
+                        f"{type(exc).__name__}",
+                        file=sys.stderr,
+                    )
+                continue
+            raw_runs.setdefault(name, []).append(elapsed)
+        print(f"# --- sweep {sweep + 1}/{n_runs} complete ---", file=sys.stderr)
+
+    for name, runs in raw_runs.items():
         elapsed = median(runs)
         if name in prior and elapsed >= 1.0 and elapsed > 2.0 * prior[name]:
             regressed[name] = {"prior": prior[name], "median": elapsed, "runs": runs}
