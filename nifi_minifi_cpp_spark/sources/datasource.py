@@ -74,6 +74,8 @@ class TailFileStreamReader(SimpleDataSourceStreamReader):
         return {"files": json.dumps({})}
 
     def _emit_lines(self, path: str, start: int, data: bytes, rows: list) -> None:
+        if not data:
+            return  # a fully-consumed sibling resumes at EOF: no rows
         text = data.decode("utf-8", errors="replace")
         parts = text.split(self.delimiter)
         if text.endswith(self.delimiter):
@@ -110,8 +112,11 @@ class TailFileStreamReader(SimpleDataSourceStreamReader):
                     rst = state.get(rpath)
                     rsize = os.path.getsize(rpath)
                     if rst is not None and rst["position"] >= rsize:
-                        first = False
-                        continue  # already fully read (own glob entry)
+                        # already fully read — keep the CRC-resume slot
+                        # for the oldest UNCONSUMED candidate (the
+                        # renamed old main in a same-second double
+                        # rotation)
+                        continue
                     rstart, rcrc = 0, 0
                     if first and rsize >= pos and crc_upto(rpath, pos) == run_crc:
                         # the sibling IS the old file renamed: resume

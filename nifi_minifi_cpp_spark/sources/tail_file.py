@@ -174,8 +174,12 @@ class TailFile:
                     rstate = state.get(rpath)
                     rsize = os.path.getsize(rpath)
                     if rstate is not None and rstate["position"] >= rsize:
-                        first = False
-                        continue  # already fully read (own glob entry)
+                        # already fully read (earlier rotation product or
+                        # own glob entry) — does NOT consume the CRC-resume
+                        # slot: the renamed old main is the oldest
+                        # UNCONSUMED candidate (a same-second double
+                        # rotation would otherwise re-read it from 0)
+                        continue
                     start = 0
                     if (
                         first

@@ -981,3 +981,97 @@ def test_tailfile_stream_replay_covers_rotation(spark, tmp_path):
     state2 = _json.loads(off2["files"])
     sib = str(tmp_path / "app.log.1")
     assert state2[sib]["read_from"] == _json.loads(off1["files"])[str(log)]["position"]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    blocks=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # lines before the poll
+            st.integers(min_value=0, max_value=3),  # unread tail before rotate
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_tailfile_stream_exactly_once_property(tmp_path_factory, blocks):
+    """Property (r15): across ANY sequence of append/poll/rotate
+    blocks — including multiple same-second rotations — every line
+    appended to the main file is emitted EXACTLY once, provided each
+    rotation follows at least one consuming poll (the reference's own
+    guarantee: rotation is detected via position > 0). Drives the
+    streaming reader's offset state machine pure-Python; the model is
+    a global exactly-once multiset."""
+    import uuid
+
+    from nifi_minifi_cpp_spark.sources.datasource import TailFileStreamReader
+
+    tmp_path = tmp_path_factory.mktemp(f"tfp-{uuid.uuid4().hex[:6]}")
+    log = tmp_path / "app.log"
+    rdr = TailFileStreamReader({"pattern": str(log)})
+
+    emitted: list[str] = []
+    expected: list[str] = []
+    counter = 0
+    off = rdr.initialOffset()
+
+    def write_lines(n, fh):
+        nonlocal counter
+        for _ in range(n):
+            fh.write(f"line-{counter}\n")
+            expected.append(f"line-{counter}")
+            counter += 1
+
+    log.write_text("")
+    for rot_i, (n_before, n_tail) in enumerate(blocks, start=1):
+        with open(log, "a") as f:
+            write_lines(n_before, f)
+        rows, off = rdr.read(off)
+        emitted.extend(r[2] for r in rows)
+        with open(log, "a") as f:
+            write_lines(n_tail, f)
+        os.rename(log, tmp_path / f"app.log.{rot_i}")
+        log.write_text("")
+    with open(log, "a") as f:
+        write_lines(1, f)
+    rows, off = rdr.read(off)
+    emitted.extend(r[2] for r in rows)
+
+    assert sorted(emitted) == sorted(expected), (
+        f"exactly-once violated: emitted {len(emitted)} vs expected "
+        f"{len(expected)}; dupes/losses: "
+        f"{set(emitted) ^ set(expected) or 'multiset mismatch'}"
+    )
+
+
+def test_tailfile_batch_double_rotation_same_second(spark, tmp_path):
+    """Regression (r15): two rotations inside one mtime second — the
+    already-consumed .1 sibling passes the second rotation's mtime
+    filter but must NOT consume the CRC-resume slot; the renamed .2 is
+    the oldest UNCONSUMED candidate and resumes at the saved position
+    (the pre-fix code read .2 fully from 0, duplicating its head)."""
+    log = tmp_path / "app.log"
+    tail = src.TailFile(str(log), str(tmp_path / "st.json"))
+
+    log.write_text("A0\nA1\n")
+    assert sorted(r["content"] for r in tail.poll(spark).collect()) == ["A0", "A1"]
+    with open(log, "a") as f:
+        f.write("A2\n")  # unread tail 1
+    os.rename(log, tmp_path / "app.log.1")
+    log.write_text("B0\n")
+    out = tail.poll(spark)
+    assert sorted(r["content"] for r in out.collect()) == ["A2", "B0"]
+
+    with open(log, "a") as f:
+        f.write("B1\n")  # unread tail 2
+    os.rename(log, tmp_path / "app.log.2")
+    log.write_text("C0\n")
+    out2 = tail.poll(spark)
+    # exactly the unread tail from .2 plus the fresh file — B0 must
+    # NOT be re-emitted even though .1 and .2 share the mtime second
+    assert sorted(r["content"] for r in out2.collect()) == ["B1", "C0"]
+    assert tail.poll(spark) is None
