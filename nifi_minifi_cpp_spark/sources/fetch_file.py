@@ -24,21 +24,31 @@ from pyspark.sql import functions as F
 
 
 class ListFileState:
-    """Persisted latest-timestamp watermark (ListingStateManager)."""
+    """Persisted latest-timestamp watermark PLUS the keys listed at
+    that exact timestamp (the reference's ListingState —
+    extension-framework/src/utils/ListingStateManager.cpp:28-41): an
+    object was listed already iff its mtime is OLDER than the
+    watermark, or EQUAL and its key is in the listed set. A strict
+    ``mtime > watermark`` check (the pre-r15 form) silently loses any
+    file that lands on the same timestamp as the watermark — the
+    common case on coarse-mtime filesystems and same-batch writes."""
 
     def __init__(self, state_path: str):
         self.state_path = state_path
 
-    def load(self) -> float:
+    def load(self) -> tuple[float, set[str]]:
         if os.path.exists(self.state_path):
             with open(self.state_path) as f:
-                return json.load(f)["latest_mtime"]
-        return 0.0
+                d = json.load(f)
+            return d["latest_mtime"], set(d.get("listed_at_latest", []))
+        return 0.0, set()
 
-    def save(self, mtime: float) -> None:
+    def save(self, mtime: float, listed_at_latest: set[str]) -> None:
         tmp = self.state_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"latest_mtime": mtime}, f)
+            json.dump(
+                {"latest_mtime": mtime, "listed_at_latest": sorted(listed_at_latest)}, f
+            )
         os.replace(tmp, self.state_path)
 
 
@@ -48,21 +58,31 @@ def list_file(
     state: ListFileState | None = None,
     min_size: int = 0,
 ) -> DataFrame | None:
-    """Incremental listing: only files newer than the watermark.
-    Emits (path, filename, size, mtime) — FlowFile-per-file like the
-    reference, content deliberately NOT read (that's FetchFile)."""
-    watermark = state.load() if state else 0.0
+    """Incremental listing: only files not listed before — newer than
+    the watermark, or AT the watermark with an unseen key
+    (ListingState::wasObjectListedAlready). Emits (path, filename,
+    size, mtime) — FlowFile-per-file like the reference, content
+    deliberately NOT read (that's FetchFile)."""
+    watermark, listed = state.load() if state else (0.0, set())
     rows = []
-    latest = watermark
+    latest, at_latest = watermark, set(listed)
     for path in sorted(_glob.glob(pattern)):
         st = os.stat(path)
-        if st.st_mtime > watermark and st.st_size >= min_size:
-            rows.append((path, os.path.basename(path), st.st_size, st.st_mtime))
-            latest = max(latest, st.st_mtime)
+        already = st.st_mtime < watermark or (
+            st.st_mtime == watermark and path in listed
+        )
+        if already or st.st_size < min_size:
+            continue
+        rows.append((path, os.path.basename(path), st.st_size, st.st_mtime))
+        # ListingState::updateState: a newer timestamp resets the set
+        if st.st_mtime > latest:
+            latest, at_latest = st.st_mtime, {path}
+        elif st.st_mtime == latest:
+            at_latest.add(path)
     if not rows:
         return None
     if state:
-        state.save(latest)
+        state.save(latest, at_latest)
     return spark.createDataFrame(rows, "path string, filename string, size long, mtime double")
 
 

@@ -93,13 +93,13 @@ def list_remote(
     import posixpath
     import re
 
-    watermark = state.load() if state else 0.0
+    watermark, listed = state.load() if state else (0.0, set())
     pattern = re.compile(name_filter) if name_filter else None
     rows: list[tuple[str, str, int, float]] = []
-    latest = watermark
+    latest, at_latest = watermark, set(listed)
 
     def walk(path: str) -> None:
-        nonlocal latest
+        nonlocal latest, at_latest
         for entry in client.listdir(path):
             if entry.is_dir:
                 if recurse:
@@ -108,15 +108,24 @@ def list_remote(
             name = posixpath.basename(entry.path)
             if pattern and not pattern.search(name):
                 continue
-            if entry.mtime > watermark and entry.size >= min_size:
-                rows.append((entry.path, name, int(entry.size), float(entry.mtime)))
-                latest = max(latest, entry.mtime)
+            # ListingState::wasObjectListedAlready (r15): same-timestamp
+            # unseen keys are still listable — strict > lost them
+            already = entry.mtime < watermark or (
+                entry.mtime == watermark and entry.path in listed
+            )
+            if already or entry.size < min_size:
+                continue
+            rows.append((entry.path, name, int(entry.size), float(entry.mtime)))
+            if entry.mtime > latest:
+                latest, at_latest = entry.mtime, {entry.path}
+            elif entry.mtime == latest:
+                at_latest.add(entry.path)
 
     walk(directory)
     if not rows:
         return None
     if state:
-        state.save(latest)
+        state.save(latest, at_latest)
     return spark.createDataFrame(rows, "path string, filename string, size long, mtime double")
 
 

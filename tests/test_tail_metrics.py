@@ -1075,3 +1075,90 @@ def test_tailfile_batch_double_rotation_same_second(spark, tmp_path):
     # NOT be re-emitted even though .1 and .2 share the mtime second
     assert sorted(r["content"] for r in out2.collect()) == ["B1", "C0"]
     assert tail.poll(spark) is None
+
+
+def test_list_file_same_timestamp_keys_not_lost(spark, tmp_path):
+    """r15 parity fix (ListingStateManager.cpp:28-41): a file whose
+    mtime EQUALS the persisted watermark but whose key was never
+    listed must still be listed exactly once — the pre-r15 strict
+    ``mtime > watermark`` silently dropped it (the same-second batch
+    write case)."""
+    d = tmp_path / "in"
+    d.mkdir()
+    state = src.ListFileState(str(tmp_path / "ls.json"))
+    ts = 1_700_000_000
+
+    (d / "a.txt").write_text("alpha")
+    os.utime(d / "a.txt", (ts, ts))
+    got1 = [r["filename"] for r in src.list_file(spark, str(d / "*.txt"), state).collect()]
+    assert got1 == ["a.txt"]
+
+    # a new file lands on the SAME timestamp as the watermark
+    (d / "b.txt").write_text("beta")
+    os.utime(d / "b.txt", (ts, ts))
+    got2 = [r["filename"] for r in src.list_file(spark, str(d / "*.txt"), state).collect()]
+    assert got2 == ["b.txt"]  # listed once, a.txt not re-listed
+
+    # nothing new -> None (neither a nor b re-listed)
+    assert src.list_file(spark, str(d / "*.txt"), state) is None
+
+    # a newer timestamp resets the listed-keys set
+    (d / "c.txt").write_text("gamma")
+    os.utime(d / "c.txt", (ts + 5, ts + 5))
+    got3 = [r["filename"] for r in src.list_file(spark, str(d / "*.txt"), state).collect()]
+    assert got3 == ["c.txt"]
+    assert src.list_file(spark, str(d / "*.txt"), state) is None
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(
+        st.lists(st.integers(min_value=0, max_value=2), min_size=1, max_size=3),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_list_file_exactly_once_property(tmp_path_factory, batches):
+    """Property (r15): with a forward-moving clock (same-timestamp
+    collisions allowed), every created file is listed EXACTLY once
+    across any create/poll interleaving. Drives the pure-Python state
+    machine (no Spark job: a probe ListFileState + direct state
+    inspection via a stub session is overkill — use the real function
+    with a real session-less model by monkeypatching createDataFrame?
+    No: the listing loop is pure until the final createDataFrame, so
+    model it through list_file's row builder via a tiny fake spark)."""
+    import uuid
+
+    class _FakeSpark:
+        def createDataFrame(self, rows, schema):
+            return rows  # the property only needs the row list
+
+    tmp = tmp_path_factory.mktemp(f"lfp-{uuid.uuid4().hex[:6]}")
+    d = tmp / "in"
+    d.mkdir()
+    state = src.ListFileState(str(tmp / "ls.json"))
+    fake = _FakeSpark()
+
+    created: list[str] = []
+    listed: list[str] = []
+    clock = 1_700_000_000
+    counter = 0
+    for batch in batches:
+        for dt in batch:
+            clock += dt  # dt=0 -> same-timestamp collision
+            name = f"f{counter}.txt"
+            counter += 1
+            p = d / name
+            p.write_text("x")
+            os.utime(p, (clock, clock))
+            created.append(name)
+        out = src.list_file(fake, str(d / "*.txt"), state)
+        if out is not None:
+            listed.extend(os.path.basename(r[0]) for r in out)
+    # final sweep picks up any stragglers from the last batch
+    out = src.list_file(fake, str(d / "*.txt"), state)
+    if out is not None:
+        listed.extend(os.path.basename(r[0]) for r in out)
+    assert sorted(listed) == sorted(created), (
+        f"exactly-once violated: {set(listed) ^ set(created)}"
+    )
