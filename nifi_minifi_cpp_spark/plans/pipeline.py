@@ -480,7 +480,10 @@ def _tail_file(spark, df, props):
     from ..sources import TailFile
 
     out = TailFile(
-        props["pattern"], props["state_path"], delimiter=props.get("delimiter", "\n")
+        props["pattern"],
+        props["state_path"],
+        delimiter=props.get("delimiter", "\n"),
+        rolling_pattern=props.get("Rolling Filename Pattern", "${filename}.*"),
     ).poll(spark)
     if out is None:
         out = _empty(spark, "file string, position long, content string")
@@ -502,6 +505,8 @@ def _tail_file_stream(spark, df, props):
     reader = spark.readStream.format("tailfile").option("pattern", props["pattern"])
     if props.get("delimiter"):
         reader = reader.option("delimiter", props["delimiter"])
+    if props.get("Rolling Filename Pattern"):
+        reader = reader.option("rollingpattern", props["Rolling Filename Pattern"])
     raw = reader.load()
     if not props.get("as_flowfiles", True):
         return _one(raw)
