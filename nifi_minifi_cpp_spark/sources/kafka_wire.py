@@ -24,12 +24,12 @@ and ignored because every batch here is committed; the group
 coordinator is non-blocking: instead of parking JoinGroup until the
 rebalance barrier, the first current-generation joiner leads, which
 the deterministic assignor makes equivalent for conformance purposes;
-the coordinator also has NO session-expiry liveness: session_timeout
-is read and ignored, so a member that dies without LeaveGroup keeps
-its RangeAssignor partitions forever and the group silently stops
-consuming them — a real broker evicts on missed heartbeats; fixture
-consumers must LeaveGroup (KafkaGroupConsumer.close does) or accept
-the stuck-partition behavior;
+the coordinator's liveness is CONNECTION-scoped rather than
+heartbeat-timed: session_timeout is read and ignored, but a member
+whose TCP connection closes without LeaveGroup is EVICTED and the
+group rebalances (r15) — so a dead consumer cannot hold its
+RangeAssignor partitions; a real broker evicts on missed heartbeats
+instead, which also covers hung-but-connected clients;
 compression: optional gzip/snappy/lz4 serving modes, r9-r10). The
 CLIENT decodes plain, gzip, snappy and lz4 RecordBatches (gzip via
 zlib; snappy and lz4 via the pure-Python block codecs in
@@ -907,6 +907,12 @@ class MiniKafkaBroker:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
+                # liveness is connection-scoped (the fixture analogue
+                # of session-timeout eviction): members joined over
+                # this connection are evicted when it closes without
+                # LeaveGroup, so a dead consumer cannot hold its
+                # partitions forever (r15, ADVICE r14)
+                conn_members: set[tuple[str, str]] = set()
                 try:
                     while True:
                         size_b = self._read_exact(4)
@@ -916,10 +922,12 @@ class MiniKafkaBroker:
                         payload = self._read_exact(size)
                         if payload is None:
                             return
-                        resp = broker._dispatch(payload)
+                        resp = broker._dispatch(payload, conn_members)
                         self.request.sendall(_s32(len(resp)) + resp)
                 except OSError:
                     return
+                finally:
+                    broker._evict_members(conn_members)
 
             def _read_exact(self, n):
                 chunks = bytearray()
@@ -977,7 +985,7 @@ class MiniKafkaBroker:
 
     # -- dispatch
 
-    def _dispatch(self, payload: bytes) -> bytes:
+    def _dispatch(self, payload: bytes, conn_members: set | None = None) -> bytes:
         r = _Reader(payload)
         api_key = r.i16()
         api_version = r.i16()
@@ -1013,7 +1021,7 @@ class MiniKafkaBroker:
         elif api_key == _API_FIND_COORDINATOR and api_version == 0:
             body = _s16(0) + _s32(0) + _string(self.host) + _s32(self.port)
         elif api_key == _API_JOIN_GROUP and api_version == 0:
-            body = self._handle_join_group(r)
+            body = self._handle_join_group(r, conn_members)
         elif api_key == _API_SYNC_GROUP and api_version == 0:
             body = self._handle_sync_group(r)
         elif api_key == _API_HEARTBEAT and api_version == 0:
@@ -1030,7 +1038,26 @@ class MiniKafkaBroker:
 
     # -- group coordinator ------------------------------------------------
 
-    def _handle_join_group(self, r: _Reader) -> bytes:
+    def _evict_members(self, pairs: set) -> None:
+        """Connection-close eviction (r15): the fixture's analogue of
+        session-timeout liveness — a member whose connection died
+        without LeaveGroup is removed and the group rebalances, so its
+        RangeAssignor partitions are reassigned instead of silently
+        going unconsumed. A real broker does this on missed
+        heartbeats; here liveness is connection-scoped by design."""
+        if not pairs:
+            return
+        with self._lock:
+            for group_id, member_id in pairs:
+                g = self._groups.get(group_id)
+                if g is None or member_id not in g.members:
+                    continue  # already left cleanly
+                del g.members[member_id]
+                g.joined_gen.pop(member_id, None)
+                g.generation += 1
+                g.assignments.clear()
+
+    def _handle_join_group(self, r: _Reader, conn_members: set | None = None) -> bytes:
         group_id = r.string() or ""
         r.i32()  # session timeout (liveness is connection-scoped here)
         member_id = r.string() or ""
@@ -1046,6 +1073,8 @@ class MiniKafkaBroker:
             if not member_id:
                 g.next_member += 1
                 member_id = f"member-{g.next_member}"
+            if conn_members is not None:
+                conn_members.add((group_id, member_id))
             if g.members.get(member_id) != metadata:
                 # new member or changed subscription: rebalance
                 g.generation += 1

@@ -836,3 +836,50 @@ def test_checkpoint_beats_group_commit(spark, tmp_path):
         cli.close()
     finally:
         b.stop()
+
+
+def test_dead_member_evicted_on_connection_close():
+    """r15 (ADVICE r14): a member whose connection dies WITHOUT
+    LeaveGroup must not hold its partitions forever — the fixture's
+    connection-scoped liveness evicts it and the survivor's heartbeat
+    sees the rebalance and reclaims the whole topic."""
+    import time
+    import uuid
+
+    from nifi_minifi_cpp_spark.sources.kafka_wire import (
+        KafkaGroupConsumer,
+        MiniKafkaBroker,
+    )
+
+    b = MiniKafkaBroker().start()
+    try:
+        topic = f"t_{uuid.uuid4().hex[:8]}"
+        group = f"g_{uuid.uuid4().hex[:8]}"
+        b.create_topic(topic, 2)
+        b.append(topic, 0, [(1_000, None, b"m0", [])])
+        b.append(topic, 1, [(1_000, None, b"m1", [])])
+
+        a = KafkaGroupConsumer(b.bootstrap, group, [topic])
+        a.join()
+        victim = KafkaGroupConsumer(b.bootstrap, group, [topic])
+        victim.join()
+        assert a.ensure_active()  # both rebalance in
+        pa = set(a.assignment.get(topic, []))
+        pv = set(victim.assignment.get(topic, []))
+        assert pa | pv == {0, 1} and pa & pv == set()
+
+        # the victim DIES: socket closed, no LeaveGroup
+        victim.close(leave=False)
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            a.ensure_active()  # heartbeat-driven rejoin on rebalance
+            if set(a.assignment.get(topic, [])) == {0, 1}:
+                break
+            time.sleep(0.1)
+        assert set(a.assignment.get(topic, [])) == {0, 1}, a.assignment
+        # and the survivor consumes BOTH partitions' records
+        got = sorted(rec["value"] for rec in a.poll())
+        assert got == [b"m0", b"m1"]
+        a.close()
+    finally:
+        b.stop()
