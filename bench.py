@@ -276,7 +276,7 @@ def main():
         "metric": "engine_queries_total_runtime",
         "value": round(total, 3),
         "unit": "sec",
-        "aggregation": f"per-query median of {n_runs} back-to-back runs",
+        "aggregation": f"per-query median of {n_runs} sweep-spaced samples",
         "queries": timings,
         "runs": raw_runs,
         "regressed": regressed,
