@@ -83,22 +83,144 @@ def _table_source(spark, df, props):
 
 @processor("GetFile")
 def _get_file(spark, df, props):
-    """GetFile (GetFile.cpp:71): batch read of a directory; Input
-    Directory / File Filter properties."""
-    reader = spark.read.format(props.get("format", "text"))
-    if props.get("file_filter"):
-        reader = reader.option("pathGlobFilter", props["file_filter"])
-    raw = reader.load(props["input_directory"])
-    content = F.col("value") if "value" in raw.columns else F.col(raw.columns[0]).cast("string")
-    return _one(
-        raw.select(
-            F.expr("uuid()").alias("uuid"),
-            F.current_timestamp().alias("ts"),
-            content.alias("content"),
-            F.create_map(F.lit("source.dir"), F.lit(props["input_directory"])).alias("attributes"),
-            F.array().cast("array<string>").alias("lineage"),
+    """GetFile (GetFile.cpp:71; property matrix GetFile.h:96-158):
+    batch read of a directory. r15 implements the full filter matrix —
+    the candidate list is a driver-side metadata poll (the reference's
+    directory scan; stat only, no content), then the CONTENT read of
+    exactly the selected files is distributed through the Spark
+    reader:
+
+    - File Filter: filename regex (the reference semantics; the
+      legacy ``file_filter`` glob option is still honored)
+    - Ignore Hidden Files (default true, like the reference)
+    - Minimum/Maximum File Age: time periods vs the file's mtime
+    - Minimum/Maximum File Size: bytes
+    - Batch Size: at most N files per trigger, oldest-mtime first
+    - Recurse Subdirectories (default true, GetFile.h:96)
+    - Keep Source File: when false, the batch is MATERIALIZED
+      (persist + count) before the source files are unlinked — lazy
+      evaluation must never race the delete. DOCUMENTED DIVERGENCE:
+      the reference defaults to false (consume-and-delete,
+      GetFile.h:101-105); this engine defaults to TRUE because an
+      analytics flow re-reads its sources and a destructive default
+      inside a lazily-planned engine is a data-loss foot-gun — pass
+      ``Keep Source File: false`` explicitly for reference behavior.
+    """
+    import fnmatch as _fnmatch
+    import os as _os
+    import re as _re
+    import time as _time
+
+    from ..streaming.sources import _parse_time_period_ms
+
+    def _flag(name: str, default: bool) -> bool:
+        v = props.get(name, default)
+        return str(v).lower() in ("true", "1", "yes")
+
+    directory = props["input_directory"]
+    recurse = _flag("Recurse Subdirectories", _flag("recurse", True))
+    ignore_hidden = _flag("Ignore Hidden Files", True)
+    rx = _re.compile(props["File Filter"]) if props.get("File Filter") else None
+    glob_filter = props.get("file_filter")
+    # "0 sec" / "0 B" maxima mean DISABLED, the reference's defaults
+    min_age_s = _parse_time_period_ms(props["Minimum File Age"]) / 1000.0 if props.get("Minimum File Age") else 0.0
+    max_age_s = _parse_time_period_ms(props["Maximum File Age"]) / 1000.0 if props.get("Maximum File Age") else None
+    if max_age_s == 0.0:
+        max_age_s = None
+    min_size = int(props.get("Minimum File Size", 0))
+    max_size = int(props["Maximum File Size"]) if props.get("Maximum File Size") else None
+    if max_size == 0:
+        max_size = None
+    batch = int(props["Batch Size"]) if props.get("Batch Size") else None
+    keep = _flag("Keep Source File", _flag("keep_source", True))
+
+    now = _time.time()
+    candidates: list[tuple[float, str]] = []
+    for root, dirs, files in _os.walk(directory):
+        if not recurse:
+            dirs.clear()
+        for name in files:
+            if ignore_hidden and name.startswith("."):
+                continue
+            if rx and not rx.fullmatch(name):
+                continue
+            if glob_filter and not _fnmatch.fnmatch(name, glob_filter):
+                continue
+            full = _os.path.join(root, name)
+            st = _os.stat(full)
+            age = now - st.st_mtime
+            if age < min_age_s or (max_age_s is not None and age > max_age_s):
+                continue
+            if st.st_size < min_size or (max_size is not None and st.st_size > max_size):
+                continue
+            candidates.append((st.st_mtime, full))
+    candidates.sort()
+    if batch is not None:
+        candidates = candidates[:batch]
+    selected = [p for _, p in candidates]
+    if not selected:
+        return _one(
+            spark.createDataFrame(
+                [],
+                "uuid string, ts timestamp, content string, "
+                "attributes map<string,string>, lineage array<string>",
+            )
         )
+
+    # Spark's file index hard-filters dot-files even when handed
+    # explicit paths (InMemoryFileIndex.shouldFilterOutPathName), so a
+    # selected hidden file is read through a VISIBLE hard link (copy
+    # fallback across filesystems) and the batch is materialized
+    # before the link dir is removed.
+    link_dir = None
+    read_paths = []
+    hidden_selected = [p for p in selected if _os.path.basename(p).startswith(".")]
+    if hidden_selected:
+        import shutil as _shutil
+        import tempfile as _tempfile
+        import uuid as _uuid
+
+        link_dir = _tempfile.mkdtemp(prefix="getfile-hidden-")
+        for p in selected:
+            if _os.path.basename(p).startswith("."):
+                vis = _os.path.join(link_dir, f"h{_uuid.uuid4().hex[:8]}-{_os.path.basename(p).lstrip('.')}")
+                try:
+                    _os.link(p, vis)
+                except OSError:
+                    _shutil.copy2(p, vis)
+                read_paths.append(vis)
+            else:
+                read_paths.append(p)
+    else:
+        read_paths = selected
+
+    reader = spark.read.format(props.get("format", "text"))
+    raw = reader.load(read_paths)
+    content = F.col("value") if "value" in raw.columns else F.col(raw.columns[0]).cast("string")
+    out = raw.select(
+        F.expr("uuid()").alias("uuid"),
+        F.current_timestamp().alias("ts"),
+        content.alias("content"),
+        F.create_map(F.lit("source.dir"), F.lit(directory)).alias("attributes"),
+        F.array().cast("array<string>").alias("lineage"),
     )
+    if not keep or link_dir is not None:
+        # force the read BEFORE unlinking sources / removing the
+        # hidden-file link dir — a lazily-evaluated plan must never
+        # race the deletes
+        out = out.persist()
+        out.count()
+        if link_dir is not None:
+            import shutil as _shutil
+
+            _shutil.rmtree(link_dir, ignore_errors=True)
+        if not keep:
+            for p in selected:
+                try:
+                    _os.remove(p)
+                except OSError:
+                    pass
+    return _one(out)
 
 
 @processor("GenerateFlowFile")

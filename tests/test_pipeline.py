@@ -1334,3 +1334,62 @@ def test_connection_flowfile_expiration_edge(spark):
     assert [r.id for r in kept] == [0]
     # 0 = disabled (reference default): nothing dropped
     assert _connection_edge(df, {"flowfile expiration": 0}).count() == 2
+
+
+def test_get_file_filter_matrix(spark, tmp_path):
+    """r15 (GetFile.h:96-158): the full property matrix executes —
+    filename regex, hidden-file skip, min/max age and size, batch-size
+    cap with oldest-first ordering, recurse toggle, and the
+    consume-and-delete mode materializing before the unlink."""
+    import os
+    import time
+
+    from nifi_minifi_cpp_spark.plans.pipeline import _PROCESSORS as PROCESSORS
+
+    d = tmp_path / "in"
+    sub = d / "sub"
+    sub.mkdir(parents=True)
+    now = time.time()
+
+    (d / "a.txt").write_text("A")
+    (d / "b.txt").write_text("B")
+    (d / ".hidden.txt").write_text("H")
+    (d / "c.log").write_text("C")          # regex-excluded
+    (d / "old.txt").write_text("OLD")
+    os.utime(d / "old.txt", (now - 3600, now - 3600))
+    (d / "big.txt").write_text("X" * 100)  # size-excluded
+    (sub / "nested.txt").write_text("N")
+
+    get = PROCESSORS["GetFile"]
+
+    def run(props):
+        out = get(spark, None, dict(props, input_directory=str(d)))
+        return sorted(r["content"] for r in out["success"].collect())
+
+    base = {
+        "File Filter": r".*\.txt",
+        "Maximum File Age": "10 min",
+        "Maximum File Size": "50",
+    }
+    # hidden skipped by default; c.log regex-excluded; old.txt too old;
+    # big.txt too big; nested.txt included (recurse default true)
+    assert run(base) == ["A", "B", "N"]
+    # recurse off drops the nested file
+    assert run(dict(base, **{"Recurse Subdirectories": "false"})) == ["A", "B"]
+    # hidden included on demand
+    got = run(dict(base, **{"Ignore Hidden Files": "false"}))
+    assert got == ["A", "B", "H", "N"]
+    # min size: only the 100-byte file (and max lifted)
+    assert run({"File Filter": r".*\.txt", "Minimum File Size": 50}) == ["X" * 100]
+    # batch size 2: the two OLDEST mtimes win
+    os.utime(d / "a.txt", (now - 60, now - 60))
+    os.utime(d / "b.txt", (now - 30, now - 30))
+    assert run(dict(base, **{"Batch Size": 2})) == ["A", "B"]
+    # min age excludes everything younger than 5 min
+    assert run({"File Filter": r".*\.txt", "Minimum File Age": "5 min"}) == ["OLD"]
+
+    # consume-and-delete: output intact, sources gone
+    got = run(dict(base, **{"Keep Source File": "false"}))
+    assert got == ["A", "B", "N"]
+    assert not (d / "a.txt").exists() and not (sub / "nested.txt").exists()
+    assert (d / "c.log").exists() and (d / "old.txt").exists()  # unmatched kept
