@@ -1466,9 +1466,25 @@ def _register_kafkawire_impl():
             if not self.bootstrap:
                 raise ValueError("kafkawire source requires 'kafka.bootstrap.servers'")
             topics = options.get("subscribe")
-            if not topics:
-                raise ValueError("kafkawire source requires 'subscribe'")
-            self.topics = [t.strip() for t in topics.split(",") if t.strip()]
+            self.pattern = options.get("subscribepattern") or options.get(
+                "subscribePattern"
+            )
+            if not topics and not self.pattern:
+                raise ValueError(
+                    "kafkawire source requires 'subscribe' or 'subscribePattern'"
+                )
+            if topics and self.pattern:
+                raise ValueError("'subscribe' and 'subscribePattern' are exclusive")
+            # Pattern subscription is CLIENT-side in Kafka (the consumer
+            # lists all topics via Metadata and regex-matches locally —
+            # librdkafka's topic_metadata regex path, ConsumeKafka's
+            # Topic Name Format 'Patterns'). Resolved ONCE at stream
+            # start (initialOffset); topics created later need a
+            # restart — the connector's metadata.max.age re-evaluation
+            # is out of scope and documented here.
+            self.topics = (
+                [t.strip() for t in topics.split(",") if t.strip()] if topics else []
+            )
             self.starting = options.get("startingoffsets", options.get("startingOffsets", "earliest"))
             self.max_records = int(options.get("maxoffsetspertrigger", "10000"))
             # Group ID property (ConsumeKafka.h:129-132 -> kafka.group.id
@@ -1489,7 +1505,17 @@ def _register_kafkawire_impl():
             return self._client
 
         def initialOffset(self) -> dict:
+            import re as _re
+
             cli = self._cli()
+            if self.pattern:
+                rx = _re.compile(self.pattern)
+                all_meta = cli.metadata(None)
+                self.topics = sorted(t for t in all_meta if rx.fullmatch(t))
+                if not self.topics:
+                    raise ValueError(
+                        f"subscribePattern {self.pattern!r} matches no topic"
+                    )
             meta = cli.metadata(self.topics)
             pairs = [(t, p) for t in self.topics for p in meta.get(t, [0])]
             # ONE batched OffsetFetch for every (topic, partition) —

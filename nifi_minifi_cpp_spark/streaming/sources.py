@@ -225,23 +225,25 @@ def kafka_wire_source(spark: SparkSession, props: dict) -> DataFrame:
     (sources/kafka_wire.py), which speaks the public Kafka binary
     protocol (RecordBatch v2 + Fetch/Metadata/ListOffsets) over TCP
     with checkpointed per-partition offsets. Topic Name Format
-    'Patterns' needs broker-side subscription — not supported on the
-    wire source (pass explicit Names)."""
+    'Patterns' resolves CLIENT-side (full-metadata regex match at
+    stream start — the librdkafka behavior; later-created topics need
+    a restart)."""
     from ..sources.kafka_wire import register_kafkawire
 
     opts = consume_kafka_options(props)
-    if "subscribePattern" in opts:
-        raise ValueError(
-            "kafka_wire_source supports Topic Name Format 'Names' only "
-            "(pattern subscription is a consumer-group concern)"
-        )
     register_kafkawire(spark)
     reader = (
         spark.readStream.format("kafkawire")
         .option("kafka.bootstrap.servers", opts["kafka.bootstrap.servers"])
-        .option("subscribe", opts["subscribe"])
         .option("startingOffsets", opts.get("startingOffsets", "latest"))
     )
+    if "subscribePattern" in opts:
+        # Topic Name Format 'Patterns' (r15): client-side regex over
+        # the broker's full topic metadata, the librdkafka contract;
+        # resolved at stream start
+        reader = reader.option("subscribePattern", opts["subscribePattern"])
+    else:
+        reader = reader.option("subscribe", opts["subscribe"])
     if "maxOffsetsPerTrigger" in opts:
         reader = reader.option("maxOffsetsPerTrigger", opts["maxOffsetsPerTrigger"])
     if "kafka.group.id" in opts:

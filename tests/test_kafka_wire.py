@@ -883,3 +883,51 @@ def test_dead_member_evicted_on_connection_close():
         a.close()
     finally:
         b.stop()
+
+
+def test_pattern_subscription_client_side(spark, broker, tmpdir):
+    """r15: Topic Name Format 'Patterns' — the reader lists ALL topics
+    via Metadata and regex-matches client-side (the librdkafka
+    contract); both matching topics stream, the non-matching one does
+    not, and an unmatched pattern fails loudly."""
+    from nifi_minifi_cpp_spark.streaming.sources import kafka_wire_source
+
+    broker.append("logs_app", 0, [(1_000, None, b"a0", [])])
+    broker.append("logs_db", 0, [(1_000, None, b"d0", [])])
+    broker.append("metrics", 0, [(1_000, None, b"m0", [])])
+
+    stream = kafka_wire_source(
+        spark,
+        {
+            "Kafka Brokers": broker.bootstrap,
+            "Topic Names": r"logs_.*",
+            "Topic Name Format": "Patterns",
+            "Offset Reset": "earliest",
+        },
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kwpat")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .start()
+    )
+    try:
+        rows = _poll(spark, q, "kwpat", expected=2)
+    finally:
+        q.stop()
+    got = {(r["topic"], bytes(r["value"])) for r in rows}
+    assert got == {("logs_app", b"a0"), ("logs_db", b"d0")}
+
+    # unmatched pattern -> loud failure at stream start
+    from nifi_minifi_cpp_spark.sources.kafka_wire import _register_kafkawire_impl
+
+    ds = _register_kafkawire_impl()
+    rdr = ds(
+        {
+            "kafka.bootstrap.servers": broker.bootstrap,
+            "subscribepattern": r"nomatch_.*",
+        }
+    ).simpleStreamReader(None)
+    with pytest.raises(ValueError, match="matches no topic"):
+        rdr.initialOffset()
