@@ -268,16 +268,21 @@ def _replace(s, a):
 
 @_fn("replaceFirst")
 def _replace_first(s, a):
-    # regex replace of the first match only (Expression.cpp:771).
-    # Splice around regexp_instr/regexp_substr; replacement backrefs
-    # ($1) are not supported in this fast path.
+    # regex replace of the first match only, WITH $1 replacement
+    # backrefs (Expression.cpp:771-776: std::regex_replace with
+    # format_first_only — ECMA format supports capture references).
+    # r15: run the backref-capable regexp_replace over ONLY the prefix
+    # that ends at the end of the first match — the prefix contains
+    # exactly one complete match (the leftmost one; no later match can
+    # fit after its end), so regexp_replace's replace-all is a
+    # replace-first there — and splice the untouched tail back on.
     pat, rep = as_str(a[0]), as_str(a[1])
     sub = as_str(s)
     pos = F.call_function("regexp_instr", sub, pat)
     match = F.call_function("regexp_substr", sub, pat)
+    prefix = F.substring(sub, 1, pos + F.length(match) - 1)
     spliced = F.concat(
-        F.substring(sub, 1, pos - 1),
-        rep,
+        F.call_function("regexp_replace", prefix, pat, rep),
         F.substring(sub, pos + F.length(match), F.length(sub)),
     )
     return Typed(F.when((pos > 0) & match.isNotNull(), spliced).otherwise(sub), STR)

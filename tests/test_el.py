@@ -189,6 +189,25 @@ def test_missing_attr_in_text_is_empty(spark):
 def test_replace_first(spark):
     assert _eval(spark, "${literal('one two two'):replaceFirst('two', 'X')}") == "one X two"
     assert _eval(spark, "${literal('aaa'):replaceFirst('b', 'X')}") == "aaa"
+    # r15: $1 replacement backrefs (Expression.cpp:771 regex_replace
+    # format semantics) and reference test vectors
+    assert (
+        _eval(spark, r"${literal('hello world'):replaceFirst('(\\w+)', '[$1]')}")
+        == "[hello] world"
+    )
+    assert (
+        _eval(spark, "${literal('a brand new filename.txt'):replaceFirst('a', 'the')}")
+        == "the brand new filename.txt"
+    )
+    assert (
+        _eval(spark, "${literal('a brand new filename.txt'):replaceFirst('[br]', 'g')}")
+        == "a grand new filename.txt"
+    )
+    # backref with a second occurrence untouched
+    assert (
+        _eval(spark, r"${literal('x=1 y=2'):replaceFirst('(\\w)=(\\d)', '$2:$1')}")
+        == "1:x y=2"
+    )
 
 
 def test_reverse_dns_lookup(spark):
