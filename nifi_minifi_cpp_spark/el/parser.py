@@ -149,8 +149,20 @@ class _Parser:
                 raise ELParseError("unterminated string", self.text, self.pos)
             ch = self.advance()
             if ch == "\\" and self.peek():
+                # The reference grammar (Parser.yy:144-149) unescapes
+                # only \' \" \\ ; \n/\t/\r are kept as conveniences
+                # (the Java NiFi EL grammar has them). Any OTHER
+                # escape keeps its backslash (r15): the old
+                # drop-the-backslash rule silently corrupted regex
+                # arguments (\w became w and matched the letter) where
+                # the reference would refuse to parse.
                 nxt = self.advance()
-                buf.append({"n": "\n", "t": "\t", "r": "\r"}.get(nxt, nxt))
+                if nxt in ("'", '"', "\\"):
+                    buf.append(nxt)
+                elif nxt in ("n", "t", "r"):
+                    buf.append({"n": "\n", "t": "\t", "r": "\r"}[nxt])
+                else:
+                    buf.append("\\" + nxt)
             elif ch == quote:
                 return "".join(buf)
             else:

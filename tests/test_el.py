@@ -203,6 +203,24 @@ def test_replace_first(spark):
         _eval(spark, "${literal('a brand new filename.txt'):replaceFirst('[br]', 'g')}")
         == "a grand new filename.txt"
     )
+    # r15 escape rule: an unknown escape KEEPS its backslash, so a
+    # single-backslash regex class works instead of silently matching
+    # the bare letter (the pre-fix corruption); the reference escapes
+    # (\' \" \\) still unescape and \n/\t/\r stay conveniences
+    assert (
+        _eval(spark, r"${literal('hello world'):replaceFirst('(\w+)', '[$1]')}")
+        == "[hello] world"
+    )
+    from nifi_minifi_cpp_spark.el.parser import parse
+
+    def _lex(s):
+        node = parse("${literal('" + s + "')}")
+        return node.parts[0].body.args[0].value
+
+    assert _lex(r"\w+\d") == "\\w+\\d"  # unknown escapes preserved
+    assert _lex(r"\\w") == "\\w"  # double form unescapes to the same
+    assert _lex(r"a\'b") == "a'b" and _lex('a\\"b') == 'a"b'
+    assert _lex(r"a\nb") == "a\nb" and _lex(r"a\tb") == "a\tb"
     # backref with a second occurrence untouched
     assert (
         _eval(spark, r"${literal('x=1 y=2'):replaceFirst('(\\w)=(\\d)', '$2:$1')}")
