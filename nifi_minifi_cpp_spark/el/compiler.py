@@ -240,11 +240,66 @@ def _substring_after_last(s, a):
 
 @_fn("getDelimitedField")
 def _get_delimited_field(s, a):
-    # 1-based field index (Expression.cpp:269); simple-delimiter fast path
+    # 1-based field index, QUOTE-AWARE like the reference's CSV state
+    # machine (Expression.cpp:269-330: quote_ch is always active, a
+    # delimiter inside quotes does not split, strip_chars removes the
+    # quote/escape characters). r15: split on delimiters followed by
+    # an EVEN number of quote chars (the outside-quotes invariant) —
+    # a Java-regex lookahead, so the whole thing stays one Catalyst
+    # expression. The escape_ch arg is accepted for arity parity and
+    # used by strip mode; escape-prefixed delimiters inside UNQUOTED
+    # fields are not honored by the lookahead (quote the field — the
+    # reference's own tests only exercise quoting).
     idx = as_int(a[0])
+    sub = as_str(s)
     delim = as_str(a[1]) if len(a) > 1 else F.lit(",")
-    parts = F.split(as_str(s), F.regexp_escape(delim) if hasattr(F, "regexp_escape") else _regex_quote(delim))
-    return Typed(F.get(parts, (idx - 1).cast("int")), STR)
+    quote = as_str(a[2]) if len(a) > 2 else F.lit('"')
+    esc = as_str(a[3]) if len(a) > 3 else F.lit("\\")
+    strip = as_bool(a[4]) if len(a) > 4 else F.lit(False)
+    qd, qq, qe = _regex_quote(delim), _regex_quote(quote), _regex_quote(esc)
+    not_q = F.concat(F.lit("[^"), qq, F.lit("]*"))
+    # split on delimiters with an EVEN number of quote chars BEFORE
+    # them (the reference toggles on every quote char, escaped or
+    # not). Java has no variable-length lookbehind, so express
+    # "even-before" through the total quote parity: even total ->
+    # even-ahead, odd total -> odd-ahead.
+    even_ahead = F.concat(
+        qd, F.lit("(?s)(?=(?:"), not_q, qq, not_q, qq, F.lit(")*"), not_q, F.lit("$)")
+    )
+    odd_ahead = F.concat(
+        qd,
+        F.lit("(?s)(?="),
+        not_q,
+        qq,
+        F.lit("(?:"),
+        not_q,
+        qq,
+        not_q,
+        qq,
+        F.lit(")*"),
+        not_q,
+        F.lit("$)"),
+    )
+    n_quotes = F.length(sub) - F.length(
+        F.call_function("regexp_replace", sub, qq, F.lit(""))
+    )
+    pattern = F.when(n_quotes % 2 == 0, even_ahead).otherwise(odd_ahead)
+    parts = F.split(sub, pattern)
+    # out-of-range index yields "" like the reference's untouched
+    # accumulator (Expression.cpp:385), not NULL
+    field = F.coalesce(
+        F.get(parts, (idx - 1).cast("int")),
+        F.when(sub.isNotNull(), F.lit("")),
+    )
+    # strip mode drops quote chars and escape PREFIXES but keeps the
+    # escaped character itself (an escaped escape survives as one);
+    # an escaped quote drops entirely — exactly the reference loop's
+    # append rules under strip_chars
+    strip_pat = F.concat(
+        F.lit("(?s)"), qe, qq, F.lit("|"), qe, F.lit("(.)|"), qq, F.lit("|"), qe
+    )
+    stripped = F.call_function("regexp_replace", field, strip_pat, F.lit("$1"))
+    return Typed(F.when(strip, stripped).otherwise(field), STR)
 
 
 def _regex_quote(c: Column) -> Column:

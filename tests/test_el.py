@@ -232,3 +232,28 @@ def test_reverse_dns_lookup(spark):
     # env-dependent result; assert it resolves to SOMETHING stable
     v = _eval(spark, "${literal('127.0.0.1'):reverseDnsLookup()}")
     assert isinstance(v, str) and len(v) > 0
+
+
+def test_get_delimited_field_quote_aware(spark):
+    """r15 (Expression.cpp:269-330 + ExpressionLanguageTests.cpp
+    Get Delimited 1-3): the quote char is ALWAYS active — a delimiter
+    inside quotes does not split — and strip mode removes the
+    quote/escape characters. Exact reference vectors."""
+    assert (
+        _eval(spark, '${literal(\'"Jacobson, John", 32, Mr.\'):getDelimitedField(2)}')
+        == " 32"
+    )
+    assert (
+        _eval(spark, '${literal(\'"Jacobson, John", 32, Mr.\'):getDelimitedField(1)}')
+        == '"Jacobson, John"'
+    )
+    assert (
+        _eval(
+            spark,
+            "${literal('\"Jacobson, John\", 32, Mr.'):"
+            "getDelimitedField(1, ',', '\\\"', '\\\\', 'true')}",
+        )
+        == "Jacobson, John"
+    )
+    # unquoted input unchanged by the quote-awareness
+    assert _eval(spark, "${literal('a,b,c'):getDelimitedField(3)}") == "c"

@@ -156,14 +156,79 @@ def test_substring_family_found_path(spark, pre, mid, post, d):
     assert rows["after_last"] == v[last + len(d):]
 
 
+def _ref_get_delimited(subject, index0, delim=",", quote='"', esc="\\", strip=False):
+    """Exact Python port of the reference CSV state machine
+    (Expression.cpp:269-385): quote chars toggle state (escaped or
+    not); the escape char is OUTPUT-only — it is kept unless strip,
+    and the following char is then processed NORMALLY (an escaped
+    delimiter still splits, the reference's own behavior)."""
+    parse_state = 0  # 0=value, 1=quote
+    field_idx = 0
+    out = []
+    i = 0
+    n = len(subject)
+    while i < n:
+        ch = subject[i]
+        if ch == esc:
+            if not strip and field_idx == index0:
+                out.append(esc)
+            i += 1
+            if i < n:
+                ch = subject[i]
+            else:
+                break
+        if parse_state == 0:
+            if ch == delim:
+                field_idx += 1
+                if field_idx > index0:
+                    break
+            elif ch == quote:
+                if not strip and field_idx == index0:
+                    out.append(quote)
+                parse_state = 1
+            elif field_idx == index0:
+                out.append(ch)
+        else:
+            if ch == quote:
+                if not strip and field_idx == index0:
+                    out.append(quote)
+                parse_state = 0
+            elif field_idx == index0:
+                out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 @settings(**_SETTINGS)
-@given(st.lists(ASCII, min_size=1, max_size=6), st.integers(1, 8))
-def test_get_delimited_field_matches_python(spark, fields, idx):
+@given(
+    st.lists(
+        # fields are DATA (attribute values), not EL source — quotes,
+        # backslashes and delimiters are all fair game and exercise
+        # the quote toggles and the output-only escape rules
+        st.text(alphabet='ab,"\\ ', max_size=6),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 8),
+    st.booleans(),
+)
+def test_get_delimited_field_matches_python(spark, fields, idx, strip):
+    """The Catalyst getDelimitedField must match the reference CSV
+    state machine exactly — QUOTE-aware splits (a delimiter inside
+    quotes does not split; unbalanced quotes follow prefix parity) and
+    the strip mode's keep-the-escaped-char rules (r15: fields may
+    contain quotes, the old naive-split model could not)."""
     v = ",".join(fields)
-    rows = _batch_eval(spark, [v], {"f": f"${{v:getDelimitedField({idx})}}"})[0]
-    parts = v.split(",")
-    expected = parts[idx - 1] if idx <= len(parts) else None
-    assert rows["f"] == expected, (v, idx)
+    el = (
+        f"${{v:getDelimitedField({idx}, ',', '\\\"', '\\\\', 'true')}}"
+        if strip
+        else f"${{v:getDelimitedField({idx})}}"
+    )
+    rows = _batch_eval(spark, [v], {"f": el})[0]
+    expected = _ref_get_delimited(v, idx - 1, strip=strip)
+    # out-of-range yields "" exactly like the reference (r15) — no
+    # None mapping needed
+    assert rows["f"] == expected, (v, idx, strip)
 
 
 @settings(**_SETTINGS)
