@@ -326,21 +326,27 @@ def _replace_first(s, a):
     # regex replace of the first match only, WITH $1 replacement
     # backrefs (Expression.cpp:771-776: std::regex_replace with
     # format_first_only — ECMA format supports capture references).
-    # r15: run the backref-capable regexp_replace over ONLY the prefix
-    # that ends at the end of the first match — the prefix contains
-    # exactly one complete match (the leftmost one; no later match can
-    # fit after its end), so regexp_replace's replace-all is a
-    # replace-first there — and splice the untouched tail back on.
+    # r16: locate the first match with regexp_instr, then run the
+    # backref-capable regexp_replace over the SUFFIX starting at that
+    # position with the pattern anchored at ^ inside a non-capturing
+    # group (group numbers preserved). The ^ anchor means exactly one
+    # replacement happens (Java's Matcher can't re-match ^ past
+    # position 0, so an empty-matchable pattern can't fire twice —
+    # replaceFirst('a*','X') on 'aab' is 'Xb', not 'XXb'), and the
+    # suffix keeps the lookahead context past the match end intact
+    # (replaceFirst('a(?=b)','X') on 'ab' is 'Xb'). Lookbehind would
+    # lose its left context here, but the reference's std::regex
+    # ECMAScript grammar has no lookbehind at all, so nothing is lost.
     pat, rep = as_str(a[0]), as_str(a[1])
     sub = as_str(s)
     pos = F.call_function("regexp_instr", sub, pat)
-    match = F.call_function("regexp_substr", sub, pat)
-    prefix = F.substring(sub, 1, pos + F.length(match) - 1)
+    suffix = F.substring(sub, pos, F.length(sub) - pos + 1)
+    anchored = F.concat(F.lit("^(?:"), pat, F.lit(")"))
     spliced = F.concat(
-        F.call_function("regexp_replace", prefix, pat, rep),
-        F.substring(sub, pos + F.length(match), F.length(sub)),
+        F.substring(sub, 1, pos - 1),
+        F.call_function("regexp_replace", suffix, anchored, rep),
     )
-    return Typed(F.when((pos > 0) & match.isNotNull(), spliced).otherwise(sub), STR)
+    return Typed(F.when(pos > 0, spliced).otherwise(sub), STR)
 
 
 @_fn("replaceAll")

@@ -94,12 +94,14 @@ def _get_file(spark, df, props):
       legacy ``file_filter`` glob option is still honored)
     - Ignore Hidden Files (default true, like the reference)
     - Minimum/Maximum File Age: time periods vs the file's mtime
-    - Minimum/Maximum File Size: bytes
+    - Minimum/Maximum File Size: DATA_SIZE values ('0 B', '1 MB';
+      GetFile.h:118-127 — reference unit quirk honored: K/M/G decimal,
+      KB/MB/GB binary)
     - Batch Size: at most N files per trigger, oldest-mtime first
     - Recurse Subdirectories (default true, GetFile.h:96)
     - Keep Source File: when false, the batch is MATERIALIZED
-      (persist + count) before the source files are unlinked — lazy
-      evaluation must never race the delete. DOCUMENTED DIVERGENCE:
+      (eager localCheckpoint) before the source files are unlinked —
+      lazy evaluation must never race the delete. DOCUMENTED DIVERGENCE:
       the reference defaults to false (consume-and-delete,
       GetFile.h:101-105); this engine defaults to TRUE because an
       analytics flow re-reads its sources and a destructive default
@@ -111,7 +113,7 @@ def _get_file(spark, df, props):
     import re as _re
     import time as _time
 
-    from ..streaming.sources import _parse_time_period_ms
+    from ..streaming.sources import _parse_data_size_bytes, _parse_time_period_ms
 
     def _flag(name: str, default: bool) -> bool:
         v = props.get(name, default)
@@ -127,8 +129,9 @@ def _get_file(spark, df, props):
     max_age_s = _parse_time_period_ms(props["Maximum File Age"]) / 1000.0 if props.get("Maximum File Age") else None
     if max_age_s == 0.0:
         max_age_s = None
-    min_size = int(props.get("Minimum File Size", 0))
-    max_size = int(props["Maximum File Size"]) if props.get("Maximum File Size") else None
+    # DATA_SIZE values per GetFile.h:118-127 ('0 B' default, '1 MB' style)
+    min_size = _parse_data_size_bytes(props.get("Minimum File Size", 0))
+    max_size = _parse_data_size_bytes(props["Maximum File Size"]) if props.get("Maximum File Size") else None
     if max_size == 0:
         max_size = None
     batch = int(props["Batch Size"]) if props.get("Batch Size") else None
@@ -207,9 +210,13 @@ def _get_file(spark, df, props):
     if not keep or link_dir is not None:
         # force the read BEFORE unlinking sources / removing the
         # hidden-file link dir — a lazily-evaluated plan must never
-        # race the deletes
-        out = out.persist()
-        out.count()
+        # race the deletes. localCheckpoint (eager) rather than
+        # persist+count: it TRUNCATES the lineage, so a later eviction
+        # of a block can never trigger recomputation that re-reads the
+        # unlinked paths (it fails loudly instead of reading garbage),
+        # and the blocks are released when the DataFrame is collected,
+        # closing the never-unpersisted leak (ADVICE r15)
+        out = out.localCheckpoint(eager=True)
         if link_dir is not None:
             import shutil as _shutil
 

@@ -865,7 +865,7 @@ class _GroupState:
     learn about it from ERR_REBALANCE_IN_PROGRESS heartbeats and
     rejoin — the rebalance protocol every Kafka client implements."""
 
-    __slots__ = ("generation", "members", "assignments", "joined_gen", "next_member")
+    __slots__ = ("generation", "members", "assignments", "joined_gen", "next_member", "owner")
 
     def __init__(self):
         self.generation = 0
@@ -873,6 +873,11 @@ class _GroupState:
         self.assignments: dict[str, bytes] = {}
         self.joined_gen: dict[str, int] = {}  # member_id -> generation it joined
         self.next_member = 0
+        # member_id -> token of the connection that last joined it; a
+        # close only evicts members it still OWNS, so a member that
+        # rejoined over a new connection survives the old one's death
+        # (ADVICE r15)
+        self.owner: dict[str, int] = {}
 
     @property
     def leader(self) -> str:
@@ -902,6 +907,7 @@ class MiniKafkaBroker:
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._groups: dict[str, _GroupState] = {}
         self._offsets: dict[tuple[str, str, int], int] = {}  # (group, topic, part)
+        self._conn_tokens = 0
         self._lock = threading.Lock()
         broker = self
 
@@ -913,6 +919,7 @@ class MiniKafkaBroker:
                 # LeaveGroup, so a dead consumer cannot hold its
                 # partitions forever (r15, ADVICE r14)
                 conn_members: set[tuple[str, str]] = set()
+                conn_token = broker._next_conn_token()
                 try:
                     while True:
                         size_b = self._read_exact(4)
@@ -922,12 +929,12 @@ class MiniKafkaBroker:
                         payload = self._read_exact(size)
                         if payload is None:
                             return
-                        resp = broker._dispatch(payload, conn_members)
+                        resp = broker._dispatch(payload, conn_members, conn_token)
                         self.request.sendall(_s32(len(resp)) + resp)
                 except OSError:
                     return
                 finally:
-                    broker._evict_members(conn_members)
+                    broker._evict_members(conn_members, conn_token)
 
             def _read_exact(self, n):
                 chunks = bytearray()
@@ -985,7 +992,7 @@ class MiniKafkaBroker:
 
     # -- dispatch
 
-    def _dispatch(self, payload: bytes, conn_members: set | None = None) -> bytes:
+    def _dispatch(self, payload: bytes, conn_members: set | None = None, conn_token: int = 0) -> bytes:
         r = _Reader(payload)
         api_key = r.i16()
         api_version = r.i16()
@@ -1021,7 +1028,7 @@ class MiniKafkaBroker:
         elif api_key == _API_FIND_COORDINATOR and api_version == 0:
             body = _s16(0) + _s32(0) + _string(self.host) + _s32(self.port)
         elif api_key == _API_JOIN_GROUP and api_version == 0:
-            body = self._handle_join_group(r, conn_members)
+            body = self._handle_join_group(r, conn_members, conn_token)
         elif api_key == _API_SYNC_GROUP and api_version == 0:
             body = self._handle_sync_group(r)
         elif api_key == _API_HEARTBEAT and api_version == 0:
@@ -1038,13 +1045,21 @@ class MiniKafkaBroker:
 
     # -- group coordinator ------------------------------------------------
 
-    def _evict_members(self, pairs: set) -> None:
+    def _next_conn_token(self) -> int:
+        with self._lock:
+            self._conn_tokens += 1
+            return self._conn_tokens
+
+    def _evict_members(self, pairs: set, conn_token: int = 0) -> None:
         """Connection-close eviction (r15): the fixture's analogue of
         session-timeout liveness — a member whose connection died
         without LeaveGroup is removed and the group rebalances, so its
         RangeAssignor partitions are reassigned instead of silently
         going unconsumed. A real broker does this on missed
-        heartbeats; here liveness is connection-scoped by design."""
+        heartbeats; here liveness is connection-scoped by design.
+        r16 (ADVICE r15): eviction is OWNERSHIP-gated — a member that
+        rejoined over a NEWER connection keeps the same member_id, and
+        the old connection's close must not evict the live member."""
         if not pairs:
             return
         with self._lock:
@@ -1052,12 +1067,15 @@ class MiniKafkaBroker:
                 g = self._groups.get(group_id)
                 if g is None or member_id not in g.members:
                     continue  # already left cleanly
+                if g.owner.get(member_id, conn_token) != conn_token:
+                    continue  # rejoined over a newer connection: still live
                 del g.members[member_id]
                 g.joined_gen.pop(member_id, None)
+                g.owner.pop(member_id, None)
                 g.generation += 1
                 g.assignments.clear()
 
-    def _handle_join_group(self, r: _Reader, conn_members: set | None = None) -> bytes:
+    def _handle_join_group(self, r: _Reader, conn_members: set | None = None, conn_token: int = 0) -> bytes:
         group_id = r.string() or ""
         r.i32()  # session timeout (liveness is connection-scoped here)
         member_id = r.string() or ""
@@ -1075,6 +1093,7 @@ class MiniKafkaBroker:
                 member_id = f"member-{g.next_member}"
             if conn_members is not None:
                 conn_members.add((group_id, member_id))
+            g.owner[member_id] = conn_token
             if g.members.get(member_id) != metadata:
                 # new member or changed subscription: rebalance
                 g.generation += 1
@@ -1141,6 +1160,7 @@ class MiniKafkaBroker:
                 return _s16(ERR_UNKNOWN_MEMBER_ID)
             del g.members[member_id]
             g.joined_gen.pop(member_id, None)
+            g.owner.pop(member_id, None)
             g.generation += 1
             g.assignments.clear()
             return _s16(0)

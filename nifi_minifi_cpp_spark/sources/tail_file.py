@@ -193,6 +193,12 @@ class TailFile:
                     state_dirty = True
                     first = False
                 pos = 0
+                # reset the main file's state NOW, even if it has no
+                # new bytes yet — otherwise the stale pos/checksum
+                # re-detects this same rotation (and re-CRCs every
+                # sibling) on every poll until data arrives (ADVICE r15)
+                state[path] = {"position": 0, "checksum": 0, "last_read_time": now}
+                state_dirty = True
             if size <= pos:
                 continue
             with open(path, "rb") as f:

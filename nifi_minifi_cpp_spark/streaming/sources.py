@@ -83,6 +83,36 @@ def _parse_time_period_ms(value: str | int) -> int:
     return n * factor
 
 
+def _parse_data_size_bytes(value: str | int | float) -> int:
+    """Reference DATA_SIZE strings -> bytes (TypedValues.h:108-147,
+    Literals.h:22-60). The reference's backwards-compat quirk is kept
+    verbatim: bare-letter units K/M/G/T/P are DECIMAL (1000^n) while
+    two-letter KB/MB/GB/TB/PB are BINARY (1024^n); units are
+    case-insensitive; an unrecognized unit is ignored with a warning
+    (multiplier 1), exactly like StringToInt's compat path."""
+    if isinstance(value, (int, float)):
+        return int(value)
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(-?\d+)\s*([a-zA-Z]*)\s*", str(value))
+    if not m:
+        raise ValueError(f"bad data size {value!r}")
+    n, unit = int(m.group(1)), m.group(2).upper()
+    if not unit:
+        return n
+    factor = {
+        "B": 1,
+        "K": 1000, "M": 1000**2, "G": 1000**3, "T": 1000**4, "P": 1000**5,
+        "KB": 1024, "MB": 1024**2, "GB": 1024**3, "TB": 1024**4, "PB": 1024**5,
+    }.get(unit)
+    if factor is None:
+        import warnings as _warnings
+
+        _warnings.warn(f"Unrecognized data unit: {unit!r}", stacklevel=2)
+        factor = 1
+    return n * factor
+
+
 #: ConsumeKafka commit policies (ConsumeKafka.h:229-238) and how each
 #: lands on Spark's model. Spark's Kafka source NEVER commits offsets
 #: to the broker — progress lives in the query checkpoint, which is

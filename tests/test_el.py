@@ -203,6 +203,14 @@ def test_replace_first(spark):
         _eval(spark, "${literal('a brand new filename.txt'):replaceFirst('[br]', 'g')}")
         == "a grand new filename.txt"
     )
+    # r16 (ADVICE r15): the two confirmed format_first_only deviations —
+    # an empty-matchable pattern replaces ONCE (the old prefix-splice
+    # found a second empty match at the prefix end), and lookahead past
+    # the match end keeps its context (the prefix boundary cut it off)
+    assert _eval(spark, "${literal('aab'):replaceFirst('a*', 'X')}") == "Xb"
+    assert _eval(spark, "${literal('bab'):replaceFirst('a*', 'X')}") == "Xbab"
+    assert _eval(spark, "${literal('ab'):replaceFirst('a(?=b)', 'X')}") == "Xb"
+    assert _eval(spark, "${literal('xxab'):replaceFirst('a(?=b)', 'Y')}") == "xxYb"
     # r15 escape rule: an unknown escape KEEPS its backslash, so a
     # single-backslash regex class works instead of silently matching
     # the bare letter (the pre-fix corruption); the reference escapes

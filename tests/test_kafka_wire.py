@@ -885,6 +885,57 @@ def test_dead_member_evicted_on_connection_close():
         b.stop()
 
 
+def test_rejoined_member_survives_stale_connection_close():
+    """r16 (ADVICE r15): a member that reconnects (new socket, SAME
+    member_id) must survive the OLD connection's close — eviction is
+    ownership-gated to the member's current connection, so the stale
+    close causes no spurious generation bump or rebalance."""
+    import time
+    import uuid
+
+    from nifi_minifi_cpp_spark.sources.kafka_wire import (
+        KafkaGroupConsumer,
+        MiniKafkaBroker,
+        MiniKafkaClient,
+    )
+
+    b = MiniKafkaBroker().start()
+    try:
+        topic = f"t_{uuid.uuid4().hex[:8]}"
+        group = f"g_{uuid.uuid4().hex[:8]}"
+        b.create_topic(topic, 2)
+        b.append(topic, 0, [(1_000, None, b"m0", [])])
+
+        c = KafkaGroupConsumer(b.bootstrap, group, [topic])
+        c.join()
+        member = c.member_id
+        old_cli = c._cli
+        # the client reconnects after a network blip: fresh socket,
+        # same member_id rejoins (metadata unchanged -> no rebalance)
+        c._cli = MiniKafkaClient(b.bootstrap, "nifi-minifi-cpp-spark")
+        c.join()
+        assert c.member_id == member
+        gen_before = b._groups[group].generation
+
+        # the STALE connection dies without LeaveGroup
+        old_cli.close()
+        deadline = time.time() + 1.5
+        while time.time() < deadline and member in b._groups[group].members:
+            # give the handler thread's eviction path a chance to
+            # (wrongly) fire; the member must stay put
+            time.sleep(0.05)
+        g = b._groups[group]
+        assert member in g.members, "stale connection close evicted a live member"
+        assert g.generation == gen_before, "spurious rebalance on stale close"
+        # the live connection still heartbeats healthily (False =
+        # no rebalance, no UNKNOWN_MEMBER_ID eviction) and consumes
+        assert c.ensure_active() is False
+        assert sorted(rec["value"] for rec in c.poll()) == [b"m0"]
+        c.close()
+    finally:
+        b.stop()
+
+
 def test_pattern_subscription_client_side(spark, broker, tmpdir):
     """r15: Topic Name Format 'Patterns' — the reader lists ALL topics
     via Metadata and regex-matches client-side (the librdkafka

@@ -1388,8 +1388,43 @@ def test_get_file_filter_matrix(spark, tmp_path):
     # min age excludes everything younger than 5 min
     assert run({"File Filter": r".*\.txt", "Minimum File Age": "5 min"}) == ["OLD"]
 
+    # r16 (ADVICE r15): sizes are DATA_SIZE strings (GetFile.h:118-127)
+    # — '0 B' maximum means disabled, '50 B' filters like plain 50,
+    # and the reference's decimal-K / binary-KB quirk parses
+    assert run(dict(base, **{"Maximum File Size": "0 B"})) == ["A", "B", "N", "X" * 100]
+    assert run(dict(base, **{"Maximum File Size": "50 B"})) == ["A", "B", "N"]
+    assert run({"File Filter": r".*\.txt", "Minimum File Size": "50 B"}) == ["X" * 100]
+
     # consume-and-delete: output intact, sources gone
     got = run(dict(base, **{"Keep Source File": "false"}))
     assert got == ["A", "B", "N"]
     assert not (d / "a.txt").exists() and not (sub / "nested.txt").exists()
     assert (d / "c.log").exists() and (d / "old.txt").exists()  # unmatched kept
+
+
+def test_parse_data_size_reference_units():
+    """TypedValues.h:108-147 + Literals.h:22-60: bare K/M/G are
+    DECIMAL, two-letter KB/MB/GB are BINARY (the reference's
+    backwards-compat quirk, preserved verbatim); case-insensitive;
+    unknown units warn and fall back to multiplier 1."""
+    import warnings
+
+    from nifi_minifi_cpp_spark.streaming.sources import _parse_data_size_bytes as p
+
+    assert p("0 B") == 0
+    assert p("1 KB") == 1024
+    assert p("1 K") == 1000
+    assert p("2 MB") == 2 * 1024**2
+    assert p("2 M") == 2_000_000
+    assert p("1GB") == 1024**3
+    assert p("1 gb") == 1024**3  # case-insensitive
+    assert p("10") == 10
+    assert p(10) == 10
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert p("5 parsecs") == 5  # compat: warn, multiplier 1
+        assert any("parsec" in str(x.message).lower() for x in w)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        p("not a size")

@@ -49,6 +49,32 @@ def test_tailfile_rotation_detected(spark, tmp_path):
     assert [r["content"] for r in out.orderBy("position").collect()] == ["new-a", "new-b", "new-c"]
 
 
+def test_tailfile_empty_main_after_rotation_resets_state(spark, tmp_path):
+    """r16 (ADVICE r15): after rotation recovery, an EMPTY new main
+    file must still get fresh state — otherwise the stale
+    position/checksum re-detects the same rotation (and re-CRCs every
+    sibling) on every poll until data arrives."""
+    log = tmp_path / "rot.log"
+    state = str(tmp_path / "tail4.json")
+    tail = src.TailFile(str(log), state)
+    log.write_text("a\nb\n")
+    assert tail.poll(spark).count() == 2
+    # logrotate: rename away, recreate EMPTY
+    os.rename(log, tmp_path / "rot.log.1")
+    log.write_text("")
+    out = tail.poll(spark)
+    assert out is None  # nothing new: the sibling was fully read before
+    # the second poll must NOT re-enter the rotation branch
+    def _boom(path, last_read_time):
+        raise AssertionError("rotation re-detected on a poll after recovery")
+
+    tail._rotated_candidates = _boom
+    assert tail.poll(spark) is None
+    # and new data in the fresh main reads from 0
+    log.write_text("c\n")
+    assert [r["content"] for r in tail.poll(spark).collect()] == ["c"]
+
+
 def test_tailfile_rolling_glob(spark, tmp_path):
     state = str(tmp_path / "tail3.json")
     (tmp_path / "x.log.1").write_text("rotated\n")
