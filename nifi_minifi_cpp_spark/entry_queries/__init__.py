@@ -84,64 +84,65 @@ from .file_merge_live import *  # noqa: F401,F403
 # were re-typed after round 1) and the rest — all green in round 1 and
 # locked by plan-shape tests — fall past the window.
 _GRADE_ORDER = [
-    # --- r15 rotation (VERDICT r14 #2): never-driver-graded queue
-    # first (the 3 r15 registrations, registration order), then 47
-    # oldest-first backfill picks — the r9-stale block head (the
-    # r5-breadth cohort), as the codified staleness rule mandates
+    # --- r16 rotation (VERDICT r15 #1): never-driver-graded queue
+    # first (tailfile_stream_rotation, registered after the r15
+    # rotation), then 49 oldest-first backfill picks — the 2 remaining
+    # r9-stale entries, then the r10-stale cohort head, as the codified
+    # staleness rule mandates
     # (tests/test_registry_contract.py::test_backfill_picks_are_oldest_first).
     #
     # never-driver-graded queue (registration order)
-    "kafka_stream_group_resume",
-    "tailfile_rotation_recovery",
-    "merge_attr_strategies",
+    "tailfile_stream_rotation",
     # backfill picks (oldest driver round first, registration order within)
-    "el_multiattr_pack",  # r9
-    "replace_text_line_modes",  # r9
-    "object_store_crud_roundtrip",  # r9
-    "mqtt_wire_consume",  # r9
-    "mqtt_consume_counts",  # r9
-    "journald_consume_syslog",  # r9
-    "execute_process_batched",  # r9
-    "put_sql_roundtrip",  # r9
-    "procfs_metrics_parse",  # r9
-    "opc_browse_lazy",  # r9
-    "kv_enrichment_route",  # r9
-    "remote_list_fetch",  # r9
-    "modbus_read_registers",  # r9
-    "k8s_pod_metrics_quantities",  # r9
-    "el_delineated_pack",  # r9
-    "llm_inference_fake",  # r9
-    "stateful_bin_packing_merge",  # r9
-    "stateful_defragment_reassembly",  # r9
-    "compress_roundtrip_gzip",  # r9
-    "defragment_messages",  # r9
-    "funnel_merge_counts",  # r9
-    "split_content_words",  # r9
-    "convert_record_xml_roundtrip",  # r9
-    "minhash_dedup_kept",  # r9
-    "ngram_jaccard_dedup_kept",  # r9
-    "multimodal_features_frames",  # r9
-    "embedding_dedup_kept",  # r9
-    "listen_tcp_ingest",  # r9
-    "kafka_wire_consume",  # r9
-    "kinesis_batch_plan",  # r9
-    "duplicate_components_chains",  # r9
-    "prometheus_exposition_pack",  # r9
-    "c2_operation_acks",  # r9
-    "el_date_pack",  # r9
-    "get_tcp_client_ingest",  # r9
-    "loki_batch_flush_counts",  # r9
-    "splunk_hec_url_pack",  # r9
-    "append_host_info_pack",  # r9
-    "es_bulk_validation_counts",  # r9
-    "stratified_sample_by_source",  # r9
-    "token_count_distribution",  # r9
-    "bm25_topk_docs",  # r9
-    "listen_http_ingest",  # r9
-    "put_tcp_roundtrip",  # r9
-    "semantic_dedup_kept",  # r9
-    "repetition_report",  # r9
-    "gopher_filter_counts",  # r9
+    "pii_redaction_counts",  # r9
+    "deterministic_sample_ids",  # r9
+    "top3_orders_per_customer",  # r10
+    "cube_lineitem_status",  # r10
+    "rollup_orders_priority",  # r10
+    "q22_idle_rich_customers",  # r10
+    "q7_volume_shipping",  # r10
+    "q8_market_share",  # r10
+    "q9_profit_by_nation_year",  # r10
+    "q13_customer_order_distribution",  # r10
+    "q17_small_quantity_revenue",  # r10
+    "q20_promo_part_suppliers",  # r10
+    "q21_waiting_suppliers",  # r10
+    "route_error_events",  # r10
+    "el_scalar_pack",  # r10
+    "json_path_extract",  # r10
+    "rolling_window_count10",  # r10
+    "tumbling_hourly_by_type",  # r10
+    "extract_first_word",  # r10
+    "replace_text_hashed",  # r10
+    "split_fragment_counts",  # r10
+    "split_merge_roundtrip",  # r10
+    "hash_content_sha256",  # r10
+    "route_text_merge_lines",  # r10
+    "exact_dedup_representatives",  # r10
+    "knn_exact_10x3",  # r10
+    "sessionize_users",  # r10
+    "pivot_event_counts",  # r10
+    "el_encode_pack",  # r10
+    "apply_template_events",  # r10
+    "invoke_http_route_counts",  # r10
+    "incremental_scan_tail",  # r10
+    "record_transform_upper",  # r10
+    "syslog_parse",  # r10
+    "tailfile_ingest",  # r10
+    "archive_roundtrip",  # r10
+    "streaming_route_counts",  # r10
+    "asof_error_prior_click",  # r10
+    "range_join_purchase_after_error",  # r10
+    "span_dedup_rebuild",  # r10
+    "span_dedup_overlap_rebuild",  # r10
+    "contamination_flags",  # r10
+    "domain_mixture_plan",  # r10
+    "s2s_port_roundtrip",  # r10
+    "param_context_resolution",  # r10
+    "connection_edge_semantics",  # r10
+    "document_chunks_rag",  # r10
+    "ngram_census_top20",  # r10
+    "oov_rate_scores",  # r10
 ]
 
 
@@ -158,7 +159,7 @@ GRADED_WINDOW = 50
 # slots always go to the oldest driver rows first), and fail if this
 # snapshot falls more than one driver round behind the newest ledger
 # file (a skipped rotation goes red in that round's own pytest run).
-ROTATION_LEDGER_ROUND = 14
+ROTATION_LEDGER_ROUND = 15
 
 
 def _apply_grade_order() -> None:

@@ -22,59 +22,59 @@ from nifi_minifi_cpp_spark import entry_queries
 # Every SURVEY §2 operator family and every LLM-pipeline operator must
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
-    # r15 rotation: never-driver-graded queue (the 3 r15
-    # registrations) + 47 oldest-first backfill picks (the r9-stale
-    # block head) per the staleness rule below.
-    "kafka_stream_group_resume",
-    "tailfile_rotation_recovery",
-    "merge_attr_strategies",
-    "el_multiattr_pack",
-    "replace_text_line_modes",
-    "object_store_crud_roundtrip",
-    "mqtt_wire_consume",
-    "mqtt_consume_counts",
-    "journald_consume_syslog",
-    "execute_process_batched",
-    "put_sql_roundtrip",
-    "procfs_metrics_parse",
-    "opc_browse_lazy",
-    "kv_enrichment_route",
-    "remote_list_fetch",
-    "modbus_read_registers",
-    "k8s_pod_metrics_quantities",
-    "el_delineated_pack",
-    "llm_inference_fake",
-    "stateful_bin_packing_merge",
-    "stateful_defragment_reassembly",
-    "compress_roundtrip_gzip",
-    "defragment_messages",
-    "funnel_merge_counts",
-    "split_content_words",
-    "convert_record_xml_roundtrip",
-    "minhash_dedup_kept",
-    "ngram_jaccard_dedup_kept",
-    "multimodal_features_frames",
-    "embedding_dedup_kept",
-    "listen_tcp_ingest",
-    "kafka_wire_consume",
-    "kinesis_batch_plan",
-    "duplicate_components_chains",
-    "prometheus_exposition_pack",
-    "c2_operation_acks",
-    "el_date_pack",
-    "get_tcp_client_ingest",
-    "loki_batch_flush_counts",
-    "splunk_hec_url_pack",
-    "append_host_info_pack",
-    "es_bulk_validation_counts",
-    "stratified_sample_by_source",
-    "token_count_distribution",
-    "bm25_topk_docs",
-    "listen_http_ingest",
-    "put_tcp_roundtrip",
-    "semantic_dedup_kept",
-    "repetition_report",
-    "gopher_filter_counts",
+    # r16 rotation: never-driver-graded queue (tailfile_stream_rotation)
+    # + 49 oldest-first backfill picks (2 r9-stale + the r10-stale
+    # cohort head) per the staleness rule below.
+    "tailfile_stream_rotation",
+    "pii_redaction_counts",
+    "deterministic_sample_ids",
+    "top3_orders_per_customer",
+    "cube_lineitem_status",
+    "rollup_orders_priority",
+    "q22_idle_rich_customers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q20_promo_part_suppliers",
+    "q21_waiting_suppliers",
+    "route_error_events",
+    "el_scalar_pack",
+    "json_path_extract",
+    "rolling_window_count10",
+    "tumbling_hourly_by_type",
+    "extract_first_word",
+    "replace_text_hashed",
+    "split_fragment_counts",
+    "split_merge_roundtrip",
+    "hash_content_sha256",
+    "route_text_merge_lines",
+    "exact_dedup_representatives",
+    "knn_exact_10x3",
+    "sessionize_users",
+    "pivot_event_counts",
+    "el_encode_pack",
+    "apply_template_events",
+    "invoke_http_route_counts",
+    "incremental_scan_tail",
+    "record_transform_upper",
+    "syslog_parse",
+    "tailfile_ingest",
+    "archive_roundtrip",
+    "streaming_route_counts",
+    "asof_error_prior_click",
+    "range_join_purchase_after_error",
+    "span_dedup_rebuild",
+    "span_dedup_overlap_rebuild",
+    "contamination_flags",
+    "domain_mixture_plan",
+    "s2s_port_roundtrip",
+    "param_context_resolution",
+    "connection_edge_semantics",
+    "document_chunks_rag",
+    "ngram_census_top20",
+    "oov_rate_scores",
 }
 
 def test_must_grade_queries_inside_window():
