@@ -72,6 +72,7 @@ from .sketches_temporal import *  # noqa: F401,F403
 from .sequential_eval import *  # noqa: F401,F403
 from .sql_live import *  # noqa: F401,F403
 from .file_merge_live import *  # noqa: F401,F403
+from .flow_el_patterns import *  # noqa: F401,F403
 
 
 
@@ -86,13 +87,19 @@ from .file_merge_live import *  # noqa: F401,F403
 _GRADE_ORDER = [
     # --- r16 rotation (VERDICT r15 #1): never-driver-graded queue
     # first (tailfile_stream_rotation, registered after the r15
-    # rotation), then 49 oldest-first backfill picks — the 2 remaining
-    # r9-stale entries, then the r10-stale cohort head, as the codified
-    # staleness rule mandates
+    # rotation, then the 5 r16 registrations in registration order),
+    # then oldest-first backfill — the 2 remaining r9-stale entries,
+    # then the r10-stale cohort head, as the codified staleness rule
+    # mandates
     # (tests/test_registry_contract.py::test_backfill_picks_are_oldest_first).
     #
     # never-driver-graded queue (registration order)
     "tailfile_stream_rotation",
+    "el_csv_backref_pack",
+    "get_file_size_age_matrix",
+    "kafka_pattern_consume",
+    "defragment_age_flush",
+    "tailfile_flow_rotation",
     # backfill picks (oldest driver round first, registration order within)
     "pii_redaction_counts",  # r9
     "deterministic_sample_ids",  # r9
@@ -138,11 +145,6 @@ _GRADE_ORDER = [
     "contamination_flags",  # r10
     "domain_mixture_plan",  # r10
     "s2s_port_roundtrip",  # r10
-    "param_context_resolution",  # r10
-    "connection_edge_semantics",  # r10
-    "document_chunks_rag",  # r10
-    "ngram_census_top20",  # r10
-    "oov_rate_scores",  # r10
 ]
 
 

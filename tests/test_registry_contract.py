@@ -22,10 +22,15 @@ from nifi_minifi_cpp_spark import entry_queries
 # Every SURVEY §2 operator family and every LLM-pipeline operator must
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
-    # r16 rotation: never-driver-graded queue (tailfile_stream_rotation)
-    # + 49 oldest-first backfill picks (2 r9-stale + the r10-stale
-    # cohort head) per the staleness rule below.
+    # r16 rotation: never-driver-graded queue (tailfile_stream_rotation
+    # + the 5 r16 registrations) + 44 oldest-first backfill picks
+    # (2 r9-stale + the r10-stale cohort head) per the staleness rule.
     "tailfile_stream_rotation",
+    "el_csv_backref_pack",
+    "get_file_size_age_matrix",
+    "kafka_pattern_consume",
+    "defragment_age_flush",
+    "tailfile_flow_rotation",
     "pii_redaction_counts",
     "deterministic_sample_ids",
     "top3_orders_per_customer",
@@ -70,11 +75,6 @@ MUST_GRADE = {
     "contamination_flags",
     "domain_mixture_plan",
     "s2s_port_roundtrip",
-    "param_context_resolution",
-    "connection_edge_semantics",
-    "document_chunks_rag",
-    "ngram_census_top20",
-    "oov_rate_scores",
 }
 
 def test_must_grade_queries_inside_window():
