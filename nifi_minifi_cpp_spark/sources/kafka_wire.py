@@ -1498,10 +1498,12 @@ def _register_kafkawire_impl():
             # Pattern subscription is CLIENT-side in Kafka (the consumer
             # lists all topics via Metadata and regex-matches locally —
             # librdkafka's topic_metadata regex path, ConsumeKafka's
-            # Topic Name Format 'Patterns'). Resolved ONCE at stream
-            # start (initialOffset); topics created later need a
-            # restart — the connector's metadata.max.age re-evaluation
-            # is out of scope and documented here.
+            # Topic Name Format 'Patterns'). Resolved at stream start
+            # (initialOffset) and RE-EVALUATED every micro-batch (r16):
+            # topics/partitions that appear later join the subscription
+            # at their EARLIEST offset — the Spark Kafka connector's
+            # new-partition contract and librdkafka's metadata.max.age
+            # re-evaluation rolled into the per-batch Metadata RPC.
             self.topics = (
                 [t.strip() for t in topics.split(",") if t.strip()] if topics else []
             )
@@ -1613,8 +1615,30 @@ def _register_kafkawire_impl():
                 new_state[tp] = cur
             return rows, new_state
 
+        def _refresh_pattern_topics(self, state: dict[str, int]) -> None:
+            """Re-resolve the subscribe pattern against current broker
+            metadata and admit NEW matching (topic, partition) pairs at
+            their EARLIEST offset (the Spark Kafka connector's contract
+            for partitions discovered mid-query; librdkafka refreshes
+            the regex match on metadata.max.age the same way). Existing
+            entries keep their checkpointed positions."""
+            import re as _re
+
+            cli = self._cli()
+            rx = _re.compile(self.pattern)
+            all_meta = cli.metadata(None)
+            for t, parts in all_meta.items():
+                if not rx.fullmatch(t):
+                    continue
+                for p in parts or [0]:
+                    key = f"{t}\x00{p}"
+                    if key not in state:
+                        state[key] = cli.list_offsets(t, p, EARLIEST)
+
         def read(self, start: dict):
             state = {k: int(v) for k, v in json.loads(start.get("offsets", "{}")).items()}
+            if self.pattern:
+                self._refresh_pattern_topics(state)
             rows, new_state = self._rows_between(state, None)
             if self.group_id and new_state != state:
                 # CommitAfterBatch: simple (generation -1) commit of the

@@ -255,9 +255,9 @@ def kafka_wire_source(spark: SparkSession, props: dict) -> DataFrame:
     (sources/kafka_wire.py), which speaks the public Kafka binary
     protocol (RecordBatch v2 + Fetch/Metadata/ListOffsets) over TCP
     with checkpointed per-partition offsets. Topic Name Format
-    'Patterns' resolves CLIENT-side (full-metadata regex match at
-    stream start — the librdkafka behavior; later-created topics need
-    a restart)."""
+    'Patterns' resolves CLIENT-side (full-metadata regex match, the
+    librdkafka behavior) and re-evaluates each micro-batch: topics
+    created after stream start join at their earliest offset (r16)."""
     from ..sources.kafka_wire import register_kafkawire
 
     opts = consume_kafka_options(props)
@@ -270,7 +270,8 @@ def kafka_wire_source(spark: SparkSession, props: dict) -> DataFrame:
     if "subscribePattern" in opts:
         # Topic Name Format 'Patterns' (r15): client-side regex over
         # the broker's full topic metadata, the librdkafka contract;
-        # resolved at stream start
+        # re-evaluated every micro-batch (r16) so later-created topics
+        # join at their earliest offset
         reader = reader.option("subscribePattern", opts["subscribePattern"])
     else:
         reader = reader.option("subscribe", opts["subscribe"])
