@@ -87,7 +87,7 @@ from .flow_el_patterns import *  # noqa: F401,F403
 _GRADE_ORDER = [
     # --- r16 rotation (VERDICT r15 #1): never-driver-graded queue
     # first (tailfile_stream_rotation, registered after the r15
-    # rotation, then the 5 r16 registrations in registration order),
+    # rotation, then the 7 r16 registrations in registration order),
     # then oldest-first backfill — the 2 remaining r9-stale entries,
     # then the r10-stale cohort head, as the codified staleness rule
     # mandates
@@ -100,6 +100,8 @@ _GRADE_ORDER = [
     "kafka_pattern_consume",
     "defragment_age_flush",
     "tailfile_flow_rotation",
+    "kafka_pattern_new_topic",
+    "get_file_batch_oldest",
     # backfill picks (oldest driver round first, registration order within)
     "pii_redaction_counts",  # r9
     "deterministic_sample_ids",  # r9
@@ -143,8 +145,6 @@ _GRADE_ORDER = [
     "span_dedup_rebuild",  # r10
     "span_dedup_overlap_rebuild",  # r10
     "contamination_flags",  # r10
-    "domain_mixture_plan",  # r10
-    "s2s_port_roundtrip",  # r10
 ]
 
 

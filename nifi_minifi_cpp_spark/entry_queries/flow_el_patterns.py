@@ -424,3 +424,144 @@ Processors:
         f.writelines(f"{i}\n" for i in ids if i >= 625)
     p2 = summary(compile_flow(spark, flow_yaml).df("tail"), 2)
     return p1.unionByName(p2).orderBy("poll")
+
+
+@_register(
+    "kafka_pattern_new_topic",
+    """
+    SELECT 'pat_a' AS topic, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid
+    FROM events WHERE event_id < 120
+    UNION ALL
+    SELECT 'pat_b', count(*), CAST(sum(event_id) AS BIGINT)
+    FROM events WHERE event_id >= 120 AND event_id < 240
+    """,
+)
+def kafka_pattern_new_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16: mid-stream topic discovery under Topic Name Format
+    'Patterns' (ConsumeKafka.h:100-138; the Spark Kafka connector's
+    new-partition contract): the stream starts with ONE matching topic,
+    consumes it, then a SECOND matching topic is created while the
+    query runs — the per-batch pattern re-evaluation must admit it at
+    its earliest offset and deliver every record exactly once, without
+    disturbing the first topic's checkpointed position."""
+    import uuid as _uuid
+
+    from ..sources.kafka_wire import MiniKafkaBroker
+    from ..streaming.records import kafka_records_to_flowfiles
+    from ..streaming.sources import kafka_wire_source
+
+    configure(spark)
+    rows = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 240)
+        .select("event_id")
+        .collect()
+    )
+    a_ids = [r["event_id"] for r in rows if r["event_id"] < 120]
+    b_ids = [r["event_id"] for r in rows if r["event_id"] >= 120]
+    broker = MiniKafkaBroker().start()
+    try:
+        broker.append(
+            "pat_a", 0, [(1_700_000_000_000 + i, None, b"%d" % i, []) for i in a_ids]
+        )
+        stream = kafka_wire_source(
+            spark,
+            {
+                "Kafka Brokers": broker.bootstrap,
+                "Topic Names": r"pat_.*",
+                "Topic Name Format": "Patterns",
+                "Offset Reset": "earliest",
+            },
+        )
+        ff = kafka_records_to_flowfiles(stream)
+        view = f"kpn_{_uuid.uuid4().hex[:8]}"
+        q = ff.writeStream.format("memory").queryName(view).outputMode("append").start()
+        try:
+            # phase 1: only pat_a exists; wait until it is fully consumed
+            _poll_stream_rows(spark, q, view, expected=len(a_ids), expected_input=len(a_ids))
+            # phase 2: pat_b appears MID-STREAM; the running query must
+            # discover it via the per-batch pattern refresh
+            broker.append(
+                "pat_b", 0, [(1_700_000_000_000 + i, None, b"%d" % i, []) for i in b_ids]
+            )
+            _poll_stream_rows(spark, q, view, expected=len(rows), expected_input=len(rows))
+        finally:
+            q.stop()
+        return spark.sql(
+            f"""
+            SELECT attributes['kafka.topic'] AS topic,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(content AS BIGINT)) AS BIGINT) AS sum_eid
+            FROM {view} GROUP BY 1
+            """
+        )
+    finally:
+        broker.stop()
+
+
+@_register(
+    "get_file_batch_oldest",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS line
+      FROM documents WHERE doc_id < 400),
+    dd AS (
+      SELECT doc_id, strlen(line) AS b,
+             row_number() OVER (ORDER BY doc_id) AS rn
+      FROM d WHERE length(line) > 0)
+    SELECT 'batch_100' AS run, count(*) AS n_files,
+           CAST(sum(b) AS BIGINT) AS sum_bytes
+    FROM dd WHERE rn <= 100
+    UNION ALL
+    SELECT 'batch_10', count(*), CAST(sum(b) AS BIGINT)
+    FROM dd WHERE rn <= 10
+    UNION ALL
+    SELECT 'no_batch', count(*), CAST(sum(b) AS BIGINT) FROM dd
+    """,
+)
+def get_file_batch_oldest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16: GetFile's Batch Size cap with oldest-mtime-first ordering
+    (GetFile.h:106-110 — the reference polls up to Batch Size files
+    per onTrigger; this engine selects the OLDEST mtimes first so a
+    bounded batch drains a backlog in arrival order). Files get
+    strictly increasing mtimes by doc_id, so 'Batch Size N' must pick
+    exactly the N lowest doc_ids — the oracle's row_number window."""
+    import tempfile
+    import time as _time
+
+    from ..plans.pipeline import _PROCESSORS
+
+    configure(spark)
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            F.regexp_replace("text", "[\\r\\n]+", " ").alias("line"),
+        )
+        .filter(F.length("line") > 0)
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="getfile_batch_")
+    base = _time.time() - 500_000
+    for r in rows:
+        path = os.path.join(d, f"d{r['doc_id']}.txt")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(r["line"])
+        os.utime(path, (base + r["doc_id"], base + r["doc_id"]))
+
+    get = _PROCESSORS["GetFile"]
+
+    def run(label: str, props: dict) -> DataFrame:
+        out = get(spark, None, dict(props, input_directory=d))["success"]
+        return out.agg(
+            F.lit(label).alias("run"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.octet_length("content")).alias("sum_bytes"),
+        )
+
+    a = run("batch_100", {"Batch Size": "100"})
+    b = run("batch_10", {"Batch Size": "10"})
+    c = run("no_batch", {})
+    return a.unionByName(b).unionByName(c)

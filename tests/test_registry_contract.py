@@ -23,7 +23,7 @@ from nifi_minifi_cpp_spark import entry_queries
 # have a row in CORRECTNESS_r{N}.json — i.e. be registered in-window.
 MUST_GRADE = {
     # r16 rotation: never-driver-graded queue (tailfile_stream_rotation
-    # + the 5 r16 registrations) + 44 oldest-first backfill picks
+    # + the 7 r16 registrations) + 42 oldest-first backfill picks
     # (2 r9-stale + the r10-stale cohort head) per the staleness rule.
     "tailfile_stream_rotation",
     "el_csv_backref_pack",
@@ -31,6 +31,8 @@ MUST_GRADE = {
     "kafka_pattern_consume",
     "defragment_age_flush",
     "tailfile_flow_rotation",
+    "kafka_pattern_new_topic",
+    "get_file_batch_oldest",
     "pii_redaction_counts",
     "deterministic_sample_ids",
     "top3_orders_per_customer",
@@ -73,8 +75,6 @@ MUST_GRADE = {
     "span_dedup_rebuild",
     "span_dedup_overlap_rebuild",
     "contamination_flags",
-    "domain_mixture_plan",
-    "s2s_port_roundtrip",
 }
 
 def test_must_grade_queries_inside_window():
