@@ -282,3 +282,99 @@ def test_radix_roundtrip(spark, nums, radix):
     )
     for n, row in zip(nums, rows):
         assert row["rt"] == str(n), (n, radix)
+
+
+# --- r16: replaceFirst first-match semantics vs Python's re model ---------
+#
+# Python re.sub(count=1) implements the same leftmost-first-match
+# replacement as the reference's std::regex_replace format_first_only
+# (Expression.cpp:771-776) on this dialect-safe subset: literals,
+# classes, dot, single-atom quantifiers, one capture group with a
+# backref replacement, and lookahead. Empty-match handling agrees too
+# (first match of 'a*' on 'bab' is the empty string at position 0).
+
+_ATOM = st.sampled_from(["a", "b", "c", "x", "[ab]", "[bc]", "."])
+_QUANT = st.sampled_from(["", "*", "+", "?"])
+_UNIT = st.builds(lambda a, q: a + q, _ATOM, _QUANT)
+_PATTERN = st.lists(_UNIT, min_size=1, max_size=3).map("".join)
+_SUBJECT = st.text(alphabet="abcx ", max_size=12)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(_SUBJECT, _PATTERN), min_size=1, max_size=8))
+def test_replace_first_matches_python_re(spark, cases):
+    import re as _re
+
+    df = spark.createDataFrame(
+        [({"v": v, "p": p},) for v, p in cases],
+        "attributes map<string,string>",
+    )
+    rows = [
+        r.asDict()
+        for r in df.select(
+            *[
+                el_string(
+                    "${v:replaceFirst('" + p + "', 'Z')}"
+                ).alias(f"r{i}")
+                for i, (_, p) in enumerate(cases)
+            ]
+        ).collect()
+    ]
+    for i, (v, p) in enumerate(cases):
+        want = _re.sub(p, "Z", v, count=1)
+        got = rows[i][f"r{i}"]  # row i carries case i's subject
+        assert got == want, f"replaceFirst({v!r}, {p!r}): {got!r} != {want!r}"
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_SUBJECT, min_size=1, max_size=8), st.sampled_from(["a", "[ab]", "a+", "b?c"]))
+def test_replace_first_backref_matches_python_re(spark, values, inner):
+    """$1 backref replacement over a generated capture group — the
+    EL '$1' is Python's '\\1' in the re model."""
+    import re as _re
+
+    pat = "(" + inner + ")"
+    rows = _batch_eval(spark, values, {"r": "${v:replaceFirst('" + pat + "', '<$1>')}"})
+    for v, row in zip(values, rows):
+        want = _re.sub(pat, r"<\1>", v, count=1)
+        assert row["r"] == want, f"({v!r}, {pat!r}): {row['r']!r} != {want!r}"
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_SUBJECT, min_size=1, max_size=8))
+def test_replace_first_lookahead_matches_python_re(spark, values):
+    import re as _re
+
+    pat = "a(?=b)"
+    rows = _batch_eval(spark, values, {"r": "${v:replaceFirst('" + pat + "', 'Z')}"})
+    for v, row in zip(values, rows):
+        want = _re.sub(pat, "Z", v, count=1)
+        assert row["r"] == want, f"{v!r}: {row['r']!r} != {want!r}"
+
+
+# --- r16: DATA_SIZE parser vs the reference unit table --------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(0, 10**9),
+    st.sampled_from(
+        [
+            ("", 1), ("B", 1),
+            ("K", 1000), ("M", 1000**2), ("G", 1000**3),
+            ("T", 1000**4), ("P", 1000**5),
+            ("KB", 1024), ("MB", 1024**2), ("GB", 1024**3),
+            ("TB", 1024**4), ("PB", 1024**5),
+        ]
+    ),
+    st.sampled_from(["", " ", "  "]),
+    st.booleans(),
+)
+def test_parse_data_size_property(n, unit_factor, pad, lower):
+    """TypedValues.h:108-147 unit table: bare letters decimal,
+    two-letter binary, case-insensitive, arbitrary spacing."""
+    from nifi_minifi_cpp_spark.streaming.sources import _parse_data_size_bytes
+
+    unit, factor = unit_factor
+    u = unit.lower() if lower else unit
+    assert _parse_data_size_bytes(f"{n}{pad}{u}") == n * factor
