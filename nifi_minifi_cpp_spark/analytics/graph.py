@@ -21,6 +21,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Node-frame broadcast dial shared by the iterative operators
+# (optimization r16, guide §3.1): every per-round join here pairs the
+# O(m)-row edge table with an O(n)-row node frame (ranks / labels /
+# frontier / survivor set). Catalyst cannot estimate the node frame's
+# size through a localCheckpoint + join lineage, so before this dial it
+# either sort-merge-joined (two exchanges + sorts per round) or —
+# measurably worse — broadcast the EDGE side (pagerank_supplier_parts
+# shipped the 1.2M-row weighted edge table as a BroadcastExchange once
+# per iteration). When the measured node count fits, hinting the node
+# frame makes every round a map-side hash join over the stationary
+# edge table: the only per-round shuffle left is the small partial-agg
+# exchange. Past the dial the plans fall back to the shuffled joins,
+# which is the right shape for billion-node graphs.
+BROADCAST_MAX_NODES = 8_000_000  # (long, double) rows ~ 128 MB built
+
+
+def _maybe_broadcast(df: DataFrame, fits: bool) -> DataFrame:
+    return F.broadcast(df) if fits else df
+
 
 def connected_components(
     edges: DataFrame,
@@ -45,6 +64,11 @@ def connected_components(
     from ..util import reliable_barrier
 
     sym = reliable_barrier(sym)
+    # broadcast dial (module note): the (node, label) frame is node-
+    # sized (<= 2|E| via the cheap barriered edge count); when it fits,
+    # the neighbor-min join and the pointer jump are map-side and the
+    # symmetric edge table never shuffles per round
+    fits = 2 * sym.count() <= BROADCAST_MAX_NODES
     labels = reliable_barrier(
         sym.groupBy("a")
         .agg(F.min("b").alias("nmin"))
@@ -54,7 +78,7 @@ def connected_components(
     for _ in range(max_iterations):
         # neighbor-min: the smallest label among my neighbors and me
         nbr = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            sym.join(_maybe_broadcast(labels.withColumnRenamed("node", "b"), fits), "b")
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
             .select(F.col("a").alias("node"), "nmin")
@@ -65,16 +89,19 @@ def connected_components(
         # wrapping silently in non-ANSI sessions (a spurious equal sum
         # would early-exit with wrong components) and throwing under
         # ANSI. A count is bounded by the row count; never overflows.
-        stepped = labels.join(nbr, "node", "left").select(
+        stepped = labels.join(_maybe_broadcast(nbr, fits), "node", "left").select(
             "node",
             F.least("label", F.coalesce("nmin", "label")).alias("label"),
             F.col("label").alias("old"),
         )
         # pointer jump: label <- label's label (path halving)
         jump = stepped.alias("l1").join(
-            stepped.select(
-                F.col("node").alias("label"), F.col("label").alias("label2")
-            ).alias("l2"),
+            _maybe_broadcast(
+                stepped.select(
+                    F.col("node").alias("label"), F.col("label").alias("label2")
+                ).alias("l2"),
+                fits,
+            ),
             "label",
             "left",
         )
@@ -139,9 +166,10 @@ def pagerank(
     seeds ranking, the data-selection primitive ("expand from these
     known-good suppliers/domains"). The seed frame is joined once as
     a flag onto the slim node table; per-iteration cost is unchanged.
-    NOTE: validating |S| > 0 runs one eager one-row aggregate at
-    plan-construction time when ``teleport`` is given (the only eager
-    action in this builder; the no-teleport path stays fully lazy).
+    NOTE: the builder runs one eager node count at plan-construction
+    time (a cached-RDD count on the barriered node table — it is the
+    uniform-restart denominator and the broadcast dial), plus, when
+    ``teleport`` is given, the one-row |S| > 0 validation aggregate.
 
     Dangling nodes (out-degree 0) keep their rank mass out of play —
     the caller symmetrizes the edge set when that matters (an
@@ -152,7 +180,11 @@ def pagerank(
     classic map-reduce PageRank; the edge table and degree table are
     computed once and reused (barrier), and the rank lineage is cut
     every ``barrier_every`` iterations so long runs do not stack
-    unbounded plan depth."""
+    unbounded plan depth. When the measured node count fits
+    ``BROADCAST_MAX_NODES``, the (node, rank) frame is broadcast into
+    the per-round joins (module dial note) so the edge table is never
+    shuffled or broadcast per round; larger graphs fall back to the
+    shuffled joins unchanged."""
     from ..util import reliable_barrier
 
     e = reliable_barrier(
@@ -164,6 +196,12 @@ def pagerank(
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
     )
+    # |V| once, from the barriered slim table (a cheap cached-RDD count):
+    # it is both the uniform-restart denominator — previously re-derived
+    # every round as a crossJoin'd broadcast aggregate, four extra
+    # exchanges per run — and the broadcast dial for the per-round joins.
+    n_nodes = nodes.count()
+    fits = n_nodes <= BROADCAST_MAX_NODES
     if teleport is not None:
         seeds = teleport.select(F.col("node")).distinct()
         nodes = nodes.join(
@@ -180,28 +218,26 @@ def pagerank(
                 "pagerank(teleport=...): no teleport seed appears in the "
                 "edge list; restart mass denominator |S| is 0"
             )
-        # |S| is already on the driver — reuse it as a literal rather
-        # than re-running the identical aggregate as a second job.
-        n_total = F.broadcast(
-            nodes.sparkSession.range(1).select(F.lit(int(n_seeds)).alias("_n"))
-        )
-        base = F.col("_seed") / F.col("_n")
+        # |S| is already on the driver — a literal, same integer/integer
+        # double division as the previous broadcast-column form.
+        base = F.col("_seed") / F.lit(int(n_seeds))
     else:
         nodes = nodes.withColumn("_seed", F.lit(1))
-        n_total = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
-        base = F.lit(1.0) / F.col("_n")
-    ranks = nodes.crossJoin(n_total).select("node", base.alias("rank"))
+        # same IEEE double as the previous runtime 1.0 / count division
+        base = F.lit(1.0 / n_nodes)
+    ranks = nodes.select("node", base.alias("rank"))
     weighted = e.join(deg, "_s")  # (src, dst, out-degree), static per run
     for i in range(iterations):
         contribs = (
-            weighted.join(ranks.withColumnRenamed("node", "_s"), "_s")
+            weighted.join(
+                _maybe_broadcast(ranks.withColumnRenamed("node", "_s"), fits), "_s"
+            )
             .select(F.col("_d").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(n_total)
+            nodes.join(_maybe_broadcast(contribs, fits), "node", "left")
             .select(
                 "node",
                 (
@@ -255,10 +291,17 @@ def pagerank_grouped(
         )
     )
     ranks = base.select("_g", "_n", F.col("_b").alias("_r"))
+    # broadcast dial (module note), per round on the MATERIALIZED rank
+    # frame: round 0's frame is the barriered seed table and each later
+    # round's frame sits behind the in-loop barrier, so every count is
+    # a cheap cached-RDD count of the actual (grp, node, rank) rows —
+    # no g x |V| worst-case guess. When it fits, the weighted edge
+    # table is never shuffled per round.
+    fits = base.count() <= BROADCAST_MAX_NODES
     for i in range(iterations):
         contribs = (
             weighted.join(
-                ranks.withColumnRenamed("_n", "_s"), "_s"
+                _maybe_broadcast(ranks.withColumnRenamed("_n", "_s"), fits), "_s"
             )
             .select("_g", F.col("_d").alias("_n"), (F.col("_r") / F.col("_deg")).alias("_c"))
             .groupBy("_g", "_n")
@@ -277,6 +320,7 @@ def pagerank_grouped(
         )
         if i + 1 < iterations:
             ranks = reliable_barrier(ranks)
+            fits = ranks.count() <= BROADCAST_MAX_NODES
     return ranks.select(
         F.col("_g").alias(grp), F.col("_n").alias(node), F.col("_r").alias("rank")
     )
@@ -316,12 +360,16 @@ def label_propagation(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    # broadcast dial (module note): the (node, label) frame is node-
+    # sized; when it fits, each round's label join is map-side over the
+    # stationary symmetric edge table
+    fits = 2 * sym.count() <= BROADCAST_MAX_NODES
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
     for _ in range(iterations):
         counted = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            sym.join(_maybe_broadcast(labels.withColumnRenamed("node", "b"), fits), "b")
             .groupBy("a", "label")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
@@ -500,17 +548,25 @@ def hits(
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
     )
+    # broadcast dial (module note): the per-half-step score frames are
+    # node-sized; when |V| fits, hint them so the edge table never
+    # shuffles per round (the cached-RDD count on the barrier is cheap)
+    fits = nodes.count() <= BROADCAST_MAX_NODES
     hubs = nodes.select("node", F.lit(1.0).alias("hub"))
     auths = nodes.select("node", F.lit(0.0).alias("auth"))
     for _ in range(iterations):
         a_raw = (
-            e.join(hubs.withColumnRenamed("node", "_s"), "_s")
+            e.join(_maybe_broadcast(hubs.withColumnRenamed("node", "_s"), fits), "_s")
             .groupBy("_d")
             .agg(F.sum("hub").alias("_x"))
         )
         a_mass = F.broadcast(a_raw.agg(F.sum("_x").alias("_t")))
         auths = (
-            nodes.join(a_raw.withColumnRenamed("_d", "node"), "node", "left")
+            nodes.join(
+                _maybe_broadcast(a_raw.withColumnRenamed("_d", "node"), fits),
+                "node",
+                "left",
+            )
             .crossJoin(a_mass)
             .select(
                 "node",
@@ -518,13 +574,17 @@ def hits(
             )
         )
         h_raw = (
-            e.join(auths.withColumnRenamed("node", "_d"), "_d")
+            e.join(_maybe_broadcast(auths.withColumnRenamed("node", "_d"), fits), "_d")
             .groupBy("_s")
             .agg(F.sum("auth").alias("_x"))
         )
         h_mass = F.broadcast(h_raw.agg(F.sum("_x").alias("_t")))
         hubs = reliable_barrier(
-            nodes.join(h_raw.withColumnRenamed("_s", "node"), "node", "left")
+            nodes.join(
+                _maybe_broadcast(h_raw.withColumnRenamed("_s", "node"), fits),
+                "node",
+                "left",
+            )
             .crossJoin(h_mass)
             .select(
                 "node",
@@ -561,13 +621,17 @@ def bfs_hops(
     e = reliable_barrier(
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
     )
+    # broadcast dial (module note): the (node, hop) frontier is bounded
+    # by |V| <= 2|E|; the barriered edge count is a cheap cached-RDD
+    # count (no extra distinct pass), so dial on that conservative bound
+    fits = 2 * e.count() <= BROADCAST_MAX_NODES
     nd = reliable_barrier(
         seeds.select(F.col(node).alias("_n")).distinct().select(
             "_n", F.lit(0).cast("int").alias("_h")
         )
     )
     for _ in range(iterations):
-        prop = e.join(nd, e["_s"] == nd["_n"]).select(
+        prop = e.join(_maybe_broadcast(nd, fits), e["_s"] == nd["_n"]).select(
             F.col("_d").alias("_n"), (F.col("_h") + F.lit(1)).alias("_h")
         )
         nd = reliable_barrier(
@@ -608,6 +672,11 @@ def k_core_peel(
         .filter(F.col("_s") != F.col("_d"))
         .distinct()
     )
+    # broadcast dial (module note): the survivor set is node-sized
+    # (<= 2|E| via the cheap barriered edge count); broadcasting it
+    # makes both per-round semi-joins map-side — the symmetric edge
+    # table is never shuffled while peeling
+    fits = 2 * sym.count() <= BROADCAST_MAX_NODES
     for _ in range(iterations):
         keep = reliable_barrier(
             sym.groupBy("_s")
@@ -616,8 +685,10 @@ def k_core_peel(
             .select("_s")
         )
         sym = reliable_barrier(
-            sym.join(keep, "_s", "left_semi").join(
-                keep.withColumnRenamed("_s", "_d"), "_d", "left_semi"
+            sym.join(_maybe_broadcast(keep, fits), "_s", "left_semi").join(
+                _maybe_broadcast(keep.withColumnRenamed("_s", "_d"), fits),
+                "_d",
+                "left_semi",
             )
         )
     return sym.agg(

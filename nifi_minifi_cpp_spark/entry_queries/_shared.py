@@ -201,6 +201,46 @@ def _stage_text_atomic(stage: str, build_df) -> None:
             raise
 
 
+def _stage_mod_batches(df, stage: str, n_batches: int = 4, key: str = "event_id") -> None:
+    """Write ``df`` as ``n_batches`` replay files (``batch-kk.parquet``,
+    row membership ``key % n_batches == k``, strictly increasing mtimes
+    so the file-stream source replays them in order) in ONE Spark job
+    (optimization r16): the previous per-batch ``coalesce(1)`` loop
+    re-scanned the input once per batch — 4 scans + 4 single-task write
+    jobs for the 4-batch fixtures. A ``repartition(key % n)`` +
+    ``partitionBy`` write produces exactly one file per batch class in
+    one pass (each class hashes to one task; the writer splits by
+    directory value). Row order WITHIN a batch file is not part of any
+    fixture's semantics (watermarks read the per-batch max event time;
+    sinks are compared as sets). Classes with no rows (impossible at
+    the driver SFs, guarded anyway) fall back to the per-class empty
+    write so the replay still triggers the same number of batches."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    tmp = f"{stage}/_build"
+    (
+        df.withColumn("_b", (F.col(key) % n_batches).cast("int"))
+        .repartition(F.col("_b"))
+        .write.partitionBy("_b")
+        .parquet(tmp)
+    )
+    now = _time.time()
+    for k in range(n_batches):
+        part_dir = f"{tmp}/_b={k}"
+        dst = f"{stage}/batch-{k:02d}.parquet"
+        if _os.path.isdir(part_dir):
+            part = next(f for f in sorted(_os.listdir(part_dir)) if f.endswith(".parquet"))
+            _os.rename(f"{part_dir}/{part}", dst)
+        else:  # empty class: keep the batch count identical
+            df.where(F.col(key) % n_batches == k).coalesce(1).write.parquet(f"{tmp}/_e{k}")
+            part = next(f for f in _os.listdir(f"{tmp}/_e{k}") if f.endswith(".parquet"))
+            _os.rename(f"{tmp}/_e{k}/{part}", dst)
+        _os.utime(dst, (now + k, now + k))
+    _shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _stream_events_stage(spark: SparkSession, sf_dir: str, table: str = "events") -> str:
     """Stage a table's parquet behind a directory for the file-stream
     source (it wants a dir, not a file). O(#files) driver work: one

@@ -22,6 +22,7 @@ from ._shared import (  # noqa: F401
     _stream_events_stage,
     _pinned_shuffle,
     _poll_stream_rows,
+    _stage_mod_batches,
     _await_self_termination,
     _INJECT_N,
     _INJECT_OFFSET,
@@ -110,19 +111,9 @@ def streaming_late_event_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
     stage = _tempfile.mkdtemp(prefix="stream-late-")
     try:
-        now = _time.time()
-        for k in range(4):
-            tmp = f"{stage}/_build{k}"
-            ev.where(F.col("event_id") % 4 == k).coalesce(1).write.parquet(tmp)
-            part = next(
-                f for f in _os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = f"{stage}/batch-{k:02d}.parquet"
-            _os.rename(f"{tmp}/{part}", dst)
-            _shutil.rmtree(tmp)
-            # distinct, strictly increasing mtimes: the file source
-            # orders its initial listing by modification time
-            _os.utime(dst, (now + k, now + k))
+        # one-pass staging (distinct, strictly increasing mtimes: the
+        # file source orders its initial listing by modification time)
+        _stage_mod_batches(ev, stage, n_batches=4, key="event_id")
         raw = (
             spark.readStream.schema("event_id long, ts timestamp, user_id long")
             .option("maxFilesPerTrigger", 1)
@@ -1651,15 +1642,8 @@ def streaming_outer_join_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("event_id", "ts", "user_id", "event_type")
     stage = _tempfile.mkdtemp(prefix="stream-oj-")
     try:
-        now = _time.time()
-        for k in range(4):
-            tmp = f"{stage}/_build{k}"
-            ev.where(F.col("event_id") % 4 == k).coalesce(1).write.parquet(tmp)
-            part = next(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
-            dst = f"{stage}/batch-{k:02d}.parquet"
-            _os.rename(f"{tmp}/{part}", dst)
-            _shutil.rmtree(tmp)
-            _os.utime(dst, (now + k, now + k))
+        # one-pass staging with mtime-pinned replay order
+        _stage_mod_batches(ev, stage, n_batches=4, key="event_id")
         schema = "event_id long, ts timestamp, user_id long, event_type string"
         raw1 = (
             spark.readStream.schema(schema)

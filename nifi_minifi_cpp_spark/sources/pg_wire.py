@@ -423,6 +423,7 @@ class EphemeralPostgres:
         return subprocess.run(["su", self.user, "-c", cmd], capture_output=True, text=True)
 
     def __enter__(self) -> "EphemeralPostgres":
+        import os
         import subprocess
         import time
         import uuid
@@ -448,12 +449,46 @@ class EphemeralPostgres:
         # below must stop the server and remove the datadir itself, or
         # a slow CI box leaks an orphaned postgres per failed attempt
         try:
-            r = self._as_pg(f"initdb -D {self._datadir} -A trust")
-            if r.returncode != 0:
-                raise PgWireError(f"initdb failed: {r.stderr[-200:]}")
+            # initdb is ~1 s of a ~1.4 s boot (measured, optimization
+            # r16); a cp -a of an initdb'd TEMPLATE is ~0.06 s. The
+            # template holds only catalog scaffolding — zero fixture
+            # data — and is keyed by user so ownership/0700 perms come
+            # out of cp -a correctly. Created once per host via atomic
+            # rename (concurrent fixtures race safely: loser's rename
+            # fails, both use the winner's template). --no-sync skips
+            # initdb's fsync pass — the datadir is throwaway.
+            # "initdb (PostgreSQL) 15.18 (Debian ...)" -> "15.18"; keep
+            # only [\w.] so the path stays shell-safe under _as_pg
+            ver_out = subprocess.run(
+                ["initdb", "--version"], capture_output=True, text=True
+            ).stdout.split()
+            ver = "".join(c for c in (ver_out[2] if len(ver_out) > 2 else "v") if c.isalnum() or c == ".")
+            template = f"/tmp/pgwire-template-{ver}-{self.user}"
+            if not os.path.isfile(f"{template}/PG_VERSION"):
+                tbuild = f"{template}-build-{uuid.uuid4().hex[:8]}"
+                r = self._as_pg(f"initdb -D {tbuild} -A trust --no-sync")
+                if r.returncode != 0:
+                    raise PgWireError(f"initdb failed: {r.stderr[-200:]}")
+                try:
+                    os.rename(tbuild, template)
+                except OSError:  # concurrent creator won the rename
+                    shutil.rmtree(tbuild, ignore_errors=True)
+            r = self._as_pg(f"cp -a {template} {self._datadir}")
+            if r.returncode != 0 or not os.path.isfile(f"{self._datadir}/PG_VERSION"):
+                # template copy failed (e.g. stale/corrupt template):
+                # rebuild the datadir directly, once, the slow way
+                shutil.rmtree(self._datadir, ignore_errors=True)
+                r = self._as_pg(f"initdb -D {self._datadir} -A trust --no-sync")
+                if r.returncode != 0:
+                    raise PgWireError(f"initdb failed: {r.stderr[-200:]}")
+            # fsync/synchronous_commit/full_page_writes off: these are
+            # durability knobs only — results are unaffected and the
+            # cluster is deleted on teardown; they cut per-commit fsync
+            # waits out of the seeded INSERT/UPDATE fixtures
             r = self._as_pg(
                 f"pg_ctl -D {self._datadir} -l {self._datadir}/log "
-                f"-o '-p {self.port} -k /tmp -c listen_addresses=127.0.0.1' start"
+                f"-o '-p {self.port} -k /tmp -c listen_addresses=127.0.0.1 "
+                f"-c fsync=off -c synchronous_commit=off -c full_page_writes=off' start"
             )
             if r.returncode != 0:
                 raise PgWireError(f"pg_ctl start failed: {r.stderr[-200:]}")
