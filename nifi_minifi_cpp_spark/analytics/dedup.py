@@ -1017,17 +1017,37 @@ def containment_dedup(
             lambda i: F.xxhash64(F.substring(F.col("_t"), i + 1, F.lit(k))),
         ).alias("_kg"),
     )
+
+    # window-min + distinct via Arrow/numpy (optimization r16, guide
+    # §4.2): the Catalyst form (transform over sequence with
+    # array_min(slice(...))) allocates one w-long array per position —
+    # O(n·w) slice allocations, measured 1.8 s of this call at sf0.1
+    # where numpy's strided sliding_window_view().min(axis=1) over the
+    # same int64 hashes is ~0 (vectorized, no allocation per window).
+    # Only the slim (id, len, hashes) columns cross the Arrow boundary
+    # (never the text), the hashes themselves stay Spark's xxhash64,
+    # and min-of-longs is engine-identical, so the fingerprint SET is
+    # byte-for-byte the one the Catalyst expression produced (the
+    # first-occurrence distinct order is reproduced; downstream use is
+    # order-insensitive anyway: array_min, explode, array_except).
+    def _winnow(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for arr in pdf["_kg"]:
+                a = np.asarray(arr, dtype=np.int64)
+                if len(a) < w:  # unreachable: long_docs guarantees n >= w
+                    out.append(a[:0])
+                    continue
+                mins = np.lib.stride_tricks.sliding_window_view(a, w).min(axis=1)
+                _, first = np.unique(mins, return_index=True)
+                out.append(mins[np.sort(first)])
+            yield pd.DataFrame({id_col: pdf[id_col], "_len": pdf["_len"], "_g": out})
+
     staged = reliable_barrier(
-        kg.select(
-            id_col,
-            "_len",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_kg") - w),
-                    lambda i: F.array_min(F.slice(F.col("_kg"), i + 1, w)),
-                )
-            ).alias("_g"),
-        )
+        kg.mapInPandas(_winnow, f"{id_col} long, _len int, _g array<long>")
     )
     probes = staged.select(
         F.col(id_col).alias("_pid"),
@@ -1278,7 +1298,14 @@ def allpairs_jaccard_join(
         if ngram > 1
         else F.array_distinct(F.array_remove(F.col("_wa"), ""))
     )
-    toks = staged.select("_id", F.explode(sets_expr).alias("_w")).distinct()
+    # barrier (optimization r16): toks feeds FOUR consumers (the df
+    # census broadcast, the ranked prefix window, and both sides of the
+    # sets verify join); without it the shingle explode + distinct
+    # lineage re-runs per consumer whenever runtime exchange reuse
+    # fails to canonicalize the duplicated subtrees
+    toks = reliable_barrier(
+        staged.select("_id", F.explode(sets_expr).alias("_w")).distinct()
+    )
     freq = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (
         toks.join(F.broadcast(freq), "_w")

