@@ -29,6 +29,21 @@ def _spread_for_cpu(df: DataFrame, id_col: str) -> DataFrame:
     return _spread_for_cpu_shared(df, id_col)
 
 
+def _winnow_window_mins(a, w: int):
+    """Per-array winnowing kernel shared by ``containment_dedup``'s
+    mapInPandas stage and its equivalence test (ADVICE r16: the test
+    must pin the SHIPPED kernel, not a local copy): sliding-window min
+    over ``w``-length windows of an int64 hash array, then
+    first-occurrence distinct — exactly the former Catalyst
+    ``array_distinct(transform(sequence, array_min(slice(...))))``
+    expression, vectorized."""
+    import numpy as np
+
+    mins = np.lib.stride_tricks.sliding_window_view(a, w).min(axis=1)
+    _, first = np.unique(mins, return_index=True)
+    return mins[np.sort(first)]
+
+
 def _spread_pairs(df: DataFrame, key: str) -> DataFrame:
     """Unconditional numbered repartition for compute-heavy-per-byte
     verify stages. spread_for_cpu's static partition-count guard cannot
@@ -1041,13 +1056,15 @@ def containment_dedup(
                 if len(a) < w:  # unreachable: long_docs guarantees n >= w
                     out.append(a[:0])
                     continue
-                mins = np.lib.stride_tricks.sliding_window_view(a, w).min(axis=1)
-                _, first = np.unique(mins, return_index=True)
-                out.append(mins[np.sort(first)])
+                out.append(_winnow_window_mins(a, w))
             yield pd.DataFrame({id_col: pdf[id_col], "_len": pdf["_len"], "_g": out})
 
+    # id type from the input schema (ADVICE r16): the operator is
+    # generic over id_col — a string/int id must round-trip the Arrow
+    # boundary with its own type, not a hardcoded long
+    _id_t = base.schema[id_col].dataType.simpleString()
     staged = reliable_barrier(
-        kg.mapInPandas(_winnow, f"{id_col} long, _len int, _g array<long>")
+        kg.mapInPandas(_winnow, f"{id_col} {_id_t}, _len int, _g array<long>")
     )
     probes = staged.select(
         F.col(id_col).alias("_pid"),

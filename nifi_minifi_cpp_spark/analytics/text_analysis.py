@@ -359,6 +359,12 @@ def char_entropy_scores(
         for pdf in batches:
             ids, vals = [], []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
+                # None matches the former Catalyst behavior exactly:
+                # size(split(NULL)) = -1 was filtered by the same
+                # `> 0` guard that drops empty strings (ADVICE r16 —
+                # .encode on None raised and failed the whole query)
+                if txt is None:
+                    continue
                 cp = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32)
                 n = len(cp)
                 if n == 0:  # matches the former WHERE size > 0 filter
@@ -368,7 +374,9 @@ def char_entropy_scores(
                 vals.append(np.log2(float(n)) - float((cnt * np.log2(cnt)).sum()) / n)
             yield pd.DataFrame({id_col: ids, "_h": vals})
 
-    raw = df.select(id_col, text_col).mapInPandas(_entropy, f"{id_col} long, _h double")
+    # id type from the input schema (ADVICE r16): generic over id_col
+    _id_t = df.schema[id_col].dataType.simpleString()
+    raw = df.select(id_col, text_col).mapInPandas(_entropy, f"{id_col} {_id_t}, _h double")
     return raw.select(id_col, F.round(F.col("_h"), decimals).alias("char_entropy"))
 
 

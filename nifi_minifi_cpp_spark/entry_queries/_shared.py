@@ -212,9 +212,16 @@ def _stage_mod_batches(df, stage: str, n_batches: int = 4, key: str = "event_id"
     one pass (each class hashes to one task; the writer splits by
     directory value). Row order WITHIN a batch file is not part of any
     fixture's semantics (watermarks read the per-batch max event time;
-    sinks are compared as sets). Classes with no rows (impossible at
-    the driver SFs, guarded anyway) fall back to the per-class empty
-    write so the replay still triggers the same number of batches."""
+    sinks are compared as sets).
+
+    Hardening (VERDICT r16 #3 + ADVICE): each batch class must land in
+    EXACTLY one part file — anything that splits task output
+    (maxRecordsPerFile, speculative re-runs) would otherwise silently
+    drop rows from a replay batch, and an EMPTY class would change the
+    replay's batch count (the former empty-class fallback could not
+    actually produce a file: Spark emits no data file for an empty
+    non-zero-partition write). Both now fail loudly; at every driver
+    SF each ``key % n_batches`` class is provably non-empty."""
     import os as _os
     import shutil as _shutil
     import time as _time
@@ -230,13 +237,20 @@ def _stage_mod_batches(df, stage: str, n_batches: int = 4, key: str = "event_id"
     for k in range(n_batches):
         part_dir = f"{tmp}/_b={k}"
         dst = f"{stage}/batch-{k:02d}.parquet"
-        if _os.path.isdir(part_dir):
-            part = next(f for f in sorted(_os.listdir(part_dir)) if f.endswith(".parquet"))
-            _os.rename(f"{part_dir}/{part}", dst)
-        else:  # empty class: keep the batch count identical
-            df.where(F.col(key) % n_batches == k).coalesce(1).write.parquet(f"{tmp}/_e{k}")
-            part = next(f for f in _os.listdir(f"{tmp}/_e{k}") if f.endswith(".parquet"))
-            _os.rename(f"{tmp}/_e{k}/{part}", dst)
+        if not _os.path.isdir(part_dir):
+            raise RuntimeError(
+                f"_stage_mod_batches: batch class {key} % {n_batches} == {k} "
+                "is empty — the replay fixture requires every class to hold "
+                "rows (add data or lower n_batches)"
+            )
+        parts = [f for f in sorted(_os.listdir(part_dir)) if f.endswith(".parquet")]
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"_stage_mod_batches: expected exactly 1 part file for batch "
+                f"class {k}, found {len(parts)} — a split write would "
+                "silently drop rows from the replay batch"
+            )
+        _os.rename(f"{part_dir}/{parts[0]}", dst)
         _os.utime(dst, (now + k, now + k))
     _shutil.rmtree(tmp, ignore_errors=True)
 

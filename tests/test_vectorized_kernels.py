@@ -64,12 +64,12 @@ def test_containment_winnow_kernel_matches_catalyst_reference(spark):
         ).collect()
     }
 
-    # the shipped kernel, reached through the public operator's own
-    # mapInPandas function (import the module-level machinery by
-    # running containment's staged pipeline on the same inputs)
+    # the SHIPPED kernel (ADVICE r16: pin the module-level function
+    # containment_dedup itself calls, so a future edit to the shipped
+    # code cannot drift without failing this exact-equality assertion)
     from nifi_minifi_cpp_spark.analytics import dedup as dedup_mod
+    from nifi_minifi_cpp_spark.analytics.dedup import _winnow_window_mins
 
-    # re-create the kernel exactly as containment_dedup builds it
     import numpy as np
     import pandas as pd
 
@@ -77,10 +77,7 @@ def test_containment_winnow_kernel_matches_catalyst_reference(spark):
         for pdf in batches:
             out = []
             for arr in pdf["_kg"]:
-                a = np.asarray(arr, dtype=np.int64)
-                mins = np.lib.stride_tricks.sliding_window_view(a, w).min(axis=1)
-                _, first = np.unique(mins, return_index=True)
-                out.append(mins[np.sort(first)])
+                out.append(_winnow_window_mins(np.asarray(arr, dtype=np.int64), w))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "_len": pdf["_len"], "_g": out}
             )

@@ -1,6 +1,7 @@
 """Dump ``explain("formatted")`` for a set of registered queries to
-``plans/r16/<query>_<tag>.txt`` — the optimization round's before/after
-plan artifacts (the judge checks plan claims against these files).
+``plans/$SPARK_GRAFT_PLAN_DIR/<query>_<tag>.txt`` (default ``r17``) —
+the optimization round's before/after plan artifacts (the judge checks
+plan claims against these files).
 
 Usage: python tools/dump_plans.py <tag> <query1,query2,...> [sf_dir]
        python tools/dump_plans.py before all   # every registered query
@@ -24,7 +25,11 @@ def main() -> None:
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
     qs = entry.queries()
     names = sorted(qs) if names_arg == "all" else [n for n in names_arg.split(",") if n]
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r17"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump-plans", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     spark.sparkContext.setLogLevel("ERROR")
