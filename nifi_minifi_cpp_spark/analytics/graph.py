@@ -152,6 +152,7 @@ def pagerank(
     damping: float = 0.85,
     barrier_every: int = 4,
     teleport: DataFrame | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank (Page et al. 1999) as DataFrame joins —
     the second iterative-algorithm class next to connected_components.
@@ -184,13 +185,33 @@ def pagerank(
     ``BROADCAST_MAX_NODES``, the (node, rank) frame is broadcast into
     the per-round joins (module dial note) so the edge table is never
     shuffled or broadcast per round; larger graphs fall back to the
-    shuffled joins unchanged."""
+    shuffled joins unchanged.
+
+    ``symmetric=True`` declares (caller contract — the builder does not
+    re-verify it) that the edge set contains BOTH orientations of every
+    edge, which two structural facts make cheaper without changing a
+    single output row (optimization r17, guide §2.1/§3.1):
+
+    - every node appears as a source, so the node table IS the degree
+      table's key column — the 2|E|-row union + distinct node pass
+      disappears;
+    - every node has at least one in-edge, so the per-round contribs
+      aggregate already covers every node and the per-round
+      nodes-left-join (the zero-fill for in-degree-0 nodes) is dead
+      code — each round is just join + aggregate + (for PPR) one
+      broadcast join against the |S|-row restart frame;
+    - the (edge ⋈ out-degree) table is materialized ONCE behind a
+      barrier instead of re-deriving the degree aggregate inside every
+      round's plan.
+    """
     from ..util import reliable_barrier
 
     e = reliable_barrier(
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
     )
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    if symmetric:
+        return _pagerank_symmetric(e, deg, iterations, damping, barrier_every, teleport)
     nodes = reliable_barrier(
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
@@ -246,6 +267,94 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if (i + 1) % barrier_every == 0 and i + 1 < iterations:
+            ranks = reliable_barrier(ranks)
+    return ranks
+
+
+def _pagerank_symmetric(
+    e: DataFrame,
+    deg: DataFrame,
+    iterations: int,
+    damping: float,
+    barrier_every: int,
+    teleport: DataFrame | None,
+) -> DataFrame:
+    """``pagerank`` body under the symmetric-edge-set contract (see the
+    public docstring): nodes come from the degree table, the weighted
+    edge table is barriered once, and the per-round zero-fill join is
+    skipped because contribs is provably dense. Arithmetic is kept
+    expression-for-expression identical to the general path so the two
+    produce bit-identical ranks on a symmetric input."""
+    from ..util import reliable_barrier
+
+    deg = reliable_barrier(deg)
+    n_nodes = deg.count()
+    fits = n_nodes <= BROADCAST_MAX_NODES
+    nodes = deg.select(F.col("_s").alias("node"))
+    seed_base = None
+    if teleport is not None:
+        seeds = teleport.select(F.col("node")).distinct()
+        # barrier: consumed three times (|S| aggregate, rank start,
+        # restart frame) — without it each consumer re-runs the seed
+        # frame's own source scan
+        flagged = reliable_barrier(
+            nodes.join(
+                seeds.withColumn("_seed", F.lit(1)), "node", "left"
+            ).select("node", F.coalesce(F.col("_seed"), F.lit(0)).alias("_seed"))
+        )
+        n_seeds = flagged.agg(F.sum("_seed").cast("long").alias("_n")).collect()[0]["_n"]
+        if not n_seeds:
+            raise ValueError(
+                "pagerank(teleport=...): no teleport seed appears in the "
+                "edge list; restart mass denominator |S| is 0"
+            )
+        # same int/int -> double division as the general path's
+        # _seed / lit(|S|) column (with _seed == 1 on this frame)
+        base = F.col("_seed") / F.lit(int(n_seeds))
+        ranks = flagged.select("node", base.alias("rank"))
+        # the restart frame carries only the |S| seed rows — the
+        # per-round join against it broadcasts |S| rows, not |V|
+        seed_base = F.broadcast(
+            reliable_barrier(
+                flagged.filter(F.col("_seed") == 1).select("node", base.alias("_b"))
+            )
+        )
+    else:
+        base = F.lit(1.0 / n_nodes)
+        ranks = nodes.select("node", base.alias("rank"))
+    weighted = reliable_barrier(e.join(_maybe_broadcast(deg, fits), "_s"))
+    for i in range(iterations):
+        contribs = (
+            weighted.join(
+                _maybe_broadcast(ranks.withColumnRenamed("node", "_s"), fits), "_s"
+            )
+            .select(F.col("_d").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        # contribs covers every node (symmetric contract), so build the
+        # next rank frame from it directly; only PPR needs the restart
+        # term joined back, from the |S|-row frame. coalesce(_in, .)
+        # never fires here — kept so the expression matches the general
+        # path exactly.
+        if seed_base is not None:
+            restart = F.coalesce(F.col("_b"), F.lit(0.0))
+            ranks = contribs.join(seed_base, "node", "left").select(
+                "node",
+                (
+                    (1.0 - damping) * restart
+                    + damping * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        else:
+            ranks = contribs.select(
+                "node",
+                (
+                    (1.0 - damping) * base
+                    + damping * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
         if (i + 1) % barrier_every == 0 and i + 1 < iterations:
             ranks = reliable_barrier(ranks)
     return ranks
@@ -367,7 +476,19 @@ def label_propagation(
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(iterations):
+    for r in range(iterations):
+        if r == 0:
+            # Round 1 on identity labels needs no join and no count
+            # (optimization r17, guide §2.2): every neighbor carries
+            # its OWN distinct label, so each (a, label) count is
+            # exactly 1 and the (count DESC, label ASC) winner is just
+            # the minimum neighbor id — one map-side-combined min
+            # aggregate over the barriered edge table replaces the
+            # label join and the two-level count/min_by pair.
+            labels = sym.groupBy("a").agg(F.min("b").alias("label")).select(
+                F.col("a").alias("node"), "label"
+            )
+            continue
         counted = (
             sym.join(_maybe_broadcast(labels.withColumnRenamed("node", "b"), fits), "b")
             .groupBy("a", "label")
@@ -534,26 +655,40 @@ def hits(
     100 TB shape: identical to ``pagerank`` — each half-step is ONE
     equi-join of the slim (node, score) frame onto the edge list plus
     a groupBy sum; the global L1 mass is a one-row broadcast scalar
-    (no second pass over nodes); edge and node tables are computed
-    once behind barriers; per-round lineage is cut by the barrier on
-    the hub frame.
+    (no second pass over nodes); the edge table is computed once
+    behind a barrier; per-round lineage is cut by the barrier on the
+    hub frame.
+
+    Optimization r17 (guide §2.1): the score frames stay SPARSE
+    through the rounds — hubs over out-nodes, auths over in-nodes —
+    because a node outside those sets carries exactly 0.0 and a 0.0
+    score contributes nothing to either half-step sum or to the L1
+    mass. The dense zero rows the previous shape materialized through
+    two per-round node-left-joins are reconstructed ONCE at the end by
+    the final zero-fill join, which is also where the pure-sink hub=0 /
+    pure-source auth=0 exactness comes from (coalesce to literal 0.0).
     """
     from ..util import reliable_barrier
 
     e = reliable_barrier(
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
     )
-    nodes = reliable_barrier(
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_d").alias("node")))
-        .distinct()
-    )
     # broadcast dial (module note): the per-half-step score frames are
-    # node-sized; when |V| fits, hint them so the edge table never
-    # shuffles per round (the cached-RDD count on the barrier is cheap)
-    fits = nodes.count() <= BROADCAST_MAX_NODES
-    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
-    auths = nodes.select("node", F.lit(0.0).alias("auth"))
+    # node-bounded (|V| <= 2|E| via the cheap barriered edge count)
+    fits = 2 * e.count() <= BROADCAST_MAX_NODES
+    # sparse uniform start: only out-node hub values ever feed the
+    # auth half-step, so the sink rows of the dense 1.0 start were dead
+    hubs = e.select(F.col("_s").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("hub")
+    )
+    if iterations <= 0:  # degenerate: the dense uniform start, as before
+        return (
+            e.select(F.col("_s").alias("node"))
+            .unionByName(e.select(F.col("_d").alias("node")))
+            .distinct()
+            .select("node", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth"))
+        )
+    auths = None
     for _ in range(iterations):
         a_raw = (
             e.join(_maybe_broadcast(hubs.withColumnRenamed("node", "_s"), fits), "_s")
@@ -562,16 +697,9 @@ def hits(
         )
         a_mass = F.broadcast(a_raw.agg(F.sum("_x").alias("_t")))
         auths = (
-            nodes.join(
-                _maybe_broadcast(a_raw.withColumnRenamed("_d", "node"), fits),
-                "node",
-                "left",
-            )
+            a_raw.withColumnRenamed("_d", "node")
             .crossJoin(a_mass)
-            .select(
-                "node",
-                (F.coalesce(F.col("_x"), F.lit(0.0)) / F.col("_t")).alias("auth"),
-            )
+            .select("node", (F.col("_x") / F.col("_t")).alias("auth"))
         )
         h_raw = (
             e.join(_maybe_broadcast(auths.withColumnRenamed("node", "_d"), fits), "_d")
@@ -580,18 +708,27 @@ def hits(
         )
         h_mass = F.broadcast(h_raw.agg(F.sum("_x").alias("_t")))
         hubs = reliable_barrier(
-            nodes.join(
-                _maybe_broadcast(h_raw.withColumnRenamed("_s", "node"), fits),
-                "node",
-                "left",
-            )
+            h_raw.withColumnRenamed("_s", "node")
             .crossJoin(h_mass)
-            .select(
-                "node",
-                (F.coalesce(F.col("_x"), F.lit(0.0)) / F.col("_t")).alias("hub"),
-            )
+            .select("node", (F.col("_x") / F.col("_t")).alias("hub"))
         )
-    return hubs.join(auths, "node").select("node", "hub", "auth")
+    # out-nodes ∪ in-nodes IS the node set, and both sparse frames are
+    # node-sized (hubs materialized, auths one agg above the barriered
+    # hub frame — its duplicated subtree is deduped by runtime exchange
+    # reuse) — derive it from them instead of re-scanning the
+    # 2|E|-row edge table
+    nodes = (
+        hubs.select("node").unionByName(auths.select("node")).distinct()
+    )
+    return (
+        nodes.join(_maybe_broadcast(hubs, fits), "node", "left")
+        .join(_maybe_broadcast(auths, fits), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+        )
+    )
 
 
 def bfs_hops(
