@@ -36,6 +36,18 @@ from pyspark.sql import functions as F
 # which is the right shape for billion-node graphs.
 BROADCAST_MAX_NODES = 8_000_000  # (long, double) rows ~ 128 MB built
 
+# Materialize-vs-recompute dial for the symmetric-pagerank weighted
+# edge table (optimization r17): barriering (src, dst, deg) costs
+# ~24 B x |E| through the executor storage layer but saves one
+# degree re-aggregation per round; the 100x probe measured the
+# crossover — at 1.2M edges the barrier wins (~0.7x), at 120M edges
+# the ~3 GB materialization LOSES to three cheap map-side re-aggs
+# (248 s vs 176 s). 16M edges ~ 384 MB keeps the materialization
+# bounded; past it the weighted table stays a lazy join over the
+# (always-barriered) distinct edge list — the right shape for
+# billion-edge graphs.
+BARRIER_MAX_EDGES = 16_000_000
+
 
 def _maybe_broadcast(df: DataFrame, fits: bool) -> DataFrame:
     return F.broadcast(df) if fits else df
@@ -289,7 +301,12 @@ def _pagerank_symmetric(
     from ..util import reliable_barrier
 
     deg = reliable_barrier(deg)
-    n_nodes = deg.count()
+    # one aggregate supplies both dials: |V| (rows of the degree table)
+    # and |E| (sum of out-degrees) — no separate edge-count job
+    sizes = deg.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_deg").alias("m")
+    ).first()
+    n_nodes, m_edges = sizes["n"], int(sizes["m"] or 0)
     fits = n_nodes <= BROADCAST_MAX_NODES
     nodes = deg.select(F.col("_s").alias("node"))
     seed_base = None
@@ -323,7 +340,9 @@ def _pagerank_symmetric(
     else:
         base = F.lit(1.0 / n_nodes)
         ranks = nodes.select("node", base.alias("rank"))
-    weighted = reliable_barrier(e.join(_maybe_broadcast(deg, fits), "_s"))
+    weighted = e.join(_maybe_broadcast(deg, fits), "_s")
+    if m_edges <= BARRIER_MAX_EDGES:  # module dial note: bounded bytes
+        weighted = reliable_barrier(weighted)
     for i in range(iterations):
         contribs = (
             weighted.join(

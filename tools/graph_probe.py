@@ -31,6 +31,7 @@ from nifi_minifi_cpp_spark.analytics.graph import (
     label_propagation,
     pagerank,
 )
+from nifi_minifi_cpp_spark.entry_queries import sketches_temporal
 from nifi_minifi_cpp_spark.entry_queries._shared import _supplier_part_edges
 from nifi_minifi_cpp_spark.session import get_spark, load_table
 
@@ -39,6 +40,12 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 REPLICAS = [
     int(x) for x in os.environ.get("GRAPH_PROBE_REPLICAS", "1,10,100").split(",")
 ]
+# subset of algorithm labels to run (comma-separated); empty = all
+ALGOS = {a for a in os.environ.get("GRAPH_PROBE_ALGOS", "").split(",") if a}
+
+
+def wanted(label: str) -> bool:
+    return not ALGOS or label in ALGOS
 
 
 def scaled_edges(spark, base, stride: int, replicas: int):
@@ -60,6 +67,33 @@ def scaled_edges(spark, base, stride: int, replicas: int):
     return spark.read.parquet(out)
 
 
+def scaled_lineitem_dir(spark, li, replicas: int) -> str:
+    """Stage a minimal lineitem table (the two id columns
+    item_similarity_topk reads) with ``replicas`` disjoint copies —
+    order and part key spaces both shifted per replica, so per-order
+    basket structure (and the wedge-join fanout per order) is identical
+    in every copy. Returns an sf_dir the registered entry reads as-is."""
+    out = f"/tmp/itemsim_probe_{replicas}x"
+    if not os.path.exists(f"{out}/lineitem.parquet"):
+        base = li.select("l_orderkey", "l_partkey")
+        so = base.agg(F.max("l_orderkey")).first()[0] + 2
+        sp = base.agg(F.max("l_partkey")).first()[0] + 2
+        (
+            base.withColumn("rep", F.explode(F.lit(list(range(replicas)))))
+            .select(
+                (F.col("l_orderkey") + F.col("rep").cast("long") * so).alias(
+                    "l_orderkey"
+                ),
+                (F.col("l_partkey") + F.col("rep").cast("long") * sp).alias(
+                    "l_partkey"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out}/lineitem.parquet")
+        )
+    return out
+
+
 def timed(label: str, thunk) -> float:
     """Times CONSTRUCTION + EXECUTION: the iterative builders
     (connected_components and friends) materialize via eager
@@ -76,6 +110,14 @@ def timed(label: str, thunk) -> float:
 def main() -> None:
     spark = get_spark("graph-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
+    # GRAPH_PROBE_MAX_NODES=0 forces the >BROADCAST_MAX_NODES shuffled
+    # fallback of every dial at any scale (VERDICT r16 #2: the fallback
+    # path was untested at every SF) — the module constant is the dial.
+    if os.environ.get("GRAPH_PROBE_MAX_NODES"):
+        from nifi_minifi_cpp_spark.analytics import graph as _graph
+
+        _graph.BROADCAST_MAX_NODES = int(os.environ["GRAPH_PROBE_MAX_NODES"])
+        print(f"BROADCAST_MAX_NODES overridden to {_graph.BROADCAST_MAX_NODES}")
     li = load_table(spark, "lineitem", SF_DIR)
     base = _supplier_part_edges(li).localCheckpoint(eager=True)
     n_edges = base.count()
@@ -88,18 +130,41 @@ def main() -> None:
     for r in REPLICAS:
         e = scaled_edges(spark, base, stride, r)
         print(f"-- {r}x ({n_edges * r} edges)")
-        results.setdefault("pagerank_3it", {})[r] = timed(
-            "pagerank_3it", lambda: pagerank(e, iterations=3, damping=0.85)
-        )
-        results.setdefault("connected_components", {})[r] = timed(
-            "connected_components", lambda: connected_components(e)
-        )
-        results.setdefault("hits_3it", {})[r] = timed(
-            "hits_3it", lambda: hits(e, iterations=3)
-        )
-        results.setdefault("lpa_3it", {})[r] = timed(
-            "lpa_3it", lambda: label_propagation(e, iterations=3)
-        )
+        # symmetric=True matches the entry call sites (r17 fast path);
+        # the edge list here is symmetric by construction
+        if wanted("pagerank_3it"):
+            results.setdefault("pagerank_3it", {})[r] = timed(
+                "pagerank_3it",
+                lambda: pagerank(e, iterations=3, damping=0.85, symmetric=True),
+            )
+        if wanted("pagerank_3it_general"):
+            # same-session A/B leg: the general (symmetric=False) path
+            # the entries used before r17 — the honest at-scale
+            # comparison, immune to the rig's cross-day band
+            results.setdefault("pagerank_3it_general", {})[r] = timed(
+                "pagerank_3it_general",
+                lambda: pagerank(e, iterations=3, damping=0.85, symmetric=False),
+            )
+        if wanted("connected_components"):
+            results.setdefault("connected_components", {})[r] = timed(
+                "connected_components", lambda: connected_components(e)
+            )
+        if wanted("hits_3it"):
+            results.setdefault("hits_3it", {})[r] = timed(
+                "hits_3it", lambda: hits(e, iterations=3)
+            )
+        if wanted("lpa_3it"):
+            results.setdefault("lpa_3it", {})[r] = timed(
+                "lpa_3it", lambda: label_propagation(e, iterations=3)
+            )
+        if wanted("item_similarity_topk"):
+            # the shipped entry itself, on a replica-scaled lineitem dir
+            # (VERDICT r16 #2: the r16 barrier win was wall-flat at sf0.1)
+            sim_dir = scaled_lineitem_dir(spark, li, r)
+            results.setdefault("item_similarity_topk", {})[r] = timed(
+                "item_similarity_topk",
+                lambda: sketches_temporal.item_similarity_topk(spark, sim_dir),
+            )
 
     header = " | ".join(f"{r}x s" for r in REPLICAS)
     print(f"\n| algorithm | {header} |")
