@@ -44,6 +44,116 @@ def _winnow_window_mins(a, w: int):
     return mins[np.sort(first)]
 
 
+# --- vectorized XXH64 (optimization r17, guide §4.2) ---------------------
+# Bit-exact reimplementation of Spark's ``xxhash64`` (XXH64, seed 42;
+# Collet's reference algorithm — public spec) as numpy uint64 lane
+# arithmetic, so the per-position k-gram hashing that dominated
+# ``containment_dedup``'s scan stage (one JVM substring allocation +
+# one scalar hash per char position) becomes one vectorized pass.
+# Pinned bit-for-bit against the Spark expression in
+# tests/test_vectorized_kernels.py on an adversarial corpus (ASCII,
+# multibyte, astral plane, window-straddling chars, k < 8 / 8..31 /
+# >= 32 byte message lengths — every branch of the algorithm).
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_XX_SEED = 42
+
+
+def _xxh64_rows(mat, length: int):
+    """XXH64 (seed 42) of each row of ``mat`` — a C-contiguous (n, W)
+    uint8 matrix, W a multiple of 8, zero-padded past ``length`` (the
+    true message byte length, identical for every row). Returns int64
+    hashes bit-identical to Spark's ``xxhash64`` over the same bytes."""
+    import numpy as np
+
+    u = np.uint64
+    p1, p2, p3, p4, p5 = u(_XXP1), u(_XXP2), u(_XXP3), u(_XXP4), u(_XXP5)
+
+    def rotl(x, r):
+        return (x << u(r)) | (x >> u(64 - r))
+
+    n = mat.shape[0]
+    words = mat.view(u)  # little-endian lanes, as the spec reads them
+    dwords = mat.view(np.uint32)
+    off = 0
+    if length >= 32:
+        v1 = np.full(n, u((_XX_SEED + _XXP1 + _XXP2) % 2**64), dtype=u)
+        v2 = np.full(n, u((_XX_SEED + _XXP2) % 2**64), dtype=u)
+        v3 = np.full(n, u(_XX_SEED), dtype=u)
+        v4 = np.full(n, u((_XX_SEED - _XXP1) % 2**64), dtype=u)
+        for s in range(length // 32):
+            b = 4 * s
+            v1 = rotl(v1 + words[:, b] * p2, 31) * p1
+            v2 = rotl(v2 + words[:, b + 1] * p2, 31) * p1
+            v3 = rotl(v3 + words[:, b + 2] * p2, 31) * p1
+            v4 = rotl(v4 + words[:, b + 3] * p2, 31) * p1
+        h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        for v in (v1, v2, v3, v4):
+            h = (h ^ (rotl(v * p2, 31) * p1)) * p1 + p4
+        off = (length // 32) * 32
+    else:
+        h = np.full(n, u((_XX_SEED + _XXP5) % 2**64), dtype=u)
+    h = h + u(length)
+    while off + 8 <= length:
+        h = rotl(h ^ (rotl(words[:, off // 8] * p2, 31) * p1), 27) * p1 + p4
+        off += 8
+    if off + 4 <= length:
+        h = rotl(h ^ (dwords[:, off // 4].astype(u) * p1), 23) * p2 + p3
+        off += 4
+    while off < length:
+        h = rotl(h ^ (mat[:, off].astype(u) * p5), 11) * p1
+        off += 1
+    h ^= h >> u(33)
+    h *= p2
+    h ^= h >> u(29)
+    h *= p3
+    h ^= h >> u(32)
+    return h.view(np.int64)
+
+
+def _kgram_xxh64(text: str, k: int):
+    """int64 ``xxhash64`` (seed 42) of every char k-gram of ``text`` —
+    the vectorized twin of the former Catalyst
+    ``transform(sequence(0, len-k), i -> xxhash64(substring(text, i+1, k)))``
+    projection. Chars are code points (Spark substring semantics);
+    hashes cover the UTF-8 bytes, exactly as Spark hashes them.
+    Requires len(text) >= k. Multibyte texts group windows by byte
+    length so every group still hashes as one fixed-width matrix."""
+    import numpy as np
+
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    nchars = len(text)
+    n = nchars - k + 1
+    if len(b) == nchars:  # ASCII: every window is k bytes wide
+        width = (k + 7) & ~7
+        pad = np.zeros(len(b) + width, dtype=np.uint8)
+        pad[: len(b)] = b
+        mat = np.ascontiguousarray(
+            pad[np.arange(n)[:, None] + np.arange(width)[None, :]]
+        )
+        mat[:, k:] = 0
+        return _xxh64_rows(mat, k)
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    clen = 1 + (cp >= 0x80).astype(np.int64) + (cp >= 0x800) + (cp >= 0x10000)
+    offs = np.concatenate(([0], np.cumsum(clen)))
+    starts = offs[:n]
+    lens = offs[k : k + n] - starts
+    out = np.empty(n, dtype=np.int64)
+    pad = np.zeros(len(b) + 4 * k + 8, dtype=np.uint8)
+    pad[: len(b)] = b
+    for L in np.unique(lens):
+        sel = lens == L
+        st = starts[sel]
+        width = (int(L) + 7) & ~7
+        mat = np.ascontiguousarray(pad[st[:, None] + np.arange(width)[None, :]])
+        mat[:, int(L) :] = 0
+        out[sel] = _xxh64_rows(mat, int(L))
+    return out
+
+
 def _spread_pairs(df: DataFrame, key: str) -> DataFrame:
     """Unconditional numbered repartition for compute-heavy-per-byte
     verify stages. spread_for_cpu's static partition-count guard cannot
@@ -1014,49 +1124,29 @@ def containment_dedup(
         )
     )
     long_docs = base.where(F.col("_len") >= min_long)
-    # winnowing fingerprints built STAGED, projection by projection —
-    # NOT via the single-expression winnowing_fingerprints helper: a
-    # lambda that references an enclosing HOF expression re-evaluates
-    # it per element, so the window-min pass over an inline k-gram
-    # array recomputes all n xxhash64(substring) calls for each of the
-    # m windows — O(n*m) per doc, the measured 490s-vs-1s Catalyst
-    # inlining trap (see repetition_features). Staged, the min pass is
-    # O(n*w). No empty-array guards needed: long_docs guarantees
-    # n >= w. Barriered: three consumers below (probe build, exploded
-    # index, fingerprint-set pre-filter) must not re-run the hashing.
-    kg = long_docs.select(
-        id_col,
-        "_len",
-        F.transform(
-            F.sequence(F.lit(0), F.col("_len") - k),
-            lambda i: F.xxhash64(F.substring(F.col("_t"), i + 1, F.lit(k))),
-        ).alias("_kg"),
-    )
 
-    # window-min + distinct via Arrow/numpy (optimization r16, guide
-    # §4.2): the Catalyst form (transform over sequence with
-    # array_min(slice(...))) allocates one w-long array per position —
-    # O(n·w) slice allocations, measured 1.8 s of this call at sf0.1
-    # where numpy's strided sliding_window_view().min(axis=1) over the
-    # same int64 hashes is ~0 (vectorized, no allocation per window).
-    # Only the slim (id, len, hashes) columns cross the Arrow boundary
-    # (never the text), the hashes themselves stay Spark's xxhash64,
-    # and min-of-longs is engine-identical, so the fingerprint SET is
-    # byte-for-byte the one the Catalyst expression produced (the
-    # first-occurrence distinct order is reproduced; downstream use is
-    # order-insensitive anyway: array_min, explode, array_except).
+    # k-gram hashing + window-min + distinct in ONE Arrow/numpy kernel
+    # (optimization r16 vectorized the window-min per guide §4.2;
+    # optimization r17 moves the HASHING in too): the Catalyst
+    # transform(sequence, xxhash64(substring(...))) projection paid one
+    # JVM substring allocation + one scalar hash call per char position
+    # — the dominant remaining cost of this operator (~2.4 s of the
+    # 4.3 s total at sf0.1, VERDICT r16 #3). ``_kgram_xxh64`` hashes
+    # every window of a doc as one vectorized uint64-lane pass and is
+    # pinned BIT-IDENTICAL to the Spark expression (seed-42 XXH64 over
+    # UTF-8 bytes, code-point window semantics) by the equivalence
+    # test, so the fingerprint set — and every downstream row — is
+    # byte-for-byte unchanged. Text crosses the Arrow boundary once
+    # here (it previously fed the same-stage Catalyst projection —
+    # same scan, no extra shuffle); long_docs guarantees n >= w
+    # windows per doc and no null/empty text (_len >= k+w-1).
     def _winnow(batches):
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             out = []
-            for arr in pdf["_kg"]:
-                a = np.asarray(arr, dtype=np.int64)
-                if len(a) < w:  # unreachable: long_docs guarantees n >= w
-                    out.append(a[:0])
-                    continue
-                out.append(_winnow_window_mins(a, w))
+            for txt in pdf["_t"]:
+                out.append(_winnow_window_mins(_kgram_xxh64(txt, k), w))
             yield pd.DataFrame({id_col: pdf[id_col], "_len": pdf["_len"], "_g": out})
 
     # id type from the input schema (ADVICE r16): the operator is
@@ -1064,7 +1154,7 @@ def containment_dedup(
     # boundary with its own type, not a hardcoded long
     _id_t = base.schema[id_col].dataType.simpleString()
     staged = reliable_barrier(
-        kg.mapInPandas(_winnow, f"{id_col} {_id_t}, _len int, _g array<long>")
+        long_docs.mapInPandas(_winnow, f"{id_col} {_id_t}, _len int, _g array<long>")
     )
     probes = staged.select(
         F.col(id_col).alias("_pid"),

@@ -373,38 +373,103 @@ def poisson_bootstrap_mean_ci(
         F.col(id_col).cast("string").alias("_id"),
         cents.alias("cents"),
     )
-    blocks = staged.select(
-        "g",
-        "cents",
-        F.explode(F.sequence(F.lit(1), F.lit(blocks_n))).alias("b"),
-        F.col("_id"),
-    ).withColumn(
-        "_h", F.md5(F.concat(F.col("_id"), F.lit(":"), F.col("b").cast("string")))
+
+    # One Arrow/numpy kernel replaces the explode(blocks) + md5 + conv
+    # + threshold-count projection chain (optimization r17, guide §4.2;
+    # VERDICT r16 #4 — this was the most expensive query in the suite,
+    # its cost the ~2M scalar JVM md5/conv calls at sf0.1). The kernel
+    # hashes every (row, block) message through the vectorized RFC-1321
+    # MD5 (vhash.md5_states — parity-pinned against hashlib == Spark's
+    # md5), slices the SAME five 24-bit big-endian lanes off the digest
+    # words, draws the same inverse-CDF Poisson weights, and emits
+    # MAP-SIDE PARTIAL SUMS per (group, block): at most |groups| x
+    # blocks x 10 longs per Arrow batch cross back — the exploded
+    # replicate rows never exist anywhere. NULL semantics preserved:
+    # a NULL id made every lane NULL before (md5 of NULL concat), so
+    # those rows vanish from BOTH sums; a NULL cents row still counts
+    # in nw but contributes no swc term, and a group whose batch has
+    # only NULL cents emits a NULL partial (Spark's sum then ignores
+    # it, keeping the all-NULL group's swc NULL — same as before).
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .vhash import md5_pad, md5_states
+
+        thresholds = np.array(POISSON1_CDF_24BIT, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["_id"]
+            ok = ids.notna().to_numpy()
+            gs = pdf["g"][ok]
+            # keep a NULL group as its own category (Spark's groupBy
+            # does) instead of factorize's default -1 sentinel
+            codes, uniq = pd.factorize(gs, use_na_sentinel=False)
+            n_g = len(uniq)
+            if n_g == 0:
+                continue
+            cent = pdf["cents"][ok]
+            has_c = cent.notna().to_numpy()
+            cv = cent.fillna(0).to_numpy(np.int64)
+            idb = [s.encode("utf-8") for s in ids[ok]]
+            lens = np.array([len(s) for s in idb])
+            nw = np.zeros((n_g, blocks_n, 5), dtype=np.int64)
+            swc = np.zeros((n_g, blocks_n, 5), dtype=np.int64)
+            group_has_c = np.zeros(n_g, dtype=bool)
+            np.logical_or.at(group_has_c, codes, has_c)
+            for length in np.unique(lens):
+                sel = lens == length
+                sub_codes = codes[sel]
+                sub_cv = cv[sel]
+                sub_valid = has_c[sel]
+                id_mat = np.frombuffer(
+                    b"".join(s for s, m in zip(idb, sel) if m), dtype=np.uint8
+                ).reshape(-1, int(length))
+                for b in range(1, blocks_n + 1):
+                    suffix = np.frombuffer(f":{b}".encode(), dtype=np.uint8)
+                    msg_len = int(length) + len(suffix)
+                    mat = np.empty((id_mat.shape[0], msg_len), dtype=np.uint8)
+                    mat[:, : int(length)] = id_mat
+                    mat[:, int(length) :] = suffix
+                    a, bb, c, d = md5_states(md5_pad(mat, msg_len))
+                    a, bb, c, d = (x.astype(np.int64) for x in (a, bb, c, d))
+                    lanes = [
+                        ((a & 0xFF) << 16) | (((a >> 8) & 0xFF) << 8) | ((a >> 16) & 0xFF),
+                        ((a >> 24) << 16) | ((bb & 0xFF) << 8) | ((bb >> 8) & 0xFF),
+                        (((bb >> 16) & 0xFF) << 16) | ((bb >> 24) << 8) | (c & 0xFF),
+                        (((c >> 8) & 0xFF) << 16) | (((c >> 16) & 0xFF) << 8) | (c >> 24),
+                        ((d & 0xFF) << 16) | (((d >> 8) & 0xFF) << 8) | ((d >> 16) & 0xFF),
+                    ]
+                    for lane, u in enumerate(lanes):
+                        w = np.searchsorted(thresholds, u, side="right")
+                        nw[:, b - 1, lane] += np.bincount(
+                            sub_codes, weights=w, minlength=n_g
+                        ).astype(np.int64)
+                        swc[:, b - 1, lane] += np.bincount(
+                            sub_codes, weights=w * sub_cv * sub_valid, minlength=n_g
+                        ).astype(np.int64)
+            out = {
+                "g": np.repeat(uniq.to_numpy() if hasattr(uniq, "to_numpy") else np.asarray(uniq), blocks_n),
+                "b": np.tile(np.arange(1, blocks_n + 1), n_g),
+            }
+            null_swc = ~np.repeat(group_has_c, blocks_n)
+            for lane in range(5):
+                out[f"nw{lane}"] = nw[:, :, lane].reshape(-1)
+                sc = pd.array(swc[:, :, lane].reshape(-1), dtype="Int64")
+                sc[null_swc] = pd.NA
+                out[f"swc{lane}"] = sc
+            yield pd.DataFrame(out)
+
+    from ..util import spread_for_cpu
+
+    _g_t = staged.schema["g"].dataType.simpleString()
+    lane_cols = ", ".join(f"nw{i} long, swc{i} long" for i in range(5))
+    parts = spread_for_cpu(staged, "_id").mapInPandas(
+        _partials, f"g {_g_t}, b int, {lane_cols}"
     )
-    # lane extraction (r13 profile-driven rework): three conv() parses
-    # instead of five — conv is the second-costliest per-row op after
-    # md5, and a 12-hex-char parse carries TWO 24-bit lanes recovered
-    # by shift/mask, so lanes 0-3 cost two parses and lane 4 one. Lane
-    # values are bit-identical to the per-lane substring parse (the
-    # oracle's layout), measured ~10% off the whole query at sf0.1
-    # (close 7.6 -> 6.8 s, warm 5.2 -> 4.8 s; BENCH_SF1_NOTES.md has
-    # the floor attribution).
-    v01 = F.conv(F.substring(F.col("_h"), 1, 12), 16, 10).cast("long")
-    v23 = F.conv(F.substring(F.col("_h"), 13, 12), 16, 10).cast("long")
-    v4 = F.conv(F.substring(F.col("_h"), 25, 6), 16, 10).cast("long")
-    lanes = [
-        F.shiftright(v01, 24),
-        v01.bitwiseAND(F.lit(0xFFFFFF)),
-        F.shiftright(v23, 24),
-        v23.bitwiseAND(F.lit(0xFFFFFF)),
-        v4,
-    ]
-    aggs = []
-    for lane, u in enumerate(lanes):
-        w = sum((u >= F.lit(t)).cast("long") for t in POISSON1_CDF_24BIT)
-        aggs.append(F.sum(w).alias(f"nw{lane}"))
-        aggs.append(F.sum(w * F.col("cents")).alias(f"swc{lane}"))
-    ba = blocks.groupBy("g", "b").agg(*aggs)
+    ba = parts.groupBy("g", "b").agg(
+        *[F.sum(f"nw{i}").alias(f"nw{i}") for i in range(5)],
+        *[F.sum(f"swc{i}").alias(f"swc{i}") for i in range(5)],
+    )
     rep = ba.select(
         "g",
         F.explode(

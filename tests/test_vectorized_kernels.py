@@ -104,6 +104,162 @@ def test_containment_winnow_kernel_matches_catalyst_reference(spark):
     assert set(range(5)) <= flagged  # every wrapped original is caught
 
 
+def test_kgram_xxh64_matches_spark_expression(spark):
+    """The vectorized numpy XXH64 (optimization r17) that replaced the
+    per-position Catalyst projection inside containment_dedup must be
+    BIT-IDENTICAL to Spark's xxhash64(substring(...)) on every
+    algorithm branch: message byte lengths < 8, 8..31 and >= 32 (the
+    four-lane stripe path), ASCII and multibyte (2/3/4-byte chars,
+    including windows that straddle multibyte boundaries)."""
+    import numpy as np
+
+    from nifi_minifi_cpp_spark.analytics.dedup import _kgram_xxh64
+
+    texts = _random_texts(57, 25, "abcd ", 20, 200)
+    texts += _random_texts(58, 25, "abéü中文\U0001f600 x", 20, 200)
+    texts += [
+        "x" * 19 + "Ω" + "y" * 19,  # 2-byte char mid-window
+        "日本語のテキスト" * 8,  # all 3-byte
+        "\U0001f600" * 40,  # all 4-byte (astral): k=20 chars = 80 bytes
+        "exactly twenty chars",  # single window per k
+    ]
+    for k in (5, 20, 33):  # <8-byte tail, 8..31, >=32 stripe path
+        rows = [(i, t) for i, t in enumerate(texts) if len(t) >= k]
+        df = spark.createDataFrame(rows, "doc_id long, t string")
+        reference = {
+            r["doc_id"]: list(r["h"])
+            for r in df.select(
+                "doc_id",
+                F.transform(
+                    F.sequence(F.lit(0), F.length("t") - k),
+                    lambda i: F.xxhash64(F.substring(F.col("t"), i + 1, F.lit(k))),
+                ).alias("h"),
+            ).collect()
+        }
+        for i, t in rows:
+            got = _kgram_xxh64(t, k)
+            assert got.dtype == np.int64
+            assert list(got) == reference[i], f"k={k} doc={i}"
+
+
+def test_vectorized_md5_matches_hashlib():
+    """vhash.md5_hex (the vectorized RFC-1321 MD5 behind the r17
+    Poisson-bootstrap kernel) vs hashlib.md5 — Spark's md5 implements
+    the same RFC, so hashlib is the independent reference. Lengths
+    cover every padding branch: empty, < 56, the 56..63 straddle (bit
+    length forces a second block), exact multiples of 64, multi-block."""
+    import hashlib
+
+    import numpy as np
+
+    from nifi_minifi_cpp_spark.analytics.vhash import md5_hex
+
+    rng = random.Random(7)
+    for length in (0, 1, 5, 12, 31, 55, 56, 63, 64, 65, 100, 200):
+        msgs = [bytes(rng.randrange(256) for _ in range(length)) for _ in range(40)]
+        mat = (
+            np.frombuffer(b"".join(msgs), dtype=np.uint8).reshape(40, length)
+            if length
+            else np.zeros((40, 0), dtype=np.uint8)
+        )
+        got = list(md5_hex(mat, length))
+        want = [hashlib.md5(m).hexdigest().encode() for m in msgs]
+        assert got == want, f"md5 mismatch at length {length}"
+
+
+def test_poisson_bootstrap_kernel_matches_catalyst_reference(spark):
+    """The r17 Arrow/numpy replicate kernel inside
+    poisson_bootstrap_mean_ci must reproduce the former Catalyst
+    explode + md5 + conv + threshold-count pipeline EXACTLY, including
+    the NULL edges: NULL event_id (every lane was NULL — the row left
+    both sums), NULL value (counts in nw, contributes no swc term),
+    and a group whose every value is NULL (swc stays NULL -> NULL
+    replicates -> NULL CI bounds)."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.sketches import (
+        POISSON1_CDF_24BIT,
+        poisson_bootstrap_mean_ci,
+    )
+
+    rng = random.Random(99)
+    rows = [
+        (rng.choice(["a", "b", "c"]), i, round(rng.uniform(-50, 50), 2))
+        for i in range(200)
+    ]
+    rows += [("a", 1000, None), ("b", None, 3.5), ("allnull", 2000, None)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+
+    got = {r["event_type"]: r for r in poisson_bootstrap_mean_ci(df).collect()}
+
+    # the literal pre-r17 pipeline, inline
+    blocks_n = 20
+    staged = df.select(
+        F.col("event_type").alias("g"),
+        F.col("event_id").cast("string").alias("_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    blocks = staged.select(
+        "g", "cents", F.explode(F.sequence(F.lit(1), F.lit(blocks_n))).alias("b"), "_id"
+    ).withColumn(
+        "_h", F.md5(F.concat(F.col("_id"), F.lit(":"), F.col("b").cast("string")))
+    )
+    v01 = F.conv(F.substring(F.col("_h"), 1, 12), 16, 10).cast("long")
+    v23 = F.conv(F.substring(F.col("_h"), 13, 12), 16, 10).cast("long")
+    v4 = F.conv(F.substring(F.col("_h"), 25, 6), 16, 10).cast("long")
+    lanes = [
+        F.shiftright(v01, 24),
+        v01.bitwiseAND(F.lit(0xFFFFFF)),
+        F.shiftright(v23, 24),
+        v23.bitwiseAND(F.lit(0xFFFFFF)),
+        v4,
+    ]
+    aggs = []
+    for lane, u in enumerate(lanes):
+        w = sum((u >= F.lit(t)).cast("long") for t in POISSON1_CDF_24BIT)
+        aggs.append(F.sum(w).alias(f"nw{lane}"))
+        aggs.append(F.sum(w * F.col("cents")).alias(f"swc{lane}"))
+    ba = blocks.groupBy("g", "b").agg(*aggs)
+    rep = ba.select(
+        "g",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        ((F.col("b") - 1) * 5 + lane + 1).alias("j"),
+                        F.floor(
+                            F.try_divide(1000 * F.col(f"swc{lane}"), F.col(f"nw{lane}"))
+                        )
+                        .cast("long")
+                        .alias("rm"),
+                    )
+                    for lane in range(5)
+                ]
+            )
+        ).alias("r"),
+    )
+    ci = rep.groupBy("g").agg(F.array_sort(F.collect_list("r.rm")).alias("means"))
+    point = staged.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.floor(1000 * F.sum("cents") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_millicents"),
+    )
+    want = {
+        r["event_type"]: r
+        for r in point.join(ci, "g")
+        .select(
+            F.col("g").alias("event_type"),
+            "n_rows",
+            "mean_millicents",
+            F.try_element_at("means", F.lit(5)).alias("boot_lo_millicents"),
+            F.try_element_at("means", F.lit(96)).alias("boot_hi_millicents"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_char_entropy_matches_explode_groupby_model(spark):
     """char_entropy_scores (numpy histogram) vs an independent
     explode+groupBy SQL model of H = log2(n) - sum(c*log2(c))/n, on
