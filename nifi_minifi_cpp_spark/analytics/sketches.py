@@ -30,22 +30,90 @@ def countmin_build(
     df: DataFrame, key_col: str, depth: int = 4, prefix_hex: int = 3
 ) -> DataFrame:
     """-> sketch table (row int, bucket string, n long); at most
-    depth * 16^prefix_hex rows, regardless of input size."""
-    rows = F.explode(F.sequence(F.lit(1), F.lit(depth))).alias("row")
-    return (
-        df.select(F.col(key_col).cast("string").alias("_k"))
-        .select("_k", rows)
-        .select(
-            "row",
-            F.substring(
-                F.md5(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("_k"))),
-                1,
-                prefix_hex,
-            ).alias("bucket"),
-        )
-        .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
+    depth * 16^prefix_hex rows, regardless of input size.
+
+    The d hash rows are computed in ONE Arrow/numpy kernel
+    (optimization r17, guide §4.2): the former explode(depth) +
+    per-row scalar ``md5(row || ':' || key)`` projection paid depth
+    JVM hash calls per input row — the dominant cost of both sketch
+    entries at sf0.1 (join_size_estimate_cm was the most expensive
+    remaining query). The kernel hashes every (key, row) message
+    through the vectorized RFC-1321 MD5 (``vhash.md5_hex`` — digests
+    bit-identical to Spark's ``md5``, pinned in
+    tests/test_vectorized_kernels.py), slices the SAME leading
+    ``prefix_hex`` hex chars, and emits map-side PARTIAL CELL COUNTS:
+    at most depth * 16^prefix_hex rows per Arrow batch cross back, the
+    exploded (row, key) rows never exist anywhere. NULL keys keep the
+    former semantics — md5 of a NULL concat was NULL, so each hash row
+    carries one (row, NULL, count) cell when the input has NULL keys.
+    """
+    staged = df.select(F.col(key_col).cast("string").alias("_k"))
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .vhash import md5_hex
+
+        for pdf in batches:
+            ks = pdf["_k"]
+            isna = ks.isna().to_numpy()
+            n_null = int(isna.sum())
+            vals = ks[~isna]
+            rows_out: list = []
+            buckets_out: list = []
+            counts_out: list = []
+            if len(vals):
+                kb = [s.encode("utf-8") for s in vals]
+                lens = np.array([len(s) for s in kb])
+                blob = np.frombuffer(b"".join(kb), dtype=np.uint8)
+                offs = np.concatenate(([0], np.cumsum(lens)))
+                for length in np.unique(lens):
+                    sel = np.where(lens == length)[0]
+                    idx = offs[sel][:, None] + np.arange(int(length))[None, :]
+                    keys_mat = blob[idx]
+                    for row in range(1, depth + 1):
+                        pre = np.frombuffer(f"{row}:".encode(), dtype=np.uint8)
+                        msg_len = len(pre) + int(length)
+                        mat = np.empty((len(sel), msg_len), dtype=np.uint8)
+                        mat[:, : len(pre)] = pre
+                        mat[:, len(pre) :] = keys_mat
+                        bk = md5_hex(mat, msg_len).astype(f"S{prefix_hex}")
+                        ub, cnts = np.unique(bk, return_counts=True)
+                        rows_out.append(np.full(len(ub), row, dtype=np.int32))
+                        buckets_out.append(ub.astype(str))
+                        counts_out.append(cnts.astype(np.int64))
+            out = pd.DataFrame(
+                {
+                    "row": np.concatenate(rows_out) if rows_out else np.array([], np.int32),
+                    "bucket": pd.array(
+                        np.concatenate(buckets_out) if buckets_out else [], dtype="string"
+                    ),
+                    "pn": np.concatenate(counts_out) if counts_out else np.array([], np.int64),
+                }
+            )
+            if n_null:
+                out = pd.concat(
+                    [
+                        out,
+                        pd.DataFrame(
+                            {
+                                "row": np.arange(1, depth + 1, dtype=np.int32),
+                                "bucket": pd.array([None] * depth, dtype="string"),
+                                "pn": np.full(depth, n_null, dtype=np.int64),
+                            }
+                        ),
+                    ],
+                    ignore_index=True,
+                )
+            yield out
+
+    from ..util import spread_for_cpu
+
+    parts = spread_for_cpu(staged, "_k").mapInPandas(
+        _partials, "row int, bucket string, pn long"
     )
+    return parts.groupBy("row", "bucket").agg(F.sum("pn").alias("n"))
 
 
 def countmin_estimate(

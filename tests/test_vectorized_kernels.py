@@ -282,3 +282,44 @@ def test_char_entropy_matches_explode_groupby_model(spark):
         h = math.log2(n) - sum(c * math.log2(c) for c in counts.values()) / n
         assert got[i] == pytest.approx(h, abs=1.1e-4), (i, t[:40])
     assert len(got) == len(texts)
+
+
+def test_countmin_build_matches_catalyst_reference(spark):
+    """The r17 Arrow/numpy count-min builder must reproduce the former
+    explode(depth) + scalar md5 + substring + groupBy pipeline EXACTLY
+    — every (row, bucket, n) cell, including the NULL-key cells (md5
+    of a NULL concat was NULL, so each hash row carried one
+    (row, NULL, count) cell) — on an adversarial key mix: negative and
+    huge ints as strings, unicode, the empty string, and NULLs."""
+    from pyspark.sql import functions as F
+
+    from nifi_minifi_cpp_spark.analytics.sketches import countmin_build
+
+    rng = random.Random(31)
+    keys = [str(rng.randrange(-10**6, 10**6)) for _ in range(400)]
+    keys += ["", "café", "naïve-ключ", "🚀" * 3, str(2**63 - 1), None, None]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+
+    for depth, prefix_hex in ((4, 3), (2, 2)):
+        got = {
+            (r["row"], r["bucket"]): r["n"]
+            for r in countmin_build(df, "k", depth=depth, prefix_hex=prefix_hex).collect()
+        }
+        rows = F.explode(F.sequence(F.lit(1), F.lit(depth))).alias("row")
+        want = {
+            (r["row"], r["bucket"]): r["n"]
+            for r in df.select(F.col("k").cast("string").alias("_k"))
+            .select("_k", rows)
+            .select(
+                "row",
+                F.substring(
+                    F.md5(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("_k"))),
+                    1,
+                    prefix_hex,
+                ).alias("bucket"),
+            )
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want, (depth, prefix_hex)
