@@ -128,6 +128,49 @@ def main():
             c.close()
         print(f"  total with teardown{'':36s} {time.perf_counter() - t0:7.3f}s")
 
+    if "midband" in PROBES:
+        # r17 VERDICT #7: the never-examined mid-band entries, warm
+        # run1/run2 — run2 isolates the per-query plan/job floor from
+        # first-run codegen/analysis warmup
+        print("== mid-band entries (warm, run1+run2) ==")
+        from nifi_minifi_cpp_spark.entry_queries import queries as reg
+        qs = reg()
+        for name in ("split_merge_roundtrip", "stream_interval_join_pairs",
+                     "fd_profile_candidates", "quantile_sketch_merge",
+                     "join_size_estimate_cm", "countmin_user_frequencies",
+                     "bpe_trained_merges", "bpe_tokenized_counts"):
+            t(f"{name} run1", lambda n=name: noop(qs[n](spark, SF_DIR)))
+            t(f"{name} run2", lambda n=name: noop(qs[n](spark, SF_DIR)))
+
+    if "stream" in PROBES:
+        # r17 VERDICT #6: where does the ~1.5-2 s Python-datasource
+        # stream start go? Phase-split a minimal tailfile lifecycle:
+        # plan (schema negotiation), start() return, first-batch
+        # availability, stop. Repeated twice — run2 shows the floor
+        # once the session's Python worker pool is warm.
+        print("== python-datasource stream start phases (tailfile) ==")
+        import tempfile
+
+        from nifi_minifi_cpp_spark.sources.datasource import register_tailfile
+
+        register_tailfile(spark)
+        for attempt in (1, 2):
+            d = tempfile.mkdtemp(prefix="ppstream")
+            path = os.path.join(d, "t.log")
+            with open(path, "w") as fh:
+                fh.write("hello\nworld\n")
+            reader = t(f"run{attempt}: readStream plan (.load())", lambda: (
+                spark.readStream.format("tailfile").option("pattern", path).load()
+            ))
+            q = t(f"run{attempt}: writeStream.start() returns", lambda: (
+                reader.writeStream.format("memory")
+                .queryName(f"pp_stream_{attempt}")
+                .trigger(availableNow=True)
+                .start()
+            ))
+            t(f"run{attempt}: awaitTermination (all batches)", lambda: q.awaitTermination(60))
+            t(f"run{attempt}: stop()", q.stop)
+
     if "dedup" in PROBES:
         print("== dedup heavy entries (warm, run1+run2) ==")
         from nifi_minifi_cpp_spark.entry_queries import queries as reg
