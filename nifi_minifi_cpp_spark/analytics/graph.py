@@ -67,6 +67,11 @@ def connected_components(
     Raises if the fixpoint is not reached in ``max_iterations`` rounds
     (log2 of the longest path; 30 covers any graph a real corpus
     produces) rather than returning silently-wrong labels.
+    
+    NOTE: the builder runs one eager count at plan-construction
+    time (a cached-RDD count on the barriered edge/node frame) to
+    set the broadcast dial — a driver-blocking action inside a
+    builder API, cheap because the frame is already barriered.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -403,7 +408,12 @@ def pagerank_grouped(
     table, so g tenants cost one pass over g·|reached| rank rows
     instead of g engine runs re-scanning the graph. Nodes outside a
     group's reach simply never materialize (sparse frames, not a
-    dense nodes×groups grid)."""
+    dense nodes×groups grid).
+    NOTE: the builder runs one eager count at plan-construction
+    time (a cached-RDD count on the barriered edge/node frame) to
+    set the broadcast dial — a driver-blocking action inside a
+    builder API, cheap because the frame is already barriered.
+    """
     from ..util import reliable_barrier
 
     e = reliable_barrier(
@@ -480,6 +490,11 @@ def label_propagation(
     sort-window — two shuffles a round on 16-byte rows, no per-round
     sort; the edge list is computed once behind a barrier and reused
     every round.
+    
+    NOTE: the builder runs one eager count at plan-construction
+    time (a cached-RDD count on the barriered edge/node frame) to
+    set the broadcast dial — a driver-blocking action inside a
+    builder API, cheap because the frame is already barriered.
     """
     from ..util import reliable_barrier
 
@@ -686,6 +701,11 @@ def hits(
     two per-round node-left-joins are reconstructed ONCE at the end by
     the final zero-fill join, which is also where the pure-sink hub=0 /
     pure-source auth=0 exactness comes from (coalesce to literal 0.0).
+    
+    NOTE: the builder runs one eager count at plan-construction
+    time (a cached-RDD count on the barriered edge/node frame) to
+    set the broadcast dial — a driver-blocking action inside a
+    builder API, cheap because the frame is already barriered.
     """
     from ..util import reliable_barrier
 
@@ -771,6 +791,11 @@ def bfs_hops(
     same slim-pair/barrier-per-round discipline as the other iterative
     operators — no frontier ever re-materializes prior rounds through
     lineage). Rounds shuffle O(m) join rows and O(n) aggregate rows.
+    
+    NOTE: the builder runs one eager count at plan-construction
+    time (a cached-RDD count on the barriered edge/node frame) to
+    set the broadcast dial — a driver-blocking action inside a
+    builder API, cheap because the frame is already barriered.
     """
     from ..util import reliable_barrier
 
@@ -817,6 +842,11 @@ def k_core_peel(
     smaller) survivor set — slim integer keys only, barriered per
     round like the other iterative operators. Peeling cascades:
     survivors shrink monotonically, so later rounds cost less.
+    
+    NOTE: the builder runs one eager count at plan-construction
+    time (a cached-RDD count on the barriered edge/node frame) to
+    set the broadcast dial — a driver-blocking action inside a
+    builder API, cheap because the frame is already barriered.
     """
     from ..util import reliable_barrier
 

@@ -83,30 +83,21 @@ def countmin_build(
                         rows_out.append(np.full(len(ub), row, dtype=np.int32))
                         buckets_out.append(ub.astype(str))
                         counts_out.append(cnts.astype(np.int64))
-            out = pd.DataFrame(
+            if n_null:
+                # one (row, NULL, count) cell per hash row, exactly as
+                # md5 of the NULL concat produced before
+                rows_out.append(np.arange(1, depth + 1, dtype=np.int32))
+                buckets_out.append(np.full(depth, None, dtype=object))
+                counts_out.append(np.full(depth, n_null, dtype=np.int64))
+            if not rows_out:
+                continue
+            yield pd.DataFrame(
                 {
-                    "row": np.concatenate(rows_out) if rows_out else np.array([], np.int32),
-                    "bucket": pd.array(
-                        np.concatenate(buckets_out) if buckets_out else [], dtype="string"
-                    ),
-                    "pn": np.concatenate(counts_out) if counts_out else np.array([], np.int64),
+                    "row": np.concatenate(rows_out),
+                    "bucket": pd.array(np.concatenate(buckets_out), dtype="string"),
+                    "pn": np.concatenate(counts_out),
                 }
             )
-            if n_null:
-                out = pd.concat(
-                    [
-                        out,
-                        pd.DataFrame(
-                            {
-                                "row": np.arange(1, depth + 1, dtype=np.int32),
-                                "bucket": pd.array([None] * depth, dtype="string"),
-                                "pn": np.full(depth, n_null, dtype=np.int64),
-                            }
-                        ),
-                    ],
-                    ignore_index=True,
-                )
-            yield out
 
     from ..util import spread_for_cpu
 
